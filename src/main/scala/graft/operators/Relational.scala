@@ -1,0 +1,583 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.Parity._
+
+/** Relational query suite over the TPC-H-ish testdata star schema.
+  *
+  * The reference (`/root/reference`, see SURVEY.md §2) has **no** joins,
+  * aggregations, or windows — these queries are the driver-mandated
+  * extension surface ("classification-result analytics" generalized to the
+  * full star schema), expressed Catalyst-first so predicate pushdown,
+  * column pruning, and join planning are inherited rather than hand-built.
+  *
+  * Scale posture (100 TB): dimension tables (`region`, `nation`,
+  * `supplier`) are explicitly `broadcast()`; fact-fact joins shuffle on
+  * their join keys and rely on AQE for skew/coalescing; every aggregate
+  * is a partial-aggregable Catalyst `sum/count` (map-side combine free);
+  * no global (unpartitioned) window functions anywhere — global top-1 is
+  * an agg + broadcast join instead. All money arithmetic is decimal-exact
+  * (see [[graft.functions.Parity]]) so results are order-independent —
+  * required both for the DuckDB oracle and run-to-run stability on a
+  * real cluster.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared oracle-SQL fragments (kept in lock-step with the Column
+  // expressions in graft.functions.Parity).
+  private val revT =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
+  private val sumRev = s"sum($revT)"
+  private def dsumSql(col: String) = d2dSql(s"sum(CAST($col AS DECIMAL(18,4)))")
+  private def davgSql(col: String) =
+    s"${dsumSql(col)} / CAST(count(*) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: one wide partial-aggregable groupBy. */
+  private def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")) *
+          (lit(1).cast("decimal(12,4)") + dec4(col("l_tax"))))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql = {
+    val charge = s"sum($revT * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))))"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${d2dSql(sumRev)} AS sum_disc_price,
+       |  ${d2dSql(charge)} AS sum_charge,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Revenue per nation: 3 fact joins + broadcast dim join. */
+  private def q02(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val or = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val na = Tables.nation(spark, dir)
+    li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+      .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q02Sql =
+    s"""SELECT n_name,
+       |  ${d2dSql(sumRev)} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style shipping-priority top-10 (join + agg + top-k). */
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val or = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${d2dSql(sumRev)} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Order-priority count with EXISTS (left-semi join). */
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val or = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val bigLines = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"))
+    or.join(bigLines, or("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style local-supplier volume: 6-way join through a region. */
+  private def q05(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val or = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val su = Tables.supplier(spark, dir)
+    val na = Tables.nation(spark, dir)
+    val re = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+        cu("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q05Sql =
+    s"""SELECT n_name,
+       |  ${d2dSql(sumRev)} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-style forecast revenue: pure pushed-down filter + scalar agg. */
+  private def q06(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount") >= 0.02 && col("l_discount") <= 0.06)
+      .filter(col("l_quantity") < 24.0)
+      .agg(
+        decToDouble(sum(dec(col("l_extendedprice")) * dec4(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q06Sql = {
+    val e = "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(12,4)))"
+    s"""SELECT
+       |  ${d2dSql(e)} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.02 AND l_discount <= 0.06
+       |  AND l_quantity < 24.0""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Top-3 orders per customer by value (window row_number). */
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q07Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Running (cumulative) spend per customer — order-dependent window sum
+    * kept exact via decimal accumulation. */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100L)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend", decToDouble(sum(dec(col("o_totalprice"))).over(w)))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val q08Sql = {
+    val ws = "sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w"
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  ${d2dSql(ws)} AS running_spend
+       |FROM orders
+       |WHERE o_custkey < 100
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Per-segment order stats with exact distinct count. */
+  private def q09(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val or = Tables.orders(spark, dir)
+    or.join(cu, or("o_custkey") === cu("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q09Sql =
+    s"""SELECT c_mktsegment,
+       |  count(DISTINCT c_custkey) AS n_customers,
+       |  count(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS total_spend
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Customers with no high-value order (left-anti join) per nation. */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    cu.join(bigOrders, cu("c_custkey") === bigOrders("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_modest_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q10Sql =
+    s"""SELECT c_nationkey, count(*) AS n_modest_customers,
+       |  ${dsumSql("c_acctbal")} AS sum_acctbal
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP over returnflag/linestatus (grouping sets). */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val q11Sql =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Conditional aggregation (CASE WHEN inside sum) per linestatus. */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val or = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** TPC-H Q13-style customer order-count distribution (left join + double agg). */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val or = Tables.orders(spark, dir)
+    val perCust = cu.join(or, cu("c_custkey") === or("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Promo revenue share (ratio of conditional decimal sums). */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    li.join(pa, li("l_partkey") === pa("p_partkey"))
+      .agg(
+        (decToDouble(sum(when(col("p_type") === "PROMO",
+          revenue(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0).cast("decimal(18,4)")))) * 100.0 /
+          decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))))
+          .as("promo_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q14Sql = {
+    val promo =
+      s"sum(CASE WHEN p_type = 'PROMO' THEN $revT ELSE CAST(0 AS DECIMAL(18,4)) END)"
+    s"""SELECT
+       |  ${d2dSql(promo)} * 100.0 / ${d2dSql(sumRev)} AS promo_share,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Top supplier(s) by revenue — global top-1 as agg + broadcast join,
+    * NOT a global window (which would single-partition at scale). */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val su = Tables.supplier(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${d2dSql(sumRev)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Distinct-supplier count per part attribute (join + multi-key agg). */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1")
+      .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    val li = Tables.lineitem(spark, dir)
+    li.join(pa, li("l_partkey") === pa("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Small-quantity revenue vs. per-part average (window-avg correlated filter). */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pa = Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(pa, li("l_partkey") === pa("p_partkey"))
+      .withColumn("avg_qty",
+        decToDouble(sum(dec(col("l_quantity"))).over(w)) /
+          count(lit(1)).over(w).cast(DoubleType))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q17Sql = {
+    val ws = "sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_partkey)"
+    s"""SELECT
+       |  ${dsumSql("l_extendedprice")} AS small_qty_revenue,
+       |  count(*) AS n_lines
+       |FROM (
+       |  SELECT l_extendedprice, l_quantity,
+       |    ${d2dSql(ws)} /
+       |    CAST(count(*) OVER (PARTITION BY l_partkey) AS DOUBLE) AS avg_qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#3')
+       |WHERE l_quantity < avg_qty * 0.5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Large orders (HAVING over decimal sum) joined back to customers. */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val or = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 180.0)
+    or.join(bigOrders, or("o_orderkey") === bigOrders("l_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18Sql =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${dsumSql("l_quantity")} > 180.0)
+       |JOIN orders   ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Disjunctive band-predicate join (OR of brand/size/qty bands). */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val joined = li.join(pa, li("l_partkey") === pa("p_partkey"))
+    val band1 = col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1.0, 20.0)
+    val band2 = col("p_brand") === "Brand#4" && col("p_size").between(11, 20) &&
+      col("l_quantity").between(10.0, 30.0)
+    val band3 = col("p_brand") === "Brand#6" && col("p_size").between(21, 30) &&
+      col("l_quantity").between(20.0, 40.0)
+    joined.filter(band1 || band2 || band3)
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql =
+    s"""SELECT
+       |  ${d2dSql(sumRev)} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1.0 AND 20.0)
+       |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10.0 AND 30.0)
+       |   OR (p_brand = 'Brand#6' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary"   -> (q01 _),
+    "q02_revenue_by_nation" -> (q02 _),
+    "q03_shipping_priority" -> (q03 _),
+    "q04_priority_exists"   -> (q04 _),
+    "q05_local_supplier"    -> (q05 _),
+    "q06_forecast_revenue"  -> (q06 _),
+    "q07_window_topk"       -> (q07 _),
+    "q08_running_total"     -> (q08 _),
+    "q09_segment_stats"     -> (q09 _),
+    "q10_no_bigorder_anti"  -> (q10 _),
+    "q11_rollup_flags"      -> (q11 _),
+    "q12_priority_case"     -> (q12 _),
+    "q13_order_count_dist"  -> (q13 _),
+    "q14_promo_share"       -> (q14 _),
+    "q15_top_supplier"      -> (q15 _),
+    "q16_supplier_cnt"      -> (q16 _),
+    "q17_small_qty_rev"     -> (q17 _),
+    "q18_large_orders"      -> (q18 _),
+    "q19_band_join"         -> (q19 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"   -> q01Sql,
+    "q02_revenue_by_nation" -> q02Sql,
+    "q03_shipping_priority" -> q03Sql,
+    "q04_priority_exists"   -> q04Sql,
+    "q05_local_supplier"    -> q05Sql,
+    "q06_forecast_revenue"  -> q06Sql,
+    "q07_window_topk"       -> q07Sql,
+    "q08_running_total"     -> q08Sql,
+    "q09_segment_stats"     -> q09Sql,
+    "q10_no_bigorder_anti"  -> q10Sql,
+    "q11_rollup_flags"      -> q11Sql,
+    "q12_priority_case"     -> q12Sql,
+    "q13_order_count_dist"  -> q13Sql,
+    "q14_promo_share"       -> q14Sql,
+    "q15_top_supplier"      -> q15Sql,
+    "q16_supplier_cnt"      -> q16Sql,
+    "q17_small_qty_rev"     -> q17Sql,
+    "q18_large_orders"      -> q18Sql,
+    "q19_band_join"         -> q19Sql)
+}
