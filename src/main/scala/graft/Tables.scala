@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Accessors for the driver testdata tables (see /root/repo/TESTDATA.md).
   *
@@ -19,7 +20,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright. Read it as raw nanos (legacy flag) and
+    * rebuild a microsecond timestamp — the testdata values are whole
+    * microseconds, so the conversion is lossless and matches what DuckDB
+    * sees after a ns→µs cast. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by [[graft.operators.TextAnalysis]] and
+  * [[graft.operators.Dedup]]: tokenization, portable word hashing, and
+  * the MinHash permutation family.
+  *
+  * Everything here has an exact DuckDB twin (the `*Sql` builders) so the
+  * dedup/similarity pipelines are oracle-checkable end-to-end. The
+  * generalization of the reference's only string functions (sanitize
+  * F2 + format M6, `/root/reference/java/PredictBatchMapperCluster.java:23`)
+  * to a full text-pipeline toolkit is driver-mandated (BASELINE.json
+  * north star).
+  */
+object TextFns {
+
+  /** Whitespace tokenization; testdata is single-space separated. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokensSql(e: String): String = s"string_split($e, ' ')"
+
+  /** Distinct word-3-gram shingles (order-sensitive near-dup features).
+    * Unigram features are degenerate on a small vocabulary — nearly all
+    * documents share nearly all words — so every sketch (MinHash,
+    * SimHash) hashes shingles instead. */
+  def shingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[shingles]] (1-based list indexing, end-exclusive
+    * `range`). */
+  def shinglesSql(e: String): String = {
+    val t = tokensSql(e)
+    s"""CASE WHEN len($t) >= 3
+       |  THEN list_distinct(list_transform(range(1, len($t) - 1),
+       |         i -> ($t)[i] || ' ' || ($t)[i+1] || ' ' || ($t)[i+2]))
+       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash family: k permutations of a 32-bit md5-derived word hash.
+  //   perm_i(h) = (a_i * h + b_i) mod P
+  // P is the smallest prime > 2^32; a_i odd < 2^21 keeps a*h < 2^53
+  // (exact in any engine's int64). Constants are index-derived (Weyl
+  // sequence), not RNG, so Spark and the SQL oracle share them.
+  // ---------------------------------------------------------------
+  val MinHashK = 16
+  val LshBands = 4
+  val LshRows  = 4 // MinHashK / LshBands
+  val MinHashP = 4294967311L
+
+  val As: IndexedSeq[Long] =
+    (0 until MinHashK).map(i => 1L + 2L * ((i * 2654435761L) % 1048573L))
+  val Bs: IndexedSeq[Long] =
+    (0 until MinHashK).map(i => (i * 40503L + 17L) % 1048573L)
+
+  /** Column: the i-th permuted hash of a word-hash column. */
+  def perm(i: Int, h: Column): Column =
+    (lit(As(i)) * h + lit(Bs(i))) % lit(MinHashP)
+
+  /** SQL fragment mirroring [[perm]]. */
+  def permSql(i: Int, h: String): String =
+    s"((${As(i)} * $h + ${Bs(i)}) % $MinHashP)"
+
+  // ---------------------------------------------------------------
+  // SimHash: 32-bit sign-aggregated fingerprint over word hashes.
+  // ---------------------------------------------------------------
+  val SimHashBits = 32
+  val SimHashBandBits = 8 // 4 bands of 8 bits: hamming<=3 => >=1 band equal
+
+  /** Per-bit contribution of a word hash: +1 if bit j set, else -1. */
+  def simBit(j: Int, h: Column): Column =
+    (shiftright(h, j).bitwiseAND(lit(1L))) * lit(2L) - lit(1L)
+
+  def simBitSql(j: Int, h: String): String =
+    s"((($h >> $j) & 1) * 2 - 1)"
+}

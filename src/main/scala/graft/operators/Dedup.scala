@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.Parity._
+import graft.functions.TextFns._
+
+/** Deduplication operators over `documents`: exact, content-normalized,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Driver-mandated training-data-pipeline extensions (BASELINE.json
+  * north star "dedup"). All hashing is md5-derived so the DuckDB oracle
+  * can replay every pipeline bit-for-bit (see
+  * [[graft.functions.Parity.md5u32]]).
+  *
+  * Scale posture (100 TB): no O(n²) comparisons anywhere —
+  *  - exact/content dedup is one hash-groupBy (shuffle on a uniform key);
+  *  - MinHash signatures are ONE groupBy over exploded tokens (16 `min`
+  *    aggregates, partial-aggregable map-side); candidate pairs come from
+  *    the banded self-join (pairs only within equal band buckets);
+  *  - SimHash pairs join only within equal 8-bit bands (pigeonhole:
+  *    hamming ≤ 3 ⇒ some band equal), never all-pairs;
+  *  - n-gram Jaccard uses an inverted-index join on rare-ish shingles.
+  * Skewed buckets (a virally-duplicated doc) are the known hazard: AQE
+  * skew-join handles moderate skew; beyond that, band-bucket salting.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 3-gram shingles per doc, exploded: (doc_id, w) — the
+    * shared feature stage for the MinHash and SimHash sketches. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
+
+  private val docShinglesSql =
+    s"SELECT doc_id, unnest(ss) AS w FROM (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents)"
+
+  // ---------------------------------------------------------------- q34
+  /** Content-normalized exact dedup: group by the sorted-unique-token
+    * fingerprint; report every duplicate cluster. Catches the
+    * word-shuffled duplicates planted in the testdata. */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(bag).as("fp_content"))
+      .groupBy(col("fp_content"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("canonical_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("cluster_size") > 1L)
+      .orderBy(col("fp_content"))
+  }
+
+  private val q34Sql = {
+    val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
+    s"""SELECT md5($bag) AS fp_content,
+       |  count(*) AS cluster_size,
+       |  min(doc_id) AS canonical_doc,
+       |  max(doc_id) AS max_doc
+       |FROM documents
+       |GROUP BY 1
+       |HAVING count(*) > 1
+       |ORDER BY fp_content""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** MinHash + LSH near-dup pairs.
+    *
+    * k=16 permutations over md5-derived word hashes, 4 bands × 4 rows;
+    * candidate pairs share ≥1 band; kept if ≥13/16 signature components
+    * match (est. Jaccard ≥ 0.8). One shuffle to build signatures, one
+    * banded self-join for candidates — never all-pairs. */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5u32(col("w"))
+    val sig = docShingles(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(perm(0, col("h"))).as("m0"),
+        (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
+
+    val bandCols = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh")).as(s"band$b")
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+
+    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val nMatches = (0 until MinHashK)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa, col("doc_a") === col("a_doc_id"))
+      .join(sb, col("doc_b") === col("b_doc_id"))
+      .withColumn("n_matches", nMatches)
+      .filter(col("n_matches") >= 13)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        col("n_matches"),
+        (col("n_matches").cast(DoubleType) / lit(MinHashK).cast(DoubleType))
+          .as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q35Sql = {
+    val mins = (0 until MinHashK)
+      .map(i => s"min(${permSql(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => s"m${b * LshRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ms)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until MinHashK)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS ($docShinglesSql),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared_bands,
+       |  ($matches) AS n_matches,
+       |  CAST(($matches) AS DOUBLE) / CAST($MinHashK AS DOUBLE) AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE ($matches) >= 13
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** SimHash near-dup pairs.
+    *
+    * 32-bit sign-aggregated fingerprint over word hashes; pairs with
+    * hamming distance ≤ 3 found via 4×8-bit band blocking (pigeonhole:
+    * ≤3 differing bits ⇒ at least one band identical). */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5u32(col("w"))
+    val bitSums = docShingles(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(simBit(0, col("h"))).as("s0"),
+        (1 until SimHashBits).map(j => sum(simBit(j, col("h"))).as(s"s$j")): _*)
+    val simhash = (0 until SimHashBits)
+      .map(j => when(col(s"s$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = bitSums.select(col("doc_id"), simhash.as("simhash"))
+
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * SimHashBandBits)
+            .bitwiseAND(lit(255L)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q36Sql = {
+    val bitSums = (0 until SimHashBits)
+      .map(j => s"CAST(sum(${simBitSql(j, "h")}) AS BIGINT) AS s$j")
+      .mkString(",\n    ")
+    val simhash = (0 until SimHashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimHashBandBits}) & 255 AS bv FROM fp"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS ($docShinglesSql),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Word-3-gram (shingle) Jaccard top-20 via inverted-index join —
+    * order-sensitive near-duplication (catches copied passages, not
+    * shuffled bags of words; q34/q35 catch those). */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("ss"))
+    val e = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2L)
+
+    val na = sizes.toDF("a_doc", "n_a")
+    val nb = sizes.toDF("b_doc", "n_b")
+    pairs
+      .join(na, col("doc_a") === col("a_doc"))
+      .join(nb, col("doc_b") === col("b_doc"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val q37Sql = {
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS ss
+       |  FROM documents),
+       |e AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n FROM sh),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+       |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  na.n + nb.n - n_common AS n_union,
+       |  CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q34_content_dedup"  -> (q34 _),
+    "q35_minhash_lsh"    -> (q35 _),
+    "q36_simhash"        -> (q36 _),
+    "q37_shingle_jaccard" -> (q37 _))
+
+  val oracles: Map[String, String] = Map(
+    "q34_content_dedup"  -> q34Sql,
+    "q35_minhash_lsh"    -> q35Sql,
+    "q36_simhash"        -> q36Sql,
+    "q37_shingle_jaccard" -> q37Sql)
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.Parity._
+
+/** Time-series / event-log analytics over the `events` table.
+  *
+  * Batch-mode counterparts of the Structured Streaming operators in
+  * [[graft.streaming.EventStreams]] — same windowing and sessionization
+  * semantics, expressed over the static table so the DuckDB oracle can
+  * check them. At 100 TB the `events` table would be date-partitioned;
+  * every query here groups or windows by `user_id` (or truncated time),
+  * which shuffles once on a high-cardinality key and stays balanced.
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q20
+  /** Hourly tumbling-window counts per event type. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val q20Sql =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       |  count(*) AS n_events,
+       |  ${d2dSql("sum(CAST(value AS DECIMAL(18,4)))")} AS sum_value
+       |FROM events
+       |GROUP BY date_trunc('hour', ts), event_type
+       |ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Per-user activity pivot: one conditional-count column per type. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        cnt("click").as("n_click"),
+        cnt("view").as("n_view"),
+        cnt("purchase").as("n_purchase"),
+        cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q21Sql = {
+    def cnt(t: String) =
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""SELECT user_id,
+       |  ${cnt("click")} AS n_click,
+       |  ${cnt("view")} AS n_view,
+       |  ${cnt("purchase")} AS n_purchase,
+       |  ${cnt("signup")} AS n_signup,
+       |  ${cnt("error")} AS n_error,
+       |  ${d2dSql("sum(CAST(value AS DECIMAL(18,4)))")} AS sum_value
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Inter-event gap stats per user (lag window). Gap is in whole
+    * seconds (epoch-floor difference — matches DuckDB `date_diff`). */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s", col("ts").cast(LongType) - col("prev_ts").cast(LongType))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("total_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        (sum(col("gap_s")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("avg_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q22Sql =
+    """SELECT user_id,
+      |  count(*) AS n_gaps,
+      |  CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+      |  max(gap_s) AS max_gap_s,
+      |  CAST(sum(gap_s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_s
+      |FROM (
+      |  SELECT user_id,
+      |    date_diff('second',
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+      |  FROM events)
+      |WHERE gap_s IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Event dedup: keep the first event per (user, type) — the standard
+    * "first occurrence wins" dedup as a window row_number. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q23Sql =
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** JSON property extraction + bucket aggregation. */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .withColumn("k_bucket", col("k") % 10L)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  private val q24Sql =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  ${d2dSql("sum(CAST(value AS DECIMAL(18,4)))")} AS sum_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY k_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Batch sessionization: a new session starts after a >30 min gap.
+    * Session ids come from a cumulative sum over the gap indicator —
+    * the classic shuffle-once sessionization that scales to any number
+    * of users (partition by user, never a global sort). */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("gap_s",
+        col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q25Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new
+       |  FROM gaps),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |  count(*) AS n_events,
+       |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+       |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+       |  ${d2dSql("sum(CAST(value AS DECIMAL(18,4)))")} AS session_value
+       |FROM sess
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q20_hourly_events" -> (q20 _),
+    "q21_user_pivot"    -> (q21 _),
+    "q22_event_gaps"    -> (q22 _),
+    "q23_first_event"   -> (q23 _),
+    "q24_json_buckets"  -> (q24 _),
+    "q25_sessionize"    -> (q25 _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_hourly_events" -> q20Sql,
+    "q21_user_pivot"    -> q21Sql,
+    "q22_event_gaps"    -> q22Sql,
+    "q23_first_event"   -> q23Sql,
+    "q24_json_buckets"  -> q24Sql,
+    "q25_sessionize"    -> q25Sql)
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.Parity._
+import graft.functions.TextFns._
+
+/** Text-analysis operators over the `documents` table: token stats,
+  * quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * These are the driver-mandated training-data-pipeline extensions
+  * (BASELINE.json north star "text analysis"); the reference's own text
+  * surface is only sanitize/format (SURVEY.md §2 F2/M6), generalized in
+  * [[graft.operators.Pipeline]].
+  *
+  * Scale posture: every query is a narrow projection + per-row scalar
+  * expressions (all codegen'd built-ins — no UDFs) followed by one
+  * partial-aggregable groupBy. Nothing here shuffles the document text
+  * itself except q33's per-doc output (a scan-shaped result).
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q30
+  /** Per-language token statistics. */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q30Sql =
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  min(n_tokens) AS min_tokens,
+       |  max(n_tokens) AS max_tokens,
+       |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT lang, n_chars,
+       |        CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |      FROM documents)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Per-document quality scoring: lexical-diversity and stopword
+    * ratios + length features, bucketed into a quality grade. */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_unique", size(array_distinct(t)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(t, w => w === "the" || w === "a")).cast("long"))
+      .withColumn("uniq_ratio",
+        col("n_unique").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("stop_ratio",
+        col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + lit(1L)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .withColumn("quality",
+        when(col("n_tokens") >= 30L && col("uniq_ratio") >= 0.4 &&
+          col("stop_ratio") <= 0.2, "high")
+          .when(col("n_tokens") >= 15L, "medium")
+          .otherwise("low"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("n_stop"),
+        col("uniq_ratio"), col("stop_ratio"), col("avg_token_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q31Sql = {
+    val t = tokensSql("text")
+    s"""SELECT doc_id, n_tokens, n_unique, n_stop,
+       |  CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+       |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       |  CASE WHEN n_tokens >= 30
+       |         AND CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+       |         AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+       |       THEN 'high'
+       |       WHEN n_tokens >= 15 THEN 'medium'
+       |       ELSE 'low' END AS quality
+       |FROM (SELECT doc_id, n_chars,
+       |        CAST(len($t) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_distinct($t)) AS BIGINT) AS n_unique,
+       |        CAST(len(list_filter($t, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** Language-ID heuristic (char n-gram + vowel-ratio features) and its
+    * confusion matrix against the labelled `lang` column. */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val guessed = Tables.documents(spark, dir)
+      .withColumn("n_th", regexp_count(col("text"), lit("th")).cast("long"))
+      .withColumn("n_vow", regexp_count(col("text"), lit("[aeiou]")).cast("long"))
+      .withColumn("r_th",
+        col("n_th").cast(DoubleType) * 100.0 / col("n_chars").cast(DoubleType))
+      .withColumn("r_vow",
+        col("n_vow").cast(DoubleType) / col("n_chars").cast(DoubleType))
+      .withColumn("guess",
+        when(col("r_th") >= 2.0, "en")
+          .when(col("r_vow") >= 0.34, "es")
+          .when(col("r_vow") >= 0.32, "fr")
+          .when(col("r_vow") >= 0.30, "de")
+          .otherwise("zh"))
+    guessed.groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  private val q32Sql =
+    """SELECT lang, guess, count(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(regexp_extract_all(text, 'th')) AS DOUBLE) * 100.0
+      |              / CAST(n_chars AS DOUBLE) >= 2.0 THEN 'en'
+      |         WHEN CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+      |              / CAST(n_chars AS DOUBLE) >= 0.34 THEN 'es'
+      |         WHEN CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+      |              / CAST(n_chars AS DOUBLE) >= 0.32 THEN 'fr'
+      |         WHEN CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+      |              / CAST(n_chars AS DOUBLE) >= 0.30 THEN 'de'
+      |         ELSE 'zh' END AS guess
+      |  FROM documents)
+      |GROUP BY lang, guess
+      |ORDER BY lang, guess""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Document fingerprinting: full md5, a 32-bit bucket hash, and a
+    * normalized (sorted-unique-token) content fingerprint. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        (md5u32(col("text")) % 64L).as("bucket"),
+        md5(bag).as("fp_content"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q33Sql = {
+    val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
+    s"""SELECT doc_id,
+       |  md5(text) AS fp_exact,
+       |  ${md5u32Sql("text")} % 64 AS bucket,
+       |  md5($bag) AS fp_content
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q30_token_stats" -> (q30 _),
+    "q31_quality"     -> (q31 _),
+    "q32_lang_guess"  -> (q32 _),
+    "q33_fingerprint" -> (q33 _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" -> q30Sql,
+    "q31_quality"     -> q31Sql,
+    "q32_lang_guess"  -> q32Sql,
+    "q33_fingerprint" -> q33Sql)
+}
