@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.security.MessageDigest
+
+/** A batch scorer: the pluggable M4 slot — `payload batch → (class index,
+  * probability) batch`, positionally aligned with the input.
+  *
+  * Implementations must be serializable (shipped to executors) and cheap
+  * to `init()` — init runs once per partition, which is the fix for the
+  * reference's dominant inefficiency (model reloaded per 32-row batch,
+  * `/root/reference/java/PredictBatchMapperCluster.java:97-107`,
+  * SURVEY.md §4).
+  */
+trait Scorer extends Serializable {
+
+  /** Once-per-partition initialization (model load analog, M2). */
+  def init(): Unit = ()
+
+  /** Score one item. A thrown exception is the "decode failure" (M3):
+    * [[Infer]] catches it per-item and emits the sentinel. */
+  def score(payload: String): (Int, Double)
+
+  /** Score a batch; default is per-item with no batch-level failure.
+    * Batch-oriented scorers (subprocess, vectorized model) override. */
+  def scoreBatch(payloads: Seq[String]): Seq[(Int, Double)] =
+    payloads.map(score)
+}
+
+/** The deterministic stand-in for the neural scorer: md5-derived class
+  * index and probability, bit-identical to the SQL expressions of
+  * `q27_classify_stub` ([[graft.operators.Pipeline]]) — which is what
+  * makes the typed pipeline golden-testable against the DuckDB oracle.
+  *
+  * Blank payloads throw, exercising the reference's decode-failure path
+  * (an unreadable image, `/root/reference/python/…local.py:100-108`).
+  */
+final class HashScorer(numClasses: Int) extends Scorer {
+
+  override def score(payload: String): (Int, Double) = {
+    if (payload.trim.isEmpty) throw new IllegalArgumentException("blank payload")
+    val idx = (HashScorer.md5u32(payload) % numClasses).toInt
+    val mantissa = HashScorer.md5u32(payload + ":p") % 9000L + 1000L
+    (idx, mantissa.toDouble / 10000.0)
+  }
+}
+
+object HashScorer {
+
+  /** JVM twin of [[graft.functions.Parity.md5u32]]: unsigned 32-bit int
+    * from the first 8 hex chars of md5. */
+  def md5u32(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** X1 fidelity: score a batch through an external process, exactly the
+  * reference's subprocess protocol
+  * (`/root/reference/java/PredictBatchMapperCluster.java:92-131`):
+  *
+  *  - the batch is materialized to a temp manifest file (B2), one payload
+  *    per line;
+  *  - `command ++ [manifestPath]` is spawned with stdout = data and
+  *    stderr = logs kept separate (`redirectErrorStream(false)`);
+  *  - stdout lines are trimmed; empty and `#`-comment lines dropped;
+  *    lines that don't split into exactly 3 comma fields are silently
+  *    dropped (X2 malformed-row policy);
+  *  - a non-zero exit code is logged but **not** acted on — a failed
+  *    batch yields zero rows (the reference's observable behavior,
+  *    `PredictBatchMapperCluster.java:130-131`).
+  *
+  * Output rows are keyed by the first field (the payload/path echoed
+  * back), so dropped rows simply have no prediction — matching the MR
+  * job, where unparseable rows vanish from the output.
+  *
+  * Scale note: one process per *batch* is the reference's design; a
+  * long-lived process per partition (spawn in `init()`, stream batches
+  * through) is the upgrade path once the protocol is line-framed.
+  */
+final class PipeScorer(command: Seq[String]) extends Scorer {
+
+  override def score(payload: String): (Int, Double) =
+    scoreKeyed(Seq(payload)).get(payload) match {
+      case Some(r) => r
+      case None    => throw new IllegalStateException("no subprocess output row")
+    }
+
+  /** Batch entry point used by [[Infer.classifyPiped]]: returns only the
+    * rows the subprocess actually produced, keyed by echoed payload. */
+  def scoreKeyed(payloads: Seq[String]): Map[String, (Int, Double)] = {
+    var tmp: Path = null
+    try {
+      tmp = Files.createTempFile("graft_batch_", ".txt")
+      // Newline-terminated, as the reference's writer emits it
+      // (`PredictBatchMapperCluster.java:92-93`) — POSIX `read` loops
+      // drop a final unterminated line otherwise.
+      Files.write(tmp,
+        payloads.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      val pb = new ProcessBuilder((command :+ tmp.toString): _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val err = new String(proc.getErrorStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val code = proc.waitFor()
+      if (err.nonEmpty)
+        System.err.println(s"[PipeScorer] subprocess stderr: ${err.take(2000)}")
+      if (code != 0)
+        System.err.println(s"[PipeScorer] subprocess exit code $code (ignored)")
+      out.linesIterator
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split(",", -1))
+        .filter(_.length == 3)
+        .flatMap { f =>
+          try Some(f(0) -> (f(1).trim.toInt, f(2).trim.toDouble))
+          catch { case _: NumberFormatException => None }
+        }
+        .toMap
+    } finally {
+      if (tmp != null) Files.deleteIfExists(tmp)
+    }
+  }
+}

@@ -1,0 +1,34 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** K1 + M6 + SH1: the reference's output contract — `path TAB class,prob`
+  * lines, globally sorted by path, probability formatted `%.4f`
+  * (`/root/reference/java/PredictDriverCluster.java:39`,
+  * `python/predict_batch_threaded_local.py:160`).
+  */
+object Sinks {
+
+  /** The formatted KV frame: `k = path`, `v = label,%.4f(prob)`.
+    * `format_number`-free: `format_string("%.4f", …)` is codegen'd and
+    * matches the Python `f"{prob:.4f}"` output for all non-tie doubles. */
+  def kvFrame(preds: Dataset[Prediction]): DataFrame =
+    preds.toDF()
+      .select(col("path").as("k"),
+        concat_ws(",", col("label"),
+          format_string("%.4f", col("prob"))).as("v"))
+
+  /** Write the sorted TSV. `orderBy` range-partitions the sort (the
+    * parallel analog of the reference's single reducer); `singleFile`
+    * additionally coalesces to one part file for byte-compat with
+    * `part-r-00000` — correct for small outputs, deliberately NOT the
+    * default at scale. */
+  def writeTsv(preds: Dataset[Prediction], out: String,
+      singleFile: Boolean = false): Unit = {
+    val sorted = kvFrame(preds).orderBy(col("k"))
+    val df = if (singleFile) sorted.coalesce(1) else sorted
+    df.select(concat_ws("\t", col("k"), col("v")).as("value"))
+      .write.mode("overwrite").text(out)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.PosixFilePermissions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** X1/X2 fidelity: subprocess protocol, malformed-row drop policy,
+  * ignored exit codes, stdout/stderr separation. */
+class PipeScorerSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  /** Writes an executable shell script and returns its path. */
+  private def script(body: String): Path = {
+    val p = Files.createTempFile("graft_scorer_", ".sh")
+    Files.writeString(p, s"#!/bin/sh\n$body\n")
+    Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rwxr-xr-x"))
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("parses 3-field CSV rows; drops comments, blanks, malformed rows") {
+    val s = script(
+      """while IFS= read -r line; do
+        |  case "$line" in
+        |    bad*) echo "only,two" ;;
+        |    *)    echo "# comment"; echo ""; echo "$line,2,0.7500" ;;
+        |  esac
+        |done < "$1"""".stripMargin)
+    val scorer = new PipeScorer(Seq("/bin/sh", s.toString))
+    val out = scorer.scoreKeyed(Seq("alpha", "bad-row", "beta"))
+    out shouldBe Map("alpha" -> ((2, 0.75)), "beta" -> ((2, 0.75)))
+  }
+
+  test("non-zero exit code is ignored; produced rows still count (X1 policy)") {
+    val s = script("""head -n 1 "$1" | sed 's/$/,0,0.1000/'; exit 3""")
+    val scorer = new PipeScorer(Seq("/bin/sh", s.toString))
+    val out = scorer.scoreKeyed(Seq("first", "second"))
+    out shouldBe Map("first" -> ((0, 0.1)))
+  }
+
+  test("stderr is log, not data") {
+    val s = script("""echo "diagnostic" >&2; sed 's/$/,1,0.5000/' "$1"""")
+    val scorer = new PipeScorer(Seq("/bin/sh", s.toString))
+    val out = scorer.scoreKeyed(Seq("x"))
+    out shouldBe Map("x" -> ((1, 0.5)))
+  }
+
+  test("classifyPiped drops unechoed rows silently and counts them") {
+    import spark.implicits._
+    val s = script("""grep -v skip "$1" | sed 's/$/,3,0.9000/'""")
+    val labels = LabelDict(graft.operators.Pipeline.Labels)
+    val items = Seq(Item("a", "keep1"), Item("b", "skipme"), Item("c", "keep2"))
+      .toDS().repartition(1)
+    val acc = spark.sparkContext.longAccumulator("dropped")
+    val out = Infer.classifyPiped(items, new PipeScorer(Seq("/bin/sh", s.toString)),
+      labels, dropped = Some(acc)).collect()
+    out.map(_.path).sorted shouldBe Array("a", "c")
+    out.foreach { p => p.label shouldBe labels(3); p.prob shouldBe 0.9 }
+    acc.value shouldBe 1L
+  }
+}
