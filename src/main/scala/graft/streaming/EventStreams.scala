@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch [[graft.operators.Events]]
+  * queries, over the same `events` schema
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * The reference is pure batch (SURVEY.md §2: no streaming of any form);
+  * this is the driver-mandated extension surface expressed the
+  * Spark-native way: `readStream` → watermarked event-time windows →
+  * `flatMapGroupsWithState` for custom session state.
+  *
+  * Scale posture: all operators key their state by `user_id` (high
+  * cardinality, uniform) so state distributes evenly across executors;
+  * watermarks bound state size — nothing grows with total stream length.
+  * These transforms are source-agnostic: the same code runs on a Kafka
+  * source in production and a MemoryStream in tests.
+  */
+object EventStreams {
+
+  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double)
+
+  /** Accumulating state for one user's open session. Times are
+    * microseconds since epoch — `Timestamp.getTime` alone truncates to
+    * millis and would drift from the batch q25 results on
+    * microsecond-resolution event times. */
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // same 30-min gap as batch q25
+
+  private[streaming] def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private[streaming] def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming twin of q20: hourly tumbling counts per event type.
+    * Late events beyond the watermark are dropped; the window closes and
+    * emits once the watermark passes its end (Append mode compatible). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming twin of q23: first event per (user, type), exactly-once
+    * within the watermark horizon via `dropDuplicatesWithinWatermark`. */
+  def firstEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming twin of q25: gap-based sessionization with custom state.
+    *
+    * State per user = the open session (start, end, count, value sum).
+    * A new event within [[SessionGapMs]] of the open session's end extends
+    * it; a later event closes and emits the old session. An event-time
+    * timeout (watermark passing `end + gap`) closes the final session.
+    * Emitted sessions are final — Append output mode.
+    */
+  def sessionize(events: Dataset[EventRow],
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) => advanceSessions(userId, rows, state)
+      }
+  }
+
+  /** Pure session-state transition, shared by the streaming operator and
+    * its unit tests. */
+  private[streaming] def advanceSessions(
+      userId: Long,
+      rows: Iterator[EventRow],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (rows.isEmpty && state.hasTimedOut) {
+      // Watermark passed the open session's horizon: emit it, clear state.
+      val out = state.getOption.map(toSession(userId, _)).iterator
+      state.remove()
+      return out
+    }
+    // Events arrive unordered within a micro-batch; order by event time
+    // (ties by event_id, matching batch q25's sort).
+    val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+    var closed = List.empty[Session]
+    var open = state.getOption
+    sorted.foreach { e =>
+      val t = toMicros(e.ts)
+      open match {
+        case Some(s) if t - s.end <= SessionGapUs =>
+          open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+            s.sum + e.value))
+        case Some(s) =>
+          closed ::= toSession(userId, s)
+          open = Some(SessionState(t, t, 1L, e.value))
+        case None =>
+          open = Some(SessionState(t, t, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // Close once the watermark proves no in-gap event can still arrive
+      // (timeout API is millisecond-granular; round up).
+      state.setTimeoutTimestamp((s.end + SessionGapUs + 999L) / 1000L)
+    }
+    closed.reverseIterator ++ Iterator.empty
+  }
+
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import EventStreams._
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  /** Minute-offset timestamps on a day-1 base: an event at exactly epoch 0
+    * equals the query's initial watermark and is filtered as late. */
+  private def ts(minute: Long): Timestamp = new Timestamp(86400000L + minute * 60000L)
+
+  private def ev(id: Long, minute: Long, user: Long, typ: String = "click",
+      value: Double = 1.0): EventRow =
+    EventRow(id, ts(minute), user, typ, value, "{}")
+
+  test("hourlyCounts: tumbling windows close and emit after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = hourlyCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 5, 1), ev(2, 20, 1), ev(3, 61, 2, "view"))
+      q.processAllAvailable()
+      // watermark = 61min - 10min = 51min > hour-0's end? No: 51 < 60 → nothing yet
+      spark.table("hourly").count() shouldBe 0
+
+      in.addData(ev(4, 75, 2, "view")) // watermark → 65min: hour 0 closes
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("hour", "event_type", "n_events").as[(Timestamp, String, Long)]
+        .collect().toSet
+      rows shouldBe Set((ts(0), "click", 2L))
+    } finally q.stop()
+  }
+
+  test("firstEvents: duplicate (user, type) dropped within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = firstEvents(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("firsts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 1, 7, "click"), ev(2, 2, 7, "click"), ev(3, 3, 7, "view"))
+      q.processAllAvailable()
+      val ids = spark.table("firsts").select("event_id").as[Long].collect().sorted
+      ids shouldBe Array(1L, 3L)
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap splits sessions; timeout flushes the last one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = sessionize(in.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at minute 0, 10 (one session), then 60 (a new one).
+      in.addData(ev(1, 0, 1, value = 2.0), ev(2, 10, 1, value = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 60, 1, value = 1.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions").as[Session].collect()
+      s1.map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+        s.session_value)).toSet shouldBe
+        Set((1L, ts(0), ts(10), 2L, 5.0))
+
+      // An unrelated user's much-later event advances the watermark past
+      // minute 60 + 30min gap → user 1's open session times out and emits.
+      in.addData(ev(4, 120, 2))
+      q.processAllAvailable()
+      in.addData(ev(5, 180, 2))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions").as[Session].collect()
+        .filter(_.user_id == 1L)
+      s2.map(s => (s.session_start, s.session_end, s.n_events)).toSet shouldBe
+        Set((ts(0), ts(10), 2L), (ts(60), ts(60), 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize agrees with batch q25 on the testdata events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Events.queries("q25_sessionize")(
+      spark, SparkSpec.Sf0001)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+    val events = graft.Tables.events(spark, SparkSpec.Sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props")).as[EventRow]
+      .collect().sortBy(e => e.ts.getTime)
+
+    val in = MemoryStream[EventRow]
+    val q = sessionize(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      // Push the watermark far past every open session's horizon.
+      val last = events.last
+      in.addData(EventRow(-1L, new Timestamp(last.ts.getTime + 86400000L),
+        -1L, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_full").as[Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+        .toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
