@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Pipeline, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Pipeline.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Pipeline.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }
