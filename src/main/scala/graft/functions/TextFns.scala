@@ -24,14 +24,21 @@ object TextFns {
   /** Distinct word-3-gram shingles (order-sensitive near-dup features).
     * Unigram features are degenerate on a small vocabulary — nearly all
     * documents share nearly all words — so every sketch (MinHash,
-    * SimHash) hashes shingles instead. */
+    * SimHash) hashes shingles instead.
+    *
+    * Implementation note: built from three shifted `slice`s zipped
+    * together, NOT `transform(sequence(1, n-2), i => element_at(t, i)…)`.
+    * In the latter, every lambda element re-evaluates the embedded
+    * `split` — O(tokens²) splits per document, which measured 16 s for
+    * 5k docs at sf0.1 vs ~1 s for this O(tokens) form. */
   def shingles(text: Column): Column = {
     val t = tokens(text)
-    when(size(t) >= 3,
+    val n = size(t)
+    when(n >= 3,
       array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ",
-          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+          slice(t, lit(3), n - 2)),
+        s => concat_ws(" ", s("0"), s("1"), s("2")))))
       .otherwise(array().cast("array<string>"))
   }
 

