@@ -53,10 +53,12 @@ object Similarity {
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
 
   /** Exact int64 dot product of two scaled vectors (|x|≤4·10³ ⇒
-    * |dot| ≤ 64·1.7·10⁷ ≪ 2⁵³). Codegen'd higher-order functions —
-    * no UDF in the hot path. */
+    * |dot| ≤ 64·1.7·10⁷ ≪ 2⁵³). Uses the engine's native codegen'd
+    * [[graft.functions.LongDotProduct]] — the equivalent
+    * `aggregate(zip_with(a,b,(x,y)=>x*y),…)` form allocates an
+    * intermediate array per row and interprets its lambdas per element. */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotL(a, b)
 
   private def dotLSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> ($a)[i] * ($b)[i])) AS BIGINT)"
@@ -70,10 +72,12 @@ object Similarity {
     s"(CAST($dot AS DOUBLE) / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE)))"
 
   /** Base projection: vec_id, label, scaled vector, exact squared norm. */
-  private def scaledEmb(spark: SparkSession, dir: String): DataFrame =
+  private def scaledEmb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), scaledVec(col("embedding")).as("sv"))
       .withColumn("n2", dotL(col("sv"), col("sv")))
+  }
 
   private val scaledEmbSql =
     s"""SELECT vec_id, label, sv, ${dotLSql("sv", "sv")} AS n2

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.LongDotProduct
+
+/** Engine-native Catalyst extensions, injected via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)` on the builder).
+  *
+  * Registers the SQL-callable surface of the engine's custom expressions
+  * so `spark.sql("SELECT graft_dot(a, b)")` plans the same codegen'd
+  * operator the Column API uses. The engine deliberately needs NO custom
+  * `Rule[LogicalPlan]` or `SparkStrategy` (SURVEY.md §4): every operator
+  * maps onto Catalyst-planned primitives; the extension point carries
+  * only expressions where the built-in compositional form (higher-order
+  * function lambdas) can't reach whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.graftDot)
+  }
+}
+
+object GraftExtensions {
+
+  val graftDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot"),
+    { args =>
+      require(args.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+      LongDotProduct(args.head, args(1))
+    })
+
+  /** Register on an already-built session (idempotent — mirrors what
+    * `injectFunction` does at session build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = graftDot
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
