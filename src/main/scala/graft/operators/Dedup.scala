@@ -308,17 +308,47 @@ object Dedup {
        |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q45
+  /** Exact byte-level dedup summary: one hash-groupBy on the
+    * full-content fingerprint (`dropDuplicates` cardinality, per source).
+    * The shuffle key is a uniform hash — perfectly balanced at any
+    * scale; this is the first, cheapest pass of any dedup cascade. (The
+    * testdata's planted duplicates are word-shuffled, so byte-exact
+    * clusters are expected ~empty — the per-source cardinality is the
+    * meaningful, always-populated report.) */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_removed"))
+      .orderBy(col("source"))
+  }
+
+  private val q45Sql =
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  count(DISTINCT fp) AS n_distinct,
+      |  count(*) - count(DISTINCT fp) AS n_removed
+      |FROM (SELECT source, md5(text) AS fp FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q34_content_dedup"  -> (q34 _),
     "q35_minhash_lsh"    -> (q35 _),
     "q36_simhash"        -> (q36 _),
-    "q37_shingle_jaccard" -> (q37 _))
+    "q37_shingle_jaccard" -> (q37 _),
+    "q45_exact_dedup"    -> (q45 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,
     "q36_simhash"        -> q36Sql,
-    "q37_shingle_jaccard" -> q37Sql)
+    "q37_shingle_jaccard" -> q37Sql,
+    "q45_exact_dedup"    -> q45Sql)
 }

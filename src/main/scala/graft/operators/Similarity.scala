@@ -254,17 +254,99 @@ object Similarity {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** IVF-style ANN top-5: a coarse codebook (the per-label centroids,
+    * exact int64 per-dim sums) partitions the space into cells; every
+    * vector is assigned to its nearest centroid at "index build", and a
+    * query probes only its own cell — the inverted-file structure of
+    * IVF-Flat, expressed relationally. The alternative scale path to
+    * q39's sign-LSH: data-adaptive cells instead of data-oblivious
+    * hyperplanes. */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    // Coarse codebook: per-label centroid sum-vectors as arrays, ordered
+    // by position (exact int64 — no float drift in the index itself).
+    val cent = emb
+      .select(col("label"), posexplode(col("sv")).as(Seq("p0", "v")))
+      .groupBy(col("label").as("c_label"), col("p0"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("p0"), col("s")))),
+        x => x("s")).as("cs"))
+      .withColumn("cn2", dotL(col("cs"), col("cs")))
+
+    // Cell assignment: nearest centroid by cosine (deterministic argmax:
+    // ties break on label id).
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_label"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("label"), col("sv"), col("n2"),
+        col("c_label").as("cell"))
+
+    val qs = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sv").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.filter(col("vec_id") >= NQueries)
+      .join(broadcast(qs), col("cell") === col("qcell"))
+      .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
+      .select(col("q_id"), col("vec_id"), col("cell"), col("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q44Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |pos AS (
+       |  SELECT label, vec_id, sv, n2,
+       |    unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM emb),
+       |csum AS (
+       |  SELECT label AS c_label, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT c_label, list(s ORDER BY p0) AS cs FROM csum GROUP BY 1),
+       |cent2 AS (
+       |  SELECT c_label, cs, ${dotLSql("cs", "cs")} AS cn2 FROM cent),
+       |assigned AS (
+       |  SELECT vec_id, label, sv, n2, c_label AS cell FROM (
+       |    SELECT e.vec_id, e.label, e.sv, e.n2, c.c_label,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")} DESC,
+       |        c.c_label) AS crank
+       |    FROM emb e CROSS JOIN cent2 c)
+       |  WHERE crank = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.cell,
+       |    ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")} AS cos
+       |  FROM assigned c JOIN assigned q ON c.cell = q.cell
+       |  WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries)
+       |SELECT q_id, vec_id, cell, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
     "q40_embedding_neardup" -> (q40 _),
-    "q41_label_centroids" -> (q41 _))
+    "q41_label_centroids" -> (q41 _),
+    "q44_ivf_ann"         -> (q44 _))
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,
     "q40_embedding_neardup" -> q40Sql,
-    "q41_label_centroids" -> q41Sql)
+    "q41_label_centroids" -> q41Sql,
+    "q44_ivf_ann"         -> q44Sql)
 }

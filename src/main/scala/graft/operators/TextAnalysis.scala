@@ -166,17 +166,54 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q46
+  /** Token counting two ways: whitespace words vs a BPE-ish regex
+    * segmentation (alpha runs / digit runs / single non-alnum marks —
+    * the shape of a byte-pair pre-tokenizer). The ratio estimates
+    * LLM-token cost per document; aggregated per language. */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    Tables.documents(spark, dir)
+      .withColumn("n_ws", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_bpe", regexp_count(col("text"), lit(bpePattern)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        (sum(col("n_bpe")).cast(DoubleType) /
+          sum(col("n_ws")).cast(DoubleType)).as("bpe_per_word"))
+      .orderBy(col("lang"))
+  }
+
+  private val q46Sql = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE) AS bpe_per_word
+       |FROM (SELECT lang,
+       |        CAST(len(${tokensSql("text")}) AS BIGINT) AS n_ws,
+       |        CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe
+       |      FROM documents)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q30_token_stats" -> (q30 _),
     "q31_quality"     -> (q31 _),
     "q32_lang_guess"  -> (q32 _),
-    "q33_fingerprint" -> (q33 _))
+    "q33_fingerprint" -> (q33 _),
+    "q46_bpe_tokens"  -> (q46 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
     "q31_quality"     -> q31Sql,
     "q32_lang_guess"  -> q32Sql,
-    "q33_fingerprint" -> q33Sql)
+    "q33_fingerprint" -> q33Sql,
+    "q46_bpe_tokens"  -> q46Sql)
 }
