@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan regression guards: the properties that make these
+  * queries survive a 100× scale-up are plan shapes, not row counts —
+  * pushdown reaching the scan, pruned read schemas, broadcast dimension
+  * joins, no accidental Cartesian products. A code change that silently
+  * loses one of these still passes value-equality tests; these specs
+  * fail it. */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkSpec.Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q06: filters are pushed into the lineitem scan; schema is pruned") {
+    val scan = plan("q06_forecast_revenue").linesIterator
+      .find(_.contains("FileScan parquet")).get
+    scan should include("l_shipdate")       // pushed filter visible at scan
+    scan should include("PushedFilters: [IsNotNull")
+    // projection pruning: none of the unused wide columns are read
+    scan should not include "l_comment"
+    scan should not include "l_returnflag"
+  }
+
+  test("q01: only the seven needed lineitem columns are scanned") {
+    // Inspect the scan's actual output schema (the toString form
+    // truncates; sparkPlan because the AQE wrapper hides children).
+    val scan = SparkEntry.queries("q01_pricing_summary")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    val cols = scan.output.map(_.name).toSet
+    cols shouldBe Set("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  test("q02: dimension joins are broadcast, never shuffled") {
+    val p = plan("q02_revenue_by_nation")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("q05: six-way star join plans without a Cartesian product") {
+    val p = plan("q05_local_supplier")
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q04/q10: EXISTS/NOT EXISTS plan as semi/anti joins") {
+    plan("q04_priority_exists") should include("LeftSemi")
+    plan("q10_no_bigorder_anti") should include("LeftAnti")
+  }
+
+  test("dedup/similarity self-joins never degrade to Cartesian products") {
+    Seq("q35_minhash_lsh", "q36_simhash", "q37_shingle_jaccard",
+      "q39_lsh_ann", "q40_embedding_neardup").foreach { q =>
+      withClue(q) { plan(q) should not include "CartesianProduct" }
+    }
+  }
+
+  test("q38/q44: the deliberate cross join broadcasts the tiny query set") {
+    Seq("q38_cosine_topk", "q44_ivf_ann").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include("Broadcast") // BNLJ/BHJ with broadcast build side
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("q27: the classify projection runs inside whole-stage codegen") {
+    // Execute first: under AQE the codegen stars only appear in the final
+    // plan (isFinalPlan=true).
+    val df = SparkEntry.queries("q27_classify_stub")(spark, SparkSpec.Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("md5")).get
+    line should include("*(") // the WholeStageCodegen span marker
+  }
+}
