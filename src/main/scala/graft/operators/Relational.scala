@@ -537,6 +537,100 @@ object Relational {
        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10.0 AND 30.0)
        |   OR (p_brand = 'Brand#6' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Set operations: customer cohorts by order year — INTERSECT (both
+    * years), EXCEPT (one year only), tagged and counted. */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    def custs(y0: String, y1: String) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(y0).cast("timestamp"))
+      .filter(col("o_orderdate") < lit(y1).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val c97 = custs("1997-01-01", "1998-01-01")
+    val c98 = custs("1998-01-01", "1999-01-01")
+    val both = c97.intersect(c98).agg(count(lit(1)).as("n_customers"))
+      .withColumn("cohort", lit("both_years"))
+    val only97 = c97.except(c98).agg(count(lit(1)).as("n_customers"))
+      .withColumn("cohort", lit("only_1997"))
+    val only98 = c98.except(c97).agg(count(lit(1)).as("n_customers"))
+      .withColumn("cohort", lit("only_1998"))
+    both.unionByName(only97).unionByName(only98)
+      .select(col("cohort"), col("n_customers"))
+      .orderBy(col("cohort"))
+  }
+
+  private val q47Sql = {
+    def custs(y0: String, y1: String) =
+      s"""SELECT DISTINCT o_custkey FROM orders
+         |   WHERE o_orderdate >= TIMESTAMP '$y0 00:00:00'
+         |     AND o_orderdate <  TIMESTAMP '$y1 00:00:00'""".stripMargin
+    val c97 = custs("1997-01-01", "1998-01-01")
+    val c98 = custs("1998-01-01", "1999-01-01")
+    s"""SELECT cohort, n_customers FROM (
+       |  SELECT 'both_years' AS cohort, count(*) AS n_customers
+       |  FROM (($c97) INTERSECT ($c98))
+       |  UNION ALL
+       |  SELECT 'only_1997', count(*) FROM (($c97) EXCEPT ($c98))
+       |  UNION ALL
+       |  SELECT 'only_1998', count(*) FROM (($c98) EXCEPT ($c97)))
+       |ORDER BY cohort""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Date/math scalar-function coverage: per (year, quarter) order
+    * stats with engine-portable arithmetic (sqrt/floor/abs — the
+    * correctly-rounded IEEE subset; no libm-dependent exp/ln). */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_quarter", quarter(col("o_orderdate")))
+      .withColumn("days_since",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+      .groupBy(col("o_year"), col("o_quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("days_since")).as("sum_days"),
+        decToDouble(sum(dec(sqrt(col("o_totalprice"))))).as("sum_sqrt_price"),
+        max(abs(floor(col("o_totalprice") / 1000.0)).cast("long")).as("max_kprice"))
+      .orderBy(col("o_year"), col("o_quarter"))
+  }
+
+  private val q48Sql =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+       |  count(*) AS n_orders,
+       |  CAST(sum(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS sum_days,
+       |  ${d2dSql("sum(CAST(sqrt(o_totalprice) AS DECIMAL(18,4)))")} AS sum_sqrt_price,
+       |  CAST(max(abs(floor(o_totalprice / 1000.0))) AS BIGINT) AS max_kprice
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY o_year, o_quarter""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Skew-resistant two-phase (salted) aggregation over the 3-value
+    * `l_returnflag` key: phase 1 pre-aggregates on (key, salt) — 16-way
+    * fan-out of each hot key across the cluster — phase 2 merges
+    * partials. Bit-identical to the direct groupBy (the oracle) because
+    * the measure is an exact decimal sum; this is the pattern that keeps
+    * a heavy-hitter key from pinning one executor at 100 TB. */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16L)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("p_qty"), count(lit(1)).as("p_n"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(decToDouble(sum(col("p_qty"))).as("sum_qty"),
+        sum(col("p_n")).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q49Sql =
+    s"""SELECT l_returnflag,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -558,7 +652,10 @@ object Relational {
     "q16_supplier_cnt"      -> (q16 _),
     "q17_small_qty_rev"     -> (q17 _),
     "q18_large_orders"      -> (q18 _),
-    "q19_band_join"         -> (q19 _))
+    "q19_band_join"         -> (q19 _),
+    "q47_set_ops"           -> (q47 _),
+    "q48_date_math"         -> (q48 _),
+    "q49_salted_agg"        -> (q49 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -579,5 +676,8 @@ object Relational {
     "q16_supplier_cnt"      -> q16Sql,
     "q17_small_qty_rev"     -> q17Sql,
     "q18_large_orders"      -> q18Sql,
-    "q19_band_join"         -> q19Sql)
+    "q19_band_join"         -> q19Sql,
+    "q47_set_ops"           -> q47Sql,
+    "q48_date_math"         -> q48Sql,
+    "q49_salted_agg"        -> q49Sql)
 }

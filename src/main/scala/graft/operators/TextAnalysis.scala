@@ -201,6 +201,46 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Exact vocabulary statistics per language: distinct tokens, total
+    * tokens, type-token ratio. One explode + one partial-aggregable
+    * distinct agg (Spark plans count(distinct) as a two-phase expand). */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("w")).as("vocab"),
+        count(lit(1)).as("total_tokens"),
+        (countDistinct(col("w")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("type_token_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  private val q50Sql =
+    s"""SELECT lang,
+       |  count(DISTINCT w) AS vocab,
+       |  count(*) AS total_tokens,
+       |  CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS type_token_ratio
+       |FROM (SELECT lang, unnest(${tokensSql("text")}) AS w FROM documents)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  /** Sketch-based vocabulary: `approx_count_distinct` (HyperLogLog++).
+    * The scale path for q50 — constant memory per group instead of an
+    * exact distinct expand. No oracle entry: HLL estimates are
+    * engine-specific (the driver records a rows-only check); the exact
+    * q50 is the semantics anchor. */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("w")).as("vocab_approx"),
+        count(lit(1)).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -208,12 +248,15 @@ object TextAnalysis {
     "q31_quality"     -> (q31 _),
     "q32_lang_guess"  -> (q32 _),
     "q33_fingerprint" -> (q33 _),
-    "q46_bpe_tokens"  -> (q46 _))
+    "q46_bpe_tokens"  -> (q46 _),
+    "q50_vocab"       -> (q50 _),
+    "q51_vocab_approx" -> (q51 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
     "q31_quality"     -> q31Sql,
     "q32_lang_guess"  -> q32Sql,
     "q33_fingerprint" -> q33Sql,
-    "q46_bpe_tokens"  -> q46Sql)
+    "q46_bpe_tokens"  -> q46Sql,
+    "q50_vocab"       -> q50Sql)
 }
