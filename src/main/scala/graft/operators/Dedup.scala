@@ -90,6 +90,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(perm(0, col("h"))).as("m0"),
         (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
+      .persist() // read 3× below (banding + both signature join-backs)
 
     val bandCols = (0 until LshBands).map { b =>
       val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
@@ -171,6 +172,7 @@ object Dedup {
       .map(j => when(col(s"s$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     val fp = bitSums.select(col("doc_id"), simhash.as("simhash"))
+      .persist() // both sides of the band self-join read this
 
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
