@@ -73,11 +73,4 @@ object Parity {
   def md5u32Sql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
 
-  /** Fixed-point scaling for embedding math: `round(x * 10^4)` as long.
-    * Dot products / norms over these are exact int64 arithmetic (64-dim,
-    * |x| < 1 ⇒ |dot| ≤ 64e8 « 2^53), so similarity ratios derived from
-    * them are deterministic doubles in both engines. */
-  val VecScale = 10000L
-
-  def scaled(x: Column): Column = round(x.cast(DoubleType) * VecScale, 0).cast(LongType)
 }

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
 
 /** Structured Streaming counterparts of the batch [[graft.operators.Events]]
   * queries, over the same `events` schema
@@ -44,6 +45,24 @@ object EventStreams {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
+  }
+
+  /** File-source stream over an events-table directory: the production
+    * entry (`readStream` — swap for Kafka by changing only this method).
+    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects; the stream reads raw nanos and rebuilds microsecond
+    * timestamps exactly as the batch [[graft.Tables.events]] does. */
+  def eventSource(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // raw nanos (legacy flag)
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Streaming twin of q20: hourly tumbling counts per event type.

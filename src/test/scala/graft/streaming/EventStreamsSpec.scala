@@ -121,5 +121,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("eventSource: file-source stream over the events parquet feeds q20's window agg") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events_stream_")
+    Files.copy(Paths.get(s"${SparkSpec.Sf0001}/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = hourlyCounts(eventSource(spark, dir.toString), watermark = "1 hour")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000) shouldBe true
+      val streamed = spark.table("file_hourly")
+        .select("hour", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = graft.operators.Events.queries("q20_hourly_events")(
+        spark, SparkSpec.Sf0001)
+        .select("hour", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      // Append mode only emits windows the final watermark closed; every
+      // emitted window must agree exactly with the batch aggregation.
+      streamed should not be empty
+      streamed.subsetOf(batch) shouldBe true
+    } finally q.stop()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
