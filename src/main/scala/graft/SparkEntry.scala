@@ -12,9 +12,11 @@ import graft.operators.{Dedup, Events, Multimodal, Pipeline, Relational, Similar
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own end-to-end dataflow (manifest → classify →
+    * sorted KV output, SURVEY.md §3.4). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    Pipeline.queries("q28_kv_sorted")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

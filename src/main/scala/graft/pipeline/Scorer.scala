@@ -77,9 +77,8 @@ object HashScorer {
   * back), so dropped rows simply have no prediction — matching the MR
   * job, where unparseable rows vanish from the output.
   *
-  * Scale note: one process per *batch* is the reference's design; a
-  * long-lived process per partition (spawn in `init()`, stream batches
-  * through) is the upgrade path once the protocol is line-framed.
+  * Scale note: one process per *batch* is the reference's design;
+  * [[StreamingPipeScorer]] is the long-lived-process upgrade.
   */
 final class PipeScorer(command: Seq[String]) extends Scorer {
 
@@ -125,6 +124,71 @@ final class PipeScorer(command: Seq[String]) extends Scorer {
         .toMap
     } finally {
       if (tmp != null) Files.deleteIfExists(tmp)
+    }
+  }
+}
+
+/** The long-lived-process upgrade of [[PipeScorer]]: ONE subprocess per
+  * partition (spawned in [[init]], reaped in [[close]]), batches streamed
+  * through a line-framed stdin/stdout protocol — the model loads once per
+  * partition instead of once per 32-row batch, removing the reference's
+  * dominant inefficiency (SURVEY.md §4) while keeping X2's malformed-row
+  * drop policy.
+  *
+  * Protocol: one payload line in → one `payload,classIdx,prob` line out,
+  * strictly in order, flushed per line (`stdbuf`-style line buffering is
+  * the child's responsibility; `sed -u`/python `flush=True` both work).
+  * The per-payload framing means a crashed child loses only the current
+  * batch ([[scoreKeyed]] returns what was echoed), mirroring the
+  * reference's ignored-exit-code behavior.
+  */
+final class StreamingPipeScorer(command: Seq[String]) extends Scorer {
+
+  @transient private var proc: Process = _
+  @transient private var stdin: java.io.BufferedWriter = _
+  @transient private var stdout: java.io.BufferedReader = _
+
+  override def init(): Unit = {
+    val pb = new ProcessBuilder(command: _*)
+    pb.redirectErrorStream(false)
+    proc = pb.start()
+    stdin = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
+    stdout = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
+    // Drain stderr to the task log asynchronously — an un-drained pipe
+    // fills and deadlocks the child (the reference relays it the same
+    // way, `PredictBatchMapperCluster.java:123-128`).
+    val err = proc.getErrorStream
+    val t = new Thread(() =>
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(err, StandardCharsets.UTF_8))
+        .lines().forEach(l => System.err.println(s"[StreamingPipeScorer] $l"))
+      catch { case _: Exception => })
+    t.setDaemon(true)
+    t.start()
+  }
+
+  override def score(payload: String): (Int, Double) = {
+    if (proc == null) init()
+    stdin.write(payload)
+    stdin.newLine()
+    stdin.flush()
+    var line = stdout.readLine()
+    while (line != null && (line.trim.isEmpty || line.trim.startsWith("#")))
+      line = stdout.readLine()
+    if (line == null) throw new IllegalStateException("subprocess closed stdout")
+    val f = line.trim.split(",", -1)
+    if (f.length != 3) throw new IllegalArgumentException(s"malformed row: $line")
+    (f(1).trim.toInt, f(2).trim.toDouble)
+  }
+
+  def close(): Unit = {
+    if (proc != null) {
+      try stdin.close() catch { case _: Exception => }
+      proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
+      proc.destroyForcibly()
+      proc = null
     }
   }
 }

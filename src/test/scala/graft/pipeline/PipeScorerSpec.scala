@@ -48,6 +48,29 @@ class PipeScorerSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Map("x" -> ((1, 0.5)))
   }
 
+  test("StreamingPipeScorer: one long-lived process scores many payloads in order") {
+    val s = script("""while IFS= read -r line; do echo "$line,4,0.8000"; done""")
+    val scorer = new StreamingPipeScorer(Seq("/bin/sh", s.toString))
+    scorer.init()
+    try {
+      (1 to 100).foreach { i =>
+        scorer.score(s"payload-$i") shouldBe ((4, 0.8))
+      }
+    } finally scorer.close()
+  }
+
+  test("StreamingPipeScorer drives the typed pipeline end-to-end") {
+    import spark.implicits._
+    val s = script("""while IFS= read -r line; do echo "$line,7,0.6000"; done""")
+    val labels = LabelDict(graft.operators.Pipeline.Labels)
+    val items = (1 to 50).map(i => Item(s"p$i", s"doc $i")).toDS().repartition(2)
+    val out = Infer.classify(items,
+      new StreamingPipeScorer(Seq("/bin/sh", s.toString)), labels,
+      batchSize = 8).collect()
+    out.length shouldBe 50
+    out.foreach { p => p.label shouldBe labels(7); p.prob shouldBe 0.6 }
+  }
+
   test("classifyPiped drops unechoed rows silently and counts them") {
     import spark.implicits._
     val s = script("""grep -v skip "$1" | sed 's/$/,3,0.9000/'""")
