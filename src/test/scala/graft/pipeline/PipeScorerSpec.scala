@@ -25,12 +25,14 @@ class PipeScorerSpec extends AnyFunSuite with SparkSpec with Matchers {
     val s = script(
       """while IFS= read -r line; do
         |  case "$line" in
-        |    bad*) echo "only,two" ;;
-        |    *)    echo "# comment"; echo ""; echo "$line,2,0.7500" ;;
+        |    bad*)  echo "only,two" ;;
+        |    wide*) echo "$line,1,0.5,extra" ;;
+        |    *)     echo "# comment"; echo ""; echo "$line,2,0.7500" ;;
         |  esac
         |done < "$1"""".stripMargin)
     val scorer = new PipeScorer(Seq("/bin/sh", s.toString))
-    val out = scorer.scoreKeyed(Seq("alpha", "bad-row", "beta"))
+    // FIXTURES.md A3: valid, comment, blank, 2-field, and 4-field rows.
+    val out = scorer.scoreKeyed(Seq("alpha", "bad-row", "wide-row", "beta"))
     out shouldBe Map("alpha" -> ((2, 0.75)), "beta" -> ((2, 0.75)))
   }
 

@@ -42,19 +42,23 @@ class SourcesSinksSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("TSV sink: sorted keys, tab separator, %.4f probabilities (K1+M6+SH1)") {
     import spark.implicits._
+    // FIXTURES.md A4: duplicate keys must be PRESERVED (identity reduce,
+    // not dedup) — hence two rows for /m/mid.jpg.
     val preds = Seq(
       Prediction("/z/last.jpg", "shoes", 0.5),
       Prediction("/a/first.jpg", "tea_bags", 0.98765),
-      Prediction("/m/mid.jpg", "clothing", 0.0)).toDS()
+      Prediction("/m/mid.jpg", "clothing", 0.0),
+      Prediction("/m/mid.jpg", "magazines", 0.25)).toDS()
     val out = Files.createTempDirectory("tsv_").resolve("out").toString
     Sinks.writeTsv(preds, out, singleFile = true)
 
     val files = new java.io.File(out).listFiles.filter(_.getName.startsWith("part-"))
     files.length shouldBe 1
     val lines = Files.readAllLines(files.head.toPath)
-    lines.size shouldBe 3
+    lines.size shouldBe 4
     lines.get(0) shouldBe "/a/first.jpg\ttea_bags,0.9877"
-    lines.get(1) shouldBe "/m/mid.jpg\tclothing,0.0000"
-    lines.get(2) shouldBe "/z/last.jpg\tshoes,0.5000"
+    Set(lines.get(1), lines.get(2)) shouldBe
+      Set("/m/mid.jpg\tclothing,0.0000", "/m/mid.jpg\tmagazines,0.2500")
+    lines.get(3) shouldBe "/z/last.jpg\tshoes,0.5000"
   }
 }
