@@ -197,6 +197,55 @@ object Events {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** As-of join: each purchase matched to the user's most recent click
+    * at-or-before it — the operator Spark lacks natively (SURVEY.md §2
+    * lists zero joins in the reference; the builder mandate names as-of
+    * joins as a compose-first target).
+    *
+    * Composition: union both sides, one per-user window pass carrying
+    * `last(click_ts)` forward (clicks sort before purchases at equal
+    * timestamps to honor the `<=` as-of bound), then keep purchases.
+    * ONE shuffle on `user_id` — the same cost as sessionization, versus
+    * the naive inequality-join's quadratic blowup. Only the matched
+    * click *timestamp* is emitted, so equal-ts click ties cannot make
+    * the result nondeterministic. The DuckDB oracle uses its native
+    * ASOF JOIN — two independent formulations, one answer. */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .filter(col("last_click_ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"), col("value"),
+        (col("ts").cast(LongType) - col("last_click_ts").cast(LongType))
+          .as("click_to_buy_s"))
+      .orderBy(col("user_id"), col("purchase_ts"), col("event_id"))
+  }
+
+  private val q52Sql =
+    """SELECT p.user_id, p.event_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,
+      |  p.value,
+      |  date_diff('second', c.ts, p.ts) AS click_to_buy_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -205,7 +254,8 @@ object Events {
     "q22_event_gaps"    -> (q22 _),
     "q23_first_event"   -> (q23 _),
     "q24_json_buckets"  -> (q24 _),
-    "q25_sessionize"    -> (q25 _))
+    "q25_sessionize"    -> (q25 _),
+    "q52_asof_join"     -> (q52 _))
 
   val oracles: Map[String, String] = Map(
     "q20_hourly_events" -> q20Sql,
@@ -213,5 +263,6 @@ object Events {
     "q22_event_gaps"    -> q22Sql,
     "q23_first_event"   -> q23Sql,
     "q24_json_buckets"  -> q24Sql,
-    "q25_sessionize"    -> q25Sql)
+    "q25_sessionize"    -> q25Sql,
+    "q52_asof_join"     -> q52Sql)
 }
