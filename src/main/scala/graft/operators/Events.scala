@@ -246,6 +246,46 @@ object Events {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Range (band) join: click–purchase pairs of the same user within a
+    * ±10-minute window. A naive `|Δt| ≤ w` inequality join is quadratic;
+    * here each side is bucketed into w-wide time bins and clicks are
+    * replicated into the adjacent bins (explode of 3 bin ids), so the
+    * equi-join on (user, bin) sees every qualifying pair exactly once
+    * after the exact band filter — the standard banded range-join
+    * blocking, one shuffle on a composite key. */
+  val RangeJoinWindowS = 600L
+
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").cast(LongType).as("p_ts"))
+      .withColumn("bin", (col("p_ts") / RangeJoinWindowS).cast(LongType))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").cast(LongType).as("c_ts"))
+      .withColumn("bin0", (col("c_ts") / RangeJoinWindowS).cast(LongType))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"),
+        col("bin0") + 1)))
+      .drop("bin0")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") && purchases("bin") === clicks("bin"))
+      .filter(abs(col("p_ts") - col("c_ts")) <= RangeJoinWindowS)
+      .select(col("user_id"), col("p_id"), col("c_id"),
+        (col("p_ts") - col("c_ts")).as("dt_s"))
+      .orderBy(col("user_id"), col("p_id"), col("c_id"))
+  }
+
+  private val q53Sql =
+    s"""SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+       |  date_diff('second', c.ts, p.ts) AS dt_s
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND abs(date_diff('second', c.ts, p.ts)) <= $RangeJoinWindowS
+       |ORDER BY p.user_id, p_id, c_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -255,7 +295,8 @@ object Events {
     "q23_first_event"   -> (q23 _),
     "q24_json_buckets"  -> (q24 _),
     "q25_sessionize"    -> (q25 _),
-    "q52_asof_join"     -> (q52 _))
+    "q52_asof_join"     -> (q52 _),
+    "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
     "q20_hourly_events" -> q20Sql,
@@ -264,5 +305,6 @@ object Events {
     "q23_first_event"   -> q23Sql,
     "q24_json_buckets"  -> q24Sql,
     "q25_sessionize"    -> q25Sql,
-    "q52_asof_join"     -> q52Sql)
+    "q52_asof_join"     -> q52Sql,
+    "q53_range_join"    -> q53Sql)
 }
