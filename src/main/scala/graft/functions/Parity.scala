@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *     `hash()` differ, but `md5(s)` is identical; the first 8 hex chars
   *     parsed as an unsigned 32-bit int give a portable uniform hash.
   *
-  * These helpers are used by every oracled query; the pure-Spark fast
-  * paths (e.g. xxhash64-based MinHash in [[graft.operators.Dedup]]) exist
-  * alongside where raw throughput matters more than oracle parity.
+  * These helpers are used by every oracled query. Where raw throughput
+  * matters more than oracle parity (a production deployment with no
+  * cross-engine check), `xxhash64`/`hash` can replace [[md5u32]]
+  * drop-in — the sketch math in [[graft.operators.Dedup]] only needs a
+  * uniform 32-bit hash, not this specific one.
   */
 object Parity {
 
