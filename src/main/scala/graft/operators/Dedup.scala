@@ -338,6 +338,46 @@ object Dedup {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** The verify stage of the dedup cascade: candidates from the cheap
+    * sketch (q35's MinHash/LSH pairs) re-scored with an exact
+    * edit-distance — integer-exact in both engines, so the full
+    * candidate→verify cascade is oracle-checked end-to-end. Candidate
+    * count is sketch-bounded, so the O(len²) Levenshtein only ever runs
+    * on a vanishing fraction of pairs — the property that makes exact
+    * verification affordable at 100 TB. */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+      col("n_chars").as("a_len"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+      col("n_chars").as("b_len"))
+    q35(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .join(ta, col("doc_a") === col("a_id"))
+      .join(tb, col("doc_b") === col("b_id"))
+      .withColumn("edit_dist",
+        levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .withColumn("max_len", greatest(col("a_len"), col("b_len")))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast(DoubleType) /
+          col("max_len").cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("edit_dist"), col("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q54Sql =
+    s"""WITH cand AS ($q35Sql)
+       |SELECT doc_a, doc_b, est_jaccard,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |      / CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE) AS edit_sim
+       |FROM cand
+       |JOIN documents a ON a.doc_id = doc_a
+       |JOIN documents b ON b.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -345,12 +385,14 @@ object Dedup {
     "q35_minhash_lsh"    -> (q35 _),
     "q36_simhash"        -> (q36 _),
     "q37_shingle_jaccard" -> (q37 _),
-    "q45_exact_dedup"    -> (q45 _))
+    "q45_exact_dedup"    -> (q45 _),
+    "q54_edit_verify"    -> (q54 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,
     "q36_simhash"        -> q36Sql,
     "q37_shingle_jaccard" -> q37Sql,
-    "q45_exact_dedup"    -> q45Sql)
+    "q45_exact_dedup"    -> q45Sql,
+    "q54_edit_verify"    -> q54Sql)
 }
