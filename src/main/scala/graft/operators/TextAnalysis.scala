@@ -241,6 +241,41 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Deterministic stratified sampling: ~10% of documents per language,
+    * selected by content hash (`md5u32(doc_id:text) % 100 < 10`) — not
+    * RNG. Hash-based selection is reproducible across runs, engines, and
+    * cluster sizes (the property training-data splits need; `TABLESAMPLE`
+    * gives none of it), and the per-stratum report quantifies the
+    * realized rate. */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val inSample =
+      md5u32(concat(col("doc_id").cast("string"), lit(":"), col("text"))) % 100L < 10L
+    Tables.documents(spark, dir)
+      .withColumn("sampled", when(inSample, 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sampled")).as("n_sampled"),
+        (sum(col("sampled")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("rate"),
+        min(when(col("sampled") === 1L, col("doc_id"))).as("first_sampled_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val q55Sql = {
+    val h = md5u32Sql("(CAST(doc_id AS VARCHAR) || ':' || text)")
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN $h % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(sum(CASE WHEN $h % 100 < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS rate,
+       |  min(CASE WHEN $h % 100 < 10 THEN doc_id END) AS first_sampled_doc
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -250,7 +285,8 @@ object TextAnalysis {
     "q33_fingerprint" -> (q33 _),
     "q46_bpe_tokens"  -> (q46 _),
     "q50_vocab"       -> (q50 _),
-    "q51_vocab_approx" -> (q51 _))
+    "q51_vocab_approx" -> (q51 _),
+    "q55_det_sample"  -> (q55 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -258,5 +294,6 @@ object TextAnalysis {
     "q32_lang_guess"  -> q32Sql,
     "q33_fingerprint" -> q33Sql,
     "q46_bpe_tokens"  -> q46Sql,
-    "q50_vocab"       -> q50Sql)
+    "q50_vocab"       -> q50Sql,
+    "q55_det_sample"  -> q55Sql)
 }
