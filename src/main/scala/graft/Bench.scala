@@ -31,6 +31,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.operators.Features.clear()
     spark.stop()
   }
 }

@@ -31,19 +31,11 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 3-gram shingles per doc, exploded: (doc_id, w) — the
-    * shared feature stage for the MinHash and SimHash sketches.
-    *
-    * Persisted: every sketch self-join re-reads this branch 2-4× inside
-    * one plan, and q35/q36 share the identical sub-plan (Spark's
-    * CacheManager dedupes by analyzed plan). At warehouse scale the same
-    * move is writing the shingle/feature table out once and reading it
-    * from storage — never re-deriving it per consumer. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
-      .persist()
-
+  // Shared feature stage for the MinHash and SimHash sketches: the
+  // post-hash (doc_id, h) longs from the managed [[Features]] cache —
+  // hashed once per session, unpersisted by Features.clear() at end of
+  // run. The SQL twin below stays in the pre-hash string form; the oracle
+  // replays the identical bits because md5u32 is engine-portable.
   private val docShinglesSql =
     s"SELECT doc_id, unnest(ss) AS w FROM (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents)"
 
@@ -84,13 +76,13 @@ object Dedup {
     * match (est. Jaccard ≥ 0.8). One shuffle to build signatures, one
     * banded self-join for candidates — never all-pairs. */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
-    val h = md5u32(col("w"))
-    val sig = docShingles(spark, dir)
-      .select(col("doc_id"), h.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(min(perm(0, col("h"))).as("m0"),
-        (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
-      .persist() // read 3× below (banding + both signature join-backs)
+    // read 3× below (banding + both signature join-backs) → managed cache
+    val sig = Features.cachedFrame(spark, s"$dir#minhashSig") {
+      Features.hashedShingles(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(min(perm(0, col("h"))).as("m0"),
+          (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
+    }
 
     val bandCols = (0 until LshBands).map { b =>
       val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
@@ -162,17 +154,17 @@ object Dedup {
     * hamming distance ≤ 3 found via 4×8-bit band blocking (pigeonhole:
     * ≤3 differing bits ⇒ at least one band identical). */
   private def q36(spark: SparkSession, dir: String): DataFrame = {
-    val h = md5u32(col("w"))
-    val bitSums = docShingles(spark, dir)
-      .select(col("doc_id"), h.as("h"))
+    val bitSums = Features.hashedShingles(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(simBit(0, col("h"))).as("s0"),
         (1 until SimHashBits).map(j => sum(simBit(j, col("h"))).as(s"s$j")): _*)
     val simhash = (0 until SimHashBits)
       .map(j => when(col(s"s$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fp = bitSums.select(col("doc_id"), simhash.as("simhash"))
-      .persist() // both sides of the band self-join read this
+    // both sides of the band self-join read this → managed cache
+    val fp = Features.cachedFrame(spark, s"$dir#simhashFp") {
+      bitSums.select(col("doc_id"), simhash.as("simhash"))
+    }
 
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -241,9 +233,9 @@ object Dedup {
     * itself is then computed *exactly* over the candidates' full shingle
     * sets with an array intersect — cheap, because candidates are few. */
   private def q37(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("ss"))
-      .persist() // read 4× in this plan (postings ×2, both join-back sides)
+    // read 4× in this plan (postings ×2, both join-back sides) — the
+    // managed, shared shingle-array cache (q54's verify reads it too).
+    val sh = Features.shingleSets(spark, dir)
     val post = sh.select(col("doc_id"), explode(col("ss")).as("s"))
     val rareShingles = post.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
