@@ -79,8 +79,19 @@ object HashScorer {
   *
   * Scale note: one process per *batch* is the reference's design;
   * [[StreamingPipeScorer]] is the long-lived-process upgrade.
+  *
+  * The command is resolved lazily ON THE EXECUTOR (first use), so it can
+  * consult `SparkFiles.get` for a script shipped with `sc.addFile` — the
+  * exact analog of the reference's DistributedCache symlink
+  * (`/root/reference/java/PredictDriverCluster.java:47-51`, checked
+  * mapper-side at `PredictBatchMapperCluster.java:29-41`). Build one with
+  * [[PipeScorer.fromSparkFiles]].
   */
-final class PipeScorer(command: Seq[String]) extends Scorer {
+final class PipeScorer(resolveCommand: () => Seq[String]) extends Scorer {
+
+  def this(command: Seq[String]) = this(() => command)
+
+  @transient private lazy val command: Seq[String] = resolveCommand()
 
   override def score(payload: String): (Int, Double) =
     scoreKeyed(Seq(payload)).get(payload) match {
@@ -128,6 +139,19 @@ final class PipeScorer(command: Seq[String]) extends Scorer {
   }
 }
 
+object PipeScorer {
+
+  /** S3 parity: a scorer whose script was shipped to every executor with
+    * `sc.addFile(script)`. `SparkFiles.get` runs lazily inside the task
+    * (the file exists only once the executor has materialized it), which
+    * mirrors the reference mapper locating its cached script by symlink
+    * name. */
+  def fromSparkFiles(scriptName: String, interpreter: String*): PipeScorer = {
+    val interp = if (interpreter.isEmpty) Seq("/bin/sh") else interpreter.toSeq
+    new PipeScorer(() => interp :+ org.apache.spark.SparkFiles.get(scriptName))
+  }
+}
+
 /** The long-lived-process upgrade of [[PipeScorer]]: ONE subprocess per
   * partition (spawned in [[init]], reaped in [[close]]), batches streamed
   * through a line-framed stdin/stdout protocol — the model loads once per
@@ -142,14 +166,22 @@ final class PipeScorer(command: Seq[String]) extends Scorer {
   * batch ([[scoreKeyed]] returns what was echoed), mirroring the
   * reference's ignored-exit-code behavior.
   */
-final class StreamingPipeScorer(command: Seq[String]) extends Scorer {
+final class StreamingPipeScorer(resolveCommand: () => Seq[String]) extends Scorer {
+
+  def this(command: Seq[String]) = this(() => command)
 
   @transient private var proc: Process = _
   @transient private var stdin: java.io.BufferedWriter = _
   @transient private var stdout: java.io.BufferedReader = _
 
   override def init(): Unit = {
-    val pb = new ProcessBuilder(command: _*)
+    // Reap the child when the task finishes — without this, a partition
+    // completing leaves the subprocess alive until executor exit (the
+    // round-1 leak: close() existed but nothing task-side called it).
+    // Registered before spawn so a mid-init failure still cleans up.
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    val pb = new ProcessBuilder(resolveCommand(): _*)
     pb.redirectErrorStream(false)
     proc = pb.start()
     stdin = new java.io.BufferedWriter(
@@ -190,5 +222,14 @@ final class StreamingPipeScorer(command: Seq[String]) extends Scorer {
       proc.destroyForcibly()
       proc = null
     }
+  }
+}
+
+object StreamingPipeScorer {
+
+  /** [[PipeScorer.fromSparkFiles]]'s long-lived twin. */
+  def fromSparkFiles(scriptName: String, interpreter: String*): StreamingPipeScorer = {
+    val interp = if (interpreter.isEmpty) Seq("/bin/sh") else interpreter.toSeq
+    new StreamingPipeScorer(() => interp :+ org.apache.spark.SparkFiles.get(scriptName))
   }
 }

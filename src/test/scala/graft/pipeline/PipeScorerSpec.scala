@@ -73,6 +73,40 @@ class PipeScorerSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.foreach { p => p.label shouldBe labels(7); p.prob shouldBe 0.6 }
   }
 
+  test("S3 parity: script shipped with sc.addFile, resolved via SparkFiles.get") {
+    import spark.implicits._
+    val s = script("""sed 's/$/,5,0.4000/' "$1"""")
+    spark.sparkContext.addFile(s.toString)
+    val labels = LabelDict(graft.operators.Pipeline.Labels)
+    val items = (1 to 10).map(i => Item(s"p$i", s"payload $i")).toDS().repartition(2)
+    val out = Infer.classifyPiped(items,
+      PipeScorer.fromSparkFiles(s.getFileName.toString), labels).collect()
+    out.length shouldBe 10
+    out.foreach { p => p.label shouldBe labels(5); p.prob shouldBe 0.4 }
+  }
+
+  test("StreamingPipeScorer child is reaped when the task completes") {
+    import spark.implicits._
+    val pidFile = Files.createTempFile("graft_pid_", ".txt")
+    pidFile.toFile.deleteOnExit()
+    val s = script(
+      s"""echo $$$$ > "$pidFile"
+         |while IFS= read -r line; do echo "$$line,1,0.5000"; done""".stripMargin)
+    val labels = LabelDict(graft.operators.Pipeline.Labels)
+    val items = (1 to 5).map(i => Item(s"p$i", s"doc $i")).toDS().repartition(1)
+    val out = Infer.classify(items,
+      new StreamingPipeScorer(Seq("/bin/sh", s.toString)), labels).collect()
+    out.length shouldBe 5
+    val pid = Files.readString(pidFile).trim
+    pid should not be empty
+    // The task-completion listener closes the child; poll until /proc
+    // entry vanishes (forceful destroy + JVM reaper can lag the action).
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (Files.exists(java.nio.file.Paths.get(s"/proc/$pid")) &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    Files.exists(java.nio.file.Paths.get(s"/proc/$pid")) shouldBe false
+  }
+
   test("classifyPiped drops unechoed rows silently and counts them") {
     import spark.implicits._
     val s = script("""grep -v skip "$1" | sed 's/$/,3,0.9000/'""")
