@@ -226,20 +226,48 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Relative-error bound asserted of the HLL estimate: default rsd is
+    * 0.05, so 0.15 = 3σ — comfortably satisfied on any real input, tight
+    * enough that a broken sketch (or a broken rewrite of this query)
+    * fails loudly. */
+  val ApproxVocabBound = 0.15
+
   /** Sketch-based vocabulary: `approx_count_distinct` (HyperLogLog++).
     * The scale path for q50 — constant memory per group instead of an
-    * exact distinct expand. No oracle entry: HLL estimates are
-    * engine-specific (the driver records a rows-only check); the exact
-    * q50 is the semantics anchor. */
+    * exact distinct expand.
+    *
+    * Oracle strategy: the raw HLL estimate is engine-specific, so the
+    * DuckDB twin cannot replay it. Instead the query asserts the
+    * estimate in-engine — `approx_ok` = relative error vs the exact
+    * count within [[ApproxVocabBound]] — and outputs the exact count
+    * beside it; the oracle computes the exact count and `TRUE`. Spark's
+    * HLL is deterministic for a fixed dataset, so the row is fully
+    * hash-checkable (round-1's one `no_oracle` gap, closed). The paired
+    * exact aggregate exists to make the sketch verifiable; the
+    * production path at 100 TB is the approx branch alone. */
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"))
       .agg(
+        countDistinct(col("w")).as("vocab_exact"),
         approx_count_distinct(col("w")).as("vocab_approx"),
         count(lit(1)).as("total_tokens"))
+      .select(col("lang"), col("vocab_exact"), col("total_tokens"),
+        (abs(col("vocab_approx") - col("vocab_exact")).cast(DoubleType) /
+          col("vocab_exact").cast(DoubleType) <= ApproxVocabBound)
+          .as("approx_ok"))
       .orderBy(col("lang"))
   }
+
+  private val q51Sql =
+    s"""SELECT lang,
+       |  count(DISTINCT w) AS vocab_exact,
+       |  count(*) AS total_tokens,
+       |  TRUE AS approx_ok
+       |FROM (SELECT lang, unnest(${tokensSql("text")}) AS w FROM documents)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q55
   /** Deterministic stratified sampling: ~10% of documents per language,
@@ -295,5 +323,6 @@ object TextAnalysis {
     "q33_fingerprint" -> q33Sql,
     "q46_bpe_tokens"  -> q46Sql,
     "q50_vocab"       -> q50Sql,
+    "q51_vocab_approx" -> q51Sql,
     "q55_det_sample"  -> q55Sql)
 }

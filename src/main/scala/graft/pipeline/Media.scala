@@ -54,6 +54,50 @@ object Media {
       }
   }
 
+  /** Manifest-driven S2: fetch each manifest-addressed blob lazily INSIDE
+    * the task via the Hadoop `FileSystem` API — the reference's exact
+    * access pattern (`fs.copyToLocalFile` per manifest row,
+    * `/root/reference/java/PredictBatchMapperCluster.java:51-60`), for
+    * when the manifest is a subset of the store and a directory scan
+    * ([[binaryObjects]]) would read blobs nobody asked for.
+    *
+    * Error policy mirrors the reference: a missing/unreadable blob fails
+    * the task (`copyToLocalFile` throws uncaught). `strict = false` is
+    * the at-scale upgrade — skip and count, so one lost object out of a
+    * billion doesn't kill the job.
+    *
+    * Scale posture: fetches are per-partition sequential with the
+    * `FileSystem` handle cache doing connection reuse; blobs land
+    * directly in task memory and are consumed by the same stage
+    * ([[decodeAll]]/[[extractFeatures]]) — never shuffled. */
+  def fetchByManifest(manifest: Dataset[String], strict: Boolean = true,
+      missing: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[MediaObject] = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    manifest.mapPartitions { it =>
+      val conf = confB.value.value
+      it.flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        try {
+          val fs = path.getFileSystem(conf) // per-scheme handle cache
+          val len = fs.getFileStatus(path).getLen
+          require(len <= Int.MaxValue, s"blob too large for one buffer: $p")
+          val buf = new Array[Byte](len.toInt)
+          val in = fs.open(path)
+          try in.readFully(0, buf) finally in.close()
+          Some(MediaObject(p, kindOf(p), buf))
+        } catch {
+          case _: java.io.IOException if !strict =>
+            missing.foreach(_.add(1))
+            None
+        }
+      }
+    }
+  }
+
   /** File-extension modality sniff (the real version adds magic bytes). */
   def kindOf(path: String): String = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase

@@ -11,11 +11,18 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec with Matchers {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
-  test("every oracle key has a query; only q51 is deliberately un-oracled") {
-    val q = SparkEntry.queries.keySet
-    val o = SparkEntry.oracleSql.keySet
-    o.subsetOf(q) shouldBe true
-    (q -- o) shouldBe Set("q51_vocab_approx")
+  test("every query key has an oracle and vice versa") {
+    SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
+  }
+
+  test("q51: HLL vocab estimate is within the asserted bound of exact") {
+    val rows = SparkEntry.queries("q51_vocab_approx")(spark, SparkSpec.Sf0001)
+      .collect()
+    rows.length should be > 0
+    // approx_ok is computed in-engine from |approx-exact|/exact ≤ 0.15;
+    // a false here means the sketch (or the query) broke.
+    rows.foreach(r => withClue(s"lang=${r.get(0)}: ")(
+      r.getAs[Boolean]("approx_ok") shouldBe true))
   }
 
   test("query names are unique across suites (no silent map overwrites)") {

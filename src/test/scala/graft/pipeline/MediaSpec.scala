@@ -61,6 +61,36 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     feats("a.jpg").features shouldBe featureStub("fake-jpeg-bytes".getBytes)
   }
 
+  test("fetchByManifest: only manifest-addressed blobs are fetched") {
+    import spark.implicits._
+    val dir = tmpMediaDir() // contains a.jpg, b.mp4, c.wav
+    val manifest = Seq(s"$dir/a.jpg", s"$dir/c.wav").toDS()
+    val objs = Media.fetchByManifest(manifest).collect()
+      .map(m => Sources.basename(m.path) -> m).toMap
+    objs.keySet shouldBe Set("a.jpg", "c.wav") // b.mp4 not asked for
+    new String(objs("a.jpg").content) shouldBe "fake-jpeg-bytes"
+    objs("c.wav").kind shouldBe "audio"
+  }
+
+  test("fetchByManifest: strict mode fails the job on a missing blob (reference policy)") {
+    import spark.implicits._
+    val dir = tmpMediaDir()
+    val manifest = Seq(s"$dir/a.jpg", s"$dir/nope.png").toDS()
+    an[org.apache.spark.SparkException] should be thrownBy
+      Media.fetchByManifest(manifest).collect()
+  }
+
+  test("fetchByManifest: non-strict skips and counts missing blobs") {
+    import spark.implicits._
+    val dir = tmpMediaDir()
+    val manifest = Seq(s"$dir/a.jpg", s"$dir/nope.png", s"$dir/c.wav").toDS()
+    val acc = spark.sparkContext.longAccumulator("missing")
+    val objs = Media.fetchByManifest(manifest, strict = false,
+      missing = Some(acc)).collect()
+    objs.map(m => Sources.basename(m.path)).sorted shouldBe Array("a.jpg", "c.wav")
+    acc.value shouldBe 1L
+  }
+
   test("frameSample: bounded count, concatenation-preserving slices") {
     val bytes = (0 until 1000).map(_.toByte).toArray
     val frames = frameSample(bytes, 4)
