@@ -370,6 +370,80 @@ object Dedup {
        |JOIN documents b ON b.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** The final stage of the dedup cascade: near-dup PAIRS (q35) →
+    * duplicate CLUSTERS via connected components, so a keep-one-per-
+    * cluster policy can act (the canonical doc = min doc_id — what a
+    * training-data dedup actually deletes against).
+    *
+    * Algorithm: distributed min-label propagation. Every node starts
+    * labelled with its own id; each round joins labels across edges and
+    * takes the min; stops at fixpoint. Each round is one shuffle join +
+    * one partial-aggregable groupBy — fully distributed; the driver only
+    * sees the convergence COUNT, never the data. Rounds ≤ component
+    * diameter, and near-dup clusters are tiny dense cliques (diameter
+    * 1-2), so this converges in 2-3 rounds regardless of corpus size. A
+    * pathological chain-shaped component would take O(diameter) rounds —
+    * the published fix (large-star/small-star, Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") drops it to O(log n) rounds
+    * with the same per-round plan shape; not needed at dedup's graph
+    * shapes. */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q35(spark, dir).select(col("doc_a"), col("doc_b"))
+    // Symmetric edge list, reused every round → managed cache.
+    val edges = Features.cachedFrame(spark, s"$dir#dedupEdges") {
+      pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 50, "connected components failed to converge")
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .count() // convergence check: the one driver-visible value per round
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0L
+    }
+    labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("id")).as("max_doc"),
+        sum(col("id")).as("sum_docs"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Transitive closure via recursive CTE — exact same fixpoint, solved
+    * declaratively by the oracle engine. */
+  private val q56Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q35Sql)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT lbl AS cluster_id,
+       |  count(*) AS n_docs,
+       |  max(id) AS max_doc,
+       |  CAST(sum(id) AS BIGINT) AS sum_docs
+       |FROM labels
+       |GROUP BY lbl
+       |ORDER BY cluster_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -378,7 +452,8 @@ object Dedup {
     "q36_simhash"        -> (q36 _),
     "q37_shingle_jaccard" -> (q37 _),
     "q45_exact_dedup"    -> (q45 _),
-    "q54_edit_verify"    -> (q54 _))
+    "q54_edit_verify"    -> (q54 _),
+    "q56_dedup_clusters" -> (q56 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -386,5 +461,6 @@ object Dedup {
     "q36_simhash"        -> q36Sql,
     "q37_shingle_jaccard" -> q37Sql,
     "q45_exact_dedup"    -> q45Sql,
-    "q54_edit_verify"    -> q54Sql)
+    "q54_edit_verify"    -> q54Sql,
+    "q56_dedup_clusters" -> q56Sql)
 }

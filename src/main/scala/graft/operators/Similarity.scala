@@ -332,6 +332,79 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** 8-bit scalar quantization of the embedding table + reconstruction-
+    * error report per label — the memory-bound scale path for ANN (an
+    * int8 codebook is 8× smaller than float32; IVF/LSH candidate scans
+    * read the quantized form and only re-rank survivors at full
+    * precision).
+    *
+    * Per-dimension affine quantization: `q = floor((x - min_d) * 255 /
+    * range_d)`, reconstruction `x' = min_d + floor(q * range_d / 255)`.
+    * Everything is exact int64 arithmetic on the fixed-point vectors —
+    * quantized codes, reconstruction, and error are bit-identical in any
+    * engine, so the whole report is oracle-checkable (no float tolerance
+    * needed to test a lossy codec).
+    *
+    * Scale posture: one pass for the 64 min/max pairs (partial-
+    * aggregable, one scalar row out), broadcast of the 2×64-long stats,
+    * one map-shaped pass to quantize + score, one groupBy(label). */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val statAggs = (0 until Dim).map(i => min(element_at(col("sv"), i + 1)).as(s"mn$i")) ++
+      (0 until Dim).map(i => max(element_at(col("sv"), i + 1)).as(s"mx$i"))
+    val stats = emb.agg(statAggs.head, statAggs.tail: _*)
+    val lists = stats.select(
+      array((0 until Dim).map(i => col(s"mn$i")): _*).as("mins"),
+      array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rngs"))
+
+    val errPerDim = transform(sequence(lit(1), lit(Dim)), i => {
+      val d = element_at(col("sv"), i) - element_at(col("mins"), i)
+      val r = element_at(col("rngs"), i)
+      val num = d * lit(255L)
+      // floor-divisions via exact (a - a%b)/b on non-negative int64
+      val qz = ((num - num % r) / r).cast(LongType)
+      val t = qz * r
+      val recon = ((t - t % lit(255L)) / lit(255L)).cast(LongType)
+      when(r === 0L, lit(0L)).otherwise(abs(d - recon))
+    })
+    val scored = emb.crossJoin(broadcast(lists))
+      .select(col("label"),
+        aggregate(errPerDim, lit(0L), (acc, x) => acc + x).as("err_u"))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_u")).as("sum_err_u"),
+        max(col("err_u")).as("max_err_u"),
+        (sum(col("err_u")).cast(DoubleType) /
+          (count(lit(1)) * lit(Dim.toLong)).cast(DoubleType)).as("avg_err_u"))
+      .orderBy(col("label"))
+  }
+
+  private val q58Sql = {
+    val mns = (0 until Dim).map(i => s"min(sv[${i + 1}]) AS mn$i").mkString(", ")
+    val mxs = (0 until Dim).map(i => s"max(sv[${i + 1}]) AS mx$i").mkString(", ")
+    val minList = (0 until Dim).map(i => s"mn$i").mkString("[", ", ", "]")
+    val rngList = (0 until Dim).map(i => s"mx$i - mn$i").mkString("[", ", ", "]")
+    s"""WITH emb AS ($scaledEmbSql),
+       |stats AS (SELECT $mns, $mxs FROM emb),
+       |lists AS (SELECT $minList AS mins, $rngList AS rngs FROM stats),
+       |err AS (
+       |  SELECT label,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      CASE WHEN rngs[i] = 0 THEN 0 ELSE
+       |        abs((sv[i] - mins[i]) -
+       |            ((((sv[i] - mins[i]) * 255 // rngs[i]) * rngs[i]) // 255))
+       |      END)) AS BIGINT) AS err_u
+       |  FROM emb CROSS JOIN lists)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(err_u) AS BIGINT) AS sum_err_u,
+       |  CAST(max(err_u) AS BIGINT) AS max_err_u,
+       |  CAST(sum(err_u) AS DOUBLE) / CAST(count(*) * $Dim AS DOUBLE) AS avg_err_u
+       |FROM err
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -339,12 +412,14 @@ object Similarity {
     "q39_lsh_ann"         -> (q39 _),
     "q40_embedding_neardup" -> (q40 _),
     "q41_label_centroids" -> (q41 _),
-    "q44_ivf_ann"         -> (q44 _))
+    "q44_ivf_ann"         -> (q44 _),
+    "q58_scalar_quant"    -> (q58 _))
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,
     "q40_embedding_neardup" -> q40Sql,
     "q41_label_centroids" -> q41Sql,
-    "q44_ivf_ann"         -> q44Sql)
+    "q44_ivf_ann"         -> q44Sql,
+    "q58_scalar_quant"    -> q58Sql)
 }

@@ -269,6 +269,69 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** TF-IDF top-10 terms per language — the "what characterizes this
+    * slice of the corpus" report every training-data curation loop runs.
+    *
+    * Determinism across engines: the only transcendental step is one
+    * `ln((N+1)/(df+1))` per distinct document frequency; its argument is
+    * an exactly-representable ratio of small ints in both engines, and
+    * the per-(doc,term) score is immediately floored to integer
+    * micro-units, so a 1-ulp `ln` divergence only matters if the product
+    * sits within ~1e-10 of an integer boundary (probability ≈ 0 at any
+    * corpus size — and the oracle hash would catch it loudly, not
+    * silently). All aggregation on top is exact int64.
+    *
+    * Scale posture: one partial-aggregable groupBy over (lang, doc,
+    * term) for tf, one distinct+groupBy for df (at 100 TB the df side is
+    * where you'd swap in a CountMinSketch — exact df needs the distinct
+    * shuffle), broadcast N, then a per-lang top-k window over the
+    * lang-keyed aggregate (small). */
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = toks.groupBy(col("lang"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = toks.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "w").crossJoin(broadcast(n))
+      .withColumn("score_u",
+        floor(lit(1000000.0) * col("tf").cast(DoubleType) *
+          log((col("n_docs") + 1L).cast(DoubleType) /
+            (col("df") + 1L).cast(DoubleType))).cast("long"))
+    val perLang = scored.groupBy(col("lang"), col("w").as("term"))
+      .agg(max(col("df")).as("doc_freq"), sum(col("score_u")).as("tfidf_u"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("tfidf_u").desc, col("term"))
+    perLang.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 10)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val q57Sql =
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+       |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |dft AS (SELECT w, count(*) AS df
+       |        FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT lang, t.w, df,
+       |    CAST(floor(1000000.0 * CAST(tf AS DOUBLE) *
+       |      ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))) AS BIGINT) AS score_u
+       |  FROM tf t JOIN dft USING (w) CROSS JOIN n),
+       |agg AS (
+       |  SELECT lang, w AS term, max(df) AS doc_freq,
+       |    CAST(sum(score_u) AS BIGINT) AS tfidf_u
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT lang, term, doc_freq, tfidf_u, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY tfidf_u DESC, term) AS rank
+       |  FROM agg)
+       |WHERE rank <= 10
+       |ORDER BY lang, rank""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** Deterministic stratified sampling: ~10% of documents per language,
     * selected by content hash (`md5u32(doc_id:text) % 100 < 10`) — not
@@ -314,7 +377,8 @@ object TextAnalysis {
     "q46_bpe_tokens"  -> (q46 _),
     "q50_vocab"       -> (q50 _),
     "q51_vocab_approx" -> (q51 _),
-    "q55_det_sample"  -> (q55 _))
+    "q55_det_sample"  -> (q55 _),
+    "q57_tfidf_terms" -> (q57 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -324,5 +388,6 @@ object TextAnalysis {
     "q46_bpe_tokens"  -> q46Sql,
     "q50_vocab"       -> q50Sql,
     "q51_vocab_approx" -> q51Sql,
-    "q55_det_sample"  -> q55Sql)
+    "q55_det_sample"  -> q55Sql,
+    "q57_tfidf_terms" -> q57Sql)
 }
