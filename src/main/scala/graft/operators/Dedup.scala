@@ -231,12 +231,18 @@ object Dedup {
     * words; q34/q35 catch those). Candidates come from an inverted-index
     * join restricted to rare shingles ([[ShingleDfCap]]); the Jaccard
     * itself is then computed *exactly* over the candidates' full shingle
-    * sets with an array intersect — cheap, because candidates are few. */
+    * sets with an array intersect — cheap, because candidates are few.
+    *
+    * The inverted index is built on the HASHED shingles (the shared
+    * [[Features.hashedShingles]] cache): the df-count and candidate
+    * self-join shuffle 8-byte longs instead of 3-word strings — same
+    * candidates (md5 collisions would only merge two shingles' postings,
+    * identically in both engines), several× less shuffle volume. */
   private def q37(spark: SparkSession, dir: String): DataFrame = {
-    // read 4× in this plan (postings ×2, both join-back sides) — the
-    // managed, shared shingle-array cache (q54's verify reads it too).
+    // exact-verify side: full shingle arrays (shared cache, q54 reads too)
     val sh = Features.shingleSets(spark, dir)
-    val post = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    val post = Features.hashedShingles(spark, dir)
+      .select(col("doc_id"), col("h").as("s"))
     val rareShingles = post.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
@@ -278,7 +284,8 @@ object Dedup {
     s"""WITH sh AS (
        |  SELECT doc_id, ${shinglesSql("text")} AS ss
        |  FROM documents),
-       |post AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+       |post AS (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |         FROM (SELECT doc_id, unnest(ss) AS w FROM sh)),
        |rare_s AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $ShingleDfCap),
        |rare AS (SELECT doc_id, p.s FROM post p JOIN rare_s USING (s)),
        |cand AS (
@@ -370,6 +377,50 @@ object Dedup {
        |JOIN documents b ON b.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** The verify stage again (q54), but with the engine's native banded
+    * edit distance ([[graft.functions.BoundedEditDistance]]): per pair,
+    * edit budget k = 20% of the longer doc, distance computed as
+    * `min(lev, k+1)` in O(k·len) with early exit instead of the full
+    * O(len²) matrix. The oracle replays the same semantics with its full
+    * `levenshtein` capped by `least(d, k+1)` — proving the banded
+    * shortcut returns exactly the capped truth. */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+      col("n_chars").as("a_len"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+      col("n_chars").as("b_len"))
+    q35(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(ta, col("doc_a") === col("a_id"))
+      .join(tb, col("doc_b") === col("b_id"))
+      .withColumn("k",
+        floor(greatest(col("a_len"), col("b_len")).cast(DoubleType) * 0.2)
+          .cast("int"))
+      .withColumn("edit_capped",
+        graft.functions.TextExprs.editWithin(col("a_text"), col("b_text"), col("k")))
+      .select(col("doc_a"), col("doc_b"), col("k"), col("edit_capped"),
+        (col("edit_capped") <= col("k")).as("within_budget"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q59Sql =
+    s"""WITH cand AS ($q35Sql),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(floor(CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE) * 0.2) AS INTEGER) AS k,
+       |    CAST(levenshtein(a.text, b.text) AS INTEGER) AS d
+       |  FROM cand
+       |  JOIN documents a ON a.doc_id = doc_a
+       |  JOIN documents b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, k,
+       |  CAST(least(d, k + 1) AS INTEGER) AS edit_capped,
+       |  d <= k AS within_budget
+       |FROM j
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q56
   /** The final stage of the dedup cascade: near-dup PAIRS (q35) →
     * duplicate CLUSTERS via connected components, so a keep-one-per-
@@ -453,7 +504,8 @@ object Dedup {
     "q37_shingle_jaccard" -> (q37 _),
     "q45_exact_dedup"    -> (q45 _),
     "q54_edit_verify"    -> (q54 _),
-    "q56_dedup_clusters" -> (q56 _))
+    "q56_dedup_clusters" -> (q56 _),
+    "q59_banded_edit"    -> (q59 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -462,5 +514,6 @@ object Dedup {
     "q37_shingle_jaccard" -> q37Sql,
     "q45_exact_dedup"    -> q45Sql,
     "q54_edit_verify"    -> q54Sql,
-    "q56_dedup_clusters" -> q56Sql)
+    "q56_dedup_clusters" -> q56Sql,
+    "q59_banded_edit"    -> q59Sql)
 }

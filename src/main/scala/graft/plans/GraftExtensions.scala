@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.LongDotProduct
+import graft.functions.{BoundedEditDistance, LongDotProduct}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.graftDot)
+    ext.injectFunction(GraftExtensions.graftEditWithin)
   }
 }
 
@@ -36,10 +37,19 @@ object GraftExtensions {
       LongDotProduct(args.head, args(1))
     })
 
+  val graftEditWithin: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_edit_within"),
+    new ExpressionInfo(classOf[BoundedEditDistance].getName, "graft_edit_within"),
+    { args =>
+      require(args.length == 3,
+        "graft_edit_within(a, b, k) takes 3 arguments")
+      BoundedEditDistance(args.head, args(1), args(2))
+    })
+
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = graftDot
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(graftDot, graftEditWithin).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
