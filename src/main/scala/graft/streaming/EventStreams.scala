@@ -83,6 +83,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Watermarked stream-stream interval self-join: for every `first`-type
+    * event, the `thenType` events by the same user within `[0, withinMin]`
+    * minutes after it (funnel/attribution — "click followed by purchase").
+    *
+    * Both sides carry a watermark and the join condition bounds `b_ts`
+    * to a finite interval after `a_ts`, so Spark can expire join state:
+    * the left side keeps rows only until `watermark - withinMin`, the
+    * right until `watermark` — state is bounded regardless of stream
+    * length, keyed by the uniform `user_id`. This is the streaming shape
+    * of the batch as-of/range joins (q52/q53). */
+  def followWithin(events: DataFrame, first: String, thenType: String,
+      withinMin: Int = 10, watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === first)
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+        col("user_id").as("a_user"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === thenType)
+      .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+        col("user_id").as("b_user"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMin MINUTES"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("a_ts"),
+        col("b_id"), col("b_ts"))
+  }
+
   /** Streaming twin of q25: gap-based sessionization with custom state.
     *
     * State per user = the open session (start, end, count, value sum).

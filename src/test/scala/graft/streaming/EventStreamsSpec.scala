@@ -121,6 +121,66 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("followWithin: stream-stream interval join pairs events and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = followWithin(in.toDF(), "click", "purchase", withinMin = 10)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, 0, 1, "click"),
+        ev(2, 5, 1, "purchase"),   // within 10 min of click 1 → pair
+        ev(3, 30, 1, "purchase"),  // 30 min after click 1 → no pair
+        ev(4, 0, 2, "purchase"),   // same minute, different user → no pair
+        ev(5, 40, 2, "click"),
+        ev(6, 45, 2, "purchase"))  // within 10 min of click 5 → pair
+      q.processAllAvailable()
+      // Inner interval joins emit as soon as both sides match (no
+      // watermark wait needed for inner joins).
+      val pairs = spark.table("funnel")
+        .select("user_id", "a_id", "b_id").as[(Long, Long, Long)]
+        .collect().toSet
+      pairs shouldBe Set((1L, 1L, 2L), (2L, 5L, 6L))
+    } finally q.stop()
+  }
+
+  test("followWithin agrees with a batch interval join on the testdata events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.events(spark, SparkSpec.Sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props")).as[EventRow].collect()
+
+    val batchDf = events.toSeq.toDF()
+    val ba = batchDf.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+        col("user_id").as("a_user"))
+    val bb = batchDf.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+        col("user_id").as("b_user"))
+    val expected = ba.join(bb,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + org.apache.spark.sql.functions
+            .expr("INTERVAL 10 MINUTES"))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+
+    val in = MemoryStream[EventRow]
+    val q = followWithin(in.toDF(), "click", "purchase", withinMin = 10)
+      .writeStream.format("memory").queryName("funnel_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(events.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_full")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      streamed shouldBe expected
+      expected should not be empty
+    } finally q.stop()
+  }
+
   test("eventSource: file-source stream over the events parquet feeds q20's window agg") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
