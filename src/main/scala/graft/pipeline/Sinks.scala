@@ -31,4 +31,16 @@ object Sinks {
     df.select(concat_ws("\t", col("k"), col("v")).as("value"))
       .write.mode("overwrite").text(out)
   }
+
+  /** Hive-style partitioned parquet writer — the layout a curated
+    * training-data table actually ships in. Readers filtering on a
+    * partition column scan only the matching directories (partition
+    * pruning happens at planning time, before any file is opened), which
+    * at 100 TB is the difference between reading one language's slice
+    * and reading the corpus. Keep partition columns low-cardinality
+    * (lang, source, date — NOT doc_id): each distinct value is a
+    * directory, and millions of tiny files kill the driver's listing. */
+  def writePartitioned(df: DataFrame, out: String,
+      partitionCols: Seq[String], mode: String = "overwrite"): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(mode).parquet(out)
 }
