@@ -439,51 +439,59 @@ object Dedup {
     * Components in MapReduce and Beyond") drops it to O(log n) rounds
     * with the same per-round plan shape; not needed at dedup's graph
     * shapes. */
+  /** Converged component labels (id, lbl = min reachable doc_id) for the
+    * q35 near-dup graph — the fixpoint loop shared by q56 and q60,
+    * memoized per (session, dir) since the loop runs actions. */
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#ccLabels") {
+      val pairs = q35(spark, dir).select(col("doc_a"), col("doc_b"))
+      // Symmetric edge list, reused every round → managed cache.
+      val edges = Features.cachedFrame(spark, s"$dir#dedupEdges") {
+        pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst")
+      }
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      // One propagation hop: label := min(own, neighbors').
+      def hop(l: DataFrame): DataFrame =
+        edges.join(l, edges("src") === l("id"))
+          .select(col("dst").as("id"), col("lbl"))
+          .union(l)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      var converged = false
+      var rounds = 0
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 50, "connected components failed to converge")
+        // One hop per convergence check. (Two hops per check was tried
+        // and measured 8× SLOWER: nesting hop(hop(l)) makes the analyzer
+        // deduplicate the doubly-self-referenced edge plan and defeats
+        // the cached-exchange reuse that makes each round cheap.)
+        val next = hop(labels).persist()
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") < col("o.lbl"))
+          .count() // convergence check: the one driver-visible value per round
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0L
+      }
+      labels
+    }
+
   private def q56(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q35(spark, dir).select(col("doc_a"), col("doc_b"))
-    // Symmetric edge list, reused every round → managed cache.
-    val edges = Features.cachedFrame(spark, s"$dir#dedupEdges") {
-      pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-    }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    // One propagation hop: label := min(own, neighbors').
-    def hop(l: DataFrame): DataFrame =
-      edges.join(l, edges("src") === l("id"))
-        .select(col("dst").as("id"), col("lbl"))
-        .union(l)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-    var converged = false
-    var rounds = 0
-    while (!converged) {
-      rounds += 1
-      require(rounds <= 50, "connected components failed to converge")
-      // One hop per convergence check. (Two hops per check was tried and
-      // measured 8× SLOWER: nesting hop(hop(l)) makes the analyzer
-      // deduplicate the doubly-self-referenced edge plan and defeats the
-      // cached-exchange reuse that makes each round cheap.)
-      val next = hop(labels).persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .count() // convergence check: the one driver-visible value per round
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0L
-    }
-    labels.groupBy(col("lbl").as("cluster_id"))
+    ccLabels(spark, dir).groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("id")).as("max_doc"),
         sum(col("id")).as("sum_docs"))
       .orderBy(col("cluster_id"))
   }
 
-  /** Transitive closure via recursive CTE — exact same fixpoint, solved
-    * declaratively by the oracle engine. */
-  private val q56Sql =
-    s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM ($q35Sql)),
+  /** Transitive closure via recursive CTE — exact same fixpoint as the
+    * propagation loop, solved declaratively by the oracle engine. Shared
+    * by q56 and q60. */
+  private val ccLabelsSqlCtes =
+    s"""pairs AS (SELECT doc_a, doc_b FROM ($q35Sql)),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
@@ -492,7 +500,11 @@ object Dedup {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
-       |labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
+
+  private val q56Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes
        |SELECT lbl AS cluster_id,
        |  count(*) AS n_docs,
        |  max(id) AS max_doc,
@@ -500,6 +512,34 @@ object Dedup {
        |FROM labels
        |GROUP BY lbl
        |ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** The operator a 100 TB curation run actually executes: the per-doc
+    * KEEP/DROP decision table. Every document gets its near-dup cluster
+    * canonical (min doc_id of its component; itself if unclustered) and
+    * `keep = (doc == canonical)` — downstream consumers inner-join on
+    * `keep` or anti-join on the drop set. One left join of the corpus
+    * against the (tiny) component-label table; the corpus itself never
+    * enters the fixpoint loop. */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(spark, dir)
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lbl"), col("doc_id")).as("canonical_doc"))
+      .withColumn("keep", col("canonical_doc") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q60Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes
+       |SELECT d.doc_id, d.source,
+       |  coalesce(l.lbl, d.doc_id) AS canonical_doc,
+       |  coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
+       |FROM documents d
+       |LEFT JOIN labels l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------------------
 
@@ -511,7 +551,8 @@ object Dedup {
     "q45_exact_dedup"    -> (q45 _),
     "q54_edit_verify"    -> (q54 _),
     "q56_dedup_clusters" -> (q56 _),
-    "q59_banded_edit"    -> (q59 _))
+    "q59_banded_edit"    -> (q59 _),
+    "q60_dedup_decisions" -> (q60 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -521,5 +562,6 @@ object Dedup {
     "q45_exact_dedup"    -> q45Sql,
     "q54_edit_verify"    -> q54Sql,
     "q56_dedup_clusters" -> q56Sql,
-    "q59_banded_edit"    -> q59Sql)
+    "q59_banded_edit"    -> q59Sql,
+    "q60_dedup_decisions" -> q60Sql)
 }

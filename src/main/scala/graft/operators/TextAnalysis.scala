@@ -332,6 +332,87 @@ object TextAnalysis {
        |WHERE rank <= 10
        |ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Document-length distribution profile per language: exact
+    * interpolated quantiles (p25/p50/p75/p95) of `n_chars`, plus min and
+    * max — the length-cutoff calibration report a corpus-filtering pass
+    * starts from. Quantiles are floored to milli-units: Spark
+    * `percentile` and DuckDB `quantile_cont` interpolate with
+    * algebraically-equal but differently-associated formulas, so raw
+    * doubles can differ in the last ulp; the floor removes that.
+    *
+    * Scale posture: exact percentile sorts within each group — fine for
+    * bounded groups (languages); at 100 TB per-group cardinality you'd
+    * swap `percentile_approx` (t-digest, partial-aggregable) and assert
+    * it against this exact anchor, as q51 does for HLL. */
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    def pm(p: Double, name: String) =
+      floor(expr(s"percentile(n_chars, $p)") * 1000.0).cast("long").as(name)
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        pm(0.25, "p25_mil"), pm(0.5, "p50_mil"), pm(0.75, "p75_mil"),
+        pm(0.95, "p95_mil"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q61Sql = {
+    def pm(p: Double, name: String) =
+      s"CAST(floor(quantile_cont(n_chars, $p) * 1000.0) AS BIGINT) AS $name"
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  min(n_chars) AS min_chars,
+       |  ${pm(0.25, "p25_mil")},
+       |  ${pm(0.5, "p50_mil")},
+       |  ${pm(0.75, "p75_mil")},
+       |  ${pm(0.95, "p95_mil")},
+       |  max(n_chars) AS max_chars
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q62
+  /** Per-column data-quality profile of the corpus table — row counts,
+    * null counts, distinct cardinality, min/max — the ingest-time
+    * assertion set (schema drift, null explosions, truncated loads) a
+    * training-data pipeline runs before anything else touches the data.
+    *
+    * One single-row aggregate per profiled column, unioned: each is
+    * partial-aggregable and scans the one column it profiles (column
+    * pruning keeps the text column out of the numeric profiles). At
+    * 100 TB the `n_distinct` side swaps to `approx_count_distinct`
+    * anchored by this exact form (the q51 pattern). */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def prof(c: String): DataFrame =
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    Seq("doc_id", "lang", "source", "n_chars")
+      .map(prof).reduce(_ union _)
+      .orderBy(col("col_name"))
+  }
+
+  private val q62Sql = {
+    def prof(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(prof)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ---------------------------------------------------------------- q55
   /** Deterministic stratified sampling: ~10% of documents per language,
     * selected by content hash (`md5u32(doc_id:text) % 100 < 10`) — not
@@ -378,7 +459,9 @@ object TextAnalysis {
     "q50_vocab"       -> (q50 _),
     "q51_vocab_approx" -> (q51 _),
     "q55_det_sample"  -> (q55 _),
-    "q57_tfidf_terms" -> (q57 _))
+    "q57_tfidf_terms" -> (q57 _),
+    "q61_length_quantiles" -> (q61 _),
+    "q62_profile"     -> (q62 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -389,5 +472,7 @@ object TextAnalysis {
     "q50_vocab"       -> q50Sql,
     "q51_vocab_approx" -> q51Sql,
     "q55_det_sample"  -> q55Sql,
-    "q57_tfidf_terms" -> q57Sql)
+    "q57_tfidf_terms" -> q57Sql,
+    "q61_length_quantiles" -> q61Sql,
+    "q62_profile"     -> q62Sql)
 }
