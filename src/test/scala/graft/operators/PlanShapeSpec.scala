@@ -72,6 +72,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q41: centroids aggregate without a positional explode") {
+    // The one-pass 64-sum form must not regress to posexplode (n×64-row
+    // Generate) + shuffled join-backs.
+    val p = plan("q41_label_centroids")
+    p should not include "Generate"
+    p should include("BroadcastHashJoin") // centroid table broadcast back
+  }
+
+  test("q57/q58/q61/q62: new analytics plan without Cartesian products") {
+    Seq("q57_tfidf_terms", "q58_scalar_quant", "q61_length_quantiles",
+      "q62_profile").foreach { q =>
+      withClue(q) { plan(q) should not include "CartesianProduct" }
+    }
+  }
+
+  test("q58: the stats row is broadcast to the quantize pass") {
+    plan("q58_scalar_quant") should include("Broadcast")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
