@@ -286,9 +286,80 @@ object Events {
        | AND abs(date_diff('second', c.ts, p.ts)) <= $RangeJoinWindowS
        |ORDER BY p.user_id, p_id, c_id""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Funnel attribution per day: click events followed by a same-user
+    * purchase within 10 minutes — the batch (oracled) twin of the
+    * streaming [[graft.streaming.EventStreams.followWithin]] interval
+    * join. One equi-join shuffle on `user_id` with the time window as a
+    * post-join filter; per-user event counts bound the pair blowup, and
+    * a viral hot user is AQE skew-join territory. */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+        col("user_id").as("a_user"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("b_ts"), col("user_id").as("b_user"))
+    a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(date_trunc("day", col("a_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_converting_clicks"),
+        countDistinct(col("a_user")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  private val q63Sql =
+    s"""SELECT CAST(date_trunc('day', a.ts) AS TIMESTAMP) AS day,
+       |  count(*) AS n_pairs,
+       |  count(DISTINCT a.event_id) AS n_converting_clicks,
+       |  count(DISTINCT a.user_id) AS n_users
+       |FROM (SELECT * FROM events WHERE event_type = 'click') a
+       |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+       |  ON a.user_id = b.user_id
+       | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Retention cohort matrix: users bucketed by first-seen day, then
+    * distinct active users per (cohort day, day offset) — THE engagement
+    * report over any event log. Two shuffles on `user_id` (first-seen
+    * min, distinct activity) + one on the small (cohort, offset) key. */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"),
+      date_trunc("day", col("ts")).as("act_day")).distinct()
+    active.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("act_day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val q64Sql =
+    s"""WITH fe AS (
+       |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+       |  FROM events GROUP BY 1),
+       |act AS (
+       |  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day
+       |  FROM events)
+       |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+       |  CAST(date_diff('day', cohort_day, act_day) AS INTEGER) AS day_offset,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM act JOIN fe USING (user_id)
+       |GROUP BY 1, 2
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q63_funnel_daily"  -> (q63 _),
+    "q64_retention"     -> (q64 _),
     "q20_hourly_events" -> (q20 _),
     "q21_user_pivot"    -> (q21 _),
     "q22_event_gaps"    -> (q22 _),
@@ -299,6 +370,8 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q63_funnel_daily"  -> q63Sql,
+    "q64_retention"     -> q64Sql,
     "q20_hourly_events" -> q20Sql,
     "q21_user_pivot"    -> q21Sql,
     "q22_event_gaps"    -> q22Sql,
