@@ -38,8 +38,8 @@ import graft.pipeline._
 object Main {
 
   private val Usage =
-    "Usage: graft.Main <input_list.txt> <output_dir> " +
-      "[--labels <file|dir>] [--pipe <script>] [--batch-size N] [--single-file]"
+    "Usage: graft.Main <input_list.txt> <output_dir> [--labels <file|dir>] " +
+      "[--pipe <script>] [--checkpoint <file>] [--batch-size N] [--single-file]"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -67,6 +67,7 @@ object Main {
 
   final case class Config(manifest: String, outDir: String,
       labelsPath: Option[String] = None, pipeScript: Option[String] = None,
+      checkpoint: Option[String] = None,
       batchSize: Int = Infer.DefaultBatchSize, singleFile: Boolean = false)
 
   private def parse(args: Array[String]): Option[Config] = {
@@ -77,6 +78,7 @@ object Main {
           else None
         case "--labels" :: v :: t      => loop(t, pos, cfg.copy(labelsPath = Some(v)))
         case "--pipe" :: v :: t        => loop(t, pos, cfg.copy(pipeScript = Some(v)))
+        case "--checkpoint" :: v :: t  => loop(t, pos, cfg.copy(checkpoint = Some(v)))
         case "--batch-size" :: v :: t  =>
           v.toIntOption.filter(_ > 0) match {
             case Some(n) => loop(t, pos, cfg.copy(batchSize = n))
@@ -124,13 +126,20 @@ object Main {
     val items = Sources.manifest(spark, cfg.manifest)
       .map(line => Item(line, line))
 
-    val preds = cfg.pipeScript match {
-      case Some(script) =>
+    val preds = (cfg.pipeScript, cfg.checkpoint) match {
+      case (Some(script), _) =>
         spark.sparkContext.addFile(script)
         val name = new java.io.File(script).getName
         Infer.classifyPiped(items, PipeScorer.fromSparkFiles(name), labels,
           cfg.batchSize)
-      case None =>
+      case (None, Some(ckpt)) =>
+        // The reference's checkpoint.pth DistributedCache wiring: ship the
+        // artifact, load it per partition on the executor.
+        spark.sparkContext.addFile(ckpt)
+        val name = new java.io.File(ckpt).getName
+        Infer.classify(items, new CheckpointScorer(name, labels.size), labels,
+          cfg.batchSize)
+      case (None, None) =>
         Infer.classify(items, new HashScorer(labels.size), labels,
           cfg.batchSize)
     }

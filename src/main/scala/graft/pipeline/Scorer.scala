@@ -58,6 +58,42 @@ object HashScorer {
   }
 }
 
+/** M2 fidelity: a scorer whose "model" is a real checkpoint ARTIFACT
+  * loaded once per partition from the Spark file cache — the mechanics of
+  * the reference's model load (`checkpoint.pth` shipped via
+  * DistributedCache, `/root/reference/java/PredictDriverCluster.java:49`,
+  * loaded in `python/predict_batch_threaded_local.py:64-67`) with the
+  * neural math replaced by the deterministic hash stand-in.
+  *
+  * `init()` resolves the checkpoint via `SparkFiles.get` ON THE EXECUTOR
+  * and folds its bytes into a weight digest; predictions are a pure
+  * function of (checkpoint bytes, payload), so shipping a different
+  * checkpoint observably changes every score — the property that proves
+  * the load path is real. A production model swaps [[digest]]+[[score]]
+  * for framework calls; the distribution, lifecycle, and batching stay.
+  */
+final class CheckpointScorer(checkpointName: String, numClasses: Int)
+    extends Scorer {
+
+  @transient private var digest: String = _
+
+  override def init(): Unit = {
+    val path = org.apache.spark.SparkFiles.get(checkpointName)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.nonEmpty, s"empty checkpoint: $checkpointName")
+    digest = MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+  }
+
+  override def score(payload: String): (Int, Double) = {
+    if (digest == null) init() // driver-side/spec use outside a task
+    if (payload.trim.isEmpty) throw new IllegalArgumentException("blank payload")
+    val idx = (HashScorer.md5u32(s"$digest:$payload") % numClasses).toInt
+    val mantissa = HashScorer.md5u32(s"$digest:$payload:p") % 9000L + 1000L
+    (idx, mantissa.toDouble / 10000.0)
+  }
+}
+
 /** X1 fidelity: score a batch through an external process, exactly the
   * reference's subprocess protocol
   * (`/root/reference/java/PredictBatchMapperCluster.java:92-131`):

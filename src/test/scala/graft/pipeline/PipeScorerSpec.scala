@@ -85,6 +85,33 @@ class PipeScorerSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.foreach { p => p.label shouldBe labels(5); p.prob shouldBe 0.4 }
   }
 
+  test("CheckpointScorer: model artifact shipped via addFile drives predictions") {
+    import spark.implicits._
+    val labels = LabelDict(graft.operators.Pipeline.Labels)
+    def ship(name: String, content: String): String = {
+      val d = Files.createTempDirectory("graft_ckpt_")
+      val f = d.resolve(name)
+      Files.writeString(f, content)
+      f.toFile.deleteOnExit()
+      spark.sparkContext.addFile(f.toString)
+      name
+    }
+    val items = (1 to 20).map(i => Item(s"p$i", s"payload $i")).toDS().repartition(2)
+
+    val a1 = Infer.classify(items,
+      new CheckpointScorer(ship("ckpt_a.bin", "weights-v1"), labels.size),
+      labels).collect().map(p => p.path -> (p.label, p.prob)).toMap
+    val a2 = Infer.classify(items,
+      new CheckpointScorer("ckpt_a.bin", labels.size), labels)
+      .collect().map(p => p.path -> (p.label, p.prob)).toMap
+    a2 shouldBe a1 // same checkpoint → identical predictions
+
+    val b = Infer.classify(items,
+      new CheckpointScorer(ship("ckpt_b.bin", "weights-v2"), labels.size),
+      labels).collect().map(p => p.path -> (p.label, p.prob)).toMap
+    b should not equal a1 // different weights → observably different model
+  }
+
   test("StreamingPipeScorer child is reaped when the task completes") {
     import spark.implicits._
     val pidFile = Files.createTempFile("graft_pid_", ".txt")
