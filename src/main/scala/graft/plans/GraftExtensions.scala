@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedEditDistance, LongDotProduct}
+import graft.functions.{BoundedEditDistance, LongDotProduct, MinHashSignature}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.graftDot)
     ext.injectFunction(GraftExtensions.graftEditWithin)
+    ext.injectFunction(GraftExtensions.graftMinhash)
   }
 }
 
@@ -46,10 +47,18 @@ object GraftExtensions {
       BoundedEditDistance(args.head, args(1), args(2))
     })
 
+  val graftMinhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+    { args =>
+      require(args.length == 1, "graft_minhash(wordHash) takes 1 argument")
+      MinHashSignature(args.head).toAggregateExpression()
+    })
+
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin).foreach { case (id, info, builder) =>
+    Seq(graftDot, graftEditWithin, graftMinhash).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
