@@ -355,9 +355,47 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Event-rate anomaly flags: per (event_type, hour) counts compared to
+    * that type's all-hours mean; hours at ≥2× the mean are flagged — the
+    * pipeline-health monitor run over every ingest log. The per-type
+    * mean is a 5-row aggregate broadcast back; the ratio is one double
+    * division of exact int64 counts, deterministic in both engines. */
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val typeAvg = hourly.groupBy(col("event_type").as("t2"))
+      .agg(sum(col("n")).as("total_n"), count(lit(1)).as("n_hours"))
+    hourly.join(broadcast(typeAvg), col("event_type") === col("t2"))
+      .withColumn("rate_ratio",
+        col("n").cast(DoubleType) * col("n_hours").cast(DoubleType) /
+          col("total_n").cast(DoubleType))
+      .filter(col("rate_ratio") >= 2.0)
+      .select(col("event_type"), col("hour"), col("n"), col("rate_ratio"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val q65Sql =
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |ta AS (
+       |  SELECT event_type AS t2, CAST(sum(n) AS BIGINT) AS total_n,
+       |    count(*) AS n_hours
+       |  FROM hourly GROUP BY 1)
+       |SELECT event_type, hour, n,
+       |  CAST(n AS DOUBLE) * CAST(n_hours AS DOUBLE) / CAST(total_n AS DOUBLE)
+       |    AS rate_ratio
+       |FROM hourly JOIN ta ON event_type = t2
+       |WHERE CAST(n AS DOUBLE) * CAST(n_hours AS DOUBLE) / CAST(total_n AS DOUBLE) >= 2.0
+       |ORDER BY event_type, hour""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q65_rate_anomaly"  -> (q65 _),
     "q63_funnel_daily"  -> (q63 _),
     "q64_retention"     -> (q64 _),
     "q20_hourly_events" -> (q20 _),
@@ -370,6 +408,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q65_rate_anomaly"  -> q65Sql,
     "q63_funnel_daily"  -> q63Sql,
     "q64_retention"     -> q64Sql,
     "q20_hourly_events" -> q20Sql,

@@ -181,6 +181,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("native session_window grouping equals the custom-state sessionization (q25)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, session_window}
+    // Spark's built-in gap-window — the declarative form of what
+    // sessionize does with flatMapGroupsWithState. Same 30-min gap must
+    // yield exactly q25's sessions.
+    val native = graft.Tables.events(spark, SparkSpec.Sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("session_end"), col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val batch = graft.operators.Events.queries("q25_sessionize")(
+      spark, SparkSpec.Sf0001)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    native shouldBe batch
+  }
+
   test("eventSource: file-source stream over the events parquet feeds q20's window agg") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
