@@ -405,6 +405,31 @@ object Similarity {
        |ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Cross-modal retrieval: the sign-LSH ANN neighbors (q39) enriched
+    * with each neighbor's DOCUMENT-side metadata (`vec_id` keys into
+    * `documents.doc_id` — the embedding table is the vector column of
+    * the corpus). The join the serving path of a retrieval pipeline
+    * performs: ANN over the vector index, then fetch the text record.
+    * Neighbor set is tiny (queries×k), so the document fetch is a
+    * broadcast-able join against the corpus — at 100 TB this is a
+    * point-lookup pattern (bucketed or key-partitioned doc store). */
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    q39(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q66Sql =
+    s"""WITH ann AS ($q39Sql)
+       |SELECT q_id, rank, vec_id, cos, lang, source, n_chars
+       |FROM ann JOIN documents ON vec_id = doc_id
+       |ORDER BY q_id, rank""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -413,7 +438,8 @@ object Similarity {
     "q40_embedding_neardup" -> (q40 _),
     "q41_label_centroids" -> (q41 _),
     "q44_ivf_ann"         -> (q44 _),
-    "q58_scalar_quant"    -> (q58 _))
+    "q58_scalar_quant"    -> (q58 _),
+    "q66_ann_retrieval"   -> (q66 _))
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk"     -> q38Sql,
@@ -421,5 +447,6 @@ object Similarity {
     "q40_embedding_neardup" -> q40Sql,
     "q41_label_centroids" -> q41Sql,
     "q44_ivf_ann"         -> q44Sql,
-    "q58_scalar_quant"    -> q58Sql)
+    "q58_scalar_quant"    -> q58Sql,
+    "q66_ann_retrieval"   -> q66Sql)
 }

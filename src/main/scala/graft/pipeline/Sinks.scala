@@ -32,6 +32,18 @@ object Sinks {
       .write.mode("overwrite").text(out)
   }
 
+  /** JSONL writer — the interchange twin of [[Sources.jsonl]]. One JSON
+    * object per line, written in parallel (one file per partition);
+    * `maxRecordsPerFile` bounds file size so downstream loaders see
+    * uniform shards instead of one giant file per partition. */
+  def writeJsonl(df: DataFrame, out: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite")
+    val w2 = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.json(out)
+  }
+
   /** Hive-style partitioned parquet writer — the layout a curated
     * training-data table actually ships in. Readers filtering on a
     * partition column scan only the matching directories (partition

@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** S1 + F1 + F2: manifest source and filename hygiene.
   *
@@ -23,6 +24,24 @@ object Sources {
       .select(trim(regexp_replace(col("value"), "^﻿", "")).as("value"))
       .filter(length(col("value")) > 0)
       .as[String]
+  }
+
+  /** JSONL corpus reader — the wire format LLM training corpora actually
+    * arrive in (one JSON document per line). Schema is explicit (never
+    * inferred: inference is a full extra pass over 100 TB and schema
+    * drift should fail loudly, not adapt silently); malformed lines land
+    * in `corruptCol` instead of killing the job (PERMISSIVE), so the
+    * ingest gate can count and quarantine them — the M3 sentinel policy
+    * applied to ingest. Set `failFast = true` to make any corrupt line
+    * abort instead (contract-ingest mode). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record",
+      failFast: Boolean = false): DataFrame = {
+    val reader = spark.read
+      .schema(schema.add(corruptCol, StringType))
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+    reader.json(path)
   }
 
   /** F2: safe local filename from a path's basename — every char outside
