@@ -39,12 +39,24 @@ import graft.functions.TextFns._
   */
 object Features {
 
-  private val cache = TrieMap[(Int, String), DataFrame]()
+  private val cache = TrieMap[(String, String), DataFrame]()
+
+  /** Session identity for the cache key: a UUID stamped into the
+    * session's own runtime conf on first use — session-scoped by
+    * construction, and unlike an identity hash it can never alias a
+    * new session after the old one is collected. */
+  private val SessionKeyConf = "graft.internal.sessionKey"
+  private def sessionKey(spark: SparkSession): String =
+    spark.conf.getOption(SessionKeyConf).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      spark.conf.set(SessionKeyConf, id)
+      id
+    }
 
   /** Build-or-reuse a persisted frame, registered for [[clear]]. Keyed by
-    * session identity + caller key (DataFrames are session-bound). */
+    * session UUID + caller key (DataFrames are session-bound). */
   def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), key), build.persist())
+    cache.getOrElseUpdate((sessionKey(spark), key), build.persist())
 
   /** Distinct word-3-gram shingles per doc as arrays: (doc_id, ss).
     * Consumed by q37's exact-Jaccard verify and as the base of
