@@ -374,6 +374,83 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Text normalization — the cleaning transform every corpus pass runs
+    * before fingerprinting/dedup: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace runs, trim. Reported as the normalized
+    * fingerprint plus length-reduction stats per source (how much
+    * boilerplate the cleaner removes — the knob-tuning signal).
+    * Pure codegen'd `regexp_replace`/`lower`/`trim` chain: scan-shaped,
+    * no shuffle before the per-source aggregate. */
+  private def q67(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " "))
+    Tables.documents(spark, dir)
+      .withColumn("norm_len", length(norm).cast("long"))
+      .withColumn("fp_norm", md5(norm))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("raw_chars"),
+        sum(col("norm_len")).as("norm_chars"),
+        (lit(1.0) - sum(col("norm_len")).cast(DoubleType) /
+          sum(col("n_chars")).cast(DoubleType)).as("reduction"),
+        countDistinct(col("fp_norm")).as("distinct_norm_fp"))
+      .orderBy(col("source"))
+  }
+
+  private val q67Sql = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+       |  CAST(sum(len($norm)) AS BIGINT) AS norm_chars,
+       |  1.0 - CAST(sum(len($norm)) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+       |    AS reduction,
+       |  count(DISTINCT md5($norm)) AS distinct_norm_fp
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q68
+  /** Sensitive-content scan: per-source counts of documents containing
+    * email-shaped tokens, URL-shaped tokens, and long digit runs
+    * (phone/ID-shaped) — the redaction-triage report a corpus release
+    * runs first. Pure codegen'd `regexp_count` per row, one
+    * partial-aggregable groupBy; at 100 TB this is exactly as expensive
+    * as one narrow scan of the text column. */
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    def hits(pat: String) = (regexp_count(col("text"), lit(pat)) > 0)
+    val email = "[a-z0-9._-]+@[a-z0-9.-]+"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9]{6,}"
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        when(hits(email), 1L).otherwise(0L).as("has_email"),
+        when(hits(url), 1L).otherwise(0L).as("has_url"),
+        when(hits(digits), 1L).otherwise(0L).as("has_digit_run"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_email")).as("n_email"),
+        sum(col("has_url")).as("n_url"),
+        sum(col("has_digit_run")).as("n_digit_run"))
+      .orderBy(col("source"))
+  }
+
+  private val q68Sql = {
+    def hits(pat: String) = s"len(regexp_extract_all(text, '$pat')) > 0"
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ${hits("[a-z0-9._-]+@[a-z0-9.-]+")} THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       |  CAST(sum(CASE WHEN ${hits("https?://[^ ]+")} THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+       |  CAST(sum(CASE WHEN ${hits("[0-9]{6,}")} THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_run
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q62
   /** Per-column data-quality profile of the corpus table — row counts,
     * null counts, distinct cardinality, min/max — the ingest-time
@@ -461,7 +538,9 @@ object TextAnalysis {
     "q55_det_sample"  -> (q55 _),
     "q57_tfidf_terms" -> (q57 _),
     "q61_length_quantiles" -> (q61 _),
-    "q62_profile"     -> (q62 _))
+    "q62_profile"     -> (q62 _),
+    "q67_normalize"   -> (q67 _),
+    "q68_content_scan" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -474,5 +553,7 @@ object TextAnalysis {
     "q55_det_sample"  -> q55Sql,
     "q57_tfidf_terms" -> q57Sql,
     "q61_length_quantiles" -> q61Sql,
-    "q62_profile"     -> q62Sql)
+    "q62_profile"     -> q62Sql,
+    "q67_normalize"   -> q67Sql,
+    "q68_content_scan" -> q68Sql)
 }
