@@ -24,6 +24,9 @@ import graft.pipeline._
   *  - `--pipe <script>`: ship `<script>` to every executor with
   *    `sc.addFile` and score through it as a subprocess, the script
   *    resolved executor-side via `SparkFiles.get` (X1 + S3);
+  *  - `--checkpoint <file>`: ship a model checkpoint artifact the same
+  *    way and load it per partition ([[CheckpointScorer]] — the
+  *    `checkpoint.pth` wiring, M2);
   *  - `--labels <file|dir>`: the reference's label-dictionary load
   *    precedence ([[LabelDict.load]]); default is the pinned 30-class
   *    dictionary.
