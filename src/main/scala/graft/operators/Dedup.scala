@@ -541,6 +541,116 @@ object Dedup {
        |LEFT JOIN labels l ON l.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Incremental dedup — the production ingestion flow: a NEW batch
+    * (odd doc_ids, the deterministic stand-in for "today's crawl")
+    * deduplicated against the EXISTING corpus (even doc_ids) without
+    * recomputing the corpus. Cascade per new doc:
+    *   1. exact content match: content-fingerprint equi-join vs the
+    *      corpus fingerprint index (what you'd keep materialized);
+    *   2. else near-dup: MinHash band join new×old, ≥13/16 signature
+    *      agreement (q35's threshold);
+    *   3. else unique → admit.
+    * Status + the matched corpus doc (min id) per new doc. Only the NEW
+    * batch is sketched at ingest time in production; here both sides
+    * derive from the same cached feature tables. All joins are
+    * new×old equi-joins on fingerprint/band keys — incremental cost
+    * scales with the batch, not the corpus. */
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(bag).as("fp"))
+    val newFp = fp.filter(col("doc_id") % 2 === 1)
+    val oldFp = fp.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("o_id"), col("fp").as("o_fp"))
+
+    val exact = newFp.join(oldFp, col("fp") === col("o_fp"))
+      .groupBy(col("doc_id")).agg(min(col("o_id")).as("exact_match"))
+
+    // Near-dup: q35's banded signatures, restricted to new×old pairs.
+    val sig = Features.cachedFrame(spark, s"$dir#minhashSig") {
+      Features.hashedShingles(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(min(perm(0, col("h"))).as("m0"),
+          (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
+    }
+    val bandCols = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh")).as(s"band$b")
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.filter(col("doc_id") % 2 === 1).as("x")
+      .join(bands.filter(col("doc_id") % 2 === 0).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("o_id"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val nMatches = (0 until MinHashK)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val near = cand
+      .join(sa, col("doc_id") === col("a_doc_id"))
+      .join(sb, col("o_id") === col("b_doc_id"))
+      .filter(nMatches >= 13)
+      .groupBy(col("doc_id")).agg(min(col("o_id")).as("near_match"))
+
+    newFp.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "dup_exact")
+          .when(col("near_match").isNotNull, "dup_near")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L))
+          .as("match_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql = {
+    val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
+    val mins = (0 until MinHashK)
+      .map(i => s"min(${permSql(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => s"m${b * LshRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ms)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until MinHashK)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH fp AS (SELECT doc_id, md5($bag) AS fp FROM documents),
+       |exact AS (
+       |  SELECT n.doc_id, min(o.doc_id) AS exact_match
+       |  FROM fp n JOIN fp o ON n.fp = o.fp
+       |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+       |  GROUP BY 1),
+       |words AS ($docShinglesSql),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS o_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+       |near AS (
+       |  SELECT cand.doc_id AS doc_id, min(o_id) AS near_match FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_id
+       |  JOIN sig sb ON sb.doc_id = cand.o_id
+       |  WHERE ($matches) >= 13
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.exact_match IS NOT NULL THEN 'dup_exact'
+       |       WHEN nr.near_match IS NOT NULL THEN 'dup_near'
+       |       ELSE 'unique' END AS status,
+       |  coalesce(e.exact_match, nr.near_match, -1) AS match_doc
+       |FROM (SELECT doc_id FROM fp WHERE doc_id % 2 = 1) n
+       |LEFT JOIN exact e ON e.doc_id = n.doc_id
+       |LEFT JOIN near nr ON nr.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -552,7 +662,8 @@ object Dedup {
     "q54_edit_verify"    -> (q54 _),
     "q56_dedup_clusters" -> (q56 _),
     "q59_banded_edit"    -> (q59 _),
-    "q60_dedup_decisions" -> (q60 _))
+    "q60_dedup_decisions" -> (q60 _),
+    "q69_incremental_dedup" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -563,5 +674,6 @@ object Dedup {
     "q54_edit_verify"    -> q54Sql,
     "q56_dedup_clusters" -> q56Sql,
     "q59_banded_edit"    -> q59Sql,
-    "q60_dedup_decisions" -> q60Sql)
+    "q60_dedup_decisions" -> q60Sql,
+    "q69_incremental_dedup" -> q69Sql)
 }
