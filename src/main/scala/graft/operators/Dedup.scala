@@ -97,8 +97,8 @@ object Dedup {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
-    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val nMatches = (0 until MinHashK)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -585,8 +585,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("o_id"))
       .distinct()
-    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val nMatches = (0 until MinHashK)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
