@@ -8,8 +8,11 @@ import graft.Tables
 import graft.functions.Parity._
 import graft.functions.TextFns._
 
-/** Deduplication operators over `documents`: exact, content-normalized,
-  * MinHash+LSH, SimHash, and n-gram Jaccard.
+/** Deduplication operators over `documents` — the full cascade: exact
+  * and content-normalized fingerprints, MinHash+LSH / SimHash / n-gram
+  * Jaccard candidate sketches, exact and banded edit-distance verify,
+  * connected-component clustering, per-doc keep/canonical decisions, and
+  * the incremental new-batch-vs-corpus variant.
   *
   * Driver-mandated training-data-pipeline extensions (BASELINE.json
   * north star "dedup"). All hashing is md5-derived so the DuckDB oracle
@@ -541,6 +544,41 @@ object Dedup {
        |LEFT JOIN labels l ON l.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Dedup observability: the per-source report of q60's decisions —
+    * docs kept vs dropped and the drop rate. The number a curation run
+    * actually alerts on (a source whose drop rate jumps is either a
+    * scraper bug or a spam flood). Rides entirely on the memoized
+    * component labels; one groupBy(source). */
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    q60(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        (sum(when(col("keep"), 0L).otherwise(1L)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("drop_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val q70Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |decisions AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
+       |  FROM documents d
+       |  LEFT JOIN labels l ON l.id = d.doc_id)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS drop_rate
+       |FROM decisions
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q69
   /** Incremental dedup — the production ingestion flow: a NEW batch
     * (odd doc_ids, the deterministic stand-in for "today's crawl")
@@ -663,7 +701,8 @@ object Dedup {
     "q56_dedup_clusters" -> (q56 _),
     "q59_banded_edit"    -> (q59 _),
     "q60_dedup_decisions" -> (q60 _),
-    "q69_incremental_dedup" -> (q69 _))
+    "q69_incremental_dedup" -> (q69 _),
+    "q70_dedup_report"   -> (q70 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -675,5 +714,6 @@ object Dedup {
     "q56_dedup_clusters" -> q56Sql,
     "q59_banded_edit"    -> q59Sql,
     "q60_dedup_decisions" -> q60Sql,
-    "q69_incremental_dedup" -> q69Sql)
+    "q69_incremental_dedup" -> q69Sql,
+    "q70_dedup_report"   -> q70Sql)
 }
