@@ -430,6 +430,40 @@ object Similarity {
        |FROM ann JOIN documents ON vec_id = doc_id
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Embedding-table quality profile per label: exact squared-norm
+    * stats plus degenerate-vector counts (near-zero norm = a failed
+    * encoder run; exact-duplicate vectors = collapsed representations) —
+    * the ingest gate for an embedding table, the vector twin of the
+    * text-side q62 profile. All int64-exact except one final average. */
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    emb.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        (sum(col("n2")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("avg_n2"),
+        sum(when(col("n2") < 1000000L, 1L).otherwise(0L)).as("n_degenerate"),
+        (count(lit(1)) - countDistinct(col("sv"))).as("n_exact_dup_vecs"))
+      .orderBy(col("label"))
+  }
+
+  private val q71Sql =
+    s"""WITH emb AS ($scaledEmbSql)
+       |SELECT label,
+       |  count(*) AS n_vecs,
+       |  min(n2) AS min_n2,
+       |  max(n2) AS max_n2,
+       |  CAST(sum(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_n2,
+       |  CAST(sum(CASE WHEN n2 < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_degenerate,
+       |  CAST(count(*) - count(DISTINCT sv) AS BIGINT) AS n_exact_dup_vecs
+       |FROM emb
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -439,7 +473,8 @@ object Similarity {
     "q41_label_centroids" -> (q41 _),
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
-    "q66_ann_retrieval"   -> (q66 _))
+    "q66_ann_retrieval"   -> (q66 _),
+    "q71_embedding_profile" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk"     -> q38Sql,
@@ -448,5 +483,6 @@ object Similarity {
     "q41_label_centroids" -> q41Sql,
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,
-    "q66_ann_retrieval"   -> q66Sql)
+    "q66_ann_retrieval"   -> q66Sql,
+    "q71_embedding_profile" -> q71Sql)
 }
