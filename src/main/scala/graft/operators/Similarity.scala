@@ -358,19 +358,15 @@ object Similarity {
       array((0 until Dim).map(i => col(s"mn$i")): _*).as("mins"),
       array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rngs"))
 
-    val errPerDim = transform(sequence(lit(1), lit(Dim)), i => {
-      val d = element_at(col("sv"), i) - element_at(col("mins"), i)
-      val r = element_at(col("rngs"), i)
-      val num = d * lit(255L)
-      // floor-divisions via exact (a - a%b)/b on non-negative int64
-      val qz = ((num - num % r) / r).cast(LongType)
-      val t = qz * r
-      val recon = ((t - t % lit(255L)) / lit(255L)).cast(LongType)
-      when(r === 0L, lit(0L)).otherwise(abs(d - recon))
-    })
+    // Per-row total reconstruction error via the native codegen'd
+    // [[graft.functions.QuantizeError]] — the HOF form
+    // (`aggregate(transform(sequence(…)))`) materialized a 64-element
+    // array per row and interpreted its lambdas; this fuses the
+    // quantize→reconstruct→|err| loop into WholeStageCodegen.
     val scored = emb.crossJoin(broadcast(lists))
       .select(col("label"),
-        aggregate(errPerDim, lit(0L), (acc, x) => acc + x).as("err_u"))
+        graft.functions.VectorExprs.quantErr(col("sv"), col("mins"), col("rngs"))
+          .as("err_u"))
     scored.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("err_u")).as("sum_err_u"),

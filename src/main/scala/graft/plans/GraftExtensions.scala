@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedEditDistance, LongDotProduct, MinHashSignature}
+import graft.functions.{BoundedEditDistance, LongDotProduct, MinHashSignature, QuantizeError}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftDot)
     ext.injectFunction(GraftExtensions.graftEditWithin)
     ext.injectFunction(GraftExtensions.graftMinhash)
+    ext.injectFunction(GraftExtensions.graftQuantErr)
   }
 }
 
@@ -55,10 +56,20 @@ object GraftExtensions {
       MinHashSignature(args.head).toAggregateExpression()
     })
 
+  val graftQuantErr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quant_err"),
+    new ExpressionInfo(classOf[QuantizeError].getName, "graft_quant_err"),
+    { args =>
+      require(args.length == 3,
+        "graft_quant_err(sv, mins, rngs) takes 3 arguments")
+      QuantizeError(args.head, args(1), args(2))
+    })
+
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(graftDot, graftEditWithin, graftMinhash, graftQuantErr).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

@@ -91,6 +91,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan("q58_scalar_quant") should include("Broadcast")
   }
 
+  test("q58: the quantize-error map stage runs inside whole-stage codegen") {
+    // The interpreted HOF form (aggregate/transform lambdas) sat outside
+    // codegen and was the #2 bench cost; the native QuantizeError
+    // expression must keep the map stage fused. Execute first: under AQE
+    // the codegen stars only appear in the final plan.
+    val df = SparkEntry.queries("q58_scalar_quant")(spark, SparkSpec.Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.toLowerCase.contains("quantizeerror")).get
+    line should include("*(") // WholeStageCodegen span marker
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
