@@ -32,7 +32,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    graft.operators.Features.clear()
+    graft.operators.Features.clear(spark)
     spark.stop()
   }
 }

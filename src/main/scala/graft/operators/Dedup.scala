@@ -42,6 +42,44 @@ object Dedup {
   private val docShinglesSql =
     s"SELECT doc_id, unnest(ss) AS w FROM (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents)"
 
+  // --- Shared MinHash machinery (q35 candidate generation, q54/q59
+  // verify reuse, q69's incremental new×old variant). ONE definition per
+  // stage so the cache key `$dir#minhashSig` can only ever hold one
+  // semantics — the round-2 advisor flagged that q35 and q69 carried
+  // duplicate inline copies that the shared cache would silently fork.
+
+  /** k=[[MinHashK]] signature table (doc_id, m0..m15), built ONCE per
+    * (session, dir) over the post-hash shingle longs and read by every
+    * MinHash consumer — q35's self-join reads it from three sides. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#minhashSig") {
+      Features.hashedShingles(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(min(perm(0, col("h"))).as("m0"),
+          (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
+    }
+
+  /** LSH banding of a signature table: (doc_id, band, bh) with
+    * [[LshBands]] rows per doc — the blocking key for candidate joins. */
+  private def sigBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh")).as(s"band$b")
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Component-agreement count between `a_`/`b_`-prefixed signature sides
+    * (join [[minhashSig]] renamed via `toDF("a_..")`/`toDF("b_..")`).
+    * `nMatches >= MinHashMatchMin` is the near-dup acceptance test. */
+  private def nMatches: Column = (0 until MinHashK)
+    .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+    .reduce(_ + _)
+
+  /** ≥13/16 agreeing components ≈ estimated Jaccard ≥ 0.8. */
+  private val MinHashMatchMin = 13
+
   // ---------------------------------------------------------------- q34
   /** Content-normalized exact dedup: group by the sorted-unique-token
     * fingerprint; report every duplicate cluster. Catches the
@@ -80,19 +118,8 @@ object Dedup {
     * banded self-join for candidates — never all-pairs. */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
     // read 3× below (banding + both signature join-backs) → managed cache
-    val sig = Features.cachedFrame(spark, s"$dir#minhashSig") {
-      Features.hashedShingles(spark, dir)
-        .groupBy(col("doc_id"))
-        .agg(min(perm(0, col("h"))).as("m0"),
-          (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
-    }
-
-    val bandCols = (0 until LshBands).map { b =>
-      val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh")).as(s"band$b")
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sig = minhashSig(spark, dir)
+    val bands = sigBands(sig)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -102,14 +129,11 @@ object Dedup {
 
     val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
     val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
-    val nMatches = (0 until MinHashK)
-      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
       .join(sa, col("doc_a") === col("a_doc_id"))
       .join(sb, col("doc_b") === col("b_doc_id"))
       .withColumn("n_matches", nMatches)
-      .filter(col("n_matches") >= 13)
+      .filter(col("n_matches") >= MinHashMatchMin)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         col("n_matches"),
         (col("n_matches").cast(DoubleType) / lit(MinHashK).cast(DoubleType))
@@ -146,7 +170,7 @@ object Dedup {
        |FROM cand
        |JOIN sig sa ON sa.doc_id = doc_a
        |JOIN sig sb ON sb.doc_id = doc_b
-       |WHERE ($matches) >= 13
+       |WHERE ($matches) >= $MinHashMatchMin
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -605,19 +629,10 @@ object Dedup {
     val exact = newFp.join(oldFp, col("fp") === col("o_fp"))
       .groupBy(col("doc_id")).agg(min(col("o_id")).as("exact_match"))
 
-    // Near-dup: q35's banded signatures, restricted to new×old pairs.
-    val sig = Features.cachedFrame(spark, s"$dir#minhashSig") {
-      Features.hashedShingles(spark, dir)
-        .groupBy(col("doc_id"))
-        .agg(min(perm(0, col("h"))).as("m0"),
-          (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
-    }
-    val bandCols = (0 until LshBands).map { b =>
-      val ms = (0 until LshRows).map(r => col(s"m${b * LshRows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bh")).as(s"band$b")
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Near-dup: q35's banded signatures (the SAME shared defs — one
+    // semantics under the shared cache key), restricted to new×old pairs.
+    val sig = minhashSig(spark, dir)
+    val bands = sigBands(sig)
     val cand = bands.filter(col("doc_id") % 2 === 1).as("x")
       .join(bands.filter(col("doc_id") % 2 === 0).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
@@ -625,13 +640,10 @@ object Dedup {
       .distinct()
     val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
     val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
-    val nMatches = (0 until MinHashK)
-      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-      .reduce(_ + _)
     val near = cand
       .join(sa, col("doc_id") === col("a_doc_id"))
       .join(sb, col("o_id") === col("b_doc_id"))
-      .filter(nMatches >= 13)
+      .filter(nMatches >= MinHashMatchMin)
       .groupBy(col("doc_id")).agg(min(col("o_id")).as("near_match"))
 
     newFp.select(col("doc_id"))
@@ -676,7 +688,7 @@ object Dedup {
        |  SELECT cand.doc_id AS doc_id, min(o_id) AS near_match FROM cand
        |  JOIN sig sa ON sa.doc_id = cand.doc_id
        |  JOIN sig sb ON sb.doc_id = cand.o_id
-       |  WHERE ($matches) >= 13
+       |  WHERE ($matches) >= $MinHashMatchMin
        |  GROUP BY 1)
        |SELECT n.doc_id,
        |  CASE WHEN e.exact_match IS NOT NULL THEN 'dup_exact'

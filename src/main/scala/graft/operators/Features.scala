@@ -54,9 +54,33 @@ object Features {
     }
 
   /** Build-or-reuse a persisted frame, registered for [[clear]]. Keyed by
-    * session UUID + caller key (DataFrames are session-bound). */
-  def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((sessionKey(spark), key), build.persist())
+    * session UUID + caller key (DataFrames are session-bound).
+    *
+    * Concurrency: two threads may race to build the same key (parallel
+    * suites share the JVM); `putIfAbsent` picks one winner and the loser's
+    * freshly-persisted frame is unpersisted immediately, so no cached
+    * blocks leak outside the registry. A build that is already persisted
+    * (e.g. an iterative loop that had to persist + materialize to run its
+    * convergence actions, like `Dedup.ccLabels`) is registered as-is —
+    * re-persisting it would only log "already cached" warnings. */
+  def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (sessionKey(spark), key)
+    cache.get(k) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        val persisted =
+          if (built.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            built.persist()
+          else built
+        cache.putIfAbsent(k, persisted) match {
+          case None => persisted
+          case Some(winner) =>
+            try persisted.unpersist(blocking = false) catch { case _: Exception => () }
+            winner
+        }
+    }
+  }
 
   /** Distinct word-3-gram shingles per doc as arrays: (doc_id, ss).
     * Consumed by q37's exact-Jaccard verify and as the base of
@@ -93,9 +117,21 @@ object Features {
         .withColumn("n2", graft.functions.VectorExprs.dotL(col("sv"), col("sv")))
     }
 
-  /** Unpersist and forget every registered frame. Safe to call after the
-    * owning session stopped (unpersist failures are swallowed). */
-  def clear(): Unit = {
+  /** Unpersist and forget the frames registered by ONE session — a
+    * session's teardown must not evict caches that a concurrently-running
+    * session in the same JVM still reads. Safe to call after the owning
+    * session stopped (unpersist failures are swallowed). */
+  def clear(spark: SparkSession): Unit = {
+    val sk = sessionKey(spark)
+    cache.keys.filter(_._1 == sk).foreach { k =>
+      cache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Exception => () })
+    }
+  }
+
+  /** JVM-wide teardown: unpersist and forget every registered frame from
+    * every session. Only for single-session mains' shutdown paths. */
+  def clearAll(): Unit = {
     cache.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
     cache.clear()
   }

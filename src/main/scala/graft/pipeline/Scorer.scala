@@ -75,18 +75,21 @@ object HashScorer {
 final class CheckpointScorer(checkpointName: String, numClasses: Int)
     extends Scorer {
 
-  @transient private var digest: String = _
-
-  override def init(): Unit = {
+  /** Resolved + folded exactly once per deserialized instance: `lazy val`
+    * makes the lifecycle unambiguous (the checkpoint bytes can never be
+    * re-read by a later call), whether the first toucher is `init()` in a
+    * task or a driver-side `score` in a spec. */
+  @transient private lazy val digest: String = {
     val path = org.apache.spark.SparkFiles.get(checkpointName)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
     require(bytes.nonEmpty, s"empty checkpoint: $checkpointName")
-    digest = MessageDigest.getInstance("MD5").digest(bytes)
+    MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
   }
 
+  override def init(): Unit = digest
+
   override def score(payload: String): (Int, Double) = {
-    if (digest == null) init() // driver-side/spec use outside a task
     if (payload.trim.isEmpty) throw new IllegalArgumentException("blank payload")
     val idx = (HashScorer.md5u32(s"$digest:$payload") % numClasses).toInt
     val mantissa = HashScorer.md5u32(s"$digest:$payload:p") % 9000L + 1000L
