@@ -25,11 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object EditDistance {
 
   /** `min(lev(a, b), k+1)`, banded with early exit. Called from both the
-    * interpreted path and generated code (static forwarder). */
+    * interpreted path and generated code (static forwarder).
+    *
+    * Operates on Unicode CODE POINTS, not UTF-16 code units: Spark's
+    * `levenshtein` (q54's anchor) and DuckDB's (q59's oracle) both count
+    * a supplementary-plane character as one symbol, so a surrogate pair
+    * must cost one edit here too, or the parity silently breaks on the
+    * first non-BMP corpus. */
   def within(ua: UTF8String, ub: UTF8String, k: Int): Int = {
     if (k < 0) return 0
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     val inf = k + 1
@@ -48,7 +54,7 @@ object EditDistance {
       var rowMin = cur(0)
       j = jLo
       while (j <= jHi) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         val del = prev(j) + 1
         if (del < v) v = del

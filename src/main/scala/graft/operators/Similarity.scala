@@ -164,11 +164,22 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q40
+  /** Production near-duplicate cosine threshold: embedding pairs this
+    * close are duplicates for curation purposes — the operator's DEFAULT,
+    * so callers get near-dup semantics unless they opt out. */
+  val NearDupCosine = 0.8
+
+  /** Verify-harness fixture threshold ONLY: the synthetic testdata's
+    * planted clusters spread to ~0.4 cosine, so exercising the operator's
+    * pair-generation + filter machinery end-to-end against the oracle
+    * needs a looser cut. Never a production setting. */
+  val TestdataNearDupCosine = 0.35
+
   /** Embedding-cosine near-dup pairs: intra-bucket pairs with cosine ≥
-    * 0.35 (tuned to the testdata's cluster spread; a production near-dup
-    * pass would sit at ~0.8+) — the vector twin of [[Dedup]]'s
-    * MinHash/SimHash text near-dup. */
-  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    * `threshold` (default [[NearDupCosine]]) — the vector twin of
+    * [[Dedup]]'s MinHash/SimHash text near-dup. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      threshold: Double = NearDupCosine): DataFrame = {
     val emb = scaledEmb(spark, dir).withColumn("bkt", signBucket(col("sv")))
     val a = emb.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
       col("n2").as("a_n2"), col("bkt").as("a_bkt"))
@@ -177,10 +188,13 @@ object Similarity {
     a.join(b, col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
       .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
         col("a_n2"), col("b_n2")))
-      .filter(col("cos") >= 0.35)
+      .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  private def q40(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(spark, dir, TestdataNearDupCosine)
 
   private val q40Sql =
     s"""WITH emb AS (
@@ -188,7 +202,7 @@ object Similarity {
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} AS cos
        |FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} >= 0.35
+       |WHERE ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} >= $TestdataNearDupCosine
        |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- q41

@@ -47,6 +47,28 @@ class EditDistanceSpec extends AnyFunSuite with SparkSpec with Matchers {
     within("kitten", "sitting", 10) shouldBe 3
   }
 
+  test("supplementary-plane chars count as ONE edit (code points, not UTF-16)") {
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16: a code-unit
+    // implementation would charge 2 edits for it and diverge from both
+    // Spark's and DuckDB's levenshtein. Pin code-point semantics.
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    TextExprs.ensureRegistered(spark)
+    val clef = "𝄞"
+    within(clef, "", 3) shouldBe 1
+    within(s"a${clef}b", "ab", 3) shouldBe 1
+    within(s"a${clef}b", s"a${clef}c", 3) shouldBe 1
+    within(clef, "𝄟", 3) shouldBe 1 // different non-BMP char
+    // And agree with Spark's levenshtein on the same inputs.
+    import spark.implicits._
+    val rows = Seq((s"a${clef}b", "ab"), (clef, ""), (s"x$clef", s"y$clef"))
+      .toDF("a", "b")
+      .select(TextExprs.editWithin(col("a"), col("b"),
+        org.apache.spark.sql.functions.lit(5)).as("banded"),
+        levenshtein(col("a"), col("b")).as("full"))
+      .collect()
+    rows.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
   test("graft_edit_within agrees with Spark levenshtein on real documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, least, levenshtein, lit}
