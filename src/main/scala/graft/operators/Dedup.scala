@@ -28,11 +28,61 @@ import graft.functions.TextFns._
   *    hamming ≤ 3 ⇒ some band equal), never all-pairs;
   *  - n-gram Jaccard uses an inverted-index join on rare-ish shingles.
   * Skewed buckets (a virally-duplicated doc) are the known hazard: AQE
-  * skew-join handles moderate skew; beyond that, band-bucket salting.
+  * skew-join handles moderate skew; beyond that, band-bucket SALTING —
+  * implemented in [[saltedSelfPairs]] and enabled via the session conf
+  * `spark.graft.dedup.saltBuckets` (grid size S; default off). See
+  * `DedupSaltingSpec` for the planted-hot-bucket evidence.
   */
 object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Session conf for band-bucket salting of the q35/q36 candidate
+    * self-joins: the salt grid size S (>1 enables). Off by default —
+    * salting replicates each banded row S×, which only pays for itself
+    * when a bucket is pathologically hot. */
+  val SaltBucketsConf = "spark.graft.dedup.saltBuckets"
+
+  private def saltBuckets(spark: SparkSession): Int =
+    spark.conf.getOption(SaltBucketsConf).map(_.trim.toInt).filter(_ > 1).getOrElse(1)
+
+  /** All intra-bucket candidate pairs (`x_doc_id < y_doc_id`) of a banded
+    * table, self-joined on `keyCols` — optionally SALTED against hot
+    * buckets (the viral-duplicate hazard: one doc duplicated 10⁴× puts
+    * ~10⁸ candidate pairs on a single join key, i.e. one straggler task
+    * no matter how many executors exist).
+    *
+    * Salting (grid decomposition of the self-join): every row gets a
+    * deterministic salt cell `hash(doc_id) % S`; each side is replicated
+    * S× over the OTHER side's possible cells, and the join key becomes
+    * `(keyCols, salt_x, salt_y)` — so each pair matches exactly once and
+    * a hot bucket's m² pairs spread over S² independent join keys
+    * (bounded per-key ⇒ bounded per-task, independent of AQE). Cost:
+    * S× replication of the narrow banded rows — why it's opt-in via
+    * [[SaltBucketsConf]].
+    *
+    * Output columns are the input's, prefixed `x_` / `y_`. */
+  private[operators] def saltedSelfPairs(banded: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val spark = banded.sparkSession
+    val s = saltBuckets(spark)
+    val xs = banded.toDF(banded.columns.toIndexedSeq.map("x_" + _): _*)
+    val ys = banded.toDF(banded.columns.toIndexedSeq.map("y_" + _): _*)
+    val keyCond = keyCols.map(k => col(s"x_$k") === col(s"y_$k")).reduce(_ && _)
+    val lt = col("x_doc_id") < col("y_doc_id")
+    if (s <= 1) xs.join(ys, keyCond && lt)
+    else {
+      val cells = array((0 until s).map(lit): _*)
+      val xsS = xs.withColumn("x_salt", pmod(hash(col("x_doc_id")), lit(s)))
+        .withColumn("x_rep", explode(cells))
+      val ysS = ys.withColumn("y_salt", pmod(hash(col("y_doc_id")), lit(s)))
+        .withColumn("y_rep", explode(cells))
+      xsS.join(ysS,
+          keyCond && col("x_salt") === col("y_rep") &&
+            col("x_rep") === col("y_salt") && lt)
+        .drop("x_salt", "x_rep", "y_salt", "y_rep")
+    }
+  }
 
   // Shared feature stage for the MinHash and SimHash sketches: the
   // post-hash (doc_id, h) longs from the managed [[Features]] cache —
@@ -121,10 +171,8 @@ object Dedup {
     val sig = minhashSig(spark, dir)
     val bands = sigBands(sig)
 
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = saltedSelfPairs(bands, Seq("band", "bh"))
+      .groupBy(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
     val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
@@ -205,11 +253,9 @@ object Dedup {
     // rows; hamming prunes them to a handful, and dedup of the survivors
     // is then free (distinct over millions of pre-filter rows was the
     // dominant cost of this query at sf0.1).
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    saltedSelfPairs(banded, Seq("band", "bv"))
+      .select(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"),
+        bit_count(col("x_simhash").bitwiseXOR(col("y_simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
