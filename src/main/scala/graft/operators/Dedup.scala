@@ -130,6 +130,67 @@ object Dedup {
   /** ≥13/16 agreeing components ≈ estimated Jaccard ≥ 0.8. */
   private val MinHashMatchMin = 13
 
+  /** Content fingerprint (md5 of the sorted-unique-token bag) of a raw
+    * `(doc_id, text)` frame — the uncached derivation used both by the
+    * batch queries and by streaming micro-batches, where no dir-keyed
+    * cache applies. */
+  private[graft] def contentFpOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+
+  /** MinHash signature of a raw `(doc_id, text)` frame — the uncached
+    * twin of [[minhashSig]] for streaming micro-batches. Same shingle →
+    * md5u32 → k-min pipeline, so signatures are comparable across the
+    * cached corpus index and a freshly-ingested batch. */
+  private[graft] def minhashSigOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("w"))
+      .select(col("doc_id"), md5u32(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(perm(0, col("h"))).as("m0"),
+        (1 until MinHashK).map(i => min(perm(i, col("h"))).as(s"m$i")): _*)
+
+  /** The incremental-dedup cascade against prebuilt corpus indexes —
+    * the core shared by batch q69 and the streaming ingest loop
+    * ([[graft.streaming.DedupStreams.incrementalDedup]]):
+    *   1. exact content match: `fp` equi-join vs the corpus fingerprint
+    *      index;
+    *   2. else near-dup: MinHash band join new×corpus, ≥13/16 signature
+    *      agreement;
+    *   3. else unique → admit.
+    * All joins are new×corpus equi-joins on fingerprint/band keys, so
+    * incremental cost scales with the batch, not the corpus. Output:
+    * `(doc_id, status ∈ {dup_exact, dup_near, unique}, match_doc)`. */
+  private[graft] def incrementalDecisions(
+      newFp: DataFrame, newSig: DataFrame,
+      corpusFp: DataFrame, corpusSig: DataFrame): DataFrame = {
+    val oldFp = corpusFp.select(col("doc_id").as("o_id"), col("fp").as("o_fp"))
+    val exact = newFp.join(oldFp, col("fp") === col("o_fp"))
+      .groupBy(col("doc_id")).agg(min(col("o_id")).as("exact_match"))
+
+    val nb = sigBands(newSig)
+    val ob = sigBands(corpusSig).toDF("o_id", "o_band", "o_bh")
+    val cand = nb.join(ob, col("band") === col("o_band") && col("bh") === col("o_bh"))
+      .select(col("doc_id"), col("o_id"))
+      .distinct()
+    val sa = newSig.toDF(newSig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sb = corpusSig.toDF(corpusSig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
+    val near = cand
+      .join(sa, col("doc_id") === col("a_doc_id"))
+      .join(sb, col("o_id") === col("b_doc_id"))
+      .filter(nMatches >= MinHashMatchMin)
+      .groupBy(col("doc_id")).agg(min(col("o_id")).as("near_match"))
+
+    newFp.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "dup_exact")
+          .when(col("near_match").isNotNull, "dup_near")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L))
+          .as("match_doc"))
+  }
+
   // ---------------------------------------------------------------- q34
   /** Content-normalized exact dedup: group by the sorted-unique-token
     * fingerprint; report every duplicate cluster. Catches the
@@ -665,42 +726,16 @@ object Dedup {
     * new×old equi-joins on fingerprint/band keys — incremental cost
     * scales with the batch, not the corpus. */
   private def q69(spark: SparkSession, dir: String): DataFrame = {
-    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
-    val fp = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(bag).as("fp"))
-    val newFp = fp.filter(col("doc_id") % 2 === 1)
-    val oldFp = fp.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("o_id"), col("fp").as("o_fp"))
-
-    val exact = newFp.join(oldFp, col("fp") === col("o_fp"))
-      .groupBy(col("doc_id")).agg(min(col("o_id")).as("exact_match"))
-
-    // Near-dup: q35's banded signatures (the SAME shared defs — one
-    // semantics under the shared cache key), restricted to new×old pairs.
+    val fp = contentFpOf(Tables.documents(spark, dir))
+    // The shared cached corpus signature (q35's SAME defs — one semantics
+    // under the shared cache key), split new/old; banding a filtered
+    // signature equals filtering the banded signature.
     val sig = minhashSig(spark, dir)
-    val bands = sigBands(sig)
-    val cand = bands.filter(col("doc_id") % 2 === 1).as("x")
-      .join(bands.filter(col("doc_id") % 2 === 0).as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("o_id"))
-      .distinct()
-    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
-    val near = cand
-      .join(sa, col("doc_id") === col("a_doc_id"))
-      .join(sb, col("o_id") === col("b_doc_id"))
-      .filter(nMatches >= MinHashMatchMin)
-      .groupBy(col("doc_id")).agg(min(col("o_id")).as("near_match"))
-
-    newFp.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("exact_match").isNotNull, "dup_exact")
-          .when(col("near_match").isNotNull, "dup_near")
-          .otherwise("unique").as("status"),
-        coalesce(col("exact_match"), col("near_match"), lit(-1L))
-          .as("match_doc"))
+    incrementalDecisions(
+      newFp = fp.filter(col("doc_id") % 2 === 1),
+      newSig = sig.filter(col("doc_id") % 2 === 1),
+      corpusFp = fp.filter(col("doc_id") % 2 === 0),
+      corpusSig = sig.filter(col("doc_id") % 2 === 0))
       .orderBy(col("doc_id"))
   }
 
