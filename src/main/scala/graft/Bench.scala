@@ -1,33 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: every SparkEntry query at the given SF, one JSON line.
+/** Benchmark main: every SparkEntry query at the given SF, one JSON line
+  * (plus a compact trailing summary line — see below).
   *
   * Results are forced through the `noop` sink — `count()` would let
   * Catalyst prune whole projections (a classify query would skip its
   * hashing), under-measuring real work.
   *
-  * Timing model (round-2 verdict "honest cold-vs-warm accounting"):
+  * Timing model (round-3 verdict "make the bench noise-robust"):
   *  - `feature_build` is the COLD cost of materializing the shared
   *    [[graft.operators.Features]] tables (shingle sets, post-hash
   *    shingles, scaled embeddings) that the dedup and vector suites ride
   *    on. It is charged once, as its own line item — the warehouse move
   *    of materializing a feature table before the query mix runs.
   *    Per-query numbers are then WARM-cache times.
-  *  - each query is the MIN of two runs ("queries"), with BOTH raw runs
-  *    published under "runs": the host is shared and external load has
-  *    been observed to inflate single runs 3-10× (same commit, same
-  *    config); publishing the pair makes any odd-looking min
-  *    self-explaining instead of anomalous (round-2's q56 recorded 9.7 s
-  *    best-of-2 while the warm query re-measures at ~1.2 s — both of its
-  *    runs had been inflated; see BENCH_NOTES.md).
-  *  - "value" stays the sum of per-query mins (comparable to r1/r2);
+  *  - the suite runs as PASSES (default 3) full end-to-end sweeps over
+  *    all queries, NOT back-to-back repeats of each query. The host is
+  *    shared and external load has been observed to inflate runs 3-10×
+  *    for minutes at a time (same commit, same config; round 3's driver
+  *    bench showed a contiguous q51-q58 stretch uniformly elevated on
+  *    both back-to-back runs). Back-to-back samples of one query sit
+  *    inside the same contention window, so best-of-2 could not separate
+  *    noise from regression; interleaved passes space each query's
+  *    samples a full suite apart (~40 s at sf0.1), so a sustained window
+  *    poisons at most one sample per query.
+  *  - each query reports the MIN across passes ("queries"), with ALL raw
+  *    pass times published under "runs" (pass-major order preserved, so
+  *    a contention window is visible as a stripe across one pass).
+  *  - "value" stays the sum of per-query mins (comparable to r1-r3);
   *    "cold_total" = value + feature_build is the honest cold-run figure.
+  *
+  * Artifact robustness (round-3 verdict task 2): BENCH_r03.json was
+  * tail-truncated and lost the summary fields printed at the FRONT of
+  * the single JSON line. The full line (with "runs") now comes first,
+  * followed by a compact summary line — totals + per-query mins only,
+  * no runs — printed LAST so any tail-capture keeps a parseable total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val spark = GraftSession.builder(cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
@@ -48,19 +62,27 @@ object Bench {
     noopWrite(graft.operators.Features.scaledEmb(spark, sfDir))
     val featureBuild = (System.nanoTime() - tf0) / 1e9
 
-    val results = names.map { n =>
-      val a = runOnce(n)
-      val b = runOnce(n)
-      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      (n, a, b, best)
+    // Interleaved passes: sweep the whole suite, then sweep again.
+    val samples: Seq[Seq[Double]] = (1 to passes).map(_ => names.map(runOnce))
+    val perQuery = names.zipWithIndex.map { case (n, i) =>
+      val raw = samples.map(_(i))
+      val ok = raw.filter(_ >= 0)
+      (n, raw, if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, _, _, v) => s"\"" + k + "\":" + v }
+    val qs = perQuery.map { case (k, _, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, a, b, _) => s"\"" + k + s"\":[$a,$b]" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._4).sum
+    val runs = perQuery.map { case (k, raw, _) =>
+      s"\"" + k + "\":" + raw.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = perQuery.map(_._3).sum
     val coldTotal = total + featureBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","feature_build":$featureBuild,"cold_total":$coldTotal,"queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val head =
+      s""""metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+        s""""feature_build":$featureBuild,"cold_total":$coldTotal"""
+    // Full line first (may be tail-truncated by log capture)…
+    println(s"""{$head,"runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    // …compact summary LAST so truncation-from-the-front keeps it whole.
+    println(s"""{$head,"queries":$qs,"sf":"$sfDir"}""")
     graft.operators.Features.clear(spark)
     spark.stop()
   }

@@ -23,7 +23,15 @@ import graft.pipeline._
   *    model runtime; the scorer seam is where a real model plugs in);
   *  - `--pipe <script>`: ship `<script>` to every executor with
   *    `sc.addFile` and score through it as a subprocess, the script
-  *    resolved executor-side via `SparkFiles.get` (X1 + S3);
+  *    resolved executor-side via `SparkFiles.get` (X1 + S3). One process
+  *    per 32-row batch — the reference's own design, and its dominant
+  *    inefficiency (model reloaded per batch,
+  *    `PredictBatchMapperCluster.java:97-107`);
+  *  - `--pipe-streaming <script>`: same shipping, but ONE long-lived
+  *    subprocess per partition with a line-framed stdin/stdout protocol
+  *    ([[StreamingPipeScorer]]) — the documented fix for that reload
+  *    inefficiency, now reachable from the CLI. The script must echo one
+  *    `payload,classIdx,prob` line per input line, flushed per line;
   *  - `--checkpoint <file>`: ship a model checkpoint artifact the same
   *    way and load it per partition ([[CheckpointScorer]] — the
   *    `checkpoint.pth` wiring, M2);
@@ -42,7 +50,8 @@ object Main {
 
   private val Usage =
     "Usage: graft.Main <input_list.txt> <output_dir> [--labels <file|dir>] " +
-      "[--pipe <script>] [--checkpoint <file>] [--batch-size N] [--single-file]"
+      "[--pipe <script>] [--pipe-streaming <script>] [--checkpoint <file>] " +
+      "[--batch-size N] [--single-file]"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -70,7 +79,7 @@ object Main {
 
   final case class Config(manifest: String, outDir: String,
       labelsPath: Option[String] = None, pipeScript: Option[String] = None,
-      checkpoint: Option[String] = None,
+      pipeStreaming: Option[String] = None, checkpoint: Option[String] = None,
       batchSize: Int = Infer.DefaultBatchSize, singleFile: Boolean = false)
 
   private def parse(args: Array[String]): Option[Config] = {
@@ -81,6 +90,8 @@ object Main {
           else None
         case "--labels" :: v :: t      => loop(t, pos, cfg.copy(labelsPath = Some(v)))
         case "--pipe" :: v :: t        => loop(t, pos, cfg.copy(pipeScript = Some(v)))
+        case "--pipe-streaming" :: v :: t =>
+          loop(t, pos, cfg.copy(pipeStreaming = Some(v)))
         case "--checkpoint" :: v :: t  => loop(t, pos, cfg.copy(checkpoint = Some(v)))
         case "--batch-size" :: v :: t  =>
           v.toIntOption.filter(_ > 0) match {
@@ -129,20 +140,28 @@ object Main {
     val items = Sources.manifest(spark, cfg.manifest)
       .map(line => Item(line, line))
 
-    val preds = (cfg.pipeScript, cfg.checkpoint) match {
-      case (Some(script), _) =>
+    val preds = (cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint) match {
+      case (Some(script), _, _) =>
         spark.sparkContext.addFile(script)
         val name = new java.io.File(script).getName
         Infer.classifyPiped(items, PipeScorer.fromSparkFiles(name), labels,
           cfg.batchSize)
-      case (None, Some(ckpt)) =>
+      case (None, Some(script), _) =>
+        // One long-lived subprocess per partition (model loads once, not
+        // once per batch); a per-row protocol failure yields the M3
+        // sentinel via Infer.classify's per-item catch.
+        spark.sparkContext.addFile(script)
+        val name = new java.io.File(script).getName
+        Infer.classify(items, StreamingPipeScorer.fromSparkFiles(name), labels,
+          cfg.batchSize)
+      case (None, None, Some(ckpt)) =>
         // The reference's checkpoint.pth DistributedCache wiring: ship the
         // artifact, load it per partition on the executor.
         spark.sparkContext.addFile(ckpt)
         val name = new java.io.File(ckpt).getName
         Infer.classify(items, new CheckpointScorer(name, labels.size), labels,
           cfg.batchSize)
-      case (None, None) =>
+      case (None, None, None) =>
         Infer.classify(items, new HashScorer(labels.size), labels,
           cfg.batchSize)
     }

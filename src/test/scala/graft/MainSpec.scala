@@ -82,6 +82,27 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       surviving.sorted.map(l => s"$l\t${Pipeline.Labels(2)},0.7500")
   }
 
+  test("pipe-streaming mode: long-lived per-partition process, TSV bytes " +
+      "equal to pipe-mode ordering") {
+    // Line-buffered echo protocol: one `payload,idx,prob` line per input
+    // line. sh builtins write per invocation, so each reply is flushed
+    // before the next read — the StreamingPipeScorer contract.
+    val script = Files.createTempFile("graft_cli_stream_scorer_", ".sh")
+    Files.writeString(script,
+      "#!/bin/sh\nwhile IFS= read -r line; do\n" +
+        "  printf '%s,2,0.7500\\n' \"$line\"\ndone\n")
+    Files.setPosixFilePermissions(script,
+      PosixFilePermissions.fromString("rwxr-xr-x"))
+    script.toFile.deleteOnExit()
+    val out = tmpDir().resolve("out")
+    val code = Main.run(Array(writeManifest(manifestLines).toString,
+      out.toString, "--pipe-streaming", script.toString, "--single-file"),
+      Some(spark))
+    code shouldBe 0
+    readTsv(out) shouldBe
+      surviving.sorted.map(l => s"$l\t${Pipeline.Labels(2)},0.7500")
+  }
+
   test("pre-existing output directory fails the job (Hadoop contract)") {
     val out = tmpDir() // exists
     Main.run(Array(writeManifest(manifestLines).toString, out.toString),

@@ -50,4 +50,99 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     collected.toSet shouldBe batch69.toSet
     collected.count(_._2 != "unique") should be > 0 // the cascade actually fired
   }
+
+  test("checkpointed stream killed and restarted mid-ingest decides every " +
+      "doc exactly once (no duplicates, no gaps)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, SparkSpec.Sf0001)
+    val index = DedupStreams.corpusIndex(docs.filter(col("doc_id") % 2 === 0))
+
+    val inDir = Files.createTempDirectory("graft-dedup-restart-in").toFile
+    inDir.deleteOnExit()
+    val ckpt = Files.createTempDirectory("graft-dedup-restart-ckpt").toFile
+    ckpt.deleteOnExit()
+
+    val newDocs = docs.filter(col("doc_id") % 2 === 1).persist()
+    // First half of the stream: odd docs with doc_id % 4 == 1, two files.
+    newDocs.filter(col("doc_id") % 4 === 1)
+      .repartition(2).write.mode("append").parquet(inDir.getAbsolutePath)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def sink(decisions: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      collected.synchronized {
+        collected ++= decisions.select("doc_id", "status", "match_doc")
+          .as[(Long, String, Long)].collect()
+      }
+    def runStream(): Unit = {
+      val q = DedupStreams.incrementalDedup(
+        DedupStreams.documentSource(spark, inDir.getAbsolutePath), index,
+        checkpointLocation = Some(ckpt.getAbsolutePath))(sink).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runStream() // …then the stream is killed (stopped) mid-ingest
+    val afterFirst = collected.size
+    afterFirst should be > 0
+
+    // More files arrive while the stream is down.
+    newDocs.filter(col("doc_id") % 4 === 3)
+      .repartition(2).write.mode("append").parquet(inDir.getAbsolutePath)
+    runStream() // restart on the SAME checkpoint
+    newDocs.unpersist(blocking = false)
+
+    // The restarted stream must pick up ONLY the files that arrived while
+    // it was down — nothing from before the kill is re-decided…
+    collected.drop(afterFirst).foreach(_._1 % 4 shouldBe 3)
+    // …and overall: exactly the batch-q69 decision set, each doc once.
+    val batch69 = SparkEntry.queries("q69_incremental_dedup")(spark, SparkSpec.Sf0001)
+      .as[(Long, String, Long)].collect()
+    collected.size shouldBe batch69.length
+    collected.toSet shouldBe batch69.toSet
+  }
+
+  test("refreshing index: a doc admitted in batch N is caught as a " +
+      "duplicate in batch N+k") {
+    import spark.implicits._
+    // 60-word texts so the word-3-gram shingle pipeline has real material.
+    val words = (0 until 60).map(i => s"w$i")
+    val textA = words.mkString(" ")
+    // Change only the LAST word: exactly one of the 58 word-3-gram
+    // shingles differs (Jaccard ≈ 0.97), comfortably inside the ≥13/16
+    // signature-agreement acceptance band.
+    val textANear = words.updated(59, "CHANGED").mkString(" ")
+    val textCorpus = (0 until 60).map(i => s"c$i").mkString(" ")
+
+    def docRow(id: Long, text: String) =
+      (id, text, "en", "crawl", text.length.toLong)
+    val corpus = Seq(docRow(1L, textCorpus))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val inDir = Files.createTempDirectory("graft-dedup-refresh-in").toFile
+    inDir.deleteOnExit()
+    // Three single-file batches: the original, an exact copy, a near copy.
+    Seq(docRow(100L, textA)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    Seq(docRow(200L, textA)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    Seq(docRow(300L, textANear)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+
+    val refresher = new DedupStreams.RefreshingIndex(
+      DedupStreams.corpusIndex(corpus))
+    val decisions = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val q = DedupStreams.incrementalDedup(
+      DedupStreams.documentSource(spark, inDir.getAbsolutePath),
+      refresher.current, refresher = Some(refresher)) { (d, _) =>
+      decisions.synchronized {
+        d.select("doc_id", "status", "match_doc")
+          .as[(Long, String, Long)].collect()
+          .foreach { case (id, st, m) => decisions(id) = (st, m) }
+      }
+    }.start()
+    try q.processAllAvailable() finally { q.stop(); refresher.close() }
+
+    decisions(100L) shouldBe ("unique", -1L) // admitted in batch N
+    decisions(200L) shouldBe ("dup_exact", 100L) // caught k=1 batch later
+    decisions(300L) shouldBe ("dup_near", 100L) // caught k=2 batches later
+  }
 }
