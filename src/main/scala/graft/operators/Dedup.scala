@@ -227,15 +227,17 @@ object Dedup {
     * candidate pairs share ≥1 band; kept if ≥13/16 signature components
     * match (est. Jaccard ≥ 0.8). One shuffle to build signatures, one
     * banded self-join for candidates — never all-pairs. */
-  private def q35(spark: SparkSession, dir: String): DataFrame = {
-    // read 3× below (banding + both signature join-backs) → managed cache
-    val sig = minhashSig(spark, dir)
-    val bands = sigBands(sig)
-
-    val cand = saltedSelfPairs(bands, Seq("band", "bh"))
+  /** q35's candidate-generation + signature-verify stage over an explicit
+    * signature frame (everything but the final presentation sort): banded
+    * candidate self-join (salting-aware), shared-band count, and the
+    * ≥13/16 signature-agreement accept. ONE definition, shared by q35 and
+    * the scale harness's salting wall-clock experiment
+    * ([[graft.ScaleBench]]) so the measured pipeline IS the production
+    * pipeline. */
+  private[graft] def minhashVerifiedPairs(sig: DataFrame): DataFrame = {
+    val cand = saltedSelfPairs(sigBands(sig), Seq("band", "bh"))
       .groupBy(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-
     val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
     val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     cand
@@ -247,8 +249,12 @@ object Dedup {
         col("n_matches"),
         (col("n_matches").cast(DoubleType) / lit(MinHashK).cast(DoubleType))
           .as("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def q35(spark: SparkSession, dir: String): DataFrame =
+    // signature table read 3× inside (banding + both join-backs) → cache
+    minhashVerifiedPairs(minhashSig(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private val q35Sql = {
     val mins = (0 until MinHashK)
@@ -612,6 +618,80 @@ object Dedup {
       }
       labels
     }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the O(log n)-round
+    * escalation the [[ccLabels]] scaladoc names for chain-shaped /
+    * high-diameter components, as code. One-hop min propagation needs
+    * O(diameter) rounds (a 1000-link chain ⇒ ~1000 shuffle rounds); the
+    * star operators contract distances multiplicatively, converging in
+    * O(log n) rounds with the SAME per-round plan shape (equi-join +
+    * partial-aggregable min-groupBy; driver sees only counts).
+    *
+    * Per round:
+    *  - large-star: every node u attaches its LARGER neighbors to
+    *    m(u) = min(u ∪ N(u));
+    *  - small-star: every node u attaches its ≤-neighbors and itself to
+    *    m(u).
+    * The edge set converges to per-component stars centered at the
+    * component minimum; labels then read off as each node's min neighbor.
+    *
+    * q56 stays on the one-hop loop — near-dup clusters are diameter-1-2
+    * cliques where 2-3 rounds beat the star operators' constant factors;
+    * this is the documented escalation path, spec-proven on a 1000-link
+    * chain (`DedupClusterSpec`) and decision-equal to q56's clustering on
+    * the real dup graph.
+    *
+    * @return (labels (id, lbl = component min), rounds to converge) */
+  private[graft] def ccLabelsStar(edgesIn: DataFrame,
+      maxRounds: Int = 60): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    def mins(e: DataFrame): DataFrame =
+      sym(e).groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+    def largeStar(e: DataFrame): DataFrame =
+      canon(sym(e).join(mins(e), "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")))
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = mins(e)
+      canon(sym(e).join(m, "u").filter(col("v") <= col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(m.select(col("m").as("a"), col("u").as("b"))))
+    }
+
+    // localCheckpoint, not persist: each round references the previous
+    // edge frame ~16× (sym/mins on both star operators), so the LOGICAL
+    // plan grows exponentially in rounds unless lineage is truncated —
+    // persist caches data but keeps the plan. (Non-replicated blocks are
+    // acceptable for this escalation path; a production deployment points
+    // reliable checkpointing at a scratch dir instead.)
+    var edges = canon(edgesIn.toDF("a", "b")).localCheckpoint(true)
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds, "star CC failed to converge")
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      val nextCount = next.count()
+      // Fixpoint test: identical edge SETS (counts equal + no additions).
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      ls.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      edges = next
+      edgeCount = nextCount
+    }
+    val labels = sym(edges).groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("lbl"))
+      .select(col("u").as("id"), col("lbl"))
+    (labels, rounds)
+  }
 
   private def q56(spark: SparkSession, dir: String): DataFrame = {
     ccLabels(spark, dir).groupBy(col("lbl").as("cluster_id"))

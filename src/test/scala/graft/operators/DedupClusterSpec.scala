@@ -47,4 +47,45 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec with Matchers {
       maxDoc should be > canon
     }
   }
+
+  test("star CC labels a 1000-link chain in O(log n) rounds, not " +
+      "O(diameter)") {
+    import spark.implicits._
+    // Worst case for one-hop min propagation: a single path component of
+    // diameter 1000 (the one-hop loop would need ~1000 shuffle rounds).
+    // Node ids are bit-reversed so the component min sits mid-chain —
+    // no accidental head start from monotone ordering.
+    def scramble(i: Long): Long = java.lang.Long.reverse(i) >>> 48
+    val chain = (0L until 1000L).map(i => (scramble(i), scramble(i + 1)))
+      .toDF("a", "b")
+    val (labels, rounds) = Dedup.ccLabelsStar(chain)
+    val lbls = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    lbls.length shouldBe 1001 // every chain node labelled
+    val expectedMin = (0L to 1000L).map(scramble).min
+    lbls.map(_._2).toSet shouldBe Set(expectedMin) // ONE component
+    // log2(1001) ≈ 10; the star operators take a handful of rounds —
+    // orders of magnitude under the 1000-round diameter bound.
+    rounds should be <= 20
+  }
+
+  test("star CC clusters the real q35 dup graph identically to q56") {
+    val pairs = Dedup.queries("q35_minhash_lsh")(spark, SparkSpec.Sf0001)
+      .select("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.ccLabelsStar(pairs)
+    val got = labels.groupBy(org.apache.spark.sql.functions.col("lbl"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.max("id").as("max_doc"),
+        org.apache.spark.sql.functions.sum("id").as("sum_docs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val q56 = Dedup.queries("q56_dedup_clusters")(spark, SparkSpec.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    got shouldBe q56
+    rounds should be <= 6 // clique-shaped dup clusters converge fast
+  }
 }
