@@ -25,9 +25,9 @@ import graft.Tables
   *    to partial top-k per partition + merge (same plan Spark generates
   *    for window-over-small-partition-count via AQE).
   *  - ANN: sign-LSH buckets bound candidate sets; the bucket join
-  *    shuffles both sides on an 8-bit key — at real scale the bucket
-  *    width grows with log(n) to keep buckets bounded; skewed buckets
-  *    (dense regions) fall to AQE skew-join.
+  *    shuffles both sides on a `bits`-wide key ([[LshBitsConf]], default
+  *    8) — at real scale bits grows with log(n) to keep buckets bounded;
+  *    skewed buckets (dense regions) fall to AQE skew-join.
   *  - near-dup: only intra-bucket pairs are generated — never all-pairs.
   *  - centroids: 64 partial-aggregable positional sums in one groupBy
   *    (map-side combine; only labels×64 longs shuffle), 10-row centroid
@@ -81,12 +81,31 @@ object Similarity {
        |FROM (SELECT vec_id, label, ${scaledVecSql("embedding")} AS sv
        |      FROM embeddings)""".stripMargin
 
-  /** Sign-LSH bucket: 8 sign bits from the first 8 components. A random
-    * projection in spirit — the embedding components are already dense
-    * rotations of the latent space, so leading-dim signs partition
-    * uniformly (verified ~n/256 per bucket on the testdata). */
-  private def signBucket(sv: Column): Column =
-    (0 until 8).map(j =>
+  /** Default sign-LSH bucket width: 8 sign bits ⇒ ~n/256 per bucket on
+    * the testdata (verified uniform). */
+  val DefaultLshBits = 8
+
+  /** Session conf for the sign-LSH bucket width shared by q39's ANN and
+    * q40's near-dup blocking. The scale knob the scaladoc below names:
+    * buckets hold ~n/2^bits candidates, so bits grows with log(n) to
+    * keep per-bucket work bounded — sf0.1's 6k vectors sit at 8 bits; a
+    * 100 TB corpus (10⁹+ vectors) wants 20+. Wider buckets are strictly
+    * finer partitions of narrower ones (each extra bit splits every
+    * bucket in two), so widening can only DROP candidate pairs — and
+    * near-identical vectors agree on every leading-dim sign, so planted
+    * near-dups survive any width (spec-proven in `SignLshWidthSpec`). */
+  val LshBitsConf = "spark.graft.similarity.lshBits"
+
+  private def lshBits(spark: SparkSession): Int =
+    spark.conf.getOption(LshBitsConf).map(_.trim.toInt)
+      .filter(b => b >= 1 && b <= Dim).getOrElse(DefaultLshBits)
+
+  /** Sign-LSH bucket: `bits` sign bits from the first `bits` components.
+    * A random projection in spirit — the embedding components are already
+    * dense rotations of the latent space, so leading-dim signs partition
+    * uniformly. */
+  private def signBucket(sv: Column, bits: Int = DefaultLshBits): Column =
+    (0 until bits).map(j =>
       when(element_at(sv, j + 1) > 0L, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
@@ -133,7 +152,8 @@ object Similarity {
     * bucket (~n/256 of the table), exact cosine within the bucket. The
     * scale path: candidate generation is a bucket-equi-join, not a scan. */
   private def q39(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir).withColumn("bkt", signBucket(col("sv")))
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
     val qs = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("sv").as("qv"),
         col("n2").as("qn2"), col("bkt").as("qbkt"))
@@ -180,7 +200,8 @@ object Similarity {
     * [[Dedup]]'s MinHash/SimHash text near-dup. */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = NearDupCosine): DataFrame = {
-    val emb = scaledEmb(spark, dir).withColumn("bkt", signBucket(col("sv")))
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
     val a = emb.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
       col("n2").as("a_n2"), col("bkt").as("a_bkt"))
     val b = emb.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
@@ -279,8 +300,17 @@ object Similarity {
     * query probes only its own cell — the inverted-file structure of
     * IVF-Flat, expressed relationally. The alternative scale path to
     * q39's sign-LSH: data-adaptive cells instead of data-oblivious
-    * hyperplanes. */
-  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    * hyperplanes.
+    *
+    * `nprobe`: how many nearest cells a QUERY probes (data vectors are
+    * always indexed in exactly one cell — IVF-Flat). Single-probe has a
+    * recall cliff for queries near a cell boundary (their true neighbors
+    * sit just across it); `nprobe = 2` is the standard fix, trading
+    * ~2× candidate work for the boundary recall (quantified against
+    * q38's exact top-k in `IvfProbeSpec`). The q44 oracle row stays the
+    * single-probe default. */
+  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 1): DataFrame = {
     val emb = scaledEmb(spark, dir)
     // Coarse codebook: per-label centroid sum-vectors as arrays (exact
     // int64 — no float drift in the index itself), via the same one-pass
@@ -288,20 +318,46 @@ object Similarity {
     val cent = centroids(emb)
 
     // Cell assignment: nearest centroid by cosine (deterministic argmax:
-    // ties break on label id).
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("c_label"))
-    val assigned = emb.crossJoin(broadcast(cent))
+    // ties break on label id). A one-pass partial-aggregable min over
+    // struct(-ccos, c_label, payload) — NOT a row_number window, which
+    // would shuffle AND sort the whole table by vec_id; the aggregate's
+    // map-side combine collapses the 10 candidate rows per vector before
+    // the shuffle, and no sort happens at all. The struct's leading two
+    // fields (-ccos asc = ccos desc, then c_label asc) are unique per
+    // group, so the trailing payload fields never influence the ordering
+    // — the min is fully deterministic.
+    val best = emb.crossJoin(broadcast(cent))
       .withColumn("ccos",
         cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
-      .withColumn("crank", row_number().over(wCell))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("label"), col("sv"), col("n2"),
-        col("c_label").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("ccos")), col("c_label"),
+        col("label"), col("sv"), col("n2"))).as("b"))
+    val assigned = best.select(col("vec_id"),
+      col("b.label").as("label"), col("b.sv").as("sv"), col("b.n2").as("n2"),
+      col("b.c_label").as("cell"))
 
-    val qs = assigned.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("sv").as("qv"),
-        col("n2").as("qn2"), col("cell").as("qcell"))
+    // Query probe list: the nprobe nearest cells per query. At nprobe=1
+    // this is the query's own index cell (read straight off `assigned`,
+    // keeping the default plan identical to the oracle row); for
+    // nprobe>1 the tiny query set (NQueries rows × 10 centroids) ranks
+    // its cells with a window — broadcast-sized, never the big table.
+    val qs =
+      if (nprobe <= 1)
+        assigned.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("sv").as("qv"),
+            col("n2").as("qn2"), col("cell").as("qcell"))
+      else {
+        val wProbe = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_label"))
+        emb.filter(col("vec_id") < NQueries)
+          .crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= nprobe)
+          .select(col("vec_id").as("q_id"), col("sv").as("qv"),
+            col("n2").as("qn2"), col("c_label").as("qcell"))
+      }
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assigned.filter(col("vec_id") >= NQueries)
@@ -309,9 +365,12 @@ object Similarity {
       .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
       .select(col("q_id"), col("vec_id"), col("cell"), col("cos"))
       .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private def q44(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir)
 
   private val q44Sql =
     s"""WITH emb AS ($scaledEmbSql),
