@@ -86,7 +86,14 @@ object Main {
     def loop(rest: List[String], pos: List[String], cfg: Config): Option[Config] =
       rest match {
         case Nil =>
-          if (pos.length == 2) Some(cfg.copy(manifest = pos(1), outDir = pos(0)))
+          // --pipe / --pipe-streaming / --checkpoint each pick a scorer;
+          // passing two would silently run the first match's semantics
+          // (per-batch subprocess when the user asked for the streaming
+          // scorer), so combinations are a usage error, not a preference.
+          val scorers =
+            Seq(cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint).count(_.isDefined)
+          if (pos.length == 2 && scorers <= 1)
+            Some(cfg.copy(manifest = pos(1), outDir = pos(0)))
           else None
         case "--labels" :: v :: t      => loop(t, pos, cfg.copy(labelsPath = Some(v)))
         case "--pipe" :: v :: t        => loop(t, pos, cfg.copy(pipeScript = Some(v)))

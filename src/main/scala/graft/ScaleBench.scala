@@ -19,10 +19,16 @@ import graft.tools.ScaleData
   * `{"metric":"scale_ratio",...}` then `{"metric":"salting",...}`.
   * Results land in BENCH_NOTES.md.
   *
+  * A third phase (`relational`) covers the q01–q09 relational prefix at
+  * the two driver-generated SFs (sf0.01 → sf0.1, 10× TPC-H-ish rows) —
+  * round-4 verdict task 8: the prefix previously rode only the driver
+  * bench, whose artifact kept truncating, leaving no per-round scale
+  * record for those queries.
+  *
   * Env knobs: `SPARK_GRAFT_SCALE_DIR` (default /tmp/graft_scale; data is
   * regenerated only if absent — generation is deterministic),
   * `SPARK_GRAFT_SCALE_DOCS`/`_EMB`/`_HOT` row counts,
-  * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | both.
+  * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | both (all).
   */
 object ScaleBench {
 
@@ -36,6 +42,13 @@ object ScaleBench {
     "q57_tfidf_terms", "q58_scalar_quant", "q59_banded_edit",
     "q60_dedup_decisions", "q66_ann_retrieval", "q69_incremental_dedup",
     "q70_dedup_report", "q71_embedding_profile")
+
+  /** The relational prefix: TPC-H-shaped queries over the driver
+    * testdata's lineitem/orders/customer tables at two SFs. */
+  private val RelationalNames = Seq(
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
+    "q04_priority_exists", "q05_local_supplier", "q06_forecast_revenue",
+    "q07_window_topk", "q08_running_total", "q09_segment_stats")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
@@ -82,6 +95,30 @@ object ScaleBench {
         s"""{"metric":"scale_ratio","base":"$base","scaled":"$sf1",""" +
           s""""rows":{"documents":[5000,$nDocs],"embeddings":[2000,$nEmb]},""" +
           f""""feature_build":[$fbBase%.3f,$fbSf1%.3f],""" +
+          f""""total":[$sumA%.3f,$sumB%.3f,${sumB / sumA}%.2f],"queries":$qs}""")
+    }
+
+    if (phase == "relational" || phase == "both") {
+      val small = sys.env.getOrElse("SPARK_GRAFT_SMALL_SF_DIR",
+        "/root/testdata/sf0.01")
+      // Same timing model as the suite phase: two interleaved passes,
+      // min per query, at each SF.
+      def sweepRel(dir: String): Map[String, Double] = {
+        val passes = (1 to 2).map(_ =>
+          RelationalNames.map(n =>
+            time(noopWrite(SparkEntry.queries(n)(spark, dir)))))
+        RelationalNames.zipWithIndex
+          .map { case (n, i) => n -> passes.map(_(i)).min }.toMap
+      }
+      val tSmall = sweepRel(small)
+      val tBase = sweepRel(base)
+      val qs = RelationalNames.map { n =>
+        val (a, b) = (tSmall(n), tBase(n))
+        f""""$n":[$a%.3f,$b%.3f,${b / a}%.2f]"""
+      }.mkString("{", ",", "}")
+      val (sumA, sumB) = (tSmall.values.sum, tBase.values.sum)
+      println(
+        s"""{"metric":"relational_prefix","base":"$small","scaled":"$base",""" +
           f""""total":[$sumA%.3f,$sumB%.3f,${sumB / sumA}%.2f],"queries":$qs}""")
     }
 

@@ -580,8 +580,10 @@ object Dedup {
     * with the same per-round plan shape; not needed at dedup's graph
     * shapes. */
   /** Converged component labels (id, lbl = min reachable doc_id) for the
-    * q35 near-dup graph — the fixpoint loop shared by q56 and q60,
-    * memoized per (session, dir) since the loop runs actions. */
+    * q35 near-dup graph — the fixpoint shared by q56 and q60, memoized
+    * per (session, dir) since the loop runs actions. Rides
+    * [[ccLabelsAuto]]: one-hop propagation with the star-operator
+    * escalation armed (never triggered on dup graphs — diameter 1-2). */
   private def ccLabels(spark: SparkSession, dir: String): DataFrame =
     Features.cachedFrame(spark, s"$dir#ccLabels") {
       val pairs = q35(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -590,34 +592,90 @@ object Dedup {
         pairs.union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("src", "dst")
       }
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).persist()
-      // One propagation hop: label := min(own, neighbors').
-      def hop(l: DataFrame): DataFrame =
-        edges.join(l, edges("src") === l("id"))
-          .select(col("dst").as("id"), col("lbl"))
-          .union(l)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-      var converged = false
-      var rounds = 0
-      while (!converged) {
-        rounds += 1
-        require(rounds <= 50, "connected components failed to converge")
-        // One hop per convergence check. (Two hops per check was tried
-        // and measured 8× SLOWER: nesting hop(hop(l)) makes the analyzer
-        // deduplicate the doubly-self-referenced edge plan and defeats
-        // the cached-exchange reuse that makes each round cheap.)
-        val next = hop(labels).persist()
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") < col("o.lbl"))
-          .count() // convergence check: the one driver-visible value per round
-        labels.unpersist(blocking = false)
-        labels = next
-        converged = changed == 0L
-      }
-      labels
+      ccLabelsAuto(edges).labels
     }
+
+  /** How many one-hop rounds [[ccLabelsAuto]] spends before concluding
+    * the graph is high-diameter and escalating to the star operators.
+    * Dup cliques converge in 2-3, so 5 never fires on the intended
+    * workload while capping a chain graph's round count at
+    * budget + O(log n). */
+  val CcHopBudget = 5
+
+  /** One auto-escalating connected-components run: labels plus how far
+    * each phase ran (`starRounds == 0` ⇔ one-hop converged in budget). */
+  private[graft] final case class CcRun(labels: DataFrame, hopRounds: Int,
+      starRounds: Int) {
+    def escalated: Boolean = starRounds > 0
+  }
+
+  /** Connected components with AUTOMATIC algorithm escalation — the
+    * heuristic the [[ccLabelsStar]] scaladoc promises: run cheap one-hop
+    * min-label propagation (optimal for the dup workload's diameter-1-2
+    * cliques); if it hasn't converged within `hopBudget` rounds, the
+    * graph is high-diameter — CONTRACT it by the current labels (each
+    * partially-converged label class becomes one supernode, edges become
+    * label-pair edges, self-loops drop) and finish with the O(log n)
+    * large-star/small-star operators on the contracted graph. Final
+    * labels compose the two phases: `lbl(v) = starLbl(hopLbl(v))`.
+    *
+    * Correctness of the composition: hop labels never cross components,
+    * every label value is a member node's id, and a component's min node
+    * always labels itself — so the contracted graph has exactly one
+    * supernode set per original component, containing the original min.
+    * Star CC then assigns that min to the whole set.
+    *
+    * `edges` must be the symmetric (src, dst) list. Driver sees only
+    * per-round convergence counts — no data ever collects. */
+  private[graft] def ccLabelsAuto(edges: DataFrame,
+      hopBudget: Int = CcHopBudget, maxStarRounds: Int = 60): CcRun = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    // One propagation hop: label := min(own, neighbors').
+    def hop(l: DataFrame): DataFrame =
+      edges.join(l, edges("src") === l("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(l)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < hopBudget) {
+      rounds += 1
+      // One hop per convergence check. (Two hops per check was tried
+      // and measured 8× SLOWER: nesting hop(hop(l)) makes the analyzer
+      // deduplicate the doubly-self-referenced edge plan and defeats
+      // the cached-exchange reuse that makes each round cheap.)
+      val next = hop(labels).persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .count() // convergence check: the one driver-visible value per round
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0L
+    }
+    if (converged) CcRun(labels, rounds, 0)
+    else {
+      // Budget exhausted: high-diameter graph. Contract by the current
+      // labels and let the star operators close the remaining distance
+      // in O(log n) rounds. The contracted graph has ≤ as many nodes as
+      // label classes — every hop round already paid for itself by
+      // shrinking the star phase's input.
+      val contracted = edges
+        .join(labels.select(col("id").as("sid"), col("lbl").as("albl")),
+          col("src") === col("sid"))
+        .join(labels.select(col("id").as("did"), col("lbl").as("blbl")),
+          col("dst") === col("did"))
+        .select(col("albl").as("a"), col("blbl").as("b"))
+        .filter(col("a") =!= col("b"))
+      val (starLbls, starRounds) = ccLabelsStar(contracted, maxStarRounds)
+      val composed = labels
+        .join(starLbls.select(col("id").as("cid"), col("lbl").as("clbl")),
+          col("lbl") === col("cid"), "left")
+        .select(col("id"), coalesce(col("clbl"), col("lbl")).as("lbl"))
+      CcRun(composed, rounds, starRounds)
+    }
+  }
 
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — the O(log n)-round
@@ -670,6 +728,11 @@ object Dedup {
     // persist caches data but keeps the plan. (Non-replicated blocks are
     // acceptable for this escalation path; a production deployment points
     // reliable checkpointing at a scratch dir instead.)
+    //
+    // Each retired round's checkpoint blocks are freed via
+    // [[Features.freeFrame]] (Dataset.unpersist is a no-op for
+    // localCheckpoint-backed frames — the blocks would otherwise
+    // accumulate until the ContextCleaner happens to GC them).
     var edges = canon(edgesIn.toDF("a", "b")).localCheckpoint(true)
     var edgeCount = edges.count()
     var rounds = 0
@@ -682,8 +745,8 @@ object Dedup {
       val nextCount = next.count()
       // Fixpoint test: identical edge SETS (counts equal + no additions).
       converged = nextCount == edgeCount && next.except(edges).isEmpty
-      ls.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      Features.freeFrame(ls)
+      Features.freeFrame(edges)
       edges = next
       edgeCount = nextCount
     }

@@ -53,6 +53,20 @@ object Features {
       id
     }
 
+  /** Free a frame's storage regardless of HOW it was materialized.
+    * `Dataset.unpersist` is a NO-OP for `localCheckpoint`-backed frames
+    * (it only clears cacheManager entries; the checkpoint persists the
+    * underlying RDD directly) — those must be freed off the LogicalRDD
+    * node, or executor storage grows until the ContextCleaner happens to
+    * GC the references (iterative algorithms accumulate blocks per
+    * round). Plain persisted frames take the ordinary unpersist path. */
+  def freeFrame(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => df.unpersist(blocking)
+    }
+
   /** Build-or-reuse a persisted frame, registered for [[clear]]. Keyed by
     * session UUID + caller key (DataFrames are session-bound).
     *

@@ -13,15 +13,21 @@ import org.apache.spark.sql.functions._
   * `python/predict_batch_threaded_local.py:78-118`) to a media-agnostic
   * `Dataset[MediaObject]` stage.
   *
-  * === STUB BOUNDARY ===
-  * This container ships no image/audio codecs, so [[Media.decodeStub]]
-  * is a clearly-marked deterministic fake (hash-derived dimensions,
-  * byte-derived features). Everything around it — the binary source, the
-  * schema, the per-partition decoder init, the batch shape
-  * (`grouped(batchSize)`), the failure sentinel — is the real, tested
-  * Spark plumbing a production codec would drop into: replace
-  * `decodeStub`/`featureStub` with the real library calls and nothing
-  * else changes.
+  * === CODEC BOUNDARY ===
+  * IMAGE decode is REAL: [[Media.decodeImage]] runs `javax.imageio`
+  * (ships in the JVM — JPEG/PNG/BMP/GIF readers, no ML runtime needed),
+  * mirroring the reference's `Image.open(path).convert("RGB")`
+  * (`/root/reference/python/predict_batch_threaded_local.py:102`) —
+  * actual pixel dimensions, channel count, and mean-luminance byte
+  * stats; an undecodable payload throws and lands on the same sentinel
+  * row the reference's per-image try/except produces (`:100-108`).
+  * Image FEATURES are real too: a 16-bin luminance histogram
+  * ([[Media.imageFeatures]]).
+  * AUDIO/VIDEO codecs still aren't in this container, so those kinds
+  * keep the clearly-marked deterministic fakes ([[Media.decodeStub]],
+  * [[Media.featureStub]]); the surrounding plumbing — binary source,
+  * schema, per-partition decoder init, batch shape
+  * (`grouped(batchSize)`), failure sentinel — is identical for both.
   *
   * Scale posture: content bytes stay inside one `mapPartitions` stage —
   * decode output (small typed rows + fixed-width feature vectors) is what
@@ -32,8 +38,11 @@ object Media {
 
   final case class MediaObject(path: String, kind: String, content: Array[Byte])
 
+  /** `channels`/`avgLuma` are real decoded pixel stats for image kind
+    * (0 / -1.0 for the still-stubbed audio/video kinds and sentinels). */
   final case class MediaMeta(path: String, kind: String, nBytes: Long,
-      width: Int, height: Int, nFrames: Int, ok: Boolean)
+      width: Int, height: Int, nFrames: Int, channels: Int,
+      avgLuma: Double, ok: Boolean)
 
   final case class MediaFeatures(path: String, kind: String,
       features: Array[Float])
@@ -110,7 +119,72 @@ object Media {
   }
 
   // ==================================================================
-  // STUB: deterministic fakes standing in for real codec calls.
+  // REAL image codec: javax.imageio (JPEG/PNG/BMP/GIF in any JVM).
+  // ==================================================================
+
+  /** Decoded image facts: pixel dims, color channel count, and the mean
+    * luminance ((r+g+b)/3 averaged over all pixels, 0-255 scale) after
+    * RGB conversion — the reference's `convert("RGB")` step. */
+  final case class ImageMeta(width: Int, height: Int, channels: Int,
+      avgLuma: Double)
+
+  /** REAL image decode via `javax.imageio.ImageIO` — the JVM twin of the
+    * reference's `Image.open(BytesIO).convert("RGB")`
+    * (`/root/reference/python/predict_batch_threaded_local.py:100-108`).
+    * Undecodable bytes (ImageIO returns null) or empty content throw;
+    * [[decodeAll]] maps that to the sentinel row, exactly the
+    * reference's per-image try/except policy. */
+  def decodeImage(content: Array[Byte]): ImageMeta = {
+    if (content.isEmpty) throw new IllegalArgumentException("empty media object")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) throw new IllegalArgumentException("undecodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val channels = img.getColorModel.getNumComponents
+    // RGB conversion + byte stats: getRGB yields sRGB regardless of the
+    // source color model (palette PNG, grayscale JPEG, CMYK…), so the
+    // luminance is computed over the converted pixels, not raw samples.
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(w, h, channels, sum.toDouble / (3.0 * w * h))
+  }
+
+  /** REAL image feature vector: a [[FeatureDim]]-bin luminance histogram
+    * over the RGB-converted pixels, L1-normalized — an actual
+    * (model-free) feature extractor; a learned embedding would replace
+    * this function and nothing else. */
+  def imageFeatures(content: Array[Byte]): Array[Float] = {
+    if (content.isEmpty) throw new IllegalArgumentException("empty media object")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) throw new IllegalArgumentException("undecodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bins = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        bins(luma * FeatureDim / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    bins.map(_ / n)
+  }
+
+  // ==================================================================
+  // STUB: deterministic fakes standing in for the audio/video codec
+  // calls this container can't run.
   // ==================================================================
 
   /** STUB for `Image.open(...).size` / probe: hash-derived dimensions.
@@ -162,24 +236,38 @@ object Media {
   /** Batched metadata decode: per-partition decoder init, `grouped`
     * batches (the production shape for a vectorized codec), per-item
     * failure → `ok=false` sentinel row with zeroed dimensions — the
-    * reference's M3 error policy generalized. */
+    * reference's M3 error policy generalized.
+    *
+    * Image kind runs the REAL [[decodeImage]]; audio/video/binary kinds
+    * fall to the deterministic [[decodeStub]] (no codecs in this
+    * container). A corrupt image — bytes that sniff as image by
+    * extension but don't decode — yields the sentinel, the reference's
+    * per-image try/except (`predict_batch_threaded_local.py:100-108`). */
   def decodeAll(objects: Dataset[MediaObject],
       batchSize: Int = DefaultBatchSize): Dataset[MediaMeta] = {
     import objects.sparkSession.implicits._
     objects.mapPartitions { it =>
-      // Per-partition decoder init happens here (codec contexts are
-      // expensive; the stub needs none).
+      // Per-partition decoder init happens here. ImageIO's reader
+      // registry scan is per-JVM; disabling the on-disk cache keeps
+      // decode purely in-memory for task-sized payloads.
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           try {
-            val (w, h, f) = decodeStub(m.content)
-            val frames = if (m.kind == "video") f else 1
-            MediaMeta(m.path, m.kind, m.content.length.toLong, w, h, frames,
-              ok = true)
+            if (m.kind == "image") {
+              val im = decodeImage(m.content)
+              MediaMeta(m.path, m.kind, m.content.length.toLong,
+                im.width, im.height, 1, im.channels, im.avgLuma, ok = true)
+            } else {
+              val (w, h, f) = decodeStub(m.content)
+              val frames = if (m.kind == "video") f else 1
+              MediaMeta(m.path, m.kind, m.content.length.toLong, w, h,
+                frames, 0, -1.0, ok = true)
+            }
           } catch {
             case _: Exception =>
               MediaMeta(m.path, m.kind, m.content.length.toLong, 0, 0, 0,
-                ok = false)
+                0, -1.0, ok = false)
           }
         }
       }
@@ -188,15 +276,22 @@ object Media {
 
   /** Batched feature extraction — same stage shape as [[decodeAll]];
     * output is the fixed-width vector column similarity search consumes
-    * ([[graft.operators.Similarity]]). */
+    * ([[graft.operators.Similarity]]). Image kind gets the REAL
+    * luminance histogram ([[imageFeatures]]); other kinds the byte-fold
+    * stub. Undecodable objects are dropped (count them upstream via
+    * [[decodeAll]]'s sentinel if the loss rate matters). */
   def extractFeatures(objects: Dataset[MediaObject],
       batchSize: Int = DefaultBatchSize): Dataset[MediaFeatures] = {
     import objects.sparkSession.implicits._
     objects.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { m =>
-          try Some(MediaFeatures(m.path, m.kind, featureStub(m.content)))
-          catch { case _: Exception => None }
+          try {
+            val f = if (m.kind == "image") imageFeatures(m.content)
+              else featureStub(m.content)
+            Some(MediaFeatures(m.path, m.kind, f))
+          } catch { case _: Exception => None }
         }
       }
     }

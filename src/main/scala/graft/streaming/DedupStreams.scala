@@ -27,10 +27,18 @@ import graft.operators.Dedup
   *
   * Recovery: pass `checkpointLocation` and the file-source offsets are
   * journaled — a killed stream restarted on the same checkpoint resumes
-  * at the first unprocessed file, so every document is decided exactly
-  * once across restarts (proven in `DedupStreamsSpec`). The decision log
-  * written by `onBatch` is the durable output; a production restart
-  * rebuilds the refreshing index from corpus + decision log.
+  * at the first uncommitted micro-batch. The raw guarantee is
+  * AT-LEAST-ONCE, Spark's `foreachBatch` contract: a crash after
+  * `onBatch` ran but before the offset commit replays that batch (same
+  * batchId) on restart, so a non-idempotent `onBatch` would double-log
+  * its decisions. Exactly-once OUTPUT is achieved the standard way —
+  * batchId-keyed idempotency — and is built in here: pass `onceMarkers`
+  * (a durable directory) and each batch writes a `<batchId>.done` marker
+  * only after `onBatch` + index admit both complete; a replayed batch
+  * that finds its marker skips both (`DedupStreamsSpec` proves the
+  * skip). Restart contract with a [[RefreshingIndex]]: rebuild it from
+  * corpus + decision log before restarting — the log contains exactly
+  * the marker-committed batches, so index and log agree.
   *
   * Index refresh: with a [[RefreshingIndex]], documents ADMITTED in batch
   * N join the corpus index before batch N+1 runs, so a duplicate arriving
@@ -83,40 +91,129 @@ object DedupStreams {
     *
     * Lineage/cache lifecycle: each refresh persists the new frames,
     * materializes them (so the next batch reads cached blocks, not a
-    * growing union chain), then unpersists the frames the PREVIOUS
-    * refresh owned. The initial index frames are never unpersisted here —
-    * their lifecycle belongs to whoever built them. A long-running
-    * deployment compacts to a stored table on a cadence instead of
-    * chaining persists forever; at spec/micro-batch scale the chain is
-    * bounded by the run.
+    * growing union chain), then frees the frames the PREVIOUS refresh
+    * owned. Plain persist keeps the LOGICAL union chain, though — if a
+    * cached block is later evicted or its executor lost, recomputation
+    * walks the whole admit lineage back through every prior batch's
+    * source files. So every [[RefreshingIndex.CompactEvery]]-th admit
+    * COMPACTS instead: `localCheckpoint(true)` materializes the union
+    * and cuts lineage at the checkpointed blocks, bounding any
+    * recomputation to the window since the last compaction. (The
+    * warehouse-scale version of the same move is appending admitted rows
+    * to the stored index table on a cadence.) The initial index frames
+    * are never freed here — their lifecycle belongs to whoever built
+    * them.
     */
   final class RefreshingIndex(initial: CorpusIndex) {
     @volatile private var cur: CorpusIndex = initial
     private var owned: List[DataFrame] = Nil
+    private var admits = 0
 
     def current: CorpusIndex = cur
 
     /** Union the admitted docs' index rows into the corpus index. */
     private[streaming] def admit(admittedFp: DataFrame,
         admittedSig: DataFrame): Unit = synchronized {
-      val nfp = cur.fp.union(admittedFp).persist()
-      val nsig = cur.sig.union(admittedSig).persist()
-      // Materialize eagerly: the next micro-batch must read cached blocks,
-      // not re-derive the whole admit chain per batch.
-      nfp.count(); nsig.count()
+      admits += 1
+      val compact = admits % RefreshingIndex.CompactEvery == 0
+      val (nfp, nsig) =
+        if (compact)
+          // Lineage cut: eager localCheckpoint materializes AND replaces
+          // the logical plan with the checkpointed blocks.
+          (cur.fp.union(admittedFp).localCheckpoint(true),
+            cur.sig.union(admittedSig).localCheckpoint(true))
+        else {
+          val f = cur.fp.union(admittedFp).persist()
+          val s = cur.sig.union(admittedSig).persist()
+          // Materialize eagerly: the next micro-batch must read cached
+          // blocks, not re-derive the whole admit chain per batch.
+          f.count(); s.count()
+          (f, s)
+        }
       val old = owned
       owned = List(nfp, nsig)
       cur = CorpusIndex(nfp, nsig)
       old.foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Exception => () })
+        try graft.operators.Features.freeFrame(df)
+        catch { case _: Exception => () })
     }
 
-    /** Drop the frames this refresher persisted (end-of-stream cleanup). */
+    /** Drop the frames this refresher materialized (end-of-stream
+      * cleanup). [[graft.operators.Features.freeFrame]] handles both the
+      * persisted and the checkpoint-compacted generations. */
     def close(): Unit = synchronized {
       owned.foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Exception => () })
+        try graft.operators.Features.freeFrame(df)
+        catch { case _: Exception => () })
       owned = Nil
       cur = initial
+      admits = 0
+    }
+  }
+
+  object RefreshingIndex {
+    /** Every Nth admit compacts the index lineage with an eager
+      * localCheckpoint instead of chaining another persist. */
+    val CompactEvery = 8
+  }
+
+  /** Durable batchId-idempotency markers: `<dir>/<batchId>.done` exists
+    * ⇔ that batch's `onBatch` + admit completed. Hadoop FS so the
+    * marker dir can live next to the checkpoint on any supported store. */
+  private def markerPath(dir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"$batchId.done")
+
+  private def markerFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One micro-batch of the ingest loop — factored out of the
+    * `foreachBatch` closure so the replay-idempotency path is directly
+    * unit-testable (a real crash between `onBatch` and the offset commit
+    * can't be scheduled deterministically from a spec).
+    *
+    * @return true if the batch was processed, false if its `onceMarkers`
+    *         marker said it already completed (replay after crash). */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      index: CorpusIndex, refresher: Option[RefreshingIndex],
+      onceMarkers: Option[String],
+      onBatch: (DataFrame, Long) => Unit): Boolean = {
+    val spark = batch.sparkSession
+    val alreadyDone = onceMarkers.exists(dir =>
+      markerFs(spark, dir).exists(markerPath(dir, batchId)))
+    if (alreadyDone) false
+    else {
+      val idx = refresher.map(_.current).getOrElse(index)
+      // The batch's derived rows feed the cascade AND (under refresh)
+      // the index update — persist so the cascade runs once each.
+      val batchFp = Dedup.contentFpOf(batch).persist()
+      val batchSig = Dedup.minhashSigOf(batch).persist()
+      val decisions = Dedup.incrementalDecisions(
+        newFp = batchFp, newSig = batchSig,
+        corpusFp = idx.fp, corpusSig = idx.sig).persist()
+      try {
+        onBatch(decisions, batchId)
+        refresher.foreach { r =>
+          val admitted = decisions
+            .filter(col("status") === "unique").select(col("doc_id"))
+          r.admit(batchFp.join(admitted, "doc_id"),
+            batchSig.join(admitted, "doc_id"))
+        }
+        // Marker LAST: written only once the batch's effects are fully
+        // applied, so a crash anywhere above leaves no marker and the
+        // replay re-runs the batch (at-least-once under the hood,
+        // exactly-once observable output).
+        onceMarkers.foreach { dir =>
+          val fs = markerFs(spark, dir)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+          fs.create(markerPath(dir, batchId), true).close()
+        }
+      } finally {
+        decisions.unpersist(blocking = false)
+        batchFp.unpersist(blocking = false)
+        batchSig.unpersist(blocking = false)
+      }
+      true
     }
   }
 
@@ -130,34 +227,20 @@ object DedupStreams {
     *    resumes exactly after the last committed micro-batch;
     *  - `refresher`: judge each batch against the REFRESHING index and
     *    feed admitted docs back into it ([[RefreshingIndex]]); omit for a
-    *    fixed corpus (the batch-q69-equivalence configuration). */
+    *    fixed corpus (the batch-q69-equivalence configuration);
+    *  - `onceMarkers`: durable directory for batchId completion markers —
+    *    upgrades `foreachBatch`'s at-least-once replay into exactly-once
+    *    observable output (see object scaladoc; omit if `onBatch` is
+    *    already idempotent, e.g. an overwrite-by-batchId sink). */
   def incrementalDedup(newDocs: DataFrame, index: CorpusIndex,
       checkpointLocation: Option[String] = None,
-      refresher: Option[RefreshingIndex] = None)(
+      refresher: Option[RefreshingIndex] = None,
+      onceMarkers: Option[String] = None)(
       onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val writer = newDocs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val idx = refresher.map(_.current).getOrElse(index)
-        // The batch's derived rows feed the cascade AND (under refresh)
-        // the index update — persist so the cascade runs once each.
-        val batchFp = Dedup.contentFpOf(batch).persist()
-        val batchSig = Dedup.minhashSigOf(batch).persist()
-        val decisions = Dedup.incrementalDecisions(
-          newFp = batchFp, newSig = batchSig,
-          corpusFp = idx.fp, corpusSig = idx.sig).persist()
-        try {
-          onBatch(decisions, batchId)
-          refresher.foreach { r =>
-            val admitted = decisions
-              .filter(col("status") === "unique").select(col("doc_id"))
-            r.admit(batchFp.join(admitted, "doc_id"),
-              batchSig.join(admitted, "doc_id"))
-          }
-        } finally {
-          decisions.unpersist(blocking = false)
-          batchFp.unpersist(blocking = false)
-          batchSig.unpersist(blocking = false)
-        }
+        processBatch(batch, batchId, index, refresher, onceMarkers, onBatch)
+        ()
     }
     checkpointLocation.fold(writer)(loc =>
       writer.option("checkpointLocation", loc))

@@ -114,4 +114,15 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Main.run(Array("a", "b", "--batch-size", "zero"), Some(spark)) shouldBe 1
     Main.run(Array("a", "b", "c"), Some(spark)) shouldBe 1
   }
+
+  test("mutually exclusive scorer flags are a usage error, not a silent " +
+      "preference") {
+    // --pipe used to win silently over --pipe-streaming / --checkpoint.
+    Main.run(Array("a", "b", "--pipe", "s.sh", "--pipe-streaming", "s.sh"),
+      Some(spark)) shouldBe 1
+    Main.run(Array("a", "b", "--pipe", "s.sh", "--checkpoint", "m.pth"),
+      Some(spark)) shouldBe 1
+    Main.run(Array("a", "b", "--pipe-streaming", "s.sh", "--checkpoint", "m.pth"),
+      Some(spark)) shouldBe 1
+  }
 }

@@ -68,6 +68,44 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec with Matchers {
     rounds should be <= 20
   }
 
+  test("auto-escalation: a chain graph exhausts the hop budget and " +
+      "finishes on star operators in budget + O(log n) total rounds") {
+    import spark.implicits._
+    def scramble(i: Long): Long = java.lang.Long.reverse(i) >>> 48
+    val chain = (0L until 1000L).map(i => (scramble(i), scramble(i + 1)))
+    val sym = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val run = Dedup.ccLabelsAuto(sym)
+    run.escalated shouldBe true
+    run.hopRounds shouldBe Dedup.CcHopBudget // budget exhausted, not converged
+    // log2(1001) ≈ 10 on the contracted graph — nowhere near the ~1000
+    // rounds the one-hop loop alone would need.
+    run.starRounds should be <= 20
+    // Labels are still exactly right: one component, keyed by its min.
+    val lbls = run.labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    lbls.length shouldBe 1001
+    val expectedMin = (0L to 1000L).map(scramble).min
+    lbls.map(_._2).toSet shouldBe Set(expectedMin)
+  }
+
+  test("auto-escalation: clique-shaped dup graphs converge in-budget and " +
+      "never escalate") {
+    val pairs = Dedup.queries("q35_minhash_lsh")(spark, SparkSpec.Sf0001)
+      .select("doc_a", "doc_b")
+    val sym = pairs.union(pairs.select(
+        org.apache.spark.sql.functions.col("doc_b"),
+        org.apache.spark.sql.functions.col("doc_a")))
+      .toDF("src", "dst")
+    val run = Dedup.ccLabelsAuto(sym)
+    run.escalated shouldBe false
+    run.hopRounds should be <= Dedup.CcHopBudget
+    // And the labels equal the driver-side union-find ground truth.
+    val got = run.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = unionFind(pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      .flatMap { case (canon, ms) => ms.map(_ -> canon) }
+    got shouldBe expected
+  }
+
   test("star CC clusters the real q35 dup graph identically to q56") {
     val pairs = Dedup.queries("q35_minhash_lsh")(spark, SparkSpec.Sf0001)
       .select("doc_a", "doc_b")

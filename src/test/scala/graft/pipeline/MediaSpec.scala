@@ -10,9 +10,23 @@ import Media._
 
 class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
 
+  /** A REAL 4×2 PNG: left half black, right half white — avgLuma 127.5,
+    * luminance histogram 50% bin 0 / 50% bin 15, encoded by ImageIO
+    * itself so the fixture needs no binary checked in. */
+  private def realPngBytes(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   private def tmpMediaDir(): String = {
     val d = Files.createTempDirectory("media_")
-    Files.write(d.resolve("a.jpg"), "fake-jpeg-bytes".getBytes)
+    Files.write(d.resolve("real.png"), realPngBytes())
+    Files.write(d.resolve("a.jpg"), "fake-jpeg-bytes".getBytes) // CORRUPT image
     Files.write(d.resolve("b.mp4"), "fake-video-bytes-somewhat-longer".getBytes)
     Files.write(d.resolve("c.wav"), "fake-audio".getBytes)
     d.toString
@@ -21,14 +35,15 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("binaryFile source: path, kind sniff, content round-trip") {
     val objs = binaryObjects(spark, tmpMediaDir()).collect()
       .map(m => Sources.basename(m.path) -> m).toMap
-    objs.keySet shouldBe Set("a.jpg", "b.mp4", "c.wav")
-    objs("a.jpg").kind shouldBe "image"
+    objs.keySet shouldBe Set("real.png", "a.jpg", "b.mp4", "c.wav")
+    objs("real.png").kind shouldBe "image"
     objs("b.mp4").kind shouldBe "video"
     objs("c.wav").kind shouldBe "audio"
     new String(objs("a.jpg").content) shouldBe "fake-jpeg-bytes"
   }
 
-  test("decodeAll: deterministic stub dims, video frames, failure sentinel") {
+  test("decodeAll: REAL imageio decode of a fixture PNG; corrupt + empty " +
+      "images yield the sentinel; stub kinds unchanged") {
     import spark.implicits._
     // binaryFile skips zero-byte files, so the undecodable-object path is
     // exercised with an explicit empty-content row.
@@ -37,28 +52,44 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     val metas = decodeAll(withEmpty, batchSize = 2)
       .collect().map(m => Sources.basename(m.path) -> m).toMap
 
-    val img = metas("a.jpg")
+    // REAL decode: actual pixel dims, channel count, mean luminance.
+    val img = metas("real.png")
     img.ok shouldBe true
-    img.width should (be >= 1 and be <= 1920)
-    img.height should (be >= 1 and be <= 1080)
+    (img.width, img.height) shouldBe ((4, 2))
+    img.channels shouldBe 3
+    img.avgLuma shouldBe 127.5 +- 1e-9
     img.nFrames shouldBe 1 // only video kind gets frames
-    metas("b.mp4").nFrames should be >= 1
+
+    // Corrupt image: sniffs as image, doesn't decode → sentinel row
+    // (the reference's per-image try/except policy).
+    val corrupt = metas("a.jpg")
+    corrupt.ok shouldBe false
+    (corrupt.width, corrupt.height, corrupt.nFrames) shouldBe ((0, 0, 0))
+    corrupt.nBytes shouldBe "fake-jpeg-bytes".length.toLong
+
+    metas("b.mp4").nFrames should be >= 1 // stubbed video path intact
 
     val bad = metas("empty.png")
     bad.ok shouldBe false
     (bad.width, bad.height, bad.nFrames) shouldBe ((0, 0, 0))
 
-    // Determinism: decoding the same bytes twice gives identical dims.
-    decodeStub("fake-jpeg-bytes".getBytes) shouldBe
-      decodeStub("fake-jpeg-bytes".getBytes)
+    // Determinism: decoding the same bytes twice gives identical stats.
+    decodeImage(realPngBytes()) shouldBe decodeImage(realPngBytes())
   }
 
-  test("extractFeatures: fixed dim, deterministic, undecodable rows dropped") {
+  test("extractFeatures: real luminance histogram for images, fixed dim, " +
+      "undecodable rows dropped") {
     val feats = extractFeatures(binaryObjects(spark, tmpMediaDir()))
       .collect().map(f => Sources.basename(f.path) -> f).toMap
-    feats.keySet shouldBe Set("a.jpg", "b.mp4", "c.wav")
+    // a.jpg is a corrupt image now → dropped by the decode-failure path.
+    feats.keySet shouldBe Set("real.png", "b.mp4", "c.wav")
     feats.values.foreach(_.features.length shouldBe FeatureDim)
-    feats("a.jpg").features shouldBe featureStub("fake-jpeg-bytes".getBytes)
+    // Half black / half white → 0.5 in bin 0, 0.5 in the top bin.
+    val hist = feats("real.png").features
+    hist(0) shouldBe 0.5f
+    hist(FeatureDim - 1) shouldBe 0.5f
+    hist.sum shouldBe 1.0f
+    feats("c.wav").features shouldBe featureStub("fake-audio".getBytes)
   }
 
   test("fetchByManifest: only manifest-addressed blobs are fetched") {

@@ -145,4 +145,82 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     decisions(200L) shouldBe ("dup_exact", 100L) // caught k=1 batch later
     decisions(300L) shouldBe ("dup_near", 100L) // caught k=2 batches later
   }
+
+  test("source-agnostic: a MemoryStream-driven run makes the same " +
+      "decisions as the file-source stream (batch q69's set)") {
+    import spark.implicits._
+    // The Spark 4.1 location (moved from execution.streaming).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.documents(spark, SparkSpec.Sf0001)
+    val index = DedupStreams.corpusIndex(docs.filter(col("doc_id") % 2 === 0))
+
+    val newRows = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val memDocs = mem.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var batches = 0
+    // No change to DedupStreams: the ingest loop takes any streaming
+    // DataFrame — only the source construction differs from the file run.
+    val q = DedupStreams.incrementalDedup(memDocs, index) { (decisions, _) =>
+      collected.synchronized {
+        collected ++= decisions.select("doc_id", "status", "match_doc")
+          .as[(Long, String, Long)].collect()
+        batches += 1
+      }
+    }.start()
+    try {
+      // Three explicit micro-batches, like the file test's 4 files.
+      newRows.grouped((newRows.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    batches should be > 1
+    val batch69 = SparkEntry.queries("q69_incremental_dedup")(spark, SparkSpec.Sf0001)
+      .as[(Long, String, Long)].collect()
+    collected.size shouldBe batch69.length
+    collected.toSet shouldBe batch69.toSet
+  }
+
+  test("batchId markers make a replayed batch a no-op: onBatch runs once, " +
+      "the index is not double-admitted (exactly-once output)") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    def docRow(id: Long, text: String) =
+      (id, text, "en", "crawl", text.length.toLong)
+    val corpus = Seq(docRow(1L, (0 until 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(docRow(100L, words.mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val markers = Files.createTempDirectory("graft-dedup-markers").toFile
+    markers.deleteOnExit()
+    val refresher = new DedupStreams.RefreshingIndex(
+      DedupStreams.corpusIndex(corpus))
+    var onBatchCalls = 0
+    def run(): Boolean = DedupStreams.processBatch(
+      batch, batchId = 7L, index = refresher.current,
+      refresher = Some(refresher),
+      onceMarkers = Some(markers.getAbsolutePath),
+      onBatch = (_, _) => onBatchCalls += 1)
+
+    run() shouldBe true // first delivery: processed
+    onBatchCalls shouldBe 1
+    val fpAfterFirst = refresher.current.fp.count() // doc 100 admitted
+
+    // The crash-replay: foreachBatch re-delivers the SAME batchId after
+    // a restart whose offsets never committed. The marker written at the
+    // end of the first run must make this a no-op.
+    run() shouldBe false
+    onBatchCalls shouldBe 1 // no duplicate decision-log write
+    refresher.current.fp.count() shouldBe fpAfterFirst // no double admit
+    refresher.close()
+  }
 }
