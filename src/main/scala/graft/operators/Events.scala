@@ -105,16 +105,23 @@ object Events {
       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q23
-  /** Event dedup: keep the first event per (user, type) — the standard
-    * "first occurrence wins" dedup as a window row_number. */
+  /** Event dedup: keep the first event per (user, type) — "first
+    * occurrence wins". One hash-aggregable `graft_argmin` pass
+    * ([[graft.functions.ArgMax]]): the ordering key `struct(ts,
+    * event_id)` is unique per group (event ids are unique), so the
+    * winner is deterministic and identical to the oracle's
+    * `row_number() = 1` form. vs the window: no per-group sort, and the
+    * map side reduces each group to ONE buffer before the shuffle —
+    * at a 100 TB event log the shuffle carries |users × types| buffers
+    * instead of every event row. */
   private def q23(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(graft.functions.ArgMaxAgg.argMin(
+        struct(col("ts"), col("event_id")),
+        struct(col("event_id"), col("ts"))).as("b"))
+      .select(col("user_id"), col("event_type"),
+        col("b.event_id").as("event_id"), col("b.ts").as("ts"))
       .orderBy(col("user_id"), col("event_type"))
   }
 

@@ -318,20 +318,22 @@ object Similarity {
     val cent = centroids(emb)
 
     // Cell assignment: nearest centroid by cosine (deterministic argmax:
-    // ties break on label id). A one-pass partial-aggregable min over
-    // struct(-ccos, c_label, payload) — NOT a row_number window, which
-    // would shuffle AND sort the whole table by vec_id; the aggregate's
-    // map-side combine collapses the 10 candidate rows per vector before
-    // the shuffle, and no sort happens at all. The struct's leading two
-    // fields (-ccos asc = ccos desc, then c_label asc) are unique per
-    // group, so the trailing payload fields never influence the ordering
-    // — the min is fully deterministic.
+    // ties break on label id — ord = struct(ccos, -c_label) is unique
+    // per vector since each centroid appears once). One hash-aggregable
+    // pass via the engine's [[graft.functions.ArgMax]]
+    // TypedImperativeAggregate — NOT a row_number window (shuffles AND
+    // sorts the whole fan-out by vec_id) and NOT min-over-struct (its
+    // array-bearing buffer demotes to SortAggregate, keeping the sort):
+    // ObjectHashAggregate's map-side combine collapses the 10 candidate
+    // rows per vector to one buffer before the shuffle, and nothing
+    // sorts.
     val best = emb.crossJoin(broadcast(cent))
       .withColumn("ccos",
         cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
       .groupBy(col("vec_id"))
-      .agg(min(struct(negate(col("ccos")), col("c_label"),
-        col("label"), col("sv"), col("n2"))).as("b"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("ccos"), negate(col("c_label"))),
+        struct(col("c_label"), col("label"), col("sv"), col("n2"))).as("b"))
     val assigned = best.select(col("vec_id"),
       col("b.label").as("label"), col("b.sv").as("sv"), col("b.n2").as("n2"),
       col("b.c_label").as("cell"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedEditDistance, LongDotProduct, MinHashSignature, QuantizeError}
+import graft.functions.{ArgMax, BoundedEditDistance, LongDotProduct, MinHashSignature, QuantizeError}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftDot)
     ext.injectFunction(GraftExtensions.graftEditWithin)
     ext.injectFunction(GraftExtensions.graftMinhash)
+    ext.injectFunction(GraftExtensions.graftArgMax)
+    ext.injectFunction(GraftExtensions.graftArgMin)
     ext.injectFunction(GraftExtensions.graftQuantErr)
   }
 }
@@ -56,6 +58,22 @@ object GraftExtensions {
       MinHashSignature(args.head).toAggregateExpression()
     })
 
+  val graftArgMax: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_argmax"),
+    new ExpressionInfo(classOf[ArgMax].getName, "graft_argmax"),
+    { args =>
+      require(args.length == 2, "graft_argmax(ord, value) takes 2 arguments")
+      ArgMax(args.head, args(1)).toAggregateExpression()
+    })
+
+  val graftArgMin: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_argmin"),
+    new ExpressionInfo(classOf[ArgMax].getName, "graft_argmin"),
+    { args =>
+      require(args.length == 2, "graft_argmin(ord, value) takes 2 arguments")
+      ArgMax(args.head, args(1), findMax = false).toAggregateExpression()
+    })
+
   val graftQuantErr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_quant_err"),
     new ExpressionInfo(classOf[QuantizeError].getName, "graft_quant_err"),
@@ -68,7 +86,7 @@ object GraftExtensions {
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftQuantErr).foreach {
+    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftQuantErr).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -72,6 +72,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q44: cell assignment is a hash argmax, not a window or sort " +
+      "aggregate") {
+    val p = plan("q44_ivf_ann")
+    p should include("ObjectHashAggregate") // graft_argmax runs hash-based
+    p should not include "SortAggregate"
+  }
+
   test("q41: centroids aggregate without a positional explode") {
     // The one-pass 64-sum form must not regress to posexplode (n×64-row
     // Generate) + shuffled join-backs.
