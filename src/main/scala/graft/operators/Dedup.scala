@@ -160,14 +160,84 @@ object Dedup {
     * All joins are new×corpus equi-joins on fingerprint/band keys, so
     * incremental cost scales with the batch, not the corpus. Output:
     * `(doc_id, status ∈ {dup_exact, dup_near, unique}, match_doc)`. */
+  /** Serialized corpus membership sketches for [[incrementalDecisions]]'
+    * pre-join pruning: a Bloom filter over the corpus content
+    * fingerprints and one over its LSH band keys. At 100 TB the corpus
+    * index is a big table on the far side of two shuffles per
+    * micro-batch; these few-hundred-KB sketches ride the PLAN to every
+    * task and discard definite-miss batch rows at scan position — most
+    * of a crawl batch is new content, so most rows never reach either
+    * join. False positives (fpp) only cost a wasted probe; false
+    * negatives don't exist, so decisions are bit-identical with or
+    * without the sketches (q72 shares q69's oracle row). A growing
+    * deployment rebuilds them on the index-compaction cadence
+    * (`BloomFilter.mergeInPlace` makes the refresh incremental). */
+  final case class CorpusBlooms(fpBloom: Array[Byte], bandBloom: Array[Byte],
+      expectedItems: Long, fpp: Double)
+
+  /** Build the sketches from the materialized corpus indexes (one pass
+    * each via the public `DataFrameStatFunctions.bloomFilter`). The
+    * (expectedItems, fpp) parameters ride along so later increments
+    * ([[mergeBlooms]]) build bit-compatible filters. */
+  private[graft] def corpusBlooms(corpusFp: DataFrame, corpusSig: DataFrame,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): CorpusBlooms = {
+    import graft.functions.BloomExprs.serialize
+    val fpB = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bandB = sigBands(corpusSig)
+      .select(concat_ws(":", col("band"), col("bh")).as("bk"))
+      .stat.bloomFilter("bk", expectedItems * LshBands, fpp)
+    CorpusBlooms(serialize(fpB), serialize(bandB), expectedItems, fpp)
+  }
+
+  /** Fold newly-admitted rows into existing corpus sketches WITHOUT
+    * rescanning the corpus: sketch just the increment (same parameters
+    * ⇒ bit-compatible) and `mergeInPlace`. This is what keeps a
+    * REFRESHING index's blooms truthful — a stale bloom is the one way
+    * this design can produce a false negative (a just-admitted doc's
+    * duplicate pruned away), so admit and merge must travel together
+    * (`DedupStreamsSpec` proves the late-duplicate catch with blooms
+    * on). */
+  private[graft] def mergeBlooms(base: CorpusBlooms,
+      addFp: DataFrame, addSig: DataFrame): CorpusBlooms = {
+    import graft.functions.BloomExprs.serialize
+    // An all-duplicates batch admits nothing; `stat.bloomFilter` on an
+    // empty frame returns null (Spark 4.1) — and there is nothing to
+    // merge anyway.
+    if (addFp.isEmpty) return base
+    def read(b: Array[Byte]) =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    val fpB = read(base.fpBloom)
+    fpB.mergeInPlace(addFp.stat.bloomFilter("fp", base.expectedItems, base.fpp))
+    val bandB = read(base.bandBloom)
+    bandB.mergeInPlace(sigBands(addSig)
+      .select(concat_ws(":", col("band"), col("bh")).as("bk"))
+      .stat.bloomFilter("bk", base.expectedItems * LshBands, base.fpp))
+    base.copy(fpBloom = serialize(fpB), bandBloom = serialize(bandB))
+  }
+
   private[graft] def incrementalDecisions(
       newFp: DataFrame, newSig: DataFrame,
-      corpusFp: DataFrame, corpusSig: DataFrame): DataFrame = {
+      corpusFp: DataFrame, corpusSig: DataFrame,
+      blooms: Option[CorpusBlooms] = None): DataFrame = {
+    import graft.functions.BloomExprs.mightContain
+    // call_function resolves through the session registry — make sure
+    // the engine functions exist on sessions not built via GraftSession.
+    blooms.foreach(_ => graft.plans.GraftExtensions.register(newFp.sparkSession))
     val oldFp = corpusFp.select(col("doc_id").as("o_id"), col("fp").as("o_fp"))
-    val exact = newFp.join(oldFp, col("fp") === col("o_fp"))
+    // Bloom pre-prune (optional): drop batch rows whose key definitely
+    // isn't in the corpus BEFORE the join shuffles anything. Only the
+    // JOIN PROBE sides are filtered — the final decision assembly below
+    // keeps every batch doc_id, and a pruned row could only have
+    // produced an empty join result, so output is unchanged.
+    val exactProbe = blooms.fold(newFp)(b =>
+      newFp.filter(mightContain(col("fp"), b.fpBloom)))
+    val exact = exactProbe.join(oldFp, col("fp") === col("o_fp"))
       .groupBy(col("doc_id")).agg(min(col("o_id")).as("exact_match"))
 
-    val nb = sigBands(newSig)
+    val nbAll = sigBands(newSig)
+    val nb = blooms.fold(nbAll)(b => nbAll.filter(
+      mightContain(concat_ws(":", col("band"), col("bh")), b.bandBloom)))
     val ob = sigBands(corpusSig).toDF("o_id", "o_band", "o_bh")
     val cand = nb.join(ob, col("band") === col("o_band") && col("bh") === col("o_bh"))
       .select(col("doc_id"), col("o_id"))
@@ -882,6 +952,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q72
+  /** q69's cascade behind the Bloom membership pre-filter
+    * ([[corpusBlooms]] + `graft_bloom_contains`): the batch's
+    * fingerprint and band rows are pruned against few-hundred-KB corpus
+    * sketches at scan position, BEFORE either join shuffles — the
+    * standard two-tier membership design for judging a crawl batch
+    * (mostly new content) against a 100 TB corpus. No false negatives ⇒
+    * decisions identical to q69; same oracle SQL. */
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    val fp = contentFpOf(Tables.documents(spark, dir))
+    val sig = minhashSig(spark, dir)
+    val corpusFp = fp.filter(col("doc_id") % 2 === 0)
+    val corpusSig = sig.filter(col("doc_id") % 2 === 0)
+    incrementalDecisions(
+      newFp = fp.filter(col("doc_id") % 2 === 1),
+      newSig = sig.filter(col("doc_id") % 2 === 1),
+      corpusFp = corpusFp, corpusSig = corpusSig,
+      blooms = Some(corpusBlooms(corpusFp, corpusSig)))
+      .orderBy(col("doc_id"))
+  }
+
   private val q69Sql = {
     val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
     val mins = (0 until MinHashK)
@@ -938,7 +1029,8 @@ object Dedup {
     "q59_banded_edit"    -> (q59 _),
     "q60_dedup_decisions" -> (q60 _),
     "q69_incremental_dedup" -> (q69 _),
-    "q70_dedup_report"   -> (q70 _))
+    "q70_dedup_report"   -> (q70 _),
+    "q72_bloom_incremental" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -951,5 +1043,7 @@ object Dedup {
     "q59_banded_edit"    -> q59Sql,
     "q60_dedup_decisions" -> q60Sql,
     "q69_incremental_dedup" -> q69Sql,
-    "q70_dedup_report"   -> q70Sql)
+    "q70_dedup_report"   -> q70Sql,
+    // Bloom pruning is output-invariant — q72 shares q69's oracle.
+    "q72_bloom_incremental" -> q69Sql)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgMax, BoundedEditDistance, LongDotProduct, MinHashSignature, QuantizeError}
+import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, LongDotProduct, MinHashSignature, QuantizeError}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftMinhash)
     ext.injectFunction(GraftExtensions.graftArgMax)
     ext.injectFunction(GraftExtensions.graftArgMin)
+    ext.injectFunction(GraftExtensions.graftBloomContains)
     ext.injectFunction(GraftExtensions.graftQuantErr)
   }
 }
@@ -74,6 +75,15 @@ object GraftExtensions {
       ArgMax(args.head, args(1), findMax = false).toAggregateExpression()
     })
 
+  val graftBloomContains: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+    { args =>
+      require(args.length == 2,
+        "graft_bloom_contains(value, bloomBytes) takes 2 arguments")
+      BloomMightContain(args.head, args(1))
+    })
+
   val graftQuantErr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_quant_err"),
     new ExpressionInfo(classOf[QuantizeError].getName, "graft_quant_err"),
@@ -86,7 +96,7 @@ object GraftExtensions {
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftQuantErr).foreach {
+    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftQuantErr).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -76,12 +76,25 @@ object DedupStreams {
 
   /** Corpus indexes for the ingest loop: the content-fingerprint table
     * and the MinHash signature table a production deployment keeps
-    * materialized alongside the corpus. */
-  final case class CorpusIndex(fp: DataFrame, sig: DataFrame)
+    * materialized alongside the corpus — plus (optionally) the Bloom
+    * membership sketches ([[Dedup.CorpusBlooms]]) that prune a batch's
+    * definite-miss rows before either corpus join shuffles. */
+  final case class CorpusIndex(fp: DataFrame, sig: DataFrame,
+      blooms: Option[Dedup.CorpusBlooms] = None)
 
-  /** Build the corpus index from a static `(doc_id, text)` frame. */
-  def corpusIndex(corpus: DataFrame): CorpusIndex =
-    CorpusIndex(Dedup.contentFpOf(corpus), Dedup.minhashSigOf(corpus))
+  /** Build the corpus index from a static `(doc_id, text)` frame.
+    * `withBlooms` additionally sketches it for pre-join pruning (the
+    * q72 path; at-scale default — here opt-in because sketch build cost
+    * only pays off when the corpus join is expensive). */
+  def corpusIndex(corpus: DataFrame, withBlooms: Boolean = false,
+      bloomExpectedItems: Long = 100000L, bloomFpp: Double = 0.01): CorpusIndex = {
+    val fp = Dedup.contentFpOf(corpus)
+    val sig = Dedup.minhashSigOf(corpus)
+    CorpusIndex(fp, sig,
+      if (withBlooms)
+        Some(Dedup.corpusBlooms(fp, sig, bloomExpectedItems, bloomFpp))
+      else None)
+  }
 
   /** A corpus index that grows as the stream admits documents: after each
     * micro-batch, the admitted (unique) docs' fingerprint and signature
@@ -111,10 +124,18 @@ object DedupStreams {
 
     def current: CorpusIndex = cur
 
-    /** Union the admitted docs' index rows into the corpus index. */
+    /** Union the admitted docs' index rows into the corpus index. When
+      * the index carries Bloom sketches, the admitted rows are ALSO
+      * folded in via [[Dedup.mergeBlooms]] (sketch the increment, merge
+      * bit-compatible filters) — a stale sketch is the one way the
+      * bloom design yields a false negative (a just-admitted doc's
+      * later duplicate pruned before the join), so refresh and merge
+      * are inseparable. */
     private[streaming] def admit(admittedFp: DataFrame,
         admittedSig: DataFrame): Unit = synchronized {
       admits += 1
+      val nblooms = cur.blooms.map(b =>
+        Dedup.mergeBlooms(b, admittedFp, admittedSig))
       val compact = admits % RefreshingIndex.CompactEvery == 0
       val (nfp, nsig) =
         if (compact)
@@ -132,7 +153,7 @@ object DedupStreams {
         }
       val old = owned
       owned = List(nfp, nsig)
-      cur = CorpusIndex(nfp, nsig)
+      cur = CorpusIndex(nfp, nsig, nblooms)
       old.foreach(df =>
         try graft.operators.Features.freeFrame(df)
         catch { case _: Exception => () })
@@ -190,7 +211,8 @@ object DedupStreams {
       val batchSig = Dedup.minhashSigOf(batch).persist()
       val decisions = Dedup.incrementalDecisions(
         newFp = batchFp, newSig = batchSig,
-        corpusFp = idx.fp, corpusSig = idx.sig).persist()
+        corpusFp = idx.fp, corpusSig = idx.sig,
+        blooms = idx.blooms).persist()
       try {
         onBatch(decisions, batchId)
         refresher.foreach { r =>

@@ -146,6 +146,50 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     decisions(300L) shouldBe ("dup_near", 100L) // caught k=2 batches later
   }
 
+  test("refreshing index WITH bloom pre-filter: admitted docs merge into " +
+      "the sketches, so the late duplicate is still caught (a stale " +
+      "bloom would silently admit it)") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    val textA = words.mkString(" ")
+    val textANear = words.updated(59, "CHANGED").mkString(" ")
+    def docRow(id: Long, text: String) =
+      (id, text, "en", "crawl", text.length.toLong)
+    val corpus = Seq(docRow(1L, (0 until 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val inDir = Files.createTempDirectory("graft-dedup-bloom-in").toFile
+    inDir.deleteOnExit()
+    Seq(docRow(100L, textA)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    Seq(docRow(200L, textA)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    Seq(docRow(300L, textANear)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+
+    // Bloom-carrying index: doc 100's fp/bands are NOT in the corpus
+    // sketches — only the admit-time merge can make 200/300 visible.
+    val refresher = new DedupStreams.RefreshingIndex(
+      DedupStreams.corpusIndex(corpus, withBlooms = true,
+        bloomExpectedItems = 1000))
+    refresher.current.blooms.isDefined shouldBe true
+    val decisions = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val q = DedupStreams.incrementalDedup(
+      DedupStreams.documentSource(spark, inDir.getAbsolutePath),
+      refresher.current, refresher = Some(refresher)) { (d, _) =>
+      decisions.synchronized {
+        d.select("doc_id", "status", "match_doc")
+          .as[(Long, String, Long)].collect()
+          .foreach { case (id, st, m) => decisions(id) = (st, m) }
+      }
+    }.start()
+    try q.processAllAvailable() finally { q.stop(); refresher.close() }
+
+    decisions(100L) shouldBe ("unique", -1L)
+    decisions(200L) shouldBe ("dup_exact", 100L) // via merged fp bloom
+    decisions(300L) shouldBe ("dup_near", 100L) // via merged band bloom
+  }
+
   test("source-agnostic: a MemoryStream-driven run makes the same " +
       "decisions as the file-source stream (batch q69's set)") {
     import spark.implicits._
