@@ -973,6 +973,61 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Benchmark DECONTAMINATION — the canonical pre-training hygiene op:
+    * flag every training document sharing a word-3-gram with the eval
+    * set, so benchmark passages can be dropped (or the doc quarantined)
+    * before training. The standard n-gram-overlap decontamination
+    * published with GPT-2/GPT-3-era training corpora, expressed over
+    * the engine's shared shingle features.
+    *
+    * Here the "benchmark" is the deterministic doc_id % 17 == 0 slice of
+    * the corpus (the testdata ships no separate eval table); swapping in
+    * a real benchmark table changes one filter.
+    *
+    * Scale posture: a benchmark is small by nature (10³-10⁵ docs), so
+    * its hashed-shingle postings are `broadcast()` — the 100 TB training
+    * side streams through a broadcast hash join with NO shuffle; output
+    * aggregates are partial-aggregable per training doc. The ratio is
+    * floored to micro-units (int64) for engine parity. */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    val post = Features.hashedShingles(spark, dir)
+    val evalSide = post.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("e_id"), col("h"))
+    val train = post.filter(col("doc_id") % 17 =!= 0)
+    val sizes = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(evalSide), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hits"),
+        min(col("e_id")).as("min_eval_doc"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        floor(lit(1000000.0) * col("n_hits").cast("double") /
+          col("n_shingles").cast("double")).cast("long").as("ratio_u"),
+        col("min_eval_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q73Sql =
+    s"""WITH words AS ($docShinglesSql),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
+       |ev AS (SELECT doc_id AS e_id, h FROM hashed WHERE doc_id % 17 = 0),
+       |train AS (SELECT doc_id, h FROM hashed WHERE doc_id % 17 <> 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+       |hits AS (
+       |  SELECT t.doc_id, count(DISTINCT t.h) AS n_hits,
+       |    min(e.e_id) AS min_eval_doc
+       |  FROM train t JOIN ev e ON t.h = e.h
+       |  GROUP BY 1)
+       |SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(floor(1000000.0 * CAST(n_hits AS DOUBLE) /
+       |    CAST(s.n_shingles AS DOUBLE)) AS BIGINT) AS ratio_u,
+       |  min_eval_doc
+       |FROM hits h JOIN sizes s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private val q69Sql = {
     val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
     val mins = (0 until MinHashK)
@@ -1030,7 +1085,8 @@ object Dedup {
     "q60_dedup_decisions" -> (q60 _),
     "q69_incremental_dedup" -> (q69 _),
     "q70_dedup_report"   -> (q70 _),
-    "q72_bloom_incremental" -> (q72 _))
+    "q72_bloom_incremental" -> (q72 _),
+    "q73_decontamination" -> (q73 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -1045,5 +1101,6 @@ object Dedup {
     "q69_incremental_dedup" -> q69Sql,
     "q70_dedup_report"   -> q70Sql,
     // Bloom pruning is output-invariant — q72 shares q69's oracle.
-    "q72_bloom_incremental" -> q69Sql)
+    "q72_bloom_incremental" -> q69Sql,
+    "q73_decontamination" -> q73Sql)
 }

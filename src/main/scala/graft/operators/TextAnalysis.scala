@@ -451,6 +451,46 @@ object TextAnalysis {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+  /** REDACTION transform — q68 is the triage report; this is the act:
+    * rewrite every document with denylist terms replaced by
+    * `<REDACTED>` and log, per affected doc, the match count (against
+    * the original text), the redacted text's fingerprint, and its
+    * length. The fingerprint is what a release pipeline stores: it
+    * proves which exact redacted bytes shipped without re-reading raw
+    * text. The denylist here is two corpus terms standing in for a
+    * sensitive-term dictionary; the PII regexes q68 scans for (email /
+    * URL / digit-run) drop into the same `regexp_replace` chain
+    * unchanged — this synthetic corpus just never contains them.
+    *
+    * Pure codegen'd `regexp_replace`/`regexp_count` per row — one
+    * narrow scan, no shuffle before the per-doc log's sort. (Oracle
+    * twin needs DuckDB's 'g' flag: Spark replaces all matches by
+    * default, DuckDB only the first.) */
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    val deny = "\\b(customer|supplier)\\b"
+    val red = regexp_replace(col("text"), deny, "<REDACTED>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(deny)).cast("long").as("n_hits"),
+        md5(red).as("redacted_fp"),
+        length(red).cast("long").as("n_chars_redacted"))
+      .filter(col("n_hits") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q74Sql = {
+    val deny = "\\b(customer|supplier)\\b"
+    val red = s"regexp_replace(text, '$deny', '<REDACTED>', 'g')"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$deny')) AS BIGINT) AS n_hits,
+       |  md5($red) AS redacted_fp,
+       |  CAST(length($red) AS BIGINT) AS n_chars_redacted
+       |FROM documents
+       |WHERE len(regexp_extract_all(text, '$deny')) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q62
   /** Per-column data-quality profile of the corpus table — row counts,
     * null counts, distinct cardinality, min/max — the ingest-time
@@ -540,7 +580,8 @@ object TextAnalysis {
     "q61_length_quantiles" -> (q61 _),
     "q62_profile"     -> (q62 _),
     "q67_normalize"   -> (q67 _),
-    "q68_content_scan" -> (q68 _))
+    "q68_content_scan" -> (q68 _),
+    "q74_term_redaction" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -555,5 +596,6 @@ object TextAnalysis {
     "q61_length_quantiles" -> q61Sql,
     "q62_profile"     -> q62Sql,
     "q67_normalize"   -> q67Sql,
-    "q68_content_scan" -> q68Sql)
+    "q68_content_scan" -> q68Sql,
+    "q74_term_redaction" -> q74Sql)
 }

@@ -72,6 +72,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q73: the benchmark shingle postings broadcast; the training side " +
+      "never shuffles for the hit join") {
+    val p = plan("q73_decontamination")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("q44: cell assignment is a hash argmax, not a window or sort " +
       "aggregate") {
     val p = plan("q44_ivf_ann")
