@@ -565,6 +565,100 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Weighted SOURCE MIXING — the data-mixing step of corpus assembly:
+    * each source gets a sampling weight (its share of the training
+    * mix), and documents are admitted by deterministic content hash
+    * against that weight — reproducible across runs, engines, and
+    * cluster sizes, unlike RNG sampling (q55's property, extended from
+    * uniform strata to a weighted mixing config). Weights here derive
+    * from the source name (`1 + md5u32(source) % 4` quarter-steps);
+    * production swaps in a real config table — same broadcast join.
+    *
+    * The report is per source: configured weight, doc counts, realized
+    * admit rate, and the admitted TOKEN mass — the quantity a mixing
+    * recipe actually budgets. One scan + one partial-aggregable
+    * groupBy; the weights side is a broadcast of |sources| rows. */
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    val wMilli = (lit(1L) + md5u32(col("source")) % 4L) * 250L // 250/500/750/1000
+    val accept =
+      md5u32(concat(col("doc_id").cast("string"), lit("#"), col("source"))) %
+        1000L < col("w_milli")
+    Tables.documents(spark, dir)
+      .withColumn("w_milli", wMilli)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("admitted", when(accept, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        max(col("w_milli")).as("w_milli"), // constant per source
+        count(lit(1)).as("n_docs"),
+        sum(col("admitted")).as("n_admitted"),
+        (sum(col("admitted")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("admit_rate"),
+        sum(col("admitted") * col("n_tokens")).as("admitted_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val q75Sql = {
+    val w = s"(1 + ${md5u32Sql("source")} % 4) * 250"
+    val h = md5u32Sql("(CAST(doc_id AS VARCHAR) || '#' || source)")
+    s"""SELECT source,
+       |  CAST(max(w_milli) AS BIGINT) AS w_milli,
+       |  count(*) AS n_docs,
+       |  CAST(sum(admitted) AS BIGINT) AS n_admitted,
+       |  CAST(sum(admitted) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS admit_rate,
+       |  CAST(sum(admitted * n_tokens) AS BIGINT) AS admitted_tokens
+       |FROM (SELECT source, $w AS w_milli,
+       |        CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |        CASE WHEN $h % 1000 < $w THEN 1 ELSE 0 END AS admitted
+       |      FROM documents)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q76
+  /** CONTEXT-WINDOW PACKING — assign documents to fixed-token-budget
+    * training sequences (concat-then-chunk, the GPT-style packing where
+    * documents may straddle a boundary): per source, documents in
+    * doc_id order accumulate token counts; `bin_id` = exclusive prefix
+    * sum ÷ budget, `bin_offset` = prefix mod budget. Deterministic and
+    * engine-exact (integer floor division via the `(a - a%b)/b` long
+    * pattern).
+    *
+    * Scale posture: the cumulative sum is a window PARTITIONED BY
+    * source (parallel across sources, no global sort); at 100 TB the
+    * same op runs per shard — packing is shard-local by construction in
+    * every training pipeline, because sequence order within a shard is
+    * all that matters. Budget 512 tokens. */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        ((col("prefix") - col("prefix") % budget) / budget).cast("long").as("bin_id"),
+        (col("prefix") % budget).as("bin_offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val q76Sql =
+    s"""SELECT source, doc_id, n_tokens,
+       |  prefix // 512 AS bin_id,
+       |  prefix % 512 AS bin_offset
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS prefix
+       |  FROM (SELECT source, doc_id,
+       |          CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -581,7 +675,9 @@ object TextAnalysis {
     "q62_profile"     -> (q62 _),
     "q67_normalize"   -> (q67 _),
     "q68_content_scan" -> (q68 _),
-    "q74_term_redaction" -> (q74 _))
+    "q74_term_redaction" -> (q74 _),
+    "q75_source_mixing" -> (q75 _),
+    "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -597,5 +693,7 @@ object TextAnalysis {
     "q62_profile"     -> q62Sql,
     "q67_normalize"   -> q67Sql,
     "q68_content_scan" -> q68Sql,
-    "q74_term_redaction" -> q74Sql)
+    "q74_term_redaction" -> q74Sql,
+    "q75_source_mixing" -> q75Sql,
+    "q76_context_packing" -> q76Sql)
 }
