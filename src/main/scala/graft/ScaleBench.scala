@@ -41,7 +41,9 @@ object ScaleBench {
     "q45_exact_dedup", "q54_edit_verify", "q56_dedup_clusters",
     "q57_tfidf_terms", "q58_scalar_quant", "q59_banded_edit",
     "q60_dedup_decisions", "q66_ann_retrieval", "q69_incremental_dedup",
-    "q70_dedup_report", "q71_embedding_profile")
+    "q70_dedup_report", "q71_embedding_profile", "q72_bloom_incremental",
+    "q73_decontamination", "q74_term_redaction", "q75_source_mixing",
+    "q76_context_packing")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
