@@ -965,11 +965,17 @@ object Dedup {
     val sig = minhashSig(spark, dir)
     val corpusFp = fp.filter(col("doc_id") % 2 === 0)
     val corpusSig = sig.filter(col("doc_id") % 2 === 0)
+    // Sketches are memoized per (session, dir) — production materializes
+    // them next to the corpus index; a per-run rebuild would charge two
+    // extra corpus actions to every probe.
+    val blooms = Features.cachedValue(spark, s"$dir#corpusBlooms") {
+      corpusBlooms(corpusFp, corpusSig)
+    }
     incrementalDecisions(
       newFp = fp.filter(col("doc_id") % 2 === 1),
       newSig = sig.filter(col("doc_id") % 2 === 1),
       corpusFp = corpusFp, corpusSig = corpusSig,
-      blooms = Some(corpusBlooms(corpusFp, corpusSig)))
+      blooms = Some(blooms))
       .orderBy(col("doc_id"))
   }
 

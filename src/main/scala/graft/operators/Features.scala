@@ -135,12 +135,36 @@ object Features {
     * session's teardown must not evict caches that a concurrently-running
     * session in the same JVM still reads. Safe to call after the owning
     * session stopped (unpersist failures are swallowed). */
+  // Driver-side derived VALUES (serialized sketches, stats rows) that
+  // are expensive actions to rebuild but aren't DataFrames — same
+  // (session, key) scoping and [[clear]] lifecycle as the frame cache.
+  private val valueCache = TrieMap[(String, String), AnyRef]()
+
+  /** Build-or-reuse a driver-side derived value (e.g. the corpus Bloom
+    * sketches q72 probes): built once per (session, key), dropped by
+    * [[clear]]. Production keeps such artifacts materialized next to
+    * the index they summarize; per-run rebuilds would double-charge
+    * every query that reads them. */
+  def cachedValue[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val k = (sessionKey(spark), key)
+    valueCache.get(k) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val built = build
+        valueCache.putIfAbsent(k, built) match {
+          case None         => built
+          case Some(winner) => winner.asInstanceOf[T]
+        }
+    }
+  }
+
   def clear(spark: SparkSession): Unit = {
     val sk = sessionKey(spark)
     cache.keys.filter(_._1 == sk).foreach { k =>
       cache.remove(k).foreach(df =>
         try df.unpersist(blocking = false) catch { case _: Exception => () })
     }
+    valueCache.keys.filter(_._1 == sk).foreach(valueCache.remove)
   }
 
   /** JVM-wide teardown: unpersist and forget every registered frame from
@@ -148,5 +172,6 @@ object Features {
   def clearAll(): Unit = {
     cache.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
     cache.clear()
+    valueCache.clear()
   }
 }

@@ -72,6 +72,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q72: bloom membership filters sit BELOW every exchange — " +
+      "definite-miss rows are dropped at scan position, pre-shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val p = SparkEntry.queries("q72_bloom_incremental")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan
+    val bloomFilters = p.collect {
+      case f: FilterExec if f.condition.find(
+        _.isInstanceOf[graft.functions.BloomMightContain]).isDefined => f
+    }
+    bloomFilters should not be empty // both the fp and the band probe
+    // No exchange below any bloom filter: the prune happens before the
+    // rows ever shuffle toward a corpus join.
+    bloomFilters.foreach { f =>
+      f.child.collectFirst { case e: Exchange => e } shouldBe None
+    }
+  }
+
   test("q73: the benchmark shingle postings broadcast; the training side " +
       "never shuffles for the hit join") {
     val p = plan("q73_decontamination")
