@@ -46,7 +46,7 @@ case class ArgMax(
   override def children: Seq[Expression] = Seq(ord, value)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (TypeUtils.getInterpretedOrdering(ord.dataType) != null)
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(ord.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_argmax ordering key type ${ord.dataType.simpleString} is not orderable")

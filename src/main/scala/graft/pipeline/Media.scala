@@ -63,6 +63,39 @@ object Media {
       }
   }
 
+  /** STREAMING twin of [[binaryObjects]]: watch a directory as a
+    * `binaryFile` stream — newly-landed media files become micro-batches
+    * of [[MediaObject]] rows, and the SAME typed stages
+    * ([[decodeAll]]/[[extractFeatures]]) run on them unchanged (they are
+    * `mapPartitions` over a Dataset; batch vs streaming is the engine's
+    * concern, not theirs). This is the media-ingest production shape:
+    * crawler drops files, the pipeline decodes/fingerprints them
+    * incrementally with the file-source's checkpointable offsets.
+    * `binaryFile` streaming requires an explicit schema — it is fixed
+    * (path/modificationTime/length/content), declared here. */
+  def binaryObjectStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 8): Dataset[MediaObject] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .map { r =>
+        val p = r.getString(0)
+        MediaObject(p, kindOf(p), r.getAs[Array[Byte]](1))
+      }
+  }
+
   /** Manifest-driven S2: fetch each manifest-addressed blob lazily INSIDE
     * the task via the Hadoop `FileSystem` API — the reference's exact
     * access pattern (`fs.copyToLocalFile` per manifest row,

@@ -85,6 +85,15 @@ class ArgMaxAggSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe Map(1L -> 10L, 2L -> 30L)
   }
 
+  test("non-orderable ordering key (map) is rejected at analysis, not " +
+      "at runtime") {
+    ensureRegistered()
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1), "v")).toDF("g", "m", "v")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      df.groupBy(col("g")).agg(ArgMaxAgg.argMax(col("m"), col("v"))).collect()
+  }
+
   test("SQL surface: graft_argmax callable from spark.sql") {
     ensureRegistered()
     import spark.implicits._

@@ -92,6 +92,38 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     feats("c.wav").features shouldBe featureStub("fake-audio".getBytes)
   }
 
+  test("streaming media ingest: files landing in a watched directory " +
+      "decode incrementally through the SAME typed stages") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("media_stream_")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("first.png"), realPngBytes())
+
+    val metas = scala.collection.mutable.Map.empty[String, MediaMeta]
+    val q = decodeAll(binaryObjectStream(spark, dir.toString))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[MediaMeta],
+          _: Long) =>
+        metas.synchronized {
+          batch.collect().foreach(m => metas(Sources.basename(m.path)) = m)
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      metas.synchronized { metas.keySet shouldBe Set("first.png") }
+      // More media lands while the stream runs — the next micro-batch
+      // picks up ONLY the new files.
+      Files.write(dir.resolve("late.png"), realPngBytes())
+      Files.write(dir.resolve("corrupt.jpg"), "not-a-jpeg".getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    metas.keySet shouldBe Set("first.png", "late.png", "corrupt.jpg")
+    metas("first.png").ok shouldBe true
+    (metas("late.png").width, metas("late.png").height) shouldBe ((4, 2))
+    metas("late.png").avgLuma shouldBe 127.5 +- 1e-9 // REAL decode, streaming
+    metas("corrupt.jpg").ok shouldBe false // sentinel survives the stream
+  }
+
   test("fetchByManifest: only manifest-addressed blobs are fetched") {
     import spark.implicits._
     val dir = tmpMediaDir() // contains a.jpg, b.mp4, c.wav
