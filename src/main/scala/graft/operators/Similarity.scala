@@ -217,14 +217,17 @@ object Similarity {
   private def q40(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDup(spark, dir, TestdataNearDupCosine)
 
-  private val q40Sql =
+  /** q40's pair generation as a reusable CTE body (no ORDER BY) — q77's
+    * transitive closure builds on the same pair set. */
+  private val q40CoreSql =
     s"""WITH emb AS (
        |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql))
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} AS cos
        |FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} >= $TestdataNearDupCosine
-       |ORDER BY a_id, b_id""".stripMargin
+       |WHERE ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} >= $TestdataNearDupCosine""".stripMargin
+
+  private val q40Sql = s"$q40CoreSql\nORDER BY a_id, b_id"
 
   // ---------------------------------------------------------------- q41
   /** Per-label centroid table: (c_label, cs: array<int64>, cn2) — exact
@@ -501,6 +504,56 @@ object Similarity {
        |FROM ann JOIN documents ON vec_id = doc_id
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** SEMANTIC deduplication decisions (the SemDeDup shape, Abbas et al.
+    * 2023): embedding-cosine near-dup PAIRS (q40's bucketed generation,
+    * fixture threshold) → duplicate CLUSTERS via connected components
+    * (the shared auto-escalating [[Dedup.ccLabelsAuto]] fixpoint) → a
+    * per-vector KEEP/CANONICAL table, exactly what q60 is to the text
+    * near-dup stack. This is the operator that deduplicates *meaning*:
+    * paraphrases and re-encodings that share no n-grams but collapse to
+    * near-identical embeddings.
+    *
+    * Scale posture: pairs come from sign-LSH buckets (never all-pairs),
+    * the CC fixpoint shuffles only (id, lbl) longs with driver-visible
+    * counts, labels are memoized per (session, dir), and the final
+    * decision join is corpus LEFT JOIN tiny-label-table. Oracle: the
+    * recursive-CTE transitive closure over the same pair SQL. */
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Features.cachedFrame(spark, s"$dir#embCcLabels") {
+      val pairs = q40(spark, dir).select(col("a_id"), col("b_id"))
+      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst")
+      Dedup.ccLabelsAuto(edges).labels
+    }
+    scaledEmb(spark, dir).select(col("vec_id"), col("label"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("lbl"), col("vec_id")).as("canonical_vec"))
+      .withColumn("keep", col("canonical_vec") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q77Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q40CoreSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |base AS ($scaledEmbSql)
+       |SELECT b.vec_id, b.label,
+       |  coalesce(l.lbl, b.vec_id) AS canonical_vec,
+       |  coalesce(l.lbl, b.vec_id) = b.vec_id AS keep
+       |FROM base b
+       |LEFT JOIN labels l ON l.id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q71
   /** Embedding-table quality profile per label: exact squared-norm
     * stats plus degenerate-vector counts (near-zero norm = a failed
@@ -545,7 +598,8 @@ object Similarity {
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
     "q66_ann_retrieval"   -> (q66 _),
-    "q71_embedding_profile" -> (q71 _))
+    "q71_embedding_profile" -> (q71 _),
+    "q77_semantic_dedup"  -> (q77 _))
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk"     -> q38Sql,
@@ -555,5 +609,6 @@ object Similarity {
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,
     "q66_ann_retrieval"   -> q66Sql,
-    "q71_embedding_profile" -> q71Sql)
+    "q71_embedding_profile" -> q71Sql,
+    "q77_semantic_dedup"  -> q77Sql)
 }
