@@ -707,6 +707,18 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
         .union(l)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    // Convergence via the MONOTONE label-sum invariant: every hop can
+    // only DECREASE a node's label (min of own ∪ neighbors'), so
+    // Σlbl strictly decreases iff any label changed — one aggregate
+    // action per round (which doubles as the persist materialization),
+    // replacing the old join-against-previous-generation + count that
+    // paid a second full pass per round. decimal(38,0), not long: at
+    // 10¹² nodes with 10¹²-scale ids the long sum overflows.
+    def lblSum(l: DataFrame): java.math.BigDecimal = {
+      val s = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
+    var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < hopBudget) {
@@ -716,13 +728,11 @@ object Dedup {
       // deduplicate the doubly-self-referenced edge plan and defeats
       // the cached-exchange reuse that makes each round cheap.)
       val next = hop(labels).persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .count() // convergence check: the one driver-visible value per round
+      val nextSum = lblSum(next) // the one driver-visible value per round
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     if (converged) CcRun(labels, rounds, 0)
     else {
