@@ -175,6 +175,19 @@ object Dedup {
   final case class CorpusBlooms(fpBloom: Array[Byte], bandBloom: Array[Byte],
       expectedItems: Long, fpp: Double)
 
+  /** `stat.bloomFilter` that survives an EMPTY frame: Spark 4.1 NPEs
+    * inside the call on one (its internal aggregate yields null), so
+    * the emptiness check must come FIRST, substituting a fresh
+    * (bit-compatible, matches-nothing) filter. Empty inputs are
+    * legitimate — a bootstrap corpus with no docs yet, or a signature
+    * side with no rows because every doc had <3 tokens
+    * ([[minhashSigOf]] drops shingle-less docs while [[contentFpOf]]
+    * keeps them, so fp and sig emptiness are independent). */
+  private def safeBloom(df: DataFrame, column: String, n: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+    else df.stat.bloomFilter(column, n, fpp)
+
   /** Build the sketches from the materialized corpus indexes (one pass
     * each via the public `DataFrameStatFunctions.bloomFilter`). The
     * (expectedItems, fpp) parameters ride along so later increments
@@ -182,10 +195,10 @@ object Dedup {
   private[graft] def corpusBlooms(corpusFp: DataFrame, corpusSig: DataFrame,
       expectedItems: Long = 100000L, fpp: Double = 0.01): CorpusBlooms = {
     import graft.functions.BloomExprs.serialize
-    val fpB = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
-    val bandB = sigBands(corpusSig)
-      .select(concat_ws(":", col("band"), col("bh")).as("bk"))
-      .stat.bloomFilter("bk", expectedItems * LshBands, fpp)
+    val fpB = safeBloom(corpusFp, "fp", expectedItems, fpp)
+    val bandB = safeBloom(
+      sigBands(corpusSig).select(concat_ws(":", col("band"), col("bh")).as("bk")),
+      "bk", expectedItems * LshBands, fpp)
     CorpusBlooms(serialize(fpB), serialize(bandB), expectedItems, fpp)
   }
 
@@ -200,19 +213,19 @@ object Dedup {
   private[graft] def mergeBlooms(base: CorpusBlooms,
       addFp: DataFrame, addSig: DataFrame): CorpusBlooms = {
     import graft.functions.BloomExprs.serialize
-    // An all-duplicates batch admits nothing; `stat.bloomFilter` on an
-    // empty frame returns null (Spark 4.1) — and there is nothing to
-    // merge anyway.
-    if (addFp.isEmpty) return base
+    // Either side may independently be empty ([[safeBloom]]'s scaladoc:
+    // an all-duplicates batch admits nothing; short-doc batches have fp
+    // rows but no signature rows) — the substitute empty filter makes
+    // mergeInPlace a no-op for that side.
     def read(b: Array[Byte]) =
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(b))
     val fpB = read(base.fpBloom)
-    fpB.mergeInPlace(addFp.stat.bloomFilter("fp", base.expectedItems, base.fpp))
+    fpB.mergeInPlace(safeBloom(addFp, "fp", base.expectedItems, base.fpp))
     val bandB = read(base.bandBloom)
-    bandB.mergeInPlace(sigBands(addSig)
-      .select(concat_ws(":", col("band"), col("bh")).as("bk"))
-      .stat.bloomFilter("bk", base.expectedItems * LshBands, base.fpp))
+    bandB.mergeInPlace(safeBloom(
+      sigBands(addSig).select(concat_ws(":", col("band"), col("bh")).as("bk")),
+      "bk", base.expectedItems * LshBands, base.fpp))
     base.copy(fpBloom = serialize(fpB), bandBloom = serialize(bandB))
   }
 
@@ -749,10 +762,17 @@ object Dedup {
         .select(col("albl").as("a"), col("blbl").as("b"))
         .filter(col("a") =!= col("b"))
       val (starLbls, starRounds) = ccLabelsStar(contracted, maxStarRounds)
+      // Eager localCheckpoint (not persist+count): composed must be
+      // SELF-CONTAINED before its parents are freed — a plain persisted
+      // frame that lost a block would try to recompute through the
+      // freed checkpoint below and fail.
       val composed = labels
         .join(starLbls.select(col("id").as("cid"), col("lbl").as("clbl")),
           col("lbl") === col("cid"), "left")
         .select(col("id"), coalesce(col("clbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      Features.freeFrame(starLbls) // its checkpoint served its purpose
       CcRun(composed, rounds, starRounds)
     }
   }
@@ -830,9 +850,15 @@ object Dedup {
       edges = next
       edgeCount = nextCount
     }
+    // Materialize the (tiny) label table off the final star edges, then
+    // free that last checkpoint generation — labels would otherwise pin
+    // the whole edge set's blocks through their lineage for as long as
+    // the caller holds them.
     val labels = sym(edges).groupBy(col("u"))
       .agg(least(col("u"), min(col("v"))).as("lbl"))
       .select(col("u").as("id"), col("lbl"))
+      .localCheckpoint(true)
+    Features.freeFrame(edges)
     (labels, rounds)
   }
 

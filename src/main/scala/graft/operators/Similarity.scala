@@ -97,8 +97,19 @@ object Similarity {
   val LshBitsConf = "spark.graft.similarity.lshBits"
 
   private def lshBits(spark: SparkSession): Int =
-    spark.conf.getOption(LshBitsConf).map(_.trim.toInt)
-      .filter(b => b >= 1 && b <= Dim).getOrElse(DefaultLshBits)
+    spark.conf.getOption(LshBitsConf) match {
+      case None => DefaultLshBits
+      case Some(raw) =>
+        // Loud rejection, not silent fallback: a user who set the conf
+        // believes they changed the blocking key — a typo ("twelve") or
+        // out-of-range value ("0", "100") must not quietly run at 8.
+        val b = raw.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"$LshBitsConf must be an integer in [1, $Dim], got '$raw'"))
+        require(b >= 1 && b <= Dim,
+          s"$LshBitsConf must be in [1, $Dim], got $b")
+        b
+    }
 
   /** Sign-LSH bucket: `bits` sign bits from the first `bits` components.
     * A random projection in spirit — the embedding components are already
@@ -521,9 +532,15 @@ object Similarity {
     * recursive-CTE transitive closure over the same pair SQL. */
   private def q77(spark: SparkSession, dir: String): DataFrame = {
     val labels = Features.cachedFrame(spark, s"$dir#embCcLabels") {
-      val pairs = q40(spark, dir).select(col("a_id"), col("b_id"))
-      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("src", "dst")
+      // The symmetric edge list is referenced by EVERY fixpoint round
+      // (hop join + the materializing sum action) — cache it, or each
+      // round re-runs the whole q40 bucketed self-join + cosine filter
+      // (the same reason Dedup.ccLabels caches its edge list).
+      val edges = Features.cachedFrame(spark, s"$dir#embDedupEdges") {
+        val pairs = q40(spark, dir).select(col("a_id"), col("b_id"))
+        pairs.union(pairs.select(col("b_id"), col("a_id")))
+          .toDF("src", "dst")
+      }
       Dedup.ccLabelsAuto(edges).labels
     }
     scaledEmb(spark, dir).select(col("vec_id"), col("label"))

@@ -167,27 +167,31 @@ object Media {
     * Undecodable bytes (ImageIO returns null) or empty content throw;
     * [[decodeAll]] maps that to the sentinel row, exactly the
     * reference's per-image try/except policy. */
-  def decodeImage(content: Array[Byte]): ImageMeta = {
+  /** Decode + bulk sRGB pixel fetch. One `getRGB(0,0,w,h,…)` call per
+    * image — per-pixel `getRGB(x, y)` pays bounds checks, color-model
+    * conversion dispatch, and a virtual call PER PIXEL (~12M calls on a
+    * 12 MP photo); the bulk form converts the whole raster in one
+    * native-backed pass. getRGB yields sRGB regardless of the source
+    * color model (palette PNG, grayscale JPEG, CMYK…), so downstream
+    * stats see converted pixels — the reference's `convert("RGB")`. */
+  private def decodeRgb(content: Array[Byte]): (java.awt.image.BufferedImage, Array[Int]) = {
     if (content.isEmpty) throw new IllegalArgumentException("empty media object")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     if (img == null) throw new IllegalArgumentException("undecodable image")
-    val (w, h) = (img.getWidth, img.getHeight)
-    val channels = img.getColorModel.getNumComponents
-    // RGB conversion + byte stats: getRGB yields sRGB regardless of the
-    // source color model (palette PNG, grayscale JPEG, CMYK…), so the
-    // luminance is computed over the converted pixels, not raw samples.
+    (img, img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+  }
+
+  def decodeImage(content: Array[Byte]): ImageMeta = {
+    val (img, px) = decodeRgb(content)
     var sum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      i += 1
     }
-    ImageMeta(w, h, channels, sum.toDouble / (3.0 * w * h))
+    ImageMeta(img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+      sum.toDouble / (3.0 * px.length))
   }
 
   /** REAL image feature vector: a [[FeatureDim]]-bin luminance histogram
@@ -195,24 +199,16 @@ object Media {
     * (model-free) feature extractor; a learned embedding would replace
     * this function and nothing else. */
   def imageFeatures(content: Array[Byte]): Array[Float] = {
-    if (content.isEmpty) throw new IllegalArgumentException("empty media object")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-    if (img == null) throw new IllegalArgumentException("undecodable image")
-    val (w, h) = (img.getWidth, img.getHeight)
+    val (_, px) = decodeRgb(content)
     val bins = new Array[Long](FeatureDim)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-        bins(luma * FeatureDim / 256) += 1
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      bins(luma * FeatureDim / 256) += 1
+      i += 1
     }
-    val n = (w.toLong * h).toFloat
-    bins.map(_ / n)
+    bins.map(_ / px.length.toFloat)
   }
 
   // ==================================================================

@@ -31,14 +31,19 @@ import graft.operators.Dedup
   * AT-LEAST-ONCE, Spark's `foreachBatch` contract: a crash after
   * `onBatch` ran but before the offset commit replays that batch (same
   * batchId) on restart, so a non-idempotent `onBatch` would double-log
-  * its decisions. Exactly-once OUTPUT is achieved the standard way —
-  * batchId-keyed idempotency — and is built in here: pass `onceMarkers`
-  * (a durable directory) and each batch writes a `<batchId>.done` marker
-  * only after `onBatch` + index admit both complete; a replayed batch
-  * that finds its marker skips both (`DedupStreamsSpec` proves the
-  * skip). Restart contract with a [[RefreshingIndex]]: rebuild it from
-  * corpus + decision log before restarting — the log contains exactly
-  * the marker-committed batches, so index and log agree.
+  * its decisions. Passing `onceMarkers` (a durable directory) NARROWS
+  * the duplicate window: each batch writes a `<batchId>.done` marker
+  * only after `onBatch` + index admit both complete, and a replayed
+  * batch that finds its marker skips both (`DedupStreamsSpec` proves
+  * the skip). What remains is the unavoidable marker-side window — a
+  * crash BETWEEN `onBatch` and the marker write replays `onBatch`'s
+  * effects once more. Closing that last window requires the SINK
+  * itself to be batchId-transactional (e.g. a decision log written as
+  * overwrite-by-batchId partitions), which is the sink's contract, not
+  * this loop's — the standard Spark exactly-once recipe. Restart
+  * contract with a [[RefreshingIndex]]: rebuild it from corpus +
+  * decision log before restarting — the log contains every
+  * marker-committed batch, so index and log agree.
   *
   * Index refresh: with a [[RefreshingIndex]], documents ADMITTED in batch
   * N join the corpus index before batch N+1 runs, so a duplicate arriving
@@ -223,8 +228,10 @@ object DedupStreams {
         }
         // Marker LAST: written only once the batch's effects are fully
         // applied, so a crash anywhere above leaves no marker and the
-        // replay re-runs the batch (at-least-once under the hood,
-        // exactly-once observable output).
+        // replay re-runs the whole batch. Replays of COMPLETED batches
+        // are deduplicated; a crash between onBatch and this write still
+        // re-applies onBatch (see object scaladoc — closing that window
+        // is the sink's batchId-transactionality, not this loop's).
         onceMarkers.foreach { dir =>
           val fs = markerFs(spark, dir)
           fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
@@ -251,9 +258,11 @@ object DedupStreams {
     *    feed admitted docs back into it ([[RefreshingIndex]]); omit for a
     *    fixed corpus (the batch-q69-equivalence configuration);
     *  - `onceMarkers`: durable directory for batchId completion markers —
-    *    upgrades `foreachBatch`'s at-least-once replay into exactly-once
-    *    observable output (see object scaladoc; omit if `onBatch` is
-    *    already idempotent, e.g. an overwrite-by-batchId sink). */
+    *    deduplicates replays of completed batches, narrowing
+    *    `foreachBatch`'s at-least-once window to the crash-between-
+    *    onBatch-and-marker case (see object scaladoc; omit if `onBatch`
+    *    is already idempotent, e.g. an overwrite-by-batchId sink, which
+    *    also closes that residual window). */
   def incrementalDedup(newDocs: DataFrame, index: CorpusIndex,
       checkpointLocation: Option[String] = None,
       refresher: Option[RefreshingIndex] = None,

@@ -56,6 +56,42 @@ class BloomPrefilterSpec extends AnyFunSuite with SparkSpec with Matchers {
     survivors.toDouble / 5000 should be < 0.03
   }
 
+  test("mergeBlooms survives a short-doc increment: fp rows but NO " +
+      "signature rows (minhashSigOf drops <3-token docs)") {
+    import spark.implicits._
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docsDf(Seq((1L, (0 until 30).map(i => s"c$i").mkString(" "))))
+    val base = Dedup.corpusBlooms(
+      Dedup.contentFpOf(corpus), Dedup.minhashSigOf(corpus),
+      expectedItems = 1000)
+    // The increment: a doc with TWO tokens — fp exists, signature does
+    // not (no word-3-grams). Pre-fix this NPE'd inside mergeBlooms.
+    val short = docsDf(Seq((100L, "tiny doc")))
+    val merged = Dedup.mergeBlooms(base,
+      Dedup.contentFpOf(short), Dedup.minhashSigOf(short))
+    // The short doc's fp was folded in — its exact duplicate now
+    // survives the fp pre-filter.
+    val shortFp = Dedup.contentFpOf(short).collect().head.getString(1)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(merged.fpBloom))
+    bf.mightContainBinary(shortFp.getBytes("UTF-8")) shouldBe true
+  }
+
+  test("corpusBlooms on an EMPTY bootstrap corpus builds match-nothing " +
+      "sketches instead of throwing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val blooms = Dedup.corpusBlooms(
+      Dedup.contentFpOf(empty), Dedup.minhashSigOf(empty),
+      expectedItems = 1000)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(blooms.fpBloom))
+    bf.mightContainBinary("anything".getBytes("UTF-8")) shouldBe false
+  }
+
   test("SQL surface: graft_bloom_contains callable from spark.sql") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
