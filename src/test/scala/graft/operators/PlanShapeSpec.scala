@@ -97,6 +97,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q77: decision join reads memoized labels from cache; no " +
+      "Cartesian product") {
+    val p = plan("q77_semantic_dedup")
+    p should include("InMemoryTableScan") // the cached CC label table
+    p should not include "CartesianProduct"
+  }
+
   test("q44: cell assignment is a hash argmax, not a window or sort " +
       "aggregate") {
     val p = plan("q44_ivf_ann")
