@@ -1070,6 +1070,126 @@ object Dedup {
        |FROM hits h JOIN sizes s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** The CURATION FUNNEL — the one-table answer to "what did the
+    * pipeline keep, and which stage dropped what": corpus → text dedup
+    * (q60's keep) → semantic dedup (q77's keep) → decontamination (q73's
+    * flag) → weighted mixing (q75's admit), each stage's survivor count
+    * and its drop attribution. The dashboard row a 100 TB curation run
+    * reports per snapshot.
+    *
+    * Everything reuses the memoized stages (text CC labels, semantic CC
+    * labels, the shared shingle features) — the funnel itself is one
+    * left-join pass to per-doc flags, ONE partial-aggregable aggregate,
+    * and an explode of the 5-stage summary from the single result row
+    * (no per-stage rescans). */
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val tLbl = ccLabels(spark, dir)
+      .select(col("id").as("t_id"), col("lbl").as("t_lbl"))
+    val sLbl = Similarity.embCcLabels(spark, dir)
+      .select(col("id").as("s_id"), col("lbl").as("s_lbl"))
+    val post = Features.hashedShingles(spark, dir)
+    val contaminated = post.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(post.filter(col("doc_id") % 17 === 0)
+        .select(col("h")).distinct()), "h")
+      .select(col("doc_id").as("c_id")).distinct()
+    val wMilli = (lit(1L) + md5u32(col("source")) % 4L) * 250L
+    val admit = md5u32(concat(col("doc_id").cast("string"), lit("#"),
+      col("source"))) % 1000L < wMilli
+
+    // Cumulative keep chain: each stage filters what survived the last.
+    val flags = docs
+      .join(tLbl, col("doc_id") === col("t_id"), "left")
+      .join(sLbl, col("doc_id") === col("s_id"), "left")
+      .join(contaminated, col("doc_id") === col("c_id"), "left")
+      .select(
+        (coalesce(col("t_lbl"), col("doc_id")) === col("doc_id")).as("k1"),
+        (coalesce(col("s_lbl"), col("doc_id")) === col("doc_id")).as("s_keep"),
+        col("c_id").isNull.as("clean"),
+        admit.as("adm"))
+      .select(col("k1"),
+        (col("k1") && col("s_keep")).as("k2"),
+        (col("k1") && col("s_keep") && col("clean")).as("k3"),
+        (col("k1") && col("s_keep") && col("clean") && col("adm")).as("k4"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val a = flags.agg(count(lit(1)).as("n0"), cnt(col("k1")).as("n1"),
+      cnt(col("k2")).as("n2"), cnt(col("k3")).as("n3"), cnt(col("k4")).as("n4"))
+    def stageRow(name: String, n: Column, prev: Column) =
+      struct(lit(name).as("stage"), n.as("n_docs"), (prev - n).as("n_dropped"))
+    a.select(explode(array(
+        stageRow("0_corpus", col("n0"), col("n0")),
+        stageRow("1_text_dedup", col("n1"), col("n0")),
+        stageRow("2_semantic_dedup", col("n2"), col("n1")),
+        stageRow("3_decontaminated", col("n3"), col("n2")),
+        stageRow("4_mixed", col("n4"), col("n3")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"),
+        col("s.n_dropped").as("n_dropped"))
+      .orderBy(col("stage"))
+  }
+
+  private val q78Sql = {
+    // Top-level CTE names must be unique: the text-dedup closure's
+    // names get a t_ prefix (inner nested WITHs are paren-scoped and
+    // unaffected); the semantic closure is built fresh with s_ names.
+    val tCtes = ccLabelsSqlCtes
+      .replaceAll("\\b(pairs|edges|reach|labels)\\b", "t_$1")
+    s"""WITH RECURSIVE
+       |$tCtes,
+       |s_pairs AS (SELECT a_id, b_id FROM (${Similarity.semNearDupPairsSql})),
+       |s_edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM s_pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM s_pairs),
+       |s_reach(id, lbl) AS (
+       |  SELECT src, src FROM s_edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM s_edges e JOIN s_reach r ON e.dst = r.id),
+       |s_labels AS (SELECT id, min(lbl) AS lbl FROM s_reach GROUP BY id),
+       |c_words AS ($docShinglesSql),
+       |c_hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM c_words),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id AS c_id
+       |  FROM c_hashed t JOIN (SELECT DISTINCT h FROM c_hashed
+       |                        WHERE doc_id % 17 = 0) e ON t.h = e.h
+       |  WHERE t.doc_id % 17 <> 0),
+       |flags AS (
+       |  SELECT
+       |    coalesce(tl.lbl, d.doc_id) = d.doc_id AS k1,
+       |    coalesce(tl.lbl, d.doc_id) = d.doc_id
+       |      AND coalesce(sl.lbl, d.doc_id) = d.doc_id AS k2,
+       |    coalesce(tl.lbl, d.doc_id) = d.doc_id
+       |      AND coalesce(sl.lbl, d.doc_id) = d.doc_id
+       |      AND c.c_id IS NULL AS k3,
+       |    coalesce(tl.lbl, d.doc_id) = d.doc_id
+       |      AND coalesce(sl.lbl, d.doc_id) = d.doc_id
+       |      AND c.c_id IS NULL
+       |      AND ${md5u32Sql("(CAST(d.doc_id AS VARCHAR) || '#' || d.source)")} % 1000
+       |          < (1 + ${md5u32Sql("d.source")} % 4) * 250 AS k4
+       |  FROM documents d
+       |  LEFT JOIN t_labels tl ON tl.id = d.doc_id
+       |  LEFT JOIN s_labels sl ON sl.id = d.doc_id
+       |  LEFT JOIN contaminated c ON c.c_id = d.doc_id),
+       |agg AS (
+       |  SELECT count(*) AS n0,
+       |    CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM flags)
+       |SELECT stage, n_docs, n_dropped FROM (
+       |  SELECT '0_corpus' AS stage, n0 AS n_docs, 0 AS n_dropped FROM agg
+       |  UNION ALL
+       |  SELECT '1_text_dedup', n1, n0 - n1 FROM agg
+       |  UNION ALL
+       |  SELECT '2_semantic_dedup', n2, n1 - n2 FROM agg
+       |  UNION ALL
+       |  SELECT '3_decontaminated', n3, n2 - n3 FROM agg
+       |  UNION ALL
+       |  SELECT '4_mixed', n4, n3 - n4 FROM agg)
+       |ORDER BY stage""".stripMargin
+  }
+
   private val q69Sql = {
     val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
     val mins = (0 until MinHashK)
@@ -1128,7 +1248,8 @@ object Dedup {
     "q69_incremental_dedup" -> (q69 _),
     "q70_dedup_report"   -> (q70 _),
     "q72_bloom_incremental" -> (q72 _),
-    "q73_decontamination" -> (q73 _))
+    "q73_decontamination" -> (q73 _),
+    "q78_curation_funnel" -> (q78 _))
 
   val oracles: Map[String, String] = Map(
     "q34_content_dedup"  -> q34Sql,
@@ -1144,5 +1265,6 @@ object Dedup {
     "q70_dedup_report"   -> q70Sql,
     // Bloom pruning is output-invariant — q72 shares q69's oracle.
     "q72_bloom_incremental" -> q69Sql,
-    "q73_decontamination" -> q73Sql)
+    "q73_decontamination" -> q73Sql,
+    "q78_curation_funnel" -> q78Sql)
 }

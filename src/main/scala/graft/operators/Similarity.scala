@@ -530,8 +530,12 @@ object Similarity {
     * counts, labels are memoized per (session, dir), and the final
     * decision join is corpus LEFT JOIN tiny-label-table. Oracle: the
     * recursive-CTE transitive closure over the same pair SQL. */
-  private def q77(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Features.cachedFrame(spark, s"$dir#embCcLabels") {
+  /** Memoized semantic-cluster labels (vec_id → component min) over the
+    * q40 near-dup graph — shared by q77's decision table and the q78
+    * curation funnel (ONE definition per cache key, so the shared cache
+    * can only ever hold one semantics). */
+  private[operators] def embCcLabels(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#embCcLabels") {
       // The symmetric edge list is referenced by EVERY fixpoint round
       // (hop join + the materializing sum action) — cache it, or each
       // round re-runs the whole q40 bucketed self-join + cosine filter
@@ -543,6 +547,12 @@ object Similarity {
       }
       Dedup.ccLabelsAuto(edges).labels
     }
+
+  /** q40's pair SQL (no ORDER BY), exposed for q78's funnel oracle. */
+  private[operators] def semNearDupPairsSql: String = q40CoreSql
+
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    val labels = embCcLabels(spark, dir)
     scaledEmb(spark, dir).select(col("vec_id"), col("label"))
       .join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"), col("label"),
