@@ -82,7 +82,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = perQuery.map(_._3).sum
     val coldTotal = total + featureBuild
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // decimal-comma locale would make this machine-parsed line invalid JSON.
+    def r3(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs3 = perQuery.map { case (k, _, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val head =

@@ -63,6 +63,13 @@ object ScaleBench {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Locale-proof fixed-point formatting: these lines are machine-parsed
+    // JSON, and the f-interpolator would emit decimal commas under e.g.
+    // de_DE.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def noopWrite(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def time(body: => Unit): Double = {
@@ -90,14 +97,14 @@ object ScaleBench {
       val (fbSf1, tSf1) = sweep(sf1)
       val qs = Names.map { n =>
         val (a, b) = (tBase(n), tSf1(n))
-        f""""$n":[$a%.3f,$b%.3f,${b / a}%.2f]"""
+        s""""$n":[${f3(a)},${f3(b)},${f2(b / a)}]"""
       }.mkString("{", ",", "}")
       val (sumA, sumB) = (tBase.values.sum, tSf1.values.sum)
       println(
         s"""{"metric":"scale_ratio","base":"$base","scaled":"$sf1",""" +
           s""""rows":{"documents":[5000,$nDocs],"embeddings":[2000,$nEmb]},""" +
-          f""""feature_build":[$fbBase%.3f,$fbSf1%.3f],""" +
-          f""""total":[$sumA%.3f,$sumB%.3f,${sumB / sumA}%.2f],"queries":$qs}""")
+          s""""feature_build":[${f3(fbBase)},${f3(fbSf1)}],""" +
+          s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],"queries":$qs}""")
     }
 
     if (phase == "relational" || phase == "both") {
@@ -116,12 +123,12 @@ object ScaleBench {
       val tBase = sweepRel(base)
       val qs = RelationalNames.map { n =>
         val (a, b) = (tSmall(n), tBase(n))
-        f""""$n":[$a%.3f,$b%.3f,${b / a}%.2f]"""
+        s""""$n":[${f3(a)},${f3(b)},${f2(b / a)}]"""
       }.mkString("{", ",", "}")
       val (sumA, sumB) = (tSmall.values.sum, tBase.values.sum)
       println(
         s"""{"metric":"relational_prefix","base":"$small","scaled":"$base",""" +
-          f""""total":[$sumA%.3f,$sumB%.3f,${sumB / sumA}%.2f],"queries":$qs}""")
+          s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],"queries":$qs}""")
     }
 
     if (phase == "skew" || phase == "both") {
@@ -169,13 +176,13 @@ object ScaleBench {
       }
       val pairs = Dedup.minhashVerifiedPairs(sig).count()
       sig.unpersist(blocking = false)
-      val fields = mins.map { case (n, t) => f""""$n%s_sec":$t%.2f""" }.mkString(",")
+      val fields = mins.map { case (n, t) => s""""${n}_sec":${f2(t)}""" }.mkString(",")
       val m = mins.toMap
       println(
         s"""{"metric":"salting","hot_copies":$hotCopies,"base_docs":10000,""" +
           s""""accepted_pairs":$pairs,$fields,""" +
-          f""""noaqe_speedup":${m("shuffle_unsalted_noaqe") / m("shuffle_salted_noaqe")}%.2f,""" +
-          f""""aqe_speedup":${m("shuffle_unsalted_aqe") / m("shuffle_salted_aqe")}%.2f,"salt":8}""")
+          s""""noaqe_speedup":${f2(m("shuffle_unsalted_noaqe") / m("shuffle_salted_noaqe"))},""" +
+          s""""aqe_speedup":${f2(m("shuffle_unsalted_aqe") / m("shuffle_salted_aqe"))},"salt":8}""")
     }
     Features.clear(spark)
     spark.stop()

@@ -1015,6 +1015,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The deterministic eval-set selector shared by q73 (the
+    * decontamination report) and q78 (the funnel stage that re-applies
+    * it): doc_id % EvalSliceMod == 0 is the stand-in benchmark slice.
+    * ONE definition — a fork would silently decouple the funnel row
+    * from the stage it summarizes. */
+  val EvalSliceMod = 17
+
   // ---------------------------------------------------------------- q73
   /** Benchmark DECONTAMINATION — the canonical pre-training hygiene op:
     * flag every training document sharing a word-3-gram with the eval
@@ -1034,9 +1041,9 @@ object Dedup {
     * floored to micro-units (int64) for engine parity. */
   private def q73(spark: SparkSession, dir: String): DataFrame = {
     val post = Features.hashedShingles(spark, dir)
-    val evalSide = post.filter(col("doc_id") % 17 === 0)
+    val evalSide = post.filter(col("doc_id") % EvalSliceMod === 0)
       .select(col("doc_id").as("e_id"), col("h"))
-    val train = post.filter(col("doc_id") % 17 =!= 0)
+    val train = post.filter(col("doc_id") % EvalSliceMod =!= 0)
     val sizes = train.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val hits = train.join(broadcast(evalSide), "h")
@@ -1054,8 +1061,8 @@ object Dedup {
   private val q73Sql =
     s"""WITH words AS ($docShinglesSql),
        |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
-       |ev AS (SELECT doc_id AS e_id, h FROM hashed WHERE doc_id % 17 = 0),
-       |train AS (SELECT doc_id, h FROM hashed WHERE doc_id % 17 <> 0),
+       |ev AS (SELECT doc_id AS e_id, h FROM hashed WHERE doc_id % $EvalSliceMod = 0),
+       |train AS (SELECT doc_id, h FROM hashed WHERE doc_id % $EvalSliceMod <> 0),
        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
        |hits AS (
        |  SELECT t.doc_id, count(DISTINCT t.h) AS n_hits,
@@ -1090,13 +1097,12 @@ object Dedup {
     val sLbl = Similarity.embCcLabels(spark, dir)
       .select(col("id").as("s_id"), col("lbl").as("s_lbl"))
     val post = Features.hashedShingles(spark, dir)
-    val contaminated = post.filter(col("doc_id") % 17 =!= 0)
-      .join(broadcast(post.filter(col("doc_id") % 17 === 0)
+    val contaminated = post.filter(col("doc_id") % EvalSliceMod =!= 0)
+      .join(broadcast(post.filter(col("doc_id") % EvalSliceMod === 0)
         .select(col("h")).distinct()), "h")
       .select(col("doc_id").as("c_id")).distinct()
-    val wMilli = (lit(1L) + md5u32(col("source")) % 4L) * 250L
-    val admit = md5u32(concat(col("doc_id").cast("string"), lit("#"),
-      col("source"))) % 1000L < wMilli
+    // q75's mixing rule, by reference — ONE definition (TextAnalysis).
+    val admit = TextAnalysis.mixAdmit(TextAnalysis.mixWMilli)
 
     // Cumulative keep chain: each stage filters what survived the last.
     val flags = docs
@@ -1151,8 +1157,8 @@ object Dedup {
        |contaminated AS (
        |  SELECT DISTINCT t.doc_id AS c_id
        |  FROM c_hashed t JOIN (SELECT DISTINCT h FROM c_hashed
-       |                        WHERE doc_id % 17 = 0) e ON t.h = e.h
-       |  WHERE t.doc_id % 17 <> 0),
+       |                        WHERE doc_id % $EvalSliceMod = 0) e ON t.h = e.h
+       |  WHERE t.doc_id % $EvalSliceMod <> 0),
        |flags AS (
        |  SELECT
        |    coalesce(tl.lbl, d.doc_id) = d.doc_id AS k1,
@@ -1164,8 +1170,7 @@ object Dedup {
        |    coalesce(tl.lbl, d.doc_id) = d.doc_id
        |      AND coalesce(sl.lbl, d.doc_id) = d.doc_id
        |      AND c.c_id IS NULL
-       |      AND ${md5u32Sql("(CAST(d.doc_id AS VARCHAR) || '#' || d.source)")} % 1000
-       |          < (1 + ${md5u32Sql("d.source")} % 4) * 250 AS k4
+       |      AND ${TextAnalysis.mixAdmitSql("d.doc_id", "d.source")} AS k4
        |  FROM documents d
        |  LEFT JOIN t_labels tl ON tl.id = d.doc_id
        |  LEFT JOIN s_labels sl ON sl.id = d.doc_id

@@ -115,6 +115,9 @@ object Events {
     * at a 100 TB event log the shuffle carries |users × types| buffers
     * instead of every event row. */
   private def q23(spark: SparkSession, dir: String): DataFrame = {
+    // call_function resolves through the session registry — guard for
+    // sessions not built via GraftSession (the q59/scaledEmb pattern).
+    graft.plans.GraftExtensions.register(spark)
     Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(graft.functions.ArgMaxAgg.argMin(

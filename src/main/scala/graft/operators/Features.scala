@@ -77,6 +77,15 @@ object Features {
     * (e.g. an iterative loop that had to persist + materialize to run its
     * convergence actions, like `Dedup.ccLabels`) is registered as-is —
     * re-persisting it would only log "already cached" warnings. */
+  /** A localCheckpoint-backed frame is already materialized in
+    * self-contained blocks — persisting it AGAIN would hold the data
+    * twice (cache blocks + checkpoint blocks), and `storageLevel`
+    * can't tell (it reports the cacheManager entry, NONE for
+    * checkpointed frames). */
+  private def isCheckpointBacked(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (sessionKey(spark), key)
     cache.get(k) match {
@@ -84,13 +93,14 @@ object Features {
       case None =>
         val built = build
         val persisted =
-          if (built.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          if (isCheckpointBacked(built)) built
+          else if (built.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
             built.persist()
           else built
         cache.putIfAbsent(k, persisted) match {
           case None => persisted
           case Some(winner) =>
-            try persisted.unpersist(blocking = false) catch { case _: Exception => () }
+            try freeFrame(persisted) catch { case _: Exception => () }
             winner
         }
     }
@@ -162,7 +172,10 @@ object Features {
     val sk = sessionKey(spark)
     cache.keys.filter(_._1 == sk).foreach { k =>
       cache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Exception => () })
+        // freeFrame, not unpersist: registered frames may be
+        // checkpoint-backed (escalated CC labels), whose blocks
+        // Dataset.unpersist would not release.
+        try freeFrame(df) catch { case _: Exception => () })
     }
     valueCache.keys.filter(_._1 == sk).foreach(valueCache.remove)
   }
@@ -170,7 +183,7 @@ object Features {
   /** JVM-wide teardown: unpersist and forget every registered frame from
     * every session. Only for single-session mains' shutdown paths. */
   def clearAll(): Unit = {
-    cache.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
+    cache.values.foreach(df => try freeFrame(df) catch { case _: Exception => () })
     cache.clear()
     valueCache.clear()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -579,15 +579,28 @@ object TextAnalysis {
     * admit rate, and the admitted TOKEN mass — the quantity a mixing
     * recipe actually budgets. One scan + one partial-aggregable
     * groupBy; the weights side is a broadcast of |sources| rows. */
+  /** The mixing config + admit rule, ONE definition each — q75 reports
+    * on them and q78's funnel re-applies them; a fork here would make
+    * the funnel's `4_mixed` row silently stop matching the stage it
+    * summarizes. Weight: quarter-steps 250/500/750/1000 milli from the
+    * source name; admit: content-hash of `doc_id#source` under the
+    * weight. */
+  private[operators] def mixWMilli: Column =
+    (lit(1L) + md5u32(col("source")) % 4L) * 250L
+  private[operators] def mixAdmit(wMilli: Column): Column =
+    md5u32(concat(col("doc_id").cast("string"), lit("#"), col("source"))) %
+      1000L < wMilli
+  private[operators] def mixWMilliSql(src: String): String =
+    s"(1 + ${md5u32Sql(src)} % 4) * 250"
+  private[operators] def mixAdmitSql(docId: String, src: String): String =
+    s"${md5u32Sql(s"(CAST($docId AS VARCHAR) || '#' || $src)")} % 1000 " +
+      s"< ${mixWMilliSql(src)}"
+
   private def q75(spark: SparkSession, dir: String): DataFrame = {
-    val wMilli = (lit(1L) + md5u32(col("source")) % 4L) * 250L // 250/500/750/1000
-    val accept =
-      md5u32(concat(col("doc_id").cast("string"), lit("#"), col("source"))) %
-        1000L < col("w_milli")
     Tables.documents(spark, dir)
-      .withColumn("w_milli", wMilli)
+      .withColumn("w_milli", mixWMilli)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .withColumn("admitted", when(accept, 1L).otherwise(0L))
+      .withColumn("admitted", when(mixAdmit(col("w_milli")), 1L).otherwise(0L))
       .groupBy(col("source"))
       .agg(
         max(col("w_milli")).as("w_milli"), // constant per source
@@ -599,22 +612,19 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  private val q75Sql = {
-    val w = s"(1 + ${md5u32Sql("source")} % 4) * 250"
-    val h = md5u32Sql("(CAST(doc_id AS VARCHAR) || '#' || source)")
+  private val q75Sql =
     s"""SELECT source,
        |  CAST(max(w_milli) AS BIGINT) AS w_milli,
        |  count(*) AS n_docs,
        |  CAST(sum(admitted) AS BIGINT) AS n_admitted,
        |  CAST(sum(admitted) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS admit_rate,
        |  CAST(sum(admitted * n_tokens) AS BIGINT) AS admitted_tokens
-       |FROM (SELECT source, $w AS w_milli,
+       |FROM (SELECT source, ${mixWMilliSql("source")} AS w_milli,
        |        CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
-       |        CASE WHEN $h % 1000 < $w THEN 1 ELSE 0 END AS admitted
+       |        CASE WHEN ${mixAdmitSql("doc_id", "source")} THEN 1 ELSE 0 END AS admitted
        |      FROM documents)
        |GROUP BY source
        |ORDER BY source""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q76
   /** CONTEXT-WINDOW PACKING — assign documents to fixed-token-budget

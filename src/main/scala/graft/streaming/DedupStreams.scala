@@ -107,25 +107,21 @@ object DedupStreams {
     * against them. Thread-safe (micro-batches run serially, but `current`
     * may be read concurrently by monitoring).
     *
-    * Lineage/cache lifecycle: each refresh persists the new frames,
-    * materializes them (so the next batch reads cached blocks, not a
-    * growing union chain), then frees the frames the PREVIOUS refresh
-    * owned. Plain persist keeps the LOGICAL union chain, though — if a
-    * cached block is later evicted or its executor lost, recomputation
-    * walks the whole admit lineage back through every prior batch's
-    * source files. So every [[RefreshingIndex.CompactEvery]]-th admit
-    * COMPACTS instead: `localCheckpoint(true)` materializes the union
-    * and cuts lineage at the checkpointed blocks, bounding any
-    * recomputation to the window since the last compaction. (The
-    * warehouse-scale version of the same move is appending admitted rows
-    * to the stored index table on a cadence.) The initial index frames
-    * are never freed here — their lifecycle belongs to whoever built
-    * them.
+    * Lineage/cache lifecycle: each refresh materializes the new frames
+    * with an eager `localCheckpoint` — EVERY generation is
+    * self-contained, with no logical lineage back through prior admits
+    * or the initial index's build. That invariant is what makes freeing
+    * the superseded generation safe: a generation that merely
+    * `persist()`ed its union would, on losing a cached block, try to
+    * recompute THROUGH the freed (non-recomputable) predecessor and
+    * fail. (The warehouse-scale version of the same move is appending
+    * admitted rows to the stored index table per refresh.) The initial
+    * index frames are never freed here — their lifecycle belongs to
+    * whoever built them.
     */
   final class RefreshingIndex(initial: CorpusIndex) {
     @volatile private var cur: CorpusIndex = initial
     private var owned: List[DataFrame] = Nil
-    private var admits = 0
 
     def current: CorpusIndex = cur
 
@@ -138,24 +134,13 @@ object DedupStreams {
       * are inseparable. */
     private[streaming] def admit(admittedFp: DataFrame,
         admittedSig: DataFrame): Unit = synchronized {
-      admits += 1
       val nblooms = cur.blooms.map(b =>
         Dedup.mergeBlooms(b, admittedFp, admittedSig))
-      val compact = admits % RefreshingIndex.CompactEvery == 0
-      val (nfp, nsig) =
-        if (compact)
-          // Lineage cut: eager localCheckpoint materializes AND replaces
-          // the logical plan with the checkpointed blocks.
-          (cur.fp.union(admittedFp).localCheckpoint(true),
-            cur.sig.union(admittedSig).localCheckpoint(true))
-        else {
-          val f = cur.fp.union(admittedFp).persist()
-          val s = cur.sig.union(admittedSig).persist()
-          // Materialize eagerly: the next micro-batch must read cached
-          // blocks, not re-derive the whole admit chain per batch.
-          f.count(); s.count()
-          (f, s)
-        }
+      // Eager localCheckpoint: materializes (the next micro-batch reads
+      // blocks, not a growing union plan) AND cuts lineage, keeping the
+      // self-containment invariant the class scaladoc explains.
+      val nfp = cur.fp.union(admittedFp).localCheckpoint(true)
+      val nsig = cur.sig.union(admittedSig).localCheckpoint(true)
       val old = owned
       owned = List(nfp, nsig)
       cur = CorpusIndex(nfp, nsig, nblooms)
@@ -165,22 +150,15 @@ object DedupStreams {
     }
 
     /** Drop the frames this refresher materialized (end-of-stream
-      * cleanup). [[graft.operators.Features.freeFrame]] handles both the
-      * persisted and the checkpoint-compacted generations. */
+      * cleanup) — [[graft.operators.Features.freeFrame]] frees the
+      * checkpoint-backed generations. */
     def close(): Unit = synchronized {
       owned.foreach(df =>
         try graft.operators.Features.freeFrame(df)
         catch { case _: Exception => () })
       owned = Nil
       cur = initial
-      admits = 0
     }
-  }
-
-  object RefreshingIndex {
-    /** Every Nth admit compacts the index lineage with an eager
-      * localCheckpoint instead of chaining another persist. */
-    val CompactEvery = 8
   }
 
   /** Durable batchId-idempotency markers: `<dir>/<batchId>.done` exists
