@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   * row the reference's per-image try/except produces (`:100-108`).
   * Image FEATURES are real too: a 16-bin luminance histogram
   * ([[Media.imageFeatures]]).
-  * AUDIO/VIDEO codecs still aren't in this container, so those kinds
-  * keep the clearly-marked deterministic fakes ([[Media.decodeStub]],
-  * [[Media.featureStub]]); the surrounding plumbing — binary source,
-  * schema, per-partition decoder init, batch shape
-  * (`grouped(batchSize)`), failure sentinel — is identical for both.
+  * WAV/PCM audio decode is REAL as well: [[Media.decodeAudio]] runs
+  * `javax.sound.sampled.AudioSystem` (also JVM-native) — actual sample
+  * rate, channel count, frame count, duration, and RMS amplitude, with
+  * a 16-segment energy-envelope feature vector
+  * ([[Media.audioFeatures]]). A RIFF/WAVE payload that fails to parse
+  * lands on the sentinel, same policy as images.
+  * Compressed-audio (mp3/flac/ogg) and VIDEO codecs aren't in this
+  * container, so those kinds keep the clearly-marked deterministic
+  * fakes ([[Media.decodeStub]], [[Media.featureStub]]); the
+  * surrounding plumbing — binary source, schema, per-partition decoder
+  * init, batch shape (`grouped(batchSize)`), failure sentinel — is
+  * identical for all kinds.
   *
   * Scale posture: content bytes stay inside one `mapPartitions` stage —
   * decode output (small typed rows + fixed-width feature vectors) is what
@@ -38,11 +45,15 @@ object Media {
 
   final case class MediaObject(path: String, kind: String, content: Array[Byte])
 
-  /** `channels`/`avgLuma` are real decoded pixel stats for image kind
-    * (0 / -1.0 for the still-stubbed audio/video kinds and sentinels). */
+  /** `channels`/`avgLuma` are real decoded pixel stats for image kind;
+    * for WAV audio `channels`/`sampleRate`/`durationSec` are real
+    * decoded stream facts and `avgLuma` carries the mean signal level
+    * of that modality — RMS amplitude on a 0–1 scale (vs 0–255 mean
+    * luminance for images). Zeros / -1.0 mark the still-stubbed
+    * compressed-audio/video kinds and the failure sentinel. */
   final case class MediaMeta(path: String, kind: String, nBytes: Long,
       width: Int, height: Int, nFrames: Int, channels: Int,
-      avgLuma: Double, ok: Boolean)
+      avgLuma: Double, sampleRate: Int, durationSec: Double, ok: Boolean)
 
   final case class MediaFeatures(path: String, kind: String,
       features: Array[Float])
@@ -212,8 +223,99 @@ object Media {
   }
 
   // ==================================================================
-  // STUB: deterministic fakes standing in for the audio/video codec
-  // calls this container can't run.
+  // REAL audio codec: javax.sound.sampled (WAV/PCM in any JVM).
+  // ==================================================================
+
+  /** Decoded audio facts: sample rate, channel count, frame count,
+    * duration, and RMS amplitude (0–1 scale) over all samples. */
+  final case class AudioMeta(sampleRate: Int, channels: Int, nFrames: Long,
+      durationSec: Double, rms: Double)
+
+  /** RIFF/WAVE magic sniff — the dispatch line between the REAL WAV
+    * decoder and the stub kept for compressed formats (mp3/flac/ogg)
+    * the JVM has no service provider for. A payload that CLAIMS to be
+    * WAV but fails to parse is corrupt media → sentinel, not stub. */
+  def isWav(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      content(0) == 'R' && content(1) == 'I' && content(2) == 'F' &&
+      content(3) == 'F' && content(8) == 'W' && content(9) == 'A' &&
+      content(10) == 'V' && content(11) == 'E'
+
+  /** Decode a WAV payload to normalized PCM_SIGNED 16-bit samples plus
+    * its stream format. `AudioSystem` converts whatever PCM flavor the
+    * file carries (8-bit unsigned, float, a/u-law, big-endian) to the
+    * canonical 16-bit little-endian form, so sample math downstream is
+    * uniform — the audio analog of [[decodeRgb]]'s sRGB conversion. */
+  private def decodeSamples(content: Array[Byte]): (javax.sound.sampled.AudioFormat, Long, Array[Short]) = {
+    if (content.isEmpty) throw new IllegalArgumentException("empty media object")
+    val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val base = in0.getFormat
+    val canonical = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      base.getSampleRate, 16, base.getChannels, base.getChannels * 2,
+      base.getSampleRate, false)
+    val in =
+      if (base.matches(canonical)) in0
+      else javax.sound.sampled.AudioSystem.getAudioInputStream(canonical, in0)
+    val bytes = try in.readAllBytes() finally in.close()
+    val samples = new Array[Short](bytes.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (base, in0.getFrameLength, samples)
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem` — actual
+    * stream facts, not hash-derived fakes. An unparsable RIFF payload
+    * throws (`UnsupportedAudioFileException`); [[decodeAll]] maps that
+    * to the sentinel row, the same per-object try/except policy the
+    * reference applies to images
+    * (`/root/reference/python/predict_batch_threaded_local.py:100-108`). */
+  def decodeAudio(content: Array[Byte]): AudioMeta = {
+    val (fmt, frames, samples) = decodeSamples(content)
+    var sumSq = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i) / 32768.0
+      sumSq += v * v
+      i += 1
+    }
+    val rms = if (samples.length == 0) 0.0 else math.sqrt(sumSq / samples.length)
+    AudioMeta(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+      if (fmt.getSampleRate > 0) frames / fmt.getSampleRate.toDouble else 0.0,
+      rms)
+  }
+
+  /** REAL audio feature vector: a [[FeatureDim]]-segment RMS energy
+    * envelope over the decoded samples, L1-normalized — the model-free
+    * stand-in shape for a mel-spectrogram; a learned audio embedding
+    * would replace this function and nothing else (the same contract
+    * as [[imageFeatures]]). */
+  def audioFeatures(content: Array[Byte]): Array[Float] = {
+    val (_, _, samples) = decodeSamples(content)
+    val seg = new Array[Double](FeatureDim)
+    val cnt = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < samples.length) {
+      val b = (i.toLong * FeatureDim / samples.length).toInt
+      val v = samples(i) / 32768.0
+      seg(b) += v * v
+      cnt(b) += 1
+      i += 1
+    }
+    val env = Array.tabulate(FeatureDim)(b =>
+      if (cnt(b) == 0) 0.0 else math.sqrt(seg(b) / cnt(b)))
+    val sum = env.sum
+    if (sum == 0.0) new Array[Float](FeatureDim)
+    else env.map(v => (v / sum).toFloat)
+  }
+
+  // ==================================================================
+  // STUB: deterministic fakes standing in for the compressed-audio and
+  // video codec calls this container can't run.
   // ==================================================================
 
   /** STUB for `Image.open(...).size` / probe: hash-derived dimensions.
@@ -267,11 +369,12 @@ object Media {
     * failure → `ok=false` sentinel row with zeroed dimensions — the
     * reference's M3 error policy generalized.
     *
-    * Image kind runs the REAL [[decodeImage]]; audio/video/binary kinds
-    * fall to the deterministic [[decodeStub]] (no codecs in this
-    * container). A corrupt image — bytes that sniff as image by
-    * extension but don't decode — yields the sentinel, the reference's
-    * per-image try/except (`predict_batch_threaded_local.py:100-108`). */
+    * Image kind runs the REAL [[decodeImage]]; WAV-magic audio kind the
+    * REAL [[decodeAudio]]; compressed-audio/video/binary kinds fall to
+    * the deterministic [[decodeStub]] (no codecs in this container). A
+    * corrupt object — bytes that sniff as image/WAV but don't decode —
+    * yields the sentinel, the reference's per-image try/except
+    * (`predict_batch_threaded_local.py:100-108`). */
   def decodeAll(objects: Dataset[MediaObject],
       batchSize: Int = DefaultBatchSize): Dataset[MediaMeta] = {
     import objects.sparkSession.implicits._
@@ -286,17 +389,24 @@ object Media {
             if (m.kind == "image") {
               val im = decodeImage(m.content)
               MediaMeta(m.path, m.kind, m.content.length.toLong,
-                im.width, im.height, 1, im.channels, im.avgLuma, ok = true)
+                im.width, im.height, 1, im.channels, im.avgLuma,
+                0, 0.0, ok = true)
+            } else if (m.kind == "audio" && isWav(m.content)) {
+              val au = decodeAudio(m.content)
+              val frames = math.min(au.nFrames, Int.MaxValue.toLong).toInt
+              MediaMeta(m.path, m.kind, m.content.length.toLong, 0, 0,
+                frames, au.channels, au.rms, au.sampleRate,
+                au.durationSec, ok = true)
             } else {
               val (w, h, f) = decodeStub(m.content)
               val frames = if (m.kind == "video") f else 1
               MediaMeta(m.path, m.kind, m.content.length.toLong, w, h,
-                frames, 0, -1.0, ok = true)
+                frames, 0, -1.0, 0, 0.0, ok = true)
             }
           } catch {
             case _: Exception =>
               MediaMeta(m.path, m.kind, m.content.length.toLong, 0, 0, 0,
-                0, -1.0, ok = false)
+                0, -1.0, 0, 0.0, ok = false)
           }
         }
       }
@@ -306,7 +416,8 @@ object Media {
   /** Batched feature extraction — same stage shape as [[decodeAll]];
     * output is the fixed-width vector column similarity search consumes
     * ([[graft.operators.Similarity]]). Image kind gets the REAL
-    * luminance histogram ([[imageFeatures]]); other kinds the byte-fold
+    * luminance histogram ([[imageFeatures]]); WAV-magic audio the REAL
+    * energy envelope ([[audioFeatures]]); other kinds the byte-fold
     * stub. Undecodable objects are dropped (count them upstream via
     * [[decodeAll]]'s sentinel if the loss rate matters). */
   def extractFeatures(objects: Dataset[MediaObject],
@@ -317,7 +428,10 @@ object Media {
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { m =>
           try {
-            val f = if (m.kind == "image") imageFeatures(m.content)
+            val f =
+              if (m.kind == "image") imageFeatures(m.content)
+              else if (m.kind == "audio" && isWav(m.content))
+                audioFeatures(m.content)
               else featureStub(m.content)
             Some(MediaFeatures(m.path, m.kind, f))
           } catch { case _: Exception => None }

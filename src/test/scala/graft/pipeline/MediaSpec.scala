@@ -23,19 +23,50 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.toByteArray
   }
 
+  /** A REAL WAV: 16-bit mono PCM encoded by AudioSystem itself, so the
+    * fixture needs no binary checked in (the audio twin of
+    * [[realPngBytes]]). */
+  private def realWavBytes(samples: Array[Short],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** 0.1 s of a 440 Hz sine at half amplitude — 44 exact cycles, so the
+    * RMS is amp/√2 up to 16-bit quantization. */
+  private def sineWavSamples(): Array[Short] =
+    Array.tabulate(800)(i =>
+      (16384.0 * math.sin(2 * math.Pi * 440 * i / 8000)).round.toShort)
+
   private def tmpMediaDir(): String = {
     val d = Files.createTempDirectory("media_")
     Files.write(d.resolve("real.png"), realPngBytes())
-    Files.write(d.resolve("a.jpg"), "fake-jpeg-bytes".getBytes) // CORRUPT image
+    Files.write(d.resolve("real.wav"), realWavBytes(sineWavSamples()))
+    // CORRUPT cases: extension sniffs image / RIFF magic sniffs WAV, but
+    // the payload doesn't decode.
+    Files.write(d.resolve("a.jpg"), "fake-jpeg-bytes".getBytes)
+    Files.write(d.resolve("bad.wav"), "RIFFxxxxWAVEnot-actually-audio".getBytes)
     Files.write(d.resolve("b.mp4"), "fake-video-bytes-somewhat-longer".getBytes)
-    Files.write(d.resolve("c.wav"), "fake-audio".getBytes)
+    Files.write(d.resolve("c.wav"), "fake-audio".getBytes) // non-RIFF → stub kind
     d.toString
   }
 
   test("binaryFile source: path, kind sniff, content round-trip") {
     val objs = binaryObjects(spark, tmpMediaDir()).collect()
       .map(m => Sources.basename(m.path) -> m).toMap
-    objs.keySet shouldBe Set("real.png", "a.jpg", "b.mp4", "c.wav")
+    objs.keySet shouldBe
+      Set("real.png", "real.wav", "a.jpg", "bad.wav", "b.mp4", "c.wav")
     objs("real.png").kind shouldBe "image"
     objs("b.mp4").kind shouldBe "video"
     objs("c.wav").kind shouldBe "audio"
@@ -60,6 +91,17 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     img.avgLuma shouldBe 127.5 +- 1e-9
     img.nFrames shouldBe 1 // only video kind gets frames
 
+    // REAL WAV decode: actual stream facts from javax.sound.sampled.
+    val wav = metas("real.wav")
+    wav.ok shouldBe true
+    wav.sampleRate shouldBe 8000
+    wav.channels shouldBe 1
+    wav.nFrames shouldBe 800
+    wav.durationSec shouldBe 0.1 +- 1e-9
+    // 44 exact sine cycles at half amplitude → RMS = 0.5/√2 up to
+    // 16-bit quantization.
+    wav.avgLuma shouldBe 0.5 / math.sqrt(2.0) +- 0.005
+
     // Corrupt image: sniffs as image, doesn't decode → sentinel row
     // (the reference's per-image try/except policy).
     val corrupt = metas("a.jpg")
@@ -67,7 +109,12 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     (corrupt.width, corrupt.height, corrupt.nFrames) shouldBe ((0, 0, 0))
     corrupt.nBytes shouldBe "fake-jpeg-bytes".length.toLong
 
+    // Corrupt audio: RIFF/WAVE magic but unparsable → sentinel, NOT the
+    // stub (the stub is only for formats the JVM has no codec for).
+    metas("bad.wav").ok shouldBe false
+
     metas("b.mp4").nFrames should be >= 1 // stubbed video path intact
+    metas("c.wav").ok shouldBe true       // non-RIFF audio rides the stub
 
     val bad = metas("empty.png")
     bad.ok shouldBe false
@@ -81,8 +128,9 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
       "undecodable rows dropped") {
     val feats = extractFeatures(binaryObjects(spark, tmpMediaDir()))
       .collect().map(f => Sources.basename(f.path) -> f).toMap
-    // a.jpg is a corrupt image now → dropped by the decode-failure path.
-    feats.keySet shouldBe Set("real.png", "b.mp4", "c.wav")
+    // a.jpg (corrupt image) and bad.wav (corrupt RIFF) → dropped by the
+    // decode-failure path.
+    feats.keySet shouldBe Set("real.png", "real.wav", "b.mp4", "c.wav")
     feats.values.foreach(_.features.length shouldBe FeatureDim)
     // Half black / half white → 0.5 in bin 0, 0.5 in the top bin.
     val hist = feats("real.png").features
@@ -90,6 +138,19 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     hist(FeatureDim - 1) shouldBe 0.5f
     hist.sum shouldBe 1.0f
     feats("c.wav").features shouldBe featureStub("fake-audio".getBytes)
+  }
+
+  test("audioFeatures: REAL energy envelope — silence then a constant " +
+      "half-amplitude block puts all mass in the top 8 segments") {
+    val samples = Array.tabulate[Short](1600)(i =>
+      if (i < 800) 0 else 16384)
+    val env = audioFeatures(realWavBytes(samples))
+    env.length shouldBe FeatureDim
+    // First 8 segments silent, last 8 equal RMS → 1/8 each after L1.
+    env.take(8).foreach(_ shouldBe 0.0f)
+    env.drop(8).foreach(_ shouldBe 0.125f +- 1e-6f)
+    // Determinism: same bytes, same envelope.
+    env shouldBe audioFeatures(realWavBytes(samples))
   }
 
   test("streaming media ingest: files landing in a watched directory " +
