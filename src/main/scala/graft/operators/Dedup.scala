@@ -89,7 +89,7 @@ object Dedup {
   // hashed once per session, unpersisted by Features.clear() at end of
   // run. The SQL twin below stays in the pre-hash string form; the oracle
   // replays the identical bits because md5u32 is engine-portable.
-  private val docShinglesSql =
+  private[operators] val docShinglesSql =
     s"SELECT doc_id, unnest(ss) AS w FROM (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents)"
 
   // --- Shared MinHash machinery (q35 candidate generation, q54/q59

@@ -615,9 +615,103 @@ object Similarity {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** One LLOYD ITERATION of spherical k-means over the embedding table —
+    * the codebook TRAINING step that IVF ANN (q44) consumes, and the
+    * clustering primitive cluster-balanced curation (SemDeDup-style
+    * pipelines) iterates. Deterministic seeding: the [[KmeansK]] vectors
+    * with the smallest ids (the portable stand-in for a sampled init).
+    * Per cluster the report carries membership count, mean member→seed
+    * cosine (the inertia the next iteration would improve), and the
+    * seed→new-centroid cosine (drift — convergence is drift→1).
+    *
+    * Everything stays exact: assignment reuses q44's hash-aggregable
+    * argmax over IEEE-deterministic cosines, the centroid update is 64
+    * partial-aggregable int64 sums, and drift needs NO division because
+    * cosine is scale-invariant — cos(seed, sum) IS cos(seed, mean).
+    *
+    * Scale posture: one broadcast cross-join + map-side-combining argmax
+    * (K buffers per task, identical shape to q44's cell assignment), one
+    * groupBy shuffling K×(64+2) longs total, one K-row broadcast join.
+    * The full k-means loop is this step iterated with the report's `cs`
+    * fed back as seeds — per-iteration cost is exactly this plan. */
+  private val KmeansK = 8
+
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val seeds = emb.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("s_id"), col("sv").as("ssv"),
+        col("n2").as("sn2"))
+    val best = emb.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        cosine(dotL(col("sv"), col("ssv")), col("n2"), col("sn2")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("scos"), negate(col("s_id"))),
+        struct(col("s_id"),
+          floor(col("scos") * 1000000.0).cast(LongType).as("cos_u"),
+          col("sv"))).as("b"))
+    val assigned = best.select(col("b.s_id").as("cluster_id"),
+      col("b.cos_u").as("cos_u"), col("b.sv").as("sv"))
+    val aggs = Seq(count(lit(1)).as("n_members"),
+      sum(col("cos_u")).as("sum_cos_u")) ++
+      (0 until Dim).map(i => sum(element_at(col("sv"), i + 1)).as(s"c$i"))
+    val newc = assigned.groupBy(col("cluster_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cluster_id"), col("n_members"), col("sum_cos_u"),
+        array((0 until Dim).map(i => col(s"c$i")): _*).as("cs"))
+      .withColumn("csn2", dotL(col("cs"), col("cs")))
+    newc.join(broadcast(seeds), col("cluster_id") === col("s_id"))
+      .select(col("cluster_id"), col("n_members"), col("sum_cos_u"),
+        (col("sum_cos_u").cast(DoubleType) /
+          col("n_members").cast(DoubleType) / 1000000.0).as("avg_cos"),
+        floor(cosine(dotL(col("cs"), col("ssv")), col("csn2"), col("sn2"))
+          * 1000000.0).cast(LongType).as("drift_micro"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q79Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |seeds AS (
+       |  SELECT vec_id AS s_id, sv AS ssv, n2 AS sn2 FROM emb
+       |  WHERE vec_id < $KmeansK),
+       |scored AS (
+       |  SELECT e.vec_id, e.sv, s.s_id,
+       |    ${cosineSql(dotLSql("e.sv", "s.ssv"), "e.n2", "s.sn2")} AS scos
+       |  FROM emb e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT s_id AS cluster_id,
+       |    CAST(floor(scos * 1000000.0) AS BIGINT) AS cos_u, sv
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY scos DESC, s_id) AS rnk
+       |        FROM scored)
+       |  WHERE rnk = 1),
+       |pos AS (
+       |  SELECT cluster_id, unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM assigned),
+       |csum AS (
+       |  SELECT cluster_id, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |newc AS (SELECT cluster_id, list(s ORDER BY p0) AS cs FROM csum GROUP BY 1),
+       |stats AS (
+       |  SELECT cluster_id, count(*) AS n_members,
+       |    CAST(sum(cos_u) AS BIGINT) AS sum_cos_u
+       |  FROM assigned GROUP BY 1)
+       |SELECT st.cluster_id, st.n_members, st.sum_cos_u,
+       |  CAST(st.sum_cos_u AS DOUBLE) / CAST(st.n_members AS DOUBLE)
+       |    / 1000000.0 AS avg_cos,
+       |  CAST(floor(${cosineSql(dotLSql("n.cs", "sd.ssv"),
+                dotLSql("n.cs", "n.cs"), "sd.sn2")} * 1000000.0) AS BIGINT)
+       |    AS drift_micro
+       |FROM stats st
+       |JOIN newc n ON st.cluster_id = n.cluster_id
+       |JOIN seeds sd ON st.cluster_id = sd.s_id
+       |ORDER BY st.cluster_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
     "q40_embedding_neardup" -> (q40 _),
@@ -629,6 +723,7 @@ object Similarity {
     "q77_semantic_dedup"  -> (q77 _))
 
   val oracles: Map[String, String] = Map(
+    "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,
     "q40_embedding_neardup" -> q40Sql,

@@ -669,9 +669,59 @@ object TextAnalysis {
        |        FROM documents))
        |ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** INTRA-DOCUMENT REPETITION — the duplicate-n-gram quality filter
+    * (the Gopher/MassiveText repetition gate): per document, the
+    * fraction of word-3-gram occurrences that are repeats of an
+    * earlier 3-gram in the SAME document. Templated spam, stuttering
+    * generation loops, and boilerplate score high; natural prose scores
+    * near zero. Complements q31 (unigram lexical diversity) — a
+    * document can have healthy token variety yet loop the same phrase.
+    *
+    * Reads the session-cached post-hash shingle longs
+    * ([[Features.hashedShingles]] — the same feature table the MinHash/
+    * SimHash/decontamination stack reads, hashed once per session), so
+    * the marginal cost is one partial-aggregable groupBy(doc_id):
+    * count + count-distinct over longs. A hash collision would
+    * undercount distinct 3-grams identically in both engines (md5u32 is
+    * engine-portable), so the report is exactly oracle-checkable.
+    *
+    * Scale posture: grouping key is doc_id (uniform), Spark plans the
+    * distinct as a two-phase partial aggregate on (doc_id, h) — no
+    * skew, no wide rows; flag threshold is one scalar compare. */
+  private val RepetitionMax = 0.05
+
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Features.hashedShingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_grams") - col("n_distinct")).cast(DoubleType) /
+          col("n_grams").cast(DoubleType))
+      .withColumn("repetitive", col("dup_frac") > RepetitionMax)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q80Sql =
+    s"""WITH words AS (${Dedup.docShinglesSql}),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    count(DISTINCT h) AS n_distinct
+       |  FROM hashed GROUP BY 1)
+       |SELECT doc_id, n_grams, n_distinct,
+       |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    AS dup_frac,
+       |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    > $RepetitionMax AS repetitive
+       |FROM per_doc
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q80_repetition"  -> (q80 _),
     "q30_token_stats" -> (q30 _),
     "q31_quality"     -> (q31 _),
     "q32_lang_guess"  -> (q32 _),
@@ -690,6 +740,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q80_repetition"  -> q80Sql,
     "q30_token_stats" -> q30Sql,
     "q31_quality"     -> q31Sql,
     "q32_lang_guess"  -> q32Sql,
