@@ -142,6 +142,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     line should include("*(") // WholeStageCodegen span marker
   }
 
+  test("q79: k-means assignment is the q44 hash-argmax shape — broadcast " +
+      "seeds, ObjectHashAggregate, no window sort, no Cartesian product") {
+    val p = plan("q79_kmeans_step")
+    p should include("Broadcast")           // 8-row seed table
+    p should include("ObjectHashAggregate") // graft_argmax assignment
+    p should not include "SortAggregate"
+    p should not include "Window"           // no row_number fallback
+    p should not include "CartesianProduct"
+  }
+
+  test("q80: repetition gate is one partial-aggregable distinct aggregate " +
+      "over the cached shingle features — no join, no Cartesian product") {
+    val p = plan("q80_repetition")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+    p should not include "Join" // count+distinct fold, not a self-join
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
