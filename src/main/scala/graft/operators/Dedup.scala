@@ -1096,11 +1096,16 @@ object Dedup {
       .select(col("id").as("t_id"), col("lbl").as("t_lbl"))
     val sLbl = Similarity.embCcLabels(spark, dir)
       .select(col("id").as("s_id"), col("lbl").as("s_lbl"))
-    val post = Features.hashedShingles(spark, dir)
-    val contaminated = post.filter(col("doc_id") % EvalSliceMod =!= 0)
-      .join(broadcast(post.filter(col("doc_id") % EvalSliceMod === 0)
-        .select(col("h")).distinct()), "h")
-      .select(col("doc_id").as("c_id")).distinct()
+    // Memoized like the label tables: the contaminated-id set was the
+    // one funnel stage rebuilt per run (two shuffles over the shingle
+    // features each time) — materialize it once per (session, dir).
+    val contaminated = Features.cachedFrame(spark, s"$dir#contamIds") {
+      val post = Features.hashedShingles(spark, dir)
+      post.filter(col("doc_id") % EvalSliceMod =!= 0)
+        .join(broadcast(post.filter(col("doc_id") % EvalSliceMod === 0)
+          .select(col("h")).distinct()), "h")
+        .select(col("doc_id").as("c_id")).distinct()
+    }
     // q75's mixing rule, by reference — ONE definition (TextAnalysis).
     val admit = TextAnalysis.mixAdmit(TextAnalysis.mixWMilli)
 
