@@ -21,36 +21,61 @@ object TextFns {
 
   def tokensSql(e: String): String = s"string_split($e, ' ')"
 
-  /** Distinct word-3-gram shingles (order-sensitive near-dup features).
-    * Unigram features are degenerate on a small vocabulary — nearly all
-    * documents share nearly all words — so every sketch (MinHash,
-    * SimHash) hashes shingles instead.
+  /** Word-3-gram OCCURRENCES in document order, repeats included — the
+    * base of both the distinct near-dup features ([[shingles]]) and the
+    * repetition gate (q80), whose whole point is counting the repeats
+    * this list keeps and [[shingles]] drops.
     *
     * Implementation note: built from three shifted `slice`s zipped
     * together, NOT `transform(sequence(1, n-2), i => element_at(t, i)…)`.
     * In the latter, every lambda element re-evaluates the embedded
     * `split` — O(tokens²) splits per document, which measured 16 s for
     * 5k docs at sf0.1 vs ~1 s for this O(tokens) form. */
-  def shingles(text: Column): Column = {
+  def shingleOccurrences(text: Column): Column = {
     val t = tokens(text)
     val n = size(t)
     when(n >= 3,
-      array_distinct(transform(
+      transform(
         arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
           slice(t, lit(3), n - 2)),
-        s => concat_ws(" ", s("0"), s("1"), s("2")))))
+        s => concat_ws(" ", s("0"), s("1"), s("2"))))
       .otherwise(array().cast("array<string>"))
   }
 
-  /** DuckDB twin of [[shingles]] (1-based list indexing, end-exclusive
-    * `range`). */
-  def shinglesSql(e: String): String = {
+  /** DuckDB twin of [[shingleOccurrences]] (1-based list indexing,
+    * end-exclusive `range`). */
+  def shingleOccurrencesSql(e: String): String = {
     val t = tokensSql(e)
     s"""CASE WHEN len($t) >= 3
-       |  THEN list_distinct(list_transform(range(1, len($t) - 1),
-       |         i -> ($t)[i] || ' ' || ($t)[i+1] || ' ' || ($t)[i+2]))
+       |  THEN list_transform(range(1, len($t) - 1),
+       |         i -> ($t)[i] || ' ' || ($t)[i+1] || ' ' || ($t)[i+2])
        |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
   }
+
+  /** Normalized content fingerprint: md5 of the sorted-unique-token bag —
+    * word-order- and repetition-insensitive, so trivially shuffled or
+    * stuttered copies collapse to one key. THE exact-dedup key of the
+    * whole stack (q33/q34/q45/q60, the incremental cascades, the source
+    * overlap matrix, the content-stable split assignment). ONE definition:
+    * a fork would silently decouple the dedup decisions from every report
+    * built over them. */
+  def contentFp(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** DuckDB twin of [[contentFp]]. */
+  def contentFpSql(e: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(${tokensSql(e)})), ' '))"
+
+  /** Distinct word-3-gram shingles (order-sensitive near-dup features).
+    * Unigram features are degenerate on a small vocabulary — nearly all
+    * documents share nearly all words — so every sketch (MinHash,
+    * SimHash) hashes shingles instead. */
+  def shingles(text: Column): Column =
+    array_distinct(shingleOccurrences(text))
+
+  /** DuckDB twin of [[shingles]]. */
+  def shinglesSql(e: String): String =
+    s"list_distinct(${shingleOccurrencesSql(e)})"
 
   // ---------------------------------------------------------------
   // MinHash family: k permutations of a 32-bit md5-derived word hash.

@@ -135,8 +135,7 @@ object Dedup {
     * batch queries and by streaming micro-batches, where no dir-keyed
     * cache applies. */
   private[graft] def contentFpOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+    docs.select(col("doc_id"), contentFp(col("text")).as("fp"))
 
   /** MinHash signature of a raw `(doc_id, text)` frame — the uncached
     * twin of [[minhashSig]] for streaming micro-batches. Same shingle →
@@ -279,9 +278,8 @@ object Dedup {
     * fingerprint; report every duplicate cluster. Catches the
     * word-shuffled duplicates planted in the testdata. */
   private def q34(spark: SparkSession, dir: String): DataFrame = {
-    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(bag).as("fp_content"))
+      .select(col("doc_id"), contentFp(col("text")).as("fp_content"))
       .groupBy(col("fp_content"))
       .agg(
         count(lit(1)).as("cluster_size"),
@@ -292,8 +290,7 @@ object Dedup {
   }
 
   private val q34Sql = {
-    val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
-    s"""SELECT md5($bag) AS fp_content,
+    s"""SELECT ${contentFpSql("text")} AS fp_content,
        |  count(*) AS cluster_size,
        |  min(doc_id) AS canonical_doc,
        |  max(doc_id) AS max_doc
@@ -1201,7 +1198,6 @@ object Dedup {
   }
 
   private val q69Sql = {
-    val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
     val mins = (0 until MinHashK)
       .map(i => s"min(${permSql(i, "h")}) AS m$i").mkString(",\n    ")
     val bandSelects = (0 until LshBands).map { b =>
@@ -1211,7 +1207,7 @@ object Dedup {
     val matches = (0 until MinHashK)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH fp AS (SELECT doc_id, md5($bag) AS fp FROM documents),
+    s"""WITH fp AS (SELECT doc_id, ${contentFpSql("text")} AS fp FROM documents),
        |exact AS (
        |  SELECT n.doc_id, min(o.doc_id) AS exact_match
        |  FROM fp n JOIN fp o ON n.fp = o.fp
@@ -1243,9 +1239,66 @@ object Dedup {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+  /** CROSS-SOURCE OVERLAP MATRIX — for every source pair, how many
+    * content fingerprints appear in BOTH: the "which crawls/dumps are
+    * re-serving each other's pages" diagnostic that decides source
+    * dedup ORDER (dedup the pair with 40% overlap before mixing; leave
+    * the disjoint pairs parallel) and catches a vendor reselling an
+    * existing dump as new data. Jaccard is floored to micro-units for
+    * engine parity.
+    *
+    * Scale posture: one distinct over (source, fp) — partial-aggregable
+    * — then a self-join on fp whose per-key fan-out is bounded by the
+    * number of SOURCES carrying that fp (≤ n_sources, a constant ~10²),
+    * never by the fp's document count: a viral page duplicated 10⁶×
+    * inside one crawl is still ONE (source, fp) row, so the planted-
+    * viral-dup skew that forces q35's salting cannot arise here. Output
+    * is ≤ n_sources² rows. */
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"), contentFp(col("text")).as("fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = fps.toDF("src_a", "fp")
+      .join(fps.toDF("src_b", "fp"), "fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    pairs
+      .join(broadcast(sizes.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_fps"),
+        col("n_a"), col("n_b"),
+        floor(lit(1000000.0) * col("shared_fps").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_fps")).cast("double"))
+          .cast("long").as("jaccard_u"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q82Sql =
+    s"""WITH fps AS (
+       |  SELECT DISTINCT source, ${contentFpSql("text")} AS fp
+       |  FROM documents),
+       |sizes AS (SELECT source, count(*) AS n FROM fps GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*) AS shared_fps
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+       |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       |  CAST(floor(1000000.0 * CAST(shared_fps AS DOUBLE) /
+       |    CAST(sa.n + sb.n - shared_fps AS DOUBLE)) AS BIGINT) AS jaccard_u
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = src_a
+       |JOIN sizes sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q82_source_overlap" -> (q82 _),
     "q34_content_dedup"  -> (q34 _),
     "q35_minhash_lsh"    -> (q35 _),
     "q36_simhash"        -> (q36 _),
@@ -1262,6 +1315,7 @@ object Dedup {
     "q78_curation_funnel" -> (q78 _))
 
   val oracles: Map[String, String] = Map(
+    "q82_source_overlap" -> q82Sql,
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,
     "q36_simhash"        -> q36Sql,

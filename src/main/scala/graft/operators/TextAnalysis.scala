@@ -146,22 +146,20 @@ object TextAnalysis {
   /** Document fingerprinting: full md5, a 32-bit bucket hash, and a
     * normalized (sorted-unique-token) content fingerprint. */
   private def q33(spark: SparkSession, dir: String): DataFrame = {
-    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         md5(col("text")).as("fp_exact"),
         (md5u32(col("text")) % 64L).as("bucket"),
-        md5(bag).as("fp_content"))
+        contentFp(col("text")).as("fp_content"))
       .orderBy(col("doc_id"))
   }
 
   private val q33Sql = {
-    val bag = s"array_to_string(list_sort(list_distinct(${tokensSql("text")})), ' ')"
     s"""SELECT doc_id,
        |  md5(text) AS fp_exact,
        |  ${md5u32Sql("text")} % 64 AS bucket,
-       |  md5($bag) AS fp_content
+       |  ${contentFpSql("text")} AS fp_content
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -678,13 +676,15 @@ object TextAnalysis {
     * near zero. Complements q31 (unigram lexical diversity) — a
     * document can have healthy token variety yet loop the same phrase.
     *
-    * Reads the session-cached post-hash shingle longs
-    * ([[Features.hashedShingles]] — the same feature table the MinHash/
-    * SimHash/decontamination stack reads, hashed once per session), so
-    * the marginal cost is one partial-aggregable groupBy(doc_id):
-    * count + count-distinct over longs. A hash collision would
-    * undercount distinct 3-grams identically in both engines (md5u32 is
-    * engine-portable), so the report is exactly oracle-checkable.
+    * Counts shingle OCCURRENCES ([[TextFns.shingleOccurrences]]),
+    * repeats included — NOT the deduplicated [[Features.hashedShingles]]
+    * feature table the MinHash/SimHash/decontamination stack reads.
+    * Over that distinct-per-doc table, `n_grams - n_distinct` is zero
+    * for every document by construction (only a 32-bit hash collision
+    * could separate them), which silently turns the gate off; the
+    * repeats ARE the signal here. Hashing to md5u32 longs before the
+    * distinct keeps the aggregate narrow; a collision would undercount
+    * identically in both engines, so the report stays oracle-exact.
     *
     * Scale posture: grouping key is doc_id (uniform), Spark plans the
     * distinct as a two-phase partial aggregate on (doc_id, h) — no
@@ -692,7 +692,11 @@ object TextAnalysis {
   private val RepetitionMax = 0.05
 
   private def q80(spark: SparkSession, dir: String): DataFrame = {
-    graft.operators.Features.hashedShingles(spark, dir)
+    graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(shingleOccurrences(col("text"))).as("w"))
+      .select(col("doc_id"), md5u32(col("w")).as("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("h")).as("n_distinct"))
@@ -704,7 +708,10 @@ object TextAnalysis {
   }
 
   private val q80Sql =
-    s"""WITH words AS (${Dedup.docShinglesSql}),
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(ss) AS w FROM (
+       |    SELECT doc_id, ${shingleOccurrencesSql("text")} AS ss
+       |    FROM documents)),
        |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
        |per_doc AS (
        |  SELECT doc_id, count(*) AS n_grams,
@@ -718,10 +725,99 @@ object TextAnalysis {
        |FROM per_doc
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** CORPUS BOILERPLATE DETECTOR — the top word-3-grams by document
+    * frequency, with corpus coverage. Navigation chrome, license
+    * headers, and template footers repeat VERBATIM across thousands of
+    * pages; the grams that cover an anomalous fraction of documents are
+    * the removal candidates (the corpus-level complement of q80's
+    * per-document repetition gate, and the precursor to a targeted
+    * q74-style redaction pass).
+    *
+    * Reads the session-cached distinct-per-doc shingle arrays
+    * ([[Features.shingleSets]]) — distinct-per-doc is exactly document
+    * frequency, so `count(*)` per gram IS df with no per-group distinct.
+    *
+    * Scale posture: one partial-aggregable groupBy on the gram string
+    * (map-side combine collapses each partition's repeats before the
+    * shuffle), then top-k via orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps of k rows, never a
+    * global sort. The doc-count denominator is a broadcast single-row
+    * frame. */
+  private val BoilerplateTopK = 20
+
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    Features.shingleSets(spark, dir)
+      .select(explode(col("ss")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("df"),
+        floor(lit(1000000.0) * col("df").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).cast("long").as("coverage_u"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(BoilerplateTopK)
+  }
+
+  private val q81Sql =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(ss) AS w FROM (
+       |    SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents)),
+       |total AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (SELECT w, count(*) AS df FROM words GROUP BY 1)
+       |SELECT w AS gram, CAST(df AS BIGINT) AS df,
+       |  CAST(floor(1000000.0 * CAST(df AS DOUBLE) /
+       |    CAST(n_docs AS DOUBLE)) AS BIGINT) AS coverage_u
+       |FROM df, total
+       |ORDER BY df DESC, gram
+       |LIMIT $BoilerplateTopK""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT — the assignment report every
+    * training run needs frozen before it starts: hash the CONTENT
+    * fingerprint (not the doc_id) into 10 buckets → 80/10/10, so the
+    * split is content-stable (a re-crawled or re-sharded corpus keeps
+    * every surviving document in its original split — no eval→train
+    * leakage from id churn) and exact duplicates land in the SAME split
+    * by construction. Reported per source × split: doc count and token
+    * mass, for checking the strata stayed balanced.
+    *
+    * Scale posture: a stateless per-row hash (no shuffle to ASSIGN) and
+    * one partial-aggregable groupBy over ≤ 3·n_sources cells to REPORT;
+    * the assignment expression itself can be stamped into the write
+    * path as a partition column at zero extra cost. */
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = md5u32(contentFp(col("text"))) % 10L
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        when(bucket <= 7L, "train").when(bucket === 8L, "val")
+          .otherwise("test").as("split"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val q83Sql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    ${md5u32Sql(contentFpSql("text"))} % 10 AS bucket,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT source,
+       |  CASE WHEN bucket <= 7 THEN 'train'
+       |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1, 2
+       |ORDER BY source, split""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q80_repetition"  -> (q80 _),
+    "q81_boilerplate" -> (q81 _),
+    "q83_split_assign" -> (q83 _),
     "q30_token_stats" -> (q30 _),
     "q31_quality"     -> (q31 _),
     "q32_lang_guess"  -> (q32 _),
@@ -741,6 +837,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q80_repetition"  -> q80Sql,
+    "q81_boilerplate" -> q81Sql,
+    "q83_split_assign" -> q83Sql,
     "q30_token_stats" -> q30Sql,
     "q31_quality"     -> q31Sql,
     "q32_lang_guess"  -> q32Sql,

@@ -73,4 +73,42 @@ class ParityTextFnsSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select(TextFns.shingles(col("text")).as("ss")).head.getSeq[String](0)
     one shouldBe Seq("x y z", "y z x", "z x y")
   }
+
+  test("shingleOccurrences keeps repeats (the q80 signal shingles drops)") {
+    import spark.implicits._
+    forAllSampled(Gen.choose(0, 11).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d1")).map(_.mkString(" "))), 60) { text =>
+      val got = Seq(text).toDF("text")
+        .select(TextFns.shingleOccurrences(col("text")).as("ss"))
+        .head.getSeq[String](0)
+      val toks = text.split(" ", -1)
+      val expected =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      got shouldBe expected
+    }
+    // a phrase loop repeats its shingles — occurrences > distinct
+    val looped = Seq("x y z x y z").toDF("text")
+      .select(TextFns.shingleOccurrences(col("text")).as("ss"))
+      .head.getSeq[String](0)
+    looped shouldBe Seq("x y z", "y z x", "z x y", "x y z")
+  }
+
+  test("q80 repetition gate fires on a phrase loop, not on diverse prose") {
+    // Regression for the round-5 fix: over the DISTINCT shingle feature
+    // table, n_grams - n_distinct was zero for EVERY document, so the
+    // gate could never fire. Pin the semantics on a synthetic corpus.
+    import spark.implicits._
+    val loop = ("spam phrase loop " * 20).trim            // one 3-gram cycle
+    val prose = (1 to 60).map(i => s"w$i").mkString(" ")  // all distinct
+    val dir = java.nio.file.Files.createTempDirectory("q80gate").toString
+    Seq((0L, loop, "en", "src0", loop.length.toLong),
+        (1L, prose, "en", "src0", prose.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q80_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    rows(0L) shouldBe true
+    rows(1L) shouldBe false
+  }
 }
