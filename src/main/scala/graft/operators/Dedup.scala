@@ -1256,9 +1256,15 @@ object Dedup {
     * viral-dup skew that forces q35's salting cannot arise here. Output
     * is ≤ n_sources² rows. */
   private def q82(spark: SparkSession, dir: String): DataFrame = {
-    val fps = Tables.documents(spark, dir)
-      .select(col("source"), contentFp(col("text")).as("fp"))
-      .distinct()
+    // Memoized: the frame is read from FOUR subplans below (two join
+    // sides + two size lookups), and Catalyst does not dedupe common
+    // subplans — uncached, each side would rescan + re-distinct the
+    // full corpus.
+    val fps = Features.cachedFrame(spark, s"$dir#sourceFps") {
+      Tables.documents(spark, dir)
+        .select(col("source"), contentFp(col("text")).as("fp"))
+        .distinct()
+    }
     val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = fps.toDF("src_a", "fp")
       .join(fps.toDF("src_b", "fp"), "fp")

@@ -160,6 +160,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "Join" // count+distinct fold, not a self-join
   }
 
+  test("q81: boilerplate top-k plans as TakeOrderedAndProject over a " +
+      "partial aggregate — per-partition heaps, never a global sort") {
+    val p = plan("q81_boilerplate")
+    p should include("TakeOrderedAndProject")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
+
+  test("q82: source-overlap sizes join by broadcast; no Cartesian product") {
+    val p = plan("q82_source_overlap")
+    p should include("Broadcast")
+    p should not include "CartesianProduct"
+  }
+
+  test("q83: split assignment is one stateless projection + one " +
+      "partial-aggregable groupBy — no join anywhere") {
+    val p = plan("q83_split_assign")
+    p should include("HashAggregate")
+    p should not include "Join"
+    p should not include "CartesianProduct"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
