@@ -1087,7 +1087,11 @@ object Dedup {
     * left-join pass to per-doc flags, ONE partial-aggregable aggregate,
     * and an explode of the 5-stage summary from the single result row
     * (no per-stage rescans). */
-  private def q78(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc cumulative funnel flags (source, k1..k4) — the shared base
+    * of the corpus-level funnel (q78) and the per-source breakdown
+    * (q84). ONE definition: both reports must describe the SAME
+    * pipeline run. */
+  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val tLbl = ccLabels(spark, dir)
       .select(col("id").as("t_id"), col("lbl").as("t_lbl"))
@@ -1107,21 +1111,27 @@ object Dedup {
     val admit = TextAnalysis.mixAdmit(TextAnalysis.mixWMilli)
 
     // Cumulative keep chain: each stage filters what survived the last.
-    val flags = docs
+    docs
       .join(tLbl, col("doc_id") === col("t_id"), "left")
       .join(sLbl, col("doc_id") === col("s_id"), "left")
       .join(contaminated, col("doc_id") === col("c_id"), "left")
-      .select(
+      .select(col("source"),
         (coalesce(col("t_lbl"), col("doc_id")) === col("doc_id")).as("k1"),
         (coalesce(col("s_lbl"), col("doc_id")) === col("doc_id")).as("s_keep"),
         col("c_id").isNull.as("clean"),
         admit.as("adm"))
-      .select(col("k1"),
+      .select(col("source"), col("k1"),
         (col("k1") && col("s_keep")).as("k2"),
         (col("k1") && col("s_keep") && col("clean")).as("k3"),
         (col("k1") && col("s_keep") && col("clean") && col("adm")).as("k4"))
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    val a = flags.agg(count(lit(1)).as("n0"), cnt(col("k1")).as("n1"),
+  }
+
+  private def cntTrue(c: Column) = sum(when(c, 1L).otherwise(0L))
+
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(c: Column) = cntTrue(c)
+    val a = funnelFlags(spark, dir).agg(
+      count(lit(1)).as("n0"), cnt(col("k1")).as("n1"),
       cnt(col("k2")).as("n2"), cnt(col("k3")).as("n3"), cnt(col("k4")).as("n4"))
     def stageRow(name: String, n: Column, prev: Column) =
       struct(lit(name).as("stage"), n.as("n_docs"), (prev - n).as("n_dropped"))
@@ -1136,14 +1146,58 @@ object Dedup {
       .orderBy(col("stage"))
   }
 
-  private val q78Sql = {
+  // ---------------------------------------------------------------- q84
+  /** PER-SOURCE CURATION FUNNEL — q78's survival chain broken out by
+    * source: for each source, how many docs survive text dedup,
+    * semantic dedup, decontamination, and mixing, plus the end-to-end
+    * survival rate in micro-units. The question q78's corpus totals
+    * can't answer: WHICH feed is hemorrhaging at WHICH stage (a source
+    * whose decontamination survival craters is scraping the benchmark
+    * site; one that craters at text dedup is re-crawling itself).
+    *
+    * Rides the identical memoized stages as q78 via the shared
+    * [[funnelFlags]] — the two reports are the same pipeline run by
+    * construction, and the marginal cost over q78 is grouping by
+    * source (≤ 10² cells) instead of globally. */
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    funnelFlags(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_corpus"),
+        cntTrue(col("k1")).as("n_text_dedup"),
+        cntTrue(col("k2")).as("n_semantic"),
+        cntTrue(col("k3")).as("n_decontaminated"),
+        cntTrue(col("k4")).as("n_mixed"))
+      .withColumn("survival_u",
+        floor(lit(1000000.0) * col("n_mixed").cast(DoubleType) /
+          col("n_corpus").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  private val q84Sql =
+    s"""WITH RECURSIVE
+       |$funnelFlagsCtes
+       |SELECT source,
+       |  count(*) AS n_corpus,
+       |  CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dedup,
+       |  CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+       |  CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
+       |  CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       |  CAST(floor(1000000.0 *
+       |    CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS survival_u
+       |FROM flags
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Shared CTE chain ending in `flags(source, k1..k4)` — the SQL twin
+    * of [[funnelFlags]], consumed by both q78Sql and q84Sql. */
+  private lazy val funnelFlagsCtes: String = {
     // Top-level CTE names must be unique: the text-dedup closure's
     // names get a t_ prefix (inner nested WITHs are paren-scoped and
     // unaffected); the semantic closure is built fresh with s_ names.
     val tCtes = ccLabelsSqlCtes
       .replaceAll("\\b(pairs|edges|reach|labels)\\b", "t_$1")
-    s"""WITH RECURSIVE
-       |$tCtes,
+    s"""$tCtes,
        |s_pairs AS (SELECT a_id, b_id FROM (${Similarity.semNearDupPairsSql})),
        |s_edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM s_pairs
@@ -1162,7 +1216,7 @@ object Dedup {
        |                        WHERE doc_id % $EvalSliceMod = 0) e ON t.h = e.h
        |  WHERE t.doc_id % $EvalSliceMod <> 0),
        |flags AS (
-       |  SELECT
+       |  SELECT d.source,
        |    coalesce(tl.lbl, d.doc_id) = d.doc_id AS k1,
        |    coalesce(tl.lbl, d.doc_id) = d.doc_id
        |      AND coalesce(sl.lbl, d.doc_id) = d.doc_id AS k2,
@@ -1176,7 +1230,12 @@ object Dedup {
        |  FROM documents d
        |  LEFT JOIN t_labels tl ON tl.id = d.doc_id
        |  LEFT JOIN s_labels sl ON sl.id = d.doc_id
-       |  LEFT JOIN contaminated c ON c.c_id = d.doc_id),
+       |  LEFT JOIN contaminated c ON c.c_id = d.doc_id)""".stripMargin
+  }
+
+  private val q78Sql = {
+    s"""WITH RECURSIVE
+       |$funnelFlagsCtes,
        |agg AS (
        |  SELECT count(*) AS n0,
        |    CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -1318,7 +1377,8 @@ object Dedup {
     "q70_dedup_report"   -> (q70 _),
     "q72_bloom_incremental" -> (q72 _),
     "q73_decontamination" -> (q73 _),
-    "q78_curation_funnel" -> (q78 _))
+    "q78_curation_funnel" -> (q78 _),
+    "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
     "q82_source_overlap" -> q82Sql,
@@ -1336,5 +1396,6 @@ object Dedup {
     // Bloom pruning is output-invariant — q72 shares q69's oracle.
     "q72_bloom_incremental" -> q69Sql,
     "q73_decontamination" -> q73Sql,
-    "q78_curation_funnel" -> q78Sql)
+    "q78_curation_funnel" -> q78Sql,
+    "q84_source_funnel"  -> q84Sql)
 }

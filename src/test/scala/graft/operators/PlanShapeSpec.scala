@@ -182,6 +182,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q84: per-source funnel groups the shared flag stage — " +
+      "one aggregate, no Cartesian product") {
+    val p = plan("q84_source_funnel")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
