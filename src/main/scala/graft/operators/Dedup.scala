@@ -744,8 +744,19 @@ object Dedup {
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
     }
-    if (converged) CcRun(labels, rounds, 0)
-    else {
+    if (converged) {
+      // Return a LEAF, not the last persisted round: that frame's plan
+      // nests every round's tree plus the full candidate-join lineage
+      // inside its InMemoryRelation, and every downstream consumer
+      // (q56/q60/q70, the funnels) re-walks that embedded tree on the
+      // driver at EVERY execution — measured ~1.4 s of driver-side plan
+      // processing per warm query against <0.2 s of task work. The
+      // eager localCheckpoint reads the already-cached blocks once and
+      // cuts the lineage to a 2-column LogicalRDD.
+      val leaf = labels.localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      CcRun(leaf, rounds, 0)
+    } else {
       // Budget exhausted: high-diameter graph. Contract by the current
       // labels and let the star operators close the remaining distance
       // in O(log n) rounds. The contracted graph has ≤ as many nodes as
@@ -1090,8 +1101,24 @@ object Dedup {
   /** Per-doc cumulative funnel flags (source, k1..k4) — the shared base
     * of the corpus-level funnel (q78) and the per-source breakdown
     * (q84). ONE definition: both reports must describe the SAME
-    * pipeline run. */
-  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
+    * pipeline run.
+    *
+    * Memoized as a LOCALCHECKPOINT (not a plain persist): the assembled
+    * plan nests every upstream stage's full lineage (three cached label
+    * tables, each wrapping its own AQE-planned subtree), and executing
+    * any query over that InMemoryRelation re-walks the whole embedded
+    * tree on the DRIVER — measured ~3 s of pure plan processing per
+    * warm run against 8 ms of actual task work. The checkpoint cuts
+    * the frame to a LogicalRDD leaf: the one-time materialization cost
+    * is identical, and every funnel query afterwards plans against a
+    * 5-column leaf. Freed by `Features.clear` via `freeFrame` (plain
+    * `unpersist` is a no-op for checkpoint-backed frames). */
+  private def funnelFlags(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#funnelFlags") {
+      funnelFlagsUncached(spark, dir).localCheckpoint()
+    }
+
+  private def funnelFlagsUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val tLbl = ccLabels(spark, dir)
       .select(col("id").as("t_id"), col("lbl").as("t_lbl"))
