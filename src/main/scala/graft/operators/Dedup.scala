@@ -667,10 +667,13 @@ object Dedup {
   private def ccLabels(spark: SparkSession, dir: String): DataFrame =
     Features.cachedFrame(spark, s"$dir#ccLabels") {
       val pairs = q35(spark, dir).select(col("doc_a"), col("doc_b"))
-      // Symmetric edge list, reused every round → managed cache.
+      // Symmetric edge list, reused every round → managed cache, cut to
+      // a LEAF: each fixpoint round plans a join against this frame, and
+      // with a plain persist every round's driver-side planning re-walks
+      // the full candidate-join lineage embedded in its InMemoryRelation.
       val edges = Features.cachedFrame(spark, s"$dir#dedupEdges") {
         pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst")
+          .toDF("src", "dst").localCheckpoint()
       }
       ccLabelsAuto(edges).labels
     }

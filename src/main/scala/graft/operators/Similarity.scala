@@ -540,10 +540,13 @@ object Similarity {
       // (hop join + the materializing sum action) — cache it, or each
       // round re-runs the whole q40 bucketed self-join + cosine filter
       // (the same reason Dedup.ccLabels caches its edge list).
+      // Leaf-cut like Dedup's edge cache: every fixpoint round re-plans
+      // against this frame, and a plain persist would make each round's
+      // driver-side planning walk the whole q40 lineage it embeds.
       val edges = Features.cachedFrame(spark, s"$dir#embDedupEdges") {
         val pairs = q40(spark, dir).select(col("a_id"), col("b_id"))
         pairs.union(pairs.select(col("b_id"), col("a_id")))
-          .toDF("src", "dst")
+          .toDF("src", "dst").localCheckpoint()
       }
       Dedup.ccLabelsAuto(edges).labels
     }
