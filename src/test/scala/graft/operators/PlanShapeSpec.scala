@@ -189,6 +189,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("CC label consumers plan against lineage-cut leaves, not the " +
+      "embedded fixpoint tree") {
+    // Round-5 regression guard: ccLabelsAuto's converged path must
+    // return a localCheckpoint leaf. With a plain persisted frame, the
+    // InMemoryRelation nests every fixpoint round plus the full
+    // candidate-join lineage, and every consumer re-walks that tree on
+    // the driver at EVERY execution (measured: q78 3 s wall / 8 ms of
+    // task work at sf0.1). The leaf shows up as Scan ExistingRDD; the
+    // banded self-join markers must be gone from consumer plans.
+    Seq("q60_dedup_decisions", "q78_curation_funnel",
+        "q84_source_funnel").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include("Scan ExistingRDD")
+        p should not include "x_bh" // q35's band-join key never leaks in
+      }
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
