@@ -111,6 +111,72 @@ object EventStreams {
         col("b_id"), col("b_ts"))
   }
 
+  final case class HourCount(event_type: String, hour: Timestamp, n: Long)
+  final case class RateBaseline(totalN: Long, nHours: Long)
+  final case class RateAnomaly(event_type: String, hour: Timestamp, n: Long,
+      baseline_hours: Long, rate_ratio: Double)
+
+  /** Streaming twin of q65: per-type hourly event-rate anomalies.
+    *
+    * The batch monitor compares each hour to the type's ALL-hours mean —
+    * a retrospective baseline a stream cannot know. The streaming-native
+    * baseline is the TRAILING mean of every previously finalized hour
+    * for that type, so the flag fires the moment the anomalous hour
+    * closes (what an on-call alert needs), with a `minBaselineHours`
+    * warm-up so the first hours never alert off a 1-2 sample baseline.
+    *
+    * Shape: two CHAINED stateful operators in Append mode (supported by
+    * Spark's multi-stateful-operator watermark propagation) — the
+    * windowed count emits each (type, hour) row exactly ONCE, when the
+    * watermark passes the hour's end, and `flatMapGroupsWithState`
+    * keyed by type folds those finalized rows into a two-long baseline
+    * state. State per type is O(1) (total count + hour count), join-free,
+    * and the grouping key (event type) is low-cardinality and uniform —
+    * bounded regardless of stream length. */
+  def rateAnomalies(events: DataFrame, watermark: String = "2 hours",
+      threshold: Double = 2.0, minBaselineHours: Int = 3): Dataset[RateAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("hour"), col("n"))
+      .as[HourCount]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateBaseline, RateAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe, rows, state) => advanceRate(tpe, rows, state,
+          threshold, minBaselineHours)
+      }
+  }
+
+  /** Pure baseline-state transition, shared by the streaming operator
+    * and its unit tests. Rows are finalized hour counts; fold them in
+    * event-time order (a watermark jump can finalize several hours in
+    * one batch), flagging each against the baseline of strictly PRIOR
+    * hours before folding it in. */
+  private[streaming] def advanceRate(
+      tpe: String,
+      rows: Iterator[HourCount],
+      state: GroupState[RateBaseline],
+      threshold: Double,
+      minBaselineHours: Int): Iterator[RateAnomaly] = {
+    var b = state.getOption.getOrElse(RateBaseline(0L, 0L))
+    val out = List.newBuilder[RateAnomaly]
+    rows.toSeq.sortBy(h => toMicros(h.hour)).foreach { h =>
+      // Same ratio algebra as batch q65: n / (total/nHours), as one
+      // double division of exact int64 counts.
+      if (b.nHours >= minBaselineHours) {
+        val ratio = h.n.toDouble * b.nHours.toDouble / b.totalN.toDouble
+        if (ratio >= threshold)
+          out += RateAnomaly(tpe, h.hour, h.n, b.nHours, ratio)
+      }
+      b = RateBaseline(b.totalN + h.n, b.nHours + 1L)
+    }
+    state.update(b)
+    out.result().iterator
+  }
+
   /** Streaming twin of q25: gap-based sessionization with custom state.
     *
     * State per user = the open session (start, end, count, value sum).

@@ -42,6 +42,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("rateAnomalies: a burst hour flags against the trailing mean; " +
+      "warm-up hours never alert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = rateAnomalies(in.toDF(), watermark = "10 minutes",
+        threshold = 2.0, minBaselineHours = 3)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var id = 0L
+      def burst(hourStart: Long, n: Int): Seq[EventRow] =
+        (1 to n).map { i => id += 1; ev(id, hourStart + (i % 50), 1) }
+      // Hours 0-2: 10 events each (baseline). Hour 1 at 30 would be a
+      // spike, but nHours < 3 there — warm-up must suppress it.
+      in.addData(burst(0, 10) ++ burst(60, 30) ++ burst(120, 10): _*)
+      q.processAllAvailable()
+      // Hour 3: 30 events — 30 / ((10+30+10)/3) = 1.8 → NO flag.
+      // Hour 4: 40 events — 40 / ((50+30)/4) = 2.0 → flag.
+      in.addData(burst(180, 30) ++ burst(240, 40): _*)
+      q.processAllAvailable()
+      in.addData(ev(99999, 600, 9, "late-wm-advancer")) // finalize all
+      q.processAllAvailable()
+      val rows = spark.table("rates")
+        .select("event_type", "hour", "n", "baseline_hours", "rate_ratio")
+        .as[(String, Timestamp, Long, Long, Double)].collect().toSet
+      rows shouldBe Set(("click", ts(240), 40L, 4L, 2.0))
+    } finally q.stop()
+  }
+
   test("firstEvents: duplicate (user, type) dropped within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
