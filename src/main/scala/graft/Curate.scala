@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Features, TextAnalysis}
+
+/** End-to-end corpus curation CLI — the data-pipeline twin of
+  * [[Main]]'s classification job: read a documents table, run the full
+  * curation funnel (text dedup → semantic dedup → decontamination →
+  * weighted mixing, exactly the decisions q78/q84 report), and SHIP the
+  * result:
+  *
+  *   <out>/corpus/split=train|val|test/  — surviving documents as
+  *     parquet, partitioned by the content-stable split assignment
+  *     (q83's rule stamped as a partition column at write time — the
+  *     zero-cost place to assign it);
+  *   <out>/report/                       — the per-source funnel (q84)
+  *     as a single JSON file: the audit record of what was dropped
+  *     where, written ALONGSIDE the corpus it describes.
+  *
+  * Usage: `graft.Curate <sf_dir> <out_dir>`
+  *
+  * Contracts shared with [[Main]] (the reference's driver shape,
+  * `/root/reference/java/PredictDriverCluster.java`): the output
+  * directory must not exist (Hadoop FileOutputFormat), usage errors and
+  * job failures exit 1, success exits 0.
+  *
+  * Scale posture: the funnel decisions ride the memoized flag stage
+  * (built once per session); the only full-corpus pass is the final
+  * write, a broadcast semi-join of the survivor-id set against the
+  * documents scan followed by a partitioned parquet write — no shuffle
+  * of document payloads except the partitionBy split (3 buckets,
+  * stamped from a stateless per-row hash). */
+object Curate {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("Usage: graft.Curate <sf_dir> <out_dir>")
+      sys.exit(1)
+    }
+    val (sfDir, outDir) = (args(0), args(1))
+    val spark = GraftSession.builder(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      run(spark, sfDir, outDir)
+      sys.exit(0)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[curate] failed: ${e.getMessage}")
+        sys.exit(1)
+    } finally {
+      Features.clear(spark)
+      spark.stop()
+    }
+  }
+
+  /** The job body, separated from the exit-code shell for specs. */
+  private[graft] def run(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath))
+      throw new IllegalStateException(s"output directory already exists: $outDir")
+
+    // Stamp the keep-chain onto the FULL document rows: the stage
+    // tables broadcast, so payload bytes stream scan → filter → write
+    // with no shuffle (the funnel-flag cache holds only narrow flags —
+    // joining survivors back against it would shuffle the corpus).
+    val curated = Dedup
+      .funnelFlagsOver(Tables.documents(spark, sfDir), spark, sfDir)
+      .filter(col("k4")).drop("k1", "k2", "k3", "k4")
+      .withColumn("split", TextAnalysis.splitAssign)
+    curated.write.partitionBy("split").parquet(s"$outDir/corpus")
+
+    // The audit record ships with the corpus: q84's per-source funnel.
+    SparkEntry.queries("q84_source_funnel")(spark, sfDir)
+      .coalesce(1).write.json(s"$outDir/report")
+  }
+}

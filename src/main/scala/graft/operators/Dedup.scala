@@ -1121,8 +1121,22 @@ object Dedup {
       funnelFlagsUncached(spark, dir).localCheckpoint()
     }
 
-  private def funnelFlagsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+  private def funnelFlagsUncached(spark: SparkSession, dir: String): DataFrame =
+    funnelFlagsOver(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      spark, dir)
+      .select(col("doc_id"), col("source"), col("k1"), col("k2"),
+        col("k3"), col("k4"))
+
+  /** The funnel keep-chain stamped onto an arbitrary documents frame
+    * (must carry doc_id + source): `rows` plus k1..k4. All three stage
+    * tables are BROADCAST — they hold only dup-cluster members /
+    * contaminated ids, small by construction at any corpus size — so
+    * the input streams through with NO shuffle, which is what lets
+    * [[graft.Curate]] run this over full document payloads and write
+    * survivors without ever shuffling text bytes. */
+  private[graft] def funnelFlagsOver(rows: DataFrame,
+      spark: SparkSession, dir: String): DataFrame = {
     val tLbl = ccLabels(spark, dir)
       .select(col("id").as("t_id"), col("lbl").as("t_lbl"))
     val sLbl = Similarity.embCcLabels(spark, dir)
@@ -1141,19 +1155,18 @@ object Dedup {
     val admit = TextAnalysis.mixAdmit(TextAnalysis.mixWMilli)
 
     // Cumulative keep chain: each stage filters what survived the last.
-    docs
-      .join(tLbl, col("doc_id") === col("t_id"), "left")
-      .join(sLbl, col("doc_id") === col("s_id"), "left")
-      .join(contaminated, col("doc_id") === col("c_id"), "left")
-      .select(col("source"),
-        (coalesce(col("t_lbl"), col("doc_id")) === col("doc_id")).as("k1"),
-        (coalesce(col("s_lbl"), col("doc_id")) === col("doc_id")).as("s_keep"),
-        col("c_id").isNull.as("clean"),
-        admit.as("adm"))
-      .select(col("source"), col("k1"),
-        (col("k1") && col("s_keep")).as("k2"),
-        (col("k1") && col("s_keep") && col("clean")).as("k3"),
-        (col("k1") && col("s_keep") && col("clean") && col("adm")).as("k4"))
+    rows
+      .join(broadcast(tLbl), col("doc_id") === col("t_id"), "left")
+      .join(broadcast(sLbl), col("doc_id") === col("s_id"), "left")
+      .join(broadcast(contaminated), col("doc_id") === col("c_id"), "left")
+      .withColumn("k1",
+        coalesce(col("t_lbl"), col("doc_id")) === col("doc_id"))
+      .withColumn("s_keep",
+        coalesce(col("s_lbl"), col("doc_id")) === col("doc_id"))
+      .withColumn("k2", col("k1") && col("s_keep"))
+      .withColumn("k3", col("k2") && col("c_id").isNull)
+      .withColumn("k4", col("k3") && admit)
+      .drop("t_id", "t_lbl", "s_id", "s_lbl", "c_id", "s_keep")
   }
 
   private def cntTrue(c: Column) = sum(when(c, 1L).otherwise(0L))

@@ -787,12 +787,19 @@ object TextAnalysis {
     * one partial-aggregable groupBy over ≤ 3·n_sources cells to REPORT;
     * the assignment expression itself can be stamped into the write
     * path as a partition column at zero extra cost. */
-  private def q83(spark: SparkSession, dir: String): DataFrame = {
+  /** Content-stable split assignment over a `text` column — ONE
+    * definition shared by q83's report and `graft.Curate`'s write path
+    * (where it becomes the partition column), so the shipped layout can
+    * never drift from the report describing it. */
+  private[graft] def splitAssign: Column = {
     val bucket = md5u32(contentFp(col("text"))) % 10L
+    when(bucket <= 7L, "train").when(bucket === 8L, "val").otherwise("test")
+  }
+
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("source"),
-        when(bucket <= 7L, "train").when(bucket === 8L, "val")
-          .otherwise("test").as("split"),
+        splitAssign.as("split"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end contract of the curation CLI: the shipped corpus is
+  * EXACTLY the set q84's report describes, the split partition layout
+  * matches q83's assignment rule, and the Hadoop output-dir contract
+  * holds. */
+class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val sfDir = SparkSpec.Sf0001
+
+  test("curated corpus matches the funnel report and the split rule") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curate").toString + "/job"
+    Curate.run(spark, sfDir, out)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val report = spark.read.json(s"$out/report")
+
+    // Row count == the report's total survivors (sum of per-source
+    // n_mixed) == q78's final-stage count: one pipeline, three views.
+    val shipped = corpus.count()
+    shipped shouldBe report.agg(org.apache.spark.sql.functions.sum("n_mixed"))
+      .head.getLong(0)
+    shipped shouldBe SparkEntry.queries("q78_curation_funnel")(spark, sfDir)
+      .filter($"stage" === "4_mixed").head.getAs[Long]("n_docs")
+    shipped should be > 0L
+
+    // Partition layout: every split dir value comes from q83's rule,
+    // and re-deriving the assignment from shipped text agrees with the
+    // partition each row landed in.
+    val splits = corpus.select("split").distinct().as[String].collect().toSet
+    splits.subsetOf(Set("train", "val", "test")) shouldBe true
+    corpus.filter(graft.operators.TextAnalysis.splitAssign =!= $"split")
+      .count() shouldBe 0L
+
+    // Survivors are exactly the q84-described set per source.
+    val bySource = corpus.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val reported = report.select("source", "n_mixed")
+      .as[(String, Long)].collect().toMap.filter(_._2 > 0)
+    bySource shouldBe reported
+  }
+
+  test("pre-existing output directory is an error (Hadoop contract)") {
+    val out = Files.createTempDirectory("curate-exists").toString
+    val e = intercept[IllegalStateException] {
+      Curate.run(spark, sfDir, out)
+    }
+    e.getMessage should include("already exists")
+  }
+}
