@@ -38,7 +38,11 @@ object Explain {
     "q81_boilerplate" -> "gram document-frequency from one partial-aggregable groupBy over the cached shingle arrays; top-k planned as TakeOrderedAndProject (per-partition heaps, no global sort); doc-count denominator broadcast",
     "q82_source_overlap" -> "distinct (source, fp) pairs once, self-join on fp with per-key fan-out bounded by the source count (a 10^6-copy viral dup is still ONE row per source); size lookups broadcast",
     "q83_split_assign" -> "stateless per-row hash assignment (no shuffle to assign) feeding one partial-aggregable groupBy over <= 3 x n_sources cells - no join anywhere in the plan",
-    "q84_source_funnel" -> "q78's shared per-doc flag stage, memoized as a lineage-cut leaf (Scan ExistingRDD), grouped by source instead of globally - the marginal cost of the per-source breakdown is ONE partial-aggregable groupBy")
+    "q84_source_funnel" -> "q78's shared per-doc flag stage, memoized as a lineage-cut leaf (Scan ExistingRDD), grouped by source instead of globally - the marginal cost of the per-source breakdown is ONE partial-aggregable groupBy",
+    "q85_span_dedup" -> "8-word window hashes via shifted-slice zip (O(tokens), no split re-evaluation); (window, doc) and cross-doc df both partial-aggregable hash aggregates on uniform md5 keys; the dup-window filter is a LEFT SEMI join - a boilerplate window shared by 10^6 docs stays a count, never a pair join",
+    "q86_bm25" -> "query-term isin filter BELOW the tf aggregate (only matching postings survive the explode); df and corpus stats broadcast (3-row / 1-row builds); top-10 planned as TakeOrderedAndProject; only the winners join back for source metadata",
+    "q87_lm_quality" -> "LM built by two partial-aggregable groupBys (per-lang totals broadcast, vocab-sized term counts as the probe side of one term-keyed join - input skew on hot terms is AQE-visible); per-doc aggregate on uniform doc_id; worst-15 planned as TakeOrderedAndProject",
+    "q88_containment" -> "identical candidate machinery to q37 (df-capped inverted-index join, never all-pairs, never Cartesian); the asymmetric containment metric is a per-candidate scalar swap, so the quote/excerpt detector costs nothing beyond the Jaccard top-20 it complements")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -21,36 +21,44 @@ object TextFns {
 
   def tokensSql(e: String): String = s"string_split($e, ' ')"
 
-  /** Word-3-gram OCCURRENCES in document order, repeats included — the
-    * base of both the distinct near-dup features ([[shingles]]) and the
-    * repetition gate (q80), whose whole point is counting the repeats
-    * this list keeps and [[shingles]] drops.
+  /** Word-k-gram OCCURRENCES in document order, repeats included — the
+    * base of the distinct near-dup features ([[shingles]], k=3), the
+    * repetition gate (q80, k=3, whose whole point is counting the
+    * repeats [[shingles]] drops), and the exact-substring span-dedup
+    * windows (q85, k=8).
     *
-    * Implementation note: built from three shifted `slice`s zipped
-    * together, NOT `transform(sequence(1, n-2), i => element_at(t, i)…)`.
+    * Implementation note: built from k shifted `slice`s zipped
+    * together, NOT `transform(sequence(1, n-k+1), i => element_at(t, i)…)`.
     * In the latter, every lambda element re-evaluates the embedded
     * `split` — O(tokens²) splits per document, which measured 16 s for
     * 5k docs at sf0.1 vs ~1 s for this O(tokens) form. */
-  def shingleOccurrences(text: Column): Column = {
+  def ngramOccurrences(text: Column, k: Int): Column = {
+    require(k >= 2, s"k-gram needs k >= 2, got $k")
     val t = tokens(text)
     val n = size(t)
-    when(n >= 3,
+    when(n >= k,
       transform(
-        arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
-          slice(t, lit(3), n - 2)),
-        s => concat_ws(" ", s("0"), s("1"), s("2"))))
+        arrays_zip((0 until k).map(i => slice(t, lit(i + 1), n - (k - 1))): _*),
+        s => concat_ws(" ", (0 until k).map(i => s(i.toString)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 
-  /** DuckDB twin of [[shingleOccurrences]] (1-based list indexing,
+  /** DuckDB twin of [[ngramOccurrences]] (1-based list indexing,
     * end-exclusive `range`). */
-  def shingleOccurrencesSql(e: String): String = {
+  def ngramOccurrencesSql(e: String, k: Int): String = {
     val t = tokensSql(e)
-    s"""CASE WHEN len($t) >= 3
-       |  THEN list_transform(range(1, len($t) - 1),
-       |         i -> ($t)[i] || ' ' || ($t)[i+1] || ' ' || ($t)[i+2])
+    val parts = (0 until k).map(i => s"($t)[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($t) >= $k
+       |  THEN list_transform(range(1, len($t) - ${k - 2}),
+       |         i -> $parts)
        |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
   }
+
+  /** Word-3-gram occurrences — the near-dup/repetition feature base. */
+  def shingleOccurrences(text: Column): Column = ngramOccurrences(text, 3)
+
+  /** DuckDB twin of [[shingleOccurrences]]. */
+  def shingleOccurrencesSql(e: String): String = ngramOccurrencesSql(e, 3)
 
   /** Normalized content fingerprint: md5 of the sorted-unique-token bag —
     * word-order- and repetition-insensitive, so trivially shuffled or

@@ -446,6 +446,29 @@ object Dedup {
     * 100× scale-up. */
   val ShingleDfCap = 10L
 
+  /** Candidate pairs sharing ≥2 RARE shingles (df ≤ [[ShingleDfCap]]) —
+    * the inverted-index prefix filter shared by the Jaccard top-20 (q37)
+    * and the containment scan (q88). Near-dup/contained pairs share
+    * passages — i.e. shingles nearly unique to them — so rare shingles
+    * find every real pair while the super-common shingles that would
+    * blow the self-join up quadratically contribute no evidence. The
+    * groupBy doubles as the distinct. */
+  private def rareShingleCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val post = Features.hashedShingles(spark, dir)
+      .select(col("doc_id"), col("h").as("s"))
+    val rareShingles = post.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("s"))
+    val rare = post.join(rareShingles, "s")
+    rare.as("x").join(rare.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_rare_common"))
+      .filter(col("n_rare_common") >= 2L)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Word-3-gram (shingle) Jaccard top-20 — order-sensitive
     * near-duplication (catches copied passages, not shuffled bags of
     * words; q34/q35 catch those). Candidates come from an inverted-index
@@ -461,26 +484,7 @@ object Dedup {
   private def q37(spark: SparkSession, dir: String): DataFrame = {
     // exact-verify side: full shingle arrays (shared cache, q54 reads too)
     val sh = Features.shingleSets(spark, dir)
-    val post = Features.hashedShingles(spark, dir)
-      .select(col("doc_id"), col("h").as("s"))
-    val rareShingles = post.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select(col("s"))
-    val rare = post.join(rareShingles, "s")
-
-    // Candidate = pair sharing ≥2 rare shingles. The final predicate is
-    // n_common ≥ 2, and near-dup pairs share many rare shingles, so this
-    // drops only pairs whose overlap is mostly super-common shingles —
-    // exactly the noise the df cap exists to exclude. groupBy doubles as
-    // the distinct.
-    val cand = rare.as("x").join(rare.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_rare_common"))
-      .filter(col("n_rare_common") >= 2L)
-      .select(col("doc_a"), col("doc_b"))
-
+    val cand = rareShingleCandidates(spark, dir)
     val sa = sh.toDF("a_doc", "a_ss")
     val sb = sh.toDF("b_doc", "b_ss")
     cand
@@ -1403,9 +1407,171 @@ object Dedup {
        |JOIN sizes sb ON sb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** EXACT-SUBSTRING SPAN DEDUP — the window pass of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"): slide
+    * an 8-word window over every document, hash each window, and call a
+    * window occurrence DUPLICATED when the same window text appears in
+    * ≥ 2 distinct documents. Catches verbatim-shared passages inside
+    * otherwise-distinct documents — the case document-level dedup
+    * (q34/q35, whole-content keys) and intra-doc repetition (q80,
+    * same-doc repeats) both miss by construction. Reported per source:
+    * corpus-wide duplicated-span mass and how many documents exceed the
+    * removal threshold (≥ 20% of their windows duplicated).
+    *
+    * Scale posture: windows explode ~len× rows but carry only an 8-byte
+    * hash; the (h, doc) groupBy key is uniform md5 — balanced at any
+    * scale. The cross-doc df groupBy is partial-aggregable counts, and
+    * the dup-window filter is a semi join on the same uniform hash. A
+    * boilerplate window shared by millions of docs produces a large but
+    * count-only postings list — no row explosion, unlike a pair join.
+    * (At 100 TB the true Lee et al. suffix-array pass is a different
+    * machine; this window-hash formulation is its shuffle-native
+    * approximation with one-word granularity loss at span edges.) */
+  val SpanK = 8
+  val SpanDocFracFlag = 0.20
+
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDocWin = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(ngramOccurrences(col("text"), SpanK)).as("w"))
+      .select(col("doc_id"), col("source"), md5u32(col("w")).as("h"))
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    // windows living in ≥ 2 distinct documents (cross-doc duplication)
+    val dupWin = perDocWin.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2L)
+      .select(col("h"))
+    val dupPerDoc = perDocWin.join(dupWin, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_dup"))
+    // totals straight from the scan so zero-window (short) docs count
+    val totals = docs.select(col("doc_id"), col("source"),
+      greatest(size(tokens(col("text"))) - (SpanK - 1), lit(0))
+        .cast("long").as("n_windows"))
+    totals.join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("n_dup")).as("n_dup_windows"),
+        sum(when(col("n_windows") > 0L &&
+            col("n_dup").cast(DoubleType) / col("n_windows").cast(DoubleType)
+              >= SpanDocFracFlag, 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("dup_frac_u",
+        floor(lit(1000000.0) * col("n_dup_windows").cast(DoubleType) /
+          col("n_windows").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  private val q85Sql =
+    s"""WITH wins AS (
+       |  SELECT doc_id, ${md5u32Sql("w")} AS h FROM (
+       |    SELECT doc_id, unnest(ws) AS w FROM (
+       |      SELECT doc_id, ${ngramOccurrencesSql("text", SpanK)} AS ws
+       |      FROM documents))),
+       |per_doc_win AS (
+       |  SELECT h, doc_id, count(*) AS n_occ FROM wins GROUP BY 1, 2),
+       |dup_win AS (SELECT h FROM per_doc_win GROUP BY h HAVING count(*) >= 2),
+       |dup_per_doc AS (
+       |  SELECT doc_id, sum(n_occ) AS n_dup FROM per_doc_win
+       |  WHERE h IN (SELECT h FROM dup_win) GROUP BY 1),
+       |totals AS (
+       |  SELECT doc_id, source,
+       |    CAST(greatest(len(${tokensSql("text")}) - ${SpanK - 1}, 0) AS BIGINT)
+       |      AS n_windows
+       |  FROM documents),
+       |j AS (
+       |  SELECT t.source, t.n_windows, coalesce(d.n_dup, 0) AS n_dup
+       |  FROM totals t LEFT JOIN dup_per_doc d USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_windows) AS BIGINT) AS n_windows,
+       |  CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+       |  CAST(sum(CASE WHEN n_windows > 0 AND
+       |      CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE)
+       |        >= $SpanDocFracFlag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(floor(1000000.0 * CAST(sum(n_dup) AS DOUBLE) /
+       |    CAST(sum(n_windows) AS DOUBLE)) AS BIGINT) AS dup_frac_u
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** ASYMMETRIC CONTAINMENT top-20 — containment(A,B) = |A∩B| / min(|A|,
+    * |B|) over the shared rare-shingle candidates. Jaccard punishes size
+    * mismatch (a short doc quoted whole inside a long one has Jaccard ≈
+    * |small|/|big| → 0) so the quote/excerpt/wrapper family of
+    * duplication is invisible to q37; containment is the standard
+    * asymmetric fix (the set-similarity literature's containment join).
+    * Reports both metrics so the divergence is visible per pair.
+    *
+    * Scale posture: identical to q37 — candidates from the df-capped
+    * inverted index (never all-pairs), exact verify only on candidates;
+    * the metric swap costs nothing extra. */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Features.shingleSets(spark, dir)
+    val sa = sh.toDF("a_doc", "a_ss")
+    val sb = sh.toDF("b_doc", "b_ss")
+    rareShingleCandidates(spark, dir)
+      .join(sa, col("doc_a") === col("a_doc"))
+      .join(sb, col("doc_b") === col("b_doc"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .filter(col("n_common") >= 2L)
+      .withColumn("n_small",
+        least(size(col("a_ss")), size(col("b_ss"))).cast("long"))
+      .withColumn("containment_u",
+        floor(lit(1000000.0) * col("n_common").cast(DoubleType) /
+          col("n_small").cast(DoubleType)).cast("long"))
+      .withColumn("jaccard_u",
+        floor(lit(1000000.0) * col("n_common").cast(DoubleType) /
+          (size(col("a_ss")).cast(DoubleType) +
+            size(col("b_ss")).cast(DoubleType) -
+            col("n_common").cast(DoubleType))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_small"),
+        col("containment_u"), col("jaccard_u"))
+      .orderBy(col("containment_u").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val q88Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS ss
+       |  FROM documents),
+       |post AS (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |         FROM (SELECT doc_id, unnest(ss) AS w FROM sh)),
+       |rare_s AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $ShingleDfCap),
+       |rare AS (SELECT doc_id, p.s FROM post p JOIN rare_s USING (s)),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_common,
+       |    CAST(least(len(sa.ss), len(sb.ss)) AS BIGINT) AS n_small,
+       |    CAST(len(sa.ss) AS BIGINT) + CAST(len(sb.ss) AS BIGINT) AS n_total
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_common, n_small,
+       |  CAST(floor(1000000.0 * CAST(n_common AS DOUBLE) /
+       |    CAST(n_small AS DOUBLE)) AS BIGINT) AS containment_u,
+       |  CAST(floor(1000000.0 * CAST(n_common AS DOUBLE) /
+       |    CAST(n_total - n_common AS DOUBLE)) AS BIGINT) AS jaccard_u
+       |FROM scored
+       |WHERE n_common >= 2
+       |ORDER BY containment_u DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q85_span_dedup"     -> (q85 _),
+    "q88_containment"    -> (q88 _),
     "q82_source_overlap" -> (q82 _),
     "q34_content_dedup"  -> (q34 _),
     "q35_minhash_lsh"    -> (q35 _),
@@ -1424,6 +1590,8 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q85_span_dedup"     -> q85Sql,
+    "q88_containment"    -> q88Sql,
     "q82_source_overlap" -> q82Sql,
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,

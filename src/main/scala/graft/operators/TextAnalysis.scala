@@ -819,9 +819,184 @@ object TextAnalysis {
        |FROM d GROUP BY 1, 2
        |ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** BM25 KEYWORD RETRIEVAL top-10 — the serving-path text search every
+    * corpus tool grows: score documents against a fixed query-term set
+    * with Okapi BM25 (k1 = 1.2, b = 0.75) and return the ten best. The
+    * query mixes a rare term ("dup") with common ones, so the idf spread
+    * does real ranking work. Complements q66 (embedding retrieval): this
+    * is its lexical twin.
+    *
+    * Determinism: the only transcendental is one `ln` per distinct
+    * (term, df); its argument and every other factor are ratios of small
+    * exact values, the per-(doc, term) score is floored to int64
+    * micro-units immediately (q57's recipe — a 1-ulp `ln` divergence
+    * only matters within ~1e-9 of an integer boundary), and all
+    * aggregation above is exact int64.
+    *
+    * Scale posture: the term filter lands at the scan (only query-term
+    * postings survive the explode), so the tf groupBy is bounded by
+    * docs × |query|; df and the corpus stats are 1-row/3-row broadcast
+    * frames; the final top-k is a TakeOrderedAndProject, and only the
+    * ten winners join back for their source column. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("dup", "join", "vector")
+
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_dl"))
+    val dls = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val tfq = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(dfq), "w")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf",
+        log((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType)
+          + 0.5) / (col("df").cast(DoubleType) + 0.5) + 1.0))
+      .withColumn("norm",
+        col("tf").cast(DoubleType) + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * col("dl").cast(DoubleType) / col("avgdl")))
+      .withColumn("score_u",
+        floor(lit(1000000.0) * col("idf") *
+          (col("tf").cast(DoubleType) * lit(Bm25K1 + 1.0)) / col("norm"))
+          .cast("long"))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(sum(col("score_u")).as("score_u"),
+        count(lit(1)).as("n_hit"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(10)
+    broadcast(top)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_hit"), col("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+  }
+
+  private val q86Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CAST(len(${tokensSql("text")}) AS BIGINT)) AS sum_dl
+       |  FROM documents),
+       |dls AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS dl
+       |        FROM documents),
+       |tfq AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents)
+       |  WHERE w IN ($terms)
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(floor(1000000.0 *
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |         (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+       |      (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+       |      (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} +
+       |        $Bm25B * CAST(dl AS DOUBLE) /
+       |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS BIGINT)
+       |      AS score_u
+       |  FROM tfq JOIN dfq USING (w) JOIN dls USING (doc_id) CROSS JOIN stats),
+       |top AS (
+       |  SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u,
+       |    count(*) AS n_hit
+       |  FROM scored GROUP BY 1
+       |  ORDER BY score_u DESC, doc_id
+       |  LIMIT 10)
+       |SELECT doc_id, source, n_hit, score_u
+       |FROM top JOIN documents USING (doc_id)
+       |ORDER BY score_u DESC, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q87
+  /** UNIGRAM-LM QUALITY SCORE, worst-15 — the CCNet-style perplexity
+    * filter with the corpus as its own language model: per language,
+    * P(w) = cnt(w) / total_tokens(lang), and each document scores its
+    * mean token surprisal −mean ln P(w) (nats, micro-units). Documents
+    * stuffed with tokens rare FOR THEIR LANGUAGE score high — the
+    * junk/off-distribution removal candidates. (CCNet proper uses a
+    * pretrained KenLM; the estimator swap leaves the pipeline shape
+    * identical, and the corpus-trained form is what bootstrapping a new
+    * language gives you.)
+    *
+    * Determinism: q57's recipe — one `ln` per distinct (lang, term)
+    * count pair with an exact small-int ratio argument, per-(doc, term)
+    * floor to micro-units, exact int64 sums above; the final mean is one
+    * double division of two exact int64s, floored.
+    *
+    * Scale posture: two partial-aggregable groupBys build the LM
+    * (per-lang totals: a few rows, broadcast; per-(lang, term) counts:
+    * vocabulary-sized, the probe side of one shuffle join keyed by the
+    * term — AQE's input-size skew split sees a hot term's postings
+    * directly); the per-doc aggregate is keyed by uniform doc_id, and
+    * the worst-k is a TakeOrderedAndProject. */
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val langTot = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_l"))
+    val wc = toks.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val tf = toks.groupBy(col("lang"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(wc, Seq("lang", "w"))
+      .join(broadcast(langTot), "lang")
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("tf").cast(DoubleType) *
+          log(col("total_l").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          .cast("long"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("sum_u"),
+        sum(col("tf")).as("n_tokens"))
+      .withColumn("xent_u",
+        floor(col("sum_u").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .cast("long"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("xent_u"))
+      .orderBy(col("xent_u").desc, col("lang"), col("doc_id"))
+      .limit(15)
+  }
+
+  private val q87Sql =
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+       |lang_tot AS (SELECT lang, count(*) AS total_l FROM toks GROUP BY 1),
+       |wc AS (SELECT lang, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |contrib AS (
+       |  SELECT lang, doc_id,
+       |    CAST(floor(1000000.0 * CAST(tf AS DOUBLE) *
+       |      ln(CAST(total_l AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT)
+       |      AS contrib_u,
+       |    tf
+       |  FROM tf JOIN wc USING (lang, w) JOIN lang_tot USING (lang)),
+       |per_doc AS (
+       |  SELECT lang, doc_id,
+       |    CAST(sum(contrib_u) AS BIGINT) AS sum_u,
+       |    CAST(sum(tf) AS BIGINT) AS n_tokens
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT lang, doc_id, n_tokens,
+       |  CAST(floor(CAST(sum_u AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+       |    AS xent_u
+       |FROM per_doc
+       |ORDER BY xent_u DESC, lang, doc_id
+       |LIMIT 15""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q86_bm25"        -> (q86 _),
+    "q87_lm_quality"  -> (q87 _),
     "q80_repetition"  -> (q80 _),
     "q81_boilerplate" -> (q81 _),
     "q83_split_assign" -> (q83 _),
@@ -843,6 +1018,8 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q86_bm25"        -> q86Sql,
+    "q87_lm_quality"  -> q87Sql,
     "q80_repetition"  -> q80Sql,
     "q81_boilerplate" -> q81Sql,
     "q83_split_assign" -> q83Sql,

