@@ -42,7 +42,8 @@ object Explain {
     "q85_span_dedup" -> "8-word window hashes via shifted-slice zip (O(tokens), no split re-evaluation); (window, doc) and cross-doc df both partial-aggregable hash aggregates on uniform md5 keys; the dup-window filter is a LEFT SEMI join - a boilerplate window shared by 10^6 docs stays a count, never a pair join",
     "q86_bm25" -> "query-term isin filter BELOW the tf aggregate (only matching postings survive the explode); df and corpus stats broadcast (3-row / 1-row builds); top-10 planned as TakeOrderedAndProject; only the winners join back for source metadata",
     "q87_lm_quality" -> "LM built by two partial-aggregable groupBys (per-lang totals broadcast, vocab-sized term counts as the probe side of one term-keyed join - input skew on hot terms is AQE-visible); per-doc aggregate on uniform doc_id; worst-15 planned as TakeOrderedAndProject",
-    "q88_containment" -> "identical candidate machinery to q37 (df-capped inverted-index join, never all-pairs, never Cartesian); the asymmetric containment metric is a per-candidate scalar swap, so the quote/excerpt detector costs nothing beyond the Jaccard top-20 it complements")
+    "q88_containment" -> "identical candidate machinery to q37 (df-capped inverted-index join, never all-pairs, never Cartesian); the asymmetric containment metric is a per-candidate scalar swap, so the quote/excerpt detector costs nothing beyond the Jaccard top-20 it complements",
+    "q89_quality_gate" -> "repetition + length gates are stateless per-row array expressions at scan position (no explode, no groupBy, no shuffle on that side); the LM surprisal side joins term-keyed with per-lang totals broadcast; decision join 1:1 on uniform doc_id - the same scorer runs unchanged on streaming micro-batches (QualityStreams)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -46,7 +46,8 @@ object ScaleBench {
     "q76_context_packing", "q77_semantic_dedup", "q78_curation_funnel",
     "q79_kmeans_step", "q80_repetition", "q81_boilerplate",
     "q82_source_overlap", "q83_split_assign", "q84_source_funnel",
-    "q85_span_dedup", "q86_bm25", "q87_lm_quality", "q88_containment")
+    "q85_span_dedup", "q86_bm25", "q87_lm_quality", "q88_containment",
+    "q89_quality_gate")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

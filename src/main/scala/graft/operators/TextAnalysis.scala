@@ -992,9 +992,149 @@ object TextAnalysis {
        |ORDER BY xent_u DESC, lang, doc_id
        |LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** COMPOSITE QUALITY GATE — the per-document ADMIT/REJECT decision
+    * table of a streaming-ingest curation pipeline, composing three
+    * gates in fixed precedence:
+    *   1. `length`     — fewer than [[QualityMinTokens]] tokens;
+    *   2. `repetition` — q80's duplicate-3-gram fraction above q80's
+    *      5% cut (here computed PER ROW with array expressions — no
+    *      explode, no groupBy — so the gate is stateless and runs
+    *      unchanged on a streaming micro-batch);
+    *   3. `lm_quality` — q87's mean token surprisal above
+    *      [[LmXentMaxU]] micro-nats (an absolute threshold: the
+    *      corpus vocabulary is fixed, so ln(total/cnt) is
+    *      scale-invariant and the same cut works at any SF).
+    * Every doc gets `admit` + the FIRST failing gate as `reason` — the
+    * attribution a funnel report (q78) wants.
+    *
+    * The LM is passed IN as a table ([[lmTable]]) rather than derived
+    * inline: production ships a frozen LM to the scorer (CCNet ships
+    * KenLM files; the reference ships checkpoint.pth via
+    * DistributedCache — same side-input shape), and the streaming twin
+    * ([[graft.streaming.QualityStreams]]) joins each micro-batch
+    * against exactly this static table.
+    *
+    * Scale posture: repetition + length are per-row expressions at scan
+    * position (zero shuffle); the LM join is keyed by term (AQE-visible
+    * input skew) with per-lang totals broadcast; the per-doc aggregate
+    * keys on uniform doc_id; the decision join is 1:1 on doc_id. */
+  val QualityMinTokens = 5L
+  val RepFracMaxU: Long = 50000L  // q80's RepetitionMax in micro-units
+  val LmXentMaxU: Long = 3500000L
+
+  /** The per-language unigram LM: (lang, w, cnt, total_l). Static side
+    * input for [[qualityDecisions]] — batch q89 derives it from the
+    * corpus itself; a streaming deployment freezes one and ships it. */
+  private[graft] def lmTable(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val langTot = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_l"))
+    toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(langTot), "lang")
+  }
+
+  /** Decision table for a batch of documents against a FROZEN LM — the
+    * shared scorer of batch q89 and the streaming gate (identical code
+    * path, so stream decisions are batch decisions by construction). */
+  private[graft] def qualityDecisions(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        shingleOccurrences(col("text")).as("gs"))
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(transform(col("gs"), g => md5u32(g)))).cast("long"))
+      .withColumn("rep_frac_u",
+        when(col("n_grams") > 0L,
+          floor(lit(1000000.0) *
+            (col("n_grams") - col("n_distinct")).cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("gs")
+    val xent = docs
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .join(lm, Seq("lang", "w"))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("tf").cast(DoubleType) *
+          log(col("total_l").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("contrib_u")).cast(DoubleType) /
+        sum(col("tf")).cast(DoubleType)).as("xent_raw"))
+      .withColumn("xent_u", floor(col("xent_raw")).cast("long"))
+      .select(col("doc_id"), col("xent_u"))
+    base.join(xent, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("xent_u"))
+      .withColumn("reason",
+        when(col("n_tokens") < QualityMinTokens, lit("length"))
+          .when(col("rep_frac_u") > RepFracMaxU, lit("repetition"))
+          .when(col("xent_u") > LmXentMaxU, lit("lm_quality"))
+          .otherwise(lit("admit")))
+      .withColumn("admit", col("reason") === "admit")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("rep_frac_u"), col("xent_u"), col("admit"), col("reason"))
+  }
+
+  private def q89(spark: SparkSession, dir: String): DataFrame =
+    qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+      .orderBy(col("doc_id"))
+
+  private val q89Sql = {
+    val h = "('0x' || substr(md5(g), 1, 8))::BIGINT"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    ${shingleOccurrencesSql("text")} AS gs
+       |  FROM documents),
+       |rep AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    CAST(len(gs) AS BIGINT) AS n_grams,
+       |    CAST(len(list_distinct(list_transform(gs, g -> $h))) AS BIGINT)
+       |      AS n_distinct
+       |  FROM base),
+       |rep2 AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    CASE WHEN n_grams > 0 THEN
+       |      CAST(floor(1000000.0 * CAST(n_grams - n_distinct AS DOUBLE) /
+       |        CAST(n_grams AS DOUBLE)) AS BIGINT)
+       |    ELSE 0 END AS rep_frac_u
+       |  FROM rep),
+       |toks AS (
+       |  SELECT lang, doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+       |lang_tot AS (SELECT lang, count(*) AS total_l FROM toks GROUP BY 1),
+       |wc AS (SELECT lang, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |xent AS (
+       |  SELECT doc_id,
+       |    CAST(floor(
+       |      CAST(sum(CAST(floor(1000000.0 * CAST(tf AS DOUBLE) *
+       |        ln(CAST(total_l AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT))
+       |        AS DOUBLE) /
+       |      CAST(sum(tf) AS DOUBLE)) AS BIGINT) AS xent_u
+       |  FROM tf JOIN wc USING (lang, w) JOIN lang_tot USING (lang)
+       |  GROUP BY 1),
+       |dec AS (
+       |  SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.rep_frac_u,
+       |    coalesce(x.xent_u, 0) AS xent_u,
+       |    CASE
+       |      WHEN r.n_tokens < $QualityMinTokens THEN 'length'
+       |      WHEN r.rep_frac_u > $RepFracMaxU THEN 'repetition'
+       |      WHEN coalesce(x.xent_u, 0) > $LmXentMaxU THEN 'lm_quality'
+       |      ELSE 'admit' END AS reason
+       |  FROM rep2 r LEFT JOIN xent x USING (doc_id))
+       |SELECT doc_id, lang, source, n_tokens, rep_frac_u, xent_u,
+       |  reason = 'admit' AS admit, reason
+       |FROM dec
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q89_quality_gate" -> (q89 _),
     "q86_bm25"        -> (q86 _),
     "q87_lm_quality"  -> (q87 _),
     "q80_repetition"  -> (q80 _),
@@ -1018,6 +1158,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q89_quality_gate" -> q89Sql,
     "q86_bm25"        -> q86Sql,
     "q87_lm_quality"  -> q87Sql,
     "q80_repetition"  -> q80Sql,

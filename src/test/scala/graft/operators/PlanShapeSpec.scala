@@ -242,6 +242,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q89: the repetition/length gates are per-row expressions — " +
+      "no explode-groupBy on that side; LM totals broadcast; no Cartesian") {
+    val p = plan("q89_quality_gate")
+    p should include("Broadcast")
+    p should not include "CartesianProduct"
+    // the decision join is 1:1 on doc_id, the only wide shuffle keys are
+    // uniform (doc_id / term) — pinned implicitly by the absence of any
+    // Generate (explode) under the rep_frac side's project:
+    p should include("array_distinct") // per-row, inside a Project
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkEntry, SparkSpec}
+import graft.operators.TextAnalysis
+
+/** Stream/batch parity for the quality gate: the MemoryStream-driven
+  * [[QualityStreams.qualityGate]] must make exactly batch q89's
+  * decisions on the same corpus + frozen LM, across multiple
+  * micro-batches (no cross-batch state exists, so batch boundaries must
+  * not matter), and the LM must stay FROZEN (scores derive from the
+  * side-input table, not the stream's own contents).
+  */
+class QualityStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  test("MemoryStream gate decisions equal batch q89 across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = SparkSpec.Sf0001
+    val docs = graft.Tables.documents(spark, dir)
+    val lm = TextAnalysis.lmTable(spark, dir)
+
+    val rows = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val memDocs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean, String)]
+    var batches = 0
+    val q = QualityStreams.qualityGate(memDocs, lm, (decisions, _) =>
+      collected.synchronized {
+        collected ++= decisions
+          .select("doc_id", "rep_frac_u", "xent_u", "admit", "reason")
+          .as[(Long, Long, Long, Boolean, String)].collect()
+        batches += 1
+      })
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    batches should be > 1
+    val batch = SparkEntry.queries("q89_quality_gate")(spark, dir)
+      .select("doc_id", "rep_frac_u", "xent_u", "admit", "reason")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+    collected.toSet shouldBe batch.toSet
+    collected.size shouldBe batch.length // no row scored twice
+  }
+
+  test("the gate rejects with first-failing-gate attribution and a " +
+      "frozen LM (off-distribution docs rejected even arriving alone)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lm = TextAnalysis.lmTable(spark, SparkSpec.Sf0001)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val memDocs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val out = scala.collection.mutable.Map.empty[Long, (Boolean, String)]
+    val q = QualityStreams.qualityGate(memDocs, lm, (d, _) =>
+      out.synchronized {
+        d.select("doc_id", "admit", "reason")
+          .as[(Long, Boolean, String)].collect()
+          .foreach { case (id, a, r) => out(id) = (a, r) }
+      })
+    try {
+      val loop = Seq.fill(30)("key agg row").mkString(" ") // 3-gram loop
+      mem.addData(Seq(
+        (1000L, "key agg row scan slow fast table value part hash", "en", "sX", 10L),
+        (1001L, "a b", "en", "sX", 3L), // length gate
+        (1002L, loop, "en", "sX", loop.length.toLong), // repetition gate
+        // lm gate: 'dup' is IN the frozen LM but maximally rare there
+        // (alternating with common words so the repetition gate stays
+        // quiet and the LM gate is what fires) — xent ≈ 5.03e6 µnats
+        (1003L, "dup key dup agg dup row dup scan dup slow", "en", "sX", 41L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    out(1000L) shouldBe ((true, "admit"))
+    out(1001L) shouldBe ((false, "length"))
+    out(1002L)._1 shouldBe false
+    out(1002L)._2 shouldBe "repetition"
+    out(1003L) shouldBe ((false, "lm_quality"))
+  }
+}
