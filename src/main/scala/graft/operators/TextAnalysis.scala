@@ -372,6 +372,59 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q90
+  /** SKETCH QUANTILES — q61's documented 100 TB path made real: the
+    * same per-language length profile computed with `percentile_approx`
+    * (Spark's partial-aggregable quantile sketch — bounded memory per
+    * group at ANY cardinality, where q61's exact `percentile` buffers
+    * every value), ASSERTED in-engine against the exact anchor the way
+    * q51 asserts HLL against exact distinct: `approx_ok_*` = the sketch
+    * estimate within [[ApproxQuantileRelTol]] of the exact interpolated
+    * quantile. The oracle hash-checks the exact milli-floored anchors
+    * AND the assertion booleans (DuckDB cannot replay Spark's sketch,
+    * so TRUE is the pinned expectation — a sketch drifting out of
+    * tolerance fails the row hash loudly).
+    *
+    * Scale posture: this is the query you actually run at 100 TB —
+    * ObjectHashAggregate with map-side combine, sketch size bounded by
+    * the accuracy parameter (~accuracy buckets), no per-group
+    * full-value buffer; the exact anchor columns exist here to keep the
+    * sketch honest and would be dropped at scale. */
+  val ApproxQuantileAccuracy = 10000
+  val ApproxQuantileRelTol = 0.05
+
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    def pm(p: Double, name: String) =
+      floor(expr(s"percentile(n_chars, $p)") * 1000.0).cast("long").as(name)
+    def within(approxMil: Column, exactMil: Column): Column =
+      abs(approxMil - exactMil.cast(DoubleType)) <=
+        lit(ApproxQuantileRelTol) * exactMil.cast(DoubleType)
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        pm(0.5, "p50_mil"), pm(0.95, "p95_mil"),
+        (expr(s"percentile_approx(n_chars, 0.5, $ApproxQuantileAccuracy)")
+          .cast(DoubleType) * 1000.0).as("a50_mil"),
+        (expr(s"percentile_approx(n_chars, 0.95, $ApproxQuantileAccuracy)")
+          .cast(DoubleType) * 1000.0).as("a95_mil"))
+      .withColumn("approx_ok_p50", within(col("a50_mil"), col("p50_mil")))
+      .withColumn("approx_ok_p95", within(col("a95_mil"), col("p95_mil")))
+      .select(col("lang"), col("n_docs"), col("p50_mil"), col("p95_mil"),
+        col("approx_ok_p50"), col("approx_ok_p95"))
+      .orderBy(col("lang"))
+  }
+
+  private val q90Sql =
+    s"""SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(floor(quantile_cont(n_chars, 0.5) * 1000.0) AS BIGINT) AS p50_mil,
+       |  CAST(floor(quantile_cont(n_chars, 0.95) * 1000.0) AS BIGINT) AS p95_mil,
+       |  TRUE AS approx_ok_p50,
+       |  TRUE AS approx_ok_p95
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q67
   /** Text normalization — the cleaning transform every corpus pass runs
     * before fingerprinting/dedup: lowercase, strip non-alphanumerics to
@@ -1135,6 +1188,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q89_quality_gate" -> (q89 _),
+    "q90_sketch_quantiles" -> (q90 _),
     "q86_bm25"        -> (q86 _),
     "q87_lm_quality"  -> (q87 _),
     "q80_repetition"  -> (q80 _),
@@ -1159,6 +1213,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q89_quality_gate" -> q89Sql,
+    "q90_sketch_quantiles" -> q90Sql,
     "q86_bm25"        -> q86Sql,
     "q87_lm_quality"  -> q87Sql,
     "q80_repetition"  -> q80Sql,

@@ -253,6 +253,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("array_distinct") // per-row, inside a Project
   }
 
+  test("q90: sketch + exact quantiles fuse into ONE ObjectHashAggregate " +
+      "pair — partial-aggregable, no sort, no window") {
+    val p = plan("q90_sketch_quantiles")
+    p should include("ObjectHashAggregate")
+    p should not include "SortAggregate"
+    p should not include "Window"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
