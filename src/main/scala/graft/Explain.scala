@@ -44,7 +44,8 @@ object Explain {
     "q87_lm_quality" -> "LM built by two partial-aggregable groupBys (per-lang totals broadcast, vocab-sized term counts as the probe side of one term-keyed join - input skew on hot terms is AQE-visible); per-doc aggregate on uniform doc_id; worst-15 planned as TakeOrderedAndProject",
     "q88_containment" -> "identical candidate machinery to q37 (df-capped inverted-index join, never all-pairs, never Cartesian); the asymmetric containment metric is a per-candidate scalar swap, so the quote/excerpt detector costs nothing beyond the Jaccard top-20 it complements",
     "q89_quality_gate" -> "repetition + length gates are stateless per-row array expressions at scan position (no explode, no groupBy, no shuffle on that side); the LM surprisal side joins term-keyed with per-lang totals broadcast; decision join 1:1 on uniform doc_id - the same scorer runs unchanged on streaming micro-batches (QualityStreams)",
-    "q90_sketch_quantiles" -> "percentile_approx (bounded-memory quantile sketch) and the exact percentile anchor fuse into ONE partial-aggregable ObjectHashAggregate pair - no sort, no window, no per-group full-value buffer on the sketch side; the in-engine approx_ok assertion keeps the sketch honest and the oracle hash pins it TRUE")
+    "q90_sketch_quantiles" -> "percentile_approx (bounded-memory quantile sketch) and the exact percentile anchor fuse into ONE partial-aggregable ObjectHashAggregate pair - no sort, no window, no per-group full-value buffer on the sketch side; the in-engine approx_ok assertion keeps the sketch honest and the oracle hash pins it TRUE",
+    "q91_pmi_collocations" -> "pair generation is a doc_id-keyed equi-self-join over per-doc DISTINCT words (no Cartesian anywhere; per-doc fan-out bounded by vocabulary, top-K-by-tf cap is the corpus-scale knob); the (w1,w2) aggregate is partial-aggregable with the support filter pruning the tail; unigram lookups are vocab-sized joins, N broadcasts, top-20 is TakeOrderedAndProject")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

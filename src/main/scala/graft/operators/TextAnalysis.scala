@@ -425,6 +425,76 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** PMI COLLOCATIONS top-20 — document-level pointwise mutual
+    * information over distinct word pairs: PMI(a,b) = ln(N·c_ab /
+    * (c_a·c_b)) in micro-nats, support-filtered (c_ab ≥
+    * [[PmiMinSupport]]). The collocation-mining pass tokenizer/vocab
+    * design runs: pairs that co-occur far above chance are merge/phrase
+    * candidates, and a source whose top PMI pairs are navigation chrome
+    * is a template farm (the statistical complement of q81's verbatim
+    * boilerplate detector).
+    *
+    * Determinism: q57's recipe — one `ln` per surviving pair, exact
+    * small-int ratio argument (all products < 2⁵³), immediate
+    * micro-floor, tie-broken total order.
+    *
+    * Scale posture: the pair generator is a doc_id-keyed equi-self-join
+    * over per-doc DISTINCT words (never a Cartesian) with per-doc
+    * fan-out = distinct-vocab² — bounded here by the tiny vocabulary;
+    * at corpus scale the standard cap is top-K words per doc by tf
+    * before pairing (collocation windows), which this plan absorbs as
+    * one extra filter on `dw`. The (w1, w2) pair aggregate is
+    * partial-aggregable with the support filter pruning the long tail;
+    * unigram counts join vocabulary-sized lookups; N broadcasts. */
+  val PmiMinSupport = 5L
+
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    val dw = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("w"))
+    val n = dw.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val cw = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = dw.as("a").join(dw.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinSupport)
+    pairs
+      .join(cw.toDF("w1", "c_a"), "w1")
+      .join(cw.toDF("w2", "c_b"), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_u",
+        floor(lit(1000000.0) * log(col("n_docs").cast(DoubleType) *
+          col("c_ab").cast(DoubleType) /
+          (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType))))
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val q91Sql =
+    s"""WITH dw AS (
+       |  SELECT DISTINCT doc_id, unnest(${tokensSql("text")}) AS w
+       |  FROM documents),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dw),
+       |cw AS (SELECT w, count(*) AS c FROM dw GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+       |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $PmiMinSupport)
+       |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       |  CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+       |  CAST(floor(1000000.0 * ln(CAST(n_docs AS DOUBLE) *
+       |    CAST(c_ab AS DOUBLE) /
+       |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))) AS BIGINT) AS pmi_u
+       |FROM pairs JOIN cw ca ON ca.w = w1 JOIN cw cb ON cb.w = w2 CROSS JOIN n
+       |ORDER BY pmi_u DESC, w1, w2
+       |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q67
   /** Text normalization — the cleaning transform every corpus pass runs
     * before fingerprinting/dedup: lowercase, strip non-alphanumerics to
@@ -1189,6 +1259,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q89_quality_gate" -> (q89 _),
     "q90_sketch_quantiles" -> (q90 _),
+    "q91_pmi_collocations" -> (q91 _),
     "q86_bm25"        -> (q86 _),
     "q87_lm_quality"  -> (q87 _),
     "q80_repetition"  -> (q80 _),
@@ -1214,6 +1285,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q89_quality_gate" -> q89Sql,
     "q90_sketch_quantiles" -> q90Sql,
+    "q91_pmi_collocations" -> q91Sql,
     "q86_bm25"        -> q86Sql,
     "q87_lm_quality"  -> q87Sql,
     "q80_repetition"  -> q80Sql,

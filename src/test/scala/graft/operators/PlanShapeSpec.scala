@@ -261,6 +261,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "Window"
   }
 
+  test("q91: the PMI pair generator is a doc_id-keyed equi-self-join — " +
+      "never a Cartesian product; pair aggregate partial-aggregable") {
+    val p = plan("q91_pmi_collocations")
+    p should not include "CartesianProduct"
+    p should include("HashAggregate")
+    p should include("TakeOrderedAndProject")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).

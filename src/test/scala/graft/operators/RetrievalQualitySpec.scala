@@ -40,6 +40,32 @@ class RetrievalQualitySpec extends AnyFunSuite with SparkSpec with Matchers {
       returnedDup.min should be > returnedOther.max
   }
 
+  test("q91 ranks the always-together pair above independent pairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pmi_").toString
+    // x and y co-occur in exactly their 10 docs; z appears everywhere.
+    // PMI(x,y) = ln(20·10/(10·10)) = ln 2 > 0; PMI(x,z) = ln 1 = 0;
+    // filler pairs (f_i distinct per doc) never reach support 5.
+    val docs = ((0L until 10L).map(i => (i, s"x y z f$i g$i", "en", "s1")) ++
+      (10L until 20L).map(i => (i, s"z p q f$i g$i", "en", "s1")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextAnalysis.queries("q91_pmi_collocations")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(5)))
+    val byPair = rows.toMap
+    // the planted collocations lead with identical positive PMI
+    byPair(("x", "y")) shouldBe byPair(("p", "q"))
+    byPair(("x", "y")) should be > 0L
+    rows.head._2 shouldBe byPair(("x", "y")) // nothing scores higher
+    // independent-with-z pairs sit at PMI 0
+    byPair(("x", "z")) shouldBe 0L
+    byPair(("p", "z")) shouldBe 0L
+  }
+
   test("q87 surfaces the off-distribution document as worst-quality") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lmq_").toString
