@@ -1065,14 +1065,18 @@ object TextAnalysis {
     * directly); the per-doc aggregate is keyed by uniform doc_id, and
     * the worst-k is a TakeOrderedAndProject. */
   private def q87(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // ONE token explode: tf is the finest aggregate; wc and the per-lang
+    // totals re-aggregate it (sum(tf) ≡ direct counts — each coarser
+    // frame derives from the finer one instead of re-scanning the
+    // corpus, the move that matters when the scan is 100 TB).
+    val tf = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val langTot = toks.groupBy(col("lang"))
-      .agg(count(lit(1)).as("total_l"))
-    val wc = toks.groupBy(col("lang"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-    val tf = toks.groupBy(col("lang"), col("doc_id"), col("w"))
+      .groupBy(col("lang"), col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy(col("lang"), col("w"))
+      .agg(sum(col("tf")).as("cnt"))
+    val langTot = wc.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("total_l"))
     tf.join(wc, Seq("lang", "w"))
       .join(broadcast(langTot), "lang")
       .withColumn("contrib_u",
@@ -1150,12 +1154,14 @@ object TextAnalysis {
     * input for [[qualityDecisions]] — batch q89 derives it from the
     * corpus itself; a streaming deployment freezes one and ships it. */
   private[graft] def lmTable(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // ONE token explode; the per-lang totals re-aggregate the vocab-sized
+    // counts frame instead of re-scanning the corpus (sum(cnt) ≡ the
+    // direct token count).
+    val wc = Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
-    val langTot = toks.groupBy(col("lang"))
-      .agg(count(lit(1)).as("total_l"))
-    toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(langTot), "lang")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+    val langTot = wc.groupBy(col("lang")).agg(sum(col("cnt")).as("total_l"))
+    wc.join(broadcast(langTot), "lang")
   }
 
   /** Decision table for a batch of documents against a FROZEN LM — the

@@ -269,6 +269,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q87: coarser LM aggregates derive from the tf aggregate and REUSE " +
+      "its shuffle at runtime — one token explode, not three") {
+    // Execute first: exchange reuse is an AQE runtime decision, invisible
+    // in the static formatted plan. (q57's df side cannot reuse: column
+    // pruning gives its tf subtree a different canonical form, so it
+    // keeps the two-scan distinct formulation.)
+    val df = SparkEntry.queries("q87_lm_quality")(spark, SparkSpec.Sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("ReusedExchange")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
