@@ -47,7 +47,8 @@ object ScaleBench {
     "q79_kmeans_step", "q80_repetition", "q81_boilerplate",
     "q82_source_overlap", "q83_split_assign", "q84_source_funnel",
     "q85_span_dedup", "q86_bm25", "q87_lm_quality", "q88_containment",
-    "q89_quality_gate", "q90_sketch_quantiles", "q91_pmi_collocations")
+    "q89_quality_gate", "q90_sketch_quantiles", "q91_pmi_collocations",
+    "q92_extended_funnel")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

@@ -1193,6 +1193,86 @@ object Dedup {
       .orderBy(col("stage"))
   }
 
+  // ---------------------------------------------------------------- q92
+  /** EXTENDED CURATION FUNNEL — q78's survival chain with the composite
+    * QUALITY GATE (q89) as its first stage: corpus → quality → text
+    * dedup → semantic dedup → decontamination → mixing. Real pipelines
+    * gate quality BEFORE dedup (no point fingerprinting documents the
+    * length/repetition/LM gates will discard), and because every stage
+    * flag is an independent per-doc predicate, prefixing the chain
+    * composes by conjunction — q78 stays untouched as the 5-stage
+    * report.
+    *
+    * Scale posture: identical to q78 plus ONE broadcast left join — the
+    * quality REJECT set is broadcast (a healthy corpus rejects a few
+    * percent; broadcasting the admits would ship nearly the corpus),
+    * memoized per (session, dir) like the funnel's other stage tables. */
+  private[graft] def qualityRejects(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#qualityRejects") {
+      TextAnalysis.qualityDecisions(Tables.documents(spark, dir),
+          TextAnalysis.lmTable(spark, dir))
+        .filter(!col("admit")).select(col("doc_id").as("q_id"))
+        .localCheckpoint()
+    }
+
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(c: Column) = cntTrue(c)
+    val a = funnelFlags(spark, dir)
+      .join(broadcast(qualityRejects(spark, dir)),
+        col("doc_id") === col("q_id"), "left")
+      .withColumn("k0", col("q_id").isNull)
+      .agg(count(lit(1)).as("n0"), cnt(col("k0")).as("nq"),
+        cnt(col("k0") && col("k1")).as("n1"),
+        cnt(col("k0") && col("k2")).as("n2"),
+        cnt(col("k0") && col("k3")).as("n3"),
+        cnt(col("k0") && col("k4")).as("n4"))
+    def stageRow(name: String, n: Column, prev: Column) =
+      struct(lit(name).as("stage"), n.as("n_docs"), (prev - n).as("n_dropped"))
+    a.select(explode(array(
+        stageRow("0_corpus", col("n0"), col("n0")),
+        stageRow("1_quality", col("nq"), col("n0")),
+        stageRow("2_text_dedup", col("n1"), col("nq")),
+        stageRow("3_semantic_dedup", col("n2"), col("n1")),
+        stageRow("4_decontaminated", col("n3"), col("n2")),
+        stageRow("5_mixed", col("n4"), col("n3")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"),
+        col("s.n_dropped").as("n_dropped"))
+      .orderBy(col("stage"))
+  }
+
+  private val q92Sql = {
+    // funnelFlagsCtes (flags) + q89's decision CTEs (dec) — disjoint
+    // names by construction; qrej mirrors [[qualityRejects]].
+    s"""WITH RECURSIVE
+       |$funnelFlagsCtes,
+       |${TextAnalysis.qualityDecisionCtes},
+       |qrej AS (SELECT doc_id AS q_id FROM dec WHERE reason <> 'admit'),
+       |f2 AS (
+       |  SELECT f.*, q.q_id IS NULL AS k0
+       |  FROM flags f LEFT JOIN qrej q ON q.q_id = f.doc_id),
+       |agg AS (
+       |  SELECT count(*) AS n0,
+       |    CAST(sum(CASE WHEN k0 THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+       |    CAST(sum(CASE WHEN k0 AND k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN k0 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN k0 AND k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN k0 AND k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM f2)
+       |SELECT stage, n_docs, n_dropped FROM (
+       |  SELECT '0_corpus' AS stage, n0 AS n_docs, 0 AS n_dropped FROM agg
+       |  UNION ALL
+       |  SELECT '1_quality', nq, n0 - nq FROM agg
+       |  UNION ALL
+       |  SELECT '2_text_dedup', n1, nq - n1 FROM agg
+       |  UNION ALL
+       |  SELECT '3_semantic_dedup', n2, n1 - n2 FROM agg
+       |  UNION ALL
+       |  SELECT '4_decontaminated', n3, n2 - n3 FROM agg
+       |  UNION ALL
+       |  SELECT '5_mixed', n4, n3 - n4 FROM agg)
+       |ORDER BY stage""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q84
   /** PER-SOURCE CURATION FUNNEL — q78's survival chain broken out by
     * source: for each source, how many docs survive text dedup,
@@ -1263,7 +1343,7 @@ object Dedup {
        |                        WHERE doc_id % $EvalSliceMod = 0) e ON t.h = e.h
        |  WHERE t.doc_id % $EvalSliceMod <> 0),
        |flags AS (
-       |  SELECT d.source,
+       |  SELECT d.doc_id, d.source,
        |    coalesce(tl.lbl, d.doc_id) = d.doc_id AS k1,
        |    coalesce(tl.lbl, d.doc_id) = d.doc_id
        |      AND coalesce(sl.lbl, d.doc_id) = d.doc_id AS k2,
@@ -1572,6 +1652,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
+    "q92_extended_funnel" -> (q92 _),
     "q82_source_overlap" -> (q82 _),
     "q34_content_dedup"  -> (q34 _),
     "q35_minhash_lsh"    -> (q35 _),
@@ -1592,6 +1673,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,
+    "q92_extended_funnel" -> q92Sql,
     "q82_source_overlap" -> q82Sql,
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,

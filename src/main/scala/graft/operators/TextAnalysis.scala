@@ -1211,9 +1211,12 @@ object TextAnalysis {
     qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
       .orderBy(col("doc_id"))
 
-  private val q89Sql = {
+  /** q89's decision CTE chain ending in `dec(doc_id, …, reason)` — also
+    * composed into the extended funnel's SQL twin (q92). Names are
+    * disjoint from [[Dedup]]'s funnel CTEs by construction. */
+  private[graft] val qualityDecisionCtes: String = {
     val h = "('0x' || substr(md5(g), 1, 8))::BIGINT"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, lang, source,
        |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
        |    ${shingleOccurrencesSql("text")} AS gs
@@ -1253,12 +1256,15 @@ object TextAnalysis {
        |      WHEN r.rep_frac_u > $RepFracMaxU THEN 'repetition'
        |      WHEN coalesce(x.xent_u, 0) > $LmXentMaxU THEN 'lm_quality'
        |      ELSE 'admit' END AS reason
-       |  FROM rep2 r LEFT JOIN xent x USING (doc_id))
+       |  FROM rep2 r LEFT JOIN xent x USING (doc_id))""".stripMargin
+  }
+
+  private val q89Sql =
+    s"""WITH $qualityDecisionCtes
        |SELECT doc_id, lang, source, n_tokens, rep_frac_u, xent_u,
        |  reason = 'admit' AS admit, reason
        |FROM dec
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ----------------------------------------------------------------
 

@@ -199,7 +199,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     // task work at sf0.1). The leaf shows up as Scan ExistingRDD; the
     // banded self-join markers must be gone from consumer plans.
     Seq("q60_dedup_decisions", "q78_curation_funnel",
-        "q84_source_funnel").foreach { q =>
+        "q84_source_funnel", "q92_extended_funnel").foreach { q =>
       withClue(q) {
         val p = plan(q)
         p should include("Scan ExistingRDD")
