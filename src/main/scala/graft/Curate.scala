@@ -19,7 +19,13 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     as a single JSON file: the audit record of what was dropped
   *     where, written ALONGSIDE the corpus it describes.
   *
-  * Usage: `graft.Curate <sf_dir> <out_dir>`
+  * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality]`
+  *
+  * `--with-quality` prepends the composite quality gate (q89: length /
+  * repetition / LM-surprisal against the corpus-frozen LM) as stage
+  * one — the q92 chain. The shipped report is then the extended
+  * 6-stage funnel (q92) instead of the per-source q84 breakdown, so
+  * the audit record always describes the pipeline that actually ran.
   *
   * Contracts shared with [[Main]] (the reference's driver shape,
   * `/root/reference/java/PredictDriverCluster.java`): the output
@@ -35,16 +41,18 @@ import graft.operators.{Dedup, Features, TextAnalysis}
 object Curate {
 
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("Usage: graft.Curate <sf_dir> <out_dir>")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val withQuality = flags.contains("--with-quality")
+    if (positional.length != 2 || !flags.forall(_ == "--with-quality")) {
+      System.err.println("Usage: graft.Curate <sf_dir> <out_dir> [--with-quality]")
       sys.exit(1)
     }
-    val (sfDir, outDir) = (args(0), args(1))
+    val (sfDir, outDir) = (positional(0), positional(1))
     val spark = GraftSession.builder(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      run(spark, sfDir, outDir)
+      run(spark, sfDir, outDir, withQuality)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -58,7 +66,7 @@ object Curate {
 
   /** The job body, separated from the exit-code shell for specs. */
   private[graft] def run(spark: SparkSession, sfDir: String,
-      outDir: String): Unit = {
+      outDir: String, withQuality: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -68,14 +76,25 @@ object Curate {
     // tables broadcast, so payload bytes stream scan → filter → write
     // with no shuffle (the funnel-flag cache holds only narrow flags —
     // joining survivors back against it would shuffle the corpus).
-    val curated = Dedup
+    // --with-quality adds the q92 prefix the same way: one more
+    // broadcast left anti-shape join (the memoized REJECT set).
+    val flagged = Dedup
       .funnelFlagsOver(Tables.documents(spark, sfDir), spark, sfDir)
+    val gated =
+      if (!withQuality) flagged
+      else flagged.join(broadcast(Dedup.qualityRejects(spark, sfDir)),
+          col("doc_id") === col("q_id"), "left")
+        .filter(col("q_id").isNull).drop("q_id")
+    val curated = gated
       .filter(col("k4")).drop("k1", "k2", "k3", "k4")
       .withColumn("split", TextAnalysis.splitAssign)
     curated.write.partitionBy("split").parquet(s"$outDir/corpus")
 
-    // The audit record ships with the corpus: q84's per-source funnel.
-    SparkEntry.queries("q84_source_funnel")(spark, sfDir)
-      .coalesce(1).write.json(s"$outDir/report")
+    // The audit record ships with the corpus and describes the chain
+    // that RAN: q84's per-source funnel, or the extended 6-stage q92.
+    val report =
+      if (withQuality) SparkEntry.queries("q92_extended_funnel")(spark, sfDir)
+      else SparkEntry.queries("q84_source_funnel")(spark, sfDir)
+    report.coalesce(1).write.json(s"$outDir/report")
   }
 }

@@ -46,6 +46,33 @@ class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
     bySource shouldBe reported
   }
 
+  test("--with-quality ships exactly q92's final stage and only " +
+      "quality-admitted documents") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curate-q").toString + "/job"
+    Curate.run(spark, sfDir, out, withQuality = true)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val report = spark.read.json(s"$out/report")
+
+    // Shipped rows == the q92 report's 5_mixed stage (the report that
+    // ships IS the chain that ran).
+    val shipped = corpus.count()
+    shipped shouldBe report.filter($"stage" === "5_mixed")
+      .head.getAs[Long]("n_docs")
+    shipped shouldBe SparkEntry.queries("q92_extended_funnel")(spark, sfDir)
+      .filter($"stage" === "5_mixed").head.getAs[Long]("n_docs")
+
+    // No shipped doc is quality-rejected, and the quality-gated corpus
+    // is a subset of the ungated one.
+    val decisions = graft.operators.TextAnalysis.queries("q89_quality_gate")(
+      spark, sfDir)
+    val rejected = decisions.filter(!$"admit")
+      .select("doc_id").as[Long].collect().toSet
+    corpus.select("doc_id").as[Long].collect()
+      .exists(rejected) shouldBe false
+  }
+
   test("pre-existing output directory is an error (Hadoop contract)") {
     val out = Files.createTempDirectory("curate-exists").toString
     val e = intercept[IllegalStateException] {
