@@ -46,7 +46,8 @@ object Explain {
     "q89_quality_gate" -> "repetition + length gates are stateless per-row array expressions at scan position (no explode, no groupBy, no shuffle on that side); the LM surprisal side joins term-keyed with per-lang totals broadcast; decision join 1:1 on uniform doc_id - the same scorer runs unchanged on streaming micro-batches (QualityStreams)",
     "q90_sketch_quantiles" -> "percentile_approx (bounded-memory quantile sketch) and the exact percentile anchor fuse into ONE partial-aggregable ObjectHashAggregate pair - no sort, no window, no per-group full-value buffer on the sketch side; the in-engine approx_ok assertion keeps the sketch honest and the oracle hash pins it TRUE",
     "q91_pmi_collocations" -> "pair generation is a doc_id-keyed equi-self-join over per-doc DISTINCT words (no Cartesian anywhere; per-doc fan-out bounded by vocabulary, top-K-by-tf cap is the corpus-scale knob); the (w1,w2) aggregate is partial-aggregable with the support filter pruning the tail; unigram lookups are vocab-sized joins, N broadcasts, top-20 is TakeOrderedAndProject",
-    "q92_extended_funnel" -> "q78's memoized lineage-cut flag leaf (Scan ExistingRDD) plus ONE broadcast left join against the memoized quality-REJECT set (rejects are the small side by construction - broadcasting admits would ship the corpus); stage prefix composes by conjunction, one partial-aggregable aggregate, 6-row explode")
+    "q92_extended_funnel" -> "q78's memoized lineage-cut flag leaf (Scan ExistingRDD) plus ONE broadcast left join against the memoized quality-REJECT set (rejects are the small side by construction - broadcasting admits would ship the corpus); stage prefix composes by conjunction, one partial-aggregable aggregate, 6-row explode",
+    "q93_trending" -> "both rank windows run over the PARTIAL-AGGREGATED hour x type frame (tiny at any corpus scale), so the sorts they imply never touch raw events; ranking is row_number with a name tie-break - rank() peer ties would make the movement column engine-ambiguous")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

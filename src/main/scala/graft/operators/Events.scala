@@ -404,7 +404,52 @@ object Events {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q93
+  /** HOUR-OVER-HOUR TRENDING — per hour, rank event types by volume and
+    * report each type's rank movement vs the previous hour (the
+    * "what's suddenly hot" monitor a data-ingest dashboard shows; on a
+    * crawl stream the same query over source domains spots a feed
+    * going viral or dying). Deterministic ranking: `row_number` with
+    * the type name as tie-break, never `rank` (peer ties would make
+    * the movement column ambiguous across engines).
+    *
+    * Scale posture: rides q20's partial-aggregable hourly aggregate;
+    * both windows run over the AGGREGATED (hour × type) frame — tiny at
+    * any corpus scale, so the sorts they imply never see raw events. */
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val byHour = Window.partitionBy(col("hour"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    hourly
+      .withColumn("rnk", row_number().over(byHour).cast(LongType))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(byType))
+      .withColumn("moved", (col("prev_rnk") - col("rnk")).cast(LongType))
+      .orderBy(col("hour"), col("rnk"))
+  }
+
+  private val q93Sql =
+    s"""WITH hourly AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |    event_type, count(*) AS n_events
+       |  FROM events
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT hour, event_type, n_events,
+       |    CAST(row_number() OVER (PARTITION BY hour
+       |      ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+       |  FROM hourly)
+       |SELECT hour, event_type, n_events, rnk,
+       |  lag(rnk, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev_rnk,
+       |  CAST(lag(rnk, 1) OVER (PARTITION BY event_type ORDER BY hour) - rnk
+       |    AS BIGINT) AS moved
+       |FROM ranked
+       |ORDER BY hour, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q93_trending"      -> (q93 _),
     "q65_rate_anomaly"  -> (q65 _),
     "q63_funnel_daily"  -> (q63 _),
     "q64_retention"     -> (q64 _),
@@ -418,6 +463,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q93_trending"      -> q93Sql,
     "q65_rate_anomaly"  -> q65Sql,
     "q63_funnel_daily"  -> q63Sql,
     "q64_retention"     -> q64Sql,

@@ -280,6 +280,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     df.queryExecution.executedPlan.toString should include("ReusedExchange")
   }
 
+  test("q93: trending windows run over the aggregated hour×type frame — " +
+      "the partial aggregate sits below both window sorts") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q93_trending")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan
+    // every Window node must have an aggregate somewhere beneath it:
+    // the raw events are reduced BEFORE any sort a window implies
+    plan.collect { case w: WindowExec => w }.foreach { w =>
+      w.collectFirst { case a: BaseAggregateExec => a } should not be empty
+    }
+    plan.toString should not include "CartesianProduct"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
