@@ -47,7 +47,9 @@ object Explain {
     "q90_sketch_quantiles" -> "percentile_approx (bounded-memory quantile sketch) and the exact percentile anchor fuse into ONE partial-aggregable ObjectHashAggregate pair - no sort, no window, no per-group full-value buffer on the sketch side; the in-engine approx_ok assertion keeps the sketch honest and the oracle hash pins it TRUE",
     "q91_pmi_collocations" -> "pair generation is a doc_id-keyed equi-self-join over per-doc DISTINCT words (no Cartesian anywhere; per-doc fan-out bounded by vocabulary, top-K-by-tf cap is the corpus-scale knob); the (w1,w2) aggregate is partial-aggregable with the support filter pruning the tail; unigram lookups are vocab-sized joins, N broadcasts, top-20 is TakeOrderedAndProject",
     "q92_extended_funnel" -> "q78's memoized lineage-cut flag leaf (Scan ExistingRDD) plus ONE broadcast left join against the memoized quality-REJECT set (rejects are the small side by construction - broadcasting admits would ship the corpus); stage prefix composes by conjunction, one partial-aggregable aggregate, 6-row explode",
-    "q93_trending" -> "both rank windows run over the PARTIAL-AGGREGATED hour x type frame (tiny at any corpus scale), so the sorts they imply never touch raw events; ranking is row_number with a name tie-break - rank() peer ties would make the movement column engine-ambiguous")
+    "q93_trending" -> "both rank windows run over the PARTIAL-AGGREGATED hour x type frame (tiny at any corpus scale), so the sorts they imply never touch raw events; ranking is row_number with a name tie-break - rank() peer ties would make the movement column engine-ambiguous",
+    "q94_temperature_mixing" -> "two source-cardinality aggregates (counts, then the micro-floored-pow normalizer - exact int64 sum, never an order-dependent sum(double)) broadcast back onto ONE stateless per-row admission scan; no shuffle of documents anywhere",
+    "q95_source_quality" -> "one partial-aggregable groupBy over the q89 decision frame, which rides the memoized lmTable feature table (InMemoryRelation) - the triage report costs one aggregate over already-derived decisions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

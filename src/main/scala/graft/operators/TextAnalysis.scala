@@ -747,6 +747,153 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** TEMPERATURE-RESAMPLED SOURCE MIXING — the multilingual-LM α-scaled
+    * sampling rule (p_s^α renormalized, α = [[MixAlpha]]) that q75's
+    * fixed config weights can't express: α < 1 flattens the source
+    * distribution, up-weighting small sources and down-weighting
+    * dominant ones, with the total budget pinned to half the corpus.
+    * Per source: the empirical share, the α-scaled target rate, and the
+    * realized admission (deterministic content-hash thresholding, q75's
+    * rule — reproducible across runs/engines/cluster sizes where RNG
+    * sampling is not).
+    *
+    * Determinism: `pow` is the only transcendental; the per-source rate
+    * is floored to micro-units before it becomes the hash threshold
+    * (q57's argument — a 1-ulp `pow` divergence flips the rate only
+    * within ~1e-9 of an integer boundary), and every count above is
+    * exact int64.
+    *
+    * Scale posture: two tiny aggregates over source cardinality (the
+    * counts, then the normalizer) broadcast back onto a single
+    * stateless per-row admission scan — no shuffle of documents. */
+  val MixAlpha = 0.3
+  val MixBudgetShare = 0.5
+
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    // pow is floored to micro-units BEFORE the normalizer sum: a raw
+    // sum(double) is accumulation-order-dependent, exact int64 isn't.
+    val powed = perSrc.withColumn("pw_u",
+      floor(lit(1000000.0) *
+        pow(col("n_docs").cast(DoubleType), lit(MixAlpha))).cast("long"))
+    val tot = powed.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("pw_u")).as("z_u"))
+    // rate_s = min(1, budget * w_s / n_s), w_s = pw_u_s / z_u
+    val rates = powed.crossJoin(broadcast(tot))
+      .withColumn("share_u",
+        floor(lit(1000000.0) * col("n_docs").cast(DoubleType) /
+          col("n_total").cast(DoubleType)).cast("long"))
+      .withColumn("rate_u",
+        least(lit(1000000L),
+          floor(lit(1000000.0) * lit(MixBudgetShare) *
+            col("n_total").cast(DoubleType) *
+            (col("pw_u").cast(DoubleType) / col("z_u").cast(DoubleType)) /
+            col("n_docs").cast(DoubleType)).cast("long")))
+      .select(col("source"), col("n_docs"), col("share_u"), col("rate_u"))
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("admitted",
+        when(md5u32(concat_ws(":", col("doc_id"), col("source"), lit("temp")))
+          % 1000000L < col("rate_u"), 1L).otherwise(0L))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("share_u")).as("share_u"),
+        max(col("rate_u")).as("rate_u"),
+        sum(col("admitted")).as("n_admitted"),
+        sum(col("admitted") * col("n_tokens")).as("admitted_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val q94Sql = {
+    val h = md5u32Sql("(CAST(doc_id AS VARCHAR) || ':' || source || ':temp')")
+    s"""WITH per_src AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |powed AS (
+       |  SELECT source, n_docs,
+       |    CAST(floor(1000000.0 * pow(CAST(n_docs AS DOUBLE), $MixAlpha))
+       |      AS BIGINT) AS pw_u
+       |  FROM per_src),
+       |tot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |    CAST(sum(pw_u) AS BIGINT) AS z_u
+       |  FROM powed),
+       |rates AS (
+       |  SELECT source, n_docs,
+       |    CAST(floor(1000000.0 * CAST(n_docs AS DOUBLE) /
+       |      CAST(n_total AS DOUBLE)) AS BIGINT) AS share_u,
+       |    least(1000000,
+       |      CAST(floor(1000000.0 * $MixBudgetShare *
+       |        CAST(n_total AS DOUBLE) *
+       |        (CAST(pw_u AS DOUBLE) / CAST(z_u AS DOUBLE)) /
+       |        CAST(n_docs AS DOUBLE)) AS BIGINT)) AS rate_u
+       |  FROM powed CROSS JOIN tot)
+       |SELECT source,
+       |  CAST(max(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(max(share_u) AS BIGINT) AS share_u,
+       |  CAST(max(rate_u) AS BIGINT) AS rate_u,
+       |  CAST(sum(admitted) AS BIGINT) AS n_admitted,
+       |  CAST(sum(admitted * n_tokens) AS BIGINT) AS admitted_tokens
+       |FROM (
+       |  SELECT d.source, r.n_docs, r.share_u, r.rate_u,
+       |    CASE WHEN $h % 1000000 < r.rate_u THEN 1 ELSE 0 END AS admitted,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN rates r USING (source))
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q95
+  /** PER-SOURCE QUALITY REPORT — q89's gate decisions grouped by feed:
+    * admit rate plus the reject-reason breakdown (length / repetition /
+    * LM-surprisal counts) per source. The triage dashboard behind the
+    * gate: a source rejecting on repetition is template spam, one
+    * rejecting on LM surprisal is off-distribution (wrong language,
+    * junk encoding), one rejecting on length is a truncating scraper.
+    *
+    * Scale posture: one partial-aggregable groupBy over the decision
+    * frame (which rides the memoized [[lmTable]]); ≤ source-count rows
+    * out. */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    def cntReason(r: String) =
+      sum(when(col("reason") === r, 1L).otherwise(0L))
+    qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        cntReason("admit").as("n_admit"),
+        cntReason("length").as("n_length"),
+        cntReason("repetition").as("n_repetition"),
+        cntReason("lm_quality").as("n_lm_quality"))
+      .withColumn("admit_rate_u",
+        floor(lit(1000000.0) * col("n_admit").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  // lazy, and must stay lazy: forcing qualityDecisionCtes from HERE
+  // (earlier in declaration order than the q89 threshold constants it
+  // interpolates) would bake ZEROS into every gate threshold. Deferred,
+  // it is first forced by the `oracles` map — the object's last val.
+  private lazy val q95Sql = {
+    def cnt(r: String) =
+      s"CAST(sum(CASE WHEN reason = '$r' THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH $qualityDecisionCtes
+       |SELECT source, count(*) AS n_docs,
+       |  ${cnt("admit")} AS n_admit,
+       |  ${cnt("length")} AS n_length,
+       |  ${cnt("repetition")} AS n_repetition,
+       |  ${cnt("lm_quality")} AS n_lm_quality,
+       |  CAST(floor(1000000.0 *
+       |    CAST(sum(CASE WHEN reason = 'admit' THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS admit_rate_u
+       |FROM dec
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q76
   /** CONTEXT-WINDOW PACKING — assign documents to fixed-token-budget
     * training sequences (concat-then-chunk, the GPT-style packing where
@@ -1219,7 +1366,9 @@ object TextAnalysis {
   /** q89's decision CTE chain ending in `dec(doc_id, …, reason)` — also
     * composed into the extended funnel's SQL twin (q92). Names are
     * disjoint from [[Dedup]]'s funnel CTEs by construction. */
-  private[graft] val qualityDecisionCtes: String = {
+  // lazy: referenced by q95Sql, which initializes EARLIER in this file
+  // (object vals run in declaration order — a plain val would be null).
+  private[graft] lazy val qualityDecisionCtes: String = {
     val h = "('0x' || substr(md5(g), 1, 8))::BIGINT"
     s"""base AS (
        |  SELECT doc_id, lang, source,
@@ -1277,6 +1426,8 @@ object TextAnalysis {
     "q89_quality_gate" -> (q89 _),
     "q90_sketch_quantiles" -> (q90 _),
     "q91_pmi_collocations" -> (q91 _),
+    "q94_temperature_mixing" -> (q94 _),
+    "q95_source_quality" -> (q95 _),
     "q86_bm25"        -> (q86 _),
     "q87_lm_quality"  -> (q87 _),
     "q80_repetition"  -> (q80 _),
@@ -1303,6 +1454,8 @@ object TextAnalysis {
     "q89_quality_gate" -> q89Sql,
     "q90_sketch_quantiles" -> q90Sql,
     "q91_pmi_collocations" -> q91Sql,
+    "q94_temperature_mixing" -> q94Sql,
+    "q95_source_quality" -> q95Sql,
     "q86_bm25"        -> q86Sql,
     "q87_lm_quality"  -> q87Sql,
     "q80_repetition"  -> q80Sql,

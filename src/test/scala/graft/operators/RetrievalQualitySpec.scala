@@ -66,6 +66,30 @@ class RetrievalQualitySpec extends AnyFunSuite with SparkSpec with Matchers {
     byPair(("p", "z")) shouldBe 0L
   }
 
+  test("q94 temperature sampling up-weights the minority source") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_temp_").toString
+    // 90/10 split: α = 0.3 flattens to w ≈ 0.659/0.341, so with a
+    // half-corpus budget the minority source's rate clamps to 1.0 while
+    // the majority source samples at ≈ 50·0.659/90 ≈ 0.366.
+    val docs = ((0L until 90L).map(i => (i, s"a b c d$i", "en", "big")) ++
+      (90L until 100L).map(i => (i, s"e f g h$i", "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextAnalysis.queries("q94_temperature_mixing")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val (rateBig, _) = rows("big")
+    val (rateSmall, admittedSmall) = rows("small")
+    rateSmall shouldBe 1000000L // clamped: keep ALL of the minority feed
+    admittedSmall shouldBe 10L  // rate 1.0 ⇒ deterministic full admission
+    rateBig should be < 400000L
+    rateBig should be > 330000L
+  }
+
   test("q87 surfaces the off-distribution document as worst-quality") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lmq_").toString
