@@ -49,7 +49,8 @@ object Explain {
     "q92_extended_funnel" -> "q78's memoized lineage-cut flag leaf (Scan ExistingRDD) plus ONE broadcast left join against the memoized quality-REJECT set (rejects are the small side by construction - broadcasting admits would ship the corpus); stage prefix composes by conjunction, one partial-aggregable aggregate, 6-row explode",
     "q93_trending" -> "both rank windows run over the PARTIAL-AGGREGATED hour x type frame (tiny at any corpus scale), so the sorts they imply never touch raw events; ranking is row_number with a name tie-break - rank() peer ties would make the movement column engine-ambiguous",
     "q94_temperature_mixing" -> "two source-cardinality aggregates (counts, then the micro-floored-pow normalizer - exact int64 sum, never an order-dependent sum(double)) broadcast back onto ONE stateless per-row admission scan; no shuffle of documents anywhere",
-    "q95_source_quality" -> "one partial-aggregable groupBy over the q89 decision frame, which rides the memoized lmTable feature table (InMemoryRelation) - the triage report costs one aggregate over already-derived decisions")
+    "q95_source_quality" -> "one partial-aggregable groupBy over the q89 decision frame, which rides the memoized lmTable feature table (InMemoryRelation) - the triage report costs one aggregate over already-derived decisions",
+    "q96_sketch_fidelity" -> "exact Jaccard verification ONLY on the banded candidate pairs (q35's own cost shape over the shared feature caches); the audit adds one join to the cached shingle arrays and a single-row aggregate - sketch drift surfaces as a mean-error jump, never a silent dedup-quality decay")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1193,6 +1193,101 @@ object Dedup {
       .orderBy(col("stage"))
   }
 
+  // ---------------------------------------------------------------- q96
+  /** MINHASH SKETCH-FIDELITY AUDIT — the sketch-honesty companion of
+    * q51 (HLL vs exact distinct) and q90 (quantile sketch vs exact
+    * anchor), for the sketch the whole dedup cascade trusts: over q35's
+    * verified candidate pairs, compare the MinHash Jaccard ESTIMATE
+    * (matching minima / k) against the EXACT shingle-set Jaccard, and
+    * report the error distribution plus how many pairs sit within the
+    * 2σ band (σ = √(J(1−J)/k) ≤ 0.125 at k = 16 ⇒ 2σ ≤ 0.25). A
+    * drifting permutation family or a broken banding join shows up here
+    * as a mean error jump long before downstream dedup quality decays
+    * visibly. Fully engine-replayable (the md5-derived sketch is
+    * deterministic in both engines), so the oracle hashes real numbers,
+    * not a pinned TRUE.
+    *
+    * Scale posture: exact verification ONLY on the banded candidates
+    * (q35's own cost shape, shared feature tables); the audit adds one
+    * join to the cached shingle arrays and one 1-row aggregate. */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(minhashSig(spark, dir))
+    val sh = Features.shingleSets(spark, dir)
+    val sa = sh.toDF("a_doc", "a_ss")
+    val sb = sh.toDF("b_doc", "b_ss")
+    pairs
+      .join(sa, col("doc_a") === col("a_doc"))
+      .join(sb, col("doc_b") === col("b_doc"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
+      .withColumn("est_u",
+        floor(lit(1000000.0) * col("n_matches").cast(DoubleType) /
+          lit(MinHashK.toDouble)).cast("long"))
+      .withColumn("exact_u",
+        floor(lit(1000000.0) * col("n_common").cast(DoubleType) /
+          col("n_union").cast(DoubleType)).cast("long"))
+      .withColumn("err_u", abs(col("est_u") - col("exact_u")))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(col("err_u")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).cast("long").as("mean_abs_err_u"),
+        max(col("err_u")).as("max_abs_err_u"),
+        sum(when(col("err_u") <= 250000L, 1L).otherwise(0L))
+          .as("n_within_2sigma"))
+  }
+
+  private lazy val q96Sql = {
+    val mins = (0 until MinHashK)
+      .map(i => s"min(${permSql(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => s"m${b * LshRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ms)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until MinHashK)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS ss
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h
+       |           FROM (SELECT doc_id, unnest(ss) AS w FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b, ($matches) AS n_matches
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE ($matches) >= $MinHashMatchMin),
+       |scored AS (
+       |  SELECT
+       |    CAST(floor(1000000.0 * CAST(n_matches AS DOUBLE) /
+       |      ${MinHashK.toDouble}) AS BIGINT) AS est_u,
+       |    CAST(floor(1000000.0 * CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+       |      CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))
+       |        AS DOUBLE)) AS BIGINT) AS exact_u
+       |  FROM verified
+       |  JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b)
+       |SELECT count(*) AS n_pairs,
+       |  CAST(floor(CAST(sum(abs(est_u - exact_u)) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_abs_err_u,
+       |  CAST(max(abs(est_u - exact_u)) AS BIGINT) AS max_abs_err_u,
+       |  CAST(sum(CASE WHEN abs(est_u - exact_u) <= 250000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_within_2sigma
+       |FROM scored""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q92
   /** EXTENDED CURATION FUNNEL — q78's survival chain with the composite
     * QUALITY GATE (q89) as its first stage: corpus → quality → text
@@ -1653,6 +1748,7 @@ object Dedup {
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
     "q92_extended_funnel" -> (q92 _),
+    "q96_sketch_fidelity" -> (q96 _),
     "q82_source_overlap" -> (q82 _),
     "q34_content_dedup"  -> (q34 _),
     "q35_minhash_lsh"    -> (q35 _),
@@ -1674,6 +1770,7 @@ object Dedup {
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,
     "q92_extended_funnel" -> q92Sql,
+    "q96_sketch_fidelity" -> q96Sql,
     "q82_source_overlap" -> q82Sql,
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,

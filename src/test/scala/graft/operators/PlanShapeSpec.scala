@@ -294,6 +294,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan.toString should not include "CartesianProduct"
   }
 
+  test("q96: the sketch audit verifies only banded candidates — " +
+      "no Cartesian, one final single-row aggregate") {
+    val p = plan("q96_sketch_fidelity")
+    p should not include "CartesianProduct"
+    p should include("HashAggregate")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
