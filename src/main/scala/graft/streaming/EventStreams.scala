@@ -238,4 +238,66 @@ object EventStreams {
 
   private def toSession(userId: Long, s: SessionState): Session =
     Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
+
+  // ---------------------------------------------------------------
+  // Trending (streaming twin of batch q93)
+  // ---------------------------------------------------------------
+
+  final case class HourTypeCount(hour: Timestamp, event_type: String, n: Long)
+  final case class TrendMove(hour: Timestamp, event_type: String,
+      n_events: Long, rnk: Long, prev_rnk: Option[Long], moved: Option[Long])
+  /** Last-seen rank per event type (micros of the hour it came from are
+    * irrelevant — batch q93's `lag` compares against the type's previous
+    * APPEARANCE, however far back). */
+  final case class TrendState(ranks: Map[String, Long])
+
+  /** Streaming twin of q93: as each hourly window closes, rank event
+    * types by volume (`row_number` semantics — name tie-break) and emit
+    * each type's movement vs its previous appearance.
+    *
+    * The ranking is inherently GLOBAL per hour, so the stateful operator
+    * runs as a single logical group — fine, because its input is the
+    * already-aggregated hour × type frame (tiny at any event volume; the
+    * heavy reduction happened in the upstream watermarked groupBy, which
+    * distributes normally). The state is one rank per type ever seen.
+    * Emissions are final (Append): a window only reaches this operator
+    * once the watermark closes it. */
+  def trending(events: DataFrame, watermark: String = "2 hours"): Dataset[TrendMove] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+      .as[HourTypeCount]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[TrendState, TrendMove](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) => advanceTrend(rows, state)
+      }
+  }
+
+  /** Pure rank-state transition, shared by the operator and its spec.
+    * A watermark jump can close several hours at once; process them in
+    * event-time order, and within an hour rank by (n desc, type) —
+    * exactly batch q93's `row_number` ordering. */
+  private[streaming] def advanceTrend(rows: Iterator[HourTypeCount],
+      state: GroupState[TrendState]): Iterator[TrendMove] = {
+    var ranks = state.getOption.map(_.ranks).getOrElse(Map.empty[String, Long])
+    val out = List.newBuilder[TrendMove]
+    rows.toSeq.groupBy(h => toMicros(h.hour)).toSeq.sortBy(_._1)
+      .foreach { case (_, hourRows) =>
+        val ranked = hourRows.sortBy(h => (-h.n, h.event_type)).zipWithIndex
+        val updates = ranked.map { case (h, i) =>
+          val rnk = (i + 1).toLong
+          val prev = ranks.get(h.event_type)
+          out += TrendMove(h.hour, h.event_type, h.n, rnk, prev,
+            prev.map(_ - rnk))
+          h.event_type -> rnk
+        }
+        ranks = ranks ++ updates
+      }
+    state.update(TrendState(ranks))
+    out.result().iterator
+  }
 }

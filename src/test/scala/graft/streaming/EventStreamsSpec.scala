@@ -72,6 +72,73 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("trending: closed hours rank like batch q93, movement vs the " +
+      "type's previous appearance, across watermark jumps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = trending(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("trend")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var id = 0L
+      def n(hourStart: Long, typ: String, k: Int): Seq[EventRow] =
+        (1 to k).map { i => id += 1; ev(id, hourStart + (i % 50), 1, typ) }
+      // hour 0: click 5 > view 3; hour 1: view 4 > click 2 (rank swap);
+      // hour 2: click only — view keeps its stale rank for hour 3's lag.
+      in.addData(n(0, "click", 5) ++ n(0, "view", 3): _*)
+      in.addData(n(60, "view", 4) ++ n(60, "click", 2): _*)
+      in.addData(n(120, "click", 7): _*)
+      in.addData(ev({ id += 1; id }, 200, 9, "sentinel")) // close hours 0-2
+      q.processAllAvailable()
+
+      val got = spark.table("trend")
+        .select("hour", "event_type", "rnk", "moved")
+        .as[(Timestamp, String, Long, Option[Long])].collect().toSet
+      got shouldBe Set(
+        (ts(0), "click", 1L, None),
+        (ts(0), "view", 2L, None),
+        (ts(60), "view", 1L, Some(1L)),  // 2 → 1
+        (ts(60), "click", 2L, Some(-1L)), // 1 → 2
+        (ts(120), "click", 1L, Some(1L))) // 2 → 1; view absent, no row
+    } finally q.stop()
+  }
+
+  test("trending agrees with batch q93 on the testdata events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkSpec.Sf0001
+    val rows = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow].collect().sortBy(e => toMicros(e.ts))
+    val in = MemoryStream[EventRow]
+    val q = trending(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("trend_batch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows.toIndexedSeq: _*)
+      // sentinel far past the last event so EVERY real hour closes
+      val last = rows.last
+      in.addData(EventRow(-1L, new Timestamp(last.ts.getTime + 7200000L),
+        0L, "sentinel", 0.0, "{}"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("trend_batch")
+        .filter($"event_type" =!= "sentinel")
+        .select("hour", "event_type", "n_events", "rnk", "prev_rnk", "moved")
+        .as[(Timestamp, String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val sentinelHour = new Timestamp(
+        last.ts.getTime + 7200000L - (last.ts.getTime + 7200000L) % 3600000L)
+      val batch = graft.SparkEntry.queries("q93_trending")(spark, dir)
+        .filter($"hour" < org.apache.spark.sql.functions.lit(sentinelHour))
+        .select("hour", "event_type", "n_events", "rnk", "prev_rnk", "moved")
+        .as[(Timestamp, String, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("firstEvents: duplicate (user, type) dropped within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
