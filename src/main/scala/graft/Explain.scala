@@ -50,7 +50,8 @@ object Explain {
     "q93_trending" -> "both rank windows run over the PARTIAL-AGGREGATED hour x type frame (tiny at any corpus scale), so the sorts they imply never touch raw events; ranking is row_number with a name tie-break - rank() peer ties would make the movement column engine-ambiguous",
     "q94_temperature_mixing" -> "two source-cardinality aggregates (counts, then the micro-floored-pow normalizer - exact int64 sum, never an order-dependent sum(double)) broadcast back onto ONE stateless per-row admission scan; no shuffle of documents anywhere",
     "q95_source_quality" -> "one partial-aggregable groupBy over the q89 decision frame, which rides the memoized lmTable feature table (InMemoryRelation) - the triage report costs one aggregate over already-derived decisions",
-    "q96_sketch_fidelity" -> "exact Jaccard verification ONLY on the banded candidate pairs (q35's own cost shape over the shared feature caches); the audit adds one join to the cached shingle arrays and a single-row aggregate - sketch drift surfaces as a mean-error jump, never a silent dedup-quality decay")
+    "q96_sketch_fidelity" -> "exact Jaccard verification ONLY on the banded candidate pairs (q35's own cost shape over the shared feature caches); the audit adds one join to the cached shingle arrays and a single-row aggregate - sketch drift surfaces as a mean-error jump, never a silent dedup-quality decay",
+    "q97_integrity" -> "orphan detection as two LEFT ANTI joins on the uniform id key (co-located under key bucketing at scale), duplicate-key and dim-drift counts as partial-aggregable aggregates; the seven 1-row check frames combine by broadcast - a single-row relation contract report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -713,7 +713,65 @@ object Similarity {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q97
+  /** CROSS-TABLE REFERENTIAL-INTEGRITY AUDIT — the relation the whole
+    * cross-modal stack (q66/q77) silently assumes: `embeddings.vec_id`
+    * keys into `documents.doc_id`. One row of contract checks a
+    * multimodal corpus runs at ingest: orphan counts on BOTH sides
+    * (docs with no vector are un-searchable; vectors with no doc are
+    * dangling index entries that would serve dead results), key
+    * duplication on either side (a dup vec_id silently doubles that
+    * vector's vote in every centroid/cluster aggregate), and dimension
+    * drift (a mis-encoded batch with the wrong dim poisons every dot
+    * product). Complements q62, which profiles columns WITHIN a table —
+    * this audits the relation BETWEEN the modalities.
+    *
+    * Scale posture: two left-anti joins on the uniform id key plus
+    * key-grouped duplicate counts — all partial-aggregable, output is
+    * one row. At 100 TB both sides bucket by their key, making the anti
+    * joins co-located. */
+  private def q97(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"))
+    val docsNoVec = docs.join(vecs, col("doc_id") === col("vec_id"),
+      "left_anti").agg(count(lit(1)).as("n")).select(col("n"))
+    val vecsNoDoc = vecs.join(docs, col("vec_id") === col("doc_id"),
+      "left_anti").agg(count(lit(1)).as("n")).select(col("n"))
+    def dupKeys(df: DataFrame, key: String) =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c")).filter(col("c") > 1L)
+        .agg(count(lit(1)).as("n")).select(col("n"))
+    val counts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(vecs.agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= Dim.toLong, 1L).otherwise(0L))
+          .as("n_dim_mismatch"))))
+    counts
+      .crossJoin(broadcast(docsNoVec.toDF("n_docs_without_vec")))
+      .crossJoin(broadcast(vecsNoDoc.toDF("n_vecs_without_doc")))
+      .crossJoin(broadcast(dupKeys(docs, "doc_id").toDF("n_dup_doc_ids")))
+      .crossJoin(broadcast(dupKeys(vecs.select(col("vec_id")), "vec_id")
+        .toDF("n_dup_vec_ids")))
+  }
+
+  private val q97Sql =
+    s"""SELECT
+       |  (SELECT count(*) FROM documents) AS n_docs,
+       |  (SELECT count(*) FROM embeddings) AS n_vecs,
+       |  CAST((SELECT sum(CASE WHEN len(embedding) <> $Dim THEN 1 ELSE 0 END)
+       |        FROM embeddings) AS BIGINT) AS n_dim_mismatch,
+       |  (SELECT count(*) FROM documents d
+       |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+       |    AS n_docs_without_vec,
+       |  (SELECT count(*) FROM embeddings e
+       |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+       |    AS n_vecs_without_doc,
+       |  (SELECT count(*) FROM (SELECT doc_id FROM documents
+       |    GROUP BY 1 HAVING count(*) > 1)) AS n_dup_doc_ids,
+       |  (SELECT count(*) FROM (SELECT vec_id FROM embeddings
+       |    GROUP BY 1 HAVING count(*) > 1)) AS n_dup_vec_ids""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_integrity"       -> (q97 _),
     "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
@@ -726,6 +784,7 @@ object Similarity {
     "q77_semantic_dedup"  -> (q77 _))
 
   val oracles: Map[String, String] = Map(
+    "q97_integrity"       -> q97Sql,
     "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,

@@ -301,6 +301,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("HashAggregate")
   }
 
+  test("q97: the integrity audit's orphan checks are anti joins on the " +
+      "uniform id key — no Cartesian between the data tables") {
+    val p = plan("q97_integrity")
+    p should include("LeftAnti")
+    // the 1-row result frames combine via broadcast nested loop only
+    p should not include "CartesianProduct"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
