@@ -90,35 +90,45 @@ object Bench {
     // Compact keys: the leading qNN id only. 83 full names × ~26 B ≈
     // 2.2 KB — BIGGER than the driver's ~2 KB tail window, so a
     // full-name compact line can no longer survive ANY tail capture
-    // intact. Short keys (~12 B each) bring the whole line to ~1.1 KB:
-    // every per-query min AND the totals fit the window together. The
-    // qNN ↔ full-name mapping is unambiguous (the full-precision line
-    // above and CORRECTNESS_r*.json both carry the full names).
+    // intact. Short keys + 2-dp values (~11 B each) bring the whole
+    // line to ~1.2 KB at 97 queries: every per-query min AND the
+    // totals fit the window together. The qNN ↔ full-name mapping is
+    // unambiguous (the full-precision line above and
+    // CORRECTNESS_r*.json both carry the full names).
+    def r2(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs3 = perQuery.map { case (k, _, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      s"\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
     val head =
       s""""metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
         s""""feature_build":$featureBuild,"cold_total":$coldTotal"""
+    // Tear down BEFORE printing: in round 5 the driver's 2000-byte tail
+    // window lost q01-q33 because Features.clear's unpersist of locally-
+    // checkpointed RDDs logged six ~150 B WARN lines AFTER our JSON —
+    // 900 B of window burned on log noise. Clearing and stopping first
+    // leaves only sbt's ~80 B "[success]" line after the JSON, so the
+    // compact line (~1.2 KB at 97 queries), the totals line (~130 B)
+    // and the success line fit the window together with ~500 B spare.
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.operators.Features.clear(spark)
+    spark.stop()
     // Full line first (may be tail-truncated by log capture)…
     println(s"""{$head,"runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     // …compact summary next: short-keyed queries first, totals at the
-    // very END, all rounded to 3 dp — small enough (~1.1 KB) to sit
-    // whole inside the tail window; if it clips anyway, the front-clip
-    // eats early query ids, never the totals…
+    // very END, rounded to 2 dp — small enough to sit whole inside the
+    // tail window; if it clips anyway, the front-clip eats early query
+    // ids, never the totals…
     println(
       s"""{"queries":$qs3,"sf":"$sfDir","metric":"total","unit":"sec",""" +
-        s""""passes":$passes,"feature_build":${r3(featureBuild)},""" +
-        s""""cold_total":${r3(coldTotal)},"value":${r3(total)}}""")
-    // …and a ~130-byte totals-only line LAST: the query dict grows with
-    // every added query (83 × ~26 B already flirts with the driver's
-    // ~2.4 KB tail window), but this line fits ANY tail capture whole,
-    // so the headline numbers survive even if both bigger lines clip.
+        s""""passes":$passes,"feature_build":${r2(featureBuild)},""" +
+        s""""cold_total":${r2(coldTotal)},"value":${r3(total)}}""")
+    // …and a ~130-byte totals-only line LAST: the guaranteed-parseable
+    // floor for ANY tail capture, so the headline numbers survive even
+    // if both bigger lines clip.
     println(
       s"""{"metric":"total","unit":"sec","passes":$passes,""" +
         s""""feature_build":${r3(featureBuild)},"cold_total":${r3(coldTotal)},""" +
         s""""value":${r3(total)},"sf":"$sfDir"}""")
-    graft.operators.Features.clear(spark)
-    spark.stop()
   }
 }

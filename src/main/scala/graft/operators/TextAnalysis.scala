@@ -925,8 +925,8 @@ object TextAnalysis {
 
   private val q76Sql =
     s"""SELECT source, doc_id, n_tokens,
-       |  prefix // 512 AS bin_id,
-       |  prefix % 512 AS bin_offset
+       |  CAST(prefix // 512 AS BIGINT) AS bin_id,
+       |  CAST(prefix % 512 AS BIGINT) AS bin_offset
        |FROM (
        |  SELECT source, doc_id, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1333,14 +1333,33 @@ object TextAnalysis {
             col("n_grams").cast(DoubleType)).cast("long"))
           .otherwise(lit(0L)))
       .drop("gs")
+    // OOV policy (round-6 advice fix): the LM join is LEFT, and absent
+    // tokens score at add-one surprisal ln(total_l / 1) — the MAXIMUM
+    // for their language — instead of silently dropping. An inner join
+    // here meant a streamed document fully outside the frozen LM's
+    // vocabulary produced zero xent rows, na.fill'd to xent_u=0, and
+    // was ADMITTED — the extreme off-distribution case this gate
+    // exists to reject. Batch q89 is numerically unchanged (the
+    // self-derived LM covers every token, so no row takes the
+    // coalesce), keeping the oracle hash green. For a language absent
+    // from the LM entirely, total_l falls back to the LM's largest
+    // language total (a one-row broadcast aggregate, no collect) —
+    // the most conservative (highest-surprisal) denominator available.
+    val langTot = lm.select(col("lang"), col("total_l")).distinct()
+    val fallbackTot = lm.agg(max(col("total_l")).as("fallback_tot"))
     val xent = docs
       .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-      .join(lm, Seq("lang", "w"))
+      .join(lm.select(col("lang"), col("w"), col("cnt")), Seq("lang", "w"), "left")
+      .join(broadcast(langTot), Seq("lang"), "left")
+      .crossJoin(broadcast(fallbackTot))
+      .withColumn("cnt_s", coalesce(col("cnt"), lit(1L)))
+      .withColumn("tot_s",
+        coalesce(col("total_l"), col("fallback_tot"), lit(1L)))
       .withColumn("contrib_u",
         floor(lit(1000000.0) * col("tf").cast(DoubleType) *
-          log(col("total_l").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          log(col("tot_s").cast(DoubleType) / col("cnt_s").cast(DoubleType)))
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg((sum(col("contrib_u")).cast(DoubleType) /
@@ -1394,13 +1413,18 @@ object TextAnalysis {
        |wc AS (SELECT lang, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
        |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
        |xent AS (
+       |  -- LEFT joins + add-one coalesce mirror qualityDecisions' OOV
+       |  -- policy; with the self-derived LM every token is covered, so
+       |  -- no row takes the fallback and the hash is unchanged.
        |  SELECT doc_id,
        |    CAST(floor(
        |      CAST(sum(CAST(floor(1000000.0 * CAST(tf AS DOUBLE) *
-       |        ln(CAST(total_l AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT))
+       |        ln(CAST(coalesce(total_l, (SELECT max(total_l) FROM lang_tot), 1)
+       |             AS DOUBLE) /
+       |           CAST(coalesce(cnt, 1) AS DOUBLE))) AS BIGINT))
        |        AS DOUBLE) /
        |      CAST(sum(tf) AS DOUBLE)) AS BIGINT) AS xent_u
-       |  FROM tf JOIN wc USING (lang, w) JOIN lang_tot USING (lang)
+       |  FROM tf LEFT JOIN wc USING (lang, w) LEFT JOIN lang_tot USING (lang)
        |  GROUP BY 1),
        |dec AS (
        |  SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.rep_frac_u,

@@ -90,4 +90,44 @@ class QualityStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(1002L)._2 shouldBe "repetition"
     out(1003L) shouldBe ((false, "lm_quality"))
   }
+
+  test("fully-OOV documents (tokens or whole language absent from the " +
+      "frozen LM) are rejected at max surprisal, not admitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lm = TextAnalysis.lmTable(spark, SparkSpec.Sf0001)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val memDocs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val out = scala.collection.mutable.Map.empty[Long, (Boolean, Long, String)]
+    val q = QualityStreams.qualityGate(memDocs, lm, (d, _) =>
+      out.synchronized {
+        d.select("doc_id", "admit", "xent_u", "reason")
+          .as[(Long, Boolean, Long, String)].collect()
+          .foreach { case (id, a, x, r) => out(id) = (a, x, r) }
+      })
+    try {
+      mem.addData(Seq(
+        // every token absent from the LM's 'en' vocabulary: with the
+        // old inner join this doc produced ZERO xent rows, na.fill'd
+        // to xent_u=0, and was ADMITTED; add-one scoring now prices
+        // each token at ln(total_en / 1) — max surprisal
+        (2000L, "zzqx vvkw qqplm xxjmr wwnrt bbgh ccfy ddkz eeqv ffxw",
+          "en", "sX", 56L),
+        // a language the LM has never seen: (lang, w) misses for every
+        // token AND the per-lang total misses; the denominator falls
+        // back to the LM's largest language total
+        (2001L, "plain ordinary words that look entirely harmless here",
+          "zz", "sX", 52L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    out(2000L)._1 shouldBe false
+    out(2000L)._3 shouldBe "lm_quality"
+    out(2000L)._2 should be > TextAnalysis.LmXentMaxU
+    out(2001L)._1 shouldBe false
+    out(2001L)._3 shouldBe "lm_quality"
+  }
 }

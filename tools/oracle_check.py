@@ -59,6 +59,19 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        # Type-parity lint: the driver converts DuckDB results through
+        # pandas, where HUGEINT/UHUGEINT become float64 — so `0` hashes
+        # as `0.0` and the row hash diverges even though fetchall() here
+        # (Python ints) would be blind to it. DuckDB's sum(BIGINT) —
+        # plain or windowed — returns HUGEINT; oracle SQL must CAST such
+        # expressions to BIGINT. (Caught the hard way by q76 in round 5.)
+        bad_types = [(c, str(t)) for c, t in zip(d_cols, duck_rel.types)
+                     if "HUGEINT" in str(t).upper()]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits pandas-unsafe types "
+                  f"{bad_types}; wrap in CAST(... AS BIGINT)")
+            n_fail += 1
+            continue
         sc, sr = frame_fingerprint(s_cols, s_rows)
         dc, dr = frame_fingerprint(d_cols, d_rows)
         if sc != dc:
