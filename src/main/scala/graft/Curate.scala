@@ -27,6 +27,22 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   * 6-stage funnel (q92) instead of the per-source q84 breakdown, so
   * the audit record always describes the pipeline that actually ran.
   *
+  * REPRESENTATIVE-LOSS SEMANTICS of `--with-quality`: stage flags are
+  * computed INDEPENDENTLY on the full corpus and composed by
+  * conjunction. Dedup keeps each cluster's minimum doc_id; if that
+  * representative is quality-rejected, its duplicates are STILL
+  * dropped by the dedup stage — all copies of that content vanish
+  * rather than a surviving duplicate being re-elected keeper. This is
+  * deliberate: content whose canonical copy fails the quality gate is
+  * (by construction of near-duplication) the same low-quality content
+  * under every label, so re-electing a twin would readmit what the
+  * gate rejected; and independent per-stage flags are what make the
+  * funnel report auditable (each stage's drop count has one meaning)
+  * and the flag tables memoizable. A pipeline that wants
+  * quality-filtered dedup INSTEAD (labels derived over quality
+  * survivors only) should gate first and run the funnel on the
+  * gated table — the operators compose in either order.
+  *
   * Contracts shared with [[Main]] (the reference's driver shape,
   * `/root/reference/java/PredictDriverCluster.java`): the output
   * directory must not exist (Hadoop FileOutputFormat), usage errors and

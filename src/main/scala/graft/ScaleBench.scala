@@ -25,10 +25,17 @@ import graft.tools.ScaleData
   * bench, whose artifact kept truncating, leaving no per-round scale
   * record for those queries.
   *
+  * A fourth phase (`tail`) sweeps every remaining query — the
+  * relational tail (q10-q19, q47-q53), events (q20-q25, q63-q65, q93),
+  * pipeline (q26-q29), and the doc queries outside the generator's
+  * reach — at the two driver SFs, closing the round-5 scale-evidence
+  * hole (the full surface now has a measured 10× ratio).
+  *
   * Env knobs: `SPARK_GRAFT_SCALE_DIR` (default /tmp/graft_scale; data is
   * regenerated only if absent — generation is deterministic),
   * `SPARK_GRAFT_SCALE_DOCS`/`_EMB`/`_HOT` row counts,
-  * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | both (all).
+  * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | tail | both
+  * (all).
   */
 object ScaleBench {
 
@@ -49,7 +56,7 @@ object ScaleBench {
     "q85_span_dedup", "q86_bm25", "q87_lm_quality", "q88_containment",
     "q89_quality_gate", "q90_sketch_quantiles", "q91_pmi_collocations",
     "q92_extended_funnel", "q94_temperature_mixing", "q95_source_quality",
-    "q96_sketch_fidelity", "q97_integrity")
+    "q96_sketch_fidelity", "q97_integrity", "q98_simhash_fidelity")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -57,6 +64,29 @@ object ScaleBench {
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
     "q04_priority_exists", "q05_local_supplier", "q06_forecast_revenue",
     "q07_window_topk", "q08_running_total", "q09_segment_stats")
+
+  /** Everything else (round-5 verdict task 5: the full 98-query surface
+    * needs scale evidence, not just the doc/embedding + q01-q09 subset):
+    * the relational tail, the events suite, the pipeline queries, and
+    * the doc queries that also read driver-only tables. Swept at the two
+    * driver SFs (sf0.01 → sf0.1 = 10× rows) like the relational phase —
+    * the generator only produces documents/embeddings, so driver tables
+    * ARE the scale axis for these. */
+  private val TailNames = Seq(
+    "q10_no_bigorder_anti", "q11_rollup_flags", "q12_priority_case",
+    "q13_order_count_dist", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_rev", "q18_large_orders",
+    "q19_band_join", "q20_hourly_events", "q21_user_pivot",
+    "q22_event_gaps", "q23_first_event", "q24_json_buckets",
+    "q25_sessionize", "q26_manifest_sanitize", "q27_classify_stub",
+    "q28_kv_sorted", "q29_class_analytics", "q30_token_stats",
+    "q31_quality", "q32_lang_guess", "q42_binary_meta",
+    "q43_media_profile", "q46_bpe_tokens", "q47_set_ops",
+    "q48_date_math", "q49_salted_agg", "q50_vocab", "q51_vocab_approx",
+    "q52_asof_join", "q53_range_join", "q55_det_sample",
+    "q61_length_quantiles", "q62_profile", "q63_funnel_daily",
+    "q64_retention", "q65_rate_anomaly", "q67_normalize",
+    "q68_content_scan", "q93_trending")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +164,28 @@ object ScaleBench {
       val (sumA, sumB) = (tSmall.values.sum, tBase.values.sum)
       println(
         s"""{"metric":"relational_prefix","base":"$small","scaled":"$base",""" +
+          s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],"queries":$qs}""")
+    }
+
+    if (phase == "tail" || phase == "both") {
+      val small = sys.env.getOrElse("SPARK_GRAFT_SMALL_SF_DIR",
+        "/root/testdata/sf0.01")
+      def sweepTail(dir: String): Map[String, Double] = {
+        val passes = (1 to 2).map(_ =>
+          TailNames.map(n =>
+            time(noopWrite(SparkEntry.queries(n)(spark, dir)))))
+        TailNames.zipWithIndex
+          .map { case (n, i) => n -> passes.map(_(i)).min }.toMap
+      }
+      val tSmall = sweepTail(small)
+      val tBase = sweepTail(base)
+      val qs = TailNames.map { n =>
+        val (a, b) = (tSmall(n), tBase(n))
+        s""""$n":[${f3(a)},${f3(b)},${f2(b / a)}]"""
+      }.mkString("{", ",", "}")
+      val (sumA, sumB) = (tSmall.values.sum, tBase.values.sum)
+      println(
+        s"""{"metric":"tail_suite","base":"$small","scaled":"$base",""" +
           s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],"queries":$qs}""")
     }
 

@@ -375,7 +375,10 @@ object Dedup {
     * 32-bit sign-aggregated fingerprint over word hashes; pairs with
     * hamming distance ≤ 3 found via 4×8-bit band blocking (pigeonhole:
     * ≤3 differing bits ⇒ at least one band identical). */
-  private def q36(spark: SparkSession, dir: String): DataFrame = {
+  /** q36's verified pairs (doc_a, doc_b, hamming ≤ 3), pre-sort —
+    * shared with the fidelity audit (q98), which re-scores exactly the
+    * pairs the production sketch ships. */
+  private def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val bitSums = Features.hashedShingles(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(simBit(0, col("h"))).as("s0"),
@@ -405,8 +408,11 @@ object Dedup {
         bit_count(col("x_simhash").bitwiseXOR(col("y_simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def q36(spark: SparkSession, dir: String): DataFrame =
+    simhashVerifiedPairs(spark, dir)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private val q36Sql = {
     val bitSums = (0 until SimHashBits)
@@ -1288,6 +1294,110 @@ object Dedup {
        |FROM scored""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+  /** SIMHASH SKETCH-FIDELITY AUDIT — q96's honesty check for the OTHER
+    * sketch. q96 audits MinHash's Jaccard estimate against exact
+    * Jaccard; this audits SimHash's angle estimate against exact
+    * cosine, over exactly the hamming ≤ 3 pairs the production sketch
+    * (q36) ships. Sign-LSH theory: P(bit differs) = θ/π, so
+    * est cos = cos(π · hamming / 32). Exact cosine over the binary
+    * shingle-set vectors SimHash fingerprints: |A∩B| / √(|A|·|B|).
+    *
+    * Float parity: `cos` is NOT guaranteed bit-identical across libm
+    * implementations, so the 4 possible estimates (hamming ∈ 0..3) are
+    * computed ONCE on the JVM and interpolated into BOTH engines as
+    * int64 micro-unit literals ([[SimHashEstCosU]]); the exact side is
+    * one correctly-rounded `sqrt` + one division on identical operands.
+    *
+    * Tolerance: with 32 hyperplanes and p̂ = h/32 ≤ 3/32, 2σ on the
+    * hamming fraction maps to ≲ 0.14 cosine; [[SimHashCosTolU]] = 0.1
+    * is the round in-engine bound (measured max error at sf0.001-0.1
+    * is ~0.027 — see the audit row itself).
+    *
+    * Scale posture: rides q36's banded candidates (never all-pairs);
+    * the shingle-set join touches only verified pairs; output is one
+    * aggregate row. */
+  private[graft] val SimHashEstCosU: IndexedSeq[Long] =
+    (0 to 3).map(h =>
+      math.floor(1e6 * math.cos(math.Pi * h / SimHashBits)).toLong)
+  val SimHashCosTolU = 100000L
+
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashVerifiedPairs(spark, dir)
+    val sh = Features.shingleSets(spark, dir)
+    val sa = sh.toDF("a_doc", "a_ss")
+    val sb = sh.toDF("b_doc", "b_ss")
+    val est = SimHashEstCosU.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (v, h)) =>
+        when(col("hamming") === h, lit(v)).otherwise(acc)
+      }
+    pairs
+      .join(sa, col("doc_a") === col("a_doc"))
+      .join(sb, col("doc_b") === col("b_doc"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("est_cos_u", est)
+      .withColumn("exact_cos_u",
+        floor(lit(1000000.0) * col("n_common").cast(DoubleType) /
+          sqrt((size(col("a_ss")).cast("long") *
+            size(col("b_ss")).cast("long")).cast(DoubleType))).cast("long"))
+      .withColumn("err_u", abs(col("est_cos_u") - col("exact_cos_u")))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(col("err_u")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).cast("long").as("mean_abs_err_u"),
+        max(col("err_u")).as("max_abs_err_u"),
+        sum(when(col("err_u") <= SimHashCosTolU, 1L).otherwise(0L))
+          .as("n_within_tol"))
+  }
+
+  private lazy val q98Sql = {
+    val bitSums = (0 until SimHashBits)
+      .map(j => s"CAST(sum(${simBitSql(j, "h")}) AS BIGINT) AS s$j")
+      .mkString(",\n    ")
+    val simhash = (0 until SimHashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimHashBandBits}) & 255 AS bv FROM fp"
+    }.mkString("\n  UNION ALL\n  ")
+    val estCase = "CASE hamming " + SimHashEstCosU.zipWithIndex
+      .map { case (v, h) => s"WHEN $h THEN $v" }.mkString(" ") + " END"
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS ss
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h
+       |           FROM (SELECT doc_id, unnest(ss) AS w FROM sh)),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+       |scored AS (
+       |  SELECT
+       |    CAST($estCase AS BIGINT) AS est_cos_u,
+       |    CAST(floor(1000000.0 * CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+       |      sqrt(CAST(CAST(len(a.ss) AS BIGINT) * CAST(len(b.ss) AS BIGINT)
+       |        AS DOUBLE))) AS BIGINT) AS exact_cos_u
+       |  FROM pairs
+       |  JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b)
+       |SELECT count(*) AS n_pairs,
+       |  CAST(floor(CAST(sum(abs(est_cos_u - exact_cos_u)) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_abs_err_u,
+       |  CAST(max(abs(est_cos_u - exact_cos_u)) AS BIGINT) AS max_abs_err_u,
+       |  CAST(sum(CASE WHEN abs(est_cos_u - exact_cos_u) <= $SimHashCosTolU
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol
+       |FROM scored""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q92
   /** EXTENDED CURATION FUNNEL — q78's survival chain with the composite
     * QUALITY GATE (q89) as its first stage: corpus → quality → text
@@ -1297,6 +1407,16 @@ object Dedup {
     * flag is an independent per-doc predicate, prefixing the chain
     * composes by conjunction — q78 stays untouched as the 5-stage
     * report.
+    *
+    * Conjunction implies REPRESENTATIVE LOSS: dedup flags are computed
+    * on the FULL corpus, so if a dup cluster's keeper (min doc_id) is
+    * quality-rejected, its duplicates still carry their dedup-drop
+    * flag and ALL copies of that content leave the corpus — no
+    * surviving twin is re-elected keeper. Deliberate: near-duplicates
+    * of gate-rejected content are the same rejected content, and
+    * independent flags are what keep each stage's drop count
+    * meaningful and the stage tables memoizable (see [[graft.Curate]]
+    * for the compose-in-the-other-order alternative).
     *
     * Scale posture: identical to q78 plus ONE broadcast left join — the
     * quality REJECT set is broadcast (a healthy corpus rejects a few
@@ -1749,6 +1869,7 @@ object Dedup {
     "q88_containment"    -> (q88 _),
     "q92_extended_funnel" -> (q92 _),
     "q96_sketch_fidelity" -> (q96 _),
+    "q98_simhash_fidelity" -> (q98 _),
     "q82_source_overlap" -> (q82 _),
     "q34_content_dedup"  -> (q34 _),
     "q35_minhash_lsh"    -> (q35 _),
@@ -1771,6 +1892,7 @@ object Dedup {
     "q88_containment"    -> q88Sql,
     "q92_extended_funnel" -> q92Sql,
     "q96_sketch_fidelity" -> q96Sql,
+    "q98_simhash_fidelity" -> q98Sql,
     "q82_source_overlap" -> q82Sql,
     "q34_content_dedup"  -> q34Sql,
     "q35_minhash_lsh"    -> q35Sql,

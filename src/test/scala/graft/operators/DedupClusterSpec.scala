@@ -106,6 +106,57 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("ccLabelsAuto runs EXACTLY one driver action per hop round, plus " +
+      "init and the leaf cut — no second pass, no plan re-walk") {
+    // Round-5/6 verdict pin: rounds 4 and 5 each hunted down a silent
+    // driver-side regression in this loop (a join-against-previous +
+    // count second pass per round; then a per-consumer plan re-walk
+    // through the cached label tree). The convergence design is ONE
+    // scalar aggregate per round (the monotone label-sum), one init
+    // sum, and one eager localCheckpoint to cut the returned leaf.
+    // Counting DISTINCT SQL execution ids (not jobs — AQE legitimately
+    // splits one action into several jobs) pins that contract so a
+    // refactor can't quietly reintroduce a second action per round.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val pairs = Dedup.queries("q35_minhash_lsh")(spark, SparkSpec.Sf0001)
+      .select("doc_a", "doc_b")
+    val sym = pairs.union(pairs.select(
+        org.apache.spark.sql.functions.col("doc_b"),
+        org.apache.spark.sql.functions.col("doc_a")))
+      .toDF("src", "dst")
+    // Materialize the edge lineage OUTSIDE the counted window so the
+    // candidate-generation actions don't pollute the count.
+    val edges = sym.localCheckpoint(true)
+
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val p = js.properties
+        val id = if (p == null) null else p.getProperty("spark.sql.execution.id")
+        if (id != null) execIds.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val run =
+      try {
+        val r = Dedup.ccLabelsAuto(edges)
+        // Listener delivery is async: wait until the counted set has
+        // been stable for a beat before reading it.
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          if (execIds.size == last) stable += 1 else { stable = 0; last = execIds.size }
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    run.escalated shouldBe false // clique graph: hop loop converges
+    // init label-sum + one label-sum per round + the eager leaf cut.
+    execIds.size shouldBe (run.hopRounds + 2)
+  }
+
   test("star CC clusters the real q35 dup graph identically to q56") {
     val pairs = Dedup.queries("q35_minhash_lsh")(spark, SparkSpec.Sf0001)
       .select("doc_a", "doc_b")
