@@ -56,7 +56,8 @@ object ScaleBench {
     "q85_span_dedup", "q86_bm25", "q87_lm_quality", "q88_containment",
     "q89_quality_gate", "q90_sketch_quantiles", "q91_pmi_collocations",
     "q92_extended_funnel", "q94_temperature_mixing", "q95_source_quality",
-    "q96_sketch_fidelity", "q97_integrity", "q98_simhash_fidelity")
+    "q96_sketch_fidelity", "q97_integrity", "q98_simhash_fidelity",
+    "q99_heavy_hitters")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

@@ -1444,9 +1444,66 @@ object TextAnalysis {
        |FROM dec
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** PER-SOURCE HEAVY HITTERS at bounded memory — the frequency member
+    * of the sketch-audit family (q51 HLL distinct counts, q90 quantile
+    * sketch, q96/q98 similarity sketches): which tokens dominate each
+    * feed. Over crawl data the item domain is unbounded (URLs, hosts,
+    * n-grams), so "count everything exactly, keep the top" is a
+    * vocabulary-sized shuffle per source; the production shape is the
+    * TWO-PASS exact heavy hitter — pass 1 a Misra–Gries summary
+    * ([[graft.functions.HeavyHitters]], custom
+    * `TypedImperativeAggregate` under ObjectHashAggregate, ≤ k−1
+    * counters per group crossing the shuffle), pass 2 an exact count
+    * of the ≤ k−1 candidates only (the token scan is pruned by a
+    * BROADCAST candidate join at scan position before its aggregate).
+    *
+    * Determinism: Misra–Gries candidate SETS are stream-order-dependent
+    * at the margin, but any item with true frequency > n/k is
+    * guaranteed captured (k = [[HeavyHitterK]] = 28, error ≤ n/28),
+    * so after the exact pass filters to frequency > n/[[HeavyHitterPhiDen]]
+    * (= n/20 > n/28), the output IS the exact φ-heavy set regardless
+    * of partitioning or merge order — which is why this query can be
+    * DuckDB-oracled at all (the oracle computes the φ-set exactly).
+    * The synthetic corpus's per-source vocabulary (~31 words) is flat
+    * at sf0.1 (max share 3.7% < 5%), so the φ-set is legitimately
+    * empty there; the gated SFs have 1–3 hitters per sweep, and the
+    * planted-Zipf spec (vocab ≫ k) exercises the lossy regime the
+    * testdata can't. */
+  val HeavyHitterK = 28
+  val HeavyHitterPhiDen = 20L
+
+  private def q99(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val cand = toks.groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), HeavyHitterK)
+          .as("cand"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("n_tokens"), explode(col("cand")).as("w"))
+    toks.join(broadcast(cand), Seq("source", "w")) // scan-position prune
+      .groupBy(col("source"), col("w"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyHitterPhiDen > col("n_tokens"))
+      .select(col("source"), col("w"), col("cnt"), col("n_tokens"))
+      .orderBy(col("source"), col("cnt").desc, col("w"))
+  }
+
+  private val q99Sql =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${tokensSql("text")}) AS w FROM documents),
+       |tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY 1),
+       |cnts AS (SELECT source, w, count(*) AS cnt FROM toks GROUP BY 1, 2)
+       |SELECT c.source, c.w, c.cnt, t.n_tokens
+       |FROM cnts c JOIN tot t USING (source)
+       |WHERE c.cnt * $HeavyHitterPhiDen > t.n_tokens
+       |ORDER BY source, cnt DESC, w""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q99_heavy_hitters" -> (q99 _),
     "q89_quality_gate" -> (q89 _),
     "q90_sketch_quantiles" -> (q90 _),
     "q91_pmi_collocations" -> (q91 _),
@@ -1475,6 +1532,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q99_heavy_hitters" -> q99Sql,
     "q89_quality_gate" -> q89Sql,
     "q90_sketch_quantiles" -> q90Sql,
     "q91_pmi_collocations" -> q91Sql,

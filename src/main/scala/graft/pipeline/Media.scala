@@ -413,6 +413,40 @@ object Media {
     }
   }
 
+  /** Floors for [[mediaDecisions]] — the multimodal analog of the text
+    * gate's `QualityMinTokens`: thumbnails/tracking pixels and sub-100ms
+    * audio blips carry no trainable signal. */
+  val MinImageDim = 2
+  val MinAudioSec = 0.01
+
+  /** MEDIA ADMISSION GATE — per-object ADMIT/REJECT decisions with
+    * first-failing-gate attribution, the multimodal twin of
+    * [[graft.operators.TextAnalysis.qualityDecisions]]: `corrupt`
+    * (decode failed — the sentinel row), `too_small` (image under
+    * [[MinImageDim]] px a side), `too_short` (audio under
+    * [[MinAudioSec]] s). Stateless per-row expressions over the decoded
+    * metadata, so the SAME gate runs unchanged on a batch scan or on
+    * [[binaryObjectStream]] micro-batches (stream/batch parity by
+    * construction — `MediaSpec` pins it end-to-end through the file
+    * stream), and at 100 TB it is a scan-position filter: decisions
+    * derive from [[decodeAll]]'s narrow metadata rows, the blobs
+    * themselves are already out of the plan. */
+  def mediaDecisions(metas: Dataset[MediaMeta]): org.apache.spark.sql.DataFrame =
+    metas.toDF()
+      .withColumn("reason",
+        when(!col("ok"), lit("corrupt"))
+          .when(col("kind") === "image" &&
+            (col("width") < MinImageDim || col("height") < MinImageDim),
+            lit("too_small"))
+          // sampleRate > 0 ⇔ a REAL decode produced the duration; the
+          // fenced stub path (compressed audio, no JVM codec) reports 0
+          // and must not be rejected on a duration it never measured.
+          .when(col("kind") === "audio" && col("sampleRate") > 0 &&
+            col("durationSec") < MinAudioSec, lit("too_short"))
+          .otherwise(lit("admit")))
+      .withColumn("admit", col("reason") === "admit")
+      .select(col("path"), col("kind"), col("admit"), col("reason"))
+
   /** Batched feature extraction — same stage shape as [[decodeAll]];
     * output is the fixed-width vector column similarity search consumes
     * ([[graft.operators.Similarity]]). Image kind gets the REAL

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, LongDotProduct, MinHashSignature, QuantizeError}
+import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LongDotProduct, MinHashSignature, QuantizeError}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftArgMin)
     ext.injectFunction(GraftExtensions.graftBloomContains)
     ext.injectFunction(GraftExtensions.graftQuantErr)
+    ext.injectFunction(GraftExtensions.graftHeavyHitters)
   }
 }
 
@@ -93,10 +94,22 @@ object GraftExtensions {
       QuantizeError(args.head, args(1), args(2))
     })
 
+  val graftHeavyHitters: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
+    { args =>
+      require(args.length == 2,
+        "graft_heavy_hitters(item, k) takes 2 arguments")
+      require(args(1).foldable,
+        "graft_heavy_hitters k must be a literal")
+      val k = args(1).eval().asInstanceOf[Number].intValue()
+      HeavyHitters(args.head, k).toAggregateExpression()
+    })
+
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftQuantErr).foreach {
+    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftQuantErr, graftHeavyHitters).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -309,6 +309,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q99: the Misra-Gries sketch runs hash-based (ObjectHashAggregate, " +
+      "no sort), and the exact pass is pruned by a BROADCAST candidate " +
+      "join at scan position") {
+    val p = plan("q99_heavy_hitters")
+    p should include("ObjectHashAggregate") // graft_heavy_hitters
+    p should not include "SortAggregate"
+    p should include("BroadcastHashJoin") // ≤ k-1 candidates per source
+    p should not include "SortMergeJoin" // never a corpus-keyed shuffle join
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).

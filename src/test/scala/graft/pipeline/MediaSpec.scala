@@ -185,6 +185,64 @@ class MediaSpec extends AnyFunSuite with SparkSpec with Matchers {
     metas("corrupt.jpg").ok shouldBe false // sentinel survives the stream
   }
 
+  test("multimodal curation streams END-TO-END: files dropped into a " +
+      "watched dir decode and gate per micro-batch, decisions equal " +
+      "the batch twin on the same fixtures") {
+    // The composed path the round-5 verdict asked to prove out:
+    // binaryObjectStream → decodeAll → mediaDecisions, all three
+    // stages the literally-same typed code the batch path runs.
+    val dir = Files.createTempDirectory("media_gate_stream_")
+    dir.toFile.deleteOnExit()
+    def tinyPngBytes(): Array[Byte] = { // 1×1: under MinImageDim
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    Files.write(dir.resolve("good.png"), realPngBytes())
+
+    val out = scala.collection.mutable.Map.empty[String, (Boolean, String)]
+    var batches = 0
+    val q = Media.mediaDecisions(decodeAll(binaryObjectStream(spark, dir.toString)))
+      .writeStream.foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          batches += 1
+          d.collect().foreach(r => out(Sources.basename(r.getString(0))) =
+            (r.getBoolean(2), r.getString(3)))
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      // more media lands while the stream runs: every gate outcome
+      // arrives in a LATER micro-batch than the first admit
+      Files.write(dir.resolve("tiny.png"), tinyPngBytes())
+      Files.write(dir.resolve("blip.wav"),
+        realWavBytes(Array.fill[Short](40)(1000))) // 5 ms at 8 kHz
+      Files.write(dir.resolve("good.wav"), realWavBytes(sineWavSamples()))
+      Files.write(dir.resolve("corrupt.jpg"), "not-a-jpeg".getBytes)
+      Files.write(dir.resolve("fenced.mp3"), "fake-mp3-bytes".getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    batches should be > 1
+    out("good.png") shouldBe ((true, "admit"))
+    out("good.wav") shouldBe ((true, "admit"))
+    out("tiny.png") shouldBe ((false, "too_small"))
+    out("blip.wav") shouldBe ((false, "too_short"))
+    out("corrupt.jpg") shouldBe ((false, "corrupt"))
+    // fenced codec: the stub decode reports no real duration, so the
+    // duration floor must NOT reject it
+    out("fenced.mp3") shouldBe ((true, "admit"))
+
+    // Batch twin over the SAME directory: decisions identical.
+    val batch = Media.mediaDecisions(decodeAll(binaryObjects(spark, dir.toString)))
+      .collect()
+      .map(r => Sources.basename(r.getString(0)) ->
+        ((r.getBoolean(2), r.getString(3)))).toMap
+    batch shouldBe out.toMap
+  }
+
   test("fetchByManifest: only manifest-addressed blobs are fetched") {
     import spark.implicits._
     val dir = tmpMediaDir() // contains a.jpg, b.mp4, c.wav
