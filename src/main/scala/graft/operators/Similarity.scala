@@ -713,6 +713,96 @@ object Similarity {
 
   // ----------------------------------------------------------------
 
+  /** One spherical-k-means run to CONVERGENCE: per-round centroids,
+    * round count, and the full int64 inertia trace (Σ cos_u of each
+    * vector's best assignment — monotone non-decreasing under Lloyd
+    * steps, up to the micro-unit floor). */
+  private[graft] final case class KmeansRun(centroids: DataFrame,
+      rounds: Int, inertiaU: Seq[Long])
+
+  /** FULL LLOYD LOOP — q79 is one step; this iterates it to a fixpoint,
+    * the [[graft.operators.Dedup.ccLabelsAuto]] of the vector suite.
+    * Every round keeps q79's scale shape: the k-row centroid codebook
+    * BROADCASTS (never the vectors), assignment is one hash-argmax
+    * aggregate (`graft_argmax` under ObjectHashAggregate, map-side
+    * combine), the centroid update is `dim` int64 positional sums in
+    * the same aggregate pass — ONE shuffle per round, keyed by the
+    * uniform vec_id then by the ≤ k cluster ids.
+    *
+    * Driver discipline (the ccLabelsAuto contract): ONE scalar action
+    * per round — the int64 inertia Σ cos_u, which doubles as the
+    * convergence test (stop when a round improves by less than `epsU`
+    * micro-units, or on `maxRounds`). Each round's k-row codebook is
+    * eagerly `localCheckpoint`ed and the previous generation freed, so
+    * the plan stays round-depth-constant instead of nesting every
+    * previous round's tree (the lineage pathology rounds 4–5 hunted).
+    *
+    * Determinism: centroids stay micro-scaled int64 — the positional
+    * mean is exact int64 floor division `(s − pmod(s, n)) / n`, never a
+    * double mean — so a re-run (or a different partitioning) walks the
+    * identical centroid sequence; argmax ties break on the lower
+    * cluster id. Empty clusters keep their previous centroid.
+    *
+    * Not SQL-oracle-expressible (data-dependent round count — SURVEY
+    * §5); `KmeansAutoSpec` pins planted-cluster recovery, the monotone
+    * inertia trace, round-depth-constant plans, and partitioning
+    * invariance. */
+  private[graft] def kmeansAuto(emb: DataFrame, k: Int, dim: Int,
+      maxRounds: Int = 20, epsU: Long = 1000L): KmeansRun = {
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    var centroids = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("sv").as("cv"),
+        col("n2").as("cn2"))
+      .localCheckpoint(true)
+
+    def assign(c: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(c))
+        .withColumn("scos",
+          cosine(dotL(col("sv"), col("cv")), col("n2"), col("cn2")))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.ArgMaxAgg.argMax(
+          struct(col("scos"), negate(col("c_id"))),
+          struct(col("c_id"),
+            floor(col("scos") * 1000000.0).cast(LongType).as("cos_u"),
+            col("sv"))).as("b"))
+        .select(col("b.c_id").as("c_id"), col("b.cos_u").as("cos_u"),
+          col("b.sv").as("sv"))
+
+    var inertia = List.empty[Long] // reverse order
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val a = assign(centroids)
+      val aggs = Seq(count(lit(1)).as("n"),
+        sum(col("cos_u")).as("sum_cos_u")) ++
+        (0 until dim).map(i => sum(element_at(col("sv"), i + 1)).as(s"c$i"))
+      val upd = a.groupBy(col("c_id")).agg(aggs.head, aggs.tail: _*)
+      // exact int64 floor mean per component; empty clusters (absent
+      // from upd) keep their previous centroid via the left join
+      val meanArr = array((0 until dim).map(i =>
+        ((col(s"c$i") - pmod(col(s"c$i"), col("n"))) / col("n"))
+          .cast(LongType)): _*)
+      val next = centroids.select(col("c_id"), col("cv").as("pcv"))
+        .join(upd, Seq("c_id"), "left")
+        .select(col("c_id"),
+          when(col("n").isNull, col("pcv")).otherwise(meanArr).as("cv"))
+        .withColumn("cn2", dotL(col("cv"), col("cv")))
+        .localCheckpoint(true) // k rows; cuts the round's lineage
+      // the ONE driver-visible scalar per round
+      val inertiaU = {
+        val v = a.agg(sum(col("cos_u"))).head().get(0)
+        if (v == null) 0L else v.asInstanceOf[Long]
+      }
+      done = inertia.headOption.exists(prev => inertiaU - prev < epsU)
+      inertia ::= inertiaU
+      Features.freeFrame(centroids)
+      centroids = next
+    }
+    KmeansRun(centroids, rounds, inertia.reverse)
+  }
+
   // ---------------------------------------------------------------- q97
   /** CROSS-TABLE REFERENTIAL-INTEGRITY AUDIT — the relation the whole
     * cross-modal stack (q66/q77) silently assumes: `embeddings.vec_id`
