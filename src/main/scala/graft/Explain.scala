@@ -53,7 +53,8 @@ object Explain {
     "q96_sketch_fidelity" -> "exact Jaccard verification ONLY on the banded candidate pairs (q35's own cost shape over the shared feature caches); the audit adds one join to the cached shingle arrays and a single-row aggregate - sketch drift surfaces as a mean-error jump, never a silent dedup-quality decay",
     "q97_integrity" -> "orphan detection as two LEFT ANTI joins on the uniform id key (co-located under key bucketing at scale), duplicate-key and dim-drift counts as partial-aggregable aggregates; the seven 1-row check frames combine by broadcast - a single-row relation contract report",
     "q98_simhash_fidelity" -> "q96's audit shape for the sign-LSH sketch: exact cosine verification ONLY on q36's banded hamming<=3 pairs (never all-pairs), one join to the cached shingle arrays, single-row aggregate; the 4 possible angle estimates are JVM-computed int64 literals shared with the oracle, so no libm cos() parity risk exists in either engine",
-    "q99_heavy_hitters" -> "two-pass exact heavy hitters: pass 1 a Misra-Gries TypedImperativeAggregate (ObjectHashAggregate, <=k-1 counters per source cross the shuffle - never the vocabulary); pass 2 exact-counts ONLY the candidates, pruned by a broadcast join at scan position; the n/k capture guarantee makes the phi-filtered output order-independent, which is what lets a sketch query be hash-oracled at all")
+    "q99_heavy_hitters" -> "two-pass exact heavy hitters: pass 1 a Misra-Gries TypedImperativeAggregate (ObjectHashAggregate, <=k-1 counters per source cross the shuffle - never the vocabulary); pass 2 exact-counts ONLY the candidates, pruned by a broadcast join at scan position; the n/k capture guarantee makes the phi-filtered output order-independent, which is what lets a sketch query be hash-oracled at all",
+    "q100_embedding_drift" -> "one vec_id-keyed join (co-located under key bucketing), one partial-aggregable 64-sum groupBy per source, the GLOBAL mean re-aggregated from the source sums (no second corpus scan), single-row global frame broadcast back; floor-mean components stay 1e4-scaled at any corpus size so the final int64 dots can never overflow (raw-sum dots would at ~1e10 rows)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -803,6 +803,89 @@ object Similarity {
     KmeansRun(centroids, rounds, inertia.reverse)
   }
 
+  // ---------------------------------------------------------------- q100
+  /** PER-SOURCE EMBEDDING DRIFT — the model-version-skew monitor a
+    * multimodal corpus runs at ingest: each source's mean embedding
+    * direction vs the global mean direction, as a cosine. A feed whose
+    * blobs were encoded by a different embedding-model version (or a
+    * corrupted preprocessing shard) points its centroid away from the
+    * corpus — exactly the silent failure that poisons every downstream
+    * ANN/centroid/semantic-dedup result (q38/q41/q77) while each
+    * individual vector still LOOKS valid. Complements q97: that audits
+    * the relation's keys, this audits the geometry.
+    *
+    * Determinism: per-source component sums are exact int64; the mean
+    * is exact int64 floor division ((s − pmod(s, n)) / n — spelled the
+    * same way in the oracle because DuckDB's `//` TRUNCATES toward
+    * zero on negatives while this corpus's embedding sums can be
+    * negative); the global mean re-aggregates the source sums (one
+    * vocabulary-free second aggregate, no second corpus scan); the
+    * single float step is q38's one-multiply-one-sqrt-one-divide
+    * cosine on identical int64 operands.
+    *
+    * Scale posture: one join keyed by the uniform vec_id (co-located
+    * under key bucketing), one partial-aggregable 64-sum groupBy per
+    * source, a ≤-sources-sized re-aggregate, and a single-row global
+    * frame broadcast back — payload vectors never shuffle twice.
+    * Floor-mean components stay 10⁴-scaled regardless of corpus size,
+    * so the final dot products can never overflow int64 (raw-sum dots
+    * would at ~10¹⁰ rows). */
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    val j = scaledEmb(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), col("sv"))
+    def floorDiv(s: Column, n: Column): Column =
+      ((s - pmod(s, n)) / n).cast(LongType)
+    val aggs = Seq(count(lit(1)).as("n_vecs")) ++
+      (0 until Dim).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+    val ssum = j.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val cmean = ssum.select(col("source"), col("n_vecs"),
+      array((0 until Dim).map(i =>
+        floorDiv(col(s"s$i"), col("n_vecs"))): _*).as("m"))
+    val gaggs = Seq(sum(col("n_vecs")).as("gn")) ++
+      (0 until Dim).map(i => sum(col(s"s$i")).as(s"g$i"))
+    val g = ssum.agg(gaggs.head, gaggs.tail: _*)
+      .select(array((0 until Dim).map(i =>
+        floorDiv(col(s"g$i"), col("gn"))): _*).as("gm"))
+      .withColumn("gn2", dotL(col("gm"), col("gm")))
+    cmean.crossJoin(broadcast(g))
+      .select(col("source"), col("n_vecs"),
+        floor(lit(1000000.0) * cosine(dotL(col("m"), col("gm")),
+          dotL(col("m"), col("m")), col("gn2"))).cast(LongType)
+          .as("drift_u"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q100Sql = {
+    def fd(s: String, n: String): String =
+      s"CAST(($s - ((($s) % ($n)) + ($n)) % ($n)) / ($n) AS BIGINT)"
+    s"""WITH emb AS ($scaledEmbSql),
+       |j AS (SELECT d.source, e.sv
+       |      FROM emb e JOIN documents d ON e.vec_id = d.doc_id),
+       |pos AS (SELECT source, unnest(range(1, $Dim + 1)) AS p,
+       |               unnest(sv) AS v FROM j),
+       |psum AS (SELECT source, p, CAST(sum(v) AS BIGINT) AS s
+       |         FROM pos GROUP BY 1, 2),
+       |cnt AS (SELECT source, count(*) AS n_vecs FROM j GROUP BY 1),
+       |cmean AS (SELECT source, p, ${fd("s", "n_vecs")} AS m
+       |          FROM psum JOIN cnt USING (source)),
+       |gsum AS (SELECT p, CAST(sum(s) AS BIGINT) AS gs FROM psum GROUP BY p),
+       |gcnt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS gn FROM cnt),
+       |gmean AS (SELECT p, ${fd("gs", "gn")} AS gm FROM gsum, gcnt),
+       |dots AS (
+       |  SELECT source, CAST(sum(m * gm) AS BIGINT) AS dot,
+       |    CAST(sum(m * m) AS BIGINT) AS n2m,
+       |    CAST(sum(gm * gm) AS BIGINT) AS n2g
+       |  FROM cmean JOIN gmean USING (p) GROUP BY source)
+       |SELECT d.source, c.n_vecs,
+       |  CAST(floor(1000000.0 * ${cosineSql("dot", "n2m", "n2g")})
+       |    AS BIGINT) AS drift_u
+       |FROM dots d JOIN cnt c USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q97
   /** CROSS-TABLE REFERENTIAL-INTEGRITY AUDIT — the relation the whole
     * cross-modal stack (q66/q77) silently assumes: `embeddings.vec_id`
@@ -862,6 +945,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q97_integrity"       -> (q97 _),
+    "q100_embedding_drift" -> (q100 _),
     "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
@@ -875,6 +959,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q97_integrity"       -> q97Sql,
+    "q100_embedding_drift" -> q100Sql,
     "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,
