@@ -54,7 +54,12 @@ object Explain {
     "q97_integrity" -> "orphan detection as two LEFT ANTI joins on the uniform id key (co-located under key bucketing at scale), duplicate-key and dim-drift counts as partial-aggregable aggregates; the seven 1-row check frames combine by broadcast - a single-row relation contract report",
     "q98_simhash_fidelity" -> "q96's audit shape for the sign-LSH sketch: exact cosine verification ONLY on q36's banded hamming<=3 pairs (never all-pairs), one join to the cached shingle arrays, single-row aggregate; the 4 possible angle estimates are JVM-computed int64 literals shared with the oracle, so no libm cos() parity risk exists in either engine",
     "q99_heavy_hitters" -> "two-pass exact heavy hitters: pass 1 a Misra-Gries TypedImperativeAggregate (ObjectHashAggregate, <=k-1 counters per source cross the shuffle - never the vocabulary); pass 2 exact-counts ONLY the candidates, pruned by a broadcast join at scan position; the n/k capture guarantee makes the phi-filtered output order-independent, which is what lets a sketch query be hash-oracled at all",
-    "q100_embedding_drift" -> "one vec_id-keyed join (co-located under key bucketing), one partial-aggregable 64-sum groupBy per source, the GLOBAL mean re-aggregated from the source sums (no second corpus scan), single-row global frame broadcast back; floor-mean components stay 1e4-scaled at any corpus size so the final int64 dots can never overflow (raw-sum dots would at ~1e10 rows)")
+    "q100_embedding_drift" -> "one vec_id-keyed join (co-located under key bucketing), one partial-aggregable 64-sum groupBy per source, the GLOBAL mean re-aggregated from the source sums (no second corpus scan), single-row global frame broadcast back; floor-mean components stay 1e4-scaled at any corpus size so the final int64 dots can never overflow (raw-sum dots would at ~1e10 rows)",
+    "q101_source_kl" -> "per-(source, term) counts are the finest aggregate (one partial-aggregable shuffle); the corpus marginal re-aggregates THAT frame (vocabulary-sized, never a second corpus scan), the join back is vocab-vs-vocab keyed by term with hot-term postings visible to AQE skew split; per-source totals and the grand total broadcast - the corpus text shuffles exactly once",
+    "q102_packing_audit" -> "q76's per-source prefix-sum window (shard-local by construction at 100 TB - sequence order within a shard is all packing needs) followed by ONE partial-aggregable groupBy to a sources-sized report; bins/waste/straddles are exact integer arithmetic, so the audit carries zero float-parity machinery",
+    "q103_epoch_allocator" -> "one scan -> per-source partial-aggregable token sums (sources-sized), single-row total broadcast back - the allocator is free at any corpus size; targets are exact int64 floor division (milli weights keep 2*M*w under 2^63 even at 1e13 corpus tokens), the epochs ratio one correctly-rounded double division (an int64 1e6*target WOULD overflow at planetary scale)",
+    "q104_chunking" -> "one scan + a per-row sequence/explode whose fan-out is n_tokens/stride (doc-length-bounded, uniform - no skew) and NO shuffle at all; the chunk md5 doubles as the downstream chunk-dedup key, and slices reference the single tokens array rather than copying text per chunk",
+    "q105_semantic_decontam" -> "the eval side is broadcast (benchmarks are 1e3-1e5 vectors by nature) and candidates are pruned by the shared sign-LSH bucket key - the 100 TB training side streams through a broadcast hash join with NO shuffle, then one partial-aggregable per-vector aggregate; the embedding-level leak n-gram decontamination (q73) cannot see, over the SAME eval slice")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -57,7 +57,9 @@ object ScaleBench {
     "q89_quality_gate", "q90_sketch_quantiles", "q91_pmi_collocations",
     "q92_extended_funnel", "q94_temperature_mixing", "q95_source_quality",
     "q96_sketch_fidelity", "q97_integrity", "q98_simhash_fidelity",
-    "q99_heavy_hitters", "q100_embedding_drift")
+    "q99_heavy_hitters", "q100_embedding_drift", "q101_source_kl",
+    "q102_packing_audit", "q103_epoch_allocator", "q104_chunking",
+    "q105_semantic_decontam")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

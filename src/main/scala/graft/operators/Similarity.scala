@@ -886,6 +886,67 @@ object Similarity {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q105
+  /** SEMANTIC DECONTAMINATION — the embedding-level companion of the
+    * n-gram decontamination q73 runs over the SAME eval slice
+    * (`id % 17 == 0`; vec_id and doc_id share the id space, q97's
+    * audited relation): flag every training vector whose cosine to ANY
+    * eval vector crosses the threshold. This is the leak n-gram overlap
+    * cannot see — a benchmark passage paraphrased or re-encoded shares
+    * no 3-grams with the eval set but keeps a near-identical embedding,
+    * and it is the standard second gate modern decontamination runs
+    * (embedding-similarity dedup against eval, per GPT-4/Llama-style
+    * contamination reports).
+    *
+    * Threshold 0.2 is the FIXTURE cut (the synthetic corpus has no
+    * planted eval paraphrases; in-bucket cross cosines top out at
+    * ~0.29, so 0.2 exercises the full pipeline against the oracle);
+    * production uses ~0.9 — one constant, same plan.
+    *
+    * Scale posture: q40's sign-LSH buckets prune the candidate space
+    * (never all-pairs), and the EVAL side is broadcast (benchmarks are
+    * 10³–10⁵ vectors by nature) — the 100 TB training side streams
+    * through a broadcast hash join on the bucket key with NO shuffle,
+    * then one partial-aggregable per-vector aggregate; `lshBits` is
+    * the same log(n) knob q39/q40 carry. */
+  val SemContCosine = 0.2
+
+  private def q105(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
+    val ev = emb.filter(col("vec_id") % Dedup.EvalSliceMod === 0)
+      .select(col("vec_id").as("e_id"), col("sv").as("e_sv"),
+        col("n2").as("e_n2"), col("bkt"))
+    emb.filter(col("vec_id") % Dedup.EvalSliceMod =!= 0)
+      .join(broadcast(ev), "bkt")
+      .withColumn("cos", cosine(dotL(col("sv"), col("e_sv")),
+        col("n2"), col("e_n2")))
+      .filter(col("cos") >= SemContCosine)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        floor(lit(1000000.0) * max(col("cos"))).cast(LongType)
+          .as("max_cos_u"),
+        min(col("e_id")).as("closest_eval"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q105Sql =
+    s"""WITH emb AS (
+       |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |ev AS (SELECT vec_id AS e_id, sv AS e_sv, n2 AS e_n2, bkt
+       |       FROM emb WHERE vec_id % ${Dedup.EvalSliceMod} = 0),
+       |hits AS (
+       |  SELECT t.vec_id, e.e_id,
+       |    ${cosineSql(dotLSql("t.sv", "e.e_sv"), "t.n2", "e.e_n2")} AS cos
+       |  FROM emb t JOIN ev e ON t.bkt = e.bkt
+       |  WHERE t.vec_id % ${Dedup.EvalSliceMod} <> 0)
+       |SELECT vec_id, count(*) AS n_hits,
+       |  CAST(floor(1000000.0 * max(cos)) AS BIGINT) AS max_cos_u,
+       |  min(e_id) AS closest_eval
+       |FROM hits WHERE cos >= $SemContCosine
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** CROSS-TABLE REFERENTIAL-INTEGRITY AUDIT — the relation the whole
     * cross-modal stack (q66/q77) silently assumes: `embeddings.vec_id`
@@ -946,6 +1007,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q97_integrity"       -> (q97 _),
     "q100_embedding_drift" -> (q100 _),
+    "q105_semantic_decontam" -> (q105 _),
     "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
@@ -960,6 +1022,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q97_integrity"       -> q97Sql,
     "q100_embedding_drift" -> q100Sql,
+    "q105_semantic_decontam" -> q105Sql,
     "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,

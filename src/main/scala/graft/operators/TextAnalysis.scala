@@ -1500,9 +1500,296 @@ object TextAnalysis {
        |WHERE c.cnt * $HeavyHitterPhiDen > t.n_tokens
        |ORDER BY source, cnt DESC, w""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** PER-SOURCE TOKEN-DISTRIBUTION KL DIVERGENCE — the text twin of
+    * q100's embedding-drift monitor: which feed's unigram distribution
+    * diverges from the corpus mixture. KL(P_s ‖ P_corpus) =
+    * Σ_w (c_sw/N_s)·ln(c_sw·M / (N_s·m_w)) in micro-nats — a crawl
+    * source that switched domain, language mix, or template (or a
+    * boilerplate-injecting mirror) jumps here while per-document
+    * quality gates (q87/q89) stay quiet, because every individual
+    * document still looks in-distribution FOR ITS SOURCE. Always ≥ 0;
+    * ordered worst-first, it is the triage list for "which feed
+    * changed under us".
+    *
+    * Determinism: q87's recipe — one `ln` per (source, term) with an
+    * argument built from exact int64 counts by correctly-rounded
+    * double multiply/divide, per-term floor to micro-units, exact
+    * int64 sums above, one final floored mean division.
+    *
+    * Scale posture: per-(source, term) counts are the finest aggregate
+    * (partial-aggregable; one shuffle keyed by (source, term)); the
+    * corpus marginal re-aggregates THAT frame keyed by term (the join
+    * back is vocabulary-sized both sides, never corpus-sized; a hot
+    * term's postings are visible to AQE's skew split); per-source
+    * totals (≤ sources rows) and the grand total (1 row) broadcast. */
+  private def q101(spark: SparkSession, dir: String): DataFrame = {
+    val sc = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val stot = sc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val mc = sc.groupBy(col("w")).agg(sum(col("c")).as("m"))
+    val mtot = mc.agg(sum(col("m")).as("mt"))
+    sc.join(broadcast(stot), "source")
+      .join(mc, "w")
+      .crossJoin(broadcast(mtot))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("c").cast(DoubleType) *
+          log((col("c").cast(DoubleType) * col("mt").cast(DoubleType)) /
+            (col("n_s").cast(DoubleType) * col("m").cast(DoubleType))))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("contrib_u")).as("sum_u"))
+      .select(col("source"), col("n_tokens"),
+        floor(col("sum_u").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .cast("long").as("kl_u"))
+      .orderBy(col("kl_u").desc, col("source"))
+  }
+
+  private val q101Sql =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${tokensSql("text")}) AS w FROM documents),
+       |sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+       |mc AS (SELECT w, CAST(sum(c) AS BIGINT) AS m FROM sc GROUP BY 1),
+       |mtot AS (SELECT CAST(sum(m) AS BIGINT) AS mt FROM mc),
+       |contrib AS (
+       |  SELECT source,
+       |    CAST(floor(1000000.0 * CAST(c AS DOUBLE) *
+       |      ln((CAST(c AS DOUBLE) * CAST(mt AS DOUBLE)) /
+       |         (CAST(n_s AS DOUBLE) * CAST(m AS DOUBLE)))) AS BIGINT)
+       |      AS contrib_u,
+       |    c
+       |  FROM sc JOIN stot USING (source) JOIN mc USING (w), mtot)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(floor(CAST(sum(contrib_u) AS DOUBLE) /
+       |    CAST(sum(c) AS DOUBLE)) AS BIGINT) AS kl_u
+       |FROM contrib GROUP BY source
+       |ORDER BY kl_u DESC, source""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** PACKING-EFFICIENCY AUDIT — the accounting report over q76's
+    * context-window packing that a training-infra team actually reads:
+    * per source, how many 512-token sequences the packed stream needs,
+    * how many pad tokens the final partial bin wastes, the fill ratio,
+    * and how many documents straddle a bin boundary (straddled docs
+    * get their attention context split — the packing-quality metric
+    * that drives "shuffle docs before packing" decisions). Everything
+    * is exact integer arithmetic over the same per-source prefix sums
+    * q76 computes, so the report is engine-exact with no float-parity
+    * machinery at all.
+    *
+    * Scale posture: q76's per-source window (shard-local at 100 TB)
+    * followed by one partial-aggregable groupBy; output is
+    * sources-sized. */
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def fdiv(a: Column): Column = ((a - a % budget) / budget).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("straddle",
+        when(col("n_tokens") > 0 &&
+          fdiv(col("prefix") + col("n_tokens") - 1) > fdiv(col("prefix")), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("straddle")).as("n_straddle"))
+      .withColumn("n_bins", fdiv(col("total_tokens") + (budget - 1L)))
+      .withColumn("waste_tokens",
+        col("n_bins") * budget - col("total_tokens"))
+      .withColumn("fill_ratio_u",
+        when(col("n_bins") === 0L, lit(1000000L))
+          .otherwise(floor(lit(1000000.0) *
+            col("total_tokens").cast(DoubleType) /
+            (col("n_bins") * budget).cast(DoubleType)).cast("long")))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_bins"), col("waste_tokens"), col("fill_ratio_u"),
+        col("n_straddle"))
+      .orderBy(col("source"))
+  }
+
+  private val q102Sql = {
+    def fdiv(a: String) = s"CAST((($a) - (($a) % 512)) / 512 AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pref AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS prefix
+       |  FROM base),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN n_tokens > 0 AND
+       |        ${fdiv("prefix + n_tokens - 1")} > ${fdiv("prefix")}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |  FROM pref GROUP BY source),
+       |bins AS (
+       |  SELECT source, n_docs, total_tokens, n_straddle,
+       |    ${fdiv("total_tokens + 511")} AS n_bins
+       |  FROM agg)
+       |SELECT source, n_docs, total_tokens, n_bins,
+       |  n_bins * 512 - total_tokens AS waste_tokens,
+       |  CASE WHEN n_bins = 0 THEN 1000000
+       |    ELSE CAST(floor(1000000.0 * CAST(total_tokens AS DOUBLE) /
+       |      CAST(n_bins * 512 AS DOUBLE)) AS BIGINT) END AS fill_ratio_u,
+       |  n_straddle
+       |FROM bins
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q103
+  /** TOKEN-BUDGET EPOCH ALLOCATOR — the planning step between a mixing
+    * recipe and a training run: given the q75 mixing weights and each
+    * source's AVAILABLE token mass, split a total training budget
+    * (here 2× the corpus — a "2-epoch-equivalent" run) into per-source
+    * target tokens, and report how many epochs of its unique data each
+    * source must contribute. epochs > 1 means the source repeats
+    * (upsampling — fine in moderation); epochs > 4 crosses the
+    * repeated-data degradation cliff (Muennighoff et al., "Scaling
+    * Data-Constrained Language Models") and flags the recipe itself as
+    * infeasible without new data for that source. Completes the mixing
+    * family: q75 reports realized admission, q94 temperature-flattened
+    * shares, q103 whether the recipe is trainable at a given budget.
+    *
+    * Determinism: targets are exact int64 floor division of
+    * `2·M·w / Σw` (the `(a − a%b)/b` pattern; operands stay ≪ 2⁶³ —
+    * at 10¹³ corpus tokens, 2·M·w ≈ 2·10¹⁹/1000 — because w is milli);
+    * the epochs ratio is one correctly-rounded double division of two
+    * exact int64s, floored to micro-units (int64 `1e6·target` WOULD
+    * overflow at planetary scale; the double form never does).
+    *
+    * Scale posture: one scan → per-source partial-aggregable token
+    * sums (sources-sized), a single-row total broadcast back — the
+    * allocator itself is free at any corpus size. */
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val avail = Tables.documents(spark, dir)
+      .withColumn("w_milli", mixWMilli)
+      .groupBy(col("source"), col("w_milli"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail_tokens"))
+    val tot = avail.agg(sum(col("avail_tokens")).as("m"),
+      sum(col("w_milli")).as("wsum"))
+    val raw = col("m") * 2L * col("w_milli")
+    val target = ((raw - raw % col("wsum")) / col("wsum")).cast("long")
+    avail.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", target)
+      .withColumn("epochs_u",
+        floor(lit(1000000.0) * col("target_tokens").cast(DoubleType) /
+          col("avail_tokens").cast(DoubleType)).cast("long"))
+      .select(col("source"), col("w_milli"), col("avail_tokens"),
+        col("target_tokens"), col("epochs_u"),
+        (col("epochs_u") > 1000000L).as("needs_upsample"),
+        (col("epochs_u") > 4000000L).as("over_repeat"))
+      .orderBy(col("source"))
+  }
+
+  private val q103Sql =
+    s"""WITH avail AS (
+       |  SELECT source, ${mixWMilliSql("source")} AS w_milli,
+       |    CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS m,
+       |               CAST(sum(w_milli) AS BIGINT) AS wsum FROM avail),
+       |alloc AS (
+       |  SELECT source, w_milli, avail_tokens,
+       |    CAST(((2 * m * w_milli) - ((2 * m * w_milli) % wsum)) / wsum
+       |      AS BIGINT) AS target_tokens
+       |  FROM avail, tot)
+       |SELECT source, w_milli, avail_tokens, target_tokens,
+       |  CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
+       |    CAST(avail_tokens AS DOUBLE)) AS BIGINT) AS epochs_u,
+       |  CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
+       |    CAST(avail_tokens AS DOUBLE)) AS BIGINT) > 1000000
+       |    AS needs_upsample,
+       |  CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
+       |    CAST(avail_tokens AS DOUBLE)) AS BIGINT) > 4000000
+       |    AS over_repeat
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** SLIDING-WINDOW CHUNKING — the retrieval/embedding-side sibling of
+    * q76's training-side packing: split each document into
+    * fixed-budget token windows with overlap (chunk 32, stride 24 —
+    * overlap preserves context across cuts, the standard RAG/embedding
+    * prep), emitting the chunk table a vector pipeline embeds row by
+    * row: (doc_id, chunk_id, token span, content hash). The md5 over
+    * the extracted chunk text IS the operator's proof that chunk
+    * CONTENT extraction (not just arithmetic) is engine-exact — and
+    * doubles as the chunk-level dedup key downstream (boilerplate
+    * chunks collide across documents exactly as q85's spans do).
+    *
+    * Determinism: chunk counts are exact int64 ceil-division (the
+    * `(a − a%b)/b` pattern); spans are integer arithmetic; the hash is
+    * md5 over an identical space-joined string in both engines.
+    *
+    * Scale posture: one scan, a per-row `sequence`/`explode` whose
+    * fan-out is n_tokens/stride (bounded by doc length, uniform — no
+    * skew), no shuffle at all until a downstream groupBy; the chunk
+    * table never materializes the text twice (slices reference the
+    * one tokens array). */
+  private def q104(spark: SparkSession, dir: String): DataFrame = {
+    val C = 32L; val S = 24L
+    val adj = S - 1 - C // n - C + (S-1) = n - 9 with these constants
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val m = col("n") + adj
+    base
+      .withColumn("n_chunks",
+        when(col("n") <= C, 1L)
+          .otherwise(((m - m % S) / S).cast("long") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1L)))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("end_tok", least(col("start_tok") + C, col("n")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("end_tok"), (col("end_tok") - col("start_tok")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (col("start_tok") + 1L).cast("int"),
+          (col("end_tok") - col("start_tok")).cast("int")))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val q104Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n
+       |  FROM documents),
+       |nc AS (SELECT doc_id, toks, n,
+       |  CASE WHEN n <= 32 THEN 1
+       |    ELSE CAST(((n - 9) - ((n - 9) % 24)) / 24 AS BIGINT) + 1 END
+       |    AS n_chunks
+       |  FROM base),
+       |chunks AS (
+       |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+       |  FROM nc)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+       |  CAST(least(chunk_id * 24 + 32, n) AS BIGINT) AS end_tok,
+       |  CAST(least(chunk_id * 24 + 32, n) - chunk_id * 24 AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  md5(array_to_string(toks[CAST(chunk_id * 24 + 1 AS BIGINT):
+       |    CAST(least(chunk_id * 24 + 32, n) AS BIGINT)], ' '))
+       |    AS chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q101_source_kl" -> (q101 _),
+    "q102_packing_audit" -> (q102 _),
+    "q103_epoch_allocator" -> (q103 _),
+    "q104_chunking" -> (q104 _),
     "q99_heavy_hitters" -> (q99 _),
     "q89_quality_gate" -> (q89 _),
     "q90_sketch_quantiles" -> (q90 _),
@@ -1532,6 +1819,10 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q101_source_kl" -> q101Sql,
+    "q102_packing_audit" -> q102Sql,
+    "q103_epoch_allocator" -> q103Sql,
+    "q104_chunking" -> q104Sql,
     "q99_heavy_hitters" -> q99Sql,
     "q89_quality_gate" -> q89Sql,
     "q90_sketch_quantiles" -> q90Sql,

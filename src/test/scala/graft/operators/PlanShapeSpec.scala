@@ -319,6 +319,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "SortMergeJoin" // never a corpus-keyed shuffle join
   }
 
+  test("q100: the drift monitor's global frame joins back by BROADCAST " +
+      "and the per-source sums are partial-aggregable hash aggregates") {
+    val p = plan("q100_embedding_drift")
+    p should include("BroadcastNestedLoopJoin") // 1-row global frame
+    p should include("HashAggregate")
+    p should not include "SortAggregate"
+  }
+
+  test("q101: the KL join is vocab-vs-vocab — the corpus marginal " +
+      "derives from the (source, term) aggregate, and the totals sides " +
+      "broadcast") {
+    val df = SparkEntry.queries("q101_source_kl")(spark, SparkSpec.Sf0001)
+    df.collect() // exchange reuse is an AQE runtime decision
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin") // per-source totals
+    p should not include "CartesianProduct"
+    // the marginal/total subtrees re-read the (source, term) aggregate's
+    // shuffle instead of re-exploding the corpus
+    p should include("ReusedExchange")
+  }
+
+  test("q102/q104: packing audit and chunker shuffle at most the " +
+      "per-source window — never a global sort of the corpus") {
+    val audit = plan("q102_packing_audit")
+    audit should include("hashpartitioning(source") // window partition key
+    val chunks = SparkEntry.queries("q104_chunking")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan
+    // chunking is scan → generate → project: no aggregate, no join, and
+    // no exchange except the output ordering's range partition
+    chunks.toString should not include "HashAggregate"
+    chunks.toString should not include "Join"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
