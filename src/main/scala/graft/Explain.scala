@@ -59,7 +59,11 @@ object Explain {
     "q102_packing_audit" -> "q76's per-source prefix-sum window (shard-local by construction at 100 TB - sequence order within a shard is all packing needs) followed by ONE partial-aggregable groupBy to a sources-sized report; bins/waste/straddles are exact integer arithmetic, so the audit carries zero float-parity machinery",
     "q103_epoch_allocator" -> "one scan -> per-source partial-aggregable token sums (sources-sized), single-row total broadcast back - the allocator is free at any corpus size; targets are exact int64 floor division (milli weights keep 2*M*w under 2^63 even at 1e13 corpus tokens), the epochs ratio one correctly-rounded double division (an int64 1e6*target WOULD overflow at planetary scale)",
     "q104_chunking" -> "one scan + a per-row sequence/explode whose fan-out is n_tokens/stride (doc-length-bounded, uniform - no skew) and NO shuffle at all; the chunk md5 doubles as the downstream chunk-dedup key, and slices reference the single tokens array rather than copying text per chunk",
-    "q105_semantic_decontam" -> "the eval side is broadcast (benchmarks are 1e3-1e5 vectors by nature) and candidates are pruned by the shared sign-LSH bucket key - the 100 TB training side streams through a broadcast hash join with NO shuffle, then one partial-aggregable per-vector aggregate; the embedding-level leak n-gram decontamination (q73) cannot see, over the SAME eval slice")
+    "q105_semantic_decontam" -> "the eval side is broadcast (benchmarks are 1e3-1e5 vectors by nature) and candidates are pruned by the shared sign-LSH bucket key - the 100 TB training side streams through a broadcast hash join with NO shuffle, then one partial-aggregable per-vector aggregate; the embedding-level leak n-gram decontamination (q73) cannot see, over the SAME eval slice",
+    "q106_cluster_prune" -> "training -> pruning composition: q79's Lloyd step re-derives the codebook (two broadcast cross-joins against K-row frames, map-side-combining argmax, K x 64 longs shuffled), then ONE row_number window per cluster ranks members by centroid cosine and prunes the prototypical quarter; at 100 TB the exact rank swaps for a per-cluster cos-quantile threshold (approx-percentile broadcast back, O(1) memory) - the rank form is kept because it is what the oracle can pin",
+    "q107_dsir_weights" -> "DSIR two-pass shape: pass 1 trains the hashed-bigram log-ratio table over a FIXED 256-bucket domain (explode -> partial-aggregable groupBy, the vocabulary never crosses the shuffle; target counts left-join raw counts bucket-vs-bucket), pass 2 scores via broadcast join + per-doc sum - the corpus shuffles only on doc_id; at 100 TB pass 1 runs once over a sample and ships lr as a frozen artifact, making scoring a map-side-only pass",
+    "q108_method_agreement" -> "every leg is the PRODUCTION pair generator (q35's verified pairs, q36's hamming<=3 pairs, q37's rare-shingle jaccard, q34's fingerprint groups) so all pair sets stay banding-/df-cap-bounded - never all-pairs; the union and four flag joins are pair-keyed over those bounded sets and the output is <=16 rows via one partial-aggregable groupBy; the content-equality self-join carries the same viral-group quadratic hazard saltedSelfPairs defends elsewhere (scaladoc'd group-size cap for real pipelines)",
+    "q109_surprisal_mixing" -> "q87's xent side (vocab-keyed LM join, doc_id-keyed partial aggregate) followed by ONE global NTILE window over the DOC-COUNT frame (rows = documents, not tokens) - the q106 exact-rank-vs-scale trade again: production swaps the quintile cut for approx-quantile thresholds broadcast back (graded rates are insensitive to boundary jitter), the exact NTILE is kept because the oracle can pin it; admission is the stateless content-hash coin, and the report is one partial-aggregable 5-cell groupBy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

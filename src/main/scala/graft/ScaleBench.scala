@@ -59,7 +59,8 @@ object ScaleBench {
     "q96_sketch_fidelity", "q97_integrity", "q98_simhash_fidelity",
     "q99_heavy_hitters", "q100_embedding_drift", "q101_source_kl",
     "q102_packing_audit", "q103_epoch_allocator", "q104_chunking",
-    "q105_semantic_decontam")
+    "q105_semantic_decontam", "q106_cluster_prune", "q107_dsir_weights",
+    "q108_method_agreement", "q109_surprisal_mixing")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

@@ -487,7 +487,11 @@ object Dedup {
     * self-join shuffle 8-byte longs instead of 3-word strings — same
     * candidates (md5 collisions would only merge two shingles' postings,
     * identically in both engines), several× less shuffle volume. */
-  private def q37(spark: SparkSession, dir: String): DataFrame = {
+  /** q37's candidate→exact-verify chain pre-presentation: every rare-
+    * shingle candidate pair with its exact Jaccard. ONE definition,
+    * shared by q37's top-20 report and the method-agreement audit
+    * (q108), so the audited pipeline IS the production pipeline. */
+  private def jaccardScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     // exact-verify side: full shingle arrays (shared cache, q54 reads too)
     val sh = Features.shingleSets(spark, dir)
     val cand = rareShingleCandidates(spark, dir)
@@ -506,9 +510,12 @@ object Dedup {
         col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
         col("jaccard"))
+  }
+
+  private def q37(spark: SparkSession, dir: String): DataFrame =
+    jaccardScoredPairs(spark, dir)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
-  }
 
   private val q37Sql = {
     s"""WITH sh AS (
@@ -1862,9 +1869,146 @@ object Dedup {
        |ORDER BY containment_u DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** DEDUP METHOD-AGREEMENT AUDIT — the cross-method confusion table a
+    * dedup-ops team reads before trusting any single sketch: take every
+    * pair ANY method flagged (content-normalized exact equality = q34's
+    * fingerprint, MinHash/LSH = q35's verified pairs, SimHash = q36's
+    * hamming ≤ 3 pairs, exact shingle-Jaccard ≥ [[JaccardAuditMin]]
+    * over q37's rare-shingle candidates) and count pairs per
+    * method-combination. Disagreement rows are diagnoses, not noise:
+    * content=1/simhash=0 pairs are the word-shuffled duplicates
+    * order-sensitive sketches structurally miss; jaccard=1/minhash=0
+    * pairs sit in the banding false-negative tail q96 quantifies;
+    * minhash=1/jaccard=0 pairs are banding accidents on short docs.
+    * Complements q96/q98 (which audit each sketch's ESTIMATE against
+    * exact metric) by auditing the DECISION sets against each other.
+    *
+    * Every leg is the production pair generator, not a re-derivation:
+    * q35's [[minhashVerifiedPairs]], q36's [[simhashVerifiedPairs]],
+    * q37's [[jaccardScoredPairs]] — so the audit measures the pipeline
+    * that actually ships decisions.
+    *
+    * Scale posture: every pair set is banding-/df-cap-bounded (never
+    * all-pairs); the content-equality leg self-joins fingerprint
+    * GROUPS (viral-dup groups are the quadratic hazard — the same one
+    * [[saltedSelfPairs]] defends; real pipelines cap the audit at a
+    * group-size bound, and q60's decision table is what ships). The
+    * union and flag joins are pair-keyed over those bounded sets, and
+    * the output is ≤ 2⁴ rows via one partial-aggregable groupBy. */
+  val JaccardAuditMin = 0.5
+
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), contentFp(col("text")).as("fp"))
+    val ex = fp.toDF("a_id", "a_fp").join(fp.toDF("b_id", "b_fp"),
+        col("a_fp") === col("b_fp") && col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+    val mh = minhashVerifiedPairs(minhashSig(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val sh = simhashVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val jc = jaccardScoredPairs(spark, dir)
+      .filter(col("jaccard") >= JaccardAuditMin)
+      .select(col("doc_a"), col("doc_b"))
+    val universe = ex.union(mh).union(sh).union(jc).distinct()
+    def flag(pairs: DataFrame, name: String) =
+      pairs.distinct().withColumn(name, lit(1L))
+    universe
+      .join(flag(ex, "content_eq"), Seq("doc_a", "doc_b"), "left")
+      .join(flag(mh, "minhash_hit"), Seq("doc_a", "doc_b"), "left")
+      .join(flag(sh, "simhash_hit"), Seq("doc_a", "doc_b"), "left")
+      .join(flag(jc, "jaccard_hit"), Seq("doc_a", "doc_b"), "left")
+      .select(
+        coalesce(col("content_eq"), lit(0L)).as("content_eq"),
+        coalesce(col("minhash_hit"), lit(0L)).as("minhash_hit"),
+        coalesce(col("simhash_hit"), lit(0L)).as("simhash_hit"),
+        coalesce(col("jaccard_hit"), lit(0L)).as("jaccard_hit"))
+      .groupBy(col("content_eq"), col("minhash_hit"), col("simhash_hit"),
+        col("jaccard_hit"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("content_eq").desc, col("minhash_hit").desc,
+        col("simhash_hit").desc, col("jaccard_hit").desc)
+  }
+
+  private lazy val q108Sql =
+    s"""WITH ex AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (SELECT doc_id, ${contentFpSql("text")} AS fp FROM documents) a
+       |  JOIN (SELECT doc_id, ${contentFpSql("text")} AS fp FROM documents) b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |mh AS (SELECT doc_a, doc_b FROM ($q35Sql)),
+       |sh AS (SELECT doc_a, doc_b FROM ($q36Sql)),
+       |jcs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.ss) AS BIGINT) + CAST(len(sb.ss) AS BIGINT) AS n_total
+       |  FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM (SELECT doc_id, p.s FROM
+       |            (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |             FROM (SELECT doc_id, unnest(${shinglesSql("text")}) AS w
+       |                   FROM documents)) p
+       |          JOIN (SELECT s FROM
+       |                  (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |                   FROM (SELECT doc_id, unnest(${shinglesSql("text")}) AS w
+       |                         FROM documents))
+       |                GROUP BY s HAVING count(*) <= $ShingleDfCap)
+       |            USING (s)) x
+       |    JOIN (SELECT doc_id, p.s FROM
+       |            (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |             FROM (SELECT doc_id, unnest(${shinglesSql("text")}) AS w
+       |                   FROM documents)) p
+       |          JOIN (SELECT s FROM
+       |                  (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |                   FROM (SELECT doc_id, unnest(${shinglesSql("text")}) AS w
+       |                         FROM documents))
+       |                GROUP BY s HAVING count(*) <= $ShingleDfCap)
+       |            USING (s)) y
+       |      ON x.s = y.s AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2 HAVING count(*) >= 2) cand
+       |  JOIN (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents) sa
+       |    ON sa.doc_id = doc_a
+       |  JOIN (SELECT doc_id, ${shinglesSql("text")} AS ss FROM documents) sb
+       |    ON sb.doc_id = doc_b),
+       |jc AS (
+       |  SELECT doc_a, doc_b FROM jcs
+       |  WHERE n_common >= 2
+       |    AND CAST(n_common AS DOUBLE) / CAST(n_total - n_common AS DOUBLE)
+       |        >= $JaccardAuditMin),
+       |u AS (
+       |  SELECT doc_a, doc_b FROM ex UNION
+       |  SELECT doc_a, doc_b FROM mh UNION
+       |  SELECT doc_a, doc_b FROM sh UNION
+       |  SELECT doc_a, doc_b FROM jc),
+       |flags AS (
+       |  SELECT u.doc_a, u.doc_b,
+       |    CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS content_eq,
+       |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS minhash_hit,
+       |    CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS simhash_hit,
+       |    CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS jaccard_hit
+       |  FROM u
+       |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM ex) e
+       |    ON u.doc_a = e.doc_a AND u.doc_b = e.doc_b
+       |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh) m
+       |    ON u.doc_a = m.doc_a AND u.doc_b = m.doc_b
+       |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM sh) s
+       |    ON u.doc_a = s.doc_a AND u.doc_b = s.doc_b
+       |  LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM jc) j
+       |    ON u.doc_a = j.doc_a AND u.doc_b = j.doc_b)
+       |SELECT CAST(content_eq AS BIGINT) AS content_eq,
+       |  CAST(minhash_hit AS BIGINT) AS minhash_hit,
+       |  CAST(simhash_hit AS BIGINT) AS simhash_hit,
+       |  CAST(jaccard_hit AS BIGINT) AS jaccard_hit,
+       |  count(*) AS n_pairs
+       |FROM flags GROUP BY 1, 2, 3, 4
+       |ORDER BY content_eq DESC, minhash_hit DESC, simhash_hit DESC,
+       |  jaccard_hit DESC""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q108_method_agreement" -> (q108 _),
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
     "q92_extended_funnel" -> (q92 _),
@@ -1888,6 +2032,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q108_method_agreement" -> q108Sql,
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,
     "q92_extended_funnel" -> q92Sql,

@@ -947,6 +947,127 @@ object Similarity {
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** CLUSTER-BASED PROTOTYPICALITY PRUNING — the data-pruning step
+    * SSL-Prototypes-style curation runs after clustering: score every
+    * vector against the TRAINED centroids (here, the codebook after
+    * q79's Lloyd step — training → pruning composition), rank members
+    * within each cluster by closeness to their centroid, and prune the
+    * most prototypical quarter. The intuition (Sorscher et al.,
+    * "Beyond neural scaling laws"): in the big-data regime the
+    * easy/prototypical examples are the redundant ones — dropping them
+    * beats random pruning — while the far-from-centroid tail carries
+    * the diversity worth keeping. The per-member `proto_cos_u` is the
+    * same micro-unit cosine q79 reports per cluster, so the pruning
+    * decision is exactly reproducible from the training artifacts.
+    *
+    * Everything stays exact: the centroid re-derivation is q79's int64
+    * component sums, assignment is the hash-aggregable argmax over
+    * IEEE-deterministic cosines (ties → smallest cluster), and ranks
+    * tie-break on vec_id — a total order, so the oracle hash-matches.
+    *
+    * Scale posture: two broadcast cross-joins against K-row codebooks
+    * (argmax is map-side-combining, K buffers per task), one groupBy
+    * shuffling K×64 longs, then ONE row_number window partitioned by
+    * cluster — at 100 TB with K clusters that window is the skew
+    * hazard (n/K rows per partition), and the production form swaps
+    * the exact rank for a per-cluster cos-quantile threshold
+    * (approx-percentile broadcast back, O(1) memory, same decisions in
+    * the non-boundary mass); the exact rank is kept here because it is
+    * what the oracle can pin. */
+  private val ProtoPruneDen = 4L
+
+  private def q106(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val seeds = emb.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("s_id"), col("sv").as("ssv"),
+        col("n2").as("sn2"))
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        cosine(dotL(col("sv"), col("ssv")), col("n2"), col("sn2")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("scos"), negate(col("s_id"))),
+        struct(col("s_id"), col("sv"))).as("b"))
+      .select(col("b.s_id").as("cluster_id"), col("b.sv").as("sv"))
+    val sums = (0 until Dim).map(i =>
+      sum(element_at(col("sv"), i + 1)).as(s"c$i"))
+    val cens = assigned.groupBy(col("cluster_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("cluster_id"),
+        array((0 until Dim).map(i => col(s"c$i")): _*).as("cs"))
+      .withColumn("cn2", dotL(col("cs"), col("cs")))
+    val best = emb.crossJoin(broadcast(cens))
+      .withColumn("rcos",
+        cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("rcos"), negate(col("cluster_id"))),
+        struct(col("cluster_id"),
+          floor(col("rcos") * 1000000.0).cast(LongType)
+            .as("proto_cos_u"))).as("b"))
+      .select(col("vec_id"), col("b.cluster_id").as("cluster_id"),
+        col("b.proto_cos_u").as("proto_cos_u"))
+    val wRank = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("proto_cos_u").desc, col("vec_id"))
+    val wAll = Window.partitionBy(col("cluster_id"))
+    best
+      .withColumn("proto_rank", row_number().over(wRank).cast(LongType))
+      .withColumn("n_cluster", count(lit(1)).over(wAll))
+      .withColumn("decision",
+        when(col("proto_rank") <=
+          floor(col("n_cluster") / lit(ProtoPruneDen)).cast(LongType),
+          "pruned").otherwise("kept"))
+      .select(col("vec_id"), col("cluster_id"), col("proto_cos_u"),
+        col("proto_rank"), col("n_cluster"), col("decision"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q106Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |seeds AS (
+       |  SELECT vec_id AS s_id, sv AS ssv, n2 AS sn2 FROM emb
+       |  WHERE vec_id < $KmeansK),
+       |scored AS (
+       |  SELECT e.vec_id, e.sv, s.s_id,
+       |    ${cosineSql(dotLSql("e.sv", "s.ssv"), "e.n2", "s.sn2")} AS scos
+       |  FROM emb e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT s_id AS cluster_id, sv
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY scos DESC, s_id) AS rnk
+       |        FROM scored)
+       |  WHERE rnk = 1),
+       |pos AS (
+       |  SELECT cluster_id, unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM assigned),
+       |csum AS (
+       |  SELECT cluster_id, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |newc AS (SELECT cluster_id, list(s ORDER BY p0) AS cs FROM csum GROUP BY 1),
+       |cens AS (SELECT cluster_id, cs, ${dotLSql("cs", "cs")} AS cn2 FROM newc),
+       |scored2 AS (
+       |  SELECT e.vec_id, c.cluster_id,
+       |    ${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")} AS rcos
+       |  FROM emb e CROSS JOIN cens c),
+       |best AS (
+       |  SELECT vec_id, cluster_id,
+       |    CAST(floor(rcos * 1000000.0) AS BIGINT) AS proto_cos_u
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY rcos DESC, cluster_id) AS rnk
+       |        FROM scored2)
+       |  WHERE rnk = 1),
+       |ranked AS (
+       |  SELECT vec_id, cluster_id, proto_cos_u,
+       |    CAST(row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY proto_cos_u DESC, vec_id) AS BIGINT) AS proto_rank,
+       |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_cluster
+       |  FROM best)
+       |SELECT vec_id, cluster_id, proto_cos_u, proto_rank, n_cluster,
+       |  CASE WHEN proto_rank <= n_cluster // $ProtoPruneDen
+       |       THEN 'pruned' ELSE 'kept' END AS decision
+       |FROM ranked ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** CROSS-TABLE REFERENTIAL-INTEGRITY AUDIT — the relation the whole
     * cross-modal stack (q66/q77) silently assumes: `embeddings.vec_id`
@@ -1008,6 +1129,7 @@ object Similarity {
     "q97_integrity"       -> (q97 _),
     "q100_embedding_drift" -> (q100 _),
     "q105_semantic_decontam" -> (q105 _),
+    "q106_cluster_prune"  -> (q106 _),
     "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
@@ -1023,6 +1145,7 @@ object Similarity {
     "q97_integrity"       -> q97Sql,
     "q100_embedding_drift" -> q100Sql,
     "q105_semantic_decontam" -> q105Sql,
+    "q106_cluster_prune"  -> q106Sql,
     "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,

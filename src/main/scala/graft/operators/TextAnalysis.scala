@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -1783,9 +1784,237 @@ object TextAnalysis {
        |    AS chunk_md5
        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** SURPRISAL-QUINTILE MIXING — perplexity-bucketed sampling, the
+    * DCLM/quality-curriculum recipe that sits between a hard quality
+    * gate (q89: keep/drop) and uniform mixing (q75: per-source rates):
+    * score every document with q87's mean token surprisal, split the
+    * corpus into surprisal quintiles, and admit each quintile at its
+    * own rate (90/70/50/30/10% — low-surprisal in-distribution text is
+    * mostly kept, the junk tail mostly dropped but NOT zeroed: hard
+    * xent cutoffs throw away all hard-but-real text, while graded
+    * rates preserve distributional coverage). Admission is the
+    * deterministic content-hash coin of q75/q94, so the sample is
+    * reproducible across engines and cluster sizes.
+    *
+    * Determinism: per-doc xent is exactly q87's recipe (one `ln` per
+    * (lang, term) with exact int ratios, micro-unit floors); quintile
+    * assignment is SQL NTILE over (xent_u, doc_id) — a total order, so
+    * both engines cut identically; the report carries each bucket's
+    * xent range, making the implied thresholds auditable.
+    *
+    * Scale posture: the xent side is q87's (vocab-keyed LM join, then
+    * a doc_id-keyed partial aggregate); NTILE is ONE global window
+    * over the doc-count frame (rows = documents, not tokens) — the
+    * same exact-rank-vs-scale trade as q106, and production swaps it
+    * for approx-quantile thresholds broadcast back (the graded rates
+    * are insensitive to boundary jitter in the non-boundary mass);
+    * the exact NTILE is kept because it is what the oracle can pin.
+    * The final report is one partial-aggregable 5-cell groupBy. */
+  private val SurpriseRates = Seq(90L, 70L, 50L, 30L, 10L)
+
+  private def q109(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy(col("lang"), col("w")).agg(sum(col("tf")).as("cnt"))
+    val langTot = wc.groupBy(col("lang")).agg(sum(col("cnt")).as("total_l"))
+    val perDoc = tf.join(wc, Seq("lang", "w"))
+      .join(broadcast(langTot), "lang")
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("tf").cast(DoubleType) *
+          log(col("total_l").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_u")).as("sum_u"), sum(col("tf")).as("n_tokens"))
+      .withColumn("xent_u",
+        floor(col("sum_u").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .cast("long"))
+    val rate = SurpriseRates.zipWithIndex
+      .foldLeft(lit(SurpriseRates.last)) { case (acc, (r, i)) =>
+        when(col("bucket") === (i + 1).toLong, lit(r)).otherwise(acc)
+      }
+    perDoc
+      .withColumn("bucket", ntile(5)
+        .over(Window.orderBy(col("xent_u"), col("doc_id"))).cast("long"))
+      .withColumn("rate", rate)
+      .withColumn("h",
+        md5u32(concat(col("doc_id").cast("string"), lit(":surq"))) % 100L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < col("rate"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("h") < col("rate"), col("n_tokens")).otherwise(0L))
+          .as("admitted_tokens"),
+        min(col("xent_u")).as("min_xent_u"),
+        max(col("xent_u")).as("max_xent_u"))
+      .orderBy(col("bucket"))
+  }
+
+  private lazy val q109Sql = {
+    val rateCase = "CASE bucket WHEN 1 THEN 90 WHEN 2 THEN 70 " +
+      "WHEN 3 THEN 50 WHEN 4 THEN 30 ELSE 10 END"
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+       |lang_tot AS (SELECT lang, count(*) AS total_l FROM toks GROUP BY 1),
+       |wc AS (SELECT lang, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |contrib AS (
+       |  SELECT lang, doc_id,
+       |    CAST(floor(1000000.0 * CAST(tf AS DOUBLE) *
+       |      ln(CAST(total_l AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT)
+       |      AS contrib_u,
+       |    tf
+       |  FROM tf JOIN wc USING (lang, w) JOIN lang_tot USING (lang)),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(contrib_u) AS BIGINT) AS sum_u,
+       |    CAST(sum(tf) AS BIGINT) AS n_tokens
+       |  FROM contrib GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(floor(CAST(sum_u AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      AS BIGINT) AS xent_u
+       |  FROM per_doc),
+       |bucketed AS (
+       |  SELECT *, CAST(ntile(5) OVER (ORDER BY xent_u, doc_id) AS BIGINT)
+       |    AS bucket
+       |  FROM scored),
+       |adm AS (
+       |  SELECT *, $rateCase AS rate,
+       |    ${md5u32Sql("(CAST(doc_id AS VARCHAR) || ':surq')")} % 100 AS h
+       |  FROM bucketed)
+       |SELECT bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(sum(CASE WHEN h < rate THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS admitted_tokens,
+       |  min(xent_u) AS min_xent_u, max(xent_u) AS max_xent_u
+       |FROM adm GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q107
+  /** DSIR-STYLE IMPORTANCE WEIGHTS — targeted data selection via hashed
+    * n-gram importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): fit bag-of-
+    * hashed-bigram unigram models on a TARGET corpus (the curated
+    * exemplar feed — here source `src0`; production passes the target
+    * as a side input) and on the RAW corpus, then score every raw
+    * document by its log-likelihood ratio Σ_g ln(p_target(g)/p_raw(g))
+    * — positive means "distributionally closer to the target than to
+    * the average crawl page". This is the principled replacement for
+    * a binary quality classifier when what you want is "more like
+    * THIS" rather than "less like spam": the q101 KL machinery turned
+    * from a monitor into a per-document selection score.
+    *
+    * Determinism: hashed features are [[md5u32]] mod [[DsirBuckets]]
+    * (portable), counts are exact int64 with add-one smoothing over
+    * the bucket domain, and each bucket's log-ratio is q101's recipe —
+    * ONE `ln` whose argument is built from exact int64 counts by
+    * correctly-rounded double multiply/divide, floored to micro-nats.
+    * Per-doc weights are exact int64 sums of those per-bucket
+    * literals, so equal-content docs always score equal. Selection is
+    * on the per-gram mean (floor division) crossing zero — sum-weight
+    * would double-count length (a long off-target doc outscores a
+    * short on-target one).
+    *
+    * Scale posture: pass 1 (training) is explode → groupBy over a
+    * FIXED bucket domain (≤ [[DsirBuckets]] cells, partial-aggregable
+    * — the vocabulary never crosses the shuffle); the resulting
+    * log-ratio table is buckets-sized and broadcast. Pass 2 (scoring)
+    * is explode → broadcast join → per-doc partial-aggregable sum: the
+    * corpus shuffles only on doc_id. At 100 TB the target is small by
+    * nature and pass 1 runs over a sample once, shipping lr as a
+    * frozen artifact — the scoring pass is then a single map-side
+    * join, embarrassingly parallel. */
+  private val DsirBuckets = 256L
+  private[graft] val DsirTargetSource = "src0"
+
+  private def q107(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val feat = docs
+      .select(col("doc_id"), col("source"),
+        explode(ngramOccurrences(col("text"), 2)).as("g"))
+      .withColumn("f", md5u32(col("g")) % DsirBuckets)
+      .select(col("doc_id"), col("source"), col("f"))
+    val tcnt = feat.filter(col("source") === DsirTargetSource)
+      .groupBy(col("f")).agg(count(lit(1)).as("t"))
+    val rcnt = feat.groupBy(col("f")).agg(count(lit(1)).as("r"))
+    val tot = feat.agg(
+      sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L))
+        .as("tt"),
+      count(lit(1)).as("rt"))
+    val lr = rcnt.join(tcnt, Seq("f"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        floor(lit(1000000.0) *
+          log(((coalesce(col("t"), lit(0L)) + lit(1L)).cast(DoubleType) *
+            (col("rt") + lit(DsirBuckets)).cast(DoubleType)) /
+            ((col("r") + lit(1L)).cast(DoubleType) *
+              (col("tt") + lit(DsirBuckets)).cast(DoubleType))))
+          .cast("long").as("lr_u"))
+    val docw = feat.join(broadcast(lr), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_u")).as("weight_u"))
+    val avgU = floor(col("weight_u").cast(DoubleType) /
+      col("n_grams").cast(DoubleType)).cast("long")
+    docs.select(col("doc_id"), col("source"))
+      .join(docw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_u"), lit(0L)).as("weight_u"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L, avgU)
+          .otherwise(lit(0L)).as("avg_u"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L && avgU > 0L,
+          "selected").otherwise("rejected").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q107Sql =
+    s"""WITH grams AS (
+       |  SELECT doc_id, source, unnest(${ngramOccurrencesSql("text", 2)}) AS g
+       |  FROM documents),
+       |feat AS (SELECT doc_id, source, ${md5u32Sql("g")} % $DsirBuckets AS f
+       |         FROM grams),
+       |tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS t FROM feat
+       |         WHERE source = '$DsirTargetSource' GROUP BY 1),
+       |rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS r FROM feat GROUP BY 1),
+       |tot AS (SELECT
+       |  CAST((SELECT count(*) FROM feat WHERE source = '$DsirTargetSource')
+       |    AS BIGINT) AS tt,
+       |  CAST((SELECT count(*) FROM feat) AS BIGINT) AS rt),
+       |lr AS (
+       |  SELECT r.f,
+       |    CAST(floor(1000000.0 * ln(
+       |      (CAST(coalesce(t.t, 0) + 1 AS DOUBLE) *
+       |       CAST(tot.rt + $DsirBuckets AS DOUBLE)) /
+       |      (CAST(r.r + 1 AS DOUBLE) *
+       |       CAST(tot.tt + $DsirBuckets AS DOUBLE)))) AS BIGINT) AS lr_u
+       |  FROM rcnt r LEFT JOIN tcnt t USING (f), tot),
+       |docw AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(lr_u) AS BIGINT) AS weight_u
+       |  FROM feat JOIN lr USING (f) GROUP BY doc_id)
+       |SELECT d.doc_id, d.source,
+       |  coalesce(w.n_grams, 0) AS n_grams,
+       |  coalesce(w.weight_u, 0) AS weight_u,
+       |  CASE WHEN coalesce(w.n_grams, 0) > 0
+       |    THEN CAST(floor(CAST(w.weight_u AS DOUBLE) /
+       |      CAST(w.n_grams AS DOUBLE)) AS BIGINT)
+       |    ELSE 0 END AS avg_u,
+       |  CASE WHEN coalesce(w.n_grams, 0) > 0
+       |         AND CAST(floor(CAST(w.weight_u AS DOUBLE) /
+       |           CAST(w.n_grams AS DOUBLE)) AS BIGINT) > 0
+       |       THEN 'selected' ELSE 'rejected' END AS decision
+       |FROM documents d LEFT JOIN docw w USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q107_dsir_weights" -> (q107 _),
+    "q109_surprisal_mixing" -> (q109 _),
     "q101_source_kl" -> (q101 _),
     "q102_packing_audit" -> (q102 _),
     "q103_epoch_allocator" -> (q103 _),
@@ -1819,6 +2048,8 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q107_dsir_weights" -> q107Sql,
+    "q109_surprisal_mixing" -> q109Sql,
     "q101_source_kl" -> q101Sql,
     "q102_packing_audit" -> q102Sql,
     "q103_epoch_allocator" -> q103Sql,
