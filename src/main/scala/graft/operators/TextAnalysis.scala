@@ -1909,15 +1909,27 @@ object TextAnalysis {
     * from a monitor into a per-document selection score.
     *
     * Determinism: hashed features are [[md5u32]] mod [[DsirBuckets]]
-    * (portable), counts are exact int64 with add-one smoothing over
-    * the bucket domain, and each bucket's log-ratio is q101's recipe —
-    * ONE `ln` whose argument is built from exact int64 counts by
-    * correctly-rounded double multiply/divide, floored to micro-nats.
-    * Per-doc weights are exact int64 sums of those per-bucket
-    * literals, so equal-content docs always score equal. Selection is
-    * on the per-gram mean (floor division) crossing zero — sum-weight
-    * would double-count length (a long off-target doc outscores a
-    * short on-target one).
+    * (portable), counts are exact int64, and each bucket's log-ratio
+    * is q101's recipe — ONE `ln` whose argument is built from exact
+    * int64 products by correctly-rounded double division, floored to
+    * micro-nats. Per-doc weights are exact int64 sums of those
+    * per-bucket literals, so equal-content docs always score equal.
+    *
+    * Smoothing is Jelinek-Mercer (λ=½ uniform mix), NOT add-one:
+    * add-one over corpora of different sizes gives every unseen-in-
+    * both feature lr = ln((R+B)/(T+B)) > 0 — pure out-of-vocabulary
+    * junk scores TARGET-LIKE merely because the target corpus is the
+    * smaller one (the same OOV admission class the q89 gate fixed).
+    * Under the uniform mix, unseen-in-both is exactly lr = 0 (no
+    * evidence), and the scorer's lr join is a LEFT join with
+    * coalesce-to-0 so streamed documents hitting buckets absent from
+    * the trained table score 0 there, not nothing. Selection then
+    * demands POSITIVE evidence: per-gram mean (floor division) above
+    * [[DsirSelectMinU]] micro-nats — mean-not-sum so length cannot
+    * substitute for affinity, margin-not-zero so "no evidence" is a
+    * rejection rather than a coin flip. (The int64 products `t·R·B`
+    * stay under 2⁶³ through ~10¹⁴ corpus bigrams; past that the
+    * factors pre-scale, q103's caveat.)
     *
     * Scale posture: pass 1 (training) is explode → groupBy over a
     * FIXED bucket domain (≤ [[DsirBuckets]] cells, partial-aggregable
@@ -1930,33 +1942,55 @@ object TextAnalysis {
     * join, embarrassingly parallel. */
   private val DsirBuckets = 256L
   private[graft] val DsirTargetSource = "src0"
+  private[graft] val DsirSelectMinU = 25000L
 
-  private def q107(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val feat = docs
-      .select(col("doc_id"), col("source"),
+  /** Hashed-bigram features of a document batch: (doc_id, source, f). */
+  private def dsirFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         explode(ngramOccurrences(col("text"), 2)).as("g"))
       .withColumn("f", md5u32(col("g")) % DsirBuckets)
       .select(col("doc_id"), col("source"), col("f"))
-    val tcnt = feat.filter(col("source") === DsirTargetSource)
-      .groupBy(col("f")).agg(count(lit(1)).as("t"))
-    val rcnt = feat.groupBy(col("f")).agg(count(lit(1)).as("r"))
-    val tot = feat.agg(
-      sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L))
-        .as("tt"),
-      count(lit(1)).as("rt"))
-    val lr = rcnt.join(tcnt, Seq("f"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("f"),
-        floor(lit(1000000.0) *
-          log(((coalesce(col("t"), lit(0L)) + lit(1L)).cast(DoubleType) *
-            (col("rt") + lit(DsirBuckets)).cast(DoubleType)) /
-            ((col("r") + lit(1L)).cast(DoubleType) *
-              (col("tt") + lit(DsirBuckets)).cast(DoubleType))))
-          .cast("long").as("lr_u"))
-    val docw = feat.join(broadcast(lr), "f")
+
+  /** The TRAINED DSIR artifact: per-bucket micro-nat log-ratio
+    * ln(p_target/p_raw) with add-one smoothing — the buckets-sized
+    * table a production deployment trains once (over a sample) and
+    * ships frozen to every scorer, exactly like [[lmTable]]. Memoized
+    * per (session, dir); batch q107 and the streaming scorer
+    * ([[graft.streaming.DsirStreams]]) read the same table. */
+  private[graft] def dsirLrTable(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#dsirLr") {
+      val feat = dsirFeatures(Tables.documents(spark, dir))
+      val tcnt = feat.filter(col("source") === DsirTargetSource)
+        .groupBy(col("f")).agg(count(lit(1)).as("t"))
+      val rcnt = feat.groupBy(col("f")).agg(count(lit(1)).as("r"))
+      val tot = feat.agg(
+        sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L))
+          .as("tt"),
+        count(lit(1)).as("rt"))
+      rcnt.join(tcnt, Seq("f"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("f"),
+          floor(lit(1000000.0) *
+            log((coalesce(col("t"), lit(0L)) * col("rt") * lit(DsirBuckets) +
+              col("tt") * col("rt")).cast(DoubleType) /
+              (col("r") * col("tt") * lit(DsirBuckets) +
+                col("tt") * col("rt")).cast(DoubleType)))
+            .cast("long").as("lr_u"))
+    }
+
+  /** DSIR scores for a batch of documents against a FROZEN log-ratio
+    * table — the shared scorer of batch q107 and the streaming
+    * selection gate (identical code path, so stream decisions are
+    * batch decisions by construction). Stateless per-row given `lr`:
+    * one explode, one broadcast join, one doc_id-keyed aggregate. */
+  private[graft] def dsirScores(docs: DataFrame, lr: DataFrame): DataFrame = {
+    // LEFT join + coalesce 0: a bucket absent from the trained table is
+    // unseen-in-both ⇒ lr = 0 under the uniform-mix smoothing — the
+    // gram still counts toward the mean instead of silently vanishing
+    val docw = dsirFeatures(docs).join(broadcast(lr), Seq("f"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr_u")).as("weight_u"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("lr_u"), lit(0L))).as("weight_u"))
     val avgU = floor(col("weight_u").cast(DoubleType) /
       col("n_grams").cast(DoubleType)).cast("long")
     docs.select(col("doc_id"), col("source"))
@@ -1966,10 +2000,14 @@ object TextAnalysis {
         coalesce(col("weight_u"), lit(0L)).as("weight_u"),
         when(coalesce(col("n_grams"), lit(0L)) > 0L, avgU)
           .otherwise(lit(0L)).as("avg_u"),
-        when(coalesce(col("n_grams"), lit(0L)) > 0L && avgU > 0L,
-          "selected").otherwise("rejected").as("decision"))
-      .orderBy(col("doc_id"))
+        when(coalesce(col("n_grams"), lit(0L)) > 0L &&
+          avgU > DsirSelectMinU, "selected").otherwise("rejected")
+          .as("decision"))
   }
+
+  private def q107(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(Tables.documents(spark, dir), dsirLrTable(spark, dir))
+      .orderBy(col("doc_id"))
 
   private lazy val q107Sql =
     s"""WITH grams AS (
@@ -1987,15 +2025,15 @@ object TextAnalysis {
        |lr AS (
        |  SELECT r.f,
        |    CAST(floor(1000000.0 * ln(
-       |      (CAST(coalesce(t.t, 0) + 1 AS DOUBLE) *
-       |       CAST(tot.rt + $DsirBuckets AS DOUBLE)) /
-       |      (CAST(r.r + 1 AS DOUBLE) *
-       |       CAST(tot.tt + $DsirBuckets AS DOUBLE)))) AS BIGINT) AS lr_u
+       |      CAST(coalesce(t.t, 0) * tot.rt * $DsirBuckets + tot.tt * tot.rt
+       |        AS DOUBLE) /
+       |      CAST(r.r * tot.tt * $DsirBuckets + tot.tt * tot.rt
+       |        AS DOUBLE))) AS BIGINT) AS lr_u
        |  FROM rcnt r LEFT JOIN tcnt t USING (f), tot),
        |docw AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       |    CAST(sum(lr_u) AS BIGINT) AS weight_u
-       |  FROM feat JOIN lr USING (f) GROUP BY doc_id)
+       |    CAST(sum(coalesce(lr_u, 0)) AS BIGINT) AS weight_u
+       |  FROM feat LEFT JOIN lr USING (f) GROUP BY doc_id)
        |SELECT d.doc_id, d.source,
        |  coalesce(w.n_grams, 0) AS n_grams,
        |  coalesce(w.weight_u, 0) AS weight_u,
@@ -2005,7 +2043,7 @@ object TextAnalysis {
        |    ELSE 0 END AS avg_u,
        |  CASE WHEN coalesce(w.n_grams, 0) > 0
        |         AND CAST(floor(CAST(w.weight_u AS DOUBLE) /
-       |           CAST(w.n_grams AS DOUBLE)) AS BIGINT) > 0
+       |           CAST(w.n_grams AS DOUBLE)) AS BIGINT) > $DsirSelectMinU
        |       THEN 'selected' ELSE 'rejected' END AS decision
        |FROM documents d LEFT JOIN docw w USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
