@@ -60,7 +60,8 @@ object ScaleBench {
     "q99_heavy_hitters", "q100_embedding_drift", "q101_source_kl",
     "q102_packing_audit", "q103_epoch_allocator", "q104_chunking",
     "q105_semantic_decontam", "q106_cluster_prune", "q107_dsir_weights",
-    "q108_method_agreement", "q109_surprisal_mixing")
+    "q108_method_agreement", "q109_surprisal_mixing",
+    "q110_dup_histogram", "q111_epoch_shuffle")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

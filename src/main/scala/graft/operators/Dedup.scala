@@ -924,6 +924,69 @@ object Dedup {
        |GROUP BY lbl
        |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** DUPLICATION-PROFILE HISTOGRAM — the corpus-health metric a crawl
+    * operator reads before choosing a dedup budget: how many documents
+    * live in near-dup clusters of what size. Rides the memoized CC
+    * labels (q56's components over q35's verified pairs); singletons —
+    * documents in no cluster — are counted by one anti join, and every
+    * cluster falls into a fixed power-of-two size band. A healthy crawl
+    * is singleton-dominated with a thin geometric tail; mass migrating
+    * into the big bands means template explosions or mirror floods
+    * (exactly the viral-dup regime [[saltedSelfPairs]] defends), and
+    * the `17+` band is the "investigate before dedup" list. Bands are
+    * CASE buckets, not log() — exact integer comparisons carry zero
+    * float-parity machinery.
+    *
+    * Scale posture: the label table is pairs-bounded (tiny next to the
+    * corpus); sizes are one partial-aggregable groupBy on it; the
+    * singleton count is one anti join of the corpus against the label
+    * ids (co-located under id bucketing) feeding a single-row count —
+    * the corpus never enters the fixpoint loop, and the report is
+    * ≤ 6 rows. */
+  private def q110(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(spark, dir)
+    val sizeBucket = when(col("sz") === 2L, "2")
+      .when(col("sz") <= 4L, "3-4")
+      .when(col("sz") <= 8L, "5-8")
+      .when(col("sz") <= 16L, "9-16")
+      .otherwise("17+")
+    val clustered = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("sz"))
+      .select(sizeBucket.as("size_band"), col("sz"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("id")), col("doc_id") === col("id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("1").as("size_band"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    singletons.unionByName(clustered).orderBy(col("size_band"))
+  }
+
+  private lazy val q110Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |sizes AS (SELECT lbl, count(*) AS sz FROM labels GROUP BY lbl),
+       |clustered AS (
+       |  SELECT CASE WHEN sz = 2 THEN '2'
+       |              WHEN sz <= 4 THEN '3-4'
+       |              WHEN sz <= 8 THEN '5-8'
+       |              WHEN sz <= 16 THEN '9-16'
+       |              ELSE '17+' END AS size_band,
+       |    sz
+       |  FROM sizes),
+       |singles AS (
+       |  SELECT count(*) AS n FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.id = d.doc_id))
+       |SELECT '1' AS size_band, n AS n_clusters, n AS n_docs FROM singles
+       |UNION ALL
+       |SELECT size_band, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT)
+       |  AS n_docs
+       |FROM clustered GROUP BY size_band
+       |ORDER BY size_band""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** The operator a 100 TB curation run actually executes: the per-doc
     * KEEP/DROP decision table. Every document gets its near-dup cluster
@@ -2009,6 +2072,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "q108_method_agreement" -> (q108 _),
+    "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
     "q92_extended_funnel" -> (q92 _),
@@ -2033,6 +2097,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q108_method_agreement" -> q108Sql,
+    "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,
     "q92_extended_funnel" -> q92Sql,

@@ -1894,6 +1894,59 @@ object TextAnalysis {
        |FROM adm GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q111
+  /** EPOCH-SHUFFLE SHARD PLAN — the data-loader ordering step between
+    * q103's epoch allocation and an actual training run: each epoch
+    * needs its OWN global permutation of the corpus (repeating one
+    * order across epochs measurably hurts convergence), and at 100 TB
+    * a "global shuffle" is realized as a deterministic (shard,
+    * intra-shard order) assignment, never an actual sort. Each
+    * document's shard for epoch e is a content-free hash of
+    * (doc_id, e) — reproducible across engines, cluster sizes, and
+    * reruns (the property that makes a training run auditable), while
+    * different epochs decorrelate because the hash input changes. The
+    * report is the plan a loader consumes: per (epoch, shard) document
+    * count and token mass, and its flatness IS the load-balance
+    * check — a skewed shard is a straggler every epoch.
+    *
+    * Scale posture: stateless per-row hash (the epoch fan-out is a
+    * 4-element explode at scan position) + ONE partial-aggregable
+    * groupBy over epochs×shards cells; the assignment expression
+    * stamps into the write path as a partition column exactly like
+    * q83's split. No sort, no window, no join at any size. */
+  private val ShuffleEpochs = 4L
+  private val ShuffleShards = 32L
+
+  private def q111(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        explode(sequence(lit(0L), lit(ShuffleEpochs - 1))).as("epoch"))
+      .withColumn("shard",
+        md5u32(concat(col("doc_id").cast("string"), lit("#ep"),
+          col("epoch").cast("string"))) % ShuffleShards)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  private lazy val q111Sql =
+    s"""WITH fan AS (
+       |  SELECT doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    unnest(range(0, $ShuffleEpochs)) AS epoch
+       |  FROM documents),
+       |assigned AS (
+       |  SELECT epoch, n_tokens,
+       |    ${md5u32Sql(
+      "(CAST(doc_id AS VARCHAR) || '#ep' || CAST(epoch AS VARCHAR))")}
+       |      % $ShuffleShards AS shard
+       |  FROM fan)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM assigned GROUP BY 1, 2
+       |ORDER BY epoch, shard""".stripMargin
+
   // ---------------------------------------------------------------- q107
   /** DSIR-STYLE IMPORTANCE WEIGHTS — targeted data selection via hashed
     * n-gram importance resampling (Xie et al., "Data Selection for
@@ -2053,6 +2106,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q107_dsir_weights" -> (q107 _),
     "q109_surprisal_mixing" -> (q109 _),
+    "q111_epoch_shuffle" -> (q111 _),
     "q101_source_kl" -> (q101 _),
     "q102_packing_audit" -> (q102 _),
     "q103_epoch_allocator" -> (q103 _),
@@ -2088,6 +2142,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q107_dsir_weights" -> q107Sql,
     "q109_surprisal_mixing" -> q109Sql,
+    "q111_epoch_shuffle" -> q111Sql,
     "q101_source_kl" -> q101Sql,
     "q102_packing_audit" -> q102Sql,
     "q103_epoch_allocator" -> q103Sql,
