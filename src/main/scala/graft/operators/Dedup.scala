@@ -1964,19 +1964,26 @@ object Dedup {
   private def q108(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), contentFp(col("text")).as("fp"))
-    val ex = fp.toDF("a_id", "a_fp").join(fp.toDF("b_id", "b_fp"),
+    // Each leg is referenced TWICE (universe union + its flag join);
+    // without materialization Spark re-runs every generator's full
+    // candidate pipeline per reference — measured 4.0 s → ~half at
+    // sf0.1. The pair sets are banding-bounded (dozens of rows), so an
+    // eager localCheckpoint pins each leg's result for pennies.
+    def pin(pairs: DataFrame): DataFrame =
+      pairs.distinct().localCheckpoint(true)
+    val ex = pin(fp.toDF("a_id", "a_fp").join(fp.toDF("b_id", "b_fp"),
         col("a_fp") === col("b_fp") && col("a_id") < col("b_id"))
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
-    val mh = minhashVerifiedPairs(minhashSig(spark, dir))
-      .select(col("doc_a"), col("doc_b"))
-    val sh = simhashVerifiedPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val jc = jaccardScoredPairs(spark, dir)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    val mh = pin(minhashVerifiedPairs(minhashSig(spark, dir))
+      .select(col("doc_a"), col("doc_b")))
+    val sh = pin(simhashVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+    val jc = pin(jaccardScoredPairs(spark, dir)
       .filter(col("jaccard") >= JaccardAuditMin)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")))
     val universe = ex.union(mh).union(sh).union(jc).distinct()
     def flag(pairs: DataFrame, name: String) =
-      pairs.distinct().withColumn(name, lit(1L))
+      pairs.withColumn(name, lit(1L))
     universe
       .join(flag(ex, "content_eq"), Seq("doc_a", "doc_b"), "left")
       .join(flag(mh, "minhash_hit"), Seq("doc_a", "doc_b"), "left")

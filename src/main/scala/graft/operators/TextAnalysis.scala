@@ -1894,6 +1894,81 @@ object TextAnalysis {
        |FROM adm GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+  /** QUALITY METHOD-AGREEMENT AUDIT — q108's cross-method confusion
+    * table, for the QUALITY family: every document cross-tabulated by
+    * its q31 heuristic verdict (high/medium/low rule quality), its q89
+    * composite-gate decision (admit/reject), and its q109 surprisal
+    * half (quintiles 1–3 vs 4–5). The disagreement cells are the
+    * calibration triage a curation team reads before trusting any one
+    * scorer: rules-high but gate-rejected rows are repetition/LM
+    * failures the cheap heuristic cannot see; rules-low but
+    * gate-admitted rows are short-doc false alarms; gate-admitted
+    * high-surprisal rows are the off-distribution tail the graded
+    * q109 mixing throttles even though the hard gate passes it.
+    *
+    * Every leg is the production scorer, not a re-derivation: q31's
+    * rule CASE, [[qualityDecisions]] against the memoized [[lmTable]],
+    * and the NTILE cut over the decision table's own xent_u (the same
+    * micro-nat recipe q109 buckets) — so the audit measures exactly
+    * the verdicts that ship.
+    *
+    * Scale posture: the rules leg is per-row expressions at scan
+    * position; the gate leg is q89's plan; the bucket is the q109/q106
+    * exact-rank-vs-scale trade (ONE doc-count window, quantile
+    * thresholds at 100 TB); the cross-tab is one partial-aggregable
+    * groupBy over ≤ 3·2·2 cells. */
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    val dec = qualityDecisions(Tables.documents(spark, dir),
+        lmTable(spark, dir))
+      .select(col("doc_id"), col("xent_u"), col("admit"))
+    val rules = q31(spark, dir)
+      .select(col("doc_id").as("r_id"), col("quality").as("rules_quality"))
+    dec
+      .withColumn("bucket", ntile(5)
+        .over(Window.orderBy(col("xent_u"), col("doc_id"))))
+      .join(rules, col("doc_id") === col("r_id"))
+      .select(col("rules_quality"),
+        when(col("admit"), 1L).otherwise(0L).as("gate_admit"),
+        when(col("bucket") <= 3, 1L).otherwise(0L).as("low_surprisal"))
+      .groupBy(col("rules_quality"), col("gate_admit"), col("low_surprisal"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("rules_quality"), col("gate_admit").desc,
+        col("low_surprisal").desc)
+  }
+
+  private lazy val q112Sql = {
+    val t = tokensSql("text")
+    s"""WITH $qualityDecisionCtes,
+       |rules AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens >= 30
+       |           AND CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+       |           AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+       |         THEN 'high'
+       |         WHEN n_tokens >= 15 THEN 'medium'
+       |         ELSE 'low' END AS rules_quality
+       |  FROM (SELECT doc_id,
+       |          CAST(len($t) AS BIGINT) AS n_tokens,
+       |          CAST(len(list_distinct($t)) AS BIGINT) AS n_unique,
+       |          CAST(len(list_filter($t, w -> w = 'the' OR w = 'a'))
+       |            AS BIGINT) AS n_stop
+       |        FROM documents)),
+       |bucketed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN reason = 'admit' THEN 1 ELSE 0 END AS gate_admit,
+       |    ntile(5) OVER (ORDER BY xent_u, doc_id) AS bucket
+       |  FROM dec)
+       |SELECT r.rules_quality,
+       |  CAST(b.gate_admit AS BIGINT) AS gate_admit,
+       |  CAST(CASE WHEN b.bucket <= 3 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS low_surprisal,
+       |  count(*) AS n_docs
+       |FROM bucketed b JOIN rules r USING (doc_id)
+       |GROUP BY 1, 2, 3
+       |ORDER BY rules_quality, gate_admit DESC, low_surprisal DESC""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q111
   /** EPOCH-SHUFFLE SHARD PLAN — the data-loader ordering step between
     * q103's epoch allocation and an actual training run: each epoch
@@ -2107,6 +2182,7 @@ object TextAnalysis {
     "q107_dsir_weights" -> (q107 _),
     "q109_surprisal_mixing" -> (q109 _),
     "q111_epoch_shuffle" -> (q111 _),
+    "q112_quality_agreement" -> (q112 _),
     "q101_source_kl" -> (q101 _),
     "q102_packing_audit" -> (q102 _),
     "q103_epoch_allocator" -> (q103 _),
@@ -2143,6 +2219,7 @@ object TextAnalysis {
     "q107_dsir_weights" -> q107Sql,
     "q109_surprisal_mixing" -> q109Sql,
     "q111_epoch_shuffle" -> q111Sql,
+    "q112_quality_agreement" -> q112Sql,
     "q101_source_kl" -> q101Sql,
     "q102_packing_audit" -> q102Sql,
     "q103_epoch_allocator" -> q103Sql,
