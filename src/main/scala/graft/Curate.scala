@@ -19,7 +19,12 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     as a single JSON file: the audit record of what was dropped
   *     where, written ALONGSIDE the corpus it describes.
   *
-  * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality]`
+  * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]`
+  *
+  * `--with-dsir` appends q107's targeted selection as the final stage
+  * (only target-affine survivors ship, per the frozen log-ratio
+  * artifact) and writes the per-source selection counts as
+  * `<out>/report_dsir/` alongside the funnel report.
   *
   * `--with-quality` prepends the composite quality gate (q89: length /
   * repetition / LM-surprisal against the corpus-frozen LM) as stage
@@ -59,8 +64,11 @@ object Curate {
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val withQuality = flags.contains("--with-quality")
-    if (positional.length != 2 || !flags.forall(_ == "--with-quality")) {
-      System.err.println("Usage: graft.Curate <sf_dir> <out_dir> [--with-quality]")
+    val withDsir = flags.contains("--with-dsir")
+    if (positional.length != 2 ||
+        !flags.forall(f => f == "--with-quality" || f == "--with-dsir")) {
+      System.err.println(
+        "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]")
       sys.exit(1)
     }
     val (sfDir, outDir) = (positional(0), positional(1))
@@ -68,7 +76,7 @@ object Curate {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      run(spark, sfDir, outDir, withQuality)
+      run(spark, sfDir, outDir, withQuality, withDsir)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -82,7 +90,8 @@ object Curate {
 
   /** The job body, separated from the exit-code shell for specs. */
   private[graft] def run(spark: SparkSession, sfDir: String,
-      outDir: String, withQuality: Boolean = false): Unit = {
+      outDir: String, withQuality: Boolean = false,
+      withDsir: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -101,16 +110,41 @@ object Curate {
       else flagged.join(broadcast(Dedup.qualityRejects(spark, sfDir)),
           col("doc_id") === col("q_id"), "left")
         .filter(col("q_id").isNull).drop("q_id")
-    val curated = gated
+    // --with-dsir appends targeted selection as the LAST stage: only
+    // funnel survivors that the frozen DSIR artifact scores target-
+    // affine ship (q107's decisions, a broadcast semi join of the
+    // selected-id set — ids only, payloads never shuffle). Selection
+    // runs after dedup/decontamination on purpose: importance weights
+    // are per-content, so deduping first cannot change any surviving
+    // document's score, and decontaminating first keeps eval leaks
+    // out of the shipped corpus regardless of their affinity.
+    val dsirScored =
+      if (!withDsir) None
+      else Some(TextAnalysis.dsirScores(Tables.documents(spark, sfDir),
+        TextAnalysis.dsirLrTable(spark, sfDir)))
+    val selected = dsirScored.fold(gated) { scored =>
+      gated.join(broadcast(scored.filter(col("decision") === "selected")
+        .select(col("doc_id").as("d_id"))),
+        col("doc_id") === col("d_id"), "left_semi")
+    }
+    val curated = selected
       .filter(col("k4")).drop("k1", "k2", "k3", "k4")
       .withColumn("split", TextAnalysis.splitAssign)
     curated.write.partitionBy("split").parquet(s"$outDir/corpus")
 
     // The audit record ships with the corpus and describes the chain
-    // that RAN: q84's per-source funnel, or the extended 6-stage q92.
+    // that RAN: q84's per-source funnel, or the extended 6-stage q92;
+    // --with-dsir additionally ships the selection stage's per-source
+    // decision counts so every shipped stage stays accounted for.
     val report =
       if (withQuality) SparkEntry.queries("q92_extended_funnel")(spark, sfDir)
       else SparkEntry.queries("q84_source_funnel")(spark, sfDir)
     report.coalesce(1).write.json(s"$outDir/report")
+    dsirScored.foreach { scored =>
+      scored.groupBy(col("source"), col("decision"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("decision"))
+        .coalesce(1).write.json(s"$outDir/report_dsir")
+    }
   }
 }

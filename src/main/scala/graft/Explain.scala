@@ -66,7 +66,8 @@ object Explain {
     "q109_surprisal_mixing" -> "q87's xent side (vocab-keyed LM join, doc_id-keyed partial aggregate) followed by ONE global NTILE window over the DOC-COUNT frame (rows = documents, not tokens) - the q106 exact-rank-vs-scale trade again: production swaps the quintile cut for approx-quantile thresholds broadcast back (graded rates are insensitive to boundary jitter), the exact NTILE is kept because the oracle can pin it; admission is the stateless content-hash coin, and the report is one partial-aggregable 5-cell groupBy",
     "q110_dup_histogram" -> "rides the memoized CC labels (pairs-bounded, tiny next to the corpus): sizes are one partial-aggregable groupBy on the label table, singletons one anti join of the corpus against label ids (co-located under id bucketing) into a single-row count, bands are exact-integer CASE buckets - the corpus never enters the fixpoint loop and the report is <=6 rows",
     "q111_epoch_shuffle" -> "stateless per-row hash with a 4-element epoch explode at scan position + ONE partial-aggregable groupBy over epochs x shards cells - no sort, no window, no join at any size; the 100 TB 'global shuffle per epoch' is exactly this (shard, intra-shard hash order) assignment stamped as a partition column, never an actual sort",
-    "q112_quality_agreement" -> "every leg is the production scorer (q31's rule CASE at scan position, qualityDecisions against the memoized frozen LM, NTILE over the decision table's own xent) - the audit measures exactly the verdicts that ship; cross-tab is one partial-aggregable groupBy over <=12 cells, and the NTILE window carries the q106/q109 exact-rank-vs-scale trade (quantile thresholds at 100 TB)")
+    "q112_quality_agreement" -> "every leg is the production scorer (q31's rule CASE at scan position, qualityDecisions against the memoized frozen LM, NTILE over the decision table's own xent) - the audit measures exactly the verdicts that ship; cross-tab is one partial-aggregable groupBy over <=12 cells, and the NTILE window carries the q106/q109 exact-rank-vs-scale trade (quantile thresholds at 100 TB)",
+    "q113_ann_recall" -> "both legs are the production queries (q38's exact broadcast-scan baseline, q39's bucket ANN); the overlap join and candidate count key on (q_id, vec_id) over <= k x queries rows and the report is queries-sized; at 100 TB the exact side runs on a query SAMPLE - which is exactly how ANN recall is monitored in practice - and the audit is the number that tunes lshBits (recall collapsing WITH candidates = buckets too fine; without = unlucky sign boundaries, multi-probe's case)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

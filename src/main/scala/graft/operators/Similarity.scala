@@ -194,6 +194,84 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** ANN RECALL AUDIT — the sketch-fidelity audit (q96 MinHash, q98
+    * SimHash) for the VECTOR index: per query, how much of the exact
+    * brute-force top-5 (q38's baseline, rank ≤ 5) the production
+    * sign-LSH ANN (q39) actually returns, with the bucket's candidate
+    * count as the diagnostic denominator. This is the number an ANN
+    * deployment watches when tuning `lshBits`: recall collapsing on
+    * some queries while candidates stay plentiful means unlucky sign
+    * boundaries (q44's multi-probe IVF is the fix); recall collapsing
+    * WITH the candidate count means the buckets got too fine for the
+    * corpus size. Riding the audit in-engine keeps it honest — both
+    * legs are the production queries, not re-derivations.
+    *
+    * Scale posture: both legs are the production plans (q38's
+    * broadcast-query scan is the expensive exact side — at 100 TB the
+    * audit runs on a query SAMPLE, which is exactly how recall is
+    * monitored in practice); the overlap join and candidate count are
+    * keyed by (q_id, vec_id) over ≤ k·queries rows, and the report is
+    * queries-sized. */
+  private def q113(spark: SparkSession, dir: String): DataFrame = {
+    val exact5 = q38(spark, dir).filter(col("rank") <= 5)
+      .select(col("q_id").as("e_qid"), col("vec_id").as("e_vid"))
+    val ann = q39(spark, dir)
+      .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
+    val qs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("bkt").as("qbkt"))
+    val cand = emb.filter(col("vec_id") >= NQueries)
+      .join(broadcast(qs), col("bkt") === col("qbkt"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
+    val annN = ann.groupBy(col("a_qid")).agg(count(lit(1)).as("n_ann"))
+    val hits = ann.join(exact5,
+        col("a_qid") === col("e_qid") && col("a_vid") === col("e_vid"))
+      .groupBy(col("a_qid")).agg(count(lit(1)).as("n_hit"))
+    qs.select(col("q_id"))
+      .join(cand, Seq("q_id"), "left")
+      .join(annN.toDF("q_id", "n_ann"), Seq("q_id"), "left")
+      .join(hits.toDF("q_id", "n_hit"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        floor(lit(1000000.0) *
+          coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / lit(5.0))
+          .cast(LongType).as("recall_u"))
+      .orderBy(col("q_id"))
+  }
+
+  private lazy val q113Sql =
+    s"""WITH exact5 AS (
+       |  SELECT q_id, vec_id FROM ($q38Sql) WHERE rank <= 5),
+       |ann AS (SELECT q_id, vec_id FROM ($q39Sql)),
+       |emb AS (SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |qs AS (SELECT vec_id AS q_id, bkt AS qbkt FROM emb
+       |       WHERE vec_id < $NQueries),
+       |cand AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM emb c JOIN qs ON c.bkt = qs.qbkt
+       |  WHERE c.vec_id >= $NQueries GROUP BY q_id),
+       |ann_n AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_ann
+       |          FROM ann GROUP BY q_id),
+       |hits AS (
+       |  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM ann a JOIN exact5 e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.q_id)
+       |SELECT qs.q_id,
+       |  coalesce(c.n_candidates, 0) AS n_candidates,
+       |  coalesce(n.n_ann, 0) AS n_ann,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  CAST(floor(1000000.0 * CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0)
+       |    AS BIGINT) AS recall_u
+       |FROM qs
+       |LEFT JOIN cand c USING (q_id)
+       |LEFT JOIN ann_n n USING (q_id)
+       |LEFT JOIN hits h USING (q_id)
+       |ORDER BY qs.q_id""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Production near-duplicate cosine threshold: embedding pairs this
     * close are duplicates for curation purposes — the operator's DEFAULT,
@@ -1130,6 +1208,7 @@ object Similarity {
     "q100_embedding_drift" -> (q100 _),
     "q105_semantic_decontam" -> (q105 _),
     "q106_cluster_prune"  -> (q106 _),
+    "q113_ann_recall"     -> (q113 _),
     "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
@@ -1146,6 +1225,7 @@ object Similarity {
     "q100_embedding_drift" -> q100Sql,
     "q105_semantic_decontam" -> q105Sql,
     "q106_cluster_prune"  -> q106Sql,
+    "q113_ann_recall"     -> q113Sql,
     "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,

@@ -73,6 +73,34 @@ class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
       .exists(rejected) shouldBe false
   }
 
+  test("--with-dsir ships exactly the funnel survivors the frozen " +
+      "artifact selects, and the selection report accounts for every doc") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curate-d").toString + "/job"
+    Curate.run(spark, sfDir, out, withDsir = true)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val plain = {
+      val o2 = Files.createTempDirectory("curate-p").toString + "/job"
+      Curate.run(spark, sfDir, o2)
+      spark.read.parquet(s"$o2/corpus").select("doc_id").as[Long]
+        .collect().toSet
+    }
+    val selectedIds = SparkEntry.queries("q107_dsir_weights")(spark, sfDir)
+      .filter($"decision" === "selected")
+      .select("doc_id").as[Long].collect().toSet
+
+    // shipped == funnel survivors ∩ DSIR-selected, exactly
+    corpus.select("doc_id").as[Long].collect().toSet shouldBe
+      (plain intersect selectedIds)
+
+    // the selection sidecar accounts for the whole corpus
+    val dsirReport = spark.read.json(s"$out/report_dsir")
+    dsirReport.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head.getLong(0) shouldBe
+      graft.Tables.documents(spark, sfDir).count()
+  }
+
   test("pre-existing output directory is an error (Hadoop contract)") {
     val out = Files.createTempDirectory("curate-exists").toString
     val e = intercept[IllegalStateException] {

@@ -352,6 +352,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     chunks.toString should not include "Join"
   }
 
+  test("q107: the DSIR log-ratio artifact broadcasts into the scoring " +
+      "join; training aggregates over the fixed bucket domain") {
+    val p = plan("q107_dsir_weights")
+    p should include("BroadcastHashJoin") // 256-row lr table
+    p should not include "CartesianProduct"
+    p should not include "SortAggregate"  // bucket groupBys hash-agg
+  }
+
+  test("q111: the epoch-shuffle plan has no join and no window — one " +
+      "hash aggregate over epochs×shards cells") {
+    val p = SparkEntry.queries("q111_epoch_shuffle")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan.toString
+    p should not include "Join"
+    p should not include "Window"
+    p should include("HashAggregate")
+  }
+
+  test("q110: the corpus reaches the histogram only through one anti " +
+      "join against the label ids — no pair machinery in the plan") {
+    val p = plan("q110_dup_histogram")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
+  test("q106/q113: codebook and query frames broadcast; no self-join " +
+      "degrades to a Cartesian product") {
+    Seq("q106_cluster_prune", "q113_ann_recall").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        p should include("Broadcast")
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
