@@ -67,7 +67,8 @@ object Explain {
     "q110_dup_histogram" -> "rides the memoized CC labels (pairs-bounded, tiny next to the corpus): sizes are one partial-aggregable groupBy on the label table, singletons one anti join of the corpus against label ids (co-located under id bucketing) into a single-row count, bands are exact-integer CASE buckets - the corpus never enters the fixpoint loop and the report is <=6 rows",
     "q111_epoch_shuffle" -> "stateless per-row hash with a 4-element epoch explode at scan position + ONE partial-aggregable groupBy over epochs x shards cells - no sort, no window, no join at any size; the 100 TB 'global shuffle per epoch' is exactly this (shard, intra-shard hash order) assignment stamped as a partition column, never an actual sort",
     "q112_quality_agreement" -> "every leg is the production scorer (q31's rule CASE at scan position, qualityDecisions against the memoized frozen LM, NTILE over the decision table's own xent) - the audit measures exactly the verdicts that ship; cross-tab is one partial-aggregable groupBy over <=12 cells, and the NTILE window carries the q106/q109 exact-rank-vs-scale trade (quantile thresholds at 100 TB)",
-    "q113_ann_recall" -> "both legs are the production queries (q38's exact broadcast-scan baseline, q39's bucket ANN); the overlap join and candidate count key on (q_id, vec_id) over <= k x queries rows and the report is queries-sized; at 100 TB the exact side runs on a query SAMPLE - which is exactly how ANN recall is monitored in practice - and the audit is the number that tunes lshBits (recall collapsing WITH candidates = buckets too fine; without = unlucky sign boundaries, multi-probe's case)")
+    "q113_ann_recall" -> "both legs are the production queries (q38's exact broadcast-scan baseline, q39's bucket ANN); the overlap join and candidate count key on (q_id, vec_id) over <= k x queries rows and the report is queries-sized; at 100 TB the exact side runs on a query SAMPLE - which is exactly how ANN recall is monitored in practice - and the audit is the number that tunes lshBits (recall collapsing WITH candidates = buckets too fine; without = unlucky sign boundaries, multi-probe's case)",
+    "q114_crossmodal_dedup" -> "the pair set is q35's banding-bounded verified dups (never all-pairs); two id-keyed joins touch the embedding table only at the paired ids (co-located under id bucketing) and one single-row aggregate follows - the corpus text never enters; missing vectors are COUNTED as unscored (q97's orphan class), never silently dropped, so the audit doubles as a referential-integrity canary for the dedup pair ids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -272,6 +272,92 @@ object Similarity {
        |LEFT JOIN hits h USING (q_id)
        |ORDER BY qs.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** CROSS-MODAL DEDUP-CONSISTENCY AUDIT — the encoder sanity check a
+    * multimodal corpus runs after (re)embedding: take every VERIFIED
+    * text near-dup pair (q35's MinHash decisions — the pairs the dedup
+    * stack will collapse) and score the SAME pair in embedding space
+    * via the vec_id↔doc_id relation q97 audits. Near-identical text
+    * must embed near-identically; a verified text dup whose vectors
+    * disagree (cosine below [[CrossModalAgreeCosine]]) flags a stale
+    * embedding table, a mis-keyed batch, or an encoder that changed
+    * under the corpus — each a silent corruption of every downstream
+    * vector operation (SemDeDup q77, ANN serving q66, pruning q106).
+    * Pairs with a missing vector on either side are counted, not
+    * dropped — absence is an integrity finding (q97's orphan class),
+    * not noise.
+    *
+    * On the synthetic testdata the embedding column is content-
+    * independent by construction, so the audit reports full
+    * disagreement — precisely the alarm it exists to raise; the
+    * planted spec shows agreement when vectors do track content and a
+    * single stale vector being caught.
+    *
+    * Scale posture: the pair set is banding-bounded (q35's candidates,
+    * never all-pairs); two id-keyed joins against the embedding table
+    * (co-located under id bucketing) and one single-row aggregate —
+    * the corpus text never enters, and the embedding table is touched
+    * only at the paired ids. */
+  val CrossModalAgreeCosine = 0.5
+
+  private def q114(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.queries("q35_minhash_lsh")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val emb = scaledEmb(spark, dir)
+    val ea = emb.select(col("vec_id").as("a_vid"), col("sv").as("a_sv"),
+      col("n2").as("a_n2"))
+    val eb = emb.select(col("vec_id").as("b_vid"), col("sv").as("b_sv"),
+      col("n2").as("b_n2"))
+    val scored = pairs
+      .join(ea, col("doc_a") === col("a_vid"))
+      .join(eb, col("doc_b") === col("b_vid"))
+      .withColumn("cos_u",
+        floor(lit(1000000.0) * cosine(dotL(col("a_sv"), col("b_sv")),
+          col("a_n2"), col("b_n2"))).cast(LongType))
+    val totals = pairs.agg(count(lit(1)).as("n_text_pairs"))
+    scored.agg(
+        count(lit(1)).as("n_scored"),
+        sum(col("cos_u")).as("sum_cos_u"),
+        min(col("cos_u")).as("raw_min_cos_u"),
+        sum(when(col("cos_u") < (CrossModalAgreeCosine * 1000000).toLong,
+          1L).otherwise(0L)).as("raw_n_disagree"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_text_pairs"), col("n_scored"),
+        (col("n_text_pairs") - col("n_scored")).as("n_unscored"),
+        when(col("n_scored") > 0L,
+          floor(col("sum_cos_u").cast(DoubleType) /
+            col("n_scored").cast(DoubleType)).cast(LongType))
+          .otherwise(0L).as("mean_cos_u"),
+        coalesce(col("raw_min_cos_u"), lit(0L)).as("min_cos_u"),
+        coalesce(col("raw_n_disagree"), lit(0L)).as("n_disagree"))
+  }
+
+  private lazy val q114Sql =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.oracles("q35_minhash_lsh")})),
+       |emb AS ($scaledEmbSql),
+       |scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(floor(1000000.0 *
+       |      ${cosineSql(dotLSql("ea.sv", "eb.sv"), "ea.n2", "eb.n2")})
+       |      AS BIGINT) AS cos_u
+       |  FROM pairs p
+       |  JOIN emb ea ON ea.vec_id = p.doc_a
+       |  JOIN emb eb ON eb.vec_id = p.doc_b)
+       |SELECT
+       |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_text_pairs,
+       |  CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST((SELECT count(*) FROM pairs) - count(*) AS BIGINT)
+       |    AS n_unscored,
+       |  CAST(CASE WHEN count(*) > 0
+       |    THEN floor(CAST(sum(cos_u) AS DOUBLE) / count(*))
+       |    ELSE 0 END AS BIGINT) AS mean_cos_u,
+       |  CAST(coalesce(min(cos_u), 0) AS BIGINT) AS min_cos_u,
+       |  CAST(coalesce(sum(CASE WHEN cos_u <
+       |    ${(CrossModalAgreeCosine * 1000000).toLong} THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_disagree
+       |FROM scored""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Production near-duplicate cosine threshold: embedding pairs this
     * close are duplicates for curation purposes — the operator's DEFAULT,
@@ -1209,6 +1295,7 @@ object Similarity {
     "q105_semantic_decontam" -> (q105 _),
     "q106_cluster_prune"  -> (q106 _),
     "q113_ann_recall"     -> (q113 _),
+    "q114_crossmodal_dedup" -> (q114 _),
     "q79_kmeans_step"     -> (q79 _),
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
@@ -1220,12 +1307,16 @@ object Similarity {
     "q71_embedding_profile" -> (q71 _),
     "q77_semantic_dedup"  -> (q77 _))
 
-  val oracles: Map[String, String] = Map(
+  // lazy: q114Sql interpolates Dedup.oracles, and Dedup's own init
+  // touches this object (semNearDupPairsSql) — an eager map here would
+  // force q114Sql inside that nested init and read a null Dedup map.
+  lazy val oracles: Map[String, String] = Map(
     "q97_integrity"       -> q97Sql,
     "q100_embedding_drift" -> q100Sql,
     "q105_semantic_decontam" -> q105Sql,
     "q106_cluster_prune"  -> q106Sql,
     "q113_ann_recall"     -> q113Sql,
+    "q114_crossmodal_dedup" -> q114Sql,
     "q79_kmeans_step"     -> q79Sql,
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,
