@@ -1739,10 +1739,14 @@ object TextAnalysis {
     * skew), no shuffle at all until a downstream groupBy; the chunk
     * table never materializes the text twice (slices reference the
     * one tokens array). */
-  private def q104(spark: SparkSession, dir: String): DataFrame = {
+  /** The chunker over an arbitrary documents batch — the shared body
+    * of batch q104 and the streaming ingest chunker
+    * ([[graft.streaming.ChunkStreams]]): stateless per row, so stream
+    * chunks are batch chunks by construction. */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
     val C = 32L; val S = 24L
     val adj = S - 1 - C // n - C + (S-1) = n - 9 with these constants
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
     val m = col("n") + adj
@@ -1758,8 +1762,11 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("toks"),
           (col("start_tok") + 1L).cast("int"),
           (col("end_tok") - col("start_tok")).cast("int")))).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  private def q104(spark: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
 
   private val q104Sql =
     s"""WITH base AS (
