@@ -1954,16 +1954,53 @@ object Dedup {
     *
     * Scale posture: every pair set is banding-/df-cap-bounded (never
     * all-pairs); the content-equality leg self-joins fingerprint
-    * GROUPS (viral-dup groups are the quadratic hazard — the same one
-    * [[saltedSelfPairs]] defends; real pipelines cap the audit at a
-    * group-size bound, and q60's decision table is what ships). The
-    * union and flag joins are pair-keyed over those bounded sets, and
-    * the output is ≤ 2⁴ rows via one partial-aggregable groupBy. */
+    * GROUPS, so viral-dup groups (empty docs, error pages — routinely
+    * million-copy at crawl scale, the same hazard [[saltedSelfPairs]]
+    * defends) are the quadratic risk. The audit therefore caps that
+    * leg at [[ContentEqGroupCap]] members per fingerprint group
+    * (conf `spark.graft.audit.contentGroupCap`): group sizes come
+    * from q34's grouped form via one partial-aggregable groupBy, and
+    * pairs are emitted only for groups at or under the cap — the
+    * leg's output is ≤ cap²/2 rows per group instead of m²/2. The
+    * identical HAVING bound lives in the oracle CTE, so parity is
+    * structural at every SF, not an accident of fixture group sizes
+    * (sf0.1's largest group is 248, just under the default 256).
+    * Capped groups are a count a spec pins, not lost silently; q60's
+    * decision table remains what ships. The union and flag joins are
+    * pair-keyed over those bounded sets, and the output is ≤ 2⁴ rows
+    * via one partial-aggregable groupBy. */
   val JaccardAuditMin = 0.5
+  val ContentEqGroupCap = 256
+
+  /** Content-equality pairs for q108's exact leg, bounded by the
+    * group-size cap: fingerprint groups larger than `cap` emit NO
+    * pairs (they are sketch-trivial anyway — every member is an exact
+    * dup — while m²/2 pair emission would dominate the whole audit).
+    * Group sizes are a map-side-combinable groupBy, and the survivor
+    * self-join is bounded at cap²/2 pairs per group by construction. */
+  private[graft] def contentEqPairs(fp: DataFrame, cap: Int): DataFrame = {
+    val small = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("grp_n"))
+        .filter(col("grp_n") <= cap).select(col("fp")),
+      Seq("fp"))
+    small.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
+      .join(small.select(col("doc_id").as("b_id"), col("fp").as("b_fp")),
+        col("a_fp") === col("b_fp") && col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+  }
+
+  /** Fingerprint groups the cap excluded — the audit's honesty
+    * counter (a planted-viral-group spec pins both this and the
+    * pair-count bound). */
+  private[graft] def cappedGroups(fp: DataFrame, cap: Int): DataFrame =
+    fp.groupBy(col("fp")).agg(count(lit(1)).as("grp_n"))
+      .filter(col("grp_n") > cap)
 
   private def q108(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), contentFp(col("text")).as("fp"))
+    val cap = spark.conf.getOption("spark.graft.audit.contentGroupCap")
+      .map(_.toInt).getOrElse(ContentEqGroupCap)
     // Each leg is referenced TWICE (universe union + its flag join);
     // without materialization Spark re-runs every generator's full
     // candidate pipeline per reference — measured 4.0 s → ~half at
@@ -1971,9 +2008,7 @@ object Dedup {
     // eager localCheckpoint pins each leg's result for pennies.
     def pin(pairs: DataFrame): DataFrame =
       pairs.distinct().localCheckpoint(true)
-    val ex = pin(fp.toDF("a_id", "a_fp").join(fp.toDF("b_id", "b_fp"),
-        col("a_fp") === col("b_fp") && col("a_id") < col("b_id"))
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    val ex = pin(contentEqPairs(fp, cap))
     val mh = pin(minhashVerifiedPairs(minhashSig(spark, dir))
       .select(col("doc_a"), col("doc_b")))
     val sh = pin(simhashVerifiedPairs(spark, dir)
@@ -2002,10 +2037,15 @@ object Dedup {
   }
 
   private lazy val q108Sql =
-    s"""WITH ex AS (
+    s"""WITH fps AS (
+       |  SELECT doc_id, ${contentFpSql("text")} AS fp FROM documents),
+       |small_fp AS (
+       |  SELECT fp FROM fps GROUP BY fp
+       |  HAVING count(*) <= $ContentEqGroupCap),
+       |ex AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM (SELECT doc_id, ${contentFpSql("text")} AS fp FROM documents) a
-       |  JOIN (SELECT doc_id, ${contentFpSql("text")} AS fp FROM documents) b
+       |  FROM (SELECT doc_id, fp FROM fps JOIN small_fp USING (fp)) a
+       |  JOIN (SELECT doc_id, fp FROM fps JOIN small_fp USING (fp)) b
        |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
        |mh AS (SELECT doc_a, doc_b FROM ($q35Sql)),
        |sh AS (SELECT doc_a, doc_b FROM ($q36Sql)),

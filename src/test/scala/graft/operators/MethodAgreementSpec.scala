@@ -69,4 +69,66 @@ class MethodAgreementSpec extends AnyFunSuite with SparkSpec with Matchers {
     // shuffle×edit pairs share no shingle order either)
     out.values.sum shouldBe 9L
   }
+
+  test("viral-dup group cap bounds the content-equality leg at " +
+      "cap²/2 per group, never m²/2") {
+    import spark.implicits._
+    // a planted 10³-copy viral group (the empty-doc/error-page shape
+    // that is routine at crawl scale), one small group, some uniques
+    val viral = (0 until 1000).map(i => (i.toLong, "VIRAL"))
+    val smallG = (1000 until 1003).map(i => (i.toLong, "SMALL"))
+    val uniques = (1003 until 1013).map(i => (i.toLong, s"U$i"))
+    val fp = (viral ++ smallG ++ uniques).toDF("doc_id", "fp")
+
+    // capped: the viral group emits ZERO pairs; only the small group's
+    // 3 pairs survive — bounded by cap²/2 · n_groups, not m²/2
+    val cap = 16
+    val capped = Dedup.contentEqPairs(fp, cap).collect()
+    capped.length shouldBe 3
+    assert(capped.length <= cap * cap / 2 * 1)
+    // the excluded group is surfaced, not silently lost
+    val excl = Dedup.cappedGroups(fp, cap).collect()
+    excl.length shouldBe 1
+    excl.head.getLong(1) shouldBe 1000L
+    // a cap above every group is the identity (the oracle-parity mode:
+    // the default 256 clears sf0.1's largest fixture group of 248)
+    Dedup.contentEqPairs(fp, 1000).count() shouldBe (999L * 1000L / 2 + 3)
+  }
+
+  test("the group cap threads through q108 via " +
+      "spark.graft.audit.contentGroupCap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("agreecap_").toString
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango", "uniform", "victor", "whiskey", "xray", "yankee")
+    val baseTokens = (0 until 99).map(j => vocab(j % 25)) :+ "zulu"
+    val base = baseTokens.mkString(" ")
+    val plants = Seq((0L, base), (1L, base), (2L, base))
+    val filler = (3 until 40).map { i =>
+      (i.toLong, (0 until 30)
+        .map(j => vocab((i * 5 + j * 2) % 25) + i.toString).mkString(" "))
+    }
+    (plants ++ filler).map { case (id, t) =>
+      (id, t, "en", s"src${id % 3}", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    def confusion() = SparkEntry.queries("q108_method_agreement")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getLong(4)).toMap
+
+    // default cap (256) clears the 3-copy group: full agreement rows
+    confusion()((1L, 1L, 1L, 1L)) shouldBe 3L
+    // cap 2 excludes the 3-copy group from the content leg; the pairs
+    // remain in the universe via the sketch legs, content flag now 0
+    spark.conf.set("spark.graft.audit.contentGroupCap", "2")
+    try {
+      val capped = confusion()
+      capped.get((1L, 1L, 1L, 1L)) shouldBe None
+      capped((0L, 1L, 1L, 1L)) shouldBe 3L
+    } finally spark.conf.unset("spark.graft.audit.contentGroupCap")
+  }
 }
