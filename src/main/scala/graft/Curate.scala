@@ -140,9 +140,19 @@ object Curate {
       if (withQuality) SparkEntry.queries("q92_extended_funnel")(spark, sfDir)
       else SparkEntry.queries("q84_source_funnel")(spark, sfDir)
     report.coalesce(1).write.json(s"$outDir/report")
+    // Both populations in one report: `n_docs` counts whole-corpus
+    // independent decision flags (the same semantics as every other
+    // funnel stage), while `n_docs_funnel` restricts to the funnel
+    // survivors the semi-join actually gates — so the `selected`
+    // rows' n_docs_funnel sum reconciles exactly against the shipped
+    // corpus row count.
     dsirScored.foreach { scored =>
-      scored.groupBy(col("source"), col("decision"))
-        .agg(count(lit(1)).as("n_docs"))
+      val survivorIds = gated.filter(col("k4"))
+        .select(col("doc_id").as("g_id"))
+      scored.join(survivorIds, col("doc_id") === col("g_id"), "left")
+        .groupBy(col("source"), col("decision"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("g_id")).as("n_docs_funnel"))
         .orderBy(col("source"), col("decision"))
         .coalesce(1).write.json(s"$outDir/report_dsir")
     }

@@ -962,7 +962,15 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .select(lit("1").as("size_band"), col("n").as("n_clusters"),
         col("n").as("n_docs"))
-    singletons.unionByName(clustered).orderBy(col("size_band"))
+    // Numeric band rank, not string order — '17+' would otherwise
+    // sort between '1' and '2' (same CASE rank in the oracle SQL).
+    val bandRank = when(col("size_band") === "1", 0)
+      .when(col("size_band") === "2", 1)
+      .when(col("size_band") === "3-4", 2)
+      .when(col("size_band") === "5-8", 3)
+      .when(col("size_band") === "9-16", 4)
+      .otherwise(5)
+    singletons.unionByName(clustered).orderBy(bandRank)
   }
 
   private lazy val q110Sql =
@@ -980,12 +988,15 @@ object Dedup {
        |singles AS (
        |  SELECT count(*) AS n FROM documents d
        |  WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.id = d.doc_id))
-       |SELECT '1' AS size_band, n AS n_clusters, n AS n_docs FROM singles
-       |UNION ALL
-       |SELECT size_band, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT)
-       |  AS n_docs
-       |FROM clustered GROUP BY size_band
-       |ORDER BY size_band""".stripMargin
+       |SELECT * FROM (
+       |  SELECT '1' AS size_band, n AS n_clusters, n AS n_docs FROM singles
+       |  UNION ALL
+       |  SELECT size_band, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT)
+       |    AS n_docs
+       |  FROM clustered GROUP BY size_band)
+       |ORDER BY CASE size_band WHEN '1' THEN 0 WHEN '2' THEN 1
+       |  WHEN '3-4' THEN 2 WHEN '5-8' THEN 3 WHEN '9-16' THEN 4
+       |  ELSE 5 END""".stripMargin
 
   // ---------------------------------------------------------------- q60
   /** The operator a 100 TB curation run actually executes: the per-doc

@@ -2087,7 +2087,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("f"))
 
   /** The TRAINED DSIR artifact: per-bucket micro-nat log-ratio
-    * ln(p_target/p_raw) with add-one smoothing — the buckets-sized
+    * ln(p_target/p_raw) with Jelinek–Mercer (uniform-mix, λ=½)
+    * smoothing — q107's doc explains why add-one is rejected (its
+    * different-corpus-size bias scores OOV junk "target-like"); this
+    * is the buckets-sized
     * table a production deployment trains once (over a sample) and
     * ships frozen to every scorer, exactly like [[lmTable]]. Memoized
     * per (session, dir); batch q107 and the streaming scorer

@@ -58,9 +58,14 @@ object DriftStreams {
     val (n, sums) = embeddings.select(col("embedding"))
       .as[Array[Float]].rdd
       .map(v => (1L, scale(v)))
-      .reduce { case ((na, a), (nb, b)) =>
-        (na + nb, Array.tabulate(a.length)(i => a(i) + b(i)))
+      .fold((0L, null: Array[Long])) { case ((na, a), (nb, b)) =>
+        if (a == null) (nb, b)
+        else if (b == null) (na, a)
+        else (na + nb, Array.tabulate(a.length)(i => a(i) + b(i)))
       }
+    require(n > 0L,
+      "referenceMean: the trusted reference embeddings frame is empty — " +
+        "a drift reference direction cannot be derived from zero vectors")
     sums.map(s => Math.floorDiv(s, n))
   }
 

@@ -99,6 +99,11 @@ class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
     dsirReport.agg(org.apache.spark.sql.functions.sum("n_docs"))
       .head.getLong(0) shouldBe
       graft.Tables.documents(spark, sfDir).count()
+    // ...and its funnel-survivor column reconciles exactly against
+    // the shipped corpus: selected ∩ survivors == what shipped
+    dsirReport.filter($"decision" === "selected")
+      .agg(org.apache.spark.sql.functions.sum("n_docs_funnel"))
+      .head.getLong(0) shouldBe corpus.count()
   }
 
   test("pre-existing output directory is an error (Hadoop contract)") {

@@ -95,4 +95,14 @@ class DriftStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     got.toSeq shouldBe sums.map(s => Math.floorDiv(s, rows.size.toLong)).toSeq
   }
+
+  test("referenceMean on an empty reference corpus is a clear contract " +
+      "error, not an opaque reduce failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      DriftStreams.referenceMean(empty)
+    }
+    e.getMessage should include("empty")
+  }
 }
