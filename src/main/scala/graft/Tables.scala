@@ -20,15 +20,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright. Read it as raw nanos (legacy flag) and
-    * rebuild a microsecond timestamp — the testdata values are whole
-    * microseconds, so the conversion is lossless and matches what DuckDB
-    * sees after a ns→µs cast. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader
+    * rejects outright, so it is read as raw nanos (legacy flag) and
+    * rebuilt as a microsecond timestamp — and plain TIMESTAMP(MICROS),
+    * which Spark reads natively as TIMESTAMP_NTZ. Both normalize to the
+    * SAME session-TZ `TimestampType` column (the session runs UTC, so
+    * the NTZ→TZ cast is value-preserving), keeping every downstream
+    * window/lag/date_trunc and the DuckDB oracle (`CAST(ts AS
+    * TIMESTAMP)` truncates ns, no-ops on µs) bit-identical either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

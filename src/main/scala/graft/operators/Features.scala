@@ -132,14 +132,25 @@ object Features {
     * projection of every vector query (q38-q41, q44). */
   def scaledEmb(spark: SparkSession, dir: String): DataFrame =
     cachedFrame(spark, s"$dir#scaledEmb") {
-      graft.functions.VectorExprs.ensureRegistered(spark)
-      val sv = transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * 10000.0).cast(LongType))
-      Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), col("label"), sv.as("sv"))
-        .withColumn("n2", graft.functions.VectorExprs.dotL(col("sv"), col("sv")))
+      scaledEmbOver(
+        Tables.embeddings(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
+        .select(col("vec_id"), col("label"), col("sv"), col("n2"))
     }
+
+  /** [[scaledEmb]]'s projection applied to an ARBITRARY raw embeddings
+    * frame (any schema carrying `embedding`): appends `sv` (fixed-point
+    * scaled vector) and `n2` (exact squared norm). ONE definition — the
+    * session-cached view above and the streaming gates that must scale
+    * each transient micro-batch both read it, so a quantization change
+    * cannot silently diverge the stream from the batch oracle. */
+  def scaledEmbOver(emb: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    emb
+      .withColumn("sv", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 10000.0).cast(LongType)))
+      .withColumn("n2", graft.functions.VectorExprs.dotL(col("sv"), col("sv")))
+  }
 
   /** Unpersist and forget the frames registered by ONE session — a
     * session's teardown must not evict caches that a concurrently-running

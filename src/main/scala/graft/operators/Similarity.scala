@@ -1081,8 +1081,17 @@ object Similarity {
     val ev = emb.filter(col("vec_id") % Dedup.EvalSliceMod === 0)
       .select(col("vec_id").as("e_id"), col("sv").as("e_sv"),
         col("n2").as("e_n2"), col("bkt"))
-    emb.filter(col("vec_id") % Dedup.EvalSliceMod =!= 0)
-      .join(broadcast(ev), "bkt")
+    semContamOver(emb.filter(col("vec_id") % Dedup.EvalSliceMod =!= 0), ev)
+      .orderBy(col("vec_id"))
+  }
+
+  /** q105's per-vector contamination scores over an already-scaled,
+    * already-bucketed training frame `(vec_id, sv, n2, bkt, …)` vs a
+    * broadcast eval frame `(e_id, e_sv, e_n2, bkt)` — shared verbatim by
+    * batch q105 and the streaming gate, so stream/batch parity is
+    * structural. */
+  private[graft] def semContamOver(train: DataFrame, ev: DataFrame): DataFrame =
+    train.join(broadcast(ev), "bkt")
       .withColumn("cos", cosine(dotL(col("sv"), col("e_sv")),
         col("n2"), col("e_n2")))
       .filter(col("cos") >= SemContCosine)
@@ -1091,7 +1100,30 @@ object Similarity {
         floor(lit(1000000.0) * max(col("cos"))).cast(LongType)
           .as("max_cos_u"),
         min(col("e_id")).as("closest_eval"))
-      .orderBy(col("vec_id"))
+
+  /** The FROZEN eval-vector artifact q105 joins against — the scaled +
+    * sign-LSH-bucketed benchmark slice, shipped whole to the streaming
+    * gate (benchmarks are 10³–10⁵ vectors by nature, broadcast-sized at
+    * any corpus scale). */
+  private[graft] def semContamEvalVecs(spark: SparkSession,
+      dir: String): DataFrame =
+    scaledEmb(spark, dir)
+      .filter(col("vec_id") % Dedup.EvalSliceMod === 0)
+      .select(col("vec_id").as("e_id"), col("sv").as("e_sv"),
+        col("n2").as("e_n2"),
+        signBucket(col("sv"), lshBits(spark)).as("bkt"))
+
+  /** Streaming-facing leg: score an ARBITRARY raw embeddings micro-batch
+    * `(vec_id, embedding, …)` against the frozen eval-vector artifact.
+    * Scaling + bucketing per batch reuses [[Features.scaledEmbOver]] and
+    * the same `signBucket`, so a gate decision is bit-identical to what
+    * batch q105 would decide for the same vector. */
+  private[graft] def semContamScoresOver(embRaw: DataFrame, evalVecs: DataFrame,
+      bits: Int = DefaultLshBits): DataFrame = {
+    val t = Features.scaledEmbOver(embRaw)
+      .withColumn("bkt", signBucket(col("sv"), bits))
+      .select(col("vec_id"), col("sv"), col("n2"), col("bkt"))
+    semContamOver(t, evalVecs)
   }
 
   private lazy val q105Sql =
