@@ -19,7 +19,14 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     as a single JSON file: the audit record of what was dropped
   *     where, written ALONGSIDE the corpus it describes.
   *
-  * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]`
+  * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]
+  * [--with-shards]`
+  *
+  * `--with-shards` additionally executes q111's epoch-shuffle plan over
+  * the SHIPPED corpus via [[ShardWriter]]: `<out>/shards/epoch=E/
+  * shard=S/` manifests (doc_id + n_tokens per epoch), the artifact each
+  * epoch's data-loader reads shard-by-shard. Written after the corpus
+  * so the manifests describe exactly what shipped.
   *
   * `--with-dsir` appends q107's targeted selection as the final stage
   * (only target-affine survivors ship, per the frozen log-ratio
@@ -65,10 +72,13 @@ object Curate {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val withQuality = flags.contains("--with-quality")
     val withDsir = flags.contains("--with-dsir")
+    val withShards = flags.contains("--with-shards")
     if (positional.length != 2 ||
-        !flags.forall(f => f == "--with-quality" || f == "--with-dsir")) {
+        !flags.forall(f => f == "--with-quality" || f == "--with-dsir" ||
+          f == "--with-shards")) {
       System.err.println(
-        "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]")
+        "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
+          "[--with-dsir] [--with-shards]")
       sys.exit(1)
     }
     val (sfDir, outDir) = (positional(0), positional(1))
@@ -76,7 +86,7 @@ object Curate {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      run(spark, sfDir, outDir, withQuality, withDsir)
+      run(spark, sfDir, outDir, withQuality, withDsir, withShards)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -91,7 +101,7 @@ object Curate {
   /** The job body, separated from the exit-code shell for specs. */
   private[graft] def run(spark: SparkSession, sfDir: String,
       outDir: String, withQuality: Boolean = false,
-      withDsir: Boolean = false): Unit = {
+      withDsir: Boolean = false, withShards: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -131,6 +141,14 @@ object Curate {
       .filter(col("k4")).drop("k1", "k2", "k3", "k4")
       .withColumn("split", TextAnalysis.splitAssign)
     curated.write.partitionBy("split").parquet(s"$outDir/corpus")
+
+    // --with-shards: execute q111's epoch-shuffle plan over what
+    // actually shipped — per-epoch (doc_id, n_tokens) manifests the
+    // loader reads shard-by-shard (coalesced: manifest rows are tiny,
+    // one file per cell is the loader-friendly layout).
+    if (withShards)
+      ShardWriter.write(spark, curated, s"$outDir/shards",
+        coalesceFiles = true)
 
     // The audit record ships with the corpus and describes the chain
     // that RAN: q84's per-source funnel, or the extended 6-stage q92;

@@ -1996,17 +1996,28 @@ object TextAnalysis {
     * groupBy over epochs×shards cells; the assignment expression
     * stamps into the write path as a partition column exactly like
     * q83's split. No sort, no window, no join at any size. */
-  private val ShuffleEpochs = 4L
-  private val ShuffleShards = 32L
+  private[graft] val ShuffleEpochs = 4L
+  private[graft] val ShuffleShards = 32L
+
+  /** q111's per-(doc, epoch) shard assignment — ONE definition shared
+    * by the plan report below and [[graft.ShardWriter]], which stamps
+    * it into the actual partitioned write: the executed layout and the
+    * reported plan cannot drift apart. */
+  private[graft] def shardAssign(docId: Column, epoch: Column,
+      shards: Long = ShuffleShards): Column =
+    md5u32(concat(docId.cast("string"), lit("#ep"),
+      epoch.cast("string"))) % shards
+
+  /** q111's epoch fan-out: one output row per (doc, epoch). */
+  private[graft] def epochFan(epochs: Long = ShuffleEpochs): Column =
+    explode(sequence(lit(0L), lit(epochs - 1)))
 
   private def q111(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
-        explode(sequence(lit(0L), lit(ShuffleEpochs - 1))).as("epoch"))
-      .withColumn("shard",
-        md5u32(concat(col("doc_id").cast("string"), lit("#ep"),
-          col("epoch").cast("string"))) % ShuffleShards)
+        epochFan().as("epoch"))
+      .withColumn("shard", shardAssign(col("doc_id"), col("epoch")))
       .groupBy(col("epoch"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("epoch"), col("shard"))

@@ -49,20 +49,29 @@ object EventStreams {
 
   /** File-source stream over an events-table directory: the production
     * entry (`readStream` — swap for Kafka by changing only this method).
-    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects; the stream reads raw nanos and rebuilds microsecond
-    * timestamps exactly as the batch [[graft.Tables.events]] does. */
+    * `ts` has shipped as both parquet TIMESTAMP(NANOS) — unreadable
+    * without the legacy raw-nanos flag — and TIMESTAMP(MICROS); a
+    * one-file batch sniff picks the physical type (streams need an
+    * explicit schema anyway), and both encodings normalize to the SAME
+    * session-TZ timestamp column exactly as the batch
+    * [[graft.Tables.events]] does. */
   def eventSource(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsPhysical = spark.read.parquet(path).schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType), // raw nanos (legacy flag)
+      StructField("ts", tsPhysical),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(path)
+    tsPhysical match {
+      case LongType => // raw nanos (legacy flag)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Streaming twin of q20: hourly tumbling counts per event type.

@@ -106,6 +106,30 @@ class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head.getLong(0) shouldBe corpus.count()
   }
 
+  test("--with-shards writes per-epoch manifests of exactly the " +
+      "shipped corpus, one file per populated cell") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curate-s").toString + "/job"
+    Curate.run(spark, sfDir, out, withShards = true)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val shards = spark.read.parquet(s"$out/shards")
+
+    // Every epoch manifests exactly the shipped docs, once each.
+    val shippedIds = corpus.select("doc_id").as[Long].collect().toSet
+    shards.select("epoch").distinct().count() shouldBe
+      graft.operators.TextAnalysis.ShuffleEpochs
+    shards.groupBy("epoch").count().select("count").as[Long].collect()
+      .foreach(_ shouldBe shippedIds.size.toLong)
+    shards.filter($"epoch" === 0).select("doc_id").as[Long]
+      .collect().toSet shouldBe shippedIds
+
+    // The stamped shard agrees with q111's assignment rule.
+    shards.filter(graft.operators.TextAnalysis.shardAssign(
+        $"doc_id", $"epoch".cast("long")) =!= $"shard".cast("long"))
+      .count() shouldBe 0L
+  }
+
   test("pre-existing output directory is an error (Hadoop contract)") {
     val out = Files.createTempDirectory("curate-exists").toString
     val e = intercept[IllegalStateException] {
