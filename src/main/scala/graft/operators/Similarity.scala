@@ -370,9 +370,38 @@ object Similarity {
     * needs a looser cut. Never a production setting. */
   val TestdataNearDupCosine = 0.35
 
+  /** Session conf for the q40 pair BUDGET: with `maxPairs = k`, each
+    * `a_id` keeps only its top-k partners by (cos desc, b_id asc) — a
+    * deterministic total order, so the capped set is a function of the
+    * data alone. Default ABSENT = uncapped (the oracle-pinned report
+    * shape).
+    *
+    * Why it exists: q40 is the one query whose output is pair-shaped —
+    * admitted pairs grow super-linearly when clusters densify (the
+    * measured ~sf1 ratio is output-driven, 6.5–7.9×). Every DOWNSTREAM
+    * consumer (q77's CC, the dedup decisions) is insensitive to
+    * dropping a near-dup's 50th-closest twin, and at 100 TB a
+    * report-shaped k·n output is the difference between a dashboard
+    * artifact and a second corpus. The cap composes with the window's
+    * partition key (a_id, uniform) — one window over the already-
+    * bucketed pairs, no extra shuffle beyond the partition-by. */
+  val MaxPairsConf = "spark.graft.neardup.maxPairs"
+
+  private def maxPairs(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(MaxPairsConf).map { raw =>
+      // Loud rejection, not silent fallback (same posture as lshBits):
+      // a typo must not quietly run uncapped.
+      val k = raw.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$MaxPairsConf must be a positive integer, got '$raw'"))
+      require(k >= 1, s"$MaxPairsConf must be >= 1, got $k")
+      k
+    }
+
   /** Embedding-cosine near-dup pairs: intra-bucket pairs with cosine ≥
     * `threshold` (default [[NearDupCosine]]) — the vector twin of
-    * [[Dedup]]'s MinHash/SimHash text near-dup. */
+    * [[Dedup]]'s MinHash/SimHash text near-dup. Honors [[MaxPairsConf]]
+    * (per-a_id top-k budget; absent = uncapped). */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = NearDupCosine): DataFrame = {
     val emb = scaledEmb(spark, dir)
@@ -381,12 +410,19 @@ object Similarity {
       col("n2").as("a_n2"), col("bkt").as("a_bkt"))
     val b = emb.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
       col("n2").as("b_n2"), col("bkt").as("b_bkt"))
-    a.join(b, col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
+    val pairs = a
+      .join(b, col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
       .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
         col("a_n2"), col("b_n2")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
-      .orderBy(col("a_id"), col("b_id"))
+    val budgeted = maxPairs(spark).fold(pairs) { k =>
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+    budgeted.orderBy(col("a_id"), col("b_id"))
   }
 
   private def q40(spark: SparkSession, dir: String): DataFrame =
