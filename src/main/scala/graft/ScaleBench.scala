@@ -31,11 +31,23 @@ import graft.tools.ScaleData
   * reach — at the two driver SFs, closing the round-5 scale-evidence
   * hole (the full surface now has a measured 10× ratio).
   *
+  * A fifth phase (`streaming`) closes the round-6 evidence hole: every
+  * streaming module was MemoryStream-spec'd at fixture scale but never
+  * measured under load. It drives the three gate families a crawl
+  * pipeline chains — [[graft.streaming.DedupStreams]] (stateful: the
+  * corpus index grows per batch), [[graft.streaming.QualityStreams]]
+  * and [[graft.streaming.DsirStreams]] (stateless given their frozen
+  * artifacts) — through a file-source stream over the ~sf1 corpus
+  * (10× sf0.1 docs) split into `SPARK_GRAFT_STREAM_BATCHES` files,
+  * one micro-batch each, reporting per-module rows/s, per-batch
+  * latency min/med/max, and (for dedup) the final index state size.
+  *
   * Env knobs: `SPARK_GRAFT_SCALE_DIR` (default /tmp/graft_scale; data is
   * regenerated only if absent — generation is deterministic),
   * `SPARK_GRAFT_SCALE_DOCS`/`_EMB`/`_HOT` row counts,
-  * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | tail | both
-  * (all).
+  * `SPARK_GRAFT_STREAM_BATCHES` (default 10),
+  * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | tail |
+  * streaming | both (all).
   */
 object ScaleBench {
 
@@ -193,6 +205,82 @@ object ScaleBench {
       println(
         s"""{"metric":"tail_suite","base":"$small","scaled":"$base",""" +
           s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],"queries":$qs}""")
+    }
+
+    if (phase == "streaming" || phase == "both") {
+      val sf1 = s"$out/sf1"
+      if (!Files.exists(Paths.get(s"$sf1/documents.parquet")))
+        ScaleData.generate(spark, sf1, nDocs, nEmb)
+      val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+      // Stage the ~sf1 corpus as one file per intended micro-batch: the
+      // file source with maxFilesPerTrigger=1 then delivers it as
+      // `batches` micro-batches — the production arrival shape (a crawl
+      // drop every trigger), not one giant replay.
+      val stage = s"$out/stream_docs_$batches"
+      if (!Files.exists(Paths.get(stage)))
+        spark.read.parquet(s"$sf1/documents.parquet")
+          .repartition(batches)
+          .write.parquet(stage)
+      val inRows = spark.read.parquet(stage).count()
+
+      /** Drive one gate to exhaustion; report per-batch completion
+        * latencies (diffs of completion stamps, stream start as the
+        * zeroth mark — so each batch's figure includes ALL its work,
+        * wherever the module does it) and end-to-end rows/s. */
+      def drive(start: ((DataFrame, Long) => Unit) =>
+          org.apache.spark.sql.streaming.StreamingQuery): (Double, Long, Seq[Double]) = {
+        val marks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val t0 = System.nanoTime()
+        val q = start { (scored, bid) =>
+          val n = scored.count() // force the batch's full plan
+          marks.synchronized { marks += ((System.nanoTime(), n)) }
+        }
+        try { q.processAllAvailable() } finally q.stop()
+        val done = marks.sortBy(_._1)
+        val outRows = done.map(_._2).sum
+        val stamps: Seq[Long] = t0 +: done.map(_._1).toSeq
+        val lats = stamps.sliding(2).map(w => (w(1) - w(0)) / 1e9).toSeq
+        ((done.last._1 - t0) / 1e9, outRows, lats)
+      }
+      def latStats(l: Seq[Double]): String = {
+        val s = l.sorted
+        s"""[${f2(s.head)},${f2(s(s.size / 2))},${f2(s.last)}]"""
+      }
+
+      // Stateless gates: frozen artifacts trained on the base corpus.
+      val lm = graft.operators.TextAnalysis.lmTable(spark, base)
+      val lr = graft.operators.TextAnalysis.dsirLrTable(spark, base)
+      import graft.streaming.{DedupStreams, DsirStreams, QualityStreams}
+      def src() = DedupStreams.documentSource(spark, stage, maxFilesPerTrigger = 1)
+
+      val (qSec, qRows, qLats) = drive(cb =>
+        QualityStreams.qualityGate(src(), lm, cb))
+      val (dSec, dRows, dLats) = drive(cb =>
+        DsirStreams.selectionGate(src(), lr, cb))
+
+      // Stateful gate: judge the stream against the base corpus' index,
+      // admitted docs folded back in per batch (the ingest loop).
+      val baseDocs = Tables.documents(spark, base)
+        .select("doc_id", "text")
+      val index = DedupStreams.corpusIndex(baseDocs)
+      val baseFp = index.fp.count()
+      val refresher = new DedupStreams.RefreshingIndex(index)
+      val (iSec, iRows, iLats) = drive(cb =>
+        DedupStreams.incrementalDedup(src(), index,
+          refresher = Some(refresher))(cb).start())
+      val finalFp = refresher.current.fp.count()
+
+      def mod(n: String, sec: Double, rows: Long, lats: Seq[Double],
+          extra: String = ""): String =
+        s""""$n":{"sec":${f2(sec)},"out_rows":$rows,""" +
+          s""""rows_per_sec":${f2(inRows / sec)},""" +
+          s""""batch_latency_mmm":${latStats(lats)}$extra}"""
+      println(
+        s"""{"metric":"streaming","in_rows":$inRows,"batches":$batches,""" +
+          mod("quality_gate", qSec, qRows, qLats) + "," +
+          mod("dsir_gate", dSec, dRows, dLats) + "," +
+          mod("incremental_dedup", iSec, iRows, iLats,
+            s""","index_rows":[$baseFp,$finalFp]""") + "}")
     }
 
     if (phase == "skew" || phase == "both") {

@@ -152,6 +152,28 @@ object Features {
       .withColumn("n2", graft.functions.VectorExprs.dotL(col("sv"), col("sv")))
   }
 
+  /** Session conf for the EXACT-RANK vs APPROX-QUANTILE trade that
+    * q106 (cluster pruning) and q109 (surprisal-quintile mixing) both
+    * document: their exact global/per-cluster rank windows are what the
+    * oracle can pin, but at 100 TB a rank window concentrates n (or
+    * n/K) rows per partition, and the production form swaps it for
+    * approx-percentile thresholds broadcast back — O(1) memory, same
+    * decisions in the non-boundary mass. `exact` (default) keeps the
+    * oracle-pinned plan; `approx` runs the documented swap
+    * (`QuantileModeSpec` pins the agreement rate). */
+  val QuantileModeConf = "spark.graft.quantiles.mode"
+
+  /** True when the session opted into approx-quantile thresholds.
+    * Loud rejection of unknown values — a typo must not silently run
+    * the exact-rank plan a user believed they swapped out. */
+  def approxQuantiles(spark: SparkSession): Boolean =
+    spark.conf.getOption(QuantileModeConf).getOrElse("exact") match {
+      case "exact" => false
+      case "approx" => true
+      case other => throw new IllegalArgumentException(
+        s"$QuantileModeConf must be 'exact' or 'approx', got '$other'")
+    }
+
   /** Unpersist and forget the frames registered by ONE session — a
     * session's teardown must not evict caches that a concurrently-running
     * session in the same JVM still reads. Safe to call after the owning

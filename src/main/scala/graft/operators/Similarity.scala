@@ -1240,19 +1240,41 @@ object Similarity {
             .as("proto_cos_u"))).as("b"))
       .select(col("vec_id"), col("b.cluster_id").as("cluster_id"),
         col("b.proto_cos_u").as("proto_cos_u"))
-    val wRank = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("proto_cos_u").desc, col("vec_id"))
-    val wAll = Window.partitionBy(col("cluster_id"))
-    best
-      .withColumn("proto_rank", row_number().over(wRank).cast(LongType))
-      .withColumn("n_cluster", count(lit(1)).over(wAll))
-      .withColumn("decision",
-        when(col("proto_rank") <=
-          floor(col("n_cluster") / lit(ProtoPruneDen)).cast(LongType),
-          "pruned").otherwise("kept"))
-      .select(col("vec_id"), col("cluster_id"), col("proto_cos_u"),
-        col("proto_rank"), col("n_cluster"), col("decision"))
-      .orderBy(col("vec_id"))
+    if (Features.approxQuantiles(spark)) {
+      // The documented 100 TB swap (scaladoc above): per-cluster
+      // approx-percentile thresholds instead of the rank window — one
+      // partial-aggregable groupBy over K cells, broadcast back, no
+      // per-cluster row concentration. Pruned = proto_cos_u at or above
+      // the (1 − 1/Den) quantile; clusters too small to prune a whole
+      // member (floor(n/Den) = 0 in the exact form) keep everything.
+      // Schema swaps the exact rank for the threshold that replaced it.
+      val thr = best.groupBy(col("cluster_id"))
+        .agg(percentile_approx(col("proto_cos_u"),
+            lit(1.0 - 1.0 / ProtoPruneDen), lit(10000)).as("thr_u"),
+          count(lit(1)).as("n_cluster"))
+      best.join(broadcast(thr), "cluster_id")
+        .withColumn("decision",
+          when(col("proto_cos_u") >= col("thr_u") &&
+            col("n_cluster") >= lit(ProtoPruneDen), "pruned")
+            .otherwise("kept"))
+        .select(col("vec_id"), col("cluster_id"), col("proto_cos_u"),
+          col("thr_u"), col("n_cluster"), col("decision"))
+        .orderBy(col("vec_id"))
+    } else {
+      val wRank = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("proto_cos_u").desc, col("vec_id"))
+      val wAll = Window.partitionBy(col("cluster_id"))
+      best
+        .withColumn("proto_rank", row_number().over(wRank).cast(LongType))
+        .withColumn("n_cluster", count(lit(1)).over(wAll))
+        .withColumn("decision",
+          when(col("proto_rank") <=
+            floor(col("n_cluster") / lit(ProtoPruneDen)).cast(LongType),
+            "pruned").otherwise("kept"))
+        .select(col("vec_id"), col("cluster_id"), col("proto_cos_u"),
+          col("proto_rank"), col("n_cluster"), col("decision"))
+        .orderBy(col("vec_id"))
+    }
   }
 
   private lazy val q106Sql =

@@ -1842,9 +1842,30 @@ object TextAnalysis {
       .foldLeft(lit(SurpriseRates.last)) { case (acc, (r, i)) =>
         when(col("bucket") === (i + 1).toLong, lit(r)).otherwise(acc)
       }
-    perDoc
-      .withColumn("bucket", ntile(5)
-        .over(Window.orderBy(col("xent_u"), col("doc_id"))).cast("long"))
+    val bucketed =
+      if (!Features.approxQuantiles(spark))
+        perDoc.withColumn("bucket", ntile(5)
+          .over(Window.orderBy(col("xent_u"), col("doc_id"))).cast("long"))
+      else {
+        // The documented 100 TB swap (scaladoc above): one
+        // approx-percentile aggregate over the doc-count frame gives
+        // the four quintile thresholds as a single broadcast row — no
+        // global window, no single-partition rank. Boundary ties land
+        // in the lower bucket; the graded rates are insensitive to
+        // that jitter (QuantileModeSpec pins the agreement).
+        val thr = perDoc.agg(percentile_approx(col("xent_u"),
+          array(lit(0.2), lit(0.4), lit(0.6), lit(0.8)),
+          lit(10000)).as("t"))
+        perDoc.crossJoin(broadcast(thr))
+          .withColumn("bucket",
+            when(col("xent_u") <= element_at(col("t"), 1), 1L)
+              .when(col("xent_u") <= element_at(col("t"), 2), 2L)
+              .when(col("xent_u") <= element_at(col("t"), 3), 3L)
+              .when(col("xent_u") <= element_at(col("t"), 4), 4L)
+              .otherwise(5L))
+          .drop("t")
+      }
+    bucketed
       .withColumn("rate", rate)
       .withColumn("h",
         md5u32(concat(col("doc_id").cast("string"), lit(":surq"))) % 100L)

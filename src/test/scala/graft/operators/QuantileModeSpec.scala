@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The documented exact-rank → approx-quantile swap
+  * (`spark.graft.quantiles.mode=approx`) for q106 (per-cluster pruning
+  * thresholds) and q109 (surprisal quintile cuts): the approx plans
+  * must reproduce the exact decisions in the non-boundary mass, keep
+  * totals intact, and unknown modes must reject loudly. Default mode
+  * stays exact — the oracle-pinned plans are untouched. */
+class QuantileModeSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val dir = SparkSpec.Sf0001
+
+  private def withMode[T](m: String)(body: => T): T =
+    try { spark.conf.set(Features.QuantileModeConf, m); body }
+    finally spark.conf.unset(Features.QuantileModeConf)
+
+  test("q106 approx: same vectors, same clusters, ≥90% decision " +
+      "agreement with the exact rank, and the cap still bites") {
+    import spark.implicits._
+    val exact = Similarity.queries("q106_cluster_prune")(spark, dir)
+      .select("vec_id", "cluster_id", "decision")
+      .as[(Long, Long, String)].collect()
+    val approx = withMode("approx") {
+      Similarity.queries("q106_cluster_prune")(spark, dir)
+        .select("vec_id", "cluster_id", "decision")
+        .as[(Long, Long, String)].collect()
+    }
+    val eById = exact.map(r => r._1 -> (r._2, r._3)).toMap
+    val aById = approx.map(r => r._1 -> (r._2, r._3)).toMap
+    aById.keySet shouldBe eById.keySet
+    // assignment is identical (the swap touches only the threshold)
+    eById.forall { case (id, (c, _)) => aById(id)._1 == c } shouldBe true
+    val agree = eById.count { case (id, (_, d)) => aById(id)._2 == d }
+    agree.toDouble / eById.size should be >= 0.9
+    approx.count(_._3 == "pruned") should be > 0
+  }
+
+  test("q109 approx: totals intact, five monotone buckets, per-bucket " +
+      "counts near the exact quintile size") {
+    import spark.implicits._
+    def report(mode: Option[String]) = {
+      val f = () => TextAnalysis.queries("q109_surprisal_mixing")(spark, dir)
+        .select("bucket", "n_docs", "min_xent_u", "max_xent_u")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      mode.fold(f())(m => withMode(m)(f()))
+    }
+    val exact = report(None)
+    val approx = report(Some("approx"))
+    approx.map(_._1) shouldBe exact.map(_._1) // buckets 1..5
+    approx.map(_._2).sum shouldBe exact.map(_._2).sum // every doc bucketed
+    // bucket ranges stay ordered: no doc lands below a lower bucket's max
+    approx.sliding(2).foreach { case Array(lo, hi) =>
+      lo._4 should be <= hi._3
+    }
+    // boundary jitter only: each bucket within ±20% of the exact size
+    val n5 = exact.map(_._2).sum / 5.0
+    approx.foreach { case (_, n, _, _) =>
+      math.abs(n - n5) / n5 should be <= 0.2
+    }
+  }
+
+  test("unknown quantile mode rejects loudly") {
+    intercept[IllegalArgumentException] {
+      withMode("fuzzy") {
+        Similarity.queries("q106_cluster_prune")(spark, dir).count()
+      }
+    }
+  }
+}
