@@ -2152,9 +2152,76 @@ object Dedup {
        |ORDER BY content_eq DESC, minhash_hit DESC, simhash_hit DESC,
        |  jaccard_hit DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** CROSS-SPLIT LEAKAGE AUDIT — the check a content-stable split
+    * (q83) cannot make by construction: EXACT duplicates land in the
+    * same split (same content fingerprint ⇒ same bucket), but
+    * NEAR-duplicates carry different fingerprints and hash
+    * independently, so a train/test boundary can separate two
+    * documents that are 95% the same text — the classic eval leak a
+    * held-out split is supposed to prevent. This audit stamps q83's
+    * split assignment onto q35's verified MinHash near-dup pairs and
+    * cross-tabulates: any row with `cross_split = true` is leakage a
+    * training team must resolve (move one member, or drop it from
+    * eval) BEFORE the split ships. The same-split rows are the benign
+    * baseline mass for scale.
+    *
+    * Everything is the production machinery by reference — q35's
+    * banded pair generator (never all-pairs) and q83's `splitAssign`
+    * (ONE definition with the write path) — so the audit measures
+    * exactly the split and the near-dup graph that ship.
+    *
+    * Scale posture: pairs are sketch-bounded (banding + ≥13/16
+    * verify); the split stamp is two id-keyed joins of the pair table
+    * against the narrow (doc_id, split) projection — uniform keys, and
+    * the pair side is report-shaped at any corpus size; the cross-tab
+    * is one partial-aggregable groupBy over ≤ 6 cells. */
+  private def q116(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(minhashSig(spark, dir))
+      .select(col("doc_a"), col("doc_b"), col("n_matches"))
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.splitAssign.as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"), col("n_matches"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("n_matches")).as("max_matches"))
+      .withColumn("cross_split", col("split_lo") =!= col("split_hi"))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        col("max_matches"), col("cross_split"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  private lazy val q116Sql =
+    s"""WITH pairs AS (SELECT doc_a, doc_b, n_matches FROM ($q35Sql)),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket <= 7 THEN 'train'
+       |         WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ${md5u32Sql(contentFpSql("text"))} % 10 AS bucket
+       |        FROM documents)),
+       |j AS (
+       |  SELECT least(a.split, b.split) AS split_lo,
+       |    greatest(a.split, b.split) AS split_hi, n_matches
+       |  FROM pairs
+       |  JOIN sp a ON pairs.doc_a = a.doc_id
+       |  JOIN sp b ON pairs.doc_b = b.doc_id)
+       |SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |  CAST(max(n_matches) AS BIGINT) AS max_matches,
+       |  (split_lo <> split_hi) AS cross_split
+       |FROM j GROUP BY 1, 2
+       |ORDER BY split_lo, split_hi""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q116_split_leakage" -> (q116 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -2180,6 +2247,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q116_split_leakage" -> q116Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,

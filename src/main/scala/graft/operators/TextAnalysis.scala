@@ -2218,9 +2218,200 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN docw w USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** GOPHER-STYLE RULE FILTERS — the published heuristic filter set
+    * (Rae et al., "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", 2021, §A1.1.1) that every major
+    * corpus pipeline runs before any learned scorer, restricted to the
+    * rules this corpus' feature space exercises:
+    *
+    *  - `r_wordcount`: 50 ≤ words ≤ 100,000 (too-short docs carry no
+    *    training signal; absurdly long ones are concatenation junk);
+    *  - `r_wordlen`: mean word length in [3, 10] chars (outside =
+    *    symbol soup or unsegmented text);
+    *  - `r_stop`: ≥ 2 distinct common stop words present (Gopher's
+    *    "contains at least 2 of the, be, to, of, and, that, have,
+    *    with" — the cheap English-fluency proxy);
+    *  - `r_rep`: most-frequent token ≤ 12.5% of the document (the
+    *    intra-doc repetition screen, Gopher's duplicate-line family
+    *    collapsed to the token level this corpus exercises).
+    *
+    * Complements q31 (lexical-diversity grade) and q89 (learned-LM
+    * gate): these are the PUBLISHED floor rules a team applies first
+    * and audits against the other two (q112's agreement machinery).
+    *
+    * Determinism: every feature is exact int64 counting (the
+    * most-frequent-token fraction floors to micro-units); `mean_wl`
+    * is one correctly-rounded double division of exact int64s (the
+    * single-space tokenization identity q31 also uses).
+    *
+    * Scale posture: per-row expressions at scan position plus ONE
+    * partial-aggregable (doc_id, token) count for the repetition
+    * feature — the same shape as q80; no joins beyond the doc-keyed
+    * merge of that aggregate, output is corpus-rows. */
+  private val GopherStops = Seq("the", "a", "and", "of", "to")
+  private val GopherRepMaxU = 125000L
+
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("ts"))
+      .withColumn("n_words", size(col("ts")).cast("long"))
+    val top = base.select(col("doc_id"), explode(col("ts")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, "doc_id")
+      .withColumn("mean_wl",
+        (col("n_chars") - col("n_words") + 1L).cast(DoubleType) /
+          col("n_words").cast(DoubleType))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(col("ts")),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("top_frac_u",
+        floor(lit(1000000.0) * col("top_c").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).cast("long"))
+      .withColumn("r_wordcount",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_wordlen",
+        col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0)
+      .withColumn("r_stop", col("n_stop_kinds") >= 2L)
+      .withColumn("r_rep", col("top_frac_u") <= GopherRepMaxU)
+      .withColumn("admit",
+        col("r_wordcount") && col("r_wordlen") && col("r_stop") && col("r_rep"))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"),
+        col("n_stop_kinds"), col("top_frac_u"), col("r_wordcount"),
+        col("r_wordlen"), col("r_stop"), col("r_rep"), col("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q115Sql = {
+    val t = tokensSql("text")
+    val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars, $t AS ts,
+       |    CAST(len($t) AS BIGINT) AS n_words
+       |  FROM documents),
+       |top AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM (
+       |    SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(ts) AS w FROM base)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |f AS (
+       |  SELECT base.doc_id, n_words,
+       |    CAST(n_chars - n_words + 1 AS DOUBLE) /
+       |      CAST(n_words AS DOUBLE) AS mean_wl,
+       |    CAST(len(list_intersect(list_distinct(ts), $stops)) AS BIGINT)
+       |      AS n_stop_kinds,
+       |    CAST(floor(1000000.0 * CAST(top_c AS DOUBLE) /
+       |      CAST(n_words AS DOUBLE)) AS BIGINT) AS top_frac_u
+       |  FROM base JOIN top ON base.doc_id = top.doc_id)
+       |SELECT doc_id, n_words, mean_wl, n_stop_kinds, top_frac_u,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+       |  (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_wordlen,
+       |  (n_stop_kinds >= 2) AS r_stop,
+       |  (top_frac_u <= $GopherRepMaxU) AS r_rep,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |    AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+       |    AND (n_stop_kinds >= 2)
+       |    AND (top_frac_u <= $GopherRepMaxU)) AS admit
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q117
+  /** PER-SOURCE LENGTH-DISTRIBUTION PSI — the Population Stability
+    * Index, the feature-store standard for "did this feed's
+    * DISTRIBUTION move", applied to document length per source against
+    * the corpus mixture: PSI = Σ_b (p_s(b) − p_c(b))·ln(p_s(b)/p_c(b))
+    * over 8 fixed length buckets (64-char strides, open-topped). The
+    * numeric-feature sibling of q101 (token-distribution KL) and q100
+    * (embedding drift): a source that starts shipping truncated or
+    * concatenated documents moves HERE first, before its vocabulary or
+    * embeddings shift — and length is the cheapest drift signal a
+    * monitor can compute. Standard triage bands: < 0.1 stable,
+    * 0.1–0.25 watch, > 0.25 investigate.
+    *
+    * Determinism: bucket counts are exact int64 over a FIXED 8-bucket
+    * domain (Laplace +1 on both sides, so empty buckets are defined
+    * and symmetric — no corpus-size bias, the q107 add-one hazard
+    * doesn't apply because both sides smooth over the SAME domain);
+    * each cell's contribution is built from exact int64s by
+    * correctly-rounded double ops and floored to micro-nats; the
+    * per-source PSI is an exact int64 sum of those cell literals.
+    *
+    * Scale posture: ONE partial-aggregable groupBy over sources × 8
+    * cells, the corpus marginal re-aggregated from that frame (no
+    * second scan), totals broadcast; the 8×sources domain frame is
+    * generated, never shuffled. Output is sources-sized. */
+  private val PsiBuckets = 8L
+  private val PsiStride = 64L
+
+  private def q117(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = least(lit(PsiBuckets - 1L),
+      floor(col("n_chars").cast(DoubleType) / lit(PsiStride.toDouble))
+        .cast("long"))
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), bucket.as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+    val stot = cells.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val corp = cells.groupBy(col("b")).agg(sum(col("cnt")).as("ccnt"))
+    val ctot = corp.agg(sum(col("ccnt")).as("n_c"))
+    // Full fixed domain per source: zero cells carry PSI mass too.
+    val domain = stot.select(col("source"), col("n_s"),
+      explode(sequence(lit(0L), lit(PsiBuckets - 1L))).as("b"))
+    domain
+      .join(cells, Seq("source", "b"), "left")
+      .join(broadcast(corp), Seq("b"), "left")
+      .crossJoin(broadcast(ctot))
+      .withColumn("ps",
+        (coalesce(col("cnt"), lit(0L)) + 1L).cast(DoubleType) /
+          (col("n_s") + PsiBuckets).cast(DoubleType))
+      .withColumn("pc",
+        (coalesce(col("ccnt"), lit(0L)) + 1L).cast(DoubleType) /
+          (col("n_c") + PsiBuckets).cast(DoubleType))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * (col("ps") - col("pc")) *
+          log(col("ps") / col("pc"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), sum(col("contrib_u")).as("psi_u"))
+      .select(col("source"), col("n_docs"), col("psi_u"))
+      .orderBy(col("psi_u").desc, col("source"))
+  }
+
+  private lazy val q117Sql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    least(${PsiBuckets - 1},
+       |      CAST(floor(CAST(n_chars AS DOUBLE) / $PsiStride.0) AS BIGINT))
+       |      AS b
+       |  FROM documents),
+       |cells AS (SELECT source, b, count(*) AS cnt FROM d GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+       |         FROM cells GROUP BY 1),
+       |corp AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |         FROM cells GROUP BY 1),
+       |ctot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS n_c FROM corp),
+       |dom AS (
+       |  SELECT source, n_s, unnest(range(0, $PsiBuckets)) AS b FROM stot),
+       |probs AS (
+       |  SELECT dom.source, dom.n_s,
+       |    CAST(coalesce(cells.cnt, 0) + 1 AS DOUBLE) /
+       |      CAST(dom.n_s + $PsiBuckets AS DOUBLE) AS ps,
+       |    CAST(coalesce(corp.ccnt, 0) + 1 AS DOUBLE) /
+       |      CAST(ctot.n_c + $PsiBuckets AS DOUBLE) AS pc
+       |  FROM dom
+       |  LEFT JOIN cells ON dom.source = cells.source AND dom.b = cells.b
+       |  LEFT JOIN corp ON dom.b = corp.b, ctot)
+       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(floor(1000000.0 * (ps - pc) * ln(ps / pc))
+       |    AS BIGINT)) AS BIGINT) AS psi_u
+       |FROM probs GROUP BY source
+       |ORDER BY psi_u DESC, source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q115_gopher_rules" -> (q115 _),
+    "q117_source_psi" -> (q117 _),
     "q107_dsir_weights" -> (q107 _),
     "q109_surprisal_mixing" -> (q109 _),
     "q111_epoch_shuffle" -> (q111 _),
@@ -2258,6 +2449,8 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q115_gopher_rules" -> q115Sql,
+    "q117_source_psi" -> q117Sql,
     "q107_dsir_weights" -> q107Sql,
     "q109_surprisal_mixing" -> q109Sql,
     "q111_epoch_shuffle" -> q111Sql,
