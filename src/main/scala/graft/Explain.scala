@@ -68,7 +68,10 @@ object Explain {
     "q111_epoch_shuffle" -> "stateless per-row hash with a 4-element epoch explode at scan position + ONE partial-aggregable groupBy over epochs x shards cells - no sort, no window, no join at any size; the 100 TB 'global shuffle per epoch' is exactly this (shard, intra-shard hash order) assignment stamped as a partition column, never an actual sort",
     "q112_quality_agreement" -> "every leg is the production scorer (q31's rule CASE at scan position, qualityDecisions against the memoized frozen LM, NTILE over the decision table's own xent) - the audit measures exactly the verdicts that ship; cross-tab is one partial-aggregable groupBy over <=12 cells, and the NTILE window carries the q106/q109 exact-rank-vs-scale trade (quantile thresholds at 100 TB)",
     "q113_ann_recall" -> "both legs are the production queries (q38's exact broadcast-scan baseline, q39's bucket ANN); the overlap join and candidate count key on (q_id, vec_id) over <= k x queries rows and the report is queries-sized; at 100 TB the exact side runs on a query SAMPLE - which is exactly how ANN recall is monitored in practice - and the audit is the number that tunes lshBits (recall collapsing WITH candidates = buckets too fine; without = unlucky sign boundaries, multi-probe's case)",
-    "q114_crossmodal_dedup" -> "the pair set is q35's banding-bounded verified dups (never all-pairs); two id-keyed joins touch the embedding table only at the paired ids (co-located under id bucketing) and one single-row aggregate follows - the corpus text never enters; missing vectors are COUNTED as unscored (q97's orphan class), never silently dropped, so the audit doubles as a referential-integrity canary for the dedup pair ids")
+    "q114_crossmodal_dedup" -> "the pair set is q35's banding-bounded verified dups (never all-pairs); two id-keyed joins touch the embedding table only at the paired ids (co-located under id bucketing) and one single-row aggregate follows - the corpus text never enters; missing vectors are COUNTED as unscored (q97's orphan class), never silently dropped, so the audit doubles as a referential-integrity canary for the dedup pair ids",
+    "q115_gopher_rules" -> "three of four rules are stateless per-row array expressions at scan position; the repetition feature is ONE partial-aggregable (doc, token) count + per-doc max (uniform keys, the q80 shape) merged back by a doc_id-keyed join - no window, no explode surviving past the aggregate, output is corpus-rows",
+    "q116_split_leakage" -> "pairs come from q35's banding-bounded verified generator (report-shaped at any corpus size, never all-pairs); the split stamp is TWO id-keyed joins of the pair table against the narrow (doc_id, split) projection - the split expression is stateless per-row, the same ONE definition the write path stamps - and the cross-tab is one partial-aggregable groupBy over <= 6 cells",
+    "q117_source_psi" -> "ONE partial-aggregable groupBy over sources x 8 fixed buckets is the only corpus-sized operation; the corpus marginal re-aggregates THAT frame (8 rows), totals broadcast, and the fixed bucket domain is GENERATED per source (8 x sources rows) rather than shuffled - the PSI arithmetic runs over a frame whose size is independent of corpus scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
