@@ -2218,9 +2218,145 @@ object Dedup {
        |FROM j GROUP BY 1, 2
        |ORDER BY split_lo, split_hi""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** EXACT-SUBSTRING DECONTAMINATION — the long-window verbatim gate
+    * run alongside q73's 3-gram overlap: flag every training document
+    * sharing an [[SpanK]]-word (8-word) window with the eval slice.
+    * The GPT-3/PaLM-era contamination reports use long n-gram exact
+    * match (8–13 grams) precisely because 3-gram overlap over a
+    * benchmark-sized eval set fires on common phrases; an 8-word
+    * verbatim window is essentially never a coincidence, so this
+    * gate's hits are the "the benchmark text is literally in the
+    * training set" list, with far fewer false positives and
+    * correspondingly higher per-hit severity. Reuses q85's window
+    * machinery (same [[SpanK]], same occurrence hashes) against q73's
+    * eval slice — the span-level member of the decontamination family
+    * (q73 3-gram, q105 embedding, this verbatim).
+    *
+    * Scale posture: q73's exact shape one level up — the eval side's
+    * window hashes are broadcast (benchmarks are small), the training
+    * windows stream through the broadcast join with NO shuffle beyond
+    * the per-doc aggregates; window explosion carries only 8-byte
+    * hashes (q85's argument). */
+  private def q118(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(ngramOccurrences(col("text"), SpanK)).as("w"))
+      .select(col("doc_id"), md5u32(col("w")).as("h"))
+    val evalWins = wins.filter(col("doc_id") % EvalSliceMod === 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("min_eval_doc"))
+    val train = wins.filter(col("doc_id") % EvalSliceMod =!= 0)
+    val totals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalSliceMod =!= 0)
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - (SpanK - 1), lit(0))
+          .cast("long").as("n_windows"))
+    train.join(broadcast(evalWins), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hit_windows"),
+        count(lit(1)).as("n_hit_occurrences"),
+        min(col("min_eval_doc")).as("min_eval_doc"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_hit_windows"), col("n_windows"),
+        floor(lit(1000000.0) * col("n_hit_windows").cast(DoubleType) /
+          col("n_windows").cast(DoubleType)).cast("long").as("hit_frac_u"),
+        col("n_hit_occurrences"), col("min_eval_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q118Sql =
+    s"""WITH wins AS (
+       |  SELECT doc_id, ${md5u32Sql("w")} AS h FROM (
+       |    SELECT doc_id, unnest(${ngramOccurrencesSql("text", SpanK)}) AS w
+       |    FROM documents)),
+       |ev AS (
+       |  SELECT h, min(doc_id) AS min_eval_doc FROM wins
+       |  WHERE doc_id % $EvalSliceMod = 0 GROUP BY h),
+       |train AS (SELECT doc_id, h FROM wins WHERE doc_id % $EvalSliceMod <> 0),
+       |totals AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(${tokensSql("text")}) - ${SpanK - 1}, 0) AS BIGINT)
+       |      AS n_windows
+       |  FROM documents WHERE doc_id % $EvalSliceMod <> 0),
+       |hits AS (
+       |  SELECT t.doc_id, count(DISTINCT t.h) AS n_hit_windows,
+       |    count(*) AS n_hit_occurrences, min(e.min_eval_doc) AS min_eval_doc
+       |  FROM train t JOIN ev e ON t.h = e.h GROUP BY 1)
+       |SELECT h.doc_id, CAST(n_hit_windows AS BIGINT) AS n_hit_windows,
+       |  tt.n_windows,
+       |  CAST(floor(1000000.0 * CAST(n_hit_windows AS DOUBLE) /
+       |    CAST(tt.n_windows AS DOUBLE)) AS BIGINT) AS hit_frac_u,
+       |  CAST(n_hit_occurrences AS BIGINT) AS n_hit_occurrences,
+       |  min_eval_doc
+       |FROM hits h JOIN totals tt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** CONTAMINATION TRIAGE PER SOURCE — the dashboard row over the two
+    * verbatim decontamination gates: per feed, how many training
+    * documents each gate flags (q73's 3-gram overlap, q118's 8-word
+    * exact window) and the contamination rate in micro-units. The
+    * per-source view is what an operations team acts on — one feed
+    * with an outsized rate is a scraper that ingests the benchmark's
+    * host (cut the feed), while a uniform rate is benchmark text
+    * genuinely endemic to the web (tighten the gate) — and the
+    * 3-gram-vs-8-gram spread per feed shows how much of the cheap
+    * gate's firing is long-verbatim (real) vs short-phrase noise.
+    *
+    * Scale posture: both gates' per-doc hit sets are q73/q118's plans
+    * (broadcast eval side, no training shuffle); the triage adds one
+    * narrow doc→source join per gate and a sources-sized
+    * partial-aggregable groupBy. */
+  private def q119(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalSliceMod =!= 0)
+      .select(col("doc_id"), col("source"))
+    val ngram = q73(spark, dir).select(col("doc_id"), lit(1L).as("g3"))
+    val span = q118(spark, dir).select(col("doc_id"), lit(1L).as("g8"))
+    srcs
+      .join(ngram, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("g3"), lit(0L))).as("n_3gram"),
+        sum(coalesce(col("g8"), lit(0L))).as("n_8gram"))
+      .withColumn("rate3_u",
+        floor(lit(1000000.0) * col("n_3gram").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).cast("long"))
+      .withColumn("rate8_u",
+        floor(lit(1000000.0) * col("n_8gram").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q119Sql =
+    s"""WITH g3 AS (SELECT doc_id FROM ($q73Sql)),
+       |g8 AS (SELECT doc_id FROM ($q118Sql)),
+       |srcs AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE doc_id % $EvalSliceMod <> 0),
+       |j AS (
+       |  SELECT s.source,
+       |    CASE WHEN g3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f3,
+       |    CASE WHEN g8.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f8
+       |  FROM srcs s
+       |  LEFT JOIN g3 ON s.doc_id = g3.doc_id
+       |  LEFT JOIN g8 ON s.doc_id = g8.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(f3) AS BIGINT) AS n_3gram,
+       |  CAST(sum(f8) AS BIGINT) AS n_8gram,
+       |  CAST(floor(1000000.0 * CAST(sum(f3) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS rate3_u,
+       |  CAST(floor(1000000.0 * CAST(sum(f8) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS rate8_u
+       |FROM j GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q118_span_decontamination" -> (q118 _),
+    "q119_contamination_triage" -> (q119 _),
     "q116_split_leakage" -> (q116 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
@@ -2247,6 +2383,8 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q118_span_decontamination" -> q118Sql,
+    "q119_contamination_triage" -> q119Sql,
     "q116_split_leakage" -> q116Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
