@@ -71,7 +71,9 @@ object Explain {
     "q114_crossmodal_dedup" -> "the pair set is q35's banding-bounded verified dups (never all-pairs); two id-keyed joins touch the embedding table only at the paired ids (co-located under id bucketing) and one single-row aggregate follows - the corpus text never enters; missing vectors are COUNTED as unscored (q97's orphan class), never silently dropped, so the audit doubles as a referential-integrity canary for the dedup pair ids",
     "q115_gopher_rules" -> "three of four rules are stateless per-row array expressions at scan position; the repetition feature is ONE partial-aggregable (doc, token) count + per-doc max (uniform keys, the q80 shape) merged back by a doc_id-keyed join - no window, no explode surviving past the aggregate, output is corpus-rows",
     "q116_split_leakage" -> "pairs come from q35's banding-bounded verified generator (report-shaped at any corpus size, never all-pairs); the split stamp is TWO id-keyed joins of the pair table against the narrow (doc_id, split) projection - the split expression is stateless per-row, the same ONE definition the write path stamps - and the cross-tab is one partial-aggregable groupBy over <= 6 cells",
-    "q117_source_psi" -> "ONE partial-aggregable groupBy over sources x 8 fixed buckets is the only corpus-sized operation; the corpus marginal re-aggregates THAT frame (8 rows), totals broadcast, and the fixed bucket domain is GENERATED per source (8 x sources rows) rather than shuffled - the PSI arithmetic runs over a frame whose size is independent of corpus scale")
+    "q117_source_psi" -> "ONE partial-aggregable groupBy over sources x 8 fixed buckets is the only corpus-sized operation; the corpus marginal re-aggregates THAT frame (8 rows), totals broadcast, and the fixed bucket domain is GENERATED per source (8 x sources rows) rather than shuffled - the PSI arithmetic runs over a frame whose size is independent of corpus scale",
+    "q118_span_decontamination" -> "q73's broadcast-eval shape one window-length up: the eval slice's 8-word window hashes broadcast (BroadcastHashJoin), training windows stream through with NO shuffle before the per-doc aggregate; the window explode carries only 8-byte hashes (q85's argument), and totals join doc_id-keyed",
+    "q119_contamination_triage" -> "both gates' per-doc hit frames are q73/q118's own plans (broadcast eval sides, no training shuffle); the triage adds two narrow doc_id-keyed left joins against the (doc_id, source) projection and ONE sources-sized partial-aggregable groupBy - the dashboard costs nothing beyond the gates it summarizes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -74,7 +74,9 @@ object ScaleBench {
     "q105_semantic_decontam", "q106_cluster_prune", "q107_dsir_weights",
     "q108_method_agreement", "q109_surprisal_mixing",
     "q110_dup_histogram", "q111_epoch_shuffle", "q112_quality_agreement",
-    "q113_ann_recall", "q114_crossmodal_dedup")
+    "q113_ann_recall", "q114_crossmodal_dedup", "q115_gopher_rules",
+    "q116_split_leakage", "q117_source_psi", "q118_span_decontamination",
+    "q119_contamination_triage")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
