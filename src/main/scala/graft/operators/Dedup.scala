@@ -2352,9 +2352,73 @@ object Dedup {
        |FROM j GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** DEDUP SAVINGS IN TOKEN MASS — the budget view of q70's per-source
+    * drop report: duplicate DOCUMENTS vary wildly in length, so the
+    * number a training team actually banks is dropped TOKENS, not
+    * dropped docs (a feed dropping 10% of docs can be dropping 2% or
+    * 40% of its token mass). Per source: total/kept/dropped tokens
+    * under q60's keep decisions and the micro-unit savings rate —
+    * alongside q70's doc-count rate, the pair tells whether a feed's
+    * duplication is short-spam (docs ≫ tokens) or mirror-bulk
+    * (tokens ≫ docs). Closes the dedup observability family's
+    * token-mass gap (q70 docs, q110 cluster profile, q82 overlap —
+    * none weigh by length).
+    *
+    * Scale posture: rides the memoized CC labels (pairs-bounded, tiny
+    * next to the corpus) via one broadcast left join onto the token
+    * scan, then ONE sources-sized partial-aggregable groupBy — the
+    * marginal cost over q70 is the token count already computed at
+    * scan position. */
+  private def q120(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val lbl = ccLabels(spark, dir)
+      .select(col("id"), col("lbl"))
+    toks.join(broadcast(lbl), col("doc_id") === col("id"), "left")
+      .withColumn("keep",
+        coalesce(col("lbl"), col("doc_id")) === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("keep"), 0L).otherwise(col("n_tokens")))
+          .as("dropped_tokens"))
+      .withColumn("savings_u",
+        floor(lit(1000000.0) * col("dropped_tokens").cast(DoubleType) /
+          col("total_tokens").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q120Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |dec AS (
+       |  SELECT t.source, t.n_tokens,
+       |    coalesce(l.lbl, t.doc_id) = t.doc_id AS keep
+       |  FROM toks t LEFT JOIN labels l ON l.id = t.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE n_tokens END) AS BIGINT)
+       |    AS dropped_tokens,
+       |  CAST(floor(1000000.0 *
+       |    CAST(sum(CASE WHEN keep THEN 0 ELSE n_tokens END) AS DOUBLE) /
+       |    CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT) AS savings_u
+       |FROM dec GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q120_dedup_savings" -> (q120 _),
     "q118_span_decontamination" -> (q118 _),
     "q119_contamination_triage" -> (q119 _),
     "q116_split_leakage" -> (q116 _),
@@ -2383,6 +2447,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q120_dedup_savings" -> q120Sql,
     "q118_span_decontamination" -> q118Sql,
     "q119_contamination_triage" -> q119Sql,
     "q116_split_leakage" -> q116Sql,

@@ -2407,9 +2407,88 @@ object TextAnalysis {
        |FROM probs GROUP BY source
        |ORDER BY psi_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** CHUNK-DEDUP RATE PER SOURCE — the index-cost estimate over q104's
+    * chunk table: how many of each source's chunks carry a chunk_md5
+    * that also appears in at least one OTHER document. That is exactly
+    * the fraction of embed/index work a RAG pipeline skips when it
+    * keys its vector store by chunk hash (q104's scaladoc claim,
+    * quantified): boilerplate chunks — headers, navigation, license
+    * blocks — collide across documents, and a feed with a high
+    * cross-doc chunk-dup rate is mostly template. The chunk-level
+    * sibling of q85's span report: q85 counts duplicated 8-word
+    * windows (detection granularity), this counts duplicated
+    * embedding-unit chunks (cost granularity).
+    *
+    * Scale posture: rides [[chunksOf]] (stateless fan-out, no
+    * shuffle), then one partial-aggregable groupBy on the uniform
+    * chunk_md5 to find cross-doc hashes, a semi join back on the same
+    * key, and ONE sources-sized groupBy — the q85 shape with md5 keys
+    * carrying 16 bytes instead of window hashes. */
+  private def q121(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunksOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("chunk_md5"))
+    val crossDoc = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2L).select(col("chunk_md5"))
+    val dupPerDoc = chunks.join(crossDoc, Seq("chunk_md5"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_dup")).as("n_dup_chunks"))
+      .withColumn("dup_rate_u",
+        floor(lit(1000000.0) * col("n_dup_chunks").cast(DoubleType) /
+          col("n_chunks").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q121Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n
+       |  FROM documents),
+       |nc AS (SELECT doc_id, toks, n,
+       |  CASE WHEN n <= 32 THEN 1
+       |    ELSE CAST(((n - 9) - ((n - 9) % 24)) / 24 AS BIGINT) + 1 END
+       |    AS n_chunks
+       |  FROM base),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(toks[CAST(chunk_id * 24 + 1 AS BIGINT):
+       |      CAST(least(chunk_id * 24 + 32, n) AS BIGINT)], ' '))
+       |      AS chunk_md5
+       |  FROM (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+       |        FROM nc)),
+       |cross_doc AS (
+       |  SELECT chunk_md5 FROM ch GROUP BY chunk_md5
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |dup_per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup FROM ch
+       |  WHERE chunk_md5 IN (SELECT chunk_md5 FROM cross_doc)
+       |  GROUP BY doc_id),
+       |per_doc AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(p.n_chunks) AS BIGINT) AS n_chunks,
+       |  CAST(sum(coalesce(dp.n_dup, 0)) AS BIGINT) AS n_dup_chunks,
+       |  CAST(floor(1000000.0 * CAST(sum(coalesce(dp.n_dup, 0)) AS DOUBLE) /
+       |    CAST(sum(p.n_chunks) AS DOUBLE)) AS BIGINT) AS dup_rate_u
+       |FROM documents d
+       |JOIN per_doc p ON d.doc_id = p.doc_id
+       |LEFT JOIN dup_per_doc dp ON d.doc_id = dp.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q121_chunk_dedup_rate" -> (q121 _),
     "q115_gopher_rules" -> (q115 _),
     "q117_source_psi" -> (q117 _),
     "q107_dsir_weights" -> (q107 _),
@@ -2449,6 +2528,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q121_chunk_dedup_rate" -> q121Sql,
     "q115_gopher_rules" -> q115Sql,
     "q117_source_psi" -> q117Sql,
     "q107_dsir_weights" -> q107Sql,
