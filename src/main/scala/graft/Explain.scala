@@ -73,7 +73,9 @@ object Explain {
     "q116_split_leakage" -> "pairs come from q35's banding-bounded verified generator (report-shaped at any corpus size, never all-pairs); the split stamp is TWO id-keyed joins of the pair table against the narrow (doc_id, split) projection - the split expression is stateless per-row, the same ONE definition the write path stamps - and the cross-tab is one partial-aggregable groupBy over <= 6 cells",
     "q117_source_psi" -> "ONE partial-aggregable groupBy over sources x 8 fixed buckets is the only corpus-sized operation; the corpus marginal re-aggregates THAT frame (8 rows), totals broadcast, and the fixed bucket domain is GENERATED per source (8 x sources rows) rather than shuffled - the PSI arithmetic runs over a frame whose size is independent of corpus scale",
     "q118_span_decontamination" -> "q73's broadcast-eval shape one window-length up: the eval slice's 8-word window hashes broadcast (BroadcastHashJoin), training windows stream through with NO shuffle before the per-doc aggregate; the window explode carries only 8-byte hashes (q85's argument), and totals join doc_id-keyed",
-    "q119_contamination_triage" -> "both gates' per-doc hit frames are q73/q118's own plans (broadcast eval sides, no training shuffle); the triage adds two narrow doc_id-keyed left joins against the (doc_id, source) projection and ONE sources-sized partial-aggregable groupBy - the dashboard costs nothing beyond the gates it summarizes")
+    "q119_contamination_triage" -> "both gates' per-doc hit frames are q73/q118's own plans (broadcast eval sides, no training shuffle); the triage adds two narrow doc_id-keyed left joins against the (doc_id, source) projection and ONE sources-sized partial-aggregable groupBy - the dashboard costs nothing beyond the gates it summarizes",
+    "q120_dedup_savings" -> "rides the memoized CC labels (pairs-bounded, a lineage-cut leaf) via ONE broadcast left join onto the token scan - the token count is computed at scan position and the report is one sources-sized partial-aggregable groupBy; the marginal cost over q70's doc-count view is zero extra shuffles",
+    "q121_chunk_dedup_rate" -> "chunksOf's stateless fan-out (no shuffle) feeds one partial-aggregable groupBy on the uniform chunk_md5 key for cross-doc hashes, a LEFT SEMI join back on the same key, and ONE sources-sized groupBy - q85's count-only shape at chunk granularity, so a boilerplate chunk shared by millions of docs stays a count, never a pair join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -76,7 +76,8 @@ object ScaleBench {
     "q110_dup_histogram", "q111_epoch_shuffle", "q112_quality_agreement",
     "q113_ann_recall", "q114_crossmodal_dedup", "q115_gopher_rules",
     "q116_split_leakage", "q117_source_psi", "q118_span_decontamination",
-    "q119_contamination_triage")
+    "q119_contamination_triage", "q120_dedup_savings",
+    "q121_chunk_dedup_rate")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
