@@ -2252,8 +2252,17 @@ object TextAnalysis {
   private val GopherStops = Seq("the", "a", "and", "of", "to")
   private val GopherRepMaxU = 125000L
 
-  private def q115(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  private def q115(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOver(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** q115's rule scorer over an ARBITRARY documents frame (doc_id,
+    * text, n_chars) — shared verbatim by batch q115 and the streaming
+    * ingest gate ([[graft.streaming.QualityStreams]].gopherGate), so
+    * stream/batch parity is structural. The rules are constants — no
+    * trained artifact to ship, which is why this is the cheapest gate
+    * to run FIRST at ingest. */
+  private[graft] def gopherRulesOver(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("ts"))
       .withColumn("n_words", size(col("ts")).cast("long"))
     val top = base.select(col("doc_id"), explode(col("ts")).as("w"))
@@ -2280,7 +2289,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("mean_wl"),
         col("n_stop_kinds"), col("top_frac_u"), col("r_wordcount"),
         col("r_wordlen"), col("r_stop"), col("r_rep"), col("admit"))
-      .orderBy(col("doc_id"))
   }
 
   private lazy val q115Sql = {

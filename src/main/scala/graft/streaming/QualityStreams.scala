@@ -55,4 +55,29 @@ object QualityStreams {
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
   }
+
+  /** The GOPHER-RULES gate (streaming twin of batch q115): the
+    * published floor rules scored per micro-batch. Unlike the LM gate
+    * above there is NO artifact to ship — the rules are constants —
+    * which is why a crawl pipeline runs this gate FIRST, before the
+    * LM-backed gate spends a vocabulary join on documents the floor
+    * rules would discard. The scorer is literally
+    * [[TextAnalysis.gopherRulesOver]], the batch q115 code path
+    * (`QualityStreamsSpec` pins stream==batch flag equality), stateless
+    * per document ⇒ replay-idempotent; per-batch cost is per-row
+    * expressions plus one (doc, token) partial aggregate for the
+    * repetition rule.
+    *
+    * @param docs streaming DataFrame carrying doc_id + text + n_chars */
+  def gopherGate(docs: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(TextAnalysis.gopherRulesOver(batch), batchId)
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
 }

@@ -130,4 +130,41 @@ class QualityStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2001L)._1 shouldBe false
     out(2001L)._3 shouldBe "lm_quality"
   }
+
+  test("gopher gate: MemoryStream rule flags equal batch q115 across " +
+      "micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = SparkSpec.Sf0001
+    val rows = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val memDocs = mem.toDF().toDF("doc_id", "text", "n_chars")
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+    val q = QualityStreams.gopherGate(memDocs, (scored, _) =>
+      collected.synchronized {
+        collected ++= scored
+          .select("doc_id", "r_wordcount", "r_wordlen", "r_stop", "r_rep",
+            "admit")
+          .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      })
+    try {
+      rows.grouped((rows.size + 3) / 4).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batch = SparkEntry.queries("q115_gopher_rules")(spark, dir)
+      .select("doc_id", "r_wordcount", "r_wordlen", "r_stop", "r_rep",
+        "admit")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    collected.toSet shouldBe batch.toSet
+    collected.size shouldBe batch.length // one verdict per doc
+  }
 }
