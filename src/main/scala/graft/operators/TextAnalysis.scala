@@ -2350,8 +2350,8 @@ object TextAnalysis {
     * cells, the corpus marginal re-aggregated from that frame (no
     * second scan), totals broadcast; the 8×sources domain frame is
     * generated, never shuffled. Output is sources-sized. */
-  private val PsiBuckets = 8L
-  private val PsiStride = 64L
+  private[graft] val PsiBuckets = 8L
+  private[graft] val PsiStride = 64L
 
   private def q117(spark: SparkSession, dir: String): DataFrame = {
     val bucket = least(lit(PsiBuckets - 1L),
