@@ -2415,9 +2415,124 @@ object Dedup {
        |FROM dec GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** SOURCE MARGINAL-NOVELTY ATTRIBUTION — the greedy data-valuation
+    * read an acquisition team runs before paying for a feed: order the
+    * sources deterministically (source name here; production swaps in
+    * an acquisition-priority rank table — same broadcast shape), walk
+    * them in order, and credit each distinct word-3-gram to the FIRST
+    * source containing it. A feed's novel-shingle mass is its marginal
+    * contribution to the corpus at its position in the order — a feed
+    * whose novelty rate craters is reselling content the corpus
+    * already has (q82 shows WHICH pair overlaps; this prices each
+    * feed's residual value under the whole prefix, the
+    * greedy-submodular number data-buying decisions use).
+    *
+    * Scale posture: distinct (source, h) is one partial-aggregable
+    * groupBy over the memoized hashed-shingle features (8-byte hashes,
+    * never strings); ownership is a second partial-aggregable
+    * `min(source)` groupBy on the uniform hash key — a shingle shared
+    * by 10⁶ documents is ONE row per source here, so the viral-dup
+    * skew cannot arise (q82's argument); the report is sources-sized. */
+  private def q122(spark: SparkSession, dir: String): DataFrame = {
+    val srcShingles = Features.hashedShingles(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("h")).distinct()
+    val owners = srcShingles.groupBy(col("h"))
+      .agg(min(col("source")).as("owner"))
+    val perSource = srcShingles.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val novel = owners.groupBy(col("owner").as("source"))
+      .agg(count(lit(1)).as("n_novel"))
+    perSource.join(novel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty_u",
+        floor(lit(1000000.0) * col("n_novel").cast(DoubleType) /
+          col("n_distinct").cast(DoubleType)).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q122Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT d.source, ${md5u32Sql("w")} AS h
+       |  FROM ($docShinglesSql) s JOIN documents d USING (doc_id)),
+       |owners AS (SELECT h, min(source) AS owner FROM sh GROUP BY h),
+       |per_source AS (
+       |  SELECT source, count(*) AS n_distinct FROM sh GROUP BY source),
+       |novel AS (
+       |  SELECT owner AS source, count(*) AS n_novel FROM owners GROUP BY owner)
+       |SELECT p.source, p.n_distinct,
+       |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST(floor(1000000.0 * CAST(coalesce(n.n_novel, 0) AS DOUBLE) /
+       |    CAST(p.n_distinct AS DOUBLE)) AS BIGINT) AS novelty_u
+       |FROM per_source p LEFT JOIN novel n USING (source)
+       |ORDER BY p.source""".stripMargin
+
+  // ---------------------------------------------------------------- q123
+  /** SOFT-DEDUP WEIGHTS — the downweight-instead-of-drop alternative to
+    * q60's binary keep/drop: every document in a near-dup cluster of
+    * size m carries sampling weight 1/m (micro-units), singletons carry
+    * 1.0, so each duplicated CONTENT contributes exactly one unit of
+    * expected training mass wherever its copies came from. Training
+    * teams run this when hard dedup would throw away provenance
+    * diversity (the same license text from 40 feeds is worth ONE unit,
+    * but which feed's copy survives should not be an arbitrary min-id
+    * coin toss at sampling time). The report is per source: raw docs,
+    * clustered docs, and the effective corpus size Σ 1/m — the number
+    * that replaces `n_docs` in every mixing budget (q75/q103) under
+    * soft dedup.
+    *
+    * Determinism: per-doc weights are floor(10⁶/m) literals (exact
+    * int64 everywhere); the per-source effective mass is an exact
+    * int64 sum of those literals.
+    *
+    * Scale posture: rides the memoized CC labels exactly like q60 —
+    * cluster sizes are one partial-aggregable groupBy on the
+    * pairs-bounded label table, the corpus takes one broadcast-able
+    * left join against it, and the report is sources-sized. */
+  private def q123(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = ccLabels(spark, dir).groupBy(col("lbl"))
+      .agg(count(lit(1)).as("sz"))
+    val labeled = ccLabels(spark, dir).join(sizes, "lbl")
+      .select(col("id"), col("sz"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(labeled, col("doc_id") === col("id"), "left")
+      .withColumn("w_u",
+        when(col("sz").isNull, lit(1000000L))
+          .otherwise((lit(1000000L) - pmod(lit(1000000L), col("sz"))) / col("sz"))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sz").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(col("w_u")).as("effective_docs_u"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q123Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |sizes AS (SELECT lbl, count(*) AS sz FROM labels GROUP BY lbl),
+       |labeled AS (
+       |  SELECT l.id, s.sz FROM labels l JOIN sizes s USING (lbl)),
+       |weighted AS (
+       |  SELECT d.source,
+       |    CASE WHEN lb.sz IS NULL THEN 1 ELSE 0 END AS singleton,
+       |    CASE WHEN lb.sz IS NULL THEN 1000000
+       |         ELSE CAST((1000000 - (1000000 % lb.sz)) / lb.sz AS BIGINT)
+       |    END AS w_u
+       |  FROM documents d LEFT JOIN labeled lb ON lb.id = d.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(1 - singleton) AS BIGINT) AS n_clustered,
+       |  CAST(sum(w_u) AS BIGINT) AS effective_docs_u
+       |FROM weighted GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q122_source_novelty" -> (q122 _),
+    "q123_soft_dedup_weights" -> (q123 _),
     "q120_dedup_savings" -> (q120 _),
     "q118_span_decontamination" -> (q118 _),
     "q119_contamination_triage" -> (q119 _),
@@ -2447,6 +2562,8 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q122_source_novelty" -> q122Sql,
+    "q123_soft_dedup_weights" -> q123Sql,
     "q120_dedup_savings" -> q120Sql,
     "q118_span_decontamination" -> q118Sql,
     "q119_contamination_triage" -> q119Sql,

@@ -1379,7 +1379,151 @@ object Similarity {
        |  (SELECT count(*) FROM (SELECT vec_id FROM embeddings
        |    GROUP BY 1 HAVING count(*) > 1)) AS n_dup_vec_ids""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** HARD-NEGATIVE MINING — the retriever-training data prep between
+    * q38's nearest neighbors and a random negative: for each query
+    * vector, the top-[[HardNegK]] candidates whose cosine falls in the
+    * mid band [[HardNegLo]], [[HardNegHi]]) — close enough to confuse a
+    * model trained with random negatives (which are ~orthogonal in high
+    * dimension and teach nothing), far enough to be confidently
+    * non-matches under the ANN stack's own dedup/decontam thresholds
+    * (q40/q105 own everything above the band). This is the standard
+    * contrastive-curriculum mining pass (DPR/ANCE-style): the band
+    * floor excludes the trivially-far mass, the band ceiling excludes
+    * probable positives the labeler should see instead.
+    *
+    * Determinism: the band test and ranking run on the exact-int64-dot
+    * cosine (one multiply, one sqrt, one divide — bit-identical across
+    * engines); the per-query order is total (cos desc, vec_id asc).
+    *
+    * Scale posture: q38's exact plan — tiny query set broadcast, the
+    * candidate side streams, band filter BELOW the window so only
+    * in-band rows reach the per-query top-k; at production query-batch
+    * sizes the mining runs over q39's bucket-pruned candidates instead
+    * (same band + window, ANN-bounded candidate work). */
+  private[graft] val HardNegK = 5
+  private[graft] val HardNegLo = 0.10
+  private[graft] val HardNegHi = 0.30
+
+  private def q124(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val qs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sv").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
+      .filter(col("cos") >= HardNegLo && col("cos") < HardNegHi)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val q124Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label,
+       |    ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")} AS cos
+       |  FROM emb c CROSS JOIN emb q
+       |  WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries),
+       |banded AS (
+       |  SELECT * FROM scored WHERE cos >= $HardNegLo AND cos < $HardNegHi)
+       |SELECT q_id, vec_id, label, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank
+       |  FROM banded)
+       |WHERE rank <= $HardNegK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** PER-SOURCE LABEL-DISTRIBUTION PSI — the classifier-output drift
+    * monitor: each source's distribution over the embedding table's
+    * predicted labels vs the corpus mixture, as a Population Stability
+    * Index over the fixed [[LabelDomain]]-cell label domain (q117's
+    * PSI recipe swapped from length buckets to a CATEGORICAL feature).
+    * This is the monitor a deployed classifier pipeline (the
+    * reference's own inference output — 30 garbage classes,
+    * `/root/reference/python/predict_batch_threaded_local.py:147-160` —
+    * generalized) actually watches: a feed whose label mix shifts has
+    * changed its content mix even when its length (q117), vocabulary
+    * (q101), and embedding geometry (q100) still look stable — the
+    * four monitors together cover every feature family the corpus
+    * carries. Standard triage bands: < 0.1 stable, 0.1–0.25 watch,
+    * > 0.25 investigate.
+    *
+    * Determinism: exact int64 cell counts over the fixed domain,
+    * Laplace +1 both sides, micro-nat cell floors, exact int64 sums —
+    * q117's machinery verbatim.
+    *
+    * Scale posture: the vec_id↔doc_id join (the relation q97 audits)
+    * is the only corpus-sized operation — uniform keys, co-locatable
+    * under id bucketing; cells are ONE sources×labels
+    * partial-aggregable groupBy; the domain frame is generated, never
+    * shuffled; the report is sources-sized. */
+  private[graft] val LabelDomain = 10L
+
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("lbl"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("source"), col("lbl")).agg(count(lit(1)).as("cnt"))
+    val stot = cells.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val corp = cells.groupBy(col("lbl")).agg(sum(col("cnt")).as("ccnt"))
+    val ctot = corp.agg(sum(col("ccnt")).as("n_c"))
+    val domain = stot.select(col("source"), col("n_s"),
+      explode(sequence(lit(0L), lit(LabelDomain - 1L))).as("lbl"))
+    domain
+      .join(cells, Seq("source", "lbl"), "left")
+      .join(broadcast(corp), Seq("lbl"), "left")
+      .crossJoin(broadcast(ctot))
+      .withColumn("ps",
+        (coalesce(col("cnt"), lit(0L)) + 1L).cast(DoubleType) /
+          (col("n_s") + LabelDomain).cast(DoubleType))
+      .withColumn("pc",
+        (coalesce(col("ccnt"), lit(0L)) + 1L).cast(DoubleType) /
+          (col("n_c") + LabelDomain).cast(DoubleType))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * (col("ps") - col("pc")) *
+          log(col("ps") / col("pc"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_vecs"), sum(col("contrib_u")).as("psi_u"))
+      .select(col("source"), col("n_vecs"), col("psi_u"))
+      .orderBy(col("psi_u").desc, col("source"))
+  }
+
+  private lazy val q126Sql =
+    s"""WITH cells AS (
+       |  SELECT d.source, CAST(e.label AS BIGINT) AS lbl, count(*) AS cnt
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+       |         FROM cells GROUP BY 1),
+       |corp AS (SELECT lbl, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |         FROM cells GROUP BY 1),
+       |ctot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS n_c FROM corp),
+       |dom AS (
+       |  SELECT source, n_s, unnest(range(0, $LabelDomain)) AS lbl FROM stot),
+       |probs AS (
+       |  SELECT dom.source, dom.n_s,
+       |    CAST(coalesce(cells.cnt, 0) + 1 AS DOUBLE) /
+       |      CAST(dom.n_s + $LabelDomain AS DOUBLE) AS ps,
+       |    CAST(coalesce(corp.ccnt, 0) + 1 AS DOUBLE) /
+       |      CAST(ctot.n_c + $LabelDomain AS DOUBLE) AS pc
+       |  FROM dom
+       |  LEFT JOIN cells ON dom.source = cells.source AND dom.lbl = cells.lbl
+       |  LEFT JOIN corp ON dom.lbl = corp.lbl, ctot)
+       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CAST(floor(1000000.0 * (ps - pc) * ln(ps / pc))
+       |    AS BIGINT)) AS BIGINT) AS psi_u
+       |FROM probs GROUP BY source
+       |ORDER BY psi_u DESC, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q124_hard_negatives" -> (q124 _),
+    "q126_label_psi"      -> (q126 _),
     "q97_integrity"       -> (q97 _),
     "q100_embedding_drift" -> (q100 _),
     "q105_semantic_decontam" -> (q105 _),
@@ -1401,6 +1545,8 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q124_hard_negatives" -> q124Sql,
+    "q126_label_psi"      -> q126Sql,
     "q97_integrity"       -> q97Sql,
     "q100_embedding_drift" -> q100Sql,
     "q105_semantic_decontam" -> q105Sql,

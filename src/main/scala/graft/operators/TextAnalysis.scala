@@ -2493,9 +2493,226 @@ object TextAnalysis {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** ZIPF-SLOPE AUDIT PER SOURCE — fit the rank–frequency power law on
+    * each feed's top [[ZipfRanks]] tokens and report the OLS slope of
+    * ln(freq) vs ln(rank) in micro-units. Natural language sits near
+    * slope −1 (Zipf's law); a feed whose slope collapses toward 0 has a
+    * near-uniform head (machine-generated ID dumps, log spew, shuffled
+    * vocabularies), and a slope far below −1 is a few tokens dominating
+    * everything (template spam) — q80 catches the latter per DOCUMENT,
+    * this catches both regimes per FEED even when each individual
+    * document passes the per-doc gates. The statistical-shape sibling
+    * of q101 (which needs a reference mixture to compare against; the
+    * Zipf fit is reference-free).
+    *
+    * Determinism: ranks are a row_number total order (cnt desc, token
+    * asc); x = floor(10⁶·ln rank), y = floor(10⁶·ln cnt) are micro-nat
+    * literals identical in both engines (one `ln` per value, exact
+    * integer argument — q57's recipe); the OLS sums Σx, Σy, Σxy, Σx²
+    * are exact int64 (|x|,|y| ≤ 2.8·10⁷ at any corpus size ⇒ products
+    * ≤ 8·10¹⁴, sums over ≤ 32 terms ≤ 2.6·10¹⁶, and the n·Σxy − Σx·Σy
+    * numerator ≤ 8·10¹⁷ < 2⁶³); the final slope is ONE double division
+    * of two exact int64s, floored to micro-units.
+    *
+    * Scale posture: the per-(source, token) count is the only
+    * corpus-sized aggregate (partial-aggregable, uniform keys); the
+    * rank window partitions by SOURCE but runs over the
+    * vocabulary-sized count frame, never the corpus — and only the
+    * top-32 rows per source survive into the 4-sum OLS aggregate, so
+    * the fit itself is sources-sized. At 100 TB the count frame is the
+    * materialized vocabulary table every text query here shares. */
+  private[graft] val ZipfRanks = 32L
+
+  private def q125(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("w"))
+    cnts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ZipfRanks)
+      .withColumn("x", floor(lit(1000000.0) * log(col("rnk").cast(DoubleType))).cast("long"))
+      .withColumn("y", floor(lit(1000000.0) * log(col("cnt").cast(DoubleType))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        max(when(col("rnk") === 1L, col("cnt"))).as("top_cnt"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_ranks") >= 2L)
+      .withColumn("slope_u",
+        floor(lit(1000000.0) *
+          (col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .cast("long"))
+      .select(col("source"), col("n_ranks"), col("top_cnt"), col("slope_u"))
+      .orderBy(col("slope_u"), col("source"))
+  }
+
+  private lazy val q125Sql =
+    s"""WITH cnts AS (
+       |  SELECT source, w, count(*) AS cnt
+       |  FROM (SELECT source, unnest(${tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source, cnt,
+       |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rnk
+       |  FROM cnts),
+       |pts AS (
+       |  SELECT source, rnk, cnt,
+       |    CAST(floor(1000000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+       |    CAST(floor(1000000.0 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+       |  FROM ranked WHERE rnk <= $ZipfRanks),
+       |sums AS (
+       |  SELECT source, count(*) AS n_ranks,
+       |    max(CASE WHEN rnk = 1 THEN cnt END) AS top_cnt,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY 1)
+       |SELECT source, n_ranks, top_cnt,
+       |  CAST(floor(1000000.0 *
+       |    CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n_ranks * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_u
+       |FROM sums WHERE n_ranks >= 2
+       |ORDER BY slope_u, source""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** STRATIFIED EVAL ROSTER — the held-out-set builder: exactly
+    * min([[EvalQuota]], |source|) documents per source, chosen by
+    * content-hash rank. q55 samples at a RATE per stratum (realized
+    * count varies with stratum size); an eval set needs a fixed QUOTA
+    * per stratum — small feeds must not vanish from evaluation and big
+    * feeds must not dominate it — so this ranks each source's docs by
+    * the q55 content hash and keeps the first [[EvalQuota]]. Hash-rank
+    * selection keeps the roster reproducible across runs, engines, and
+    * cluster sizes (RNG `TABLESAMPLE` gives none of that), and because
+    * the hash covers doc_id AND text, a re-crawl that changes a
+    * document's content rotates it out deterministically rather than
+    * silently keeping a stale exemplar.
+    *
+    * Scale posture: one row_number window partitioned by source over a
+    * narrow (source, hash, id) projection — each partition is one
+    * feed's rows, and only quota rows per source survive, so the
+    * roster is sources×quota-sized. At extreme per-source cardinality
+    * the window swaps for a per-source approx hash-threshold
+    * (`Features.QuantileModeConf`'s documented trade); the exact rank
+    * is kept here because the oracle pins it. */
+  private[graft] val EvalQuota = 5L
+
+  private def q127(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5u32(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= EvalQuota)
+      .select(col("source"), col("rnk"), col("doc_id"), col("h"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private lazy val q127Sql = {
+    val h = md5u32Sql("(CAST(doc_id AS VARCHAR) || ':' || text)")
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, $h AS h,
+       |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rnk
+       |  FROM documents)
+       |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, h
+       |FROM ranked WHERE rnk <= $EvalQuota
+       |ORDER BY source, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** PER-SOURCE UNIGRAM ENTROPY — the absolute complement of q101's
+    * relative KL: each feed's Shannon entropy H = ln N − (Σ c·ln c)/N
+    * over its own token distribution, in micro-nats, with vocabulary
+    * and normalized entropy H/ln V. q101 asks "does this feed's
+    * distribution match the corpus"; this asks "how much information
+    * does the feed carry AT ALL" — a template farm or log-spew feed
+    * scores low even when it happens to match the corpus mixture, and
+    * normalized entropy near 1 with a tiny vocabulary is the ID-dump
+    * signature (every token distinct but meaningless). The per-feed
+    * aggregate of what q31's per-doc lexical diversity approximates.
+    *
+    * Determinism: one `ln` per distinct per-(source, token) count —
+    * exact integer arguments, micro-nat floors (q57's recipe); the
+    * Σ c·flln(c) cell products and their sum are exact int64 (cells
+    * ≤ c·2.8·10⁷; the sum is ≤ N·flln(c_max) — at 10¹³ corpus tokens
+    * this nears 2⁶³ and the documented swap is per-source `div`-based
+    * partial means, same answer); the normalization is the house
+    * floor-division spelling `(s − pmod(s, N))/N` on an exact
+    * multiple, then one double division for H/ln V.
+    *
+    * Scale posture: per-(source, token) counts are the single
+    * corpus-sized aggregate (partial-aggregable, uniform keys —
+    * q101's frame, shareable); everything above it is vocabulary- then
+    * sources-sized. */
+  private def q128(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    cnts
+      .withColumn("cell_u",
+        col("cnt") *
+          floor(lit(1000000.0) * log(col("cnt").cast(DoubleType))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("cell_u")).as("s_u"))
+      .withColumn("mean_clnc_u",
+        ((col("s_u") - pmod(col("s_u"), col("n_tokens"))) / col("n_tokens"))
+          .cast("long"))
+      .withColumn("entropy_u",
+        floor(lit(1000000.0) * log(col("n_tokens").cast(DoubleType))).cast("long") -
+          col("mean_clnc_u"))
+      .withColumn("norm_entropy_u",
+        when(col("vocab") >= 2L,
+          floor(lit(1000000.0) * col("entropy_u").cast(DoubleType) /
+            floor(lit(1000000.0) * log(col("vocab").cast(DoubleType))))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("entropy_u"), col("norm_entropy_u"))
+      .orderBy(col("entropy_u"), col("source"))
+  }
+
+  private lazy val q128Sql =
+    s"""WITH cnts AS (
+       |  SELECT source, w, count(*) AS cnt
+       |  FROM (SELECT source, unnest(${tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT source,
+       |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    count(*) AS vocab,
+       |    CAST(sum(cnt * CAST(floor(1000000.0 * ln(CAST(cnt AS DOUBLE)))
+       |      AS BIGINT)) AS BIGINT) AS s_u
+       |  FROM cnts GROUP BY 1),
+       |ent AS (
+       |  SELECT source, n_tokens, vocab,
+       |    CAST(floor(1000000.0 * ln(CAST(n_tokens AS DOUBLE))) AS BIGINT) -
+       |      CAST((s_u - (s_u % n_tokens)) / n_tokens AS BIGINT) AS entropy_u
+       |  FROM sums)
+       |SELECT source, n_tokens, vocab, entropy_u,
+       |  CASE WHEN vocab >= 2 THEN
+       |    CAST(floor(1000000.0 * CAST(entropy_u AS DOUBLE) /
+       |      CAST(floor(1000000.0 * ln(CAST(vocab AS DOUBLE))) AS DOUBLE))
+       |      AS BIGINT)
+       |  ELSE 0 END AS norm_entropy_u
+       |FROM ent
+       |ORDER BY entropy_u, source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q125_zipf_audit" -> (q125 _),
+    "q127_eval_roster" -> (q127 _),
+    "q128_source_entropy" -> (q128 _),
     "q121_chunk_dedup_rate" -> (q121 _),
     "q115_gopher_rules" -> (q115 _),
     "q117_source_psi" -> (q117 _),
@@ -2536,6 +2753,9 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q125_zipf_audit" -> q125Sql,
+    "q127_eval_roster" -> q127Sql,
+    "q128_source_entropy" -> q128Sql,
     "q121_chunk_dedup_rate" -> q121Sql,
     "q115_gopher_rules" -> q115Sql,
     "q117_source_psi" -> q117Sql,
