@@ -2238,20 +2238,40 @@ object Dedup {
     * windows stream through the broadcast join with NO shuffle beyond
     * the per-doc aggregates; window explosion carries only 8-byte
     * hashes (q85's argument). */
-  private def q118(spark: SparkSession, dir: String): DataFrame = {
-    val wins = Tables.documents(spark, dir)
+  /** [[SpanK]]-word window-hash occurrences of an ARBITRARY docs frame
+    * (any schema carrying doc_id + text): (doc_id, h). ONE definition —
+    * batch q118 and the streaming span gate both read it, so a window
+    * or hash change cannot silently diverge the stream from the batch
+    * oracle (the [[hashedShinglesOver]] posture, one window size up). */
+  private[graft] def spanWindowsOver(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(ngramOccurrences(col("text"), SpanK)).as("w"))
       .select(col("doc_id"), md5u32(col("w")).as("h"))
-    val evalWins = wins.filter(col("doc_id") % EvalSliceMod === 0)
-      .groupBy(col("h")).agg(min(col("doc_id")).as("min_eval_doc"))
-    val train = wins.filter(col("doc_id") % EvalSliceMod =!= 0)
-    val totals = Tables.documents(spark, dir)
-      .filter(col("doc_id") % EvalSliceMod =!= 0)
+
+  /** FROZEN eval-side span artifact: each benchmark-slice window hash
+    * with its smallest eval doc — built once per (session, dir), the
+    * broadcast side of q118 and of the streaming span gate (benchmarks
+    * are small and versioned, so the artifact ships like
+    * [[evalPostings]]). */
+  private[graft] def evalSpanWindows(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#evalSpanWindows") {
+      spanWindowsOver(Tables.documents(spark, dir)
+        .filter(col("doc_id") % EvalSliceMod === 0))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("min_eval_doc"))
+    }
+
+  /** q118's per-doc span score frame over an ARBITRARY training docs
+    * frame: windows join the broadcast eval artifact, per-doc hit
+    * aggregates, window totals derived from the SAME frame. The literal
+    * code path of batch q118 AND the streaming span gate. */
+  private[graft] def spanScoresOver(docs: DataFrame,
+      evalWins: DataFrame): DataFrame = {
+    val totals = docs
       .select(col("doc_id"),
         greatest(size(tokens(col("text"))) - (SpanK - 1), lit(0))
           .cast("long").as("n_windows"))
-    train.join(broadcast(evalWins), "h")
+    spanWindowsOver(docs).join(broadcast(evalWins), "h")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_hit_windows"),
         count(lit(1)).as("n_hit_occurrences"),
@@ -2261,8 +2281,13 @@ object Dedup {
         floor(lit(1000000.0) * col("n_hit_windows").cast(DoubleType) /
           col("n_windows").cast(DoubleType)).cast("long").as("hit_frac_u"),
         col("n_hit_occurrences"), col("min_eval_doc"))
-      .orderBy(col("doc_id"))
   }
+
+  private def q118(spark: SparkSession, dir: String): DataFrame =
+    spanScoresOver(
+      Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod =!= 0),
+      evalSpanWindows(spark, dir))
+      .orderBy(col("doc_id"))
 
   private lazy val q118Sql =
     s"""WITH wins AS (
