@@ -52,4 +52,39 @@ class BucketingSpec extends AnyFunSuite with SparkSpec with Matchers {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("the cross-modal vec_id<->doc_id join is exchange-free under id " +
+      "bucketing — the co-location q97/q114/q126 scaladocs claim") {
+    val wh = Files.createTempDirectory("warehouse_xm_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.documents(spark, SparkSpec.Sf0001)
+        .select(col("doc_id"), col("source"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", wh.resolve("docs").toString)
+        .mode("overwrite").saveAsTable("docs_bucketed")
+      Tables.embeddings(spark, SparkSpec.Sf0001)
+        .select(col("vec_id"), col("label"))
+        .write.bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", wh.resolve("vecs").toString)
+        .mode("overwrite").saveAsTable("vecs_bucketed")
+
+      val joined = spark.table("vecs_bucketed")
+        .join(spark.table("docs_bucketed"),
+          col("vec_id") === col("doc_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+
+      val n = joined.count()
+      val expected = Tables.embeddings(spark, SparkSpec.Sf0001)
+        .join(Tables.documents(spark, SparkSpec.Sf0001),
+          col("vec_id") === col("doc_id")).count()
+      n shouldBe expected
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+      spark.sql("DROP TABLE IF EXISTS vecs_bucketed")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }
