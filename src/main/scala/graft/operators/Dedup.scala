@@ -2553,9 +2553,128 @@ object Dedup {
        |FROM weighted GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** LSH BANDING-RECALL AUDIT — the parameter-honesty check for the
+    * banding step itself: over the rare-shingle candidates' EXACT
+    * Jaccard scores (q37's verified pairs, the sketch-free reference),
+    * how many pairs in each Jaccard band would the production
+    * [[LshBands]]×[[LshRows]] MinHash banding join actually surface
+    * (some band's 4 signature components all agree)? Reported against
+    * the theoretical S-curve capture probability 1−(1−J^r)^b at the
+    * band midpoint. q96 audits the minhash ESTIMATE against the exact
+    * metric; this audits the CANDIDATE-GENERATION step — the one place
+    * a dedup cascade silently loses real pairs (a banding miss never
+    * reaches the verifier, so no downstream audit can see it without
+    * this sketch-free reference leg). Measured recall far under theory
+    * means a broken permutation family or band hash; recall AT theory
+    * but below the pipeline's target means b/r need retuning — two
+    * different fixes, distinguishable only with both columns.
+    *
+    * Determinism: the exact leg is integer set arithmetic; caught is
+    * an exact equality test on int64 signature components; the theory
+    * column is a JVM-computed micro-unit literal interpolated into
+    * BOTH engines (no libm pow parity risk); buckets are one floor on
+    * the bit-identical Jaccard double.
+    *
+    * Scale posture: the audit population is the df-capped candidate
+    * set (bounded, never all-pairs — at 100 TB it runs over a pair
+    * sample exactly like q113's exact leg); signatures come from the
+    * memoized [[minhashSig]] table via two id-keyed joins; the report
+    * is ≤ 3 rows. */
+  private val BandRecallTheoryU: Map[Long, Long] =
+    (1L to 3L).map { jb =>
+      val mid = 0.25 * jb + 0.125
+      val capture = 1.0 - math.pow(1.0 - math.pow(mid, LshRows), LshBands)
+      jb -> math.floor(1000000.0 * capture).toLong
+    }.toMap
+
+  private def q129(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val sa = sig.toDF("a_doc" +: (0 until MinHashK).map(i => s"a_m$i"): _*)
+    val sb = sig.toDF("b_doc" +: (0 until MinHashK).map(i => s"b_m$i"): _*)
+    val bandHit = (0 until LshBands).map { b =>
+      (0 until LshRows)
+        .map(r => col(s"a_m${b * LshRows + r}") === col(s"b_m${b * LshRows + r}"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val theory = BandRecallTheoryU.foldLeft(lit(0L)) { case (acc, (jb, t)) =>
+      when(col("j_band") === jb, lit(t)).otherwise(acc)
+    }
+    jaccardScoredPairs(spark, dir)
+      .filter(col("jaccard") >= 0.25)
+      .join(sa, col("doc_a") === col("a_doc"))
+      .join(sb, col("doc_b") === col("b_doc"))
+      .withColumn("caught", when(bandHit, 1L).otherwise(0L))
+      .withColumn("j_band",
+        least(lit(3L), floor(col("jaccard") * 4.0).cast("long")))
+      .groupBy(col("j_band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+      .withColumn("recall_u",
+        floor(lit(1000000.0) * col("n_caught").cast(DoubleType) /
+          col("n_pairs").cast(DoubleType)).cast("long"))
+      .withColumn("theory_u", theory)
+      .orderBy(col("j_band"))
+  }
+
+  private lazy val q129Sql = {
+    val mins = (0 until MinHashK)
+      .map(i => s"min(${permSql(i, "s")}) AS m$i").mkString(",\n    ")
+    val bandHit = (0 until LshBands).map { b =>
+      (0 until LshRows)
+        .map(r => s"sa.m${b * LshRows + r} = sb.m${b * LshRows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val theory = (1L to 3L)
+      .map(jb => s"WHEN $jb THEN ${BandRecallTheoryU(jb)}")
+      .mkString("CASE j_band ", " ", " ELSE 0 END")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS ss
+       |  FROM documents),
+       |post AS (SELECT doc_id, ${md5u32Sql("w")} AS s
+       |         FROM (SELECT doc_id, unnest(ss) AS w FROM sh)),
+       |rare_s AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $ShingleDfCap),
+       |rare AS (SELECT doc_id, p.s FROM post p JOIN rare_s USING (s)),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_common,
+       |    CAST(len(sa.ss) AS BIGINT) + CAST(len(sb.ss) AS BIGINT) AS n_total
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(n_common AS DOUBLE) / CAST(n_total - n_common AS DOUBLE)
+       |      AS jaccard
+       |  FROM scored WHERE n_common >= 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM post GROUP BY doc_id),
+       |flagged AS (
+       |  SELECT least(3, CAST(floor(jaccard * 4.0) AS BIGINT)) AS j_band,
+       |    CASE WHEN $bandHit THEN 1 ELSE 0 END AS caught
+       |  FROM pairs
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE jaccard >= 0.25)
+       |SELECT j_band, count(*) AS n_pairs,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  CAST(floor(1000000.0 * CAST(sum(caught) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS recall_u,
+       |  $theory AS theory_u
+       |FROM flagged GROUP BY j_band
+       |ORDER BY j_band""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q129_banding_recall" -> (q129 _),
     "q122_source_novelty" -> (q122 _),
     "q123_soft_dedup_weights" -> (q123 _),
     "q120_dedup_savings" -> (q120 _),
@@ -2587,6 +2706,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q129_banding_recall" -> q129Sql,
     "q122_source_novelty" -> q122Sql,
     "q123_soft_dedup_weights" -> q123Sql,
     "q120_dedup_savings" -> q120Sql,

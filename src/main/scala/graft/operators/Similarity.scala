@@ -523,6 +523,32 @@ object Similarity {
     * ~2× candidate work for the boundary recall (quantified against
     * q38's exact top-k in `IvfProbeSpec`). The q44 oracle row stays the
     * single-probe default. */
+  /** The IVF index-build step alone: every vector with its assigned
+    * cell (nearest coarse centroid). Cell assignment is the
+    * deterministic hash-aggregable argmax (ties break on label id —
+    * ord = struct(ccos, -c_label) is unique per vector since each
+    * centroid appears once), one pass via the engine's
+    * [[graft.functions.ArgMax]] TypedImperativeAggregate — NOT a
+    * row_number window (shuffles AND sorts the whole fan-out by
+    * vec_id) and NOT min-over-struct (its array-bearing buffer demotes
+    * to SortAggregate, keeping the sort): ObjectHashAggregate's
+    * map-side combine collapses the 10 candidate rows per vector to one
+    * buffer before the shuffle, and nothing sorts. ONE definition —
+    * q44's serving path and q130's index-health audit both read it. */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val best = emb.crossJoin(broadcast(centroids(emb)))
+      .withColumn("ccos",
+        cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("ccos"), negate(col("c_label"))),
+        struct(col("c_label"), col("label"), col("sv"), col("n2"))).as("b"))
+    best.select(col("vec_id"),
+      col("b.label").as("label"), col("b.sv").as("sv"), col("b.n2").as("n2"),
+      col("b.c_label").as("cell"))
+  }
+
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 1): DataFrame = {
     val emb = scaledEmb(spark, dir)
@@ -530,27 +556,7 @@ object Similarity {
     // int64 — no float drift in the index itself), via the same one-pass
     // positional-sum aggregation as q41.
     val cent = centroids(emb)
-
-    // Cell assignment: nearest centroid by cosine (deterministic argmax:
-    // ties break on label id — ord = struct(ccos, -c_label) is unique
-    // per vector since each centroid appears once). One hash-aggregable
-    // pass via the engine's [[graft.functions.ArgMax]]
-    // TypedImperativeAggregate — NOT a row_number window (shuffles AND
-    // sorts the whole fan-out by vec_id) and NOT min-over-struct (its
-    // array-bearing buffer demotes to SortAggregate, keeping the sort):
-    // ObjectHashAggregate's map-side combine collapses the 10 candidate
-    // rows per vector to one buffer before the shuffle, and nothing
-    // sorts.
-    val best = emb.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.ArgMaxAgg.argMax(
-        struct(col("ccos"), negate(col("c_label"))),
-        struct(col("c_label"), col("label"), col("sv"), col("n2"))).as("b"))
-    val assigned = best.select(col("vec_id"),
-      col("b.label").as("label"), col("b.sv").as("sv"), col("b.n2").as("n2"),
-      col("b.c_label").as("cell"))
+    val assigned = ivfAssigned(spark, dir)
 
     // Query probe list: the nprobe nearest cells per query. At nprobe=1
     // this is the query's own index cell (read straight off `assigned`,
@@ -588,8 +594,10 @@ object Similarity {
   private def q44(spark: SparkSession, dir: String): DataFrame =
     ivfAnn(spark, dir)
 
-  private val q44Sql =
-    s"""WITH emb AS ($scaledEmbSql),
+  /** The `assigned` index-build CTE chain shared by q44 and q130 —
+    * the SQL twin of [[ivfAssigned]]. */
+  private val ivfAssignedSqlCtes =
+    s"""emb AS ($scaledEmbSql),
        |pos AS (
        |  SELECT label, vec_id, sv, n2,
        |    unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
@@ -608,7 +616,10 @@ object Similarity {
        |        ${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")} DESC,
        |        c.c_label) AS crank
        |    FROM emb e CROSS JOIN cent2 c)
-       |  WHERE crank = 1),
+       |  WHERE crank = 1)""".stripMargin
+
+  private val q44Sql =
+    s"""WITH $ivfAssignedSqlCtes,
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.cell,
        |    ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")} AS cos
@@ -1521,9 +1532,66 @@ object Similarity {
        |FROM probs GROUP BY source
        |ORDER BY psi_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** IVF CELL-PROFILE AUDIT — the index-health report an ANN deployment
+    * reads before serving q44's index: per coarse cell, the member
+    * count, corpus share, and load factor vs the balanced ideal
+    * (10⁶ = exactly corpus/K members). Hot cells (load ≫ 10⁶) are the
+    * serving latency tail — every query probing that cell scans its
+    * whole member list — and near-empty cells are wasted codebook
+    * capacity plus a recall hazard (their few members attract probes
+    * from a wide region). The index-build sibling of q113: q113 audits
+    * the QUERIES' recall, this audits the INDEX's shape, and together
+    * they say whether bad recall is a codebook problem (rebalance/
+    * retrain — k-means via [[kmeansAuto]]) or a probe problem (raise
+    * nprobe). Cells that own zero vectors still appear (the codebook
+    * domain is the centroid list, not the assignment's image).
+    *
+    * Scale posture: rides [[ivfAssigned]] (the hash-aggregable argmax
+    * build pass, shared with q44); the profile is ONE K-cell
+    * partial-aggregable groupBy over the assignment plus a generated
+    * domain anti-fill — the report is codebook-sized. */
+  private def q130(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfAssigned(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val domain = Tables.embeddings(spark, dir)
+      .select(col("label").cast(LongType).as("cell")).distinct()
+    val totals = domain.join(cells, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+    val k = totals.agg(count(lit(1)).as("k_cells"),
+      sum(col("n_vectors")).as("n_total"))
+    totals.crossJoin(broadcast(k))
+      .withColumn("share_u",
+        floor(lit(1000000.0) * col("n_vectors").cast(DoubleType) /
+          col("n_total").cast(DoubleType)).cast("long"))
+      .withColumn("load_u",
+        floor(lit(1000000.0) * (col("n_vectors") * col("k_cells")).cast(DoubleType) /
+          col("n_total").cast(DoubleType)).cast("long"))
+      .select(col("cell"), col("n_vectors"), col("share_u"), col("load_u"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val q130Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |cells AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+       |dom AS (SELECT DISTINCT CAST(label AS BIGINT) AS cell FROM embeddings),
+       |filled AS (
+       |  SELECT dom.cell, CAST(coalesce(cells.n, 0) AS BIGINT) AS n_vectors
+       |  FROM dom LEFT JOIN cells USING (cell)),
+       |tot AS (SELECT count(*) AS k_cells,
+       |  CAST(sum(n_vectors) AS BIGINT) AS n_total FROM filled)
+       |SELECT cell, n_vectors,
+       |  CAST(floor(1000000.0 * CAST(n_vectors AS DOUBLE) /
+       |    CAST(n_total AS DOUBLE)) AS BIGINT) AS share_u,
+       |  CAST(floor(1000000.0 * CAST(n_vectors * k_cells AS DOUBLE) /
+       |    CAST(n_total AS DOUBLE)) AS BIGINT) AS load_u
+       |FROM filled, tot
+       |ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q124_hard_negatives" -> (q124 _),
     "q126_label_psi"      -> (q126 _),
+    "q130_ivf_cell_profile" -> (q130 _),
     "q97_integrity"       -> (q97 _),
     "q100_embedding_drift" -> (q100 _),
     "q105_semantic_decontam" -> (q105 _),
@@ -1547,6 +1615,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "q124_hard_negatives" -> q124Sql,
     "q126_label_psi"      -> q126Sql,
+    "q130_ivf_cell_profile" -> q130Sql,
     "q97_integrity"       -> q97Sql,
     "q100_embedding_drift" -> q100Sql,
     "q105_semantic_decontam" -> q105Sql,
