@@ -75,7 +75,16 @@ object Explain {
     "q118_span_decontamination" -> "q73's broadcast-eval shape one window-length up: the eval slice's 8-word window hashes broadcast (BroadcastHashJoin), training windows stream through with NO shuffle before the per-doc aggregate; the window explode carries only 8-byte hashes (q85's argument), and totals join doc_id-keyed",
     "q119_contamination_triage" -> "both gates' per-doc hit frames are q73/q118's own plans (broadcast eval sides, no training shuffle); the triage adds two narrow doc_id-keyed left joins against the (doc_id, source) projection and ONE sources-sized partial-aggregable groupBy - the dashboard costs nothing beyond the gates it summarizes",
     "q120_dedup_savings" -> "rides the memoized CC labels (pairs-bounded, a lineage-cut leaf) via ONE broadcast left join onto the token scan - the token count is computed at scan position and the report is one sources-sized partial-aggregable groupBy; the marginal cost over q70's doc-count view is zero extra shuffles",
-    "q121_chunk_dedup_rate" -> "chunksOf's stateless fan-out (no shuffle) feeds one partial-aggregable groupBy on the uniform chunk_md5 key for cross-doc hashes, a LEFT SEMI join back on the same key, and ONE sources-sized groupBy - q85's count-only shape at chunk granularity, so a boilerplate chunk shared by millions of docs stays a count, never a pair join")
+    "q121_chunk_dedup_rate" -> "chunksOf's stateless fan-out (no shuffle) feeds one partial-aggregable groupBy on the uniform chunk_md5 key for cross-doc hashes, a LEFT SEMI join back on the same key, and ONE sources-sized groupBy - q85's count-only shape at chunk granularity, so a boilerplate chunk shared by millions of docs stays a count, never a pair join",
+    "q122_source_novelty" -> "distinct (source, h) over the memoized 8-byte hashed-shingle features is the only corpus-sized aggregate (partial-aggregable, uniform hash keys); first-owner attribution is a second partial-aggregable min(source) groupBy on the hash key - a shingle shared by 1e6 documents is ONE row per source here, so the viral-dup skew that salting defends in q35 structurally cannot arise, and the report join is sources-vs-sources",
+    "q123_soft_dedup_weights" -> "rides the memoized CC labels (pairs-bounded lineage-cut leaf): cluster sizes are one partial-aggregable groupBy on the label table, the corpus takes ONE left join against the (id, size) projection, and per-doc floor(1e6/m) weights are exact int64 literals summed in one sources-sized groupBy - q60's decision-table shape with a weight column instead of a boolean",
+    "q124_hard_negatives" -> "q38's exact plan with the band filter BELOW the window: the 8-row query set broadcast (BroadcastNestedLoopJoin), the candidate side streams from the cached feature table, and only rows inside [0.10, 0.30) reach the per-query row_number - the mid-band mass is a small fraction of the corpus, so the filter placement does the pruning the window cannot",
+    "q125_zipf_audit" -> "the per-(source, token) count is the only corpus-sized aggregate (partial-aggregable, uniform keys); the rank window partitions by source over the VOCABULARY-sized count frame (never the corpus), only top-32 rows per source survive into the 4-sum OLS aggregate, and the slope is one double division of exact int64 sums - the fit itself is sources-sized at any corpus scale",
+    "q126_label_psi" -> "q117's PSI shape on a categorical domain: the vec_id=doc_id join (co-located under id bucketing - BucketingSpec proves the exchange-free form) is the only corpus-sized operation, cells are ONE sources x 10-label partial-aggregable groupBy, the corpus marginal re-aggregates that frame, and the fixed label domain is GENERATED per source rather than shuffled",
+    "q127_eval_roster" -> "one row_number window partitioned by source over a narrow (source, hash, id) projection - each partition is one feed's rows and only quota rows survive; no join anywhere in the plan, and the roster is sources x quota rows at any corpus size (the documented approx hash-threshold swap removes even the per-source sort at extreme cardinality)",
+    "q128_source_entropy" -> "shares q101's per-(source, token) frame as the single corpus-sized aggregate; the entropy arithmetic is one ln per distinct count with exact int64 cell products, the normalization a floor division on an exact multiple - everything above the vocabulary frame is sources-sized, with no join in the plan at all",
+    "q129_banding_recall" -> "the audit population is the df-capped rare-shingle candidate set (bounded, never all-pairs); signatures come from the memoized minhashSig table via two id-keyed joins, the band-hit test is 16 int64 equality comparisons at projection position, and the report is one <=3-row groupBy - the S-curve theory column is a JVM literal, so the plan carries no pow()",
+    "q130_ivf_cell_profile" -> "rides the factored ivfAssigned pass (broadcast codebook + ObjectHashAggregate argmax - the identical plan q44 serves from); the profile adds ONE K-cell partial-aggregable groupBy, a generated domain left join for empty cells, and a single-row totals broadcast - the report is codebook-sized at any corpus scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -387,6 +387,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q124/q130: the mining band filter sits below the top-k window; " +
+      "the cell profile rides broadcast codebooks — no Cartesian products") {
+    Seq("q124_hard_negatives", "q130_ivf_cell_profile").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        p should include("Broadcast")
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("q125/q127/q128: the distribution audits carry no join of the " +
+      "corpus against itself — aggregates and windows only") {
+    // q127/q128 have no join at all; q125's plan is aggregate + window
+    // over the vocabulary frame. None may contain a pair join.
+    Seq("q125_zipf_audit", "q127_eval_roster", "q128_source_entropy")
+      .foreach { q =>
+        val p = plan(q)
+        withClue(q) {
+          p should not include "CartesianProduct"
+          p should not include "SortMergeJoin"
+        }
+      }
+  }
+
+  test("q122/q129: novelty and banding audits ride hash-keyed " +
+      "aggregates over the shared shingle features — never all-pairs") {
+    Seq("q122_source_novelty", "q129_banding_recall").foreach { q =>
+      val p = plan(q)
+      withClue(q) { p should not include "CartesianProduct" }
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
