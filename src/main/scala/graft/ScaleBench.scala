@@ -77,7 +77,10 @@ object ScaleBench {
     "q113_ann_recall", "q114_crossmodal_dedup", "q115_gopher_rules",
     "q116_split_leakage", "q117_source_psi", "q118_span_decontamination",
     "q119_contamination_triage", "q120_dedup_savings",
-    "q121_chunk_dedup_rate")
+    "q121_chunk_dedup_rate", "q122_source_novelty",
+    "q123_soft_dedup_weights", "q124_hard_negatives", "q125_zipf_audit",
+    "q126_label_psi", "q127_eval_roster", "q128_source_entropy",
+    "q129_banding_recall", "q130_ivf_cell_profile")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

@@ -537,7 +537,19 @@ object Similarity {
     * q44's serving path and q130's index-health audit both read it. */
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val emb = scaledEmb(spark, dir)
-    val best = emb.crossJoin(broadcast(centroids(emb)))
+    ivfAssignOver(emb, centroids(emb))
+  }
+
+  /** [[ivfAssigned]]'s assignment applied to an ARBITRARY scaled frame
+    * (carrying vec_id, sv, n2, and optionally label) against an
+    * explicit codebook — the streaming ingest path assigns each
+    * micro-batch against a FROZEN codebook through exactly this code,
+    * so index-build and stream-ingest cell decisions cannot diverge. */
+  private[graft] def ivfAssignOver(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val withLabel =
+      if (emb.columns.contains("label")) emb
+      else emb.withColumn("label", lit(null).cast("int"))
+    val best = withLabel.crossJoin(broadcast(cent))
       .withColumn("ccos",
         cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
       .groupBy(col("vec_id"))
@@ -548,6 +560,14 @@ object Similarity {
       col("b.label").as("label"), col("b.sv").as("sv"), col("b.n2").as("n2"),
       col("b.c_label").as("cell"))
   }
+
+  /** The frozen coarse codebook artifact for streaming ingest: the
+    * k-row per-label centroid table of the blessed corpus build (the
+    * same ship-the-model posture as the quality gate's LM and the DSIR
+    * log-ratio table — a stream-trained codebook would drift under the
+    * very load imbalance the monitor exists to catch). */
+  private[graft] def ivfCodebook(spark: SparkSession, dir: String): DataFrame =
+    centroids(scaledEmb(spark, dir))
 
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 1): DataFrame = {
