@@ -1141,11 +1141,19 @@ object Dedup {
     * side streams through a broadcast hash join with NO shuffle; output
     * aggregates are partial-aggregable per training doc. The ratio is
     * floored to micro-units (int64) for engine parity. */
-  private def q73(spark: SparkSession, dir: String): DataFrame = {
-    val post = Features.hashedShingles(spark, dir)
-    val train = post.filter(col("doc_id") % EvalSliceMod =!= 0)
-    contamScoresOver(train, evalPostings(spark, dir)).orderBy(col("doc_id"))
-  }
+  private def q73(spark: SparkSession, dir: String): DataFrame =
+    contamScores(spark, dir).orderBy(col("doc_id"))
+
+  /** q73's per-doc score frame, memoized per (session, dir) like the CC
+    * labels and funnel flags: q73 presents it and q119's triage
+    * re-aggregates it — without the shared stage the dashboard would
+    * re-run the whole gate it summarizes. */
+  private[graft] def contamScores(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#contamScores") {
+      val train = Features.hashedShingles(spark, dir)
+        .filter(col("doc_id") % EvalSliceMod =!= 0)
+      contamScoresOver(train, evalPostings(spark, dir))
+    }
 
   /** The FROZEN eval-postings artifact `(e_id, h)` q73 joins against —
     * the hashed distinct shingles of the benchmark slice. Exposed so the
@@ -2284,10 +2292,18 @@ object Dedup {
   }
 
   private def q118(spark: SparkSession, dir: String): DataFrame =
-    spanScoresOver(
-      Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod =!= 0),
-      evalSpanWindows(spark, dir))
-      .orderBy(col("doc_id"))
+    spanScores(spark, dir).orderBy(col("doc_id"))
+
+  /** q118's per-doc score frame, memoized per (session, dir) —
+    * [[contamScores]]' posture for the span gate: q118 presents it and
+    * q119's triage re-aggregates it. */
+  private[graft] def spanScores(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#spanScores") {
+      spanScoresOver(
+        Tables.documents(spark, dir)
+          .filter(col("doc_id") % EvalSliceMod =!= 0),
+        evalSpanWindows(spark, dir))
+    }
 
   private lazy val q118Sql =
     s"""WITH wins AS (
@@ -2336,8 +2352,8 @@ object Dedup {
     val srcs = Tables.documents(spark, dir)
       .filter(col("doc_id") % EvalSliceMod =!= 0)
       .select(col("doc_id"), col("source"))
-    val ngram = q73(spark, dir).select(col("doc_id"), lit(1L).as("g3"))
-    val span = q118(spark, dir).select(col("doc_id"), lit(1L).as("g8"))
+    val ngram = contamScores(spark, dir).select(col("doc_id"), lit(1L).as("g3"))
+    val span = spanScores(spark, dir).select(col("doc_id"), lit(1L).as("g8"))
     srcs
       .join(ngram, Seq("doc_id"), "left")
       .join(span, Seq("doc_id"), "left")

@@ -2707,9 +2707,86 @@ object TextAnalysis {
        |FROM ent
        |ORDER BY entropy_u, source""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** TOKENIZER VOCABULARY-COVERAGE AUDIT — what a tokenizer (or a
+    * tokenizer swap) costs each feed: against a frozen
+    * [[VocabTopK]]-entry vocabulary (here the corpus' own top tokens
+    * by frequency — production ships the real tokenizer vocab, same
+    * broadcast shape), each source's token mass splits into in-vocab
+    * and OOV, with the OOV MASS rate (occurrence-weighted — the
+    * quantity that becomes byte-fallback fragments and inflates
+    * sequence length) and the distinct OOV type count (the quantity
+    * that decides whether the vocab needs extending). The budgeting
+    * sibling of q46's fertility ratio: q46 estimates tokens-per-word
+    * globally, this attributes the coverage gap per feed — a code or
+    * non-Latin feed surfaces here before its padded-out sequences show
+    * up in the training bill.
+    *
+    * Scale posture: per-(source, token) counts are the shared
+    * corpus-sized aggregate (q101/q128's frame); the corpus marginal
+    * and its top-K rank window run over the vocabulary-sized frame
+    * only, and the K-row vocab broadcasts into a vocab-vs-vocab join —
+    * at 100 TB the vocab is a frozen artifact (the LM/DSIR
+    * ship-the-model posture) and pass 1 disappears entirely. */
+  private[graft] val VocabTopK = 512L
+
+  private def q131(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpus = counts.groupBy(col("w")).agg(sum(col("cnt")).as("ccnt"))
+    val wRank = Window.orderBy(col("ccnt").desc, col("w"))
+    val vocab = corpus
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= VocabTopK)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    counts.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(0L))
+          .as("in_vocab_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_types"))
+      .withColumn("oov_mass_u",
+        floor(lit(1000000.0) *
+          (col("n_tokens") - col("in_vocab_tokens")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).cast("long"))
+      .select(col("source"), col("n_tokens"), col("in_vocab_tokens"),
+        col("oov_types"), col("oov_mass_u"))
+      .orderBy(col("oov_mass_u").desc, col("source"))
+  }
+
+  private lazy val q131Sql =
+    s"""WITH counts AS (
+       |  SELECT source, w, count(*) AS cnt
+       |  FROM (SELECT source, unnest(${tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |corpus AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |           FROM counts GROUP BY 1),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY ccnt DESC, w) AS rnk
+       |    FROM corpus)
+       |  WHERE rnk <= $VocabTopK),
+       |flagged AS (
+       |  SELECT c.source, c.cnt,
+       |    CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS iv
+       |  FROM counts c LEFT JOIN vocab v ON c.w = v.w)
+       |SELECT source,
+       |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN iv = 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS in_vocab_tokens,
+       |  CAST(sum(1 - iv) AS BIGINT) AS oov_types,
+       |  CAST(floor(1000000.0 *
+       |    CAST(sum(cnt) - sum(CASE WHEN iv = 1 THEN cnt ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS oov_mass_u
+       |FROM flagged GROUP BY source
+       |ORDER BY oov_mass_u DESC, source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q131_vocab_coverage" -> (q131 _),
     "q125_zipf_audit" -> (q125 _),
     "q127_eval_roster" -> (q127 _),
     "q128_source_entropy" -> (q128 _),
@@ -2753,6 +2830,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q131_vocab_coverage" -> q131Sql,
     "q125_zipf_audit" -> q125Sql,
     "q127_eval_roster" -> q127Sql,
     "q128_source_entropy" -> q128Sql,
