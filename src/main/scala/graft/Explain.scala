@@ -84,7 +84,9 @@ object Explain {
     "q127_eval_roster" -> "one row_number window partitioned by source over a narrow (source, hash, id) projection - each partition is one feed's rows and only quota rows survive; no join anywhere in the plan, and the roster is sources x quota rows at any corpus size (the documented approx hash-threshold swap removes even the per-source sort at extreme cardinality)",
     "q128_source_entropy" -> "shares q101's per-(source, token) frame as the single corpus-sized aggregate; the entropy arithmetic is one ln per distinct count with exact int64 cell products, the normalization a floor division on an exact multiple - everything above the vocabulary frame is sources-sized, with no join in the plan at all",
     "q129_banding_recall" -> "the audit population is the df-capped rare-shingle candidate set (bounded, never all-pairs); signatures come from the memoized minhashSig table via two id-keyed joins, the band-hit test is 16 int64 equality comparisons at projection position, and the report is one <=3-row groupBy - the S-curve theory column is a JVM literal, so the plan carries no pow()",
-    "q130_ivf_cell_profile" -> "rides the factored ivfAssigned pass (broadcast codebook + ObjectHashAggregate argmax - the identical plan q44 serves from); the profile adds ONE K-cell partial-aggregable groupBy, a generated domain left join for empty cells, and a single-row totals broadcast - the report is codebook-sized at any corpus scale")
+    "q130_ivf_cell_profile" -> "rides the factored ivfAssigned pass (broadcast codebook + ObjectHashAggregate argmax - the identical plan q44 serves from); the profile adds ONE K-cell partial-aggregable groupBy, a generated domain left join for empty cells, and a single-row totals broadcast - the report is codebook-sized at any corpus scale",
+    "q131_vocab_coverage" -> "the per-(source, token) count is the shared corpus-sized aggregate (q101/q128's frame); the corpus marginal and its top-K rank window run over the VOCABULARY-sized frame only, the K-row vocab broadcasts into a vocab-vs-vocab left join, and the report is one sources-sized groupBy - at 100 TB the vocab is a frozen shipped artifact and pass 1 disappears",
+    "q132_span_severity" -> "q118's broadcast-eval shape with window POSITIONS kept (8 bytes more per window, still no training-side shuffle before the per-doc work); the gaps-and-islands row_number window partitions by doc_id over HIT rows only - flagged-docs-sized, not corpus-sized - and both aggregates above it are partial-aggregable over the same tiny set")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -80,7 +80,8 @@ object ScaleBench {
     "q121_chunk_dedup_rate", "q122_source_novelty",
     "q123_soft_dedup_weights", "q124_hard_negatives", "q125_zipf_audit",
     "q126_label_psi", "q127_eval_roster", "q128_source_entropy",
-    "q129_banding_recall", "q130_ivf_cell_profile")
+    "q129_banding_recall", "q130_ivf_cell_profile", "q131_vocab_coverage",
+    "q132_span_severity")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

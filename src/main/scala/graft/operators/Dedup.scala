@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -2687,9 +2688,80 @@ object Dedup {
        |ORDER BY j_band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q132
+  /** VERBATIM-SPAN SEVERITY — the "how long is the overlap" number a
+    * contamination report publishes next to q118's hit counts: for
+    * every doc the 8-word window gate flags, the LONGEST RUN of
+    * consecutive hit windows, converted to words (run + SpanK − 1 =
+    * the exact length of the longest common substring of ≥ [[SpanK]]
+    * words with the eval slice). Hit-window COUNT cannot rank
+    * severity: 40 scattered 8-word hits are boilerplate phrases, 40
+    * consecutive ones are a 47-word verbatim benchmark passage — the
+    * doc to quarantine first. Runs come from the gaps-and-islands
+    * rewrite (pos − row_number over hit positions is constant within a
+    * run), the standard relational form of consecutive-run detection.
+    *
+    * Scale posture: q118's exact plan (broadcast eval windows, the
+    * training side streams) with window POSITIONS kept (8 bytes more
+    * per window); the islands window partitions by doc_id over
+    * HIT rows only — flagged-docs-sized, not corpus-sized — and the
+    * report is one partial-aggregable groupBy over the same rows. */
+  private def q132(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalSliceMod =!= 0)
+      .select(col("doc_id"),
+        posexplode(ngramOccurrences(col("text"), SpanK)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5u32(col("w")).as("h"))
+    val hits = wins
+      .join(broadcast(evalSpanWindows(spark, dir).select(col("h"))), "h")
+      .select(col("doc_id"), col("pos")).distinct()
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_hit_windows"),
+        max(col("run")).as("max_run"))
+      .withColumn("longest_span_words", col("max_run") + (SpanK - 1))
+      .select(col("doc_id"), col("n_hit_windows"), col("max_run"),
+        col("longest_span_words"))
+      .orderBy(col("longest_span_words").desc, col("doc_id"))
+  }
+
+  private lazy val q132Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${ngramOccurrencesSql("text", SpanK)} AS ws
+       |  FROM documents WHERE doc_id % $EvalSliceMod <> 0),
+       |wins AS (
+       |  SELECT doc_id, pos, ${md5u32Sql("ws[pos + 1]")} AS h
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(range(0, len(ws))) AS pos FROM base)),
+       |ev AS (
+       |  SELECT DISTINCT ${md5u32Sql("w")} AS h FROM (
+       |    SELECT unnest(${ngramOccurrencesSql("text", SpanK)}) AS w
+       |    FROM documents WHERE doc_id % $EvalSliceMod = 0)),
+       |hits AS (
+       |  SELECT DISTINCT doc_id, pos FROM wins JOIN ev USING (h)),
+       |islands AS (
+       |  SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hits),
+       |runs AS (
+       |  SELECT doc_id, grp, count(*) AS run
+       |  FROM islands GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(run) AS BIGINT) AS n_hit_windows,
+       |  CAST(max(run) AS BIGINT) AS max_run,
+       |  CAST(max(run) + ${SpanK - 1} AS BIGINT) AS longest_span_words
+       |FROM runs GROUP BY doc_id
+       |ORDER BY longest_span_words DESC, doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q132_span_severity" -> (q132 _),
     "q129_banding_recall" -> (q129 _),
     "q122_source_novelty" -> (q122 _),
     "q123_soft_dedup_weights" -> (q123 _),
@@ -2722,6 +2794,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q132_span_severity" -> q132Sql,
     "q129_banding_recall" -> q129Sql,
     "q122_source_novelty" -> q122Sql,
     "q123_soft_dedup_weights" -> q123Sql,
