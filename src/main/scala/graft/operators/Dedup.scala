@@ -2527,7 +2527,14 @@ object Dedup {
     *
     * Determinism: per-doc weights are floor(10⁶/m) literals (exact
     * int64 everywhere); the per-source effective mass is an exact
-    * int64 sum of those literals.
+    * int64 sum of those literals. Quantization floor: a cluster of
+    * m > 10⁶ copies floors to weight 0 and its one content unit drops
+    * from the report — at that scale one unit among an effective
+    * corpus of ≥ 10⁶ is below micro-unit resolution by construction;
+    * a deployment tracking mega-clusters individually raises the
+    * fixed-point scale (nano-units hold m ≤ 10⁹) rather than
+    * clamping, which would over-count (m clamped 1μ weights sum to
+    * m μ, not one unit).
     *
     * Scale posture: rides the memoized CC labels exactly like q60 —
     * cluster sizes are one partial-aggregable groupBy on the
@@ -2722,10 +2729,14 @@ object Dedup {
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("run"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("run")).as("n_hit_windows"),
+      // Σ runs counts hit POSITIONS — each position is one window
+      // occurrence, so this equals q118's n_hit_occurrences (NOT its
+      // countDistinct-hash n_hit_windows: a doc repeating the same hit
+      // 8-gram at two positions has 2 occurrences but 1 distinct hash).
+      .agg(sum(col("run")).as("n_hit_occurrences"),
         max(col("run")).as("max_run"))
       .withColumn("longest_span_words", col("max_run") + (SpanK - 1))
-      .select(col("doc_id"), col("n_hit_windows"), col("max_run"),
+      .select(col("doc_id"), col("n_hit_occurrences"), col("max_run"),
         col("longest_span_words"))
       .orderBy(col("longest_span_words").desc, col("doc_id"))
   }
@@ -2752,7 +2763,7 @@ object Dedup {
        |  SELECT doc_id, grp, count(*) AS run
        |  FROM islands GROUP BY 1, 2)
        |SELECT doc_id,
-       |  CAST(sum(run) AS BIGINT) AS n_hit_windows,
+       |  CAST(sum(run) AS BIGINT) AS n_hit_occurrences,
        |  CAST(max(run) AS BIGINT) AS max_run,
        |  CAST(max(run) + ${SpanK - 1} AS BIGINT) AS longest_span_words
        |FROM runs GROUP BY doc_id

@@ -127,6 +127,21 @@ object Features {
         .select(col("doc_id"), md5u32(col("w")).as("h"))
     }
 
+  /** Per-(source, token) occurrence counts: (source, w, cnt) — the
+    * finest text-distribution aggregate, shared by the KL monitor
+    * (q101), the Zipf fit (q125), the entropy audit (q128), and the
+    * vocabulary-coverage audit (q131); every coarser frame (corpus
+    * marginal, per-source totals, top-K vocab) re-aggregates THIS one
+    * instead of re-scanning the corpus. At warehouse scale this is the
+    * materialized vocabulary table those queries' scaladocs name. */
+  def sourceTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(spark, s"$dir#sourceTokenCounts") {
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
   /** Fixed-point embedding view: (vec_id, label, sv: array<int64>, n2).
     * `floor(x*10^4)` per component plus the exact squared norm — the base
     * projection of every vector query (q38-q41, q44). */

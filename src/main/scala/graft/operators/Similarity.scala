@@ -1486,7 +1486,14 @@ object Similarity {
     *
     * Determinism: exact int64 cell counts over the fixed domain,
     * Laplace +1 both sides, micro-nat cell floors, exact int64 sums —
-    * q117's machinery verbatim.
+    * q117's machinery verbatim. The domain is FIXED by design (PSI is
+    * only comparable across feeds/time over a shared domain — deriving
+    * it from the data would let a drifted feed move everyone's
+    * baseline); the flip side is that labels OUTSIDE [[LabelDomain]]
+    * would inflate the totals while contributing no cell, understating
+    * PSI — a label outside the classifier's known set is a schema
+    * violation that q62's profile / q97's relation audit must catch
+    * upstream, not a distribution shift for this monitor to absorb.
     *
     * Scale posture: the vec_id↔doc_id join (the relation q97 audits)
     * is the only corpus-sized operation — uniform keys, co-locatable

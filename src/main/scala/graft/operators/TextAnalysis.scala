@@ -1525,10 +1525,8 @@ object TextAnalysis {
     * term's postings are visible to AQE's skew split); per-source
     * totals (≤ sources rows) and the grand total (1 row) broadcast. */
   private def q101(spark: SparkSession, dir: String): DataFrame = {
-    val sc = Tables.documents(spark, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("c"))
+    val sc = Features.sourceTokenCounts(spark, dir)
+      .select(col("source"), col("w"), col("cnt").as("c"))
     val stot = sc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val mc = sc.groupBy(col("w")).agg(sum(col("c")).as("m"))
     val mtot = mc.agg(sum(col("m")).as("mt"))
@@ -2525,10 +2523,7 @@ object TextAnalysis {
   private[graft] val ZipfRanks = 32L
 
   private def q125(spark: SparkSession, dir: String): DataFrame = {
-    val cnts = Tables.documents(spark, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
+    val cnts = Features.sourceTokenCounts(spark, dir)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("cnt").desc, col("w"))
     cnts
@@ -2652,11 +2647,7 @@ object TextAnalysis {
     * q101's frame, shareable); everything above it is vocabulary- then
     * sources-sized. */
   private def q128(spark: SparkSession, dir: String): DataFrame = {
-    val cnts = Tables.documents(spark, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-    cnts
+    Features.sourceTokenCounts(spark, dir)
       .withColumn("cell_u",
         col("cnt") *
           floor(lit(1000000.0) * log(col("cnt").cast(DoubleType))).cast("long"))
@@ -2731,10 +2722,7 @@ object TextAnalysis {
   private[graft] val VocabTopK = 512L
 
   private def q131(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
+    val counts = Features.sourceTokenCounts(spark, dir)
     val corpus = counts.groupBy(col("w")).agg(sum(col("cnt")).as("ccnt"))
     val wRank = Window.orderBy(col("ccnt").desc, col("w"))
     val vocab = corpus

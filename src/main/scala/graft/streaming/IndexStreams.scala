@@ -38,19 +38,55 @@ import graft.operators.{Features, Similarity}
   */
 object IndexStreams {
 
-  /** Running per-cell counts over the frozen codebook domain. */
+  /** Running per-cell counts over the frozen codebook domain.
+    *
+    * Failure contract (foreachBatch is at-least-once): a REPLAYED
+    * completed batch arrives with the SAME batchId (Spark's replay
+    * contract — the mechanism [[DedupStreams]]' batchId markers use),
+    * so [[add]] ignores batchIds at or below the high-water mark and a
+    * replay cannot double-count; its report is re-emitted from the
+    * unchanged state, making replay fully idempotent. A RESTART with a
+    * fresh CellCounts would lose the prefix — production persists
+    * [[snapshot]] per batch and restores via [[CellCounts.restore]]
+    * (K+1 longs — trivially durable). */
   final class CellCounts(domain: Seq[Long]) {
     private val counts = mutable.Map[Long, Long](domain.map(_ -> 0L): _*)
+    private var lastBatchId: Long = -1L
 
-    private[streaming] def add(cellCounts: Seq[(Long, Long)]): Unit =
+    private[streaming] def add(batchId: Long,
+        cellCounts: Seq[(Long, Long)]): Boolean =
       synchronized {
-        cellCounts.foreach { case (c, n) =>
-          counts.update(c, counts.getOrElse(c, 0L) + n)
+        if (batchId <= lastBatchId) false // replayed batch: state is final
+        else {
+          cellCounts.foreach { case (c, n) =>
+            counts.update(c, counts.getOrElse(c, 0L) + n)
+          }
+          lastBatchId = batchId
+          true
         }
       }
 
-    private[streaming] def snapshot: Seq[(Long, Long)] =
+    private[streaming] def current: Seq[(Long, Long)] =
       synchronized { counts.toSeq.sortBy(_._1) }
+
+    /** Durable (batchId, per-cell counts) snapshot — persist per batch
+      * to make a restart state-faithful. */
+    def snapshot: (Long, Seq[(Long, Long)]) =
+      synchronized { (lastBatchId, counts.toSeq.sortBy(_._1)) }
+  }
+
+  object CellCounts {
+    /** Restore a persisted [[CellCounts#snapshot]] so a restarted
+      * monitor continues from everything the previous incarnation
+      * counted (and keeps ignoring replays of its last batch). */
+    def restore(saved: (Long, Seq[(Long, Long)])): CellCounts = {
+      val cc = new CellCounts(saved._2.map(_._1))
+      cc.synchronized {
+        saved._2.foreach { case (c, n) => cc.counts.update(c, n) }
+        cc.lastBatchId = saved._1
+      }
+      cc
+    }
   }
 
   /** q130's report arithmetic over a (cell, n_vectors) snapshot —
@@ -93,8 +129,11 @@ object IndexStreams {
           .groupBy(col("cell").cast(LongType).as("cell"))
           .agg(count(lit(1)).as("n"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
-        state.add(batchCounts)
-        onBatch(report(spark, state.snapshot), batchId)
+        // A replayed batchId is a no-op on state; the report is still
+        // re-emitted (from the unchanged counts) so the sink sees the
+        // same rows it may have lost — replay is fully idempotent.
+        state.add(batchId, batchCounts)
+        onBatch(report(spark, state.current), batchId)
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()

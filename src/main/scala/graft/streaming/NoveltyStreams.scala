@@ -43,14 +43,35 @@ object NoveltyStreams {
 
   /** The running seen-shingle sketch. `expectedItems`/`fpp` size the
     * filter once; increments merge bit-compatibly forever after
-    * (Bloom filters of equal geometry are closed under OR). */
-  final class SeenShingles(val expectedItems: Long = 1000000L,
-      val fpp: Double = 1e-6) {
-    @volatile private var bloom: BloomFilter =
-      BloomFilter.create(expectedItems, fpp)
+    * (Bloom filters of equal geometry are closed under OR).
+    *
+    * Failure contract (the two at-least-once cases differ):
+    *  - REPLAY of a completed batch (crash between foreachBatch and the
+    *    offset commit): the Bloom OR is idempotent, so state stays
+    *    correct; the replayed batch's REPORT scores its own content as
+    *    already-seen — a novelty UNDER-count, the safe direction for a
+    *    decay alarm.
+    *  - RESTART with a fresh state object: ingestion resumes against an
+    *    EMPTY sketch and re-shipped content scores as novel — the
+    *    unsafe OVER-count. Production therefore persists the sketch
+    *    alongside the checkpoint: [[snapshot]] after each batch,
+    *    [[SeenShingles.fromSnapshot]] on restart (a few hundred KB —
+    *    the same artifact cadence as the dedup corpus blooms). */
+  final class SeenShingles private (val expectedItems: Long,
+      val fpp: Double, initial: BloomFilter) {
+    def this(expectedItems: Long = 1000000L, fpp: Double = 1e-6) =
+      this(expectedItems, fpp, BloomFilter.create(expectedItems, fpp))
+    @volatile private var bloom: BloomFilter = initial
 
     private[streaming] def serialized: Array[Byte] =
       BloomExprs.serialize(bloom)
+
+    /** Durable snapshot of the current sketch WITH its geometry —
+      * persist it per batch to make a restart state-faithful (merges
+      * are only defined between filters of identical geometry, so the
+      * snapshot must carry it). */
+    def snapshot: (Long, Double, Array[Byte]) =
+      (expectedItems, fpp, serialized)
 
     /** Fold a batch's distinct hash-string column into the state:
       * sketch the increment distributedly, OR it in. Empty frames are
@@ -60,6 +81,16 @@ object NoveltyStreams {
     private[streaming] def merge(hashes: DataFrame, column: String): Unit =
       if (!hashes.isEmpty)
         bloom.mergeInPlace(hashes.stat.bloomFilter(column, expectedItems, fpp))
+  }
+
+  object SeenShingles {
+    /** Restore a persisted sketch ([[SeenShingles#snapshot]]) so a
+      * restarted stream scores against everything the previous
+      * incarnation saw — the geometry rides in the snapshot, so the
+      * restored state keeps building bit-compatible increments. */
+    def fromSnapshot(saved: (Long, Double, Array[Byte])): SeenShingles =
+      new SeenShingles(saved._1, saved._2,
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(saved._3)))
   }
 
   /** Start the monitor over a streaming `(doc_id, text, source, …)`
@@ -76,27 +107,34 @@ object NoveltyStreams {
     val writer = docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Persist the per-batch shingle frame: the report reads it from
+        // two aggregation sides and the state merge twice more
+        // (isEmpty + the sketch build) — unpersisted, the explode +
+        // doc join + distinct would run ~4x per batch.
         val sh = Dedup.hashedShinglesOver(batch)
           .join(batch.select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("h").cast("string").as("hs"))
           .distinct()
-        // Capture the PRE-batch state as a plan literal: the report
-        // must score against what was seen before this batch, and the
-        // merge below must not be able to leak into it.
-        val seen = state.serialized
-        val owners = sh
-          .filter(!BloomExprs.mightContain(col("hs"), seen))
-          .groupBy(col("hs")).agg(min(col("source")).as("source"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
-        val report = sh.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_shingles"))
-          .join(owners, Seq("source"), "left")
-          .na.fill(0L, Seq("n_novel"))
-          .withColumn("novelty_u",
-            floor(lit(1000000.0) * col("n_novel").cast("double") /
-              col("n_shingles").cast("double")).cast("long"))
-        onBatch(report, batchId)
-        state.merge(sh.select(col("hs")), "hs")
+          .persist()
+        try {
+          // Capture the PRE-batch state as a plan literal: the report
+          // must score against what was seen before this batch, and the
+          // merge below must not be able to leak into it.
+          val seen = state.serialized
+          val owners = sh
+            .filter(!BloomExprs.mightContain(col("hs"), seen))
+            .groupBy(col("hs")).agg(min(col("source")).as("source"))
+            .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+          val report = sh.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_shingles"))
+            .join(owners, Seq("source"), "left")
+            .na.fill(0L, Seq("n_novel"))
+            .withColumn("novelty_u",
+              floor(lit(1000000.0) * col("n_novel").cast("double") /
+                col("n_shingles").cast("double")).cast("long"))
+          onBatch(report, batchId)
+          state.merge(sh.select(col("hs")), "hs")
+        } finally sh.unpersist()
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()

@@ -54,12 +54,37 @@ class SpanSeveritySpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("on the fixture corpus severity reconciles with q118's hit counts") {
     import spark.implicits._
+    // Σ run lengths counts hit POSITIONS = q118's occurrence count
+    // (NOT its distinct-hash n_hit_windows — a doc repeating one hit
+    // 8-gram at two positions has 2 occurrences, 1 distinct hash).
     val sev = SparkEntry.queries("q132_span_severity")(spark, SparkSpec.Sf0001)
-      .select("doc_id", "n_hit_windows").as[(Long, Long)].collect().toMap
+      .select("doc_id", "n_hit_occurrences").as[(Long, Long)].collect().toMap
     val gate = SparkEntry.queries("q118_span_decontamination")(
         spark, SparkSpec.Sf0001)
-      .select("doc_id", "n_hit_windows").as[(Long, Long)].collect().toMap
-    // same flagged docs, same distinct-hit-window counts
+      .select("doc_id", "n_hit_occurrences").as[(Long, Long)].collect().toMap
     sev shouldBe gate
+  }
+
+  test("a doc repeating ONE hit 8-gram at two positions: occurrences 2, " +
+      "q118 distinct windows 1 — the column-semantics distinction pinned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spansev_rep_").toString
+    val eval = (1 to 10).map(i => s"e$i")
+    // the same 8-word eval window e1..e8 at two separated positions
+    val repeater = eval.slice(0, 8) ++ (1 to 5).map(i => s"fg$i") ++
+      eval.slice(0, 8)
+    Seq((0L, eval.mkString(" ")), (1L, repeater.mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val sev = SparkEntry.queries("q132_span_severity")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    sev(1L) shouldBe ((2L, 1L, 8L)) // two occurrences, singleton runs
+    val gate = SparkEntry.queries("q118_span_decontamination")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4)))).toMap
+    gate(1L) shouldBe ((1L, 2L)) // 1 distinct window hash, 2 occurrences
   }
 }

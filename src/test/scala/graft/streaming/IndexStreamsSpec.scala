@@ -106,4 +106,20 @@ class IndexStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     loads(1)(0L) should be > 2000000L // the flood: hot cell visible
     loads(1)(1L) should be < 1000000L // others diluted
   }
+
+  test("a replayed batchId cannot double-count; a snapshot restore " +
+      "resumes the exact state") {
+    val cc = new IndexStreams.CellCounts(Seq(0L, 1L))
+    cc.add(0L, Seq(0L -> 5L, 1L -> 3L)) shouldBe true
+    cc.add(0L, Seq(0L -> 5L, 1L -> 3L)) shouldBe false // at-least-once replay
+    cc.add(1L, Seq(0L -> 2L)) shouldBe true
+    cc.snapshot shouldBe ((1L, Seq(0L -> 7L, 1L -> 3L)))
+
+    val restored = IndexStreams.CellCounts.restore(cc.snapshot)
+    restored.snapshot shouldBe cc.snapshot
+    // the restored state keeps rejecting replays of its last batch
+    restored.add(1L, Seq(0L -> 2L)) shouldBe false
+    restored.add(2L, Seq(1L -> 1L)) shouldBe true
+    restored.snapshot shouldBe ((2L, Seq(0L -> 7L, 1L -> 4L)))
+  }
 }

@@ -84,4 +84,17 @@ class NoveltyStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // a fresh feed in the SAME batch still prices at full novelty
     batch1("src_new")._3 shouldBe 1000000L
   }
+
+  test("a snapshot-restored state still recognizes previously-seen " +
+      "content — the restart path is state-faithful") {
+    val a = "red orange yellow green blue indigo violet ultraviolet"
+    val first = new NoveltyStreams.SeenShingles(fpp = 1e-9)
+    runBatches(Seq(Seq((0L, a, "src_orig"))), first)
+
+    // restart: a NEW incarnation restored from the persisted snapshot
+    val restored = NoveltyStreams.SeenShingles.fromSnapshot(first.snapshot)
+    val replayed = runBatches(Seq(Seq((1L, a, "src_reseller"))), restored)
+    replayed.map(r => (r._2, r._4, r._5)) shouldBe
+      Seq(("src_reseller", 0L, 0L)) // nothing novel across the restart
+  }
 }
