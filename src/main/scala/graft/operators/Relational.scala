@@ -241,6 +241,42 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** Top-3 orders per customer — q07's answer via the engine's
+    * rank-pruned [[graft.functions.TopK]] aggregate instead of a
+    * `row_number()` window, and the pair is the suite's standing
+    * demonstration that the window form is the wrong plan at scale.
+    *
+    * The window plan shuffles EVERY order row to its customer's
+    * partition and sorts the whole partition; only 3 rows per customer
+    * survive the filter. The aggregate plan is partial-aggregable under
+    * ObjectHashAggregate: the map side collapses each customer to a
+    * ≤ 3-element bounded heap BEFORE the shuffle, so at most
+    * `3 × n_customers` rows cross the wire regardless of order volume,
+    * and nothing ever sorts the input (the 3-element buffer sorts at
+    * eval). At 100 TB the two plans differ by the full fact-table
+    * shuffle + sort; measured head-to-head in BENCH_NOTES.md.
+    *
+    * Ordering parity with q07: the heap key `struct(o_totalprice,
+    * -o_orderkey)` is the window's `ORDER BY o_totalprice DESC,
+    * o_orderkey` ASC made unique-per-group, so the two queries share
+    * one oracle. */
+  private def q134(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAgg
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(TopKAgg.topK(
+        struct(col("o_totalprice"), -col("o_orderkey")),
+        struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(col("o_custkey"),
+        col("row.o_orderkey").as("o_orderkey"),
+        col("row.o_totalprice").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   // ---------------------------------------------------------------- q08
   /** Running (cumulative) spend per customer — order-dependent window sum
     * kept exact via decimal accumulation. */
@@ -653,6 +689,7 @@ object Relational {
     "q17_small_qty_rev"     -> (q17 _),
     "q18_large_orders"      -> (q18 _),
     "q19_band_join"         -> (q19 _),
+    "q134_topk_agg"         -> (q134 _),
     "q47_set_ops"           -> (q47 _),
     "q48_date_math"         -> (q48 _),
     "q49_salted_agg"        -> (q49 _))
@@ -677,6 +714,9 @@ object Relational {
     "q17_small_qty_rev"     -> q17Sql,
     "q18_large_orders"      -> q18Sql,
     "q19_band_join"         -> q19Sql,
+    // The aggregate form is output-equal to the window form by
+    // construction — q134 shares q07's oracle.
+    "q134_topk_agg"         -> q07Sql,
     "q47_set_ops"           -> q47Sql,
     "q48_date_math"         -> q48Sql,
     "q49_salted_agg"        -> q49Sql)

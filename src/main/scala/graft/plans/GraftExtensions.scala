@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LongDotProduct, MinHashSignature, QuantizeError}
+import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LongDotProduct, MinHashSignature, QuantizeError, TopK}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftBloomContains)
     ext.injectFunction(GraftExtensions.graftQuantErr)
     ext.injectFunction(GraftExtensions.graftHeavyHitters)
+    ext.injectFunction(GraftExtensions.graftTopK)
   }
 }
 
@@ -106,10 +107,21 @@ object GraftExtensions {
       HeavyHitters(args.head, k).toAggregateExpression()
     })
 
+  val graftTopK: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
+    { args =>
+      require(args.length == 3,
+        "graft_topk(ord, value, k) takes 3 arguments")
+      require(args(2).foldable, "graft_topk k must be a literal")
+      val k = args(2).eval().asInstanceOf[Number].intValue()
+      TopK(args.head, args(1), k).toAggregateExpression()
+    })
+
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftQuantErr, graftHeavyHitters).foreach {
+    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftQuantErr, graftHeavyHitters, graftTopK).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -327,17 +327,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "SortAggregate"
   }
 
-  test("q101: the KL join is vocab-vs-vocab — the corpus marginal " +
-      "derives from the (source, term) aggregate, and the totals sides " +
+  test("q101: the KL join is vocab-vs-vocab — every leg reads the " +
+      "memoized (source, term) aggregate, and the totals sides " +
       "broadcast") {
     val df = SparkEntry.queries("q101_source_kl")(spark, SparkSpec.Sf0001)
-    df.collect() // exchange reuse is an AQE runtime decision
+    df.collect() // cache/stage shapes are AQE runtime decisions
     val p = df.queryExecution.executedPlan.toString
     p should include("BroadcastHashJoin") // per-source totals
     p should not include "CartesianProduct"
-    // the marginal/total subtrees re-read the (source, term) aggregate's
-    // shuffle instead of re-exploding the corpus
-    p should include("ReusedExchange")
+    // All three consumers (counts probe, per-source totals, corpus
+    // marginal) read the memoized Features.sourceTokenCounts cache —
+    // the corpus-sized token explode runs ONCE, at cache build, and
+    // never again in any leg. (Before the frame was shared this held
+    // more weakly via ReusedExchange; the cache is the stronger form:
+    // it also survives across queries in the suite.)
+    // TableCacheQueryStage marks a LIVE read of the cache (the embedded
+    // InMemoryRelation build plan prints without it), so >= 3 of them is
+    // "all three legs hit the cache; no leg re-explodes the corpus".
+    p.linesIterator.count(_.contains("TableCacheQueryStage")) should be >= 3
   }
 
   test("q102/q104: packing audit and chunker shuffle at most the " +
