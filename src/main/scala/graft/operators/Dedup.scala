@@ -2227,6 +2227,81 @@ object Dedup {
        |FROM j GROUP BY 1, 2
        |ORDER BY split_lo, split_hi""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** LEAKAGE-CLOSING SPLIT REPAIR — the action q116's audit demands:
+    * reassign every member of a near-dup cluster to the split of the
+    * cluster's CANONICAL document (the CC label — the component's
+    * minimum doc_id), so near-duplicates can no longer straddle the
+    * train/test boundary. After repair, cross-split leakage is zero BY
+    * CONSTRUCTION: both members of every verified pair carry the same
+    * cluster label, hence the same repaired split (spec-pinned by
+    * re-running the q116 cross-tab on the repaired assignment).
+    * Unclustered documents keep their content-stable q83 split
+    * untouched, so the repair perturbs the 80/10/10 strata only by the
+    * (small) clustered mass — exactly the minimal move-set a training
+    * team wants, and the report quantifies the perturbation: the
+    * (orig_split, new_split) cross-tab with per-cell doc counts, the
+    * off-diagonal rows being the documents that moved.
+    *
+    * Deterministic: the canonical member is the component minimum (the
+    * label the CC fixpoint already computes), not a quality score or
+    * arbitrary representative — reproducible across engines and runs.
+    *
+    * Scale posture: rides the MEMOIZED CC labels (the fixpoint runs
+    * once per corpus, shared with q56/q60/q70/q77/q110); the repair is
+    * two id-keyed joins of the label table (cluster-mass-sized, tiny
+    * vs corpus) against the narrow (doc_id, split) projection, plus
+    * one broadcast-able canonical lookup; the cross-tab is one
+    * partial-aggregable groupBy over ≤ 9 cells. The repaired
+    * assignment column is write-path-stampable exactly like q83's
+    * (same `splitAssign` + label override recipe). */
+  private def q133(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.splitAssign.as("split"))
+    val labels = ccLabels(spark, dir) // (id, lbl); lbl = component min id
+    // Canonical split per cluster: the label doc's own q83 assignment.
+    // The label table is cluster-mass-sized — broadcast-able at report
+    // scale; the doc_id-keyed joins stay uniform-key shuffles at 100 TB.
+    val canon = labels.select(col("lbl")).distinct()
+      .join(splits.select(col("doc_id").as("lbl"), col("split").as("canon_split")),
+        "lbl")
+    val repaired = labels.join(canon, "lbl")
+      .select(col("id").as("doc_id"), col("canon_split"))
+    splits.join(repaired, Seq("doc_id"), "left")
+      .select(col("split").as("orig_split"),
+        coalesce(col("canon_split"), col("split")).as("new_split"))
+      .groupBy(col("orig_split"), col("new_split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("orig_split") =!= col("new_split"))
+      .select(col("orig_split"), col("new_split"), col("n_docs"), col("moved"))
+      .orderBy(col("orig_split"), col("new_split"))
+  }
+
+  private lazy val q133Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket <= 7 THEN 'train'
+       |         WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ${md5u32Sql(contentFpSql("text"))} % 10 AS bucket
+       |        FROM documents)),
+       |canon AS (
+       |  SELECT DISTINCT l.lbl, c.split AS canon_split
+       |  FROM labels l JOIN sp c ON l.lbl = c.doc_id),
+       |rep AS (
+       |  SELECT l.id AS doc_id, canon.canon_split
+       |  FROM labels l JOIN canon ON l.lbl = canon.lbl),
+       |fix AS (
+       |  SELECT sp.split AS orig_split,
+       |    coalesce(rep.canon_split, sp.split) AS new_split
+       |  FROM sp LEFT JOIN rep ON sp.doc_id = rep.doc_id)
+       |SELECT orig_split, new_split, count(*) AS n_docs,
+       |  (orig_split <> new_split) AS moved
+       |FROM fix GROUP BY 1, 2
+       |ORDER BY orig_split, new_split""".stripMargin
+
   // ---------------------------------------------------------------- q118
   /** EXACT-SUBSTRING DECONTAMINATION — the long-window verbatim gate
     * run alongside q73's 3-gram overlap: flag every training document
@@ -2780,6 +2855,7 @@ object Dedup {
     "q118_span_decontamination" -> (q118 _),
     "q119_contamination_triage" -> (q119 _),
     "q116_split_leakage" -> (q116 _),
+    "q133_split_repair"  -> (q133 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -2813,6 +2889,7 @@ object Dedup {
     "q118_span_decontamination" -> q118Sql,
     "q119_contamination_triage" -> q119Sql,
     "q116_split_leakage" -> q116Sql,
+    "q133_split_repair"  -> q133Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
