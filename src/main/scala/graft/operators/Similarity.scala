@@ -652,6 +652,97 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** PRODUCT-QUANTIZATION CODES + RECONSTRUCTION AUDIT — the
+    * memory-bound scale path one level beyond q58's scalar quantizer:
+    * split the [[Dim]]-dim space into [[PqSubspaces]] contiguous
+    * subspaces and encode each subvector as the index of its nearest
+    * codebook entry ([[PqCodes]] per subspace), so a vector stores in
+    * `S·log₂K` bits = 4 bytes here vs 256 for float32 — the
+    * IVF-PQ layout (Jégou et al., TPAMI 2011) every billion-vector ANN
+    * deployment ships. The report is the index-build health check:
+    * per (subspace, code) the assigned population and the exact int64
+    * reconstruction SSE — dead codes (missing cells) and fat/hot cells
+    * mean a codebook that wastes its bit budget, rising SSE per cell
+    * localizes which subspace's codebook has drifted from the corpus.
+    *
+    * Codebooks here are DETERMINISTIC SEEDS (the subvectors of the
+    * [[PqCodes]] lowest vec_ids — q79's seeding recipe), which keeps
+    * every distance exact int64 and the full encode DuckDB-replayable;
+    * a production build swaps in per-subspace k-means codebooks via the
+    * existing [[kmeansAuto]] loop (same argmin encode, trained
+    * centroids) — the swap changes WHICH centroids, not the plan.
+    *
+    * Determinism: all arithmetic is exact — d² = |a|² + |b|² − 2a·b on
+    * the fixed-point int64 vectors (the subtraction form DuckDB
+    * computes directly matches bit-for-bit), argmin ties break on the
+    * lowest code.
+    *
+    * Scale posture: the codebook (S·K subvectors) broadcasts; encode is
+    * a stateless broadcast-join fan-out (K candidates per subvector)
+    * collapsed by the hash-aggregable [[graft.functions.ArgMax]] argmin
+    * (ObjectHashAggregate, map-side combine — q44's assignment shape,
+    * never a window sort); the report groupBy is ≤ S·K cells,
+    * partial-aggregable. No corpus self-join anywhere. */
+  val PqSubspaces = 4
+  val PqCodes = 16
+
+  private def q135(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = Dim / PqSubspaces
+    val emb = scaledEmb(spark, dir)
+    val sCol = explode(array((0 until PqSubspaces).map(lit): _*))
+    val vsub = emb.select(col("vec_id"), col("sv"), sCol.as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("sv"), col("s") * subDim + 1, lit(subDim)).as("sub"))
+      .withColumn("sn2", dotL(col("sub"), col("sub")))
+    val cb = emb.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"), col("sv"), sCol.as("cs"))
+      .select(col("cs"), col("code"),
+        slice(col("sv"), col("cs") * subDim + 1, lit(subDim)).as("csub"))
+      .withColumn("cn2", dotL(col("csub"), col("csub")))
+    vsub.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("d2",
+        col("sn2") + col("cn2") - lit(2L) * dotL(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(graft.functions.ArgMaxAgg.argMin(
+        struct(col("d2"), col("code")),
+        struct(col("code"), col("d2"))).as("b"))
+      .select(col("s").cast("long").as("subspace"),
+        col("b.code").as("code"), col("b.d2").as("d2"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  private val q135Sql = {
+    val subDim = Dim / PqSubspaces
+    s"""WITH emb0 AS (
+       |  SELECT vec_id, ${scaledVecSql("embedding")} AS sv FROM embeddings),
+       |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |vsub AS (
+       |  SELECT vec_id, s,
+       |    list_slice(sv, s * $subDim + 1, s * $subDim + $subDim) AS sub
+       |  FROM emb0 CROSS JOIN ss),
+       |cb AS (
+       |  SELECT s, vec_id AS code,
+       |    list_slice(sv, s * $subDim + 1, s * $subDim + $subDim) AS csub
+       |  FROM emb0 CROSS JOIN ss WHERE vec_id < $PqCodes),
+       |d AS (
+       |  SELECT v.vec_id, v.s, c.code,
+       |    CAST(list_sum(list_transform(range(1, ${subDim + 1}), i ->
+       |      (v.sub[i] - c.csub[i]) * (v.sub[i] - c.csub[i]))) AS BIGINT) AS d2
+       |  FROM vsub v JOIN cb c ON v.s = c.s),
+       |best AS (
+       |  SELECT vec_id, s, code, d2,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |  FROM d)
+       |SELECT CAST(s AS BIGINT) AS subspace, code, count(*) AS n_vecs,
+       |  CAST(sum(d2) AS BIGINT) AS sse
+       |FROM best WHERE rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY subspace, code""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q58
   /** 8-bit scalar quantization of the embedding table + reconstruction-
     * error report per label — the memory-bound scale path for ANN (an
@@ -1632,6 +1723,7 @@ object Similarity {
     "q41_label_centroids" -> (q41 _),
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
+    "q135_pq_codes"       -> (q135 _),
     "q66_ann_retrieval"   -> (q66 _),
     "q71_embedding_profile" -> (q71 _),
     "q77_semantic_dedup"  -> (q77 _))
@@ -1656,6 +1748,7 @@ object Similarity {
     "q41_label_centroids" -> q41Sql,
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,
+    "q135_pq_codes"       -> q135Sql,
     "q66_ann_retrieval"   -> q66Sql,
     "q71_embedding_profile" -> q71Sql,
     "q77_semantic_dedup"  -> q77Sql)
