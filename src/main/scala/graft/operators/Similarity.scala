@@ -686,37 +686,55 @@ object Similarity {
     * partial-aggregable. No corpus self-join anywhere. */
   val PqSubspaces = 4
   val PqCodes = 16
+  private def PqSubDim = Dim / PqSubspaces
 
-  private def q135(spark: SparkSession, dir: String): DataFrame = {
-    val subDim = Dim / PqSubspaces
-    val emb = scaledEmb(spark, dir)
-    val sCol = explode(array((0 until PqSubspaces).map(lit): _*))
-    val vsub = emb.select(col("vec_id"), col("sv"), sCol.as("s"))
+  /** Per-(vector, subspace) fixed-point subvectors with exact squared
+    * norm — the common projection under both the PQ encode and the ADC
+    * query side. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("sv"),
+        explode(array((0 until PqSubspaces).map(lit): _*)).as("s"))
       .select(col("vec_id"), col("s"),
-        slice(col("sv"), col("s") * subDim + 1, lit(subDim)).as("sub"))
+        slice(col("sv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
       .withColumn("sn2", dotL(col("sub"), col("sub")))
-    val cb = emb.filter(col("vec_id") < PqCodes)
-      .select(col("vec_id").as("code"), col("sv"), sCol.as("cs"))
-      .select(col("cs"), col("code"),
-        slice(col("sv"), col("cs") * subDim + 1, lit(subDim)).as("csub"))
-      .withColumn("cn2", dotL(col("csub"), col("csub")))
-    vsub.join(broadcast(cb), col("s") === col("cs"))
-      .withColumn("d2",
-        col("sn2") + col("cn2") - lit(2L) * dotL(col("sub"), col("csub")))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(graft.functions.ArgMaxAgg.argMin(
-        struct(col("d2"), col("code")),
-        struct(col("code"), col("d2"))).as("b"))
-      .select(col("s").cast("long").as("subspace"),
-        col("b.code").as("code"), col("b.d2").as("d2"))
+
+  /** The deterministic seed codebook: (cs, code, csub, cn2) — S·K
+    * subvectors, broadcast-sized at any corpus scale. */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    pqSubvectors(emb.filter(col("vec_id") < PqCodes))
+      .select(col("s").as("cs"), col("vec_id").as("code"),
+        col("sub").as("csub"), col("sn2").as("cn2"))
+
+  /** The PQ encode: every vector's nearest code per subspace, with its
+    * exact int64 reconstruction d². Memoized — q135's audit and q136's
+    * ADC serving path read the SAME assignment, so the audited index
+    * and the queried index cannot diverge. */
+  private[graft] def pqCodesAssigned(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#pqCodes") {
+      val emb = scaledEmb(spark, dir)
+      pqSubvectors(emb).join(broadcast(pqCodebook(emb)), col("s") === col("cs"))
+        .withColumn("d2",
+          col("sn2") + col("cn2") - lit(2L) * dotL(col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(graft.functions.ArgMaxAgg.argMin(
+          struct(col("d2"), col("code")),
+          struct(col("code"), col("d2"))).as("b"))
+        .select(col("vec_id"), col("s"),
+          col("b.code").as("code"), col("b.d2").as("d2"))
+    }
+
+  private def q135(spark: SparkSession, dir: String): DataFrame =
+    pqCodesAssigned(spark, dir)
+      .select(col("s").cast("long").as("subspace"), col("code"), col("d2"))
       .groupBy(col("subspace"), col("code"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse"))
       .orderBy(col("subspace"), col("code"))
-  }
 
-  private val q135Sql = {
+  /** SQL twin of [[pqCodesAssigned]] (ends at `best`; `codes` filters
+    * to the winners) — shared by q135 and q136. */
+  private val pqCodesSqlCtes = {
     val subDim = Dim / PqSubspaces
-    s"""WITH emb0 AS (
+    s"""emb0 AS (
        |  SELECT vec_id, ${scaledVecSql("embedding")} AS sv FROM embeddings),
        |ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
        |vsub AS (
@@ -735,13 +753,131 @@ object Similarity {
        |best AS (
        |  SELECT vec_id, s, code, d2,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-       |  FROM d)
+       |  FROM d),
+       |codes AS (SELECT vec_id, s, code, d2 FROM best WHERE rn = 1)""".stripMargin
+  }
+
+  private val q135Sql =
+    s"""WITH $pqCodesSqlCtes
        |SELECT CAST(s AS BIGINT) AS subspace, code, count(*) AS n_vecs,
        |  CAST(sum(d2) AS BIGINT) AS sse
-       |FROM best WHERE rn = 1
+       |FROM codes
        |GROUP BY 1, 2
        |ORDER BY subspace, code""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+  /** PQ ADC SERVING PATH + RECALL AUDIT — the query half of q135's
+    * index, with its production fidelity monitor (q113's role, for the
+    * PQ index): score every query against the COMPRESSED corpus via
+    * asymmetric distance computation — the query stays full-precision,
+    * each database vector is its S codes, and d²(q, v) ≈ Σ_s
+    * lut[q, s, code_v[s]] where the lookup table holds the exact d²
+    * from each query subvector to each codebook entry. This is the
+    * IVF-PQ inner loop: at serving time the corpus scan reads 4-byte
+    * codes (not 256-byte vectors) and each distance is S table adds —
+    * the audit reports, per query, how much of the EXACT L2 top-5 the
+    * ADC top-5 recovers, plus both sides' exact distance masses (the
+    * compression-distortion diagnostic: recall can survive while
+    * distances inflate — both numbers matter before shipping a
+    * codebook).
+    *
+    * Determinism: every quantity is exact int64 (subvector d² sums);
+    * ties break on vec_id everywhere.
+    *
+    * Scale posture: the LUT is queries × S·K rows — broadcast by
+    * construction (the whole point of ADC: per-query work against the
+    * codebook happens ONCE, then the corpus scan is adds); the corpus
+    * side streams its code rows through one broadcast join into a
+    * per-(query, vector) partial-aggregable sum; top-k is a bounded
+    * window per query; the exact leg is the q38-shaped broadcast
+    * cross join, which at 100 TB runs on a query SAMPLE exactly like
+    * q113's exact leg. */
+  private def q136(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val k = 5
+    // LUT: per (q_id, s, code) the exact partial d² — queries × S·K.
+    val lut = pqSubvectors(emb.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("s").as("qs"),
+        col("sub").as("qsub"), col("sn2").as("qsn2"))
+      .join(pqCodebook(emb), col("qs") === col("cs"))
+      .select(col("q_id"), col("qs"), col("code").as("lcode"),
+        (col("qsn2") + col("cn2") - lit(2L) * dotL(col("qsub"), col("csub")))
+          .as("pd2"))
+    // ADC: corpus code rows × broadcast LUT, summed per (query, vector).
+    val adc = pqCodesAssigned(spark, dir).filter(col("vec_id") >= NQueries)
+      .join(broadcast(lut),
+        col("s") === col("qs") && col("code") === col("lcode"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    val adcTop = adc.withColumn("rank", row_number().over(wAdc))
+      .filter(col("rank") <= k)
+    val adcAgg = adcTop.groupBy(col("q_id"))
+      .agg(sum(col("adc_d2")).as("adc_d2_sum"))
+    // Exact L2 leg (q38's broadcast shape, L2 metric).
+    val qs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sv").as("qv"), col("n2").as("qn2"))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exactTop = emb.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(qs))
+      .withColumn("d2", col("n2") + col("qn2") - lit(2L) * dotL(col("sv"), col("qv")))
+      .select(col("q_id"), col("vec_id"), col("d2"))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+    exactTop
+      .join(adcTop.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        sum(col("d2")).as("exact_d2_sum"))
+      .join(adcAgg, "q_id")
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        col("exact_d2_sum"), col("adc_d2_sum"))
+      .orderBy(col("q_id"))
   }
+
+  private val q136Sql =
+    s"""WITH $pqCodesSqlCtes,
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.s, c.code,
+       |    CAST(list_sum(list_transform(range(1, ${Dim / PqSubspaces + 1}), i ->
+       |      (q.sub[i] - c.csub[i]) * (q.sub[i] - c.csub[i]))) AS BIGINT) AS pd2
+       |  FROM vsub q JOIN cb c ON q.s = c.s
+       |  WHERE q.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT l.q_id, co.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.code
+       |  WHERE co.vec_id >= $NQueries
+       |  GROUP BY 1, 2),
+       |adctop AS (
+       |  SELECT q_id, vec_id, adc_d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn
+       |  FROM adc),
+       |exact AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      (q.sv[i] - v.sv[i]) * (q.sv[i] - v.sv[i]))) AS BIGINT) AS d2
+       |  FROM emb0 q JOIN emb0 v
+       |    ON q.vec_id < $NQueries AND v.vec_id >= $NQueries),
+       |extop AS (
+       |  SELECT q_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+       |  FROM exact),
+       |ae AS (
+       |  SELECT q_id, CAST(sum(adc_d2) AS BIGINT) AS adc_d2_sum
+       |  FROM adctop WHERE rn <= 5 GROUP BY 1)
+       |SELECT x.q_id, x.n_exact, x.n_hits, x.exact_d2_sum, ae.adc_d2_sum
+       |FROM (
+       |  SELECT e.q_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    CAST(sum(e.d2) AS BIGINT) AS exact_d2_sum
+       |  FROM extop e
+       |  LEFT JOIN (SELECT q_id, vec_id FROM adctop WHERE rn <= 5) a
+       |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |  WHERE e.rn <= 5 GROUP BY 1) x
+       |JOIN ae ON x.q_id = ae.q_id
+       |ORDER BY x.q_id""".stripMargin
 
   // ---------------------------------------------------------------- q58
   /** 8-bit scalar quantization of the embedding table + reconstruction-
@@ -1724,6 +1860,7 @@ object Similarity {
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
     "q135_pq_codes"       -> (q135 _),
+    "q136_pq_adc_recall"  -> (q136 _),
     "q66_ann_retrieval"   -> (q66 _),
     "q71_embedding_profile" -> (q71 _),
     "q77_semantic_dedup"  -> (q77 _))
@@ -1749,6 +1886,7 @@ object Similarity {
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,
     "q135_pq_codes"       -> q135Sql,
+    "q136_pq_adc_recall"  -> q136Sql,
     "q66_ann_retrieval"   -> q66Sql,
     "q71_embedding_profile" -> q71Sql,
     "q77_semantic_dedup"  -> q77Sql)
