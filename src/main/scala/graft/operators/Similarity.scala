@@ -691,7 +691,7 @@ object Similarity {
   /** Per-(vector, subspace) fixed-point subvectors with exact squared
     * norm — the common projection under both the PQ encode and the ADC
     * query side. */
-  private def pqSubvectors(emb: DataFrame): DataFrame =
+  private[graft] def pqSubvectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("sv"),
         explode(array((0 until PqSubspaces).map(lit): _*)).as("s"))
       .select(col("vec_id"), col("s"),
@@ -700,27 +700,35 @@ object Similarity {
 
   /** The deterministic seed codebook: (cs, code, csub, cn2) — S·K
     * subvectors, broadcast-sized at any corpus scale. */
-  private def pqCodebook(emb: DataFrame): DataFrame =
+  private[graft] def pqCodebook(emb: DataFrame): DataFrame =
     pqSubvectors(emb.filter(col("vec_id") < PqCodes))
       .select(col("s").as("cs"), col("vec_id").as("code"),
         col("sub").as("csub"), col("sn2").as("cn2"))
 
-  /** The PQ encode: every vector's nearest code per subspace, with its
-    * exact int64 reconstruction d². Memoized — q135's audit and q136's
-    * ADC serving path read the SAME assignment, so the audited index
-    * and the queried index cannot diverge. */
+  /** The PQ encode applied to an ARBITRARY scaled frame against an
+    * explicit codebook — the streaming ingest path encodes each
+    * micro-batch against a FROZEN codebook through exactly this code,
+    * so index-build and stream-ingest code words cannot diverge (the
+    * [[ivfAssignOver]] posture, one quantizer down). */
+  private[graft] def pqEncodeOver(emb: DataFrame, codebook: DataFrame): DataFrame =
+    pqSubvectors(emb).join(broadcast(codebook), col("s") === col("cs"))
+      .withColumn("d2",
+        col("sn2") + col("cn2") - lit(2L) * dotL(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(graft.functions.ArgMaxAgg.argMin(
+        struct(col("d2"), col("code")),
+        struct(col("code"), col("d2"))).as("b"))
+      .select(col("vec_id"), col("s"),
+        col("b.code").as("code"), col("b.d2").as("d2"))
+
+  /** The corpus PQ encode: every vector's nearest code per subspace,
+    * with its exact int64 reconstruction d². Memoized — q135's audit
+    * and q136's ADC serving path read the SAME assignment, so the
+    * audited index and the queried index cannot diverge. */
   private[graft] def pqCodesAssigned(spark: SparkSession, dir: String): DataFrame =
     Features.cachedFrame(spark, s"$dir#pqCodes") {
       val emb = scaledEmb(spark, dir)
-      pqSubvectors(emb).join(broadcast(pqCodebook(emb)), col("s") === col("cs"))
-        .withColumn("d2",
-          col("sn2") + col("cn2") - lit(2L) * dotL(col("sub"), col("csub")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(graft.functions.ArgMaxAgg.argMin(
-          struct(col("d2"), col("code")),
-          struct(col("code"), col("d2"))).as("b"))
-        .select(col("vec_id"), col("s"),
-          col("b.code").as("code"), col("b.d2").as("d2"))
+      pqEncodeOver(emb, pqCodebook(emb))
     }
 
   private def q135(spark: SparkSession, dir: String): DataFrame =

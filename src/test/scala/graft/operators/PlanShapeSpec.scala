@@ -427,6 +427,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q133: the split repair rides the memoized CC label leaf and " +
+      "id-keyed joins — no pair machinery, no Cartesian product") {
+    // Warm the CC labels (q56 builds + memoizes the fixpoint).
+    SparkEntry.queries("q56_dedup_clusters")(spark, SparkSpec.Sf0001).collect()
+    val p = plan("q133_split_repair")
+    p should not include "CartesianProduct"
+    p should include("Scan ExistingRDD") // the lineage-cut label leaf
+  }
+
+  test("q135/q136: PQ encode is broadcast-codebook + hash argmin; ADC " +
+      "is a broadcast LUT join — no Cartesian products, no window over " +
+      "the corpus encode") {
+    val enc = plan("q135_pq_codes")
+    enc should include("BroadcastHashJoin") // S·K codebook
+    enc should include("ObjectHashAggregate") // graft_argmin
+    enc should not include "SortAggregate"
+    enc should not include "Window"
+    enc should not include "CartesianProduct"
+    val adc = plan("q136_pq_adc_recall")
+    adc should include("BroadcastHashJoin") // queries × S·K LUT
+    adc should not include "CartesianProduct"
+  }
+
+  test("q134: per-key top-k aggregates hash-based — no Window, no " +
+      "SortAggregate; the window form q07 is the contrast case") {
+    val p = plan("q134_topk_agg")
+    p should include("ObjectHashAggregate")
+    p should not include "Window"
+    p should not include "SortAggregate"
+    plan("q07_window_topk") should include("Window")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
