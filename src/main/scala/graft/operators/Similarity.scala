@@ -887,6 +887,217 @@ object Similarity {
        |JOIN ae ON x.q_id = ae.q_id
        |ORDER BY x.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** IVF-PQ RESIDUAL INDEX + ADC SERVING — the full composition every
+    * billion-vector deployment actually ships (FAISS `IVFPQ`; Jégou et
+    * al., TPAMI 2011 §III): q44's coarse quantizer partitions the
+    * corpus into cells, and q135's product quantizer encodes each
+    * vector's RESIDUAL against its cell's centroid rather than the raw
+    * vector. Residuals are what make PQ bits go far: vectors in a cell
+    * share the centroid's mass, so the residual distribution is
+    * tighter than the raw one and the same S·log₂K bits buy less
+    * reconstruction error. Serving is q136's ADC run per probed cell:
+    * the query's residual (w.r.t. the probed cell's centroid) builds
+    * the S×K lookup table, the cell's members are scored purely from
+    * their 4-byte codes, and — because both sides subtract the SAME
+    * centroid — within-cell ADC approximates the TRUE |q − v|²
+    * directly, with no cross-cell bias term.
+    *
+    * The report is the composed system's health check: per query its
+    * probed cell, candidate count, ADC top-[[AdcTopK]] recall against
+    * the FULL-corpus exact L2 top-k (so a miss is attributable: cell
+    * miss = IVF, in-cell miss = PQ distortion — q130 and q135 localize
+    * which), and both distance masses.
+    *
+    * Centroid = per-label exact int64 floor-mean (q100's
+    * ((s − pmod(s, n))/n recipe — DuckDB `//`-truncation-proof), so
+    * residuals, codebooks, encodes and LUTs are all exact int64 and
+    * the whole index is DuckDB-replayable. Residual codebook seeds are
+    * the residual subvectors of the [[PqCodes]] lowest vec_ids (q135's
+    * seeding recipe, one level down); production swaps in k-means
+    * codebooks via [[kmeansAuto]] without changing the plan.
+    *
+    * Scale posture: centroid means are a 10-row broadcast; the
+    * residual pass is one stateless broadcast join over the corpus
+    * (vectors never shuffle); the encode is q135's broadcast-join →
+    * hash-aggregable argmin; the LUT is queries × S·K rows JOINED WITH
+    * the probe cell — broadcast by construction; the serving scan
+    * reads code rows only. The exact leg is q38's broadcast shape and
+    * at 100 TB runs on a query sample, exactly like q113/q136. */
+  private[graft] def ivfPqResiduals(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#ivfPqResid") {
+      val emb = scaledEmb(spark, dir)
+      def floorDiv(s: Column, n: Column): Column =
+        ((s - pmod(s, n)) / n).cast(LongType)
+      val cnts = emb.groupBy(col("label").as("cnt_label"))
+        .agg(count(lit(1)).as("cn"))
+      val cmean = centroids(emb)
+        .join(cnts, col("c_label") === col("cnt_label"))
+        .select(col("c_label").as("cell"),
+          transform(col("cs"), x => floorDiv(x, col("cn"))).as("cm"))
+      ivfAssigned(spark, dir)
+        .join(broadcast(cmean), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("sv"), col("cm"), (x, y) => x - y).as("sv"))
+    }
+
+  /** The residual-PQ encode: every vector's per-subspace nearest
+    * residual code, carrying its cell — memoized so the audit rows and
+    * the ADC serving path read one assignment. */
+  private[graft] def ivfPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#ivfPqCodes") {
+      val resid = ivfPqResiduals(spark, dir)
+      pqEncodeOver(resid, pqCodebook(resid))
+        .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    }
+
+  private def q137(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val emb = scaledEmb(spark, dir)
+    val resid = ivfPqResiduals(spark, dir)
+    val qcells = resid.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("cell").as("qcell"))
+    // Per-query LUT over RESIDUAL subvectors, tagged with the probe cell.
+    val lut = pqSubvectors(resid.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("s").as("qs"),
+        col("sub").as("qsub"), col("sn2").as("qsn2"))
+      .join(pqCodebook(resid), col("qs") === col("cs"))
+      .select(col("q_id"), col("qs"), col("code").as("lcode"),
+        (col("qsn2") + col("cn2") - lit(2L) * dotL(col("qsub"), col("csub")))
+          .as("pd2"))
+      .join(qcells, "q_id")
+    val adc = ivfPqCodes(spark, dir).filter(col("vec_id") >= NQueries)
+      .join(broadcast(lut),
+        col("s") === col("qs") && col("code") === col("lcode") &&
+          col("cell") === col("qcell"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    val adcTop = adc.withColumn("rank", row_number().over(wAdc))
+      .filter(col("rank") <= k)
+    val adcAgg = adcTop.groupBy(col("q_id"))
+      .agg(sum(col("adc_d2")).as("adc_d2_sum"))
+    val ncand = resid.filter(col("vec_id") >= NQueries)
+      .select(col("cell"))
+      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    // Exact leg: full-corpus L2 top-k (q136's shape) — composed recall.
+    val qs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sv").as("qv"), col("n2").as("qn2"))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exactTop = emb.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(qs))
+      .withColumn("d2", col("n2") + col("qn2") - lit(2L) * dotL(col("sv"), col("qv")))
+      .select(col("q_id"), col("vec_id"), col("d2"))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+    exactTop
+      .join(adcTop.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        sum(col("d2")).as("exact_d2_sum"))
+      .join(qcells.select(col("q_id"), col("qcell").as("cell")), "q_id")
+      .join(ncand, Seq("q_id"), "left")
+      .join(adcAgg, Seq("q_id"), "left")
+      .select(col("q_id"), col("cell"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_exact"), col("n_hits"), col("exact_d2_sum"),
+        coalesce(col("adc_d2_sum"), lit(0L)).as("adc_d2_sum"))
+      .orderBy(col("q_id"))
+  }
+
+  private lazy val q137Sql = {
+    val subDim = Dim / PqSubspaces
+    def fd(s: String, n: String): String =
+      s"CAST(($s - ((($s) % ($n)) + ($n)) % ($n)) / ($n) AS BIGINT)"
+    s"""WITH $ivfAssignedSqlCtes,
+       |ccnt AS (SELECT label AS cnt_label, count(*) AS cn
+       |         FROM emb GROUP BY 1),
+       |cmean AS (
+       |  SELECT c_label AS cell,
+       |    list_transform(cs, x -> ${fd("x", "cn")}) AS cm
+       |  FROM cent2 JOIN ccnt ON c_label = cnt_label),
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, $Dim + 1), i -> a.sv[i] - m.cm[i]) AS rv
+       |  FROM assigned a JOIN cmean m USING (cell)),
+       |rss AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |rsub AS (
+       |  SELECT vec_id, cell, s,
+       |    list_slice(rv, s * $subDim + 1, s * $subDim + $subDim) AS sub
+       |  FROM resid CROSS JOIN rss),
+       |rcb AS (
+       |  SELECT s, vec_id AS code, sub AS csub
+       |  FROM rsub WHERE vec_id < $PqCodes),
+       |rd AS (
+       |  SELECT v.vec_id, v.cell, v.s, c.code,
+       |    CAST(list_sum(list_transform(range(1, ${subDim + 1}), i ->
+       |      (v.sub[i] - c.csub[i]) * (v.sub[i] - c.csub[i]))) AS BIGINT) AS d2
+       |  FROM rsub v JOIN rcb c ON v.s = c.s),
+       |rcodes AS (
+       |  SELECT vec_id, cell, s, code FROM (
+       |    SELECT vec_id, cell, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |    FROM rd)
+       |  WHERE rn = 1),
+       |qcell AS (SELECT vec_id AS q_id, cell AS qc FROM assigned
+       |          WHERE vec_id < $NQueries),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.s, c.code,
+       |    CAST(list_sum(list_transform(range(1, ${subDim + 1}), i ->
+       |      (q.sub[i] - c.csub[i]) * (q.sub[i] - c.csub[i]))) AS BIGINT) AS pd2
+       |  FROM rsub q JOIN rcb c ON q.s = c.s
+       |  WHERE q.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT l.q_id, co.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+       |  FROM rcodes co
+       |  JOIN lut l ON co.s = l.s AND co.code = l.code
+       |  JOIN qcell ON l.q_id = qcell.q_id AND co.cell = qcell.qc
+       |  WHERE co.vec_id >= $NQueries
+       |  GROUP BY 1, 2),
+       |adctop AS (
+       |  SELECT q_id, vec_id, adc_d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn
+       |  FROM adc),
+       |adcsum AS (
+       |  SELECT q_id, CAST(sum(adc_d2) AS BIGINT) AS adc_d2_sum
+       |  FROM adctop WHERE rn <= 5 GROUP BY 1),
+       |ncand AS (
+       |  SELECT q.q_id, count(*) AS n_cand
+       |  FROM qcell q JOIN assigned c ON c.cell = q.qc
+       |  WHERE c.vec_id >= $NQueries GROUP BY 1),
+       |exact AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+       |      (q.sv[i] - v.sv[i]) * (q.sv[i] - v.sv[i]))) AS BIGINT) AS d2
+       |  FROM emb q JOIN emb v
+       |    ON q.vec_id < $NQueries AND v.vec_id >= $NQueries),
+       |extop AS (
+       |  SELECT q_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+       |  FROM exact),
+       |hx AS (
+       |  SELECT e.q_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits,
+       |    CAST(sum(e.d2) AS BIGINT) AS exact_d2_sum
+       |  FROM extop e
+       |  LEFT JOIN (SELECT q_id, vec_id FROM adctop WHERE rn <= 5) a
+       |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |  WHERE e.rn <= 5 GROUP BY 1)
+       |SELECT hx.q_id, qcell.qc AS cell,
+       |  COALESCE(ncand.n_cand, 0) AS n_cand,
+       |  hx.n_exact, hx.n_hits, hx.exact_d2_sum,
+       |  COALESCE(adcsum.adc_d2_sum, 0) AS adc_d2_sum
+       |FROM hx
+       |JOIN qcell ON hx.q_id = qcell.q_id
+       |LEFT JOIN ncand ON hx.q_id = ncand.q_id
+       |LEFT JOIN adcsum ON hx.q_id = adcsum.q_id
+       |ORDER BY hx.q_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q58
   /** 8-bit scalar quantization of the embedding table + reconstruction-
     * error report per label — the memory-bound scale path for ANN (an
@@ -1869,6 +2080,7 @@ object Similarity {
     "q58_scalar_quant"    -> (q58 _),
     "q135_pq_codes"       -> (q135 _),
     "q136_pq_adc_recall"  -> (q136 _),
+    "q137_ivfpq_adc"      -> (q137 _),
     "q66_ann_retrieval"   -> (q66 _),
     "q71_embedding_profile" -> (q71 _),
     "q77_semantic_dedup"  -> (q77 _))
@@ -1895,6 +2107,7 @@ object Similarity {
     "q58_scalar_quant"    -> q58Sql,
     "q135_pq_codes"       -> q135Sql,
     "q136_pq_adc_recall"  -> q136Sql,
+    "q137_ivfpq_adc"      -> q137Sql,
     "q66_ann_retrieval"   -> q66Sql,
     "q71_embedding_profile" -> q71Sql,
     "q77_semantic_dedup"  -> q77Sql)
