@@ -2302,6 +2302,76 @@ object Dedup {
        |FROM fix GROUP BY 1, 2
        |ORDER BY orig_split, new_split""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** REPETITION-EXPOSURE AUDIT — the memorization-risk number the
+    * epoch plan and the dedup report each miss on their own: a
+    * document's EFFECTIVE training appearances are
+    * `epochs(source) × copies(content)` — q103's allocator can repeat
+    * a source 3× and the corpus can carry 5 near-copies of the same
+    * document, and training then sees that content ~15 times. The
+    * published memorization results (Lee et al. 2022; Carlini et al.
+    * 2023) are monotone in exactly this product, not in either factor
+    * alone — a feed can look safe in q103 (epochs ≤ 4) AND in q110
+    * (clusters small) while specific documents cross the risk line.
+    *
+    * Per source: doc count, docs whose exposure crosses the 4-epoch
+    * cliff q103 already uses (micro-scale: exposure_u > 4·10⁶), the
+    * worst exposure, and total micro-appearances (the Σ that divided
+    * by 10⁶·n_docs is the feed's mean effective repeat).
+    *
+    * Cluster size here is the CC component size over verified near-dup
+    * pairs (q110's bands), singletons = 1 via the same anti-join-free
+    * left join + coalesce; epochs are q103's exact allocator read from
+    * the factored [[TextAnalysis.epochAlloc]], so plan and audit
+    * cannot disagree.
+    *
+    * Scale posture: rides the MEMOIZED CC labels (fixpoint runs once,
+    * shared with q56/q60/q110/q133); cluster sizes are one
+    * partial-aggregable groupBy of the cluster-mass-sized label table;
+    * the allocator is a source-count-row broadcast; the only
+    * corpus-sized work is one doc_id-keyed left join + one per-source
+    * groupBy — both uniform-key. exposure_u ≤ epochs_u·m ≲ 10¹¹ and
+    * the per-source Σ stays far under int64. */
+  private def q138(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(spark, dir)
+    val copies = labels
+      .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("m")), "lbl")
+      .select(col("id"), col("m"))
+    val ep = broadcast(TextAnalysis.epochAlloc(spark, dir)
+      .select(col("source").as("esrc"), col("epochs_u")))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(copies, col("doc_id") === col("id"), "left")
+      .join(ep, col("source") === col("esrc"))
+      .withColumn("exposure_u", col("epochs_u") * coalesce(col("m"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exposure_u") > 4000000L, 1L).otherwise(0L))
+          .as("n_at_risk"),
+        max(col("exposure_u")).as("max_exposure_u"),
+        sum(col("exposure_u")).as("total_exposure_u"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q138Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |sizes AS (SELECT lbl, count(*) AS m FROM labels GROUP BY lbl),
+       |copies AS (SELECT id, m FROM labels JOIN sizes USING (lbl)),
+       |${TextAnalysis.epochAllocSqlCtes},
+       |expo AS (
+       |  SELECT d.source,
+       |    CAST(e.epochs_u * COALESCE(c.m, 1) AS BIGINT) AS exposure_u
+       |  FROM documents d
+       |  LEFT JOIN copies c ON d.doc_id = c.id
+       |  JOIN ealloc e ON d.source = e.source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN exposure_u > 4000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_at_risk,
+       |  CAST(max(exposure_u) AS BIGINT) AS max_exposure_u,
+       |  CAST(sum(exposure_u) AS BIGINT) AS total_exposure_u
+       |FROM expo GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q118
   /** EXACT-SUBSTRING DECONTAMINATION — the long-window verbatim gate
     * run alongside q73's 3-gram overlap: flag every training document
@@ -2856,6 +2926,7 @@ object Dedup {
     "q119_contamination_triage" -> (q119 _),
     "q116_split_leakage" -> (q116 _),
     "q133_split_repair"  -> (q133 _),
+    "q138_repetition_exposure" -> (q138 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -2890,6 +2961,7 @@ object Dedup {
     "q119_contamination_triage" -> q119Sql,
     "q116_split_leakage" -> q116Sql,
     "q133_split_repair"  -> q133Sql,
+    "q138_repetition_exposure" -> q138Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,

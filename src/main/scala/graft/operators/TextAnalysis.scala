@@ -1671,7 +1671,10 @@ object TextAnalysis {
     * Scale posture: one scan → per-source partial-aggregable token
     * sums (sources-sized), a single-row total broadcast back — the
     * allocator itself is free at any corpus size. */
-  private def q103(spark: SparkSession, dir: String): DataFrame = {
+  /** q103's allocation frame (source, w_milli, avail_tokens,
+    * target_tokens, epochs_u) — factored so the repetition-exposure
+    * audit (q138) reads the SAME allocator the epoch plan publishes. */
+  private[operators] def epochAlloc(spark: SparkSession, dir: String): DataFrame = {
     val avail = Tables.documents(spark, dir)
       .withColumn("w_milli", mixWMilli)
       .groupBy(col("source"), col("w_milli"))
@@ -1686,14 +1689,12 @@ object TextAnalysis {
         floor(lit(1000000.0) * col("target_tokens").cast(DoubleType) /
           col("avail_tokens").cast(DoubleType)).cast("long"))
       .select(col("source"), col("w_milli"), col("avail_tokens"),
-        col("target_tokens"), col("epochs_u"),
-        (col("epochs_u") > 1000000L).as("needs_upsample"),
-        (col("epochs_u") > 4000000L).as("over_repeat"))
-      .orderBy(col("source"))
+        col("target_tokens"), col("epochs_u"))
   }
 
-  private val q103Sql =
-    s"""WITH avail AS (
+  /** SQL twin of [[epochAlloc]]: CTE chain ending in `ealloc`. */
+  private[operators] val epochAllocSqlCtes =
+    s"""avail AS (
        |  SELECT source, ${mixWMilliSql("source")} AS w_milli,
        |    CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS avail_tokens
        |  FROM documents GROUP BY 1, 2),
@@ -1703,17 +1704,27 @@ object TextAnalysis {
        |  SELECT source, w_milli, avail_tokens,
        |    CAST(((2 * m * w_milli) - ((2 * m * w_milli) % wsum)) / wsum
        |      AS BIGINT) AS target_tokens
-       |  FROM avail, tot)
-       |SELECT source, w_milli, avail_tokens, target_tokens,
-       |  CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
-       |    CAST(avail_tokens AS DOUBLE)) AS BIGINT) AS epochs_u,
-       |  CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
-       |    CAST(avail_tokens AS DOUBLE)) AS BIGINT) > 1000000
-       |    AS needs_upsample,
-       |  CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
-       |    CAST(avail_tokens AS DOUBLE)) AS BIGINT) > 4000000
-       |    AS over_repeat
-       |FROM alloc
+       |  FROM avail, tot),
+       |ealloc AS (
+       |  SELECT source, w_milli, avail_tokens, target_tokens,
+       |    CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE) /
+       |      CAST(avail_tokens AS DOUBLE)) AS BIGINT) AS epochs_u
+       |  FROM alloc)""".stripMargin
+
+  private def q103(spark: SparkSession, dir: String): DataFrame =
+    epochAlloc(spark, dir)
+      .select(col("source"), col("w_milli"), col("avail_tokens"),
+        col("target_tokens"), col("epochs_u"),
+        (col("epochs_u") > 1000000L).as("needs_upsample"),
+        (col("epochs_u") > 4000000L).as("over_repeat"))
+      .orderBy(col("source"))
+
+  private val q103Sql =
+    s"""WITH $epochAllocSqlCtes
+       |SELECT source, w_milli, avail_tokens, target_tokens, epochs_u,
+       |  epochs_u > 1000000 AS needs_upsample,
+       |  epochs_u > 4000000 AS over_repeat
+       |FROM ealloc
        |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q104
