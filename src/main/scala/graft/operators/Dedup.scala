@@ -2372,6 +2372,126 @@ object Dedup {
        |FROM expo GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** DELETION-PROPAGATION AUDIT — the right-to-be-forgotten cascade: a
+    * takedown/opt-out list doesn't just delete rows, it invalidates
+    * every DERIVED artifact that embeds those rows, and the compliance
+    * question is always "what else must change?". For a deterministic
+    * deletion set ([[DeleteMod]]: `doc_id % 23 == 0`, standing in for
+    * the uploaded id list — a real run broadcasts the list, same
+    * plan), one row quantifying the full blast radius:
+    *
+    *  - `n_deleted` — corpus rows to drop;
+    *  - `n_clusters_touched` — dedup components losing ≥ 1 member
+    *    (their size bands in q110, soft weights in q123 and exposure
+    *    in q138 all shift);
+    *  - `n_handoffs` — clusters whose CANONICAL doc (the CC label =
+    *    component min, the keeper in q60's decision table) is deleted
+    *    while members survive: the keep/canonical table must re-elect
+    *    (deterministically: the next-smallest surviving id);
+    *  - `n_dissolved` — clusters erased entirely;
+    *  - `n_chunks_purged` — q104 chunk-table rows to delete from the
+    *    RAG store (chunk_md5s may be shared with surviving docs — the
+    *    md5-keyed store purges BY doc_id, exactly these rows);
+    *  - `n_vectors_purged` — embedding rows on q97's audited
+    *    vec_id↔doc_id relation;
+    *  - `n_shard_cells_touched` — (epoch, shard) cells of q111's plan
+    *    containing ≥ 1 deleted doc: the training shards to rewrite.
+    *
+    * Scale posture: the deletion flag is a per-row predicate (a real
+    * list is a broadcast semi join); the cluster legs ride the
+    * MEMOIZED CC labels and aggregate the cluster-mass-sized label
+    * table; chunks are counted by q104's closed-form n_chunks (no
+    * chunk-row explosion — count ≠ materialize); vectors are one
+    * id-keyed join (co-located under id bucketing, `BucketingSpec`);
+    * shard cells are a ≤ epochs·shards distinct over the deleted
+    * slice only. Everything partial-aggregable into ONE output row. */
+  val DeleteMod = 23
+  private def q139(spark: SparkSession, dir: String): DataFrame = {
+    val C = 32L; val S = 24L
+    val docs = Tables.documents(spark, dir)
+    val deleted = docs.filter(col("doc_id") % DeleteMod === 0)
+    val labels = ccLabels(spark, dir)
+    val clusters = labels
+      .withColumn("del", (col("id") % DeleteMod === 0).cast("long"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("sz"), sum(col("del")).as("n_del"))
+      .filter(col("n_del") > 0L)
+      .agg(count(lit(1)).as("n_clusters_touched"),
+        sum(when(col("lbl") % DeleteMod === 0 && col("n_del") < col("sz"),
+          1L).otherwise(0L)).as("n_handoffs"),
+        sum(when(col("n_del") === col("sz"), 1L).otherwise(0L))
+          .as("n_dissolved"))
+    val n = size(tokens(col("text"))).cast("long")
+    val m = n + (S - 1 - C)
+    val chunkCounts = deleted
+      .select(when(n <= C, 1L)
+        .otherwise(((m - m % S) / S).cast("long") + 1L).as("nc"))
+      .agg(count(lit(1)).as("n_deleted"), sum(col("nc")).as("n_chunks_purged"))
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(deleted.select(col("doc_id")), col("vec_id") === col("doc_id"))
+      .agg(count(lit(1)).as("n_vectors_purged"))
+    val cells = deleted
+      .select(col("doc_id"), TextAnalysis.epochFan().as("epoch"))
+      .select(col("epoch"),
+        TextAnalysis.shardAssign(col("doc_id"), col("epoch")).as("shard"))
+      .distinct()
+      .agg(count(lit(1)).as("n_shard_cells_touched"))
+    // coalesce: every leg must report 0, not NULL, on an empty
+    // deletion set (sum over zero rows is NULL in both engines).
+    chunkCounts.crossJoin(broadcast(clusters))
+      .crossJoin(broadcast(vecs))
+      .crossJoin(broadcast(cells))
+      .select(col("n_deleted"), col("n_clusters_touched"),
+        coalesce(col("n_handoffs"), lit(0L)).as("n_handoffs"),
+        coalesce(col("n_dissolved"), lit(0L)).as("n_dissolved"),
+        coalesce(col("n_chunks_purged"), lit(0L)).as("n_chunks_purged"),
+        col("n_vectors_purged"), col("n_shard_cells_touched"))
+  }
+
+  private lazy val q139Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |cl AS (
+       |  SELECT lbl, count(*) AS sz,
+       |    CAST(sum(CASE WHEN id % $DeleteMod = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_del
+       |  FROM labels GROUP BY lbl),
+       |clrep AS (
+       |  SELECT count(*) AS n_clusters_touched,
+       |    CAST(sum(CASE WHEN lbl % $DeleteMod = 0 AND n_del < sz
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_handoffs,
+       |    CAST(sum(CASE WHEN n_del = sz THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dissolved
+       |  FROM cl WHERE n_del > 0),
+       |dd AS (
+       |  SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % $DeleteMod = 0),
+       |ck AS (
+       |  SELECT count(*) AS n_deleted,
+       |    CAST(sum(CASE WHEN n <= 32 THEN 1
+       |      ELSE CAST(((n - 9) - ((n - 9) % 24)) / 24 AS BIGINT) + 1 END)
+       |      AS BIGINT) AS n_chunks_purged
+       |  FROM dd),
+       |vp AS (
+       |  SELECT count(*) AS n_vectors_purged
+       |  FROM embeddings e JOIN dd ON e.vec_id = dd.doc_id),
+       |sc AS (
+       |  SELECT count(*) AS n_shard_cells_touched FROM (
+       |    SELECT DISTINCT epoch,
+       |      ${md5u32Sql(
+      "(CAST(doc_id AS VARCHAR) || '#ep' || CAST(epoch AS VARCHAR))")}
+       |        % ${TextAnalysis.ShuffleShards} AS shard
+       |    FROM (SELECT doc_id,
+       |            unnest(range(0, ${TextAnalysis.ShuffleEpochs})) AS epoch
+       |          FROM dd)))
+       |SELECT ck.n_deleted, clrep.n_clusters_touched,
+       |  COALESCE(clrep.n_handoffs, 0) AS n_handoffs,
+       |  COALESCE(clrep.n_dissolved, 0) AS n_dissolved,
+       |  COALESCE(ck.n_chunks_purged, 0) AS n_chunks_purged,
+       |  vp.n_vectors_purged, sc.n_shard_cells_touched
+       |FROM ck, clrep, vp, sc""".stripMargin
+
   // ---------------------------------------------------------------- q118
   /** EXACT-SUBSTRING DECONTAMINATION — the long-window verbatim gate
     * run alongside q73's 3-gram overlap: flag every training document
@@ -2927,6 +3047,7 @@ object Dedup {
     "q116_split_leakage" -> (q116 _),
     "q133_split_repair"  -> (q133 _),
     "q138_repetition_exposure" -> (q138 _),
+    "q139_deletion_cascade" -> (q139 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -2962,6 +3083,7 @@ object Dedup {
     "q116_split_leakage" -> q116Sql,
     "q133_split_repair"  -> q133Sql,
     "q138_repetition_exposure" -> q138Sql,
+    "q139_deletion_cascade" -> q139Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
