@@ -2492,6 +2492,50 @@ object Dedup {
        |  vp.n_vectors_purged, sc.n_shard_cells_touched
        |FROM ck, clrep, vp, sc""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** CANONICAL RE-ELECTION TABLE — the actionable half of q139's
+    * `n_handoffs` count: for every cluster whose canonical document is
+    * in the deletion set while members survive, the row the
+    * keep/canonical store (q60's decision table) must apply — old
+    * canonical, new canonical, surviving membership. The new canonical
+    * is the MINIMUM SURVIVING id: the same deterministic election rule
+    * the CC fixpoint used in the first place (component min), so after
+    * applying these rows the decision table looks exactly as if the
+    * deleted docs had never existed — no quality-score tie-breaks, no
+    * engine-varying choice. Row count == q139's `n_handoffs` by
+    * construction (cross-checked in `DeletionCascadeSpec`).
+    *
+    * Scale posture: one partial-aggregable groupBy over the MEMOIZED
+    * cluster-mass-sized CC label table (the conditional min/sum fold
+    * into the same pass), then a filter — no corpus scan at all; the
+    * output is handoff-sized (a tiny fraction of clusters). */
+  private def q140(spark: SparkSession, dir: String): DataFrame = {
+    val surv = col("id") % DeleteMod =!= 0
+    ccLabels(spark, dir)
+      .groupBy(col("lbl"))
+      .agg(min(when(surv, col("id"))).as("new_canonical"),
+        sum(when(surv, 1L).otherwise(0L)).as("n_survivors"),
+        count(lit(1)).as("cluster_size"))
+      .filter(col("lbl") % DeleteMod === 0 && col("n_survivors") > 0L)
+      .select(col("lbl").as("old_canonical"), col("new_canonical"),
+        col("n_survivors"), col("cluster_size"))
+      .orderBy(col("old_canonical"))
+  }
+
+  private lazy val q140Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |re AS (
+       |  SELECT lbl,
+       |    min(CASE WHEN id % $DeleteMod <> 0 THEN id END) AS new_canonical,
+       |    CAST(sum(CASE WHEN id % $DeleteMod <> 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_survivors,
+       |    count(*) AS cluster_size
+       |  FROM labels GROUP BY lbl)
+       |SELECT lbl AS old_canonical, new_canonical, n_survivors, cluster_size
+       |FROM re WHERE lbl % $DeleteMod = 0 AND n_survivors > 0
+       |ORDER BY old_canonical""".stripMargin
+
   // ---------------------------------------------------------------- q118
   /** EXACT-SUBSTRING DECONTAMINATION — the long-window verbatim gate
     * run alongside q73's 3-gram overlap: flag every training document
@@ -3048,6 +3092,7 @@ object Dedup {
     "q133_split_repair"  -> (q133 _),
     "q138_repetition_exposure" -> (q138 _),
     "q139_deletion_cascade" -> (q139 _),
+    "q140_canonical_handoff" -> (q140 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -3084,6 +3129,7 @@ object Dedup {
     "q133_split_repair"  -> q133Sql,
     "q138_repetition_exposure" -> q138Sql,
     "q139_deletion_cascade" -> q139Sql,
+    "q140_canonical_handoff" -> q140Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,

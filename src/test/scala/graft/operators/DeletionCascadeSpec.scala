@@ -57,6 +57,14 @@ class DeletionCascadeSpec extends AnyFunSuite with SparkSpec with Matchers {
       id <- Seq(0L, 23L, 46L, 69L); ep <- 0L until 4L
     } yield (ep, graft.pipeline.HashScorer.md5u32(s"$id#ep$ep") % 32L)).toSet
     row.getLong(6) shouldBe expectCells.size.toLong
+
+    // q140's re-election table IS the handoff set: exactly cluster A,
+    // re-elected to its minimum surviving id.
+    val handoffs = SparkEntry.queries("q140_canonical_handoff")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    handoffs shouldBe Array((0L, 5L, 2L, 3L))
+    handoffs.length.toLong shouldBe row.getLong(2)
   }
 
   test("with nothing deleted in range the audit is all zeros") {
