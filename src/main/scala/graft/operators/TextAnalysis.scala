@@ -1267,6 +1267,159 @@ object TextAnalysis {
        |ORDER BY xent_u DESC, lang, doc_id
        |LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** BIGRAM SURPRISAL — the phrase-level LM score q87's unigram model
+    * is structurally blind to: a word-salad document (every unigram
+    * common, every ADJACENCY rare) scores exactly like natural prose
+    * under q87, because unigram cross-entropy is invariant under token
+    * shuffling. The bigram model scores the transitions:
+    * S(w₂|w₁) = c(w₁w₂)/ctx(w₁) with ctx(w₁) = Σ_w c(w₁w) (the
+    * context-occurrence normalizer, so S is a proper conditional), and
+    * a document's score is its mean −ln S over bigram occurrences —
+    * q87's exact micro-nat recipe one order up. Worst 15 surface, the
+    * triage view. Serving new documents against this table as a FROZEN
+    * artifact uses Stupid Backoff (Brants et al. 2007: α·c(w)/N for
+    * unseen bigrams — inside the corpus every bigram is its own
+    * evidence, so the backoff branch fires only on out-of-corpus
+    * text, i.e. the streaming side; spec-pinned in
+    * `BigramLmSpec`).
+    *
+    * Scale posture: ONE bigram explode is the finest aggregate; corpus
+    * counts and context counts both re-aggregate it (never a second
+    * corpus scan). All joins are (lang, bigram)/(lang, w1)-keyed
+    * uniform-hash shuffles against vocabulary-sized count frames —
+    * nothing broadcasts that grows with the corpus, and the final
+    * per-doc frame is partial-aggregable into TakeOrderedAndProject. */
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    val bgs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(ngramOccurrences(col("text"), 2)).as("bg"))
+    val btf = bgs.groupBy(col("lang"), col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val bc = btf.groupBy(col("lang"), col("bg"))
+      .agg(sum(col("tf")).as("cnt"))
+    val ctx = bc
+      .groupBy(col("lang"), element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cnt")).as("ctx"))
+    btf.join(bc, Seq("lang", "bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(ctx, Seq("lang", "w1"))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("tf").cast(DoubleType) *
+          log(col("ctx").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          .cast("long"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("sum_u"), sum(col("tf")).as("n_bigrams"))
+      .withColumn("xent2_u",
+        floor(col("sum_u").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .cast("long"))
+      .select(col("lang"), col("doc_id"), col("n_bigrams"), col("xent2_u"))
+      .orderBy(col("xent2_u").desc, col("lang"), col("doc_id"))
+      .limit(15)
+  }
+
+  private lazy val q141Sql =
+    s"""WITH bgs AS (
+       |  SELECT lang, doc_id, unnest(${ngramOccurrencesSql("text", 2)}) AS bg
+       |  FROM documents),
+       |btf AS (SELECT lang, doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2, 3),
+       |bc AS (SELECT lang, bg, CAST(sum(tf) AS BIGINT) AS cnt
+       |       FROM btf GROUP BY 1, 2),
+       |ctx AS (SELECT lang, string_split(bg, ' ')[1] AS w1,
+       |          CAST(sum(cnt) AS BIGINT) AS ctx
+       |        FROM bc GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT b.lang, b.doc_id,
+       |    CAST(floor(1000000.0 * CAST(b.tf AS DOUBLE) *
+       |      ln(CAST(x.ctx AS DOUBLE) / CAST(c.cnt AS DOUBLE))) AS BIGINT)
+       |      AS contrib_u,
+       |    b.tf
+       |  FROM btf b
+       |  JOIN bc c ON b.lang = c.lang AND b.bg = c.bg
+       |  JOIN ctx x ON b.lang = x.lang AND string_split(b.bg, ' ')[1] = x.w1),
+       |per_doc AS (
+       |  SELECT lang, doc_id,
+       |    CAST(sum(contrib_u) AS BIGINT) AS sum_u,
+       |    CAST(sum(tf) AS BIGINT) AS n_bigrams
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT lang, doc_id, n_bigrams,
+       |  CAST(floor(CAST(sum_u AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+       |    AS BIGINT) AS xent2_u
+       |FROM per_doc
+       |ORDER BY xent2_u DESC, lang, doc_id
+       |LIMIT 15""".stripMargin
+
+  /** The frozen bigram-LM artifact for serving-side scoring:
+    * (bigram counts, context counts, unigram counts, per-lang totals)
+    * — the four tables q141's in-corpus score derives implicitly,
+    * materialized once from the blessed corpus and shipped like the
+    * quality gate's LM or the DSIR log-ratio table. */
+  private[graft] def bigramLmTables(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("ucnt"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("ucnt")).as("total_l"))
+    val bc = docs
+      .select(col("lang"), explode(ngramOccurrences(col("text"), 2)).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val ctx = bc
+      .groupBy(col("lang"), element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cnt")).as("ctx"))
+    (bc, ctx, uni, tot)
+  }
+
+  /** Stupid-Backoff bigram scoring of an ARBITRARY batch against a
+    * frozen LM (Brants et al. 2007): seen bigram → −ln S =
+    * ln(ctx(w₁)/c(w₁w₂)); unseen bigram → the α = 0.4 backoff to the
+    * unigram, −ln(0.4·c(w₂)/N) = ln(2.5·N/c(w₂)), with an OOV floor
+    * of one pseudo-occurrence for words the LM has never seen. Inside
+    * the training corpus the backoff branch never fires and this
+    * reproduces q141 row-for-row (spec-pinned) — the branch exists
+    * for the ingest side, where new text routinely contains novel
+    * adjacencies. Emits per doc: n_bigrams, n_backoff (the novelty
+    * diagnostic), xent2_u.
+    *
+    * Scale posture: same uniform-key joins as q141 plus one broadcast
+    * lang-totals join; LM tables are frozen artifacts (read-side
+    * scans, never rebuilt per batch). */
+  private[graft] def bigramScoreOver(batch: DataFrame, bc: DataFrame,
+      ctx: DataFrame, uni: DataFrame, tot: DataFrame): DataFrame = {
+    val btf = batch
+      .select(col("lang"), col("doc_id"),
+        explode(ngramOccurrences(col("text"), 2)).as("bg"))
+      .groupBy(col("lang"), col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    btf
+      .join(bc, Seq("lang", "bg"), "left")
+      .join(ctx, Seq("lang", "w1"), "left")
+      .join(uni.select(col("lang"), col("w").as("w2"), col("ucnt")),
+        Seq("lang", "w2"), "left")
+      .join(broadcast(tot), Seq("lang"), "left")
+      .withColumn("nl",
+        when(col("cnt").isNotNull,
+          log(col("ctx").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          .otherwise(log(lit(2.5) *
+            coalesce(col("total_l"), lit(1L)).cast(DoubleType) /
+            coalesce(col("ucnt"), lit(1L)).cast(DoubleType))))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("tf").cast(DoubleType) * col("nl"))
+          .cast("long"))
+      .withColumn("backoff_tf",
+        when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("sum_u"), sum(col("tf")).as("n_bigrams"),
+        sum(col("backoff_tf")).as("n_backoff"))
+      .withColumn("xent2_u",
+        floor(col("sum_u").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .cast("long"))
+      .select(col("lang"), col("doc_id"), col("n_bigrams"),
+        col("n_backoff"), col("xent2_u"))
+  }
+
   // ---------------------------------------------------------------- q89
   /** COMPOSITE QUALITY GATE — the per-document ADMIT/REJECT decision
     * table of a streaming-ingest curation pipeline, composing three
@@ -2808,6 +2961,7 @@ object TextAnalysis {
     "q95_source_quality" -> (q95 _),
     "q86_bm25"        -> (q86 _),
     "q87_lm_quality"  -> (q87 _),
+    "q141_bigram_lm"  -> (q141 _),
     "q80_repetition"  -> (q80 _),
     "q81_boilerplate" -> (q81 _),
     "q83_split_assign" -> (q83 _),
@@ -2852,6 +3006,7 @@ object TextAnalysis {
     "q95_source_quality" -> q95Sql,
     "q86_bm25"        -> q86Sql,
     "q87_lm_quality"  -> q87Sql,
+    "q141_bigram_lm"  -> q141Sql,
     "q80_repetition"  -> q80Sql,
     "q81_boilerplate" -> q81Sql,
     "q83_split_assign" -> q83Sql,
