@@ -2407,18 +2407,32 @@ object Dedup {
     * shard cells are a ≤ epochs·shards distinct over the deleted
     * slice only. Everything partial-aggregable into ONE output row. */
   val DeleteMod = 23
-  private def q139(spark: SparkSession, dir: String): DataFrame = {
+
+  /** q139's cascade for an ARBITRARY deletion-id frame — the streaming
+    * tombstone monitor scores each accumulated takedown list through
+    * exactly this code, so batch audit and ingest monitor cannot
+    * diverge. `delIds` is a single-column (doc_id) frame, takedown-
+    * list-sized — broadcast-able by nature. The canonical-deleted test
+    * is the membership flag OF THE LABEL MEMBER (`id == lbl` row),
+    * equivalent to testing the label id itself since the label is
+    * always a member of its component. */
+  private[graft] def deletionCascadeOver(spark: SparkSession, dir: String,
+      delIds: DataFrame): DataFrame = {
     val C = 32L; val S = 24L
-    val docs = Tables.documents(spark, dir)
-    val deleted = docs.filter(col("doc_id") % DeleteMod === 0)
+    val del = broadcast(delIds.select(col("doc_id").as("del_id")).distinct())
+    val deleted = Tables.documents(spark, dir)
+      .join(del, col("doc_id") === col("del_id"))
     val labels = ccLabels(spark, dir)
     val clusters = labels
-      .withColumn("del", (col("id") % DeleteMod === 0).cast("long"))
+      .join(del, col("id") === col("del_id"), "left")
+      .withColumn("del", when(col("del_id").isNotNull, 1L).otherwise(0L))
       .groupBy(col("lbl"))
-      .agg(count(lit(1)).as("sz"), sum(col("del")).as("n_del"))
+      .agg(count(lit(1)).as("sz"), sum(col("del")).as("n_del"),
+        sum(when(col("id") === col("lbl"), col("del")).otherwise(0L))
+          .as("lbl_del"))
       .filter(col("n_del") > 0L)
       .agg(count(lit(1)).as("n_clusters_touched"),
-        sum(when(col("lbl") % DeleteMod === 0 && col("n_del") < col("sz"),
+        sum(when(col("lbl_del") === 1L && col("n_del") < col("sz"),
           1L).otherwise(0L)).as("n_handoffs"),
         sum(when(col("n_del") === col("sz"), 1L).otherwise(0L))
           .as("n_dissolved"))
@@ -2448,6 +2462,11 @@ object Dedup {
         coalesce(col("n_chunks_purged"), lit(0L)).as("n_chunks_purged"),
         col("n_vectors_purged"), col("n_shard_cells_touched"))
   }
+
+  private def q139(spark: SparkSession, dir: String): DataFrame =
+    deletionCascadeOver(spark, dir,
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .filter(col("doc_id") % DeleteMod === 0))
 
   private lazy val q139Sql =
     s"""WITH RECURSIVE
