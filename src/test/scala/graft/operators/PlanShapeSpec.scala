@@ -459,6 +459,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan("q07_window_topk") should include("Window")
   }
 
+  test("q137: IVF-PQ rides broadcast centroid/codebook/LUT joins and " +
+      "hash aggregates — no Cartesian product, no corpus-side sort agg") {
+    val p = plan("q137_ivfpq_adc")
+    p should include("BroadcastHashJoin")   // cell means, rcodebook, LUT
+    p should include("ObjectHashAggregate") // graft_argmin encode
+    p should not include "CartesianProduct"
+  }
+
+  test("q138/q139/q140: the deletion/exposure family rides the memoized " +
+      "CC label leaf and id-keyed joins — no Cartesian product") {
+    SparkEntry.queries("q56_dedup_clusters")(spark, SparkSpec.Sf0001).collect()
+    Seq("q138_repetition_exposure", "q139_deletion_cascade",
+        "q140_canonical_handoff").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        p should not include "CartesianProduct"
+        p should include("Scan ExistingRDD") // the lineage-cut label leaf
+      }
+    }
+  }
+
+  test("q141: bigram LM is hash-keyed count joins into " +
+      "TakeOrderedAndProject — no Window, no Cartesian product") {
+    val p = plan("q141_bigram_lm")
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
