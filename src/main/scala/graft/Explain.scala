@@ -86,7 +86,16 @@ object Explain {
     "q129_banding_recall" -> "the audit population is the df-capped rare-shingle candidate set (bounded, never all-pairs); signatures come from the memoized minhashSig table via two id-keyed joins, the band-hit test is 16 int64 equality comparisons at projection position, and the report is one <=3-row groupBy - the S-curve theory column is a JVM literal, so the plan carries no pow()",
     "q130_ivf_cell_profile" -> "rides the factored ivfAssigned pass (broadcast codebook + ObjectHashAggregate argmax - the identical plan q44 serves from); the profile adds ONE K-cell partial-aggregable groupBy, a generated domain left join for empty cells, and a single-row totals broadcast - the report is codebook-sized at any corpus scale",
     "q131_vocab_coverage" -> "the per-(source, token) count is the shared corpus-sized aggregate (q101/q128's frame); the corpus marginal and its top-K rank window run over the VOCABULARY-sized frame only, the K-row vocab broadcasts into a vocab-vs-vocab left join, and the report is one sources-sized groupBy - at 100 TB the vocab is a frozen shipped artifact and pass 1 disappears",
-    "q132_span_severity" -> "q118's broadcast-eval shape with window POSITIONS kept (8 bytes more per window, still no training-side shuffle before the per-doc work); the gaps-and-islands row_number window partitions by doc_id over HIT rows only - flagged-docs-sized, not corpus-sized - and both aggregates above it are partial-aggregable over the same tiny set")
+    "q132_span_severity" -> "q118's broadcast-eval shape with window POSITIONS kept (8 bytes more per window, still no training-side shuffle before the per-doc work); the gaps-and-islands row_number window partitions by doc_id over HIT rows only - flagged-docs-sized, not corpus-sized - and both aggregates above it are partial-aggregable over the same tiny set",
+    "q133_split_repair" -> "rides the memoized CC label leaf (lineage-cut ExistingRDD); the repair is two id-keyed joins of the cluster-mass-sized label table against a narrow (doc_id, split) projection plus a broadcast-able canonical lookup, and the cross-tab is one <=9-cell partial-aggregable groupBy",
+    "q134_topk_agg" -> "the rank-pruned top-k contrast to q07's window plan: ObjectHashAggregate with map-side combine collapses each customer to a <=3-element bounded heap BEFORE the shuffle (<=3*n_customers rows cross the wire), nothing sorts the input - q07's window form shuffles and sorts every fact row",
+    "q135_pq_codes" -> "the PQ encode is one broadcast S*K-codebook join fanned into the hash-aggregable graft_argmin (ObjectHashAggregate, map-side combine - q44's assignment shape, never a window sort); the report groupBy is <=S*K cells, partial-aggregable; no corpus self-join anywhere",
+    "q136_pq_adc_recall" -> "the LUT (queries x S*K exact partial d2) broadcasts by construction - per-query work against the codebook happens once, then the corpus scan reads 4-byte code rows through one broadcast join into a partial-aggregable per-(query, vector) sum; the exact leg is q38's broadcast shape (runs on a query sample at 100 TB)",
+    "q137_ivfpq_adc" -> "the full IVF-PQ composition: 10-row floor-mean centroids broadcast into a stateless residual pass (vectors never shuffle), q135's broadcast-join + hash-argmin encode over residuals, and a cell-tagged broadcast LUT join so ADC scores only the probed cell's code rows; the full-corpus exact leg is the audit's reference and runs on a query sample at scale",
+    "q138_repetition_exposure" -> "exposure = epochs x copies over the memoized CC label leaf and the broadcast source-count allocator frame; one doc_id-keyed left join + one per-source partial-aggregable groupBy are the only corpus-sized operations",
+    "q139_deletion_cascade" -> "the blast radius is four independent bounded legs crossJoined as single-row broadcasts: cluster leg aggregates the memoized label table, chunk leg counts by closed form (no chunk-row explosion), vector leg is one id-keyed join, shard leg a <=epochs*shards distinct over the deleted slice only",
+    "q140_canonical_handoff" -> "one partial-aggregable conditional-min/sum groupBy over the memoized cluster-mass-sized CC label table, then a filter - no corpus scan in the plan at all; output is handoff-sized",
+    "q141_bigram_lm" -> "ONE bigram explode is the finest aggregate; corpus counts and context counts re-aggregate it (no second corpus scan), all joins are (lang, bigram)/(lang, w1)-keyed uniform-hash shuffles against vocabulary-sized frames, and the worst-15 report is TakeOrderedAndProject - no Window over the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
