@@ -2968,18 +2968,13 @@ object Dedup {
       .orderBy(col("j_band"))
   }
 
-  private lazy val q129Sql = {
+  /** The exact-Jaccard reference-pair + signature CTE chain shared by
+    * q129's recall audit and q142's parameter sweep (ends at `pairs` +
+    * `sig`). */
+  private lazy val bandingAuditSqlCtes = {
     val mins = (0 until MinHashK)
       .map(i => s"min(${permSql(i, "s")}) AS m$i").mkString(",\n    ")
-    val bandHit = (0 until LshBands).map { b =>
-      (0 until LshRows)
-        .map(r => s"sa.m${b * LshRows + r} = sb.m${b * LshRows + r}")
-        .mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-    val theory = (1L to 3L)
-      .map(jb => s"WHEN $jb THEN ${BandRecallTheoryU(jb)}")
-      .mkString("CASE j_band ", " ", " ELSE 0 END")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, ${shinglesSql("text")} AS ss
        |  FROM documents),
        |post AS (SELECT doc_id, ${md5u32Sql("w")} AS s
@@ -3006,7 +3001,19 @@ object Dedup {
        |sig AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM post GROUP BY doc_id),
+       |  FROM post GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val q129Sql = {
+    val bandHit = (0 until LshBands).map { b =>
+      (0 until LshRows)
+        .map(r => s"sa.m${b * LshRows + r} = sb.m${b * LshRows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val theory = (1L to 3L)
+      .map(jb => s"WHEN $jb THEN ${BandRecallTheoryU(jb)}")
+      .mkString("CASE j_band ", " ", " ELSE 0 END")
+    s"""WITH $bandingAuditSqlCtes,
        |flagged AS (
        |  SELECT least(3, CAST(floor(jaccard * 4.0) AS BIGINT)) AS j_band,
        |    CASE WHEN $bandHit THEN 1 ELSE 0 END AS caught
@@ -3021,6 +3028,107 @@ object Dedup {
        |  $theory AS theory_u
        |FROM flagged GROUP BY j_band
        |ORDER BY j_band""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q142
+  /** BANDING PARAMETER SWEEP — the tuning table behind q129's
+    * single-configuration audit: the SAME 16 stored permutations
+    * regrouped as every power-of-two (bands × rows) split — 16×1,
+    * 8×2, 4×4 (production), 2×8, 1×16 — each measured against the
+    * exact-Jaccard reference pairs per J band, next to its theoretical
+    * S-curve 1−(1−J^r)^b. This is the table a dedup-tuning session
+    * actually reads: more bands ⇒ higher recall AND more candidate
+    * pairs to verify (16×1 is "any perm agrees" — near-total recall,
+    * maximal verify load), fewer bands ⇒ the opposite cliff; the sweep
+    * shows where measured recall falls off the theory curve for THIS
+    * corpus, without re-sketching anything (regrouping is free — a
+    * real retune only rewrites the band-bucket join keys).
+    *
+    * Scale posture: identical population to q129 (df-capped reference
+    * pairs — bounded, never all-pairs; signatures from the shared
+    * 16-perm aggregate via two id-keyed joins); the sweep adds a
+    * 5-struct explode per pair (constant fan-out) into one
+    * ≤ 15-cell partial-aggregable groupBy; theory is JVM literals, no
+    * pow() in either plan. */
+  private val SweepConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  private def sweepTheoryU(bands: Int, rows: Int, jb: Long): Long = {
+    val mid = 0.25 * jb + 0.125
+    math.floor(1000000.0 *
+      (1.0 - math.pow(1.0 - math.pow(mid, rows), bands))).toLong
+  }
+
+  private def q142(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val sa = sig.toDF("a_doc" +: (0 until MinHashK).map(i => s"a_m$i"): _*)
+    val sb = sig.toDF("b_doc" +: (0 until MinHashK).map(i => s"b_m$i"): _*)
+    def hitFor(bands: Int, rows: Int): Column =
+      (0 until bands).map { b =>
+        (0 until rows)
+          .map(r => col(s"a_m${b * rows + r}") === col(s"b_m${b * rows + r}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+    val sweep = array(SweepConfigs.map { case (b, r) =>
+      struct(lit(b.toLong).as("n_bands"), lit(r.toLong).as("n_rows"),
+        when(hitFor(b, r), 1L).otherwise(0L).as("caught"))
+    }: _*)
+    val theory = SweepConfigs.flatMap { case (b, r) =>
+      (1L to 3L).map(jb => ((b, jb), sweepTheoryU(b, r, jb)))
+    }.foldLeft(lit(0L)) { case (acc, ((b, jb), t)) =>
+      when(col("n_bands") === b && col("j_band") === jb, lit(t)).otherwise(acc)
+    }
+    jaccardScoredPairs(spark, dir)
+      .filter(col("jaccard") >= 0.25)
+      .join(sa, col("doc_a") === col("a_doc"))
+      .join(sb, col("doc_b") === col("b_doc"))
+      .withColumn("j_band",
+        least(lit(3L), floor(col("jaccard") * 4.0).cast("long")))
+      .select(col("j_band"), explode(sweep).as("c"))
+      .groupBy(col("c.n_bands").as("n_bands"), col("c.n_rows").as("n_rows"),
+        col("j_band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c.caught")).as("n_caught"))
+      .withColumn("recall_u",
+        floor(lit(1000000.0) * col("n_caught").cast(DoubleType) /
+          col("n_pairs").cast(DoubleType)).cast("long"))
+      .withColumn("theory_u", theory)
+      .orderBy(col("n_bands"), col("j_band"))
+  }
+
+  private lazy val q142Sql = {
+    def hitSql(bands: Int, rows: Int): String =
+      (0 until bands).map { b =>
+        (0 until rows)
+          .map(r => s"sa.m${b * rows + r} = sb.m${b * rows + r}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+    val caughtCols = SweepConfigs.map { case (b, r) =>
+      s"CASE WHEN ${hitSql(b, r)} THEN 1 ELSE 0 END AS c_b$b"
+    }.mkString(",\n    ")
+    val arms = SweepConfigs.map { case (b, r) =>
+      s"SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS n_rows," +
+        s" j_band, c_b$b AS caught FROM flagged"
+    }.mkString("\n  UNION ALL ")
+    val theory = SweepConfigs.flatMap { case (b, r) =>
+      (1L to 3L).map(jb =>
+        s"WHEN n_bands = $b AND j_band = $jb THEN ${sweepTheoryU(b, r, jb)}")
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH $bandingAuditSqlCtes,
+       |flagged AS (
+       |  SELECT least(3, CAST(floor(jaccard * 4.0) AS BIGINT)) AS j_band,
+       |    $caughtCols
+       |  FROM pairs
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE jaccard >= 0.25),
+       |sw AS (
+       |  $arms)
+       |SELECT n_bands, n_rows, j_band, count(*) AS n_pairs,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  CAST(floor(1000000.0 * CAST(sum(caught) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS recall_u,
+       |  $theory AS theory_u
+       |FROM sw GROUP BY 1, 2, 3
+       |ORDER BY n_bands, j_band""".stripMargin
   }
 
   // ---------------------------------------------------------------- q132
@@ -3112,6 +3220,7 @@ object Dedup {
     "q138_repetition_exposure" -> (q138 _),
     "q139_deletion_cascade" -> (q139 _),
     "q140_canonical_handoff" -> (q140 _),
+    "q142_banding_sweep" -> (q142 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -3149,6 +3258,7 @@ object Dedup {
     "q138_repetition_exposure" -> q138Sql,
     "q139_deletion_cascade" -> q139Sql,
     "q140_canonical_handoff" -> q140Sql,
+    "q142_banding_sweep" -> q142Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
