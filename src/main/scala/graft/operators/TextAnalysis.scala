@@ -2785,6 +2785,62 @@ object TextAnalysis {
        |ORDER BY source, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT — the third member of the
+    * sampling family (q55 samples at a RATE, q127 takes fixed QUOTAS;
+    * this draws k documents with probability proportional to WEIGHT,
+    * here token mass): Efraimidis–Spirakis exponential keys
+    * (IPL 2006) made deterministic — u = (h+1)/2³², h the content-id
+    * hash, key = ln(u)/w, keep the k LARGEST keys. ln(u)/w is the
+    * standard monotone substitute for u^(1/w) (log of it, and pow is
+    * the one libm call whose cross-engine rounding is not trusted —
+    * ln and division are); heavier documents divide their negative
+    * ln(u) by a larger w, pulling the key toward 0. One pass, no
+    * coordination — at 100 TB the top-k is TakeOrderedAndProject
+    * (per-partition heaps, k rows to the driver), which is exactly
+    * how a distributed weighted sampler must run; the same keys are
+    * also the streaming reservoir's fold ([[graft.streaming
+    * .SampleStreams]]), so batch draw and stream draw agree on any
+    * prefix by construction.
+    *
+    * Determinism: the engine-portable md5 hash replaces the RNG (the
+    * q55/q75 admission-coin posture), so the "sample" is reproducible
+    * across engines, runs, and partitionings; ties break on doc_id. */
+  val SampleK = 20
+  private[graft] def sampleKey: Column = {
+    val u = (md5u32(concat(col("doc_id").cast("string"), lit("#wsample")))
+      + lit(1L)).cast(DoubleType) / lit(4294967296.0)
+    log(u) / size(tokens(col("text"))).cast(DoubleType)
+  }
+
+  private def q143(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        sampleKey.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(SampleK)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(lit(1000000.0) * col("skey")).cast("long").as("key_u"))
+      .orderBy(col("key_u").desc, col("doc_id"))
+
+  private lazy val q143Sql = {
+    val h = md5u32Sql("(CAST(doc_id AS VARCHAR) || '#wsample')")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    ln(CAST($h + 1 AS DOUBLE) / 4294967296.0) /
+       |      CAST(len(${tokensSql("text")}) AS DOUBLE) AS skey
+       |  FROM documents),
+       |top AS (
+       |  SELECT doc_id, source, n_tokens, skey
+       |  FROM keyed ORDER BY skey DESC, doc_id LIMIT $SampleK)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(1000000.0 * skey) AS BIGINT) AS key_u
+       |FROM top
+       |ORDER BY key_u DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q128
   /** PER-SOURCE UNIGRAM ENTROPY — the absolute complement of q101's
     * relative KL: each feed's Shannon entropy H = ln N − (Σ c·ln c)/N
@@ -2962,6 +3018,7 @@ object TextAnalysis {
     "q86_bm25"        -> (q86 _),
     "q87_lm_quality"  -> (q87 _),
     "q141_bigram_lm"  -> (q141 _),
+    "q143_weighted_sample" -> (q143 _),
     "q80_repetition"  -> (q80 _),
     "q81_boilerplate" -> (q81 _),
     "q83_split_assign" -> (q83 _),
@@ -3007,6 +3064,7 @@ object TextAnalysis {
     "q86_bm25"        -> q86Sql,
     "q87_lm_quality"  -> q87Sql,
     "q141_bigram_lm"  -> q141Sql,
+    "q143_weighted_sample" -> q143Sql,
     "q80_repetition"  -> q80Sql,
     "q81_boilerplate" -> q81Sql,
     "q83_split_assign" -> q83Sql,
