@@ -95,7 +95,9 @@ object Explain {
     "q138_repetition_exposure" -> "exposure = epochs x copies over the memoized CC label leaf and the broadcast source-count allocator frame; one doc_id-keyed left join + one per-source partial-aggregable groupBy are the only corpus-sized operations",
     "q139_deletion_cascade" -> "the blast radius is four independent bounded legs crossJoined as single-row broadcasts: cluster leg aggregates the memoized label table, chunk leg counts by closed form (no chunk-row explosion), vector leg is one id-keyed join, shard leg a <=epochs*shards distinct over the deleted slice only",
     "q140_canonical_handoff" -> "one partial-aggregable conditional-min/sum groupBy over the memoized cluster-mass-sized CC label table, then a filter - no corpus scan in the plan at all; output is handoff-sized",
-    "q141_bigram_lm" -> "ONE bigram explode is the finest aggregate; corpus counts and context counts re-aggregate it (no second corpus scan), all joins are (lang, bigram)/(lang, w1)-keyed uniform-hash shuffles against vocabulary-sized frames, and the worst-15 report is TakeOrderedAndProject - no Window over the corpus")
+    "q141_bigram_lm" -> "ONE bigram explode is the finest aggregate; corpus counts and context counts re-aggregate it (no second corpus scan), all joins are (lang, bigram)/(lang, w1)-keyed uniform-hash shuffles against vocabulary-sized frames, and the worst-15 report is TakeOrderedAndProject - no Window over the corpus",
+    "q142_banding_sweep" -> "identical bounded population to q129 (df-capped reference pairs, two id-keyed signature joins); the sweep adds a constant 5-struct explode per pair into a <=15-cell partial-aggregable groupBy - regrouping stored perms is free, and theory is JVM literals so neither plan carries pow()",
+    "q143_weighted_sample" -> "one stateless keying pass over the narrow (doc_id, source, text-length) projection into TakeOrderedAndProject - per-partition k-heaps, k rows to the driver, no global sort, no shuffle wider than the k winners")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

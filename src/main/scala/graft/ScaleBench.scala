@@ -81,14 +81,18 @@ object ScaleBench {
     "q123_soft_dedup_weights", "q124_hard_negatives", "q125_zipf_audit",
     "q126_label_psi", "q127_eval_roster", "q128_source_entropy",
     "q129_banding_recall", "q130_ivf_cell_profile", "q131_vocab_coverage",
-    "q132_span_severity")
+    "q132_span_severity", "q133_split_repair", "q135_pq_codes",
+    "q136_pq_adc_recall", "q137_ivfpq_adc", "q138_repetition_exposure",
+    "q139_deletion_cascade", "q140_canonical_handoff", "q141_bigram_lm",
+    "q142_banding_sweep", "q143_weighted_sample")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
   private val RelationalNames = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
     "q04_priority_exists", "q05_local_supplier", "q06_forecast_revenue",
-    "q07_window_topk", "q08_running_total", "q09_segment_stats")
+    "q07_window_topk", "q08_running_total", "q09_segment_stats",
+    "q134_topk_agg")
 
   /** Everything else (round-5 verdict task 5: the full 98-query surface
     * needs scale evidence, not just the doc/embedding + q01-q09 subset):
