@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
+import graft.functions.TextFns.{tokens, tokensSql}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * brute-force cosine top-k, sign-LSH bucketed ANN, embedding near-dup
@@ -1098,6 +1099,179 @@ object Similarity {
        |ORDER BY hx.q_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q144
+  /** HYBRID RETRIEVAL FUSION (RRF) — the standard way production search
+    * combines a lexical and a semantic ranking without score
+    * calibration: Reciprocal Rank Fusion (Cormack et al., SIGIR 2009),
+    * RRF(d) = Σ_legs 1/(K + rank_leg(d)) with K = [[RrfK]]. Ranks, not
+    * scores, fuse — BM25 logits and cosines live on incomparable
+    * scales, and RRF is provably robust to that. Per query document
+    * (the [[NQueries]] lowest ids, the suite's standing query set):
+    * the SEMANTIC leg is q38's exact cosine top-10; the LEXICAL leg is
+    * query-by-example BM25 — the query doc's 3 globally-rarest
+    * distinct terms (max-IDF proxy, deterministic df-then-term order)
+    * scored with q86's exact micro-unit BM25 recipe (same k1/b
+    * constants) over the corpus, top-10. Fusion is exact integer
+    * arithmetic: each leg contributes ⌊10⁶/(K + rank)⌋ — integer
+    * division, no float summation-order hazard — and the top-5 fused
+    * per query carry both leg ranks (0 = not retrieved by that leg),
+    * so a reader sees WHICH leg found each hit.
+    *
+    * Scale posture: the semantic leg is the audited q38 broadcast
+    * shape (query-sample-able at 100 TB, q113's posture); the lexical
+    * leg joins the per-(doc, term) tf aggregate against a ≤ 3·queries
+    * broadcast term list — corpus-sized work is one uniform-key join +
+    * one partial-aggregable per-(query, doc) sum; both top-10s and the
+    * fused top-5 are bounded windows over per-query candidate sets
+    * (≤ corpus matched rows for ≤ 24 terms), and the fusion join is
+    * candidates-sized, not corpus-sized. */
+  val RrfK = 60L
+
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = TextAnalysis.Bm25K1; val b = TextAnalysis.Bm25B
+    val docs = Tables.documents(spark, dir)
+    val emb = scaledEmb(spark, dir)
+    // Semantic leg: exact cosine top-10 per query (q38's shape).
+    val qs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sv").as("qv"), col("n2").as("qn2"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id"))
+    val sem = emb.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
+      .select(col("q_id"), col("vec_id").as("id"), col("cos"))
+      .withColumn("r_sem", row_number().over(wS).cast("long"))
+      .filter(col("r_sem") <= 10)
+      .select(col("q_id"), col("id"), col("r_sem"))
+    // Lexical leg: query-by-example BM25 on the 3 rarest query terms.
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfAll = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("df"), col("w"))
+    val qterms = tf.filter(col("doc_id") < NQueries)
+      .join(dfAll, "w")
+      .select(col("doc_id").as("q_id"), col("w"), col("df"))
+      .withColumn("tr", row_number().over(wQ))
+      .filter(col("tr") <= 3)
+      .select(col("q_id"), col("w"), col("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("sum_dl"))
+    val dls = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val wL = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_u").desc, col("id"))
+    val lex = tf.filter(col("doc_id") >= NQueries)
+      .join(broadcast(qterms), "w")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType)
+          + 0.5) / (col("df").cast(DoubleType) + 0.5) + 1.0))
+      .withColumn("avgdl",
+        col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("c_u",
+        floor(lit(1000000.0) * col("idf") *
+          (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+          (col("tf").cast(DoubleType) + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+          .cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_u")).as("score_u"))
+      .select(col("q_id"), col("doc_id").as("id"), col("score_u"))
+      .withColumn("r_lex", row_number().over(wL).cast("long"))
+      .filter(col("r_lex") <= 10)
+      .select(col("q_id"), col("id"), col("r_lex"))
+    // Fusion: exact integer RRF contributions, top-5 per query.
+    def rrfPart(r: Column): Column = {
+      val d = lit(RrfK) + r
+      ((lit(1000000L) - pmod(lit(1000000L), d)) / d).cast(LongType)
+    }
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_u").desc, col("id"))
+    sem.join(lex, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(rrfPart(col("r_sem")), lit(0L)) +
+          coalesce(rrfPart(col("r_lex")), lit(0L)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("id").as("doc_id"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        col("rrf_u"))
+      .orderBy(col("q_id"), col("rrf_u").desc, col("doc_id"))
+  }
+
+  private lazy val q144Sql = {
+    val k1 = TextAnalysis.Bm25K1; val b = TextAnalysis.Bm25B
+    def rrf(r: String): String =
+      s"CAST((1000000 - 1000000 % ($RrfK + $r)) / ($RrfK + $r) AS BIGINT)"
+    s"""WITH emb AS ($scaledEmbSql),
+       |sem AS (
+       |  SELECT q_id, id, r_sem FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")} DESC,
+       |        c.vec_id) AS r_sem
+       |    FROM emb c JOIN emb q
+       |      ON q.vec_id < $NQueries AND c.vec_id >= $NQueries)
+       |  WHERE r_sem <= 10),
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |dfall AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |qterms AS (
+       |  SELECT q_id, w, df FROM (
+       |    SELECT t.doc_id AS q_id, t.w, d.df,
+       |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w)
+       |        AS tr
+       |    FROM tf t JOIN dfall d USING (w)
+       |    WHERE t.doc_id < $NQueries)
+       |  WHERE tr <= 3),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CAST(len(${tokensSql("text")}) AS BIGINT)) AS sum_dl
+       |  FROM documents),
+       |dls AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS dl
+       |        FROM documents),
+       |lexs AS (
+       |  SELECT t.doc_id AS id, qt.q_id,
+       |    CAST(sum(CAST(floor(1000000.0 *
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5) /
+       |         (CAST(qt.df AS DOUBLE) + 0.5) + 1.0) *
+       |      (CAST(t.tf AS DOUBLE) * ${k1 + 1.0}) /
+       |      (CAST(t.tf AS DOUBLE) + $k1 * (${1.0 - b} +
+       |        $b * CAST(dl AS DOUBLE) /
+       |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |      AS BIGINT)) AS BIGINT) AS score_u
+       |  FROM tf t
+       |  JOIN qterms qt USING (w)
+       |  JOIN dls ON dls.doc_id = t.doc_id
+       |  CROSS JOIN stats
+       |  WHERE t.doc_id >= $NQueries
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, id, r_lex FROM (
+       |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_u DESC, id) AS r_lex
+       |    FROM lexs)
+       |  WHERE r_lex <= 10),
+       |fused AS (
+       |  SELECT COALESCE(s.q_id, l.q_id) AS q_id,
+       |    COALESCE(s.id, l.id) AS id, s.r_sem, l.r_lex,
+       |    COALESCE(${rrf("s.r_sem")}, 0) + COALESCE(${rrf("l.r_lex")}, 0)
+       |      AS rrf_u
+       |  FROM sem s FULL OUTER JOIN lex l
+       |    ON s.q_id = l.q_id AND s.id = l.id)
+       |SELECT q_id, id AS doc_id,
+       |  COALESCE(r_sem, 0) AS r_sem, COALESCE(r_lex, 0) AS r_lex, rrf_u
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf_u DESC, id) AS rk FROM fused)
+       |WHERE rk <= 5
+       |ORDER BY q_id, rrf_u DESC, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q58
   /** 8-bit scalar quantization of the embedding table + reconstruction-
     * error report per label — the memory-bound scale path for ANN (an
@@ -2081,6 +2255,7 @@ object Similarity {
     "q135_pq_codes"       -> (q135 _),
     "q136_pq_adc_recall"  -> (q136 _),
     "q137_ivfpq_adc"      -> (q137 _),
+    "q144_rrf_fusion"     -> (q144 _),
     "q66_ann_retrieval"   -> (q66 _),
     "q71_embedding_profile" -> (q71 _),
     "q77_semantic_dedup"  -> (q77 _))
@@ -2108,6 +2283,7 @@ object Similarity {
     "q135_pq_codes"       -> q135Sql,
     "q136_pq_adc_recall"  -> q136Sql,
     "q137_ivfpq_adc"      -> q137Sql,
+    "q144_rrf_fusion"     -> q144Sql,
     "q66_ann_retrieval"   -> q66Sql,
     "q71_embedding_profile" -> q71Sql,
     "q77_semantic_dedup"  -> q77Sql)
