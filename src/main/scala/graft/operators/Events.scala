@@ -448,7 +448,64 @@ object Events {
        |FROM ranked
        |ORDER BY hour, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  /** SCD2 CHANGE-INTERVAL COMPRESSION — the slowly-changing-dimension
+    * versioning (Kimball Type 2) the event log's downstream dimension
+    * tables need: per user, consecutive runs of the same event_type
+    * compress to one VERSIONED VALIDITY INTERVAL — valid_from at the
+    * run's first event, valid_to at the next change (NULL = current
+    * version, the open interval). This is the change-data-capture
+    * "compact the log into as-of state history" op: joins against it
+    * answer "what was the user's state at time T" with one interval
+    * lookup instead of a scan-back through the raw log (the q52 as-of
+    * join's natural dimension side).
+    *
+    * Determinism: change detection and versioning both order by
+    * (ts, event_id) — the log's unique total order; timestamps emit as
+    * exact epoch-microsecond int64 in both engines.
+    *
+    * Scale posture: the classic shuffle-once window chain (q25's
+    * sessionization posture): everything partitions by user_id — one
+    * hash shuffle, per-user sorted windows for lag/row_number/lead,
+    * never a global sort; output is change-points-sized (the
+    * compressed log), strictly smaller than the input. */
+  private def q145(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version_no", row_number().over(byUser).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version_no"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("version_no"))
+  }
+
+  private val q145Sql =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev
+       |  FROM events),
+       |changes AS (
+       |  SELECT user_id, event_id, event_type, ts_us FROM ordered
+       |  WHERE prev IS NULL OR prev <> event_type)
+       |SELECT user_id,
+       |  CAST(row_number() OVER w AS BIGINT) AS version_no,
+       |  event_type,
+       |  ts_us AS valid_from_us,
+       |  lead(ts_us) OVER w AS valid_to_us,
+       |  (lead(ts_us) OVER w IS NULL) AS is_current
+       |FROM changes
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |ORDER BY user_id, version_no""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q145_scd2_intervals" -> (q145 _),
     "q93_trending"      -> (q93 _),
     "q65_rate_anomaly"  -> (q65 _),
     "q63_funnel_daily"  -> (q63 _),
@@ -463,6 +520,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q145_scd2_intervals" -> q145Sql,
     "q93_trending"      -> q93Sql,
     "q65_rate_anomaly"  -> q65Sql,
     "q63_funnel_daily"  -> q63Sql,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkEntry, SparkSpec}
+
+/** q145's intervals must be exactly the compressed change log: a
+  * planted per-user run sequence produces the hand-written version
+  * table (runs compress, ties order by event_id, the last version is
+  * open), and on the fixture corpus the output is a well-formed SCD2
+  * dimension — per user: contiguous version numbers, abutting
+  * intervals (valid_to == next valid_from), exactly one open current
+  * version. */
+class Scd2Spec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("planted run sequence compresses to the hand-written versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scd2_").toString
+    // user 1: view view click click view  -> 3 versions
+    // user 2: error                        -> 1 open version
+    // user 3 ties: two events at t=100 — event_id breaks the tie.
+    val rows = Seq(
+      (0L, ts(10), 1, "view"), (1L, ts(20), 1, "view"),
+      (2L, ts(30), 1, "click"), (3L, ts(40), 1, "click"),
+      (4L, ts(50), 1, "view"),
+      (5L, ts(60), 2, "error"),
+      (6L, ts(100), 3, "b_type"), (7L, ts(100), 3, "a_type"))
+    rows.map { case (id, t, u, et) => (id, t, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q145_scd2_intervals")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    def us(s: Long) = s * 1000000L
+    got.filter(_._1 == 1) shouldBe Array(
+      (1, 1L, "view", us(10), us(30), false),
+      (1, 2L, "click", us(30), us(50), false),
+      (1, 3L, "view", us(50), -1L, true))
+    got.filter(_._1 == 2) shouldBe Array((2, 1L, "error", us(60), -1L, true))
+    // tie at t=100: event_id 6 ("b_type") precedes 7 ("a_type")
+    got.filter(_._1 == 3) shouldBe Array(
+      (3, 1L, "b_type", us(100), us(100), false),
+      (3, 2L, "a_type", us(100), -1L, true))
+  }
+
+  test("fixture corpus: contiguous versions, abutting intervals, one " +
+      "open current version per user") {
+    val rows = SparkEntry.queries("q145_scd2_intervals")(
+        spark, SparkSpec.Sf0001)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    rows should not be empty
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      sorted.map(_._2) shouldBe (1L to vs.length.toLong).toArray
+      sorted.count(_._5) shouldBe 1
+      sorted.last._5 shouldBe true
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a._4 shouldBe b._3 // valid_to == next valid_from
+        case _ =>
+      }
+    }
+  }
+}
