@@ -492,7 +492,17 @@ object Dedup {
     * shingle candidate pair with its exact Jaccard. ONE definition,
     * shared by q37's top-20 report and the method-agreement audit
     * (q108), so the audited pipeline IS the production pipeline. */
-  private def jaccardScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized: five queries read this exact-verified pair table (q37's
+    * top-k, q88's containment, q96's fidelity audit, q129's recall
+    * audit, q142's parameter sweep) — the intersect-verify pass runs
+    * once per session, and the cached frame is candidate-pairs-sized
+    * (df-capped, bounded), not corpus-sized. */
+  private def jaccardScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#jaccardPairs") {
+      jaccardScoredPairsBuild(spark, dir)
+    }
+
+  private def jaccardScoredPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     // exact-verify side: full shingle arrays (shared cache, q54 reads too)
     val sh = Features.shingleSets(spark, dir)
     val cand = rareShingleCandidates(spark, dir)
