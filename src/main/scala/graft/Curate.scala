@@ -20,7 +20,16 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     where, written ALONGSIDE the corpus it describes.
   *
   * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]
-  * [--with-shards]`
+  * [--with-shards] [--with-tombstones]`
+  *
+  * `--with-tombstones` applies the standing deletion set (q139's
+  * `% 23` stand-in for an uploaded takedown list) end-to-end:
+  * tombstoned ids are a HARD filter (never shipped), both cluster
+  * tables re-elect orphaned canonicals to the minimum surviving id
+  * (q140's rule via `funnelFlagsTombstonedOver` — the corpus ships AS
+  * IF the deleted docs never existed, so content whose keeper was
+  * deleted ships through its re-elected twin), and the q139
+  * blast-radius audit ships as `<out>/report_tombstones/`.
   *
   * `--with-shards` additionally executes q111's epoch-shuffle plan over
   * the SHIPPED corpus via [[ShardWriter]]: `<out>/shards/epoch=E/
@@ -73,12 +82,13 @@ object Curate {
     val withQuality = flags.contains("--with-quality")
     val withDsir = flags.contains("--with-dsir")
     val withShards = flags.contains("--with-shards")
+    val withTombstones = flags.contains("--with-tombstones")
     if (positional.length != 2 ||
         !flags.forall(f => f == "--with-quality" || f == "--with-dsir" ||
-          f == "--with-shards")) {
+          f == "--with-shards" || f == "--with-tombstones")) {
       System.err.println(
         "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
-          "[--with-dsir] [--with-shards]")
+          "[--with-dsir] [--with-shards] [--with-tombstones]")
       sys.exit(1)
     }
     val (sfDir, outDir) = (positional(0), positional(1))
@@ -86,7 +96,8 @@ object Curate {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      run(spark, sfDir, outDir, withQuality, withDsir, withShards)
+      run(spark, sfDir, outDir, withQuality, withDsir, withShards,
+        withTombstones)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -101,7 +112,8 @@ object Curate {
   /** The job body, separated from the exit-code shell for specs. */
   private[graft] def run(spark: SparkSession, sfDir: String,
       outDir: String, withQuality: Boolean = false,
-      withDsir: Boolean = false, withShards: Boolean = false): Unit = {
+      withDsir: Boolean = false, withShards: Boolean = false,
+      withTombstones: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -113,8 +125,22 @@ object Curate {
     // joining survivors back against it would shuffle the corpus).
     // --with-quality adds the q92 prefix the same way: one more
     // broadcast left anti-shape join (the memoized REJECT set).
-    val flagged = Dedup
-      .funnelFlagsOver(Tables.documents(spark, sfDir), spark, sfDir)
+    // --with-tombstones: the right-to-be-forgotten path. Two effects,
+    // deliberately separate: (1) the HARD filter — tombstoned ids never
+    // reach any downstream stage or the shipped corpus; (2) the
+    // DERIVED-decision repair — both cluster tables re-elect each
+    // orphaned cluster's canonical to its minimum surviving id (q140's
+    // rule via funnelFlagsTombstonedOver), so content whose keeper was
+    // deleted ships through its re-elected twin instead of vanishing.
+    // The blast-radius audit (q139) ships alongside as the compliance
+    // record of what the takedown touched.
+    val allDocs = Tables.documents(spark, sfDir)
+    val baseDocs =
+      if (!withTombstones) allDocs
+      else allDocs.filter(col("doc_id") % Dedup.DeleteMod =!= 0)
+    val flagged =
+      if (!withTombstones) Dedup.funnelFlagsOver(baseDocs, spark, sfDir)
+      else Dedup.funnelFlagsTombstonedOver(baseDocs, spark, sfDir)
     val gated =
       if (!withQuality) flagged
       else flagged.join(broadcast(Dedup.qualityRejects(spark, sfDir)),
@@ -158,6 +184,9 @@ object Curate {
       if (withQuality) SparkEntry.queries("q92_extended_funnel")(spark, sfDir)
       else SparkEntry.queries("q84_source_funnel")(spark, sfDir)
     report.coalesce(1).write.json(s"$outDir/report")
+    if (withTombstones)
+      SparkEntry.queries("q139_deletion_cascade")(spark, sfDir)
+        .coalesce(1).write.json(s"$outDir/report_tombstones")
     // Both populations in one report: `n_docs` counts whole-corpus
     // independent decision flags (the same semantics as every other
     // funnel stage), while `n_docs_funnel` restricts to the funnel

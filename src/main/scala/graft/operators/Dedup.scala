@@ -1305,6 +1305,57 @@ object Dedup {
       .drop("t_id", "t_lbl", "s_id", "s_lbl", "c_id", "s_keep")
   }
 
+  /** [[funnelFlagsOver]] under the standing deletion set ([[DeleteMod]])
+    * — the flags AS IF the deleted documents never existed, at the
+    * decision-table level: both label tables drop their deleted rows
+    * and each cluster's canonical re-elects to the minimum SURVIVING
+    * id (exactly q140's election rule, applied to the text AND
+    * semantic cluster tables), so a cluster whose keeper is tombstoned
+    * ships its re-elected twin instead of losing the content.
+    * `rows` must already exclude the deleted documents themselves —
+    * the caller's hard compliance filter; this function only repairs
+    * the DERIVED decisions.
+    *
+    * Caveat (documented, deliberate): components here are the
+    * materialized label table's equivalence classes. Removing a
+    * cut-vertex document could in principle split the underlying pair
+    * graph; the decision table treats the class as content identity
+    * (the q60 posture), and the next full CC build re-derives labels
+    * from surviving pairs. */
+  private[graft] def funnelFlagsTombstonedOver(rows: DataFrame,
+      spark: SparkSession, dir: String): DataFrame = {
+    def reElected(labels: DataFrame): DataFrame = {
+      val surv = labels.filter(col("id") % DeleteMod =!= 0)
+      surv.join(surv.groupBy(col("lbl")).agg(min(col("id")).as("canon")),
+          "lbl")
+        .select(col("id"), col("canon"))
+    }
+    val tLbl = reElected(ccLabels(spark, dir))
+      .select(col("id").as("t_id"), col("canon").as("t_canon"))
+    val sLbl = reElected(Similarity.embCcLabels(spark, dir))
+      .select(col("id").as("s_id"), col("canon").as("s_canon"))
+    val contaminated = Features.cachedFrame(spark, s"$dir#contamIds") {
+      val post = Features.hashedShingles(spark, dir)
+      post.filter(col("doc_id") % EvalSliceMod =!= 0)
+        .join(broadcast(post.filter(col("doc_id") % EvalSliceMod === 0)
+          .select(col("h")).distinct()), "h")
+        .select(col("doc_id").as("c_id")).distinct()
+    }
+    val admit = TextAnalysis.mixAdmit(TextAnalysis.mixWMilli)
+    rows
+      .join(broadcast(tLbl), col("doc_id") === col("t_id"), "left")
+      .join(broadcast(sLbl), col("doc_id") === col("s_id"), "left")
+      .join(broadcast(contaminated), col("doc_id") === col("c_id"), "left")
+      .withColumn("k1",
+        coalesce(col("t_canon"), col("doc_id")) === col("doc_id"))
+      .withColumn("s_keep",
+        coalesce(col("s_canon"), col("doc_id")) === col("doc_id"))
+      .withColumn("k2", col("k1") && col("s_keep"))
+      .withColumn("k3", col("k2") && col("c_id").isNull)
+      .withColumn("k4", col("k3") && admit)
+      .drop("t_id", "t_canon", "s_id", "s_canon", "c_id", "s_keep")
+  }
+
   private def cntTrue(c: Column) = sum(when(c, 1L).otherwise(0L))
 
   private def q78(spark: SparkSession, dir: String): DataFrame = {
