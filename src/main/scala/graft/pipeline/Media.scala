@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed multimodal pipeline: opaque binary media columns with typed
@@ -472,5 +472,125 @@ object Media {
         }
       }
     }
+  }
+
+  // ==================================================================
+  // REAL perceptual hash (pHash, DCT-based) — image near-duplicates.
+  // ==================================================================
+
+  /** pHash grid size and the retained low-frequency block. */
+  val PhashGrid = 32
+  val PhashBlock = 8
+  /** Bands for the hash-banded candidate join: b bands of 64/b bits
+    * catch EVERY pair within Hamming distance b−1 (pigeonhole — at
+    * most b−1 differing bits cannot dirty all b bands), the same
+    * guarantee structure as MinHash banding but deterministic. */
+  val PhashBands = 8
+  val PhashMaxHamming = PhashBands - 1
+
+  /** DCT perceptual hash: decode → luma → exact box-average downsample
+    * to [[PhashGrid]]² (pure integer accumulation — no Graphics2D
+    * scaler, so the hash is bit-reproducible across JVMs) → 2D DCT-II
+    * → the top-left [[PhashBlock]]² low-frequency block, DC excluded,
+    * thresholded at its median → 64-bit hash. Robust to re-encoding
+    * and resizing (the hash reads the image's coarse structure, which
+    * survives both), which is exactly the near-dup class byte
+    * fingerprints (q45) and pixel histograms ([[imageFeatures]])
+    * structurally miss. */
+  def phash(content: Array[Byte]): Long = {
+    val (img, px) = decodeRgb(content)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = PhashGrid
+    // Exact box-average: each source pixel lands in one grid cell.
+    val sums = new Array[Long](g * g)
+    val cnts = new Array[Long](g * g)
+    var i = 0
+    while (i < px.length) {
+      val x = i % w; val y = i / w
+      val cell = (y * g / h) * g + (x * g / w)
+      val rgb = px(i)
+      sums(cell) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+        (rgb & 0xff)) / 3
+      cnts(cell) += 1
+      i += 1
+    }
+    val luma = Array.tabulate(g * g)(c =>
+      if (cnts(c) == 0) 0.0 else sums(c).toDouble / cnts(c))
+    // 2D DCT-II, computed only for the low-frequency block we keep.
+    val cos = Array.tabulate(g, g)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / (2.0 * g)))
+    val b = PhashBlock
+    val coefs = new Array[Double](b * b)
+    var u = 0
+    while (u < b) {
+      var v = 0
+      while (v < b) {
+        var s = 0.0
+        var y = 0
+        while (y < g) {
+          var x = 0
+          while (x < g) {
+            s += luma(y * g + x) * cos(u)(y) * cos(v)(x)
+            x += 1
+          }
+          y += 1
+        }
+        coefs(u * b + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // Median threshold over the 63 AC coefficients (DC excluded: it is
+    // overall brightness, which re-encoding shifts freely).
+    val ac = coefs.drop(1)
+    val sorted = ac.sorted
+    val median = sorted(ac.length / 2)
+    var hash = 0L
+    var k = 1
+    while (k < b * b) {
+      if (coefs(k) > median) hash |= 1L << (k - 1)
+      k += 1
+    }
+    hash
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Distributed image near-dup pairs over a `(path, content)` frame:
+    * per-partition pHash (decode cost rides the scan, blobs never
+    * shuffle — only 8-byte hashes do), [[PhashBands]]-band bucket join
+    * (q35's banding shape; the pigeonhole guarantee above makes it
+    * EXACT for Hamming ≤ [[PhashMaxHamming]], not probabilistic), then
+    * the exact Hamming verify. Returns (path_a, path_b, hamming),
+    * path_a < path_b. */
+  def imageNearDupPairs(objects: Dataset[MediaObject],
+      maxHamming: Int = PhashMaxHamming): DataFrame = {
+    import objects.sparkSession.implicits._
+    require(maxHamming <= PhashMaxHamming,
+      s"banding with $PhashBands bands only guarantees Hamming <= $PhashMaxHamming")
+    val hashes = objects.mapPartitions(_.flatMap { m =>
+      try Some((m.path, phash(m.content)))
+      catch { case _: Exception => None }
+    }).toDF("path", "ph")
+    val bandBits = 64 / PhashBands
+    val banded = hashes.select(col("path"), col("ph"),
+      explode(array((0 until PhashBands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(col("ph"), bnd * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))): _*))
+        .as("bk"))
+      .select(col("path"), col("ph"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("path_a", "ph_a", "band", "key")
+    val bnd = banded.toDF("path_b", "ph_b", "band", "key")
+    a.join(bnd, Seq("band", "key"))
+      .filter(col("path_a") < col("path_b"))
+      .select(col("path_a"), col("path_b"), col("ph_a"), col("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        call_function("bit_count",
+          col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("path_a"), col("path_b"), col("hamming"))
   }
 }
