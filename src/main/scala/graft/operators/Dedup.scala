@@ -3192,6 +3192,65 @@ object Dedup {
        |ORDER BY n_bands, j_band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q146
+  /** NEAR-DUP DEGREE PROFILE — the hub view of the duplication graph,
+    * orthogonal to q110's cluster-size view: q110 counts COMPONENTS
+    * (how big do transitive groups get), this counts per-document
+    * DEGREE over the verified pair table (how many direct partners a
+    * document has, at Jaccard ≥ 0.5). The two disagree exactly where
+    * it matters: a chain of k near-identical revisions is one size-k
+    * cluster of degree-≤2 documents (benign versioning), while a
+    * template document partially shared by k pages is a degree-k HUB
+    * whose component may never transitively close — the
+    * boilerplate-at-the-document-level signal q81's n-gram view can
+    * only aggregate corpus-wide. Bands 1 / 2 / 3-4 / 5+, with each
+    * band's worst degree — a growing 5+ band with rising max degree
+    * means template chrome is entering the corpus.
+    *
+    * Scale posture: rides the MEMOIZED verified pair table (df-capped
+    * candidates, bounded — built once per session, shared with
+    * q37/q88/q96/q129/q142); degree is one union + one
+    * partial-aggregable groupBy of the pairs-sized frame; the report
+    * is ≤ 4 cells. */
+  private def q146(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardScoredPairs(spark, dir).filter(col("jaccard") >= 0.5)
+    val deg = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val band = when(col("degree") === 1L, "1")
+      .when(col("degree") === 2L, "2")
+      .when(col("degree") <= 4L, "3-4")
+      .otherwise("5+")
+    val bandRank = when(col("degree_band") === "1", 0)
+      .when(col("degree_band") === "2", 1)
+      .when(col("degree_band") === "3-4", 2)
+      .otherwise(3)
+    deg.select(band.as("degree_band"), col("degree"))
+      .groupBy(col("degree_band"))
+      .agg(count(lit(1)).as("n_docs"), max(col("degree")).as("max_degree"))
+      .orderBy(bandRank)
+  }
+
+  private lazy val q146Sql =
+    s"""WITH $bandingAuditSqlCtes,
+       |vp AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |deg AS (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT doc_a AS id FROM vp
+       |    UNION ALL SELECT doc_b AS id FROM vp)
+       |  GROUP BY id)
+       |SELECT CASE WHEN degree = 1 THEN '1'
+       |            WHEN degree = 2 THEN '2'
+       |            WHEN degree <= 4 THEN '3-4'
+       |            ELSE '5+' END AS degree_band,
+       |  count(*) AS n_docs,
+       |  CAST(max(degree) AS BIGINT) AS max_degree
+       |FROM deg
+       |GROUP BY 1
+       |ORDER BY CASE degree_band WHEN '1' THEN 0 WHEN '2' THEN 1
+       |         WHEN '3-4' THEN 2 ELSE 3 END""".stripMargin
+
   // ---------------------------------------------------------------- q132
   /** VERBATIM-SPAN SEVERITY — the "how long is the overlap" number a
     * contamination report publishes next to q118's hit counts: for
@@ -3282,6 +3341,7 @@ object Dedup {
     "q139_deletion_cascade" -> (q139 _),
     "q140_canonical_handoff" -> (q140 _),
     "q142_banding_sweep" -> (q142 _),
+    "q146_dup_degree" -> (q146 _),
     "q108_method_agreement" -> (q108 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
@@ -3320,6 +3380,7 @@ object Dedup {
     "q139_deletion_cascade" -> q139Sql,
     "q140_canonical_handoff" -> q140Sql,
     "q142_banding_sweep" -> q142Sql,
+    "q146_dup_degree" -> q146Sql,
     "q108_method_agreement" -> q108Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,

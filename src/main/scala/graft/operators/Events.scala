@@ -469,7 +469,10 @@ object Events {
     * hash shuffle, per-user sorted windows for lag/row_number/lead,
     * never a global sort; output is change-points-sized (the
     * compressed log), strictly smaller than the input. */
-  private def q145(spark: SparkSession, dir: String): DataFrame = {
+  /** q145's interval table, unordered — shared by the report and the
+    * q147 temporal attribution join (ONE definition: the dimension the
+    * attribution reads IS the dimension the report describes). */
+  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
@@ -482,30 +485,101 @@ object Events {
       .withColumn("is_current", col("valid_to_us").isNull)
       .select(col("user_id"), col("version_no"), col("event_type"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"))
-      .orderBy(col("user_id"), col("version_no"))
   }
 
-  private val q145Sql =
-    s"""WITH ordered AS (
+  private def q145(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(spark, dir).orderBy(col("user_id"), col("version_no"))
+
+  /** SQL twin of [[scd2Intervals]]: CTE chain ending in `ivals`. */
+  private val scd2SqlCtes =
+    s"""ordered AS (
        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |      AS prev
        |  FROM events),
        |changes AS (
        |  SELECT user_id, event_id, event_type, ts_us FROM ordered
-       |  WHERE prev IS NULL OR prev <> event_type)
-       |SELECT user_id,
-       |  CAST(row_number() OVER w AS BIGINT) AS version_no,
-       |  event_type,
-       |  ts_us AS valid_from_us,
-       |  lead(ts_us) OVER w AS valid_to_us,
-       |  (lead(ts_us) OVER w IS NULL) AS is_current
-       |FROM changes
-       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |  WHERE prev IS NULL OR prev <> event_type),
+       |ivals AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER w AS BIGINT) AS version_no,
+       |    event_type,
+       |    ts_us AS valid_from_us,
+       |    lead(ts_us) OVER w AS valid_to_us,
+       |    (lead(ts_us) OVER w IS NULL) AS is_current
+       |  FROM changes
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))""".stripMargin
+
+  private val q145Sql =
+    s"""WITH $scd2SqlCtes
+       |SELECT user_id, version_no, event_type, valid_from_us,
+       |  valid_to_us, is_current
+       |FROM ivals
        |ORDER BY user_id, version_no""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** STATE-AT-EVENT ATTRIBUTION — the query q145's dimension exists to
+    * answer: for every purchase, WHAT STATE WAS THE USER IN when it
+    * happened, counted by state. The interval lookup replaces the
+    * scan-back through the raw log ("the user's latest prior event")
+    * with one equi-keyed containment join against the compressed
+    * dimension — the standard fact-to-SCD2 temporal join. Attribution
+    * is to the state active strictly BEFORE the event (a purchase that
+    * starts its own 'purchase' run attributes to the state it
+    * interrupted — the conversion-context reading; a user whose very
+    * first event is the purchase lands in 'none'). The abutting
+    * intervals make the match provably unique: `from < ts ≤ to` admits
+    * exactly one interval per (user, ts).
+    *
+    * Scale posture: the join is user_id-keyed (equi) with the
+    * containment as a post-join filter — per-user fan-out is the
+    * user's version count (bounded by their change count), never a
+    * cross of the log; both sides partition by the same key, and the
+    * report is one ≤ |event types|+1-cell partial-aggregable groupBy. */
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val ivals = scd2Intervals(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    purchases
+      .join(ivals,
+        col("p_user") === col("user_id") &&
+          col("valid_from_us") < col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") <= col("valid_to_us")),
+        "left")
+      .select(col("event_id"), coalesce(col("state"), lit("none")).as("state"),
+        col("p_user"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("p_user")).as("n_users"))
+      .orderBy(col("state"))
+  }
+
+  private val q147Sql =
+    s"""WITH $scd2SqlCtes,
+       |purchases AS (
+       |  SELECT user_id AS p_user, event_id, epoch_us(ts) AS ts_us
+       |  FROM events WHERE event_type = 'purchase'),
+       |attributed AS (
+       |  SELECT p.event_id, p.p_user,
+       |    COALESCE(i.event_type, 'none') AS state
+       |  FROM purchases p
+       |  LEFT JOIN ivals i
+       |    ON p.p_user = i.user_id
+       |    AND i.valid_from_us < p.ts_us
+       |    AND (i.valid_to_us IS NULL OR p.ts_us <= i.valid_to_us))
+       |SELECT state, count(*) AS n_purchases,
+       |  CAST(count(DISTINCT p_user) AS BIGINT) AS n_users
+       |FROM attributed
+       |GROUP BY state
+       |ORDER BY state""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q145_scd2_intervals" -> (q145 _),
+    "q147_state_attribution" -> (q147 _),
     "q93_trending"      -> (q93 _),
     "q65_rate_anomaly"  -> (q65 _),
     "q63_funnel_daily"  -> (q63 _),
@@ -521,6 +595,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q145_scd2_intervals" -> q145Sql,
+    "q147_state_attribution" -> q147Sql,
     "q93_trending"      -> q93Sql,
     "q65_rate_anomaly"  -> q65Sql,
     "q63_funnel_daily"  -> q63Sql,

@@ -51,6 +51,33 @@ class Scd2Spec extends AnyFunSuite with SparkSpec with Matchers {
       (3, 2L, "a_type", us(100), -1L, true))
   }
 
+  test("q147 attributes each purchase to the state active strictly " +
+      "before it; a first-ever purchase lands in 'none'") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scd2attr_").toString
+    // user 1: view@10 view@20 click@30 purchase@40 purchase@50 view@60
+    //   intervals: view[10,30) click[30,40) purchase[40,60) view[60,∞)
+    //   purchase@40 starts its own run ⇒ attributes to 'click';
+    //   purchase@50 sits inside the purchase run ⇒ 'purchase'.
+    // user 2: purchase@100 is the first-ever event ⇒ 'none'.
+    val rows = Seq(
+      (0L, ts(10), 1, "view"), (1L, ts(20), 1, "view"),
+      (2L, ts(30), 1, "click"), (3L, ts(40), 1, "purchase"),
+      (4L, ts(50), 1, "purchase"), (5L, ts(60), 1, "view"),
+      (6L, ts(100), 2, "purchase"))
+    rows.map { case (id, t, u, et) => (id, t, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q147_state_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    got shouldBe Map(
+      "click" -> ((1L, 1L)),
+      "purchase" -> ((1L, 1L)),
+      "none" -> ((1L, 1L)))
+  }
+
   test("fixture corpus: contiguous versions, abutting intervals, one " +
       "open current version per user") {
     val rows = SparkEntry.queries("q145_scd2_intervals")(
