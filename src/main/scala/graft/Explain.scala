@@ -97,7 +97,11 @@ object Explain {
     "q140_canonical_handoff" -> "one partial-aggregable conditional-min/sum groupBy over the memoized cluster-mass-sized CC label table, then a filter - no corpus scan in the plan at all; output is handoff-sized",
     "q141_bigram_lm" -> "ONE bigram explode is the finest aggregate; corpus counts and context counts re-aggregate it (no second corpus scan), all joins are (lang, bigram)/(lang, w1)-keyed uniform-hash shuffles against vocabulary-sized frames, and the worst-15 report is TakeOrderedAndProject - no Window over the corpus",
     "q142_banding_sweep" -> "identical bounded population to q129 (df-capped reference pairs, two id-keyed signature joins); the sweep adds a constant 5-struct explode per pair into a <=15-cell partial-aggregable groupBy - regrouping stored perms is free, and theory is JVM literals so neither plan carries pow()",
-    "q143_weighted_sample" -> "one stateless keying pass over the narrow (doc_id, source, text-length) projection into TakeOrderedAndProject - per-partition k-heaps, k rows to the driver, no global sort, no shuffle wider than the k winners")
+    "q143_weighted_sample" -> "one stateless keying pass over the narrow (doc_id, source, text-length) projection into TakeOrderedAndProject - per-partition k-heaps, k rows to the driver, no global sort, no shuffle wider than the k winners",
+    "q144_rrf_fusion" -> "semantic leg is the audited q38 broadcast shape; lexical leg joins the per-(doc, term) tf aggregate against a <=3*queries broadcast term list (one uniform-key join + one partial-aggregable per-(query, doc) sum); both top-10s and the fused top-5 are bounded per-query windows and the fusion join is candidates-sized",
+    "q145_scd2_intervals" -> "q25's shuffle-once posture: one user_id hash shuffle, per-user sorted windows for lag/row_number/lead, never a global sort except the presentation order; output is change-points-sized, strictly smaller than the log",
+    "q146_dup_degree" -> "rides the memoized verified pair table (df-capped, bounded); degree is one union + one partial-aggregable groupBy of the pairs-sized frame into a <=4-cell report",
+    "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

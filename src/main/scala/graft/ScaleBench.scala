@@ -84,7 +84,8 @@ object ScaleBench {
     "q132_span_severity", "q133_split_repair", "q135_pq_codes",
     "q136_pq_adc_recall", "q137_ivfpq_adc", "q138_repetition_exposure",
     "q139_deletion_cascade", "q140_canonical_handoff", "q141_bigram_lm",
-    "q142_banding_sweep", "q143_weighted_sample", "q144_rrf_fusion")
+    "q142_banding_sweep", "q143_weighted_sample", "q144_rrf_fusion",
+    "q146_dup_degree")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -115,7 +116,8 @@ object ScaleBench {
     "q52_asof_join", "q53_range_join", "q55_det_sample",
     "q61_length_quantiles", "q62_profile", "q63_funnel_daily",
     "q64_retention", "q65_rate_anomaly", "q67_normalize",
-    "q68_content_scan", "q93_trending", "q145_scd2_intervals")
+    "q68_content_scan", "q93_trending", "q145_scd2_intervals",
+    "q147_state_attribution")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
