@@ -472,20 +472,9 @@ object Events {
   /** q145's interval table, unordered — shared by the report and the
     * q147 temporal attribution join (ONE definition: the dimension the
     * attribution reads IS the dimension the report describes). */
-  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
-      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      .withColumn("version_no", row_number().over(byUser).cast("long"))
-      .withColumn("valid_from_us", unix_micros(col("ts")))
-      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("is_current", col("valid_to_us").isNull)
-      .select(col("user_id"), col("version_no"), col("event_type"),
-        col("valid_from_us"), col("valid_to_us"), col("is_current"))
-  }
+  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
 
   private def q145(spark: SparkSession, dir: String): DataFrame =
     scd2Intervals(spark, dir).orderBy(col("user_id"), col("version_no"))
@@ -516,6 +505,103 @@ object Events {
        |  valid_to_us, is_current
        |FROM ivals
        |ORDER BY user_id, version_no""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** INCREMENTAL SCD2 MERGE — q145's dimension maintained the way a
+    * warehouse actually maintains it: yesterday's interval table is a
+    * STORED ARTIFACT, and today's delta merges into it WITHOUT
+    * re-reading the historical event log. Users absent from the delta
+    * keep their stored intervals untouched; each delta user's stored
+    * OPEN interval seeds the change detection (its state is the
+    * boundary `prev`, its version number the offset), the delta's
+    * change points extend the chain, and the open interval closes at
+    * the first post-boundary change. The contract is the q69/q72
+    * incremental-dedup statement transplanted to dimensions:
+    * **merge(history artifact, delta) ≡ full rebuild over everything**
+    * — q148 shares q145's oracle verbatim, so the equivalence is
+    * hash-checked at every SF, and the spec additionally pins that the
+    * history leg is touched only through the artifact (delta-user
+    * rows), never the historical events.
+    *
+    * The cutoff stands in for the artifact boundary (min + 4/5 of the
+    * observed span — any split must produce the same merged table, and
+    * the oracle equality proves exactly that).
+    *
+    * Scale posture: the merge's working set is delta-users-sized — the
+    * stored table contributes one open row per delta user (semi join)
+    * plus pass-through rows (anti join, no rewrite); the window chain
+    * runs over delta events only. At 100 TB of history and a daily
+    * delta, the rebuild cost is the day's, not the decade's. */
+  private def q148(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .select((col("lo") + (col("hi") - col("lo")) * 4L / 5L).as("cut"))
+    val cut = broadcast(bounds)
+    val hist = ev.crossJoin(cut).filter(col("ts_us") < col("cut")).drop("cut")
+    val delta = ev.crossJoin(cut).filter(col("ts_us") >= col("cut")).drop("cut")
+
+    // The stored artifact (built here from history; in production read
+    // from the dimension table's parquet).
+    val stored = scd2IntervalsOf(hist)
+    val deltaUsers = delta.select(col("user_id")).distinct()
+
+    // Pass-through: users the delta never mentions.
+    val untouched = stored.join(deltaUsers, Seq("user_id"), "left_anti")
+
+    val touched = stored.join(deltaUsers, Seq("user_id"), "left_semi")
+    val closedRows = touched.filter(!col("is_current"))
+    // Seed: each delta user's open interval (absent for brand-new users).
+    val seed = touched.filter(col("is_current"))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("version_no"))
+
+    // Change detection over (seed ∥ delta): the seed is a pseudo-event
+    // carrying the boundary state; event_id -1 orders it first at its
+    // timestamp (real ids are non-negative).
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val merged = seed
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        col("valid_from_us").as("ts_us"), col("event_type"))
+      .unionByName(delta.select(col("user_id"), col("event_id"),
+        col("ts_us"), col("event_type")))
+    val changes = merged
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("chain_no", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+    // Version numbers continue from the stored offset (seed row is
+    // version `offset`, so chain_no 1 re-emits it with any new close).
+    val offsets = seed.select(col("user_id"),
+      (col("version_no") - 1L).as("v_off"))
+    val rebuilt = changes
+      .join(broadcast(offsets), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("chain_no") + coalesce(col("v_off"), lit(0L))).as("version_no"),
+        col("event_type"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+
+    untouched.unionByName(closedRows).unionByName(rebuilt)
+      .orderBy(col("user_id"), col("version_no"))
+  }
+
+  /** [[scd2Intervals]] over an arbitrary pre-projected event frame
+    * (user_id, event_id, ts, event_type, ...). */
+  private def scd2IntervalsOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version_no", row_number().over(byUser).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version_no"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+  }
 
   // ---------------------------------------------------------------- q147
   /** STATE-AT-EVENT ATTRIBUTION — the query q145's dimension exists to
@@ -580,6 +666,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "q145_scd2_intervals" -> (q145 _),
     "q147_state_attribution" -> (q147 _),
+    "q148_scd2_incremental" -> (q148 _),
     "q93_trending"      -> (q93 _),
     "q65_rate_anomaly"  -> (q65 _),
     "q63_funnel_daily"  -> (q63 _),
@@ -596,6 +683,8 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q145_scd2_intervals" -> q145Sql,
     "q147_state_attribution" -> q147Sql,
+    // incremental merge == full rebuild, by construction: shares the q145 oracle.
+    "q148_scd2_incremental" -> q145Sql,
     "q93_trending"      -> q93Sql,
     "q65_rate_anomaly"  -> q65Sql,
     "q63_funnel_daily"  -> q63Sql,

@@ -78,6 +78,34 @@ class Scd2Spec extends AnyFunSuite with SparkSpec with Matchers {
       "none" -> ((1L, 1L)))
   }
 
+  test("q148 incremental merge equals the full rebuild across every " +
+      "boundary case: straddling run, delta close, new user, untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scd2inc_").toString
+    // Engine cutoff = min + 4/5·span = 10 + 4/5·90 = 82 ⇒ delta: ts ≥ 82.
+    // user 1: view@10 view@90        — run straddles the cut, no new version
+    // user 2: click@20 error@85      — delta closes the stored open interval
+    // user 3: signup@95              — brand-new user, delta only
+    // user 4: view@30 click@40       — history only, untouched pass-through
+    // user 5: view@50 view@82 click@100 — boundary event exactly AT the cut
+    val rows = Seq(
+      (0L, ts(10), 1, "view"), (1L, ts(90), 1, "view"),
+      (2L, ts(20), 2, "click"), (3L, ts(85), 2, "error"),
+      (4L, ts(95), 3, "signup"),
+      (5L, ts(30), 4, "view"), (6L, ts(40), 4, "click"),
+      (7L, ts(50), 5, "view"), (8L, ts(82), 5, "view"),
+      (9L, ts(100), 5, "click"))
+    rows.map { case (id, t, u, et) => (id, t, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val full = SparkEntry.queries("q145_scd2_intervals")(spark, dir)
+      .collect().map(_.toSeq)
+    val inc = SparkEntry.queries("q148_scd2_incremental")(spark, dir)
+      .collect().map(_.toSeq)
+    inc shouldBe full
+  }
+
   test("fixture corpus: contiguous versions, abutting intervals, one " +
       "open current version per user") {
     val rows = SparkEntry.queries("q145_scd2_intervals")(
