@@ -536,10 +536,8 @@ object Similarity {
     * map-side combine collapses the 10 candidate rows per vector to one
     * buffer before the shuffle, and nothing sorts. ONE definition —
     * q44's serving path and q130's index-health audit both read it. */
-  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir)
-    ivfAssignOver(emb, centroids(emb))
-  }
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignOver(scaledEmb(spark, dir), ivfCodebook(spark, dir))
 
   /** [[ivfAssigned]]'s assignment applied to an ARBITRARY scaled frame
     * (carrying vec_id, sv, n2, and optionally label) against an
@@ -567,8 +565,29 @@ object Similarity {
     * same ship-the-model posture as the quality gate's LM and the DSIR
     * log-ratio table — a stream-trained codebook would drift under the
     * very load imbalance the monitor exists to catch). */
+  /** Coarse-codebook mode: `label` (default — per-label centroid sums,
+    * the oracle-pinned index) or `trained` — the documented production
+    * swap, now implemented: [[kmeansAuto]]'s converged codebook slots
+    * in through the SAME assignment path (`ivfAssignOver`), changing
+    * WHICH centroids, not the plan. Memoized per (session, dir): the
+    * Lloyd loop runs once, the serving path reads the artifact. Loud
+    * rejection on unknown values — a typo must not silently serve the
+    * default index. */
+  val IvfCodebookConf = "spark.graft.ivf.codebook"
+  val IvfCells = 10
+
   private[graft] def ivfCodebook(spark: SparkSession, dir: String): DataFrame =
-    centroids(scaledEmb(spark, dir))
+    spark.conf.getOption(IvfCodebookConf).map(_.trim).getOrElse("label") match {
+      case "label" => centroids(scaledEmb(spark, dir))
+      case "trained" =>
+        Features.cachedFrame(spark, s"$dir#ivfTrainedCodebook") {
+          kmeansAuto(scaledEmb(spark, dir), IvfCells, Dim).centroids
+            .select(col("c_id").cast("int").as("c_label"),
+              col("cv").as("cs"), col("cn2"))
+        }
+      case bad => throw new IllegalArgumentException(
+        s"$IvfCodebookConf must be 'label' or 'trained', got '$bad'")
+    }
 
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 1): DataFrame = {
