@@ -556,22 +556,17 @@ object Media {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Distributed image near-dup pairs over a `(path, content)` frame:
-    * per-partition pHash (decode cost rides the scan, blobs never
-    * shuffle — only 8-byte hashes do), [[PhashBands]]-band bucket join
-    * (q35's banding shape; the pigeonhole guarantee above makes it
-    * EXACT for Hamming ≤ [[PhashMaxHamming]], not probabilistic), then
-    * the exact Hamming verify. Returns (path_a, path_b, hamming),
+  /** Banded 64-bit-fingerprint pair scan, shared by the image and
+    * audio near-dup paths: [[PhashBands]]-band bucket join (q35's
+    * banding shape; the pigeonhole guarantee makes it EXACT for
+    * Hamming ≤ [[PhashMaxHamming]], not probabilistic), then the exact
+    * Hamming verify. `hashes` is a (path, ph) frame — only 8-byte
+    * fingerprints ever shuffle. Returns (path_a, path_b, hamming),
     * path_a < path_b. */
-  def imageNearDupPairs(objects: Dataset[MediaObject],
+  def bandedHashPairs(hashes: DataFrame,
       maxHamming: Int = PhashMaxHamming): DataFrame = {
-    import objects.sparkSession.implicits._
     require(maxHamming <= PhashMaxHamming,
       s"banding with $PhashBands bands only guarantees Hamming <= $PhashMaxHamming")
-    val hashes = objects.mapPartitions(_.flatMap { m =>
-      try Some((m.path, phash(m.content)))
-      catch { case _: Exception => None }
-    }).toDF("path", "ph")
     val bandBits = 64 / PhashBands
     val banded = hashes.select(col("path"), col("ph"),
       explode(array((0 until PhashBands).map(bnd =>
@@ -592,5 +587,62 @@ object Media {
           col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("path_a"), col("path_b"), col("hamming"))
+  }
+
+  /** Distributed image near-dup pairs over a `(path, content)` frame:
+    * per-partition pHash (decode cost rides the scan, blobs never
+    * shuffle) into the shared [[bandedHashPairs]] scan. */
+  def imageNearDupPairs(objects: Dataset[MediaObject],
+      maxHamming: Int = PhashMaxHamming): DataFrame = {
+    import objects.sparkSession.implicits._
+    bandedHashPairs(objects.mapPartitions(_.flatMap { m =>
+      try Some((m.path, phash(m.content)))
+      catch { case _: Exception => None }
+    }).toDF("path", "ph"), maxHamming)
+  }
+
+  /** Audio perceptual fingerprint: decoded PCM → 65-segment RMS energy
+    * envelope → 64 bits of CONSECUTIVE-SEGMENT COMPARISONS
+    * (bit i = rms[i+1] > rms[i]) — the sign-of-delta recipe the audio
+    * fingerprinting literature uses per band (Haitsma–Kalker 2002),
+    * collapsed to the time axis here (no FFT dependency in this
+    * container). Comparisons are invariant to GAIN by construction
+    * (scaling every sample scales every segment RMS identically) and
+    * read the clip's coarse energy structure, which byte fingerprints
+    * and exact sample hashes both miss across re-masterings. */
+  def audioFingerprint(content: Array[Byte]): Long = {
+    val (_, _, samples) = decodeSamples(content)
+    val segs = 65
+    val e = new Array[Double](segs)
+    val c = new Array[Long](segs)
+    var i = 0
+    while (i < samples.length) {
+      val b = (i.toLong * segs / samples.length).toInt
+      val v = samples(i).toDouble
+      e(b) += v * v
+      c(b) += 1
+      i += 1
+    }
+    val rms = Array.tabulate(segs)(b =>
+      if (c(b) == 0) 0.0 else math.sqrt(e(b) / c(b)))
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (rms(k + 1) > rms(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Distributed audio near-dup pairs: per-partition fingerprint into
+    * the shared [[bandedHashPairs]] scan — re-mastered (re-gained)
+    * copies pair at Hamming 0 without any waveform ever shuffling. */
+  def audioNearDupPairs(objects: Dataset[MediaObject],
+      maxHamming: Int = PhashMaxHamming): DataFrame = {
+    import objects.sparkSession.implicits._
+    bandedHashPairs(objects.mapPartitions(_.flatMap { m =>
+      try Some((m.path, audioFingerprint(m.content)))
+      catch { case _: Exception => None }
+    }).toDF("path", "ph"), maxHamming)
   }
 }
