@@ -3084,4 +3084,59 @@ object TextAnalysis {
     "q74_term_redaction" -> q74Sql,
     "q75_source_mixing" -> q75Sql,
     "q76_context_packing" -> q76Sql)
+
+  // ------------------------------------------------------- compression
+  /** COMPRESSION-RATIO QUALITY GATE — the model-free quality signal the
+    * large-scale filtering literature runs alongside the heuristic and
+    * LM gates: DEFLATE the document and read the ratio. BOTH tails are
+    * junk — a near-zero ratio is machine-repeated template content
+    * (compressors are, in effect, exact-repetition detectors with a
+    * window far wider than q80's 3-grams), a near-one ratio is
+    * encrypted/base64/random content no LM gate scores reliably
+    * (its surprisal is uniformly high, but so is hard technical
+    * prose's — incompressibility separates them). Spec-verified rather
+    * than oracled: the signal is definitionally the output of a
+    * specific codec, which the SQL oracle cannot replicate (the
+    * kmeansAuto/streaming posture — SURVEY §5's non-SQL-expressible
+    * class).
+    *
+    * Scale posture: one `mapPartitions` with a per-partition reused
+    * `Deflater` (the pipeline-decoder init shape); stateless per row,
+    * streams unchanged under `foreachBatch`; output is a narrow typed
+    * row per doc, text never shuffles. */
+  val CompressLowCutU = 250000L  // < 4:1 stays suspicious-repetitive
+  // ASCII text tops out near ~6.6/8 bits under Huffman alone, so 0.8
+  // is the practical "no structure beyond the alphabet" line.
+  val CompressHighCutU = 800000L
+
+  final case class CompressionScore(doc_id: Long, n_bytes: Long,
+      n_compressed: Long, ratio_u: Long, flag: String)
+
+  private[graft] def compressionGate(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[CompressionScore] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished())
+            n += deflater.deflate(buf)
+          val ratio =
+            if (raw.isEmpty) 1000000L
+            else math.floorDiv(1000000L * n, raw.length.toLong)
+          val flag =
+            if (ratio < CompressLowCutU) "too_repetitive"
+            else if (ratio > CompressHighCutU) "incompressible"
+            else "ok"
+          CompressionScore(id, raw.length.toLong, n, ratio, flag)
+        }
+      }
+  }
 }
