@@ -80,4 +80,21 @@ object QualityStreams {
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
   }
+
+  /** Streaming COMPRESSION gate — the literal batch
+    * [[TextAnalysis.compressionGate]] per micro-batch: artifact-free
+    * and stateless like [[gopherGate]] (the scorer is a pure per-row
+    * codec run), so stream == batch by construction and replay is
+    * naturally idempotent. */
+  def compressionGate(docs: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(TextAnalysis.compressionGate(batch).toDF(), batchId)
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
 }

@@ -54,4 +54,33 @@ class CompressionGateSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(1L).ratio_u shouldBe 1000000L
     out(1L).flag shouldBe "incompressible"
   }
+
+  test("the streaming gate equals the batch scorer across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      1L -> Seq.fill(200)("click here to subscribe now").mkString(" "),
+      2L -> (0 until 960).map(i =>
+        ((HashScorer.md5u32(s"g$i") % 94) + 33).toChar).mkString(""),
+      3L -> "plain ordinary words in a sentence of middling structure")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val q = graft.streaming.QualityStreams.compressionGate(
+      mem.toDF().toDF("doc_id", "text"),
+      (b, _) => seen.synchronized {
+        b.collect().foreach(r => seen(r.getLong(0)) =
+          (r.getLong(3), r.getString(4)))
+      })
+    try {
+      rows.grouped(2).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val batch = run(rows)
+      seen.synchronized {
+        rows.foreach { case (id, _) =>
+          seen(id) shouldBe ((batch(id).ratio_u, batch(id).flag))
+        }
+      }
+    } finally q.stop()
+  }
 }

@@ -51,6 +51,12 @@ class DeletionCascadeSpec extends AnyFunSuite with SparkSpec with Matchers {
     row.getLong(2) shouldBe 1L // A: canonical 0 deleted, 5/7 survive
     row.getLong(3) shouldBe 1L // B erased
     row.getLong(4) shouldBe 8L // 4 deleted docs × 2 chunks each
+    // Cross-pin the closed form against the REAL chunker: if q104's
+    // constants ever change, this line fails alongside the hand count.
+    row.getLong(4) shouldBe TextAnalysis.chunksOf(
+      graft.Tables.documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 23 === 0))
+      .count()
     row.getLong(5) shouldBe 1L // vec 0 only
     // Shard cells: independent reimplementation of the q111 assignment.
     val expectCells = (for {
