@@ -101,7 +101,10 @@ object Explain {
     "q144_rrf_fusion" -> "semantic leg is the audited q38 broadcast shape; lexical leg joins the per-(doc, term) tf aggregate against a <=3*queries broadcast term list (one uniform-key join + one partial-aggregable per-(query, doc) sum); both top-10s and the fused top-5 are bounded per-query windows and the fusion join is candidates-sized",
     "q145_scd2_intervals" -> "q25's shuffle-once posture: one user_id hash shuffle, per-user sorted windows for lag/row_number/lead, never a global sort except the presentation order; output is change-points-sized, strictly smaller than the log",
     "q146_dup_degree" -> "rides the memoized verified pair table (df-capped, bounded); degree is one union + one partial-aggregable groupBy of the pairs-sized frame into a <=4-cell report",
-    "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report")
+    "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report",
+    "q149_event_pairs" -> "one partial-aggregable distinct on (user_id, type) is the only shuffle touching event volume; the pair self-join keys on uniform user_id with per-key fan-out bounded by the tiny type vocabulary (never quadratic in users or events); <=|types| reach totals BROADCAST onto the <=C(|types|,2)-row support table",
+    "q150_rfm_segments" -> "one user_id shuffle for the per-user rollup; spend stays DECIMAL through the NTILE windows so ordering is exact in both engines; the three global quartile sorts are the oracle-pinned EXACT mode - spark.graft.quantiles.mode=approx swaps them for one percentile_approx row broadcast back (no global window at any user count); output <=64 rows",
+    "q151_corpus_manifest" -> "ONE scan, every aggregate partial-aggregable (count/sum/min/max/bit_xor; the lang distinct is over a tiny domain), one shuffle keyed by source, |sources|-row output; the XOR checksum is commutative and carry-free so the manifest is partition-invariant and overflow-proof at any row count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

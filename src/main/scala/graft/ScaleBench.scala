@@ -85,7 +85,7 @@ object ScaleBench {
     "q136_pq_adc_recall", "q137_ivfpq_adc", "q138_repetition_exposure",
     "q139_deletion_cascade", "q140_canonical_handoff", "q141_bigram_lm",
     "q142_banding_sweep", "q143_weighted_sample", "q144_rrf_fusion",
-    "q146_dup_degree")
+    "q146_dup_degree", "q151_corpus_manifest")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -117,7 +117,8 @@ object ScaleBench {
     "q61_length_quantiles", "q62_profile", "q63_funnel_daily",
     "q64_retention", "q65_rate_anomaly", "q67_normalize",
     "q68_content_scan", "q93_trending", "q145_scd2_intervals",
-    "q147_state_attribution")
+    "q147_state_attribution", "q148_scd2_incremental",
+    "q149_event_pairs", "q150_rfm_segments")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")

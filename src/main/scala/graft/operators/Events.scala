@@ -663,7 +663,153 @@ object Events {
        |GROUP BY state
        |ORDER BY state""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** Frequent event-type pair co-occurrence — market-basket support
+    * counting at itemset size 2 (the A-priori k=2 step) expressed
+    * relationally, with each side's standalone reach attached so
+    * downstream can derive confidence/lift without a second scan.
+    *
+    * Per user the DISTINCT event types form a tiny itemset (the type
+    * vocabulary is a handful of values), so the ordered self-join on
+    * `user_id` fans out to at most C(|types|,2) rows per user and
+    * immediately collapses onto a ≤C(|types|,2)-row pair key space.
+    *
+    * Scale posture: one partial-aggregable distinct on (user_id, type)
+    * — the only shuffle touching event volume, keyed by the
+    * high-cardinality uniform `user_id`; the pair self-join joins that
+    * slim frame to itself on `user_id` with bounded ≤|types| per-key
+    * fanout (never quadratic in users or events); the per-type totals
+    * frame is ≤|types| rows and broadcasts onto the ≤C(|types|,2)-row
+    * co-occurrence table. Output size is independent of corpus size. */
+  private def q149(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val co = ut.toDF("user_id", "ta")
+      .join(ut.toDF("user_id", "tb"), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_co"))
+    val tot = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    co.join(broadcast(tot.select(col("event_type").as("ta"),
+        col("n").as("n_a"))), "ta")
+      .join(broadcast(tot.select(col("event_type").as("tb"),
+        col("n").as("n_b"))), "tb")
+      .select(col("ta"), col("tb"), col("n_co"), col("n_a"), col("n_b"))
+      .orderBy(col("n_co").desc, col("ta"), col("tb"))
+  }
+
+  private val q149Sql =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |co AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_co
+       |  FROM ut a JOIN ut b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+       |SELECT co.ta, co.tb, co.n_co, x.n AS n_a, y.n AS n_b
+       |FROM co
+       |JOIN tot x ON co.ta = x.event_type
+       |JOIN tot y ON co.tb = y.event_type
+       |ORDER BY n_co DESC, ta, tb""".stripMargin
+
+  // --------------------------------------------------------------- q150
+  /** RFM (recency / frequency / monetary) quartile segmentation over
+    * purchase events — the classic account-base cube; for a data shop
+    * it is the per-account usage segmentation that sets sampling or
+    * retention weights.
+    *
+    * Per purchasing user: last purchase time (recency, epoch-µs),
+    * purchase count (frequency), exact-decimal spend (monetary). Each
+    * metric is quartiled with NTILE(4) under a TOTAL order (metric
+    * desc, then `user_id`) so tie placement is deterministic and
+    * engine-portable; the 4×4×4 segment cube is then counted with an
+    * exact-decimal spend sum per cell. Spend stays DECIMAL through the
+    * window so the ordering itself is exact in both engines.
+    *
+    * Scale posture: one shuffle on `user_id` for the per-user rollup;
+    * output is ≤64 rows regardless of volume. The three NTILE windows
+    * are global sorts, kept EXACT by default because the oracle pins
+    * per-cell membership; under `spark.graft.quantiles.mode=approx`
+    * ([[Features.QuantileModeConf]], the same switch q106/q109 honor)
+    * the windows are replaced by one `percentile_approx` aggregate per
+    * metric whose three thresholds broadcast back — no global sort,
+    * bounded memory at any user count (boundary ties then land in the
+    * lower quartile, the documented jitter `QuantileModeSpec` grades). */
+  private def q150(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(unix_micros(max(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_purch"),
+        sum(dec(col("value"))).as("spend"))
+    val quartiled =
+      if (!Features.approxQuantiles(spark)) {
+        def q(c: String) = ntile(4)
+          .over(Window.orderBy(col(c).desc, col("user_id"))).cast("long")
+        per.withColumn("r_q", q("last_us"))
+          .withColumn("f_q", q("n_purch"))
+          .withColumn("m_q", q("spend"))
+      } else {
+        // The documented 100 TB swap: four approx thresholds per metric
+        // in ONE aggregate row, broadcast back — no single-partition
+        // global window. Descending quartiles ⇒ bucket 1 is the top.
+        val thr = per.agg(
+          percentile_approx(col("last_us"), array(lit(0.25), lit(0.5),
+            lit(0.75)), lit(10000)).as("rt"),
+          percentile_approx(col("n_purch"), array(lit(0.25), lit(0.5),
+            lit(0.75)), lit(10000)).as("ft"),
+          percentile_approx(col("spend").cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("mt"))
+        // Thresholds are ascending (p25,p50,p75): above p75 ⇒ top
+        // quartile 1, between p50 and p75 ⇒ 2, etc.
+        per.crossJoin(broadcast(thr))
+          .withColumn("r_q",
+            when(col("last_us") > element_at(col("rt"), 3), 1L)
+              .when(col("last_us") > element_at(col("rt"), 2), 2L)
+              .when(col("last_us") > element_at(col("rt"), 1), 3L)
+              .otherwise(4L))
+          .withColumn("f_q",
+            when(col("n_purch") > element_at(col("ft"), 3), 1L)
+              .when(col("n_purch") > element_at(col("ft"), 2), 2L)
+              .when(col("n_purch") > element_at(col("ft"), 1), 3L)
+              .otherwise(4L))
+          .withColumn("m_q",
+            when(col("spend").cast(DoubleType) > element_at(col("mt"), 3), 1L)
+              .when(col("spend").cast(DoubleType) > element_at(col("mt"), 2), 2L)
+              .when(col("spend").cast(DoubleType) > element_at(col("mt"), 1), 3L)
+              .otherwise(4L))
+          .drop("rt", "ft", "mt")
+      }
+    quartiled
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        decToDouble(sum(col("spend"))).as("sum_spend"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  private val q150Sql =
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    max(epoch_us(ts)) AS last_us,
+       |    count(*) AS n_purch,
+       |    sum(CAST(value AS DECIMAL(18,4))) AS spend
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |q AS (
+       |  SELECT spend,
+       |    NTILE(4) OVER (ORDER BY last_us DESC, user_id) AS r_q,
+       |    NTILE(4) OVER (ORDER BY n_purch DESC, user_id) AS f_q,
+       |    NTILE(4) OVER (ORDER BY spend DESC, user_id) AS m_q
+       |  FROM per)
+       |SELECT r_q, f_q, m_q, count(*) AS n_users,
+       |  ${d2dSql("sum(spend)")} AS sum_spend
+       |FROM q
+       |GROUP BY 1, 2, 3
+       |ORDER BY r_q, f_q, m_q""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_event_pairs"  -> (q149 _),
+    "q150_rfm_segments" -> (q150 _),
     "q145_scd2_intervals" -> (q145 _),
     "q147_state_attribution" -> (q147 _),
     "q148_scd2_incremental" -> (q148 _),
@@ -681,6 +827,8 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q149_event_pairs"  -> q149Sql,
+    "q150_rfm_segments" -> q150Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q147_state_attribution" -> q147Sql,
     // incremental merge == full rebuild, by construction: shares the q145 oracle.

@@ -2991,9 +2991,56 @@ object TextAnalysis {
        |FROM flagged GROUP BY source
        |ORDER BY oov_mass_u DESC, source""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** Corpus version manifest — the per-source dataset fingerprint a
+    * training run records so "did source X change since the last
+    * snapshot?" is a manifest diff, not a 100 TB comparison. The
+    * incremental layers (q69's index compaction, q148's SCD2 merge,
+    * the streaming monitors' frozen artifacts) all need exactly this
+    * cheap change detector to decide when to rebuild.
+    *
+    * Per source: row count, distinct languages, total characters,
+    * doc_id range, and an order-independent content checksum —
+    * `bit_xor` over md5u32(doc_id ':' text). XOR is commutative and
+    * carry-free, so the checksum is partition- and overflow-proof at
+    * any row count; hashing the (id, text) PAIR keeps byte-identical
+    * duplicate documents from cancelling each other out of the XOR.
+    *
+    * Scale posture: one scan, every aggregate partial-aggregable
+    * (count / countDistinct-on-tiny-domain / sum / min / max / xor),
+    * one shuffle on `source`, output = |sources| rows. This is the
+    * cheapest whole-corpus query in the suite by design — it has to
+    * be, because it runs before every pipeline decision. */
+  private def q151(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        md5u32(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("source"))
+
+  private val q151Sql =
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_doc_id,
+       |  max(doc_id) AS max_doc_id,
+       |  bit_xor(${md5u32Sql("CAST(doc_id AS VARCHAR) || ':' || text")})
+       |    AS checksum
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
     "q125_zipf_audit" -> (q125 _),
     "q127_eval_roster" -> (q127 _),
@@ -3040,6 +3087,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,
     "q125_zipf_audit" -> q125Sql,
     "q127_eval_roster" -> q127Sql,
