@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns.tokens
+
+/** On-cluster BPE tokenizer training + frozen-artifact serving.
+  *
+  * The one tokenizer-lifecycle stage the suite lacked: q46 counts
+  * tokens with a FIXED regex, q131 audits coverage of an EXTERNAL
+  * vocabulary — this trains the vocabulary itself, the way every
+  * LLM data pipeline does before any token budget (q103), packing
+  * (q76), or per-token costing (q120) number means anything.
+  *
+  * Sennrich-style byte-pair encoding, trained — as in the original
+  * algorithm — over the WORD-FREQUENCY TABLE, not the corpus: the
+  * corpus is scanned exactly once to build (word, count), and every
+  * merge round then runs over that vocabulary-sized frame. That is
+  * the load-bearing scale property: at 100 TB the corpus has ~10¹¹
+  * word occurrences but a ~10⁶-row vocabulary, so per-round cost is
+  * corpus-size-INDEPENDENT. Each round is: adjacent-pair explode
+  * (fan-out ≤ word length) → one partial-aggregable weighted groupBy
+  * → a 1-row TakeOrderedAndProject argmax (count desc, then (a, b)
+  * lexicographic — ties deterministic) → one lazy fold (`aggregate`
+  * HOF, native expression, no UDF) applying the winning merge
+  * left-to-right non-overlapping. The vocab frame is
+  * `localCheckpoint`-cut per round (kmeansAuto's posture), so plans
+  * stay round-depth-constant and exactly ONE scalar action plus one
+  * leaf cut hit the driver per round (spec-pinned 1 + 2·rounds).
+  *
+  * Training is iterative-stateful, hence spec-verified rather than
+  * DuckDB-oracled (SURVEY §5's non-SQL-expressible class, like the
+  * CC fixpoint and kmeansAuto); the specs hand-pin the classic
+  * low/lower/newest/widest merge sequence and train==apply parity.
+  *
+  * Serving ([[tokenize]]/[[countTokens]]) replays the FROZEN rank-
+  * ordered merge list — one left-to-right non-overlapping pass per
+  * merge, the literal training fold — imperatively per partition
+  * (a tokenizer is a library function, not relational algebra; same
+  * mapPartitions posture as `compressionGate`). The merge table is a
+  * few KB and ships in the closure: scoring new text is map-side-
+  * only, zero shuffle, and `tokenize(trainingDocs)` reproduces the
+  * training end-state bit-for-bit (spec-pinned).
+  */
+object Bpe {
+
+  /** One learned merge: at `rank` (1-based), adjacent (`left`,
+    * `right`) becomes `left + right`. */
+  final case class Merge(rank: Int, left: String, right: String)
+
+  final case class BpeModel(merges: Seq[Merge], rounds: Int)
+
+  /** Characters of the string column named `w`, as array<string>
+    * (explicit substring walk — no regex-split empty-edge
+    * ambiguity). */
+  private def chars(w: String): Column =
+    expr(s"transform(sequence(1, length($w)), " +
+      s"i -> substring($w, CAST(i AS INT), 1))")
+
+  /** Adjacent symbol pairs of `syms` as array<struct<a,b>> — empty
+    * for 1-symbol words (slice with length 0), never descending-
+    * sequence surprises. */
+  private def adjacentPairs(syms: Column): Column =
+    arrays_zip(
+      slice(syms, lit(1), (size(syms) - 1).cast("int")).as("a"),
+      slice(syms, lit(2), (size(syms) - 1).cast("int")).as("b"))
+
+  /** One left-to-right non-overlapping merge pass as a lazy fold:
+    * if the accumulated tail is `left` and the next symbol is
+    * `right`, replace the tail with the merged symbol. Lazy `when`
+    * branches keep ANSI element_at off empty arrays. */
+  private def mergePass(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .otherwise(
+          when(element_at(acc, -1) === lit(left) && x === lit(right),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+            .otherwise(concat(acc, array(x)))))
+
+  /** Train `nMerges` BPE merges over `docs` (doc_id, text). Stops
+    * early when no adjacent pair remains (fully merged vocabulary).
+    * The corpus is scanned once; every round runs over the
+    * vocabulary-sized (syms, cnt) frame. */
+  private[graft] def train(docs: DataFrame, nMerges: Int): BpeModel = {
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(chars("w").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+
+    var merges = List.empty[Merge]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < nMerges) {
+      // the ONE driver-visible action per round: the argmax pair
+      val best = vocab
+        .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        rounds += 1
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges ::= Merge(rounds, l, r)
+        val next = vocab
+          .select(mergePass(col("syms"), l, r).as("syms"), col("cnt"))
+          .localCheckpoint(true) // vocab-sized; cuts the round's lineage
+        Features.freeFrame(vocab)
+        vocab = next
+      }
+    }
+    Features.freeFrame(vocab)
+    BpeModel(merges.reverse, rounds)
+  }
+
+  /** The trained artifact as a frame (rank, left, right, merged) —
+    * the shippable side table a serving fleet broadcasts. */
+  private[graft] def mergeTable(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, nMerges).merges
+      .map(m => (m.rank, m.left, m.right, m.left + m.right))
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** JVM replay of the training fold: one left-to-right
+    * non-overlapping pass. Shared by [[applyMerges]] and the specs'
+    * independent hand checks. */
+  private[graft] def mergeOnce(syms: Vector[String], left: String,
+      right: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var last: String = null
+    syms.foreach { x =>
+      if (last == left && x == right) { out += left + right; last = null }
+      else { if (last != null) out += last; last = x }
+    }
+    if (last != null) out += last // flush the pending symbol
+    out.result()
+  }
+
+  /** Tokenize one word under the frozen rank-ordered merge list —
+    * the exact training replay, so tokenizing the training corpus
+    * reproduces the final training vocabulary. */
+  private[graft] def applyMerges(word: String, merges: Seq[Merge]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach(m => syms = mergeOnce(syms, m.left, m.right))
+    syms
+  }
+
+  /** Per-doc BPE tokenization against the frozen model: (doc_id,
+    * bpe_tokens). Map-side-only — the merge list rides the closure;
+    * imperative per partition (compressionGate's posture). */
+  private[graft] def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => applyMerges(w, merges)).toSeq
+          (id, toks)
+        }
+      }.toDF("doc_id", "bpe_tokens")
+  }
+
+  /** Per-doc BPE token counts — the q46-shaped serving output, now
+    * under a TRAINED vocabulary instead of a fixed regex. */
+  private[graft] def countTokens(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    tokenize(docs, merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+}

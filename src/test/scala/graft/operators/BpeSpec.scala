@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** BPE training is pinned three ways: the classic Sennrich
+  * low/lower/newest/widest fixture's first five merges are
+  * hand-computed (including both deterministic tie-breaks), the
+  * distributed trainer must equal an INDEPENDENT driver-side replica
+  * on a denser fixture, and serving must replay training exactly
+  * (tokenizing the training words reproduces the merged symbols).
+  * The loop's driver-action budget is pinned kmeansAuto-style. */
+class BpeSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  import Bpe.Merge
+
+  private def docsOf(wordCounts: (String, Int)*) = {
+    import spark.implicits._
+    wordCounts.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, Seq.fill(n)(w).mkString(" "), "en", "s0", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Independent pure-Scala weighted BPE trainer: same argmax rule
+    * (count desc, then (a, b) lexicographic), same left-to-right
+    * non-overlapping pass — but counted with plain Maps, no Spark. */
+  private def referenceTrain(wordCounts: Map[String, Long],
+      nMerges: Int): Seq[Merge] = {
+    var vocab: Map[Vector[String], Long] = wordCounts.map {
+      case (w, n) => w.map(_.toString).toVector -> n
+    }
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var go = true
+    while (go && r < nMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      if (pc.isEmpty) go = false
+      else {
+        val (l, rr) = pc.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        r += 1
+        merges += Merge(r, l, rr)
+        vocab = vocab.groupBy { case (syms, _) =>
+          Bpe.mergeOnce(syms, l, rr)
+        }.map { case (syms, g) => syms -> g.values.sum }
+      }
+    }
+    merges.result()
+  }
+
+  test("the classic fixture's first five merges, ties included") {
+    val docs = docsOf("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val model = Bpe.train(docs, nMerges = 5)
+    model.merges shouldBe Seq(
+      Merge(1, "e", "s"),   // es 9 ties st 9 — (e,s) lex-first
+      Merge(2, "es", "t"),  // est 9
+      Merge(3, "l", "o"),   // lo 7 ties ow 7 — (l,o) lex-first
+      Merge(4, "lo", "w"),  // low 7
+      Merge(5, "e", "w"))   // 6-way tie ew/ne/west — (e,w) lex-first
+  }
+
+  test("distributed trainer equals the independent driver replica") {
+    val counts = Map("abab" -> 7L, "abc" -> 4L, "bcbc" -> 5L,
+      "cab" -> 3L, "aa" -> 2L, "b" -> 9L)
+    val docs = docsOf(counts.toSeq.sortBy(_._1)
+      .map { case (w, n) => w -> n.toInt }: _*)
+    Bpe.train(docs, nMerges = 6).merges shouldBe
+      referenceTrain(counts, nMerges = 6)
+  }
+
+  test("serving replays training: tokenize reproduces the merged " +
+      "symbols and the hand-pinned counts") {
+    val docs = docsOf("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val model = Bpe.train(docs, nMerges = 4)
+    Bpe.applyMerges("low", model.merges) shouldBe Vector("low")
+    Bpe.applyMerges("lower", model.merges) shouldBe
+      Vector("low", "e", "r")
+    Bpe.applyMerges("newest", model.merges) shouldBe
+      Vector("n", "e", "w", "est")
+    Bpe.applyMerges("widest", model.merges) shouldBe
+      Vector("w", "i", "d", "est")
+
+    import spark.implicits._
+    val fresh = Seq((42L, "low lower newest widest", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Bpe.countTokens(fresh, model.merges).collect()
+    got.map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((42L, (1 + 3 + 4 + 4).toLong))
+  }
+
+  test("a pairless vocabulary stops before the first merge") {
+    val model = Bpe.train(docsOf("a" -> 2, "b" -> 1), nMerges = 5)
+    model.rounds shouldBe 0
+    model.merges shouldBe empty
+  }
+
+  test("one driver action per round plus one leaf cut (kmeansAuto's " +
+      "budget): 1 + 2*rounds SQL executions") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val docs = docsOf("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3).localCheckpoint(true) // outside the window
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val p = js.properties
+        val id = if (p == null) null else p.getProperty("spark.sql.execution.id")
+        if (id != null) execIds.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val model =
+      try {
+        val m = Bpe.train(docs, nMerges = 4)
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          if (execIds.size == last) stable += 1
+          else { stable = 0; last = execIds.size }
+        }
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    model.rounds shouldBe 4
+    // seed vocab checkpoint + per round (argmax action + leaf cut)
+    execIds.size shouldBe (1 + 2 * model.rounds)
+  }
+}
