@@ -104,6 +104,7 @@ object Explain {
     "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report",
     "q149_event_pairs" -> "one partial-aggregable distinct on (user_id, type) is the only shuffle touching event volume; the pair self-join keys on uniform user_id with per-key fan-out bounded by the tiny type vocabulary (never quadratic in users or events); <=|types| reach totals BROADCAST onto the <=C(|types|,2)-row support table",
     "q150_rfm_segments" -> "one user_id shuffle for the per-user rollup; spend stays DECIMAL through the NTILE windows so ordering is exact in both engines; the three global quartile sorts are the oracle-pinned EXACT mode - spark.graft.quantiles.mode=approx swaps them for one percentile_approx row broadcast back (no global window at any user count); output <=64 rows",
+    "q152_mad_outliers" -> "two broadcast joins (per-type median/MAD frames are |types| rows) around three aggregate passes; the outlier test compares pure int64s (dev_u*1000 > 3*mad_mu) so no boundary row can flip engines; exact per-type percentile kept because the oracle pins interpolated medians - percentile_approx is the documented 100 TB swap (q61's trade)",
     "q151_corpus_manifest" -> "ONE scan, every aggregate partial-aggregable (count/sum/min/max/bit_xor; the lang distinct is over a tiny domain), one shuffle keyed by source, |sources|-row output; the XOR checksum is commutative and carry-free so the manifest is partition-invariant and overflow-proof at any row count")
 
   def main(args: Array[String]): Unit = {

@@ -118,7 +118,7 @@ object ScaleBench {
     "q64_retention", "q65_rate_anomaly", "q67_normalize",
     "q68_content_scan", "q93_trending", "q145_scd2_intervals",
     "q147_state_attribution", "q148_scd2_incremental",
-    "q149_event_pairs", "q150_rfm_segments")
+    "q149_event_pairs", "q150_rfm_segments", "q152_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")

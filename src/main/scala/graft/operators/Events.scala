@@ -807,8 +807,82 @@ object Events {
        |GROUP BY 1, 2, 3
        |ORDER BY r_q, f_q, m_q""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  /** Robust per-type value outliers via median absolute deviation —
+    * the value-domain complement of q65's rate anomaly: a mean/stddev
+    * z-score is itself dragged by the outliers it hunts (one 10⁶×
+    * fat-finger event shifts the mean), while median/MAD have a 50%
+    * breakdown point. Flag = deviation > 3×MAD, the standard robust
+    * cut.
+    *
+    * Determinism: values are floored to milli-units (v_u) before any
+    * comparison; medians use exact interpolated `percentile` floored
+    * to milli/micro-units — q61's engine-parity recipe (Spark
+    * `percentile` and DuckDB `quantile_cont` interpolate identically,
+    * and the single double multiply-then-floor is the same IEEE op in
+    * both). The outlier test compares pure int64s
+    * (dev_u·1000 > 3·mad_mu), so no boundary row can flip engines.
+    *
+    * Scale posture: two broadcast joins (per-type medians/MADs are
+    * |types| rows) around three partial-aggregable passes; the exact
+    * per-type percentile buffers a type's values on one task — q61's
+    * documented trade, kept because the oracle pins interpolated
+    * medians; at 100 TB swap `percentile_approx` (t-digest, bounded
+    * memory) exactly as q61/q62 document. */
+  private def q152(spark: SparkSession, dir: String): DataFrame = {
+    val vu = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        floor(col("value") * 1000.0).cast(LongType).as("v_u"))
+    val med = vu.groupBy(col("event_type"))
+      .agg(floor(expr("percentile(value, 0.5)") * 1000.0)
+        .cast(LongType).as("med_u"))
+    val dev = vu.join(broadcast(med), "event_type")
+      .withColumn("dev_u", abs(col("v_u") - col("med_u")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(floor(expr("percentile(dev_u, 0.5)") * 1000.0)
+        .cast(LongType).as("mad_mu"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_u")).as("med_u"),
+        min(col("mad_mu")).as("mad_mu"),
+        sum(when(col("dev_u") * 1000L > lit(3L) * col("mad_mu"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("dev_u")).as("max_dev_u"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q152Sql =
+    s"""WITH vu AS (
+       |  SELECT event_type, value,
+       |    CAST(floor(value * 1000.0) AS BIGINT) AS v_u
+       |  FROM events),
+       |med AS (
+       |  SELECT event_type,
+       |    CAST(floor(quantile_cont(value, 0.5) * 1000.0) AS BIGINT)
+       |      AS med_u
+       |  FROM vu GROUP BY event_type),
+       |dev AS (
+       |  SELECT v.event_type, abs(v.v_u - m.med_u) AS dev_u, m.med_u
+       |  FROM vu v JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type,
+       |    CAST(floor(quantile_cont(dev_u, 0.5) * 1000.0) AS BIGINT)
+       |      AS mad_mu
+       |  FROM dev GROUP BY event_type)
+       |SELECT d.event_type, count(*) AS n,
+       |  min(d.med_u) AS med_u,
+       |  min(a.mad_mu) AS mad_mu,
+       |  CAST(sum(CASE WHEN d.dev_u * 1000 > 3 * a.mad_mu
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  max(d.dev_u) AS max_dev_u
+       |FROM dev d JOIN mad a USING (event_type)
+       |GROUP BY d.event_type
+       |ORDER BY d.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q149_event_pairs"  -> (q149 _),
+    "q152_mad_outliers" -> (q152 _),
     "q150_rfm_segments" -> (q150 _),
     "q145_scd2_intervals" -> (q145 _),
     "q147_state_attribution" -> (q147 _),
@@ -828,6 +902,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q149_event_pairs"  -> q149Sql,
+    "q152_mad_outliers" -> q152Sql,
     "q150_rfm_segments" -> q150Sql,
     "q145_scd2_intervals" -> q145Sql,
     "q147_state_attribution" -> q147Sql,
