@@ -76,6 +76,16 @@ class BpeSpec extends AnyFunSuite with SparkSpec with Matchers {
       referenceTrain(counts, nMerges = 6)
   }
 
+  test("the shippable merge table carries the ranked merges verbatim") {
+    val docs = docsOf("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val rows = Bpe.mergeTable(docs, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    rows shouldBe Array((1, "e", "s", "es"), (2, "es", "t", "est"),
+      (3, "l", "o", "lo"))
+  }
+
   test("serving replays training: tokenize reproduces the merged " +
       "symbols and the hand-pinned counts") {
     val docs = docsOf("low" -> 5, "lower" -> 2, "newest" -> 6,
