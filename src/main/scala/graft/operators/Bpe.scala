@@ -144,9 +144,13 @@ object Bpe {
 
   /** Tokenize one word under the frozen rank-ordered merge list —
     * the exact training replay, so tokenizing the training corpus
-    * reproduces the final training vocabulary. */
+    * reproduces the final training vocabulary. Seed symbols split by
+    * CODEPOINT, matching Spark's substring walk in [[chars]] — a
+    * UTF-16 char split would cleave astral-plane characters (emoji)
+    * and silently diverge from training. */
   private[graft] def applyMerges(word: String, merges: Seq[Merge]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
     merges.foreach(m => syms = mergeOnce(syms, m.left, m.right))
     syms
   }

@@ -107,6 +107,19 @@ class BpeSpec extends AnyFunSuite with SparkSpec with Matchers {
       Array((42L, (1 + 3 + 4 + 4).toLong))
   }
 
+  test("astral-plane characters are one symbol on both sides: train " +
+      "and serve split by codepoint, not UTF-16 char") {
+    Bpe.applyMerges("a😀b", Nil) shouldBe
+      Vector("a", "😀", "b") // a 😀 b — emoji stays whole
+    // training over the emoji word must produce merges serving can
+    // replay: with 2 merges the whole 3-symbol word fuses.
+    val docs = docsOf("a😀b" -> 5)
+    val model = Bpe.train(docs, nMerges = 2)
+    model.rounds shouldBe 2
+    Bpe.applyMerges("a😀b", model.merges) shouldBe
+      Vector("a😀b")
+  }
+
   test("a pairless vocabulary stops before the first merge") {
     val model = Bpe.train(docsOf("a" -> 2, "b" -> 1), nMerges = 5)
     model.rounds shouldBe 0
