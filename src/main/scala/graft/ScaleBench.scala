@@ -85,7 +85,7 @@ object ScaleBench {
     "q136_pq_adc_recall", "q137_ivfpq_adc", "q138_repetition_exposure",
     "q139_deletion_cascade", "q140_canonical_handoff", "q141_bigram_lm",
     "q142_banding_sweep", "q143_weighted_sample", "q144_rrf_fusion",
-    "q146_dup_degree", "q151_corpus_manifest")
+    "q146_dup_degree", "q151_corpus_manifest", "q153_manifest_diff")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

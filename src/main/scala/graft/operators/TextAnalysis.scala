@@ -3037,9 +3037,88 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q153
+  /** Manifest diff — the CONSUMER of q151's artifact: given the
+    * current corpus manifest and a stored snapshot, classify every
+    * source as unchanged / changed / new / removed and quantify the
+    * delta (docs, chars). This is the decision input the incremental
+    * layers act on: `unchanged` sources skip recompaction entirely
+    * (q69/q148's merge paths), `changed` ones rebuild, and the
+    * classification costs two |sources|-row frames — never a corpus
+    * comparison. XOR checksum equality is the change test, so a
+    * same-count same-size in-place edit still classifies `changed`
+    * (the failure mode row counts alone cannot see).
+    *
+    * The query instantiates the stored snapshot reproducibly as the
+    * manifest of the doc_id % 10 != 0 subset — "yesterday's corpus"
+    * before today's every-tenth-doc arrivals — so the diff exercises
+    * changed AND unchanged classes on fixture data (sources whose
+    * doc_ids all avoid % 10 == 0 come out unchanged).
+    *
+    * Scale posture: [[manifestOf]] is one partial-aggregable scan
+    * each side (in production the stored side is a READ of the saved
+    * |sources|-row artifact, not a scan); the diff itself is a full
+    * outer join of two |sources|-row frames — free at any corpus
+    * size. */
+  private[graft] def manifestOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h",
+        md5u32(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("checksum"))
+
+  private[graft] def manifestDiff(current: DataFrame, stored: DataFrame): DataFrame = {
+    val cur = current.select(col("source"), col("n_docs").as("c_docs"),
+      col("sum_chars").as("c_chars"), col("checksum").as("c_sum"))
+    val old = stored.select(col("source"), col("n_docs").as("s_docs"),
+      col("sum_chars").as("s_chars"), col("checksum").as("s_sum"))
+    cur.join(old, Seq("source"), "full_outer")
+      .select(col("source"),
+        when(col("c_sum").isNull, lit("removed"))
+          .when(col("s_sum").isNull, lit("new"))
+          .when(col("c_sum") === col("s_sum") &&
+            col("c_docs") === col("s_docs"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("c_docs"), lit(0L)) - coalesce(col("s_docs"), lit(0L)))
+          .as("delta_docs"),
+        (coalesce(col("c_chars"), lit(0L)) - coalesce(col("s_chars"), lit(0L)))
+          .as("delta_chars"))
+      .orderBy(col("source"))
+  }
+
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    manifestDiff(manifestOf(docs),
+      manifestOf(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)))
+  }
+
+  private val q153Sql = {
+    def man(filter: String) =
+      s"""SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    bit_xor(${md5u32Sql("CAST(doc_id AS VARCHAR) || ':' || text")})
+         |      AS checksum
+         |  FROM documents $filter GROUP BY source""".stripMargin
+    s"""WITH cur AS (${man("")}),
+       |stored AS (${man("WHERE doc_id % 10 != 0")})
+       |SELECT COALESCE(c.source, s.source) AS source,
+       |  CASE WHEN c.checksum IS NULL THEN 'removed'
+       |       WHEN s.checksum IS NULL THEN 'new'
+       |       WHEN c.checksum = s.checksum AND c.n_docs = s.n_docs
+       |         THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  COALESCE(c.n_docs, 0) - COALESCE(s.n_docs, 0) AS delta_docs,
+       |  COALESCE(c.sum_chars, 0) - COALESCE(s.sum_chars, 0) AS delta_chars
+       |FROM cur c FULL OUTER JOIN stored s ON c.source = s.source
+       |ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q153_manifest_diff" -> (q153 _),
     "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
     "q125_zipf_audit" -> (q125 _),
@@ -3087,6 +3166,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q153_manifest_diff" -> q153Sql,
     "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,
     "q125_zipf_audit" -> q125Sql,

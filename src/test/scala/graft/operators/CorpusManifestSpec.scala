@@ -53,6 +53,34 @@ class CorpusManifestSpec extends AnyFunSuite with SparkSpec with Matchers {
     m1("sB") shouldBe m2("sB")
   }
 
+  test("manifest diff classifies all four statuses, including the " +
+      "same-count in-place edit row counts cannot see") {
+    import spark.implicits._
+    def frame(docs: Seq[(Long, String, String)]) =
+      docs.map { case (id, text, src) =>
+        (id, text, "en", src, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stored = frame(Seq(
+      (1L, "alpha", "sA"), (2L, "beta", "sA"),
+      (10L, "gamma", "sB"),
+      (20L, "delta", "sOld")))
+    val current = frame(Seq(
+      (1L, "alpHa", "sA"), (2L, "beta", "sA"), // same count, one edit
+      (10L, "gamma", "sB"),                    // untouched
+      (30L, "epsilon", "sNew")))               // brand-new source
+    val got = TextAnalysis
+      .manifestDiff(TextAnalysis.manifestOf(current),
+        TextAnalysis.manifestOf(stored))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3))))
+      .toMap
+    got("sA") shouldBe (("changed", 0L, 0L)) // XOR sees what counts can't
+    got("sB") shouldBe (("unchanged", 0L, 0L))
+    got("sNew") shouldBe (("new", 1L, 7L))
+    got("sOld") shouldBe (("removed", -1L, -5L))
+  }
+
   test("byte-identical duplicate docs do not cancel out of the XOR") {
     val d1 = Files.createTempDirectory("man5_").toString
     val d2 = Files.createTempDirectory("man6_").toString
