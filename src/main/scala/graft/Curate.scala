@@ -17,7 +17,11 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     zero-cost place to assign it);
   *   <out>/report/                       — the per-source funnel (q84)
   *     as a single JSON file: the audit record of what was dropped
-  *     where, written ALONGSIDE the corpus it describes.
+  *     where, written ALONGSIDE the corpus it describes;
+  *   <out>/manifest/                     — q151's corpus-version
+  *     manifest of the SHIPPED corpus ([[ManifestWriter]]), the
+  *     |sources|-row fingerprint the next run diffs against
+  *     (q153's production shape) to decide what needs rebuilding.
   *
   * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]
   * [--with-shards] [--with-tombstones]`
@@ -175,6 +179,13 @@ object Curate {
     if (withShards)
       ShardWriter.write(spark, curated, s"$outDir/shards",
         coalesceFiles = true)
+
+    // The corpus-version manifest (q151's fingerprint of what SHIPPED)
+    // always rides along: the next run diffs its live corpus against
+    // this |sources|-row artifact (ManifestWriter.diffAgainstStored,
+    // q153's production shape) to decide per source whether anything
+    // needs rebuilding — without re-reading this corpus' bytes.
+    ManifestWriter.write(curated, s"$outDir/manifest")
 
     // The audit record ships with the corpus and describes the chain
     // that RAN: q84's per-source funnel, or the extended 6-stage q92;

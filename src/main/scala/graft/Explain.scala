@@ -102,6 +102,7 @@ object Explain {
     "q145_scd2_intervals" -> "q25's shuffle-once posture: one user_id hash shuffle, per-user sorted windows for lag/row_number/lead, never a global sort except the presentation order; output is change-points-sized, strictly smaller than the log",
     "q146_dup_degree" -> "rides the memoized verified pair table (df-capped, bounded); degree is one union + one partial-aggregable groupBy of the pairs-sized frame into a <=4-cell report",
     "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report",
+    "q148_scd2_incremental" -> "delta-sized merge legs: the stored artifact splits by ONE broadcast semi/anti join pair on user_id (pass-through rows never rewritten), the seed||delta change chain windows over DELTA users only (user_id hash shuffle, per-user sort - no global sort), and the fixture's two events passes exist only to fabricate the artifact boundary in-query (production reads yesterday's parquet dimension, scans only the delta)",
     "q149_event_pairs" -> "one partial-aggregable distinct on (user_id, type) is the only shuffle touching event volume; the pair self-join keys on uniform user_id with per-key fan-out bounded by the tiny type vocabulary (never quadratic in users or events); <=|types| reach totals BROADCAST onto the <=C(|types|,2)-row support table",
     "q150_rfm_segments" -> "one user_id shuffle for the per-user rollup; spend stays DECIMAL through the NTILE windows so ordering is exact in both engines; the three global quartile sorts are the oracle-pinned EXACT mode - spark.graft.quantiles.mode=approx swaps them for one percentile_approx row broadcast back (no global window at any user count); output <=64 rows",
     "q152_mad_outliers" -> "two broadcast joins (per-type median/MAD frames are |types| rows) around three aggregate passes; the outlier test compares pure int64s (dev_u*1000 > 3*mad_mu) so no boundary row can flip engines; exact per-type percentile kept because the oracle pins interpolated medians - percentile_approx is the documented 100 TB swap (q61's trade)",
@@ -142,6 +143,31 @@ object Explain {
       sb.append(s"\n## $name\n\n**Expected:** $property\n\n```\n")
       sb.append(capped.trim)
       sb.append("\n```\n")
+    }
+    // Conf-gated plan VARIANTS: the same query under a non-default mode
+    // whose plan difference IS the scale claim — rendered beside the
+    // default so the swap is plan-visible, not just scaladoc'd.
+    val Variants: Seq[(String, String, (String, String), String)] = Seq(
+      ("q150_rfm_segments (quantiles.mode=approx)", "q150_rfm_segments",
+        graft.operators.Features.QuantileModeConf -> "approx",
+        "the exact-mode NTILE quartile windows (global sorts) are REPLACED " +
+          "by one percentile_approx aggregate row broadcast back onto the " +
+          "per-user rollup - no global Window/Sort over users anywhere in " +
+          "the plan, which is the documented 100 TB posture"))
+    Variants.foreach { case (title, name, (ck, cv), property) =>
+      val prior = spark.conf.getOption(ck)
+      spark.conf.set(ck, cv)
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan =
+          df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        sb.append(s"\n## $title\n\n**Expected:** $property\n\n```\n")
+        sb.append(plan.trim)
+        sb.append("\n```\n")
+      } finally prior match {
+        case Some(v) => spark.conf.set(ck, v)
+        case None => spark.conf.unset(ck)
+      }
     }
     Files.writeString(Paths.get(outPath), sb.toString)
     graft.operators.Features.clear(spark)

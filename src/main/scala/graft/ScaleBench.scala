@@ -42,12 +42,27 @@ import graft.tools.ScaleData
   * one micro-batch each, reporting per-module rows/s, per-batch
   * latency min/med/max, and (for dedup) the final index state size.
   *
+  * A sixth phase (`bpe`) measures [[graft.operators.Bpe]]'s training
+  * claim — one corpus scan, then vocabulary-sized rounds — as a table:
+  * seed-build time vs per-merge-round time at 1× and 10× docs from the
+  * SAME generator (same vocabulary, so corpus size is the only axis).
+  *
+  * A seventh phase (`media`) times the perceptual near-dup scans
+  * ([[graft.pipeline.Media]] pHash / audio fingerprint) over
+  * deterministically generated DECODABLE objects (real PNG/JPEG/WAV
+  * bytes with ~10% planted perceptual near-dups): the map-only
+  * fingerprint stage and the banded 8-byte pair scan are timed
+  * separately at 1× and 10× objects — the multimodal twin of the
+  * q35/q36 scale table.
+  *
   * Env knobs: `SPARK_GRAFT_SCALE_DIR` (default /tmp/graft_scale; data is
   * regenerated only if absent — generation is deterministic),
   * `SPARK_GRAFT_SCALE_DOCS`/`_EMB`/`_HOT` row counts,
   * `SPARK_GRAFT_STREAM_BATCHES` (default 10),
+  * `SPARK_GRAFT_BPE_MERGES` (default 24),
+  * `SPARK_GRAFT_SCALE_MEDIA` (default 2000 objects per modality),
   * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | tail |
-  * streaming | both (all).
+  * streaming | bpe | media | both (all).
   */
 object ScaleBench {
 
@@ -295,6 +310,89 @@ object ScaleBench {
           mod("dsir_gate", dSec, dRows, dLats) + "," +
           mod("incremental_dedup", iSec, iRows, iLats,
             s""","index_rows":[$baseFp,$finalFp]""") + "}")
+    }
+
+    if (phase == "bpe" || phase == "both") {
+      // BPE training's scale claim, measured: the corpus is scanned
+      // ONCE (the seed word-frequency build), and every merge round
+      // then runs over the vocabulary-sized frame — so at 10× the
+      // corpus the seed cost may grow ~10× while per-round cost stays
+      // ~flat (both corpora come from the same generator, so the
+      // vocabulary itself is the same). nMerges=0 isolates the seed.
+      import graft.operators.Bpe
+      import org.apache.spark.sql.functions.{col, explode}
+      import graft.functions.TextFns.tokens
+      val smallDir = s"$out/gen_small"
+      val sf1 = s"$out/sf1"
+      if (!Files.exists(Paths.get(s"$smallDir/documents.parquet")))
+        ScaleData.generate(spark, smallDir, nDocs / 10, nEmb / 10)
+      if (!Files.exists(Paths.get(s"$sf1/documents.parquet")))
+        ScaleData.generate(spark, sf1, nDocs, nEmb)
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "24").toInt
+      def sweepBpe(dir: String): (Long, Long, Double, Double) = {
+        val docs = Tables.documents(spark, dir)
+        val nWords = docs.select(explode(tokens(col("text"))).as("w"))
+          .distinct().count()
+        // two passes each, min — Bench's timing model
+        val tSeed = (1 to 2).map(_ => time(Bpe.train(docs, 0))).min
+        val tFull = (1 to 2).map(_ => time {
+          val m = Bpe.train(docs, rounds)
+          require(m.rounds == rounds, s"expected $rounds merges, got ${m.rounds}")
+        }).min
+        (docs.count(), nWords, tSeed, (tFull - tSeed) / rounds)
+      }
+      val (dA, vA, sA, rA) = sweepBpe(smallDir)
+      val (dB, vB, sB, rB) = sweepBpe(sf1)
+      println(
+        s"""{"metric":"bpe_train","docs":[$dA,$dB],"vocab_words":[$vA,$vB],""" +
+          s""""rounds":$rounds,"seed_sec":[${f3(sA)},${f3(sB)},${f2(sB / sA)}],""" +
+          s""""round_sec":[${f3(rA)},${f3(rB)},${f2(rB / rA)}]}""")
+    }
+
+    if (phase == "media" || phase == "both") {
+      // Perceptual near-dup at scale: decode/fingerprint is the
+      // map-only corpus-sized stage (blobs never shuffle), and the
+      // banded pair scan touches ONLY the 8-byte hashes — so at 10×
+      // the objects, fingerprinting may scale ~linearly (perfectly
+      // parallel) while the pair scan stays hash-table-sized.
+      import graft.pipeline.Media
+      import org.apache.spark.sql.functions.col
+      val nMedia = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEDIA", "2000").toLong
+      def sweepMedia(n: Long, tag: String): Map[String, (Double, Double, Long)] = {
+        val dir = s"$out/media_$tag"
+        if (!Files.exists(Paths.get(s"$dir/images.parquet")))
+          ScaleData.generateMedia(spark, dir, n, n)
+        import spark.implicits._
+        Seq("image" -> s"$dir/images.parquet",
+          "audio" -> s"$dir/audio.parquet").map { case (kind, p) =>
+          val objs = spark.read.parquet(p)
+            .select(col("path"), col("kind"), col("content"))
+            .as[Media.MediaObject]
+          val hashes =
+            (if (kind == "image") Media.imageHashes(objs)
+             else Media.audioHashes(objs)).persist()
+          // fingerprint stage: decode every blob once (cache it so the
+          // pair-scan timing cannot re-pay the decode)
+          val tFp = time(hashes.count())
+          val tScan = (1 to 2)
+            .map(_ => time(noopWrite(Media.bandedHashPairs(hashes)))).min
+          val pairs = Media.bandedHashPairs(hashes).count()
+          hashes.unpersist(blocking = false)
+          kind -> ((tFp, tScan, pairs))
+        }.toMap
+      }
+      val base = sweepMedia(nMedia, s"base_$nMedia")
+      val scaled = sweepMedia(nMedia * 10, s"x10_${nMedia * 10}")
+      def leg(kind: String): String = {
+        val (fa, sa, pa) = base(kind)
+        val (fb, sb, pb) = scaled(kind)
+        s""""$kind":{"fp_sec":[${f3(fa)},${f3(fb)},${f2(fb / fa)}],""" +
+          s""""scan_sec":[${f3(sa)},${f3(sb)},${f2(sb / sa)}],""" +
+          s""""pairs":[$pa,$pb]}"""
+      }
+      println(
+        s"""{"metric":"media_neardup","objects":[$nMedia,${nMedia * 10}],""" +
+          leg("image") + "," + leg("audio") + "}")
     }
 
     if (phase == "skew" || phase == "both") {

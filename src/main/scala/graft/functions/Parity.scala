@@ -75,4 +75,18 @@ object Parity {
   def md5u32Sql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
 
+  /** Second independent 32-bit lane of the same md5: hex chars 9–16.
+    * Paired with [[md5u32]] it gives 64 bits of change-detection
+    * fidelity while each lane stays a signed-BIGINT-safe value in both
+    * engines (a single 64-bit unsigned parse would overflow DuckDB's
+    * BIGINT for high-bit hashes). Collision bound for the manifest
+    * family's XOR checksums: ~2^-64 per source-diff with both lanes,
+    * vs ~2^-32 single-lane. */
+  def md5u32b(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 9, 8), 16, 10).cast(LongType)
+
+  /** SQL fragment producing the same value as [[md5u32b]] in DuckDB. */
+  def md5u32bSql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 9, 8))::BIGINT)"
+
 }

@@ -164,7 +164,11 @@ object Bpe {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+          // NULL text tokenizes to zero tokens — training's tokens() +
+          // explode silently drops nulls, and serving must match that
+          // tolerance (train/serve symmetry on dirty input).
+          val toks = Option(text).getOrElse("").split(" ").iterator
+            .filter(_.nonEmpty)
             .flatMap(w => applyMerges(w, merges)).toSeq
           (id, toks)
         }

@@ -86,11 +86,32 @@ object Features {
     df.queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
 
+  /** Build-count instrumentation: how many times each (session, key)'s
+    * build closure actually RAN. A memoized stage must build once per
+    * session however many consumers read it — ~15 audit queries ride
+    * the pair/label/feature stages, and a silent re-build per consumer
+    * (the q56-class regression) is a plan-invisible N× corpus cost.
+    * `FeatureBuildOnceSpec` replays the full oracled suite in bench
+    * order and pins every counter at exactly 1. Counters drop with
+    * [[clear]] (a later legitimate rebuild is a fresh session story,
+    * not a double-build). */
+  private val buildCounts = TrieMap[(String, String), Int]()
+  private def noteBuild(k: (String, String)): Unit =
+    buildCounts.updateWith(k)(c => Some(c.getOrElse(0) + 1))
+
+  /** Per-key build counts for one session (test instrumentation). */
+  private[graft] def buildCountsFor(spark: SparkSession): Map[String, Int] = {
+    val sk = sessionKey(spark)
+    buildCounts.iterator
+      .collect { case ((s, key), n) if s == sk => key -> n }.toMap
+  }
+
   def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (sessionKey(spark), key)
     cache.get(k) match {
       case Some(df) => df
       case None =>
+        noteBuild(k)
         val built = build
         val persisted =
           if (isCheckpointBacked(built)) built
@@ -189,6 +210,55 @@ object Features {
         s"$QuantileModeConf must be 'exact' or 'approx', got '$other'")
     }
 
+  /** Session conf selecting q131's frozen vocabulary source: `topk`
+    * (default — the corpus' own top-[[TextAnalysis.VocabTopK]] tokens,
+    * the oracle-pinned head) or `bpe` — the vocabulary TRAINED by
+    * [[Bpe]] over the same corpus ([[Bpe.mergeTable]]'s merged symbols
+    * plus the single-codepoint seeds). The tokenizer-lifecycle
+    * composition every token-denominated query presupposes: train the
+    * tokenizer (Bpe), THEN audit what its frozen vocabulary costs each
+    * feed (q131) — one conf flip, same audit shape. The trained table
+    * memoizes per (session, dir) like every other frozen artifact. */
+  val VocabSourceConf = "spark.graft.vocab.source"
+
+  /** Merge count for the `bpe` vocabulary source (the trained vocab is
+    * seeds + this many merges). Default deliberately small — specs and
+    * local runs train in seconds; production sets its real budget. */
+  val BpeMergesConf = "spark.graft.vocab.bpeMerges"
+
+  def bpeVocabOn(spark: SparkSession): Boolean =
+    spark.conf.getOption(VocabSourceConf).getOrElse("topk") match {
+      case "topk" => false
+      case "bpe" => true
+      case other => throw new IllegalArgumentException(
+        s"$VocabSourceConf must be 'topk' or 'bpe', got '$other'")
+    }
+
+  def bpeMerges(spark: SparkSession): Int =
+    spark.conf.getOption(BpeMergesConf).map(_.toInt).getOrElse(64)
+
+  /** Session conf that composes [[TextAnalysis.compressionGate]] into
+    * the q89 composite quality gate as an optional FOURTH leg (first-
+    * failing attribution order: length → repetition → lm_quality →
+    * compression). Default `off` so q89's oracle pins the unchanged
+    * 3-gate decision table; `on` is for pipelines that want the
+    * deflate-ratio tails (machine-generated repetition / binary-ish
+    * incompressibility) rejected in the same pass. The streaming gate
+    * ([[graft.streaming.QualityStreams.qualityGate]]) runs the same
+    * scorer code path, so the conf extends stream and batch together
+    * (stream==batch pinned by `QualityStreamsSpec` in both modes). */
+  val CompressionGateConf = "spark.graft.quality.compressionGate"
+
+  /** True when the session opted the compression leg into the
+    * composite gate. Loud rejection of unknown values. */
+  def compressionGateOn(spark: SparkSession): Boolean =
+    spark.conf.getOption(CompressionGateConf).getOrElse("off") match {
+      case "off" => false
+      case "on" => true
+      case other => throw new IllegalArgumentException(
+        s"$CompressionGateConf must be 'on' or 'off', got '$other'")
+    }
+
   /** Unpersist and forget the frames registered by ONE session — a
     * session's teardown must not evict caches that a concurrently-running
     * session in the same JVM still reads. Safe to call after the owning
@@ -208,6 +278,7 @@ object Features {
     valueCache.get(k) match {
       case Some(v) => v.asInstanceOf[T]
       case None =>
+        noteBuild(k)
         val built = build
         valueCache.putIfAbsent(k, built) match {
           case None         => built
@@ -226,6 +297,7 @@ object Features {
         try freeFrame(df) catch { case _: Exception => () })
     }
     valueCache.keys.filter(_._1 == sk).foreach(valueCache.remove)
+    buildCounts.keys.filter(_._1 == sk).foreach(buildCounts.remove)
   }
 
   /** JVM-wide teardown: unpersist and forget every registered frame from
@@ -234,5 +306,6 @@ object Features {
     cache.values.foreach(df => try freeFrame(df) catch { case _: Exception => () })
     cache.clear()
     valueCache.clear()
+    buildCounts.clear()
   }
 }

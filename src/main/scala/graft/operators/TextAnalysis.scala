@@ -1520,13 +1520,31 @@ object TextAnalysis {
         sum(col("tf")).cast(DoubleType)).as("xent_raw"))
       .withColumn("xent_u", floor(col("xent_raw")).cast("long"))
       .select(col("doc_id"), col("xent_u"))
-    base.join(xent, Seq("doc_id"), "left")
+    // Optional FOURTH leg (conf-gated, default off so q89's oracle
+    // pins the 3-gate table): the deflate-ratio gate, joined 1:1 on
+    // doc_id and attributed LAST in the first-failing chain — the
+    // cheap rule gates keep their attribution, and compression only
+    // names documents the other three admit. Streaming runs this same
+    // code path, so the conf extends stream and batch together.
+    val compressed =
+      if (!Features.compressionGateOn(docs.sparkSession)) None
+      else Some(compressionGate(docs).toDF()
+        .select(col("doc_id"), col("flag").as("comp_flag")))
+    val scored = base.join(xent, Seq("doc_id"), "left")
       .na.fill(0L, Seq("xent_u"))
-      .withColumn("reason",
-        when(col("n_tokens") < QualityMinTokens, lit("length"))
-          .when(col("rep_frac_u") > RepFracMaxU, lit("repetition"))
-          .when(col("xent_u") > LmXentMaxU, lit("lm_quality"))
-          .otherwise(lit("admit")))
+    val withComp = compressed.fold(scored)(c =>
+      scored.join(c, Seq("doc_id"), "left"))
+    val firstFailing = {
+      val rules = when(col("n_tokens") < QualityMinTokens, lit("length"))
+        .when(col("rep_frac_u") > RepFracMaxU, lit("repetition"))
+        .when(col("xent_u") > LmXentMaxU, lit("lm_quality"))
+      if (compressed.isEmpty) rules.otherwise(lit("admit"))
+      else rules
+        .when(col("comp_flag") =!= "ok", lit("compression"))
+        .otherwise(lit("admit"))
+    }
+    withComp
+      .withColumn("reason", firstFailing)
       .withColumn("admit", col("reason") === "admit")
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("rep_frac_u"), col("xent_u"), col("admit"), col("reason"))
@@ -2943,13 +2961,35 @@ object TextAnalysis {
 
   private def q131(spark: SparkSession, dir: String): DataFrame = {
     val counts = Features.sourceTokenCounts(spark, dir)
-    val corpus = counts.groupBy(col("w")).agg(sum(col("cnt")).as("ccnt"))
-    val wRank = Window.orderBy(col("ccnt").desc, col("w"))
-    val vocab = corpus
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter(col("rnk") <= VocabTopK)
-      .select(col("w"), lit(1L).as("in_vocab"))
+    // Vocabulary source is conf-selected: the default top-K head keeps
+    // the oracle pin; `spark.graft.vocab.source=bpe` audits coverage of
+    // the vocabulary [[Bpe]] TRAINS on this same corpus — a word is
+    // in-vocab when some merge assembles it whole (it exists as one
+    // trained symbol) or it is a single-codepoint seed. The trained
+    // table memoizes like every frozen artifact (train once, audit
+    // per feed). BpeSpec pins this leg against an independent
+    // driver-side replay of the trained merge list.
+    val vocab =
+      if (Features.bpeVocabOn(spark))
+        Features.cachedFrame(spark, s"$dir#bpeVocab") {
+          Bpe.mergeTable(Tables.documents(spark, dir),
+              Features.bpeMerges(spark))
+            .select(col("merged").as("w")).distinct()
+            .select(col("w"), lit(1L).as("in_vocab"))
+        }
+      else {
+        val corpus = counts.groupBy(col("w")).agg(sum(col("cnt")).as("ccnt"))
+        val wRank = Window.orderBy(col("ccnt").desc, col("w"))
+        corpus
+          .withColumn("rnk", row_number().over(wRank).cast("long"))
+          .filter(col("rnk") <= VocabTopK)
+          .select(col("w"), lit(1L).as("in_vocab"))
+      }
+    val seedCovered =
+      if (Features.bpeVocabOn(spark)) length(col("w")) === 1 else lit(false)
     counts.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("in_vocab",
+        when(col("in_vocab").isNotNull || seedCovered, lit(1L)))
       .groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(0L))
@@ -3001,28 +3041,42 @@ object TextAnalysis {
     *
     * Per source: row count, distinct languages, total characters,
     * doc_id range, and an order-independent content checksum —
-    * `bit_xor` over md5u32(doc_id ':' text). XOR is commutative and
-    * carry-free, so the checksum is partition- and overflow-proof at
-    * any row count; hashing the (id, text) PAIR keeps byte-identical
-    * duplicate documents from cancelling each other out of the XOR.
+    * `bit_xor` over TWO independent 32-bit md5 lanes of
+    * (doc_id ':' text), carried as separate BIGINT columns. XOR is
+    * commutative and carry-free, so the checksum is partition- and
+    * overflow-proof at any row count; hashing the (id, text) PAIR
+    * keeps byte-identical duplicate documents from cancelling each
+    * other out of the XOR. Two lanes put the false-"unchanged"
+    * probability at ~2^-64 per source (one 32-bit lane's ~2^-32 is
+    * thin for THE rebuild-decision input at 100 TB); each lane stays
+    * signed-BIGINT-representable in DuckDB, which a single unsigned
+    * 64-bit parse would not.
     *
     * Scale posture: one scan, every aggregate partial-aggregable
     * (count / countDistinct-on-tiny-domain / sum / min / max / xor),
     * one shuffle on `source`, output = |sources| rows. This is the
     * cheapest whole-corpus query in the suite by design — it has to
     * be, because it runs before every pipeline decision. */
-  private def q151(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("h",
-        md5u32(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+  /** The full q151 manifest shape over any documents-shaped frame —
+    * shared by the q151 query and [[graft.ManifestWriter]], which
+    * ships it as the stored artifact q153's production diff reads. */
+  private[graft] def corpusManifest(docs: DataFrame): DataFrame = {
+    val key = concat(col("doc_id").cast("string"), lit(":"), col("text"))
+    docs
+      .withColumn("h", md5u32(key))
+      .withColumn("hb", md5u32b(key))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
-        expr("bit_xor(h)").as("checksum"))
-      .orderBy(col("source"))
+        expr("bit_xor(h)").as("checksum"),
+        expr("bit_xor(hb)").as("checksum_b"))
+  }
+
+  private def q151(spark: SparkSession, dir: String): DataFrame =
+    corpusManifest(Tables.documents(spark, dir)).orderBy(col("source"))
 
   private val q151Sql =
     s"""SELECT source,
@@ -3032,7 +3086,9 @@ object TextAnalysis {
        |  min(doc_id) AS min_doc_id,
        |  max(doc_id) AS max_doc_id,
        |  bit_xor(${md5u32Sql("CAST(doc_id AS VARCHAR) || ':' || text")})
-       |    AS checksum
+       |    AS checksum,
+       |  bit_xor(${md5u32bSql("CAST(doc_id AS VARCHAR) || ':' || text")})
+       |    AS checksum_b
        |FROM documents
        |GROUP BY source
        |ORDER BY source""".stripMargin
@@ -3056,29 +3112,39 @@ object TextAnalysis {
     * doc_ids all avoid % 10 == 0 come out unchanged).
     *
     * Scale posture: [[manifestOf]] is one partial-aggregable scan
-    * each side (in production the stored side is a READ of the saved
-    * |sources|-row artifact, not a scan); the diff itself is a full
-    * outer join of two |sources|-row frames — free at any corpus
-    * size. */
-  private[graft] def manifestOf(docs: DataFrame): DataFrame =
+    * each side; in production the stored side is a READ of the saved
+    * |sources|-row artifact, not a scan — that path is real code:
+    * [[graft.ManifestWriter]] ships the manifest as parquet (Curate
+    * writes it beside every shipped corpus) and
+    * [[graft.ManifestWriter.diffAgainstStored]] diffs the artifact
+    * against a live corpus, spec-pinned equal to this in-session
+    * query. The diff itself is a full outer join of two
+    * |sources|-row frames — free at any corpus size. */
+  private[graft] def manifestOf(docs: DataFrame): DataFrame = {
+    val key = concat(col("doc_id").cast("string"), lit(":"), col("text"))
     docs
-      .withColumn("h",
-        md5u32(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+      .withColumn("h", md5u32(key))
+      .withColumn("hb", md5u32b(key))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        expr("bit_xor(h)").as("checksum"))
+        expr("bit_xor(h)").as("checksum"),
+        expr("bit_xor(hb)").as("checksum_b"))
+  }
 
   private[graft] def manifestDiff(current: DataFrame, stored: DataFrame): DataFrame = {
     val cur = current.select(col("source"), col("n_docs").as("c_docs"),
-      col("sum_chars").as("c_chars"), col("checksum").as("c_sum"))
+      col("sum_chars").as("c_chars"), col("checksum").as("c_sum"),
+      col("checksum_b").as("c_sum_b"))
     val old = stored.select(col("source"), col("n_docs").as("s_docs"),
-      col("sum_chars").as("s_chars"), col("checksum").as("s_sum"))
+      col("sum_chars").as("s_chars"), col("checksum").as("s_sum"),
+      col("checksum_b").as("s_sum_b"))
     cur.join(old, Seq("source"), "full_outer")
       .select(col("source"),
         when(col("c_sum").isNull, lit("removed"))
           .when(col("s_sum").isNull, lit("new"))
           .when(col("c_sum") === col("s_sum") &&
+            col("c_sum_b") === col("s_sum_b") &&
             col("c_docs") === col("s_docs"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         (coalesce(col("c_docs"), lit(0L)) - coalesce(col("s_docs"), lit(0L)))
@@ -3090,8 +3156,11 @@ object TextAnalysis {
 
   private def q153(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // Plain `%`, not pmod: DuckDB's % takes the dividend's sign, so
+    // pmod would diverge on negative doc_ids — same sign semantics on
+    // both sides keeps the subset definition engine-portable.
     manifestDiff(manifestOf(docs),
-      manifestOf(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)))
+      manifestOf(docs.filter((col("doc_id") % 10L) =!= 0L)))
   }
 
   private val q153Sql = {
@@ -3099,14 +3168,17 @@ object TextAnalysis {
       s"""SELECT source, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |    bit_xor(${md5u32Sql("CAST(doc_id AS VARCHAR) || ':' || text")})
-         |      AS checksum
+         |      AS checksum,
+         |    bit_xor(${md5u32bSql("CAST(doc_id AS VARCHAR) || ':' || text")})
+         |      AS checksum_b
          |  FROM documents $filter GROUP BY source""".stripMargin
     s"""WITH cur AS (${man("")}),
        |stored AS (${man("WHERE doc_id % 10 != 0")})
        |SELECT COALESCE(c.source, s.source) AS source,
        |  CASE WHEN c.checksum IS NULL THEN 'removed'
        |       WHEN s.checksum IS NULL THEN 'new'
-       |       WHEN c.checksum = s.checksum AND c.n_docs = s.n_docs
+       |       WHEN c.checksum = s.checksum AND c.checksum_b = s.checksum_b
+       |         AND c.n_docs = s.n_docs
        |         THEN 'unchanged'
        |       ELSE 'changed' END AS status,
        |  COALESCE(c.n_docs, 0) - COALESCE(s.n_docs, 0) AS delta_docs,
@@ -3117,7 +3189,176 @@ object TextAnalysis {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q154
+  /** Exact two-sample KOLMOGOROV–SMIRNOV drift statistic per source —
+    * the distribution-shape complement of q117's PSI: PSI reads 8 fixed
+    * buckets (robust, bounded state, streaming-friendly), KS is the
+    * max ECDF gap over the FULL value domain, sensitive to shape
+    * changes that stay inside a bucket. Each source's document-length
+    * distribution is compared against the corpus mixture; ks_u =
+    * max_v |F_src(v) − F_corpus(v)| in exact micro-units (integer
+    * `div` on cumulative counts — no float accumulation anywhere, so
+    * no boundary row can flip engines).
+    *
+    * Scale posture: the only corpus-sized operation is the per-(source,
+    * value) count (one partial-aggregable shuffle — q117's frame one
+    * key finer); the corpus marginal re-aggregates THAT frame; the
+    * ECDF windows run over the |sources| × |values| grid, where
+    * |values| is the distinct-length domain (bounded by the max
+    * document length, NOT the corpus row count) and each source's
+    * cumulative sum partitions by source. The one global window (the
+    * corpus ECDF) orders the |values|-sized marginal only. At 2^63-
+    * hazard scale the 10⁶-scaled cumulative products would switch to
+    * DECIMAL; int64 holds to ~9·10¹² rows. */
+  private def q154(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val stot = sv.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
+    val cv = sv.groupBy(col("v")).agg(sum(col("cnt")).as("ccnt"))
+    val wDom = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = cv.withColumn("ccum", sum(col("ccnt")).over(wDom))
+      .select(col("v"), col("ccum"))
+    val ctot = cv.agg(sum(col("ccnt")).as("ctot"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stot.crossJoin(cc) // the |sources| × |values| ECDF grid
+      .join(sv, Seq("source", "v"), "left").na.fill(0L, Seq("cnt"))
+      .withColumn("scum", sum(col("cnt")).over(wSrc))
+      .crossJoin(broadcast(ctot))
+      .withColumn("f_s", expr("(1000000 * scum) div stot"))
+      .withColumn("f_c", expr("(1000000 * ccum) div ctot"))
+      .groupBy(col("source"))
+      .agg(max(col("stot")).as("n_docs"),
+        max(abs(col("f_s") - col("f_c"))).as("ks_u"))
+      .orderBy(col("ks_u").desc, col("source"))
+  }
+
+  private val q154Sql =
+    s"""WITH sv AS (
+       |  SELECT source, n_chars AS v, count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stot
+       |  FROM sv GROUP BY 1),
+       |cv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |  FROM sv GROUP BY 1),
+       |cc AS (SELECT v, CAST(sum(ccnt) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS ccum FROM cv),
+       |ctot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM cv),
+       |grid AS (
+       |  SELECT s.source, s.stot, c.v, c.ccum, t.ctot
+       |  FROM stot s CROSS JOIN cc c CROSS JOIN ctot t),
+       |ecdf AS (
+       |  SELECT g.source, g.stot, g.ctot, g.ccum,
+       |    CAST(sum(coalesce(x.cnt, 0)) OVER (PARTITION BY g.source
+       |      ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS scum
+       |  FROM grid g LEFT JOIN sv x ON g.source = x.source AND g.v = x.v)
+       |SELECT source, max(stot) AS n_docs,
+       |  CAST(max(abs((1000000 * scum) // stot - (1000000 * ccum) // ctot))
+       |    AS BIGINT) AS ks_u
+       |FROM ecdf GROUP BY source
+       |ORDER BY ks_u DESC, source""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** DATASET CARD / DATASHEET — the per-source one-row summary a
+    * released corpus publishes (Gebru et al., "Datasheets for
+    * Datasets"): volume (docs, tokens, languages), exact-duplicate
+    * mass under THE shared content fingerprint, quality-admit rate
+    * under the q89 composite gate, and benchmark-contamination rate
+    * under the q73 3-gram gate. Deliberately a COMPOSITION, not new
+    * machinery: every column reuses a production stage (contentFp,
+    * [[qualityDecisions]] against the memoized [[lmTable]],
+    * `Dedup.contamScores`' memoized frame), so the datasheet can never
+    * disagree with the decisions the pipeline actually shipped — the
+    * same plan==report discipline as q111/ShardWriter.
+    *
+    * Scale posture: the fingerprint leg is one partial-aggregable
+    * groupBy on the uniform fp key + one fp-keyed join (a 10⁶-copy
+    * viral dup is one count row, never a pair join); the quality and
+    * contamination legs are reads of session-memoized frames (built
+    * once, shared with q89/q92/q95/q119 and Curate); the final joins
+    * are |sources|-vs-|sources|. Rates are exact int64 `div`. */
+  private def q157(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vol = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val fp = docs.select(col("source"), contentFp(col("text")).as("fp"))
+    val fpCnt = fp.groupBy(col("fp")).agg(count(lit(1)).as("fcnt"))
+    val dup = fp.join(fpCnt, "fp")
+      .groupBy(col("source"))
+      .agg(sum(when(col("fcnt") > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
+    val qual = qualityDecisions(docs, lmTable(spark, dir))
+      .groupBy(col("source"))
+      .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"))
+    val contam = Dedup.contamScores(spark, dir)
+      .select(col("doc_id").as("c_id"))
+    val contamBySrc = docs.select(col("doc_id"), col("source"))
+      .join(contam, col("doc_id") === col("c_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(when(col("c_id").isNotNull, 1L).otherwise(0L))
+        .as("n_contaminated"))
+    vol.join(dup, Seq("source")).join(qual, Seq("source"))
+      .join(contamBySrc, Seq("source"))
+      .withColumn("dup_rate_u", expr("(1000000 * n_dup_docs) div n_docs"))
+      .withColumn("quality_admit_u", expr("(1000000 * n_admitted) div n_docs"))
+      .withColumn("contam_rate_u",
+        expr("(1000000 * n_contaminated) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: embeds qualityDecisionCtes (itself lazy) and Dedup constants.
+  private lazy val q157Sql =
+    s"""WITH $qualityDecisionCtes,
+       |ds_vol AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents GROUP BY 1),
+       |ds_fp AS (SELECT source, ${contentFpSql("text")} AS fp FROM documents),
+       |ds_fpcnt AS (SELECT fp, count(*) AS fcnt FROM ds_fp GROUP BY 1),
+       |ds_dup AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN c.fcnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_docs
+       |  FROM ds_fp f JOIN ds_fpcnt c USING (fp) GROUP BY 1),
+       |ds_qual AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN reason = 'admit' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_admitted
+       |  FROM dec GROUP BY 1),
+       |ds_cwords AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS w FROM documents),
+       |ds_chashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM ds_cwords),
+       |ds_cev AS (SELECT h FROM ds_chashed
+       |  WHERE doc_id % ${Dedup.EvalSliceMod} = 0),
+       |ds_cflag AS (
+       |  SELECT DISTINCT t.doc_id FROM ds_chashed t JOIN ds_cev e
+       |    ON t.h = e.h
+       |  WHERE t.doc_id % ${Dedup.EvalSliceMod} <> 0),
+       |ds_contam AS (
+       |  SELECT d.source,
+       |    CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_contaminated
+       |  FROM documents d LEFT JOIN ds_cflag f ON d.doc_id = f.doc_id
+       |  GROUP BY 1)
+       |SELECT v.source, v.n_docs, v.n_tokens, v.n_langs,
+       |  n_dup_docs, n_admitted, n_contaminated,
+       |  (1000000 * n_dup_docs) // v.n_docs AS dup_rate_u,
+       |  (1000000 * n_admitted) // v.n_docs AS quality_admit_u,
+       |  (1000000 * n_contaminated) // v.n_docs AS contam_rate_u
+       |FROM ds_vol v
+       |  JOIN ds_dup USING (source) JOIN ds_qual USING (source)
+       |  JOIN ds_contam USING (source)
+       |ORDER BY v.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q154_ks_drift" -> (q154 _),
+    "q157_datasheet" -> (q157 _),
     "q153_manifest_diff" -> (q153 _),
     "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
@@ -3166,6 +3407,8 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q154_ks_drift" -> q154Sql,
+    "q157_datasheet" -> q157Sql,
     "q153_manifest_diff" -> q153Sql,
     "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,

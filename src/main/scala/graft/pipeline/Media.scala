@@ -589,17 +589,25 @@ object Media {
       .select(col("path_a"), col("path_b"), col("hamming"))
   }
 
+  /** The image fingerprint STAGE alone: (path, ph) from per-partition
+    * pHash — decode cost rides the scan, blobs never shuffle, and
+    * undecodable objects drop silently (the X2 policy). Separated from
+    * [[imageNearDupPairs]] so the scale harness can time decode and
+    * the 8-byte pair scan independently. */
+  def imageHashes(objects: Dataset[MediaObject]): DataFrame = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.flatMap { m =>
+      try Some((m.path, phash(m.content)))
+      catch { case _: Exception => None }
+    }).toDF("path", "ph")
+  }
+
   /** Distributed image near-dup pairs over a `(path, content)` frame:
     * per-partition pHash (decode cost rides the scan, blobs never
     * shuffle) into the shared [[bandedHashPairs]] scan. */
   def imageNearDupPairs(objects: Dataset[MediaObject],
-      maxHamming: Int = PhashMaxHamming): DataFrame = {
-    import objects.sparkSession.implicits._
-    bandedHashPairs(objects.mapPartitions(_.flatMap { m =>
-      try Some((m.path, phash(m.content)))
-      catch { case _: Exception => None }
-    }).toDF("path", "ph"), maxHamming)
-  }
+      maxHamming: Int = PhashMaxHamming): DataFrame =
+    bandedHashPairs(imageHashes(objects), maxHamming)
 
   /** Audio perceptual fingerprint: decoded PCM → 65-segment RMS energy
     * envelope → 64 bits of CONSECUTIVE-SEGMENT COMPARISONS
@@ -634,15 +642,20 @@ object Media {
     hash
   }
 
+  /** The audio fingerprint STAGE alone: (path, ph) — [[imageHashes]]'
+    * shape for WAV clips. */
+  def audioHashes(objects: Dataset[MediaObject]): DataFrame = {
+    import objects.sparkSession.implicits._
+    objects.mapPartitions(_.flatMap { m =>
+      try Some((m.path, audioFingerprint(m.content)))
+      catch { case _: Exception => None }
+    }).toDF("path", "ph")
+  }
+
   /** Distributed audio near-dup pairs: per-partition fingerprint into
     * the shared [[bandedHashPairs]] scan — re-mastered (re-gained)
     * copies pair at Hamming 0 without any waveform ever shuffling. */
   def audioNearDupPairs(objects: Dataset[MediaObject],
-      maxHamming: Int = PhashMaxHamming): DataFrame = {
-    import objects.sparkSession.implicits._
-    bandedHashPairs(objects.mapPartitions(_.flatMap { m =>
-      try Some((m.path, audioFingerprint(m.content)))
-      catch { case _: Exception => None }
-    }).toDF("path", "ph"), maxHamming)
-  }
+      maxHamming: Int = PhashMaxHamming): DataFrame =
+    bandedHashPairs(audioHashes(objects), maxHamming)
 }

@@ -90,6 +90,128 @@ object ScaleData {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
   }
 
+  final case class MediaRow(path: String, kind: String, content: Array[Byte])
+
+  /** Spectrally dense grayscale scene (PhashSpec's fixture recipe): a
+    * sum of 2D cosines with seed-dependent signs, so every retained
+    * pHash DCT coefficient is significantly nonzero — the property of
+    * natural images that keeps the hash stable under re-encode/resize.
+    * Pure function of (seed, w, h): regeneration is byte-identical. */
+  private def sceneBytes(seed: Long, w: Int, h: Int,
+      fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // md5-derived signs, NOT java.util.Random(sequential seed): an
+    // LCG's first draw is correlated across adjacent seeds, which made
+    // distinct scenes share sign patterns (hamming collapse → a
+    // quadratic pair explosion in the first cut of this generator).
+    val sign = Array.tabulate(8, 8) { (u, v) =>
+      if (graft.pipeline.HashScorer.md5u32(s"$seed:$u:$v") % 2 == 0) 1.0
+      else -1.0
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if (u + v > 0)
+              s += sign(u)(v) * 60.0 / (1.0 + u + v) *
+                math.cos(math.Pi * u * (y + 0.5) / h) *
+                math.cos(math.Pi * v * (x + 0.5) / w)
+            v += 1
+          }
+          u += 1
+        }
+        val c = (128 + s).toInt.max(0).min(255)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  /** ~10% planted image near-dups: id % 10 == 1 re-renders the
+    * PREVIOUS id's scene at a different resolution and format — the
+    * re-encode+resize class pHash exists to catch (byte fingerprints
+    * structurally miss it). */
+  private def imageRow(id: Long): MediaRow = {
+    val bytes =
+      if (id % 10 == 1 && id > 0) sceneBytes(id - 1, 48, 36, "jpg")
+      else sceneBytes(id, 64, 48, "png")
+    MediaRow(f"img$id%08d", "image", bytes)
+  }
+
+  /** Seeded PCM clip with an md5-derived 65-step amplitude ENVELOPE —
+    * the fingerprint reads consecutive-segment RMS comparisons, so the
+    * envelope steps must be seed-unique per segment or distinct clips
+    * share bits (a small sine-frequency domain collides wholesale).
+    * `gainPct` scales every sample (the re-mastering class the
+    * gain-invariant fingerprint catches). */
+  private def clipSamples(seed: Long, gainPct: Int): Array[Short] = {
+    val segs = 65
+    val env = Array.tabulate(segs)(b =>
+      0.2 + 0.8 * (graft.pipeline.HashScorer.md5u32(s"$seed:$b") % 1000) / 1000.0)
+    val n = 4000
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / n
+      val a = env((i.toLong * segs / n).toInt)
+      val v = a * math.sin(2 * math.Pi * 40 * t)
+      (v * 12000 * gainPct / 100).toShort
+    }
+  }
+
+  /** 16-bit mono PCM WAV encoded by AudioSystem (a real RIFF header,
+    * the same encoder MediaSpec's fixtures use). */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** ~10% planted audio near-dups: id % 10 == 1 is the PREVIOUS id's
+    * clip re-gained to 40% — Hamming 0 under the gain-invariant
+    * fingerprint, invisible to byte hashes. */
+  private def audioRow(id: Long): MediaRow = {
+    val bytes =
+      if (id % 10 == 1 && id > 0) wavBytes(clipSamples(id - 1, 40))
+      else wavBytes(clipSamples(id, 100))
+    MediaRow(f"clip$id%08d", "audio", bytes)
+  }
+
+  /** Generate decodable media at scale: `images.parquet` +
+    * `audio.parquet` under `dir`, (path, kind, content) rows with REAL
+    * PNG/JPEG/WAV bytes and ~10% planted perceptual near-dups each —
+    * the multimodal twin of [[generate]]'s planted text duplicates,
+    * sized for the ScaleBench `media` phase. Embarrassingly parallel
+    * (pure function of id), deterministic across regenerations. */
+  def generateMedia(spark: SparkSession, dir: String, nImages: Long,
+      nAudio: Long): Unit = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    spark.range(0, nImages, 1, par).as[Long].map(imageRow _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/images.parquet")
+    spark.range(0, nAudio, 1, par).as[Long].map(audioRow _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/audio.parquet")
+  }
+
   /** Skewed documents table: `nBase` distinct docs plus `hotCopies` EXACT
     * copies of one viral document (ids from 10_000_000) — every copy
     * lands in the same four LSH band buckets, concentrating

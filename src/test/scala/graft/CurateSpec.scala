@@ -46,6 +46,24 @@ class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
     bySource shouldBe reported
   }
 
+  test("the shipped manifest fingerprints exactly the shipped corpus: " +
+      "re-diffing the corpus against its own artifact is all-unchanged") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curate-m").toString + "/job"
+    Curate.run(spark, sfDir, out)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // The artifact describes what shipped: diffing the shipped corpus
+    // against it must classify every source unchanged with zero delta
+    // (any drift means the manifest was computed off a different set).
+    val diff = ManifestWriter.diffAgainstStored(corpus, s"$out/manifest")
+      .as[(String, String, Long, Long)].collect()
+    diff should not be empty
+    all(diff.map(_._2)) shouldBe "unchanged"
+    all(diff.map(_._3)) shouldBe 0L
+    all(diff.map(_._4)) shouldBe 0L
+  }
+
   test("--with-quality ships exactly q92's final stage and only " +
       "quality-admitted documents") {
     import spark.implicits._

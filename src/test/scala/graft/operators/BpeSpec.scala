@@ -107,6 +107,20 @@ class BpeSpec extends AnyFunSuite with SparkSpec with Matchers {
       Array((42L, (1 + 3 + 4 + 4).toLong))
   }
 
+  test("NULL text tokenizes to zero tokens — serving matches training's " +
+      "null tolerance (tokens() + explode drops nulls silently)") {
+    import spark.implicits._
+    val model = Bpe.train(docsOf("low" -> 3, "lower" -> 2), nMerges = 2)
+    val dirty = Seq((1L, "low low", "en", "s0", 0L),
+        (2L, null.asInstanceOf[String], "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Bpe.countTokens(dirty, model.merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got(1) shouldBe ((2L, 0L)) // no NPE, zero tokens
+    got(0)._2 should be > 0L
+  }
+
   test("astral-plane characters are one symbol on both sides: train " +
       "and serve split by codepoint, not UTF-16 char") {
     Bpe.applyMerges("a😀b", Nil) shouldBe
@@ -126,33 +140,63 @@ class BpeSpec extends AnyFunSuite with SparkSpec with Matchers {
     model.merges shouldBe empty
   }
 
+  test("q131 composes with the trained vocabulary: vocab.source=bpe " +
+      "audits coverage of Bpe's own merges, pinned by an independent " +
+      "driver-side replay") {
+    import graft.{SparkEntry, SparkSpec, Tables}
+    val dir = SparkSpec.Sf0001
+    val nMerges = 24
+    spark.conf.set(Features.VocabSourceConf, "bpe")
+    spark.conf.set(Features.BpeMergesConf, nMerges.toString)
+    try {
+      val audited = SparkEntry.queries("q131_vocab_coverage")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+
+      // Independent replay: train the SAME merges, then recompute each
+      // source's in-vocab token mass in plain Scala over the corpus —
+      // a word is covered iff some merge assembles it whole or it is
+      // a single-codepoint seed.
+      val model = Bpe.train(Tables.documents(spark, dir), nMerges)
+      model.rounds shouldBe nMerges
+      val merged = model.merges.map(m => m.left + m.right).toSet
+      import spark.implicits._
+      val expected = Tables.documents(spark, dir)
+        .select("source", "text").as[(String, String)].collect()
+        // split(" ", -1): Spark's split() keeps trailing empties and
+        // sourceTokenCounts applies no nonEmpty filter — replay both.
+        .flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+        .groupBy(_._1)
+        .map { case (src, ws) =>
+          val toks = ws.map(_._2)
+          src -> ((toks.length.toLong,
+            toks.count(w =>
+              merged(w) || w.codePointCount(0, w.length) == 1).toLong))
+        }
+      audited shouldBe expected
+      // the trained-vocab audit is non-trivial on this corpus: some
+      // mass is covered, some is OOV
+      val (tot, in) = audited.values.unzip
+      in.sum should be > 0L
+      in.sum should be < tot.sum
+    } finally {
+      spark.conf.unset(Features.VocabSourceConf)
+      spark.conf.unset(Features.BpeMergesConf)
+      Features.clear(spark) // drop the memoized bpeVocab artifact
+    }
+  }
+
   test("one driver action per round plus one leaf cut (kmeansAuto's " +
       "budget): 1 + 2*rounds SQL executions") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val docs = docsOf("low" -> 5, "lower" -> 2, "newest" -> 6,
       "widest" -> 3).localCheckpoint(true) // outside the window
-    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val p = js.properties
-        val id = if (p == null) null else p.getProperty("spark.sql.execution.id")
-        if (id != null) execIds.add(id)
+    val (model, nActions) =
+      graft.SqlActionCounter.countedSqlExecutions(spark) {
+        Bpe.train(docs, nMerges = 4)
       }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val model =
-      try {
-        val m = Bpe.train(docs, nMerges = 4)
-        var last = -1; var stable = 0; var waited = 0
-        while (stable < 3 && waited < 10000) {
-          Thread.sleep(100); waited += 100
-          if (execIds.size == last) stable += 1
-          else { stable = 0; last = execIds.size }
-        }
-        m
-      } finally spark.sparkContext.removeSparkListener(listener)
     model.rounds shouldBe 4
     // seed vocab checkpoint + per round (argmax action + leaf cut)
-    execIds.size shouldBe (1 + 2 * model.rounds)
+    nActions shouldBe (1 + 2 * model.rounds)
   }
 }

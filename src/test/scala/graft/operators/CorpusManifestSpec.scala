@@ -24,10 +24,11 @@ class CorpusManifestSpec extends AnyFunSuite with SparkSpec with Matchers {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
-  private def manifest(dir: String): Map[String, (Long, Long, Long)] =
+  private def manifest(dir: String): Map[String, (Long, Long, Long, Long)] =
     SparkEntry.queries("q151_corpus_manifest")(spark, dir)
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(6))))
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(6), r.getLong(7))))
       .toMap
 
   private val base = Seq(
@@ -50,6 +51,7 @@ class CorpusManifestSpec extends AnyFunSuite with SparkSpec with Matchers {
       if (id == 2L) id -> (t + "!") else id -> t }, parts = 2)
     val (m1, m2) = (manifest(d1), manifest(d2))
     m1("sA")._3 should not be m2("sA")._3
+    m1("sA")._4 should not be m2("sA")._4 // second lane moves too
     m1("sB") shouldBe m2("sB")
   }
 

@@ -117,7 +117,6 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec with Matchers {
     // Counting DISTINCT SQL execution ids (not jobs — AQE legitimately
     // splits one action into several jobs) pins that contract so a
     // refactor can't quietly reintroduce a second action per round.
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val pairs = Dedup.queries("q35_minhash_lsh")(spark, SparkSpec.Sf0001)
       .select("doc_a", "doc_b")
     val sym = pairs.union(pairs.select(
@@ -128,33 +127,14 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec with Matchers {
     // candidate-generation actions don't pollute the count.
     val edges = sym.localCheckpoint(true)
 
-    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val p = js.properties
-        val id = if (p == null) null else p.getProperty("spark.sql.execution.id")
-        if (id != null) execIds.add(id)
+    val (run, nActions) =
+      graft.SqlActionCounter.countedSqlExecutions(spark) {
+        Dedup.ccLabelsAuto(edges)
       }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val run =
-      try {
-        val r = Dedup.ccLabelsAuto(edges)
-        // Listener delivery is async: wait until the counted set has
-        // been stable for a beat before reading it.
-        var last = -1
-        var stable = 0
-        var waited = 0
-        while (stable < 3 && waited < 10000) {
-          Thread.sleep(100); waited += 100
-          if (execIds.size == last) stable += 1 else { stable = 0; last = execIds.size }
-        }
-        r
-      } finally spark.sparkContext.removeSparkListener(listener)
 
     run.escalated shouldBe false // clique graph: hop loop converges
     // init label-sum + one label-sum per round + the eager leaf cut.
-    execIds.size shouldBe (run.hopRounds + 2)
+    nActions shouldBe (run.hopRounds + 2)
   }
 
   test("star CC clusters the real q35 dup graph identically to q56") {

@@ -84,29 +84,12 @@ class KmeansAutoSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("one driver action per round: the inertia aggregate is the only " +
       "SQL action inside the loop (plus seed + per-round leaf cuts)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val emb = planted(8).localCheckpoint(true) // outside the window
-    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val p = js.properties
-        val id = if (p == null) null else p.getProperty("spark.sql.execution.id")
-        if (id != null) execIds.add(id)
+    val (run, nActions) =
+      graft.SqlActionCounter.countedSqlExecutions(spark) {
+        Similarity.kmeansAuto(emb, k = 3, dim = Dim)
       }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val run =
-      try {
-        val r = Similarity.kmeansAuto(emb, k = 3, dim = Dim)
-        var last = -1; var stable = 0; var waited = 0
-        while (stable < 3 && waited < 10000) {
-          Thread.sleep(100); waited += 100
-          if (execIds.size == last) stable += 1
-          else { stable = 0; last = execIds.size }
-        }
-        r
-      } finally spark.sparkContext.removeSparkListener(listener)
     // seed checkpoint + per round (one leaf cut + one inertia action)
-    execIds.size shouldBe (1 + 2 * run.rounds)
+    nActions shouldBe (1 + 2 * run.rounds)
   }
 }

@@ -18,11 +18,16 @@ class ManifestStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   /** Independent replay of Parity.md5u32(doc_id ':' text): unsigned
     * 32-bit int from the first 4 md5 bytes. */
-  private def md5u32Ref(id: Long, text: String): Long = {
+  private def md5u32Ref(id: Long, text: String): Long = lane(id, text, 0)
+
+  /** Lane b: md5 bytes 4–7 (hex chars 9–16), Parity.md5u32b's replay. */
+  private def md5u32bRef(id: Long, text: String): Long = lane(id, text, 4)
+
+  private def lane(id: Long, text: String, off: Int): Long = {
     val d = MessageDigest.getInstance("MD5")
       .digest(s"$id:$text".getBytes(StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
   }
 
   private def docRow(id: Long, text: String, src: String) =
@@ -70,6 +75,8 @@ class ManifestStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
             snap.sum_chars shouldBe rows.map(_._5).sum
             snap.checksum shouldBe
               rows.map(r => md5u32Ref(r._1, r._2)).reduce(_ ^ _)
+            snap.checksum_b shouldBe
+              rows.map(r => md5u32bRef(r._1, r._2)).reduce(_ ^ _)
           }
           if (csA == 0L) csA = latest("sA").checksum
         }

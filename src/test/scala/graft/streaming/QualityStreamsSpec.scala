@@ -131,6 +131,91 @@ class QualityStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2001L)._3 shouldBe "lm_quality"
   }
 
+  test("conf-gated compression leg: both deflate tails are rejected " +
+      "with 'compression' attribution, rule gates keep priority, " +
+      "stream decisions equal batch, and 'off' admits the tails") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Features
+
+    // Planted vocabulary where every word is COMMON in a custom frozen
+    // LM (ln(total/cnt) = ln(10) ≈ 2.30M µnats < the 3.5M gate), so the
+    // LM leg admits everything and the deflate tails are isolated.
+    val padWords = (0 until 20).map(i => ("a" * 25) + ('a' + i).toChar)
+    val rnd = new scala.util.Random(7)
+    def rword(len: Int) =
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    val okWords = Vector.fill(60)(rword(7)).distinct
+    val incWords = Vector.fill(5)(rword(8)).distinct
+    val allWords =
+      (padWords ++ okWords ++ incWords ++ Seq("x", "y", "z")).distinct
+    val lm = allWords.map(w => ("en", w, 3000L, 30000L))
+      .toDF("lang", "w", "cnt", "total_l")
+
+    val fixtures = Seq(
+      // 20 distinct 26-char runs: zero duplicate 3-grams, in-vocab,
+      // but deflate crushes the character runs → too_repetitive tail
+      (1L, padWords.mkString(" ")),
+      // varied random words: mid-range deflate ratio → admitted
+      (2L, okWords.mkString(" ")),
+      // 5 short random words: deflate overhead dominates → the
+      // incompressible tail
+      (3L, incWords.mkString(" ")),
+      // word-level loop: too_repetitive by deflate TOO, but the
+      // repetition rule fires first — attribution order is the pin
+      (4L, Seq.fill(30)("x y z").mkString(" ")))
+    val docs = fixtures.map { case (id, t) =>
+      (id, t, "en", "sX", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // The fixture really exercises both tails (diagnosable if the
+    // deflate-ratio assumptions drift).
+    val flags = TextAnalysis.compressionGate(docs)
+      .collect().map(s => s.doc_id -> s.flag).toMap
+    flags(1L) shouldBe "too_repetitive"
+    flags(2L) shouldBe "ok"
+    flags(3L) shouldBe "incompressible"
+
+    def decide() = TextAnalysis.qualityDecisions(docs, lm)
+      .select("doc_id", "admit", "reason")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val offMode = decide() // default: 3-gate table, tails admitted
+    offMode(1L) shouldBe ((true, "admit"))
+    offMode(3L) shouldBe ((true, "admit"))
+    offMode(4L) shouldBe ((false, "repetition"))
+
+    spark.conf.set(Features.CompressionGateConf, "on")
+    try {
+      val onMode = decide()
+      onMode(1L) shouldBe ((false, "compression"))
+      onMode(2L) shouldBe ((true, "admit"))
+      onMode(3L) shouldBe ((false, "compression"))
+      onMode(4L) shouldBe ((false, "repetition")) // rules keep priority
+
+      // stream == batch under the same conf (shared scorer code path)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String, String, String, Long)]
+      val memDocs =
+        mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = scala.collection.mutable.Map.empty[Long, (Boolean, String)]
+      val q = QualityStreams.qualityGate(memDocs, lm, (d, _) =>
+        out.synchronized {
+          d.select("doc_id", "admit", "reason")
+            .as[(Long, Boolean, String)].collect()
+            .foreach { case (id, a, r) => out(id) = (a, r) }
+        })
+      try {
+        fixtures.foreach { case (id, t) =>
+          mem.addData(Seq((id, t, "en", "sX", t.length.toLong)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      out.toMap shouldBe onMode
+    } finally spark.conf.unset(Features.CompressionGateConf)
+  }
+
   test("gopher gate: MemoryStream rule flags equal batch q115 across " +
       "micro-batches") {
     import spark.implicits._
