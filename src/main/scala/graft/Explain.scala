@@ -103,6 +103,11 @@ object Explain {
     "q146_dup_degree" -> "rides the memoized verified pair table (df-capped, bounded); degree is one union + one partial-aggregable groupBy of the pairs-sized frame into a <=4-cell report",
     "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report",
     "q148_scd2_incremental" -> "delta-sized merge legs: the stored artifact splits by ONE broadcast semi/anti join pair on user_id (pass-through rows never rewritten), the seed||delta change chain windows over DELTA users only (user_id hash shuffle, per-user sort - no global sort), and the fixture's two events passes exist only to fabricate the artifact boundary in-query (production reads yesterday's parquet dimension, scans only the delta)",
+    "q158_pq_budget_sweep" -> "per M: the M*K-subvector codebook broadcasts and the encode is the stateless hash-aggregable argmin fan-out (q135's shape, ObjectHashAggregate, map-side combine) - no window over the corpus, no self-join; the sweep output is |Ms| rows and the production index stays memoized at M=4, untouched by the sweep",
+    "q154_ks_drift" -> "per-(source, value) counts are the ONLY corpus-sized aggregate (q117's frame one key finer); the corpus marginal re-aggregates that frame; ECDF windows run over the |sources| x |values| grid (values = distinct-length domain, bounded by max doc length, not rows) with per-source partitions - the one global window orders the values-sized marginal only; ks_u is exact int64 div arithmetic, no float anywhere",
+    "q155_event_debounce" -> "q25's shuffle-once shape: one user_id hash shuffle, per-(user, type) sorted lag window, never a global sort; the report is one partial-aggregable |types|-row groupBy with exact int64 div rates",
+    "q156_touch_attribution" -> "everything windows per user (one hash shuffle); the converting-journey semi join keys on (user_id, journey) so both sides partition identically; per-journey ranks bound fan-out by the user's own event count; the report is one partial-aggregable <=|types|-row groupBy with exact integer linear credits",
+    "q157_datasheet" -> "a COMPOSITION, not new machinery: the fingerprint leg is one partial-aggregable groupBy on the uniform fp key + one fp-keyed join (a viral dup is a count row, never a pair join); quality and contamination legs READ the session-memoized decision frames shared with q89/q92/q95/q119 (Scan ExistingRDD / InMemoryRelation in the plan); final joins are |sources|-vs-|sources|",
     "q149_event_pairs" -> "one partial-aggregable distinct on (user_id, type) is the only shuffle touching event volume; the pair self-join keys on uniform user_id with per-key fan-out bounded by the tiny type vocabulary (never quadratic in users or events); <=|types| reach totals BROADCAST onto the <=C(|types|,2)-row support table",
     "q150_rfm_segments" -> "one user_id shuffle for the per-user rollup; spend stays DECIMAL through the NTILE windows so ordering is exact in both engines; the three global quartile sorts are the oracle-pinned EXACT mode - spark.graft.quantiles.mode=approx swaps them for one percentile_approx row broadcast back (no global window at any user count); output <=64 rows",
     "q152_mad_outliers" -> "two broadcast joins (per-type median/MAD frames are |types| rows) around three aggregate passes; the outlier test compares pure int64s (dev_u*1000 > 3*mad_mu) so no boundary row can flip engines; exact per-type percentile kept because the oracle pins interpolated medians - percentile_approx is the documented 100 TB swap (q61's trade)",

@@ -100,7 +100,8 @@ object ScaleBench {
     "q136_pq_adc_recall", "q137_ivfpq_adc", "q138_repetition_exposure",
     "q139_deletion_cascade", "q140_canonical_handoff", "q141_bigram_lm",
     "q142_banding_sweep", "q143_weighted_sample", "q144_rrf_fusion",
-    "q146_dup_degree", "q151_corpus_manifest", "q153_manifest_diff")
+    "q146_dup_degree", "q151_corpus_manifest", "q153_manifest_diff",
+    "q154_ks_drift", "q157_datasheet", "q158_pq_budget_sweep")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -133,7 +134,8 @@ object ScaleBench {
     "q64_retention", "q65_rate_anomaly", "q67_normalize",
     "q68_content_scan", "q93_trending", "q145_scd2_intervals",
     "q147_state_attribution", "q148_scd2_incremental",
-    "q149_event_pairs", "q150_rfm_segments", "q152_mad_outliers")
+    "q149_event_pairs", "q150_rfm_segments", "q152_mad_outliers",
+    "q155_event_debounce", "q156_touch_attribution")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")

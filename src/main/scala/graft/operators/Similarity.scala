@@ -712,11 +712,19 @@ object Similarity {
     * norm — the common projection under both the PQ encode and the ADC
     * query side. */
   private[graft] def pqSubvectors(emb: DataFrame): DataFrame =
+    pqSubvectorsM(emb, PqSubspaces)
+
+  /** [[pqSubvectors]] at an arbitrary subspace count — the q158 budget
+    * sweep re-encodes the corpus at several M; the production index
+    * (q135–q137) stays pinned at [[PqSubspaces]]. */
+  private[graft] def pqSubvectorsM(emb: DataFrame, m: Int): DataFrame = {
+    val subDim = Dim / m
     emb.select(col("vec_id"), col("sv"),
-        explode(array((0 until PqSubspaces).map(lit): _*)).as("s"))
+        explode(array((0 until m).map(lit): _*)).as("s"))
       .select(col("vec_id"), col("s"),
-        slice(col("sv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+        slice(col("sv"), col("s") * subDim + 1, lit(subDim)).as("sub"))
       .withColumn("sn2", dotL(col("sub"), col("sub")))
+  }
 
   /** The deterministic seed codebook: (cs, code, csub, cn2) — S·K
     * subvectors, broadcast-sized at any corpus scale. */
@@ -2254,7 +2262,92 @@ object Similarity {
        |FROM filled, tot
        |ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** PQ COMPRESSION-BUDGET SWEEP — the tuning table an index team
+    * reads before committing to a layout: the corpus encoded at
+    * M ∈ {2, 4, 8, 16} subspaces (16 codes each → 4·M bits/vector),
+    * reporting exact int64 total and per-vector reconstruction SSE —
+    * bytes-vs-distortion, the PQ family's analog of q142's banding
+    * sweep. Unlike banding, regrouping is NOT free here: each M is a
+    * genuine re-encode (the subspace boundaries move), so the sweep is
+    * priced openly as one broadcast-codebook encode pass per M and
+    * runs as a tuning job, never in the serving path — the production
+    * index (q135–q137) stays pinned at [[PqSubspaces]] and is memoized
+    * separately. Distortion is monotone non-increasing in M (finer
+    * subspaces can only fit better), which `PqSweepSpec` pins along
+    * with hand-exact SSE on a planted corpus.
+    *
+    * Scale posture: per M, the codebook (M·K subvectors) broadcasts
+    * and the encode is the stateless hash-aggregable argmin fan-out
+    * (q135's shape); the sweep output is |Ms| rows. At 100 TB the
+    * sweep runs on a corpus SAMPLE — distortion curves are stable
+    * under sampling, the full encode is only paid for the winner. */
+  val PqSweepMs: Seq[Int] = Seq(2, 4, 8, 16)
+
+  private def q158(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    PqSweepMs.map { m =>
+      val cb = pqSubvectorsM(emb.filter(col("vec_id") < PqCodes), m)
+        .select(col("s").as("cs"), col("vec_id").as("code"),
+          col("sub").as("csub"), col("sn2").as("cn2"))
+      pqSubvectorsM(emb, m).join(broadcast(cb), col("s") === col("cs"))
+        .withColumn("d2",
+          col("sn2") + col("cn2") - lit(2L) * dotL(col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(graft.functions.ArgMaxAgg.argMin(
+          struct(col("d2"), col("code")),
+          struct(col("code"), col("d2"))).as("b"))
+        .agg(countDistinct(col("vec_id")).as("n_vectors"),
+          sum(col("b.d2")).as("sse_total"))
+        .select(lit(m.toLong).as("m_subspaces"),
+          lit(4L * m).as("bits_per_vec"),
+          col("n_vectors"), col("sse_total"),
+          expr("sse_total div n_vectors").as("sse_per_vec"))
+    }.reduce(_ unionByName _).orderBy(col("m_subspaces"))
+  }
+
+  private val q158Sql = {
+    val legs = PqSweepMs.map { m =>
+      val subDim = Dim / m
+      s"""ss_$m AS (SELECT unnest(range(0, $m)) AS s),
+         |vsub_$m AS (
+         |  SELECT vec_id, s,
+         |    list_slice(sv, s * $subDim + 1, s * $subDim + $subDim) AS sub
+         |  FROM emb0 CROSS JOIN ss_$m),
+         |cb_$m AS (
+         |  SELECT s, vec_id AS code,
+         |    list_slice(sv, s * $subDim + 1, s * $subDim + $subDim) AS csub
+         |  FROM emb0 CROSS JOIN ss_$m WHERE vec_id < $PqCodes),
+         |d_$m AS (
+         |  SELECT v.vec_id, v.s, c.code,
+         |    CAST(list_sum(list_transform(range(1, ${subDim + 1}), i ->
+         |      (v.sub[i] - c.csub[i]) * (v.sub[i] - c.csub[i]))) AS BIGINT)
+         |      AS d2
+         |  FROM vsub_$m v JOIN cb_$m c ON v.s = c.s),
+         |best_$m AS (
+         |  SELECT vec_id, s, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+         |      AS rn
+         |  FROM d_$m),
+         |leg_$m AS (
+         |  SELECT CAST($m AS BIGINT) AS m_subspaces,
+         |    CAST(${4 * m} AS BIGINT) AS bits_per_vec,
+         |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+         |    CAST(sum(d2) AS BIGINT) AS sse_total,
+         |    CAST(sum(d2) AS BIGINT) // CAST(count(DISTINCT vec_id) AS BIGINT)
+         |      AS sse_per_vec
+         |  FROM best_$m WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH emb0 AS (
+       |  SELECT vec_id, ${scaledVecSql("embedding")} AS sv FROM embeddings),
+       |${legs.mkString(",\n")}
+       |SELECT * FROM (
+       |  ${PqSweepMs.map(m => s"SELECT * FROM leg_$m").mkString(" UNION ALL ")})
+       |ORDER BY m_subspaces""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q158_pq_budget_sweep" -> (q158 _),
     "q124_hard_negatives" -> (q124 _),
     "q126_label_psi"      -> (q126 _),
     "q130_ivf_cell_profile" -> (q130 _),
@@ -2283,6 +2376,7 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q158_pq_budget_sweep" -> q158Sql,
     "q124_hard_negatives" -> q124Sql,
     "q126_label_psi"      -> q126Sql,
     "q130_ivf_cell_profile" -> q130Sql,
