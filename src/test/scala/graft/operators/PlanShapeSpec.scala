@@ -488,6 +488,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q154: no Cartesian product; the corpus never joins itself — " +
+      "the ECDF grid builds from the tiny stot × values frames") {
+    val p = plan("q154_ks_drift")
+    p should not include "CartesianProduct"
+    // the deliberate grid cross join broadcasts (sources-sized build)
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  test("q157: the quality and contamination legs READ memoized frames " +
+      "(InMemoryRelation / cached leaf), never rebuild their stages") {
+    val df = SparkEntry.queries("q157_datasheet")(spark, SparkSpec.Sf0001)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    analyzed should include("InMemoryRelation")
+    plan("q157_datasheet") should not include "CartesianProduct"
+  }
+
+  test("q158: the sweep encodes via hash-aggregable argmin — no Window " +
+      "over the corpus, no Cartesian product, codebooks broadcast") {
+    val p = plan("q158_pq_budget_sweep")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    p should include("ObjectHashAggregate")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
