@@ -24,7 +24,12 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     (q153's production shape) to decide what needs rebuilding.
   *
   * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]
-  * [--with-shards] [--with-tombstones]`
+  * [--with-shards] [--with-tombstones] [--with-ledger]`
+  *
+  * `--with-ledger` additionally ships the doc-granularity fingerprint
+  * ledger (`<out>/ledger/`, q159's stored side via
+  * [[ManifestWriter.writeLedger]]) so the next run can extract its
+  * changed-document work-list without re-reading this corpus.
   *
   * `--with-tombstones` applies the standing deletion set (q139's
   * `% 23` stand-in for an uploaded takedown list) end-to-end:
@@ -87,12 +92,15 @@ object Curate {
     val withDsir = flags.contains("--with-dsir")
     val withShards = flags.contains("--with-shards")
     val withTombstones = flags.contains("--with-tombstones")
+    val withLedger = flags.contains("--with-ledger")
     if (positional.length != 2 ||
         !flags.forall(f => f == "--with-quality" || f == "--with-dsir" ||
-          f == "--with-shards" || f == "--with-tombstones")) {
+          f == "--with-shards" || f == "--with-tombstones" ||
+          f == "--with-ledger")) {
       System.err.println(
         "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
-          "[--with-dsir] [--with-shards] [--with-tombstones]")
+          "[--with-dsir] [--with-shards] [--with-tombstones] " +
+          "[--with-ledger]")
       sys.exit(1)
     }
     val (sfDir, outDir) = (positional(0), positional(1))
@@ -101,7 +109,7 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       run(spark, sfDir, outDir, withQuality, withDsir, withShards,
-        withTombstones)
+        withTombstones, withLedger)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -117,7 +125,8 @@ object Curate {
   private[graft] def run(spark: SparkSession, sfDir: String,
       outDir: String, withQuality: Boolean = false,
       withDsir: Boolean = false, withShards: Boolean = false,
-      withTombstones: Boolean = false): Unit = {
+      withTombstones: Boolean = false,
+      withLedger: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -186,6 +195,14 @@ object Curate {
     // q153's production shape) to decide per source whether anything
     // needs rebuilding — without re-reading this corpus' bytes.
     ManifestWriter.write(curated, s"$outDir/manifest")
+
+    // --with-ledger: the manifest at doc granularity (q159's stored
+    // side) — ~48 bytes/doc, so the NEXT run can extract its changed
+    // document work-list (ManifestWriter.deltaAgainstStoredLedger)
+    // without re-reading this corpus' bytes. Optional because, unlike
+    // the |sources|-row manifest, it is corpus-row-sized.
+    if (withLedger)
+      ManifestWriter.writeLedger(curated, s"$outDir/ledger")
 
     // The audit record ships with the corpus and describes the chain
     // that RAN: q84's per-source funnel, or the extended 6-stage q92;

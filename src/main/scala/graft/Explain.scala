@@ -112,7 +112,11 @@ object Explain {
     "q150_rfm_segments" -> "one user_id shuffle for the per-user rollup; spend stays DECIMAL through the NTILE windows so ordering is exact in both engines; the three global quartile sorts are the oracle-pinned EXACT mode - spark.graft.quantiles.mode=approx swaps them for one percentile_approx row broadcast back (no global window at any user count); output <=64 rows",
     "q152_mad_outliers" -> "two broadcast joins (per-type median/MAD frames are |types| rows) around three aggregate passes; the outlier test compares pure int64s (dev_u*1000 > 3*mad_mu) so no boundary row can flip engines; exact per-type percentile kept because the oracle pins interpolated medians - percentile_approx is the documented 100 TB swap (q61's trade)",
     "q153_manifest_diff" -> "two manifestOf passes (in production the stored side READS the saved |sources|-row artifact instead of scanning) feeding a full outer join of two |sources|-row frames - change classification never compares corpora; the XOR equality test catches same-count in-place edits row counts cannot see",
-    "q151_corpus_manifest" -> "ONE scan, every aggregate partial-aggregable (count/sum/min/max/bit_xor; the lang distinct is over a tiny domain), one shuffle keyed by source, |sources|-row output; the XOR checksum is commutative and carry-free so the manifest is partition-invariant and overflow-proof at any row count")
+    "q151_corpus_manifest" -> "ONE scan, every aggregate partial-aggregable (count/sum/min/max/bit_xor; the lang distinct is over a tiny domain), one shuffle keyed by source, |sources|-row output; the XOR checksum is commutative and carry-free so the manifest is partition-invariant and overflow-proof at any row count",
+    "q159_snapshot_delta" -> "the delta is ONE full-outer join of two ~48-byte/doc fingerprint frames on doc_id (bucketed snapshots make it zero-shuffle) + one partial-aggregable groupBy to |sources|x4 rows; the corpus text is scanned once to fingerprint the live side and never shuffles - in production the stored side READS the shipped ledger artifact (ManifestWriter.writeLedger), so 'what changed' never compares corpus bytes",
+    "q160_cluster_purity" -> "no pair is ever materialized: each Rand-decomposition leg is sum n*(n-1)/2 over a partial-aggregable group count (contingency cells / clusters / content groups) collapsing to three single-row aggregates cross-joined at the end; labels ride the memoized pairs-bounded CC table and the corpus contributes one narrow fingerprint scan - viral groups cost int64 multiplications, not joins",
+    "q161_norm_lift" -> "three codegen'd hash columns in ONE narrow scan (text never shuffles), one groupBy carrying three count(DISTINCT) legs via a single partial-agg expand (3x fingerprint rows, still narrow), |sources|-row output; no pairs, no groups - distinct-key counts are all the lift numbers need",
+    "q162_decontam_sweep" -> "the expensive per-doc overlap counts are the SAME memoized contamScores frame q73/q119 share (built once, FeatureBuildOnceSpec-pinned); the sweep collapses them to a (n_hits -> docs, chars) profile bounded by the distinct-overlap domain and crosses it with 4 broadcast threshold rows - adding a candidate threshold costs nothing at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

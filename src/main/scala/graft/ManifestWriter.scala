@@ -56,4 +56,35 @@ object ManifestWriter {
       read(current.sparkSession, storedDir)
         .select(col("source"), col("n_docs"), col("sum_chars"),
           col("checksum"), col("checksum_b")))
+
+  // ------------------------------------------------------------ ledger
+  // The manifest at DOC granularity: q159's stored side. The manifest
+  // answers "which sources changed" for free; the ledger answers
+  // "which documents changed" for ~48 bytes/doc — still three orders
+  // of magnitude under the corpus, and the input the incremental
+  // layers (q69's new batch, q148's delta leg) actually consume.
+
+  /** Persist the doc-level fingerprint ledger `(doc_id, source, fp,
+    * n_chars)` of `docs`. Unlike [[write]], this is corpus-row-sized,
+    * so it keeps Spark's parallel write layout (no `coalesce`) — at
+    * 100 TB the ledger is a normal partitioned table, just a narrow
+    * one. Returns the artifact as re-read from disk. */
+  def writeLedger(docs: DataFrame, dir: String): DataFrame = {
+    TextAnalysis.docLedgerOf(docs).write.parquet(dir)
+    read(docs.sparkSession, dir)
+  }
+
+  /** q159 against a STORED ledger: classify every document of the live
+    * `current` corpus as added / changed / unchanged (and stored docs
+    * absent from it as removed), aggregated per (source, status) with
+    * char deltas. One fingerprint-sized full-outer join — the stored
+    * corpus' bytes are never read. Pinned equal to the in-session
+    * q159 delta by `DeltaLedgerSpec`, which also plants the `removed`
+    * class the subset fixture cannot produce. */
+  def deltaAgainstStoredLedger(current: DataFrame,
+      storedDir: String): DataFrame =
+    TextAnalysis.ledgerDelta(
+      TextAnalysis.docLedgerOf(current),
+      read(current.sparkSession, storedDir)
+        .select(col("doc_id"), col("source"), col("fp"), col("n_chars")))
 }

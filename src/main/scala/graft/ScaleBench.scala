@@ -101,7 +101,9 @@ object ScaleBench {
     "q139_deletion_cascade", "q140_canonical_handoff", "q141_bigram_lm",
     "q142_banding_sweep", "q143_weighted_sample", "q144_rrf_fusion",
     "q146_dup_degree", "q151_corpus_manifest", "q153_manifest_diff",
-    "q154_ks_drift", "q157_datasheet", "q158_pq_budget_sweep")
+    "q154_ks_drift", "q157_datasheet", "q158_pq_budget_sweep",
+    "q159_snapshot_delta", "q160_cluster_purity", "q161_norm_lift",
+    "q162_decontam_sweep")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

@@ -3325,9 +3325,162 @@ object Dedup {
        |FROM runs GROUP BY doc_id
        |ORDER BY longest_span_words DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  /** CLUSTER-PURITY AUDIT — external validation of the near-dup
+    * clustering against the one ground truth the corpus carries for
+    * free: the exact-content partition. Every unordered doc pair is
+    * classified by the pair-counting (Rand) decomposition —
+    * `content_pairs` (same content fingerprint), `cluster_pairs`
+    * (co-clustered by q56's components, docs in no component counting
+    * as singleton clusters), and `coclustered_pairs` (both). Two
+    * derived columns are the audit's verdicts: `missed_pairs`
+    * (content-equal yet NOT co-clustered — every one is a sketch-
+    * recall failure, e.g. a doc too short to shingle, so the pair
+    * never entered LSH), and `near_only_pairs` (co-clustered beyond
+    * byte-equality — the near-dup mass the clustering exists to find,
+    * reported as its own population, NOT as error). `exact_recall_u`
+    * is the one-number gate: the fraction of exact-dup pairs the
+    * production clustering recovers, in exact micro-units.
+    *
+    * This audits cluster STRUCTURE where q108 audits per-doc flags:
+    * two methods can agree on "doc is a dup" while partitioning the
+    * dups differently — only pair counting sees that. Companion to
+    * q96/q98 (sketch fidelity) and q129 (banding recall): those audit
+    * the sketches, this audits what the end-to-end pipeline DID.
+    *
+    * Scale posture: no pair is ever materialized — each leg is
+    * Σ n·(n−1)/2 over a partial-aggregable group count (cells of the
+    * cluster × content contingency table, clusters, content groups),
+    * three tiny single-row aggregates cross-joined at the end. The
+    * label table rides the memoized CC labels (pairs-bounded); the
+    * corpus contributes one narrow fingerprint scan. Viral groups
+    * cost int64 multiplications, not joins — the same reason q110's
+    * histogram scales. */
+  private def q160(spark: SparkSession, dir: String): DataFrame = {
+    val lab = ccLabels(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), contentFp(col("text")).as("fp"))
+      .join(lab, col("doc_id") === col("id"), "left")
+      // docs outside every component are their own (negative) cluster
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("lbl"), -col("doc_id") - 1L).as("lbl2"))
+    def pairSum(keys: Seq[Column], out: String): DataFrame =
+      docs.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as(out))
+    val content = pairSum(Seq(col("fp")), "content_pairs")
+    val cluster = pairSum(Seq(col("lbl2")), "cluster_pairs")
+    val both = pairSum(Seq(col("lbl2"), col("fp")), "coclustered_pairs")
+    content.crossJoin(cluster).crossJoin(both)
+      .withColumn("missed_pairs",
+        col("content_pairs") - col("coclustered_pairs"))
+      .withColumn("near_only_pairs",
+        col("cluster_pairs") - col("coclustered_pairs"))
+      .withColumn("exact_recall_u",
+        when(col("content_pairs") === 0L, lit(1000000L))
+          .otherwise(expr("(1000000 * coclustered_pairs) div content_pairs")))
+  }
+
+  private val q160Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |dfp AS (
+       |  SELECT d.doc_id, ${contentFpSql("d.text")} AS fp,
+       |    COALESCE(l.lbl, -d.doc_id - 1) AS lbl2
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+       |cont AS (SELECT CAST(COALESCE(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+       |    AS content_pairs
+       |  FROM (SELECT count(*) AS n FROM dfp GROUP BY fp)),
+       |clus AS (SELECT CAST(COALESCE(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+       |    AS cluster_pairs
+       |  FROM (SELECT count(*) AS n FROM dfp GROUP BY lbl2)),
+       |cocl AS (SELECT CAST(COALESCE(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+       |    AS coclustered_pairs
+       |  FROM (SELECT count(*) AS n FROM dfp GROUP BY lbl2, fp))
+       |SELECT content_pairs, cluster_pairs, coclustered_pairs,
+       |  content_pairs - coclustered_pairs AS missed_pairs,
+       |  cluster_pairs - coclustered_pairs AS near_only_pairs,
+       |  CASE WHEN content_pairs = 0 THEN 1000000
+       |       ELSE (1000000 * coclustered_pairs) // content_pairs
+       |  END AS exact_recall_u
+       |FROM cont CROSS JOIN clus CROSS JOIN cocl""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** DECONTAMINATION THRESHOLD SWEEP — the tuning table run BEFORE
+    * committing to a contamination cutoff (q142's sweep discipline
+    * applied to the decontamination family): for each candidate
+    * threshold t ∈ {1, 2, 4, 8} matched eval 3-grams, the training
+    * docs and char mass a `n_hits ≥ t` gate would quarantine, with
+    * exact micro-unit rates. t = 1 is GPT-2/3-era any-overlap
+    * paranoia (common-phrase false positives and all); the curve's
+    * elbow is where real verbatim leakage separates from phrase
+    * noise — the published-corpus decision this table prices openly.
+    *
+    * Scale posture: the expensive stage — per-doc eval-overlap counts —
+    * is the SAME memoized [[contamScores]] frame q73 presents and
+    * q119 re-aggregates (built once per session; `FeatureBuildOnceSpec`
+    * pins it). The sweep itself never rescans the corpus: per-doc
+    * hit counts collapse to a (n_hits → docs, chars) profile frame
+    * bounded by the distinct-overlap domain, and the 4 thresholds
+    * cross that tiny frame with conditional sums — adding a candidate
+    * threshold costs literally nothing at 100 TB. */
+  private def q162(spark: SparkSession, dir: String): DataFrame = {
+    val train = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalSliceMod =!= 0)
+      .select(col("doc_id"), col("n_chars"))
+    val perDoc = train
+      .join(contamScores(spark, dir).select(col("doc_id"), col("n_hits")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+    // bounded profile: one row per distinct overlap count
+    val profile = perDoc.groupBy(col("n_hits"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    val thresholds = spark.range(1)
+      .select(explode(array(lit(1L), lit(2L), lit(4L), lit(8L)))
+        .as("threshold"))
+    broadcast(thresholds).crossJoin(profile)
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("n_hits") >= col("threshold"), col("cnt"))
+          .otherwise(0L)).as("flagged_docs"),
+        sum(when(col("n_hits") >= col("threshold"), col("chars"))
+          .otherwise(0L)).as("flagged_chars"),
+        sum(col("cnt")).as("train_docs"))
+      .withColumn("flag_rate_u",
+        expr("(1000000 * flagged_docs) div train_docs"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q162Sql =
+    s"""WITH words AS ($docShinglesSql),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h FROM words),
+       |ev AS (SELECT h FROM hashed WHERE doc_id % $EvalSliceMod = 0),
+       |tr AS (SELECT doc_id, h FROM hashed WHERE doc_id % $EvalSliceMod <> 0),
+       |hits AS (
+       |  SELECT t.doc_id, count(DISTINCT t.h) AS n_hits
+       |  FROM tr t JOIN ev e ON t.h = e.h
+       |  GROUP BY 1),
+       |perdoc AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(h.n_hits, 0) AS n_hits
+       |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |  WHERE d.doc_id % $EvalSliceMod <> 0),
+       |thr AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS threshold)
+       |SELECT threshold,
+       |  CAST(sum(CASE WHEN n_hits >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS flagged_docs,
+       |  CAST(sum(CASE WHEN n_hits >= threshold THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS flagged_chars,
+       |  count(*) AS train_docs,
+       |  (1000000 * CAST(sum(CASE WHEN n_hits >= threshold THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS flag_rate_u
+       |FROM thr CROSS JOIN perdoc
+       |GROUP BY threshold
+       |ORDER BY threshold""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q160_cluster_purity" -> (q160 _),
+    "q162_decontam_sweep" -> (q162 _),
     "q132_span_severity" -> (q132 _),
     "q129_banding_recall" -> (q129 _),
     "q122_source_novelty" -> (q122 _),
@@ -3367,6 +3520,8 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q160_cluster_purity" -> q160Sql,
+    "q162_decontam_sweep" -> q162Sql,
     "q132_span_severity" -> q132Sql,
     "q129_banding_recall" -> q129Sql,
     "q122_source_novelty" -> q122Sql,

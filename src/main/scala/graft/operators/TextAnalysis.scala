@@ -3356,9 +3356,174 @@ object TextAnalysis {
        |  JOIN ds_contam USING (source)
        |ORDER BY v.source""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** DOC-LEVEL SNAPSHOT DELTA — the manifest family pushed to document
+    * granularity: q153 answers "which SOURCES changed" (the
+    * skip-recompaction decision), this answers "which DOCUMENTS
+    * changed inside them" (the work-list the incremental layers
+    * actually process — q69's new-batch side, q148's delta leg). Every
+    * document of the live corpus is classified against a stored
+    * fingerprint LEDGER as added / changed / unchanged (and stored
+    * docs missing from the corpus as removed), reported per
+    * (source, status) with exact char-mass deltas.
+    *
+    * The fingerprint is `md5(text)` over the RAW bytes, deliberately
+    * not [[graft.functions.TextFns.contentFp]]'s token bag: change
+    * DETECTION must see every byte edit (a whitespace-only edit still
+    * invalidates downstream artifacts), while dedup wants
+    * canonicalization — two different jobs, two different keys
+    * (q161 quantifies exactly what the canonical keys collapse).
+    *
+    * The stored snapshot is instantiated reproducibly as "yesterday's
+    * corpus": every tenth doc (doc_id % 10 == 0) had not arrived yet
+    * (today's `added` class), and every seventh doc was since edited —
+    * its stored text carries an `"OLD "` prefix (4 chars the delta
+    * must account), exercising `changed` with non-zero char drift.
+    * `removed` cannot occur in a subset fixture (q153's precedent);
+    * `DeltaLedgerSpec` plants it through the artifact path.
+    *
+    * Scale posture: the ledger is ~48 bytes/doc — three orders of
+    * magnitude under the corpus — and the delta is ONE full-outer join
+    * of two fingerprint frames co-partitioned on doc_id (bucketed
+    * snapshots make it zero-shuffle), then a partial-aggregable
+    * groupBy to |sources|×4 rows. The corpus' text is scanned once to
+    * fingerprint the live side and NEVER shuffles; the stored side is
+    * a ledger READ ([[graft.ManifestWriter.writeLedger]] ships it,
+    * [[graft.ManifestWriter.deltaAgainstStoredLedger]] consumes it —
+    * spec-pinned equal to this in-session query), so "what changed
+    * since yesterday" costs one narrow scan + one fingerprint-sized
+    * join, never a byte-level corpus comparison. */
+  private[graft] def docLedgerOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"), col("n_chars"))
+
+  /** Classify `current` against `stored` (both [[docLedgerOf]]-shaped)
+    * into per-(source, status) doc counts and char deltas. Shared by
+    * the q159 query and [[graft.ManifestWriter.deltaAgainstStoredLedger]]. */
+  private[graft] def ledgerDelta(current: DataFrame,
+      stored: DataFrame): DataFrame = {
+    val cur = current.select(col("doc_id"), col("source").as("c_src"),
+      col("fp").as("c_fp"), col("n_chars").as("c_chars"))
+    val old = stored.select(col("doc_id"), col("source").as("s_src"),
+      col("fp").as("s_fp"), col("n_chars").as("s_chars"))
+    cur.join(old, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("c_src"), col("s_src")).as("source"),
+        when(col("s_fp").isNull, lit("added"))
+          .when(col("c_fp").isNull, lit("removed"))
+          .when(col("c_fp") === col("s_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("c_chars"), lit(0L)) -
+          coalesce(col("s_chars"), lit(0L))).as("d_chars"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d_chars")).as("delta_chars"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  private def q159(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edited = (col("doc_id") % 7L) === 0L
+    val stored = docLedgerOf(
+      docs.filter((col("doc_id") % 10L) =!= 0L)
+        .withColumn("text",
+          when(edited, concat(lit("OLD "), col("text")))
+            .otherwise(col("text")))
+        .withColumn("n_chars",
+          when(edited, col("n_chars") + 4L).otherwise(col("n_chars"))))
+    ledgerDelta(docLedgerOf(docs), stored)
+  }
+
+  private val q159Sql =
+    s"""WITH cur AS (
+       |  SELECT doc_id, source, md5(text) AS fp, n_chars FROM documents),
+       |stored AS (
+       |  SELECT doc_id, source,
+       |    md5(CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END)
+       |      AS fp,
+       |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 4 ELSE n_chars END
+       |      AS n_chars
+       |  FROM documents WHERE doc_id % 10 != 0)
+       |SELECT COALESCE(c.source, s.source) AS source,
+       |  CASE WHEN s.fp IS NULL THEN 'added'
+       |       WHEN c.fp IS NULL THEN 'removed'
+       |       WHEN c.fp = s.fp THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  count(*) AS n_docs,
+       |  CAST(sum(COALESCE(c.n_chars, 0) - COALESCE(s.n_chars, 0)) AS BIGINT)
+       |    AS delta_chars
+       |FROM cur c FULL OUTER JOIN stored s ON c.doc_id = s.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  /** CANONICALIZATION DEDUP-LIFT LADDER — the decision table for "how
+    * aggressively should the exact-dedup key canonicalize": per
+    * source, the duplicate mass found under three keys of increasing
+    * strength — raw `md5(text)` (byte-identical only), q67's
+    * normalized text (lowercase, punctuation stripped, whitespace
+    * collapsed), and [[graft.functions.TextFns.contentFp]]'s
+    * sorted-unique token bag (order- and repetition-insensitive, THE
+    * production dedup key). The two canonicalizers coarsen
+    * byte-identity along DIFFERENT axes (case/punctuation vs
+    * order/repetition) — each is a coarsening of raw (equal raw text
+    * ⇒ equal under either), so both lifts are provably ≥ 0 and read
+    * directly as "duplicates this tier finds that byte-equality
+    * misses" — the number that justifies (or kills) running the
+    * cleaner before fingerprinting at 100 TB. A large `lift_norm` is
+    * mirror sites differing in markup; a large `lift_bag` beyond it
+    * is shuffled/stuttered template content (q80's regime).
+    *
+    * Scale posture: three codegen'd hash columns in ONE narrow scan
+    * (no text shuffle), then one partial-aggregable groupBy carrying
+    * three `count(DISTINCT)` legs — Spark expands them into one
+    * partial-agg expand (3× the fingerprint rows, still narrow);
+    * output is |sources| rows. The ladder never materializes pairs or
+    * groups — it counts distinct keys, which is all the lift numbers
+    * need. */
+  private def q161(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(col("text")).as("fp_raw"),
+        md5(norm).as("fp_norm"),
+        contentFp(col("text")).as("fp_bag"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp_raw")).as("d_raw"),
+        countDistinct(col("fp_norm")).as("d_norm"),
+        countDistinct(col("fp_bag")).as("d_bag"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("d_raw")).as("dup_raw"),
+        (col("n_docs") - col("d_norm")).as("dup_norm"),
+        (col("n_docs") - col("d_bag")).as("dup_bag"),
+        (col("d_raw") - col("d_norm")).as("lift_norm"),
+        (col("d_raw") - col("d_bag")).as("lift_bag"))
+      .orderBy(col("source"))
+  }
+
+  private val q161Sql = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  count(*) - count(DISTINCT md5(text)) AS dup_raw,
+       |  count(*) - count(DISTINCT md5($norm)) AS dup_norm,
+       |  count(*) - count(DISTINCT ${contentFpSql("text")}) AS dup_bag,
+       |  count(DISTINCT md5(text)) - count(DISTINCT md5($norm)) AS lift_norm,
+       |  count(DISTINCT md5(text)) - count(DISTINCT ${contentFpSql("text")})
+       |    AS lift_bag
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q154_ks_drift" -> (q154 _),
     "q157_datasheet" -> (q157 _),
+    "q159_snapshot_delta" -> (q159 _),
+    "q161_norm_lift" -> (q161 _),
     "q153_manifest_diff" -> (q153 _),
     "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
@@ -3409,6 +3574,8 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q154_ks_drift" -> q154Sql,
     "q157_datasheet" -> q157Sql,
+    "q159_snapshot_delta" -> q159Sql,
+    "q161_norm_lift" -> q161Sql,
     "q153_manifest_diff" -> q153Sql,
     "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,
