@@ -513,6 +513,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("ObjectHashAggregate")
   }
 
+  test("q159: one full-outer fingerprint join, no Cartesian product, " +
+      "and the scan reads only the ledger columns") {
+    val p = plan("q159_snapshot_delta")
+    p should include("FullOuter")
+    p should not include "CartesianProduct"
+    val scans = SparkEntry.queries("q159_snapshot_delta")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan.collectLeaves()
+      .filter(_.nodeName.contains("Scan"))
+    scans should not be empty
+    // text is fingerprinted in-flight; no scan carries wide unused cols
+    all(scans.map(_.output.map(_.name).toSet)) should
+      contain noneOf ("lang", "n_tokens")
+  }
+
+  test("q160: no pair is materialized — no self-join beyond the " +
+      "memoized CC labels, aggregates all the way down") {
+    val p = plan("q160_cluster_purity")
+    p should not include "CartesianProduct"
+    // the three single-row legs combine via broadcast nested loop
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  test("q161: one scan, one Expand for the three count-distinct legs, " +
+      "pruned read schema") {
+    val df = SparkEntry.queries("q161_norm_lift")(spark, SparkSpec.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("Expand")
+    p should not include "Join" // no pairs, no groups, ever
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    scan.output.map(_.name).toSet shouldBe Set("text", "source")
+  }
+
+  test("q162: the sweep crosses a broadcast threshold frame against " +
+      "the bounded profile — no corpus-sized join on the sweep side") {
+    val p = plan("q162_decontam_sweep")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // 4-row threshold frame
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
