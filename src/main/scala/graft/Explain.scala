@@ -116,7 +116,9 @@ object Explain {
     "q159_snapshot_delta" -> "the delta is ONE full-outer join of two ~48-byte/doc fingerprint frames on doc_id (bucketed snapshots make it zero-shuffle) + one partial-aggregable groupBy to |sources|x4 rows; the corpus text is scanned once to fingerprint the live side and never shuffles - in production the stored side READS the shipped ledger artifact (ManifestWriter.writeLedger), so 'what changed' never compares corpus bytes",
     "q160_cluster_purity" -> "no pair is ever materialized: each Rand-decomposition leg is sum n*(n-1)/2 over a partial-aggregable group count (contingency cells / clusters / content groups) collapsing to three single-row aggregates cross-joined at the end; labels ride the memoized pairs-bounded CC table and the corpus contributes one narrow fingerprint scan - viral groups cost int64 multiplications, not joins",
     "q161_norm_lift" -> "three codegen'd hash columns in ONE narrow scan (text never shuffles), one groupBy carrying three count(DISTINCT) legs via a single partial-agg expand (3x fingerprint rows, still narrow), |sources|-row output; no pairs, no groups - distinct-key counts are all the lift numbers need",
-    "q162_decontam_sweep" -> "the expensive per-doc overlap counts are the SAME memoized contamScores frame q73/q119 share (built once, FeatureBuildOnceSpec-pinned); the sweep collapses them to a (n_hits -> docs, chars) profile bounded by the distinct-overlap domain and crosses it with 4 broadcast threshold rows - adding a candidate threshold costs nothing at any corpus size")
+    "q162_decontam_sweep" -> "the expensive per-doc overlap counts are the SAME memoized contamScores frame q73/q119 share (built once, FeatureBuildOnceSpec-pinned); the sweep collapses them to a (n_hits -> docs, chars) profile bounded by the distinct-overlap domain and crosses it with 4 broadcast threshold rows - adding a candidate threshold costs nothing at any corpus size",
+    "q163_coverage_curve" -> "the corpus-sized work is the memoized sourceTokenCounts table (shared with q99/q101/q125/q128/q131); the curve re-aggregates it to the vocab-sized corpus marginal, ranks THAT frame (one vocab-sized window, never the corpus), and crosses 4 broadcast threshold rows - q162's sweep shape for the vocabulary family",
+    "q164_token_gini" -> "one narrow (source, doc_id, n_tokens) projection; ranks run per source (one hash shuffle + per-source sort, q76's window class - no global sort), then one partial-aggregable groupBy to |sources| rows; exact int64 Gini/top-decile arithmetic, DECIMAL is the documented swap past ~10^6 docs/source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

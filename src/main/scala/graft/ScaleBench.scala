@@ -103,7 +103,7 @@ object ScaleBench {
     "q146_dup_degree", "q151_corpus_manifest", "q153_manifest_diff",
     "q154_ks_drift", "q157_datasheet", "q158_pq_budget_sweep",
     "q159_snapshot_delta", "q160_cluster_purity", "q161_norm_lift",
-    "q162_decontam_sweep")
+    "q162_decontam_sweep", "q163_coverage_curve", "q164_token_gini")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

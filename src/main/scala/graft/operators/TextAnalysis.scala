@@ -3519,11 +3519,144 @@ object TextAnalysis {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+  /** VOCABULARY COVERAGE CURVE — the tuning table for "how big must
+    * the tokenizer's word-level head be" (q142/q158/q162's sweep
+    * discipline applied to the vocabulary family): for each candidate
+    * head size k ∈ {64, 256, 1024, 4096}, the token mass the top-k
+    * frequency-ranked terms cover, in exact micro-units. The curve's
+    * knee is the Zipf-economics decision every tokenizer budget rests
+    * on (the same head q131 audits at a FIXED size and [[Bpe]] spends
+    * merges on — this prices the size choice itself). Rank ties break
+    * by term so both engines rank identically.
+    *
+    * Scale posture: the corpus-sized work is the memoized
+    * [[Features.sourceTokenCounts]] table (built once, shared with
+    * q99/q101/q125/q128/q131); this re-aggregates it to the corpus
+    * marginal (vocab-sized), ranks THAT frame (one vocab-sized sort,
+    * never the corpus), and crosses it with 4 broadcast threshold
+    * rows — q162's sweep shape, so a new candidate size costs
+    * nothing. */
+  private def q163(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Features.sourceTokenCounts(spark, dir)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+    val ranked = vocab.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+        .cast("long"))
+    val ks = spark.range(1)
+      .select(explode(array(lit(64L), lit(256L), lit(1024L), lit(4096L)))
+        .as("k"))
+    broadcast(ks).crossJoin(ranked)
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L))
+          .as("covered_tokens"),
+        sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("coverage_u",
+        expr("(1000000 * covered_tokens) div total_tokens"))
+      .orderBy(col("k"))
+  }
+
+  private val q163Sql =
+    s"""WITH tok AS (SELECT unnest(${tokensSql("text")}) AS w FROM documents),
+       |vc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+       |rk AS (SELECT w, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rk
+       |  FROM vc),
+       |ks AS (SELECT CAST(unnest([64, 256, 1024, 4096]) AS BIGINT) AS k)
+       |SELECT k,
+       |  CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS covered_tokens,
+       |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       |  count(*) AS n_terms,
+       |  (1000000 * CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT))
+       |    // CAST(sum(cnt) AS BIGINT) AS coverage_u
+       |FROM ks CROSS JOIN rk
+       |GROUP BY k
+       |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** TOKEN-MASS CONCENTRATION AUDIT — per source, how unequally the
+    * token budget is distributed across documents: the exact Gini
+    * coefficient of per-doc token counts (ascending-rank formula
+    * `(2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)` in integer micro-units) plus the
+    * top-decile share (the mass held by the largest ⌈n/10⌉ docs). A
+    * high-Gini source is a few giant documents wearing a thin long
+    * tail — the regime where doc-level sampling quotas (q127),
+    * per-doc soft-dedup weights (q123) and epoch token budgets (q103)
+    * silently diverge from token-level intent, and where q76's packer
+    * sees pathological bin inputs. The observability twin of q125's
+    * Zipf audit: that measures concentration across the VOCABULARY,
+    * this across DOCUMENTS.
+    *
+    * Scale posture: one narrow (source, doc_id, n_tokens) projection;
+    * the rank runs per source (one hash shuffle, per-source sort —
+    * q76's window class, never global); everything after is one
+    * partial-aggregable groupBy to |sources| rows. Exact int64
+    * arithmetic throughout — Σi·xᵢ stays under 2⁶³ to ~10⁶ docs/source
+    * at 10³ tokens each; beyond that the documented swap is DECIMAL
+    * accumulators (q154's posture), not floats. */
+  private def q164(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("x"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("x"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    perDoc
+      .withColumn("i", row_number().over(wRank).cast("long"))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("top10", col("i") > col("nn") - expr("(nn + 9) div 10"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("ix"),
+        max(col("nn")).as("n"),
+        sum(when(col("top10"), col("x")).otherwise(0L)).as("top_mass"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        when(col("total_tokens") === 0L, 0L)
+          .otherwise(expr(
+            "(1000000 * (2 * ix - (n + 1) * total_tokens)) div (n * total_tokens)"))
+          .as("gini_u"),
+        when(col("total_tokens") === 0L, 0L)
+          .otherwise(expr("(1000000 * top_mass) div total_tokens"))
+          .as("top10_share_u"))
+      .orderBy(col("source"))
+  }
+
+  private val q164Sql =
+    s"""WITH perdoc AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS x
+       |  FROM documents),
+       |rk AS (
+       |  SELECT source, x,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+       |      AS BIGINT) AS i,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM perdoc)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(x) AS BIGINT) AS total_tokens,
+       |  CASE WHEN CAST(sum(x) AS BIGINT) = 0 THEN 0
+       |    ELSE (1000000 * (2 * CAST(sum(i * x) AS BIGINT)
+       |        - (max(n) + 1) * CAST(sum(x) AS BIGINT)))
+       |      // (max(n) * CAST(sum(x) AS BIGINT)) END AS gini_u,
+       |  CASE WHEN CAST(sum(x) AS BIGINT) = 0 THEN 0
+       |    ELSE (1000000 * CAST(sum(CASE WHEN i > n - (n + 9) // 10
+       |        THEN x ELSE 0 END) AS BIGINT))
+       |      // CAST(sum(x) AS BIGINT) END AS top10_share_u
+       |FROM rk
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q154_ks_drift" -> (q154 _),
     "q157_datasheet" -> (q157 _),
     "q159_snapshot_delta" -> (q159 _),
     "q161_norm_lift" -> (q161 _),
+    "q163_coverage_curve" -> (q163 _),
+    "q164_token_gini" -> (q164 _),
     "q153_manifest_diff" -> (q153 _),
     "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
@@ -3576,6 +3709,8 @@ object TextAnalysis {
     "q157_datasheet" -> q157Sql,
     "q159_snapshot_delta" -> q159Sql,
     "q161_norm_lift" -> q161Sql,
+    "q163_coverage_curve" -> q163Sql,
+    "q164_token_gini" -> q164Sql,
     "q153_manifest_diff" -> q153Sql,
     "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,

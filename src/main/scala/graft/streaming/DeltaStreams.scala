@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextAnalysis
+
+/** Streaming SNAPSHOT-DELTA MONITOR — q159's changed-document
+  * classification at ingest time: every arriving document is scored
+  * against the FROZEN stored ledger (the `ManifestWriter.writeLedger`
+  * artifact of the last shipped corpus) as `added` (unknown doc_id),
+  * `changed` (known id, different fingerprint) or `unchanged` (byte-
+  * identical redelivery), and each micro-batch emits the per-(source,
+  * status) count/char-delta report. The feed-health question this
+  * answers live: is the crawler shipping NEW content, re-shipping
+  * bytes we already hold (wasted ingest), or silently mutating
+  * documents under stable ids (cache-busting mirrors)?
+  *
+  * FROZEN-ARTIFACT POSTURE (the `DecontamStreams`/`PqStreams`
+  * discipline): the ledger is a versioned batch artifact, read once
+  * at stream start and NEVER updated by the stream — a batch job
+  * re-ships it with each corpus release. The monitor is therefore
+  * stateless: redeliveries within one stream run re-classify
+  * identically (at-least-once safe, idempotent per batch report),
+  * and two monitors over the same ledger agree bit-for-bit. The
+  * `removed` class is structurally invisible to a stream (absence
+  * never arrives) — that audit is batch q159's job, stated here so
+  * nobody reads the stream report as a full diff.
+  *
+  * Scale posture: per batch, one fingerprint projection of the
+  * micro-batch (narrow, stateless) + ONE doc_id-keyed join against
+  * the ledger — the batch side is micro-batch-sized, so the join
+  * broadcasts IT against the ledger scan (never the reverse; the
+  * ledger may be corpus-row-sized, which is exactly why it is a
+  * parquet artifact and not driver state), then a |sources|×3-row
+  * partial-aggregable groupBy. Nothing wider than a 16-byte hash
+  * shuffles. */
+object DeltaStreams {
+
+  /** Start the monitor over a streaming `(doc_id, text, source,
+    * n_chars, …)` frame. `ledger` is the STORED artifact frame
+    * (`ManifestWriter.read` of a `writeLedger` path, or any
+    * `docLedgerOf`-shaped static frame). Per batch, `onBatch`
+    * receives `(source, status, n_docs, delta_chars)` with status ∈
+    * added | changed | unchanged. */
+  def monitor(docs: DataFrame, ledger: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val stored = ledger.select(col("doc_id"), col("fp").as("s_fp"),
+      col("n_chars").as("s_chars"))
+    val writer = docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val live = TextAnalysis.docLedgerOf(batch)
+          .withColumnRenamed("fp", "c_fp")
+          .withColumnRenamed("n_chars", "c_chars")
+        val report = broadcast(live).join(stored, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("s_fp").isNull, lit("added"))
+              .when(col("c_fp") === col("s_fp"), lit("unchanged"))
+              .otherwise(lit("changed")).as("status"),
+            (col("c_chars") - coalesce(col("s_chars"), lit(0L)))
+              .as("d_chars"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("d_chars")).as("delta_chars"))
+        onBatch(report, batchId)
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+}
