@@ -118,7 +118,8 @@ object Explain {
     "q161_norm_lift" -> "three codegen'd hash columns in ONE narrow scan (text never shuffles), one groupBy carrying three count(DISTINCT) legs via a single partial-agg expand (3x fingerprint rows, still narrow), |sources|-row output; no pairs, no groups - distinct-key counts are all the lift numbers need",
     "q162_decontam_sweep" -> "the expensive per-doc overlap counts are the SAME memoized contamScores frame q73/q119 share (built once, FeatureBuildOnceSpec-pinned); the sweep collapses them to a (n_hits -> docs, chars) profile bounded by the distinct-overlap domain and crosses it with 4 broadcast threshold rows - adding a candidate threshold costs nothing at any corpus size",
     "q163_coverage_curve" -> "the corpus-sized work is the memoized sourceTokenCounts table (shared with q99/q101/q125/q128/q131); the curve re-aggregates it to the vocab-sized corpus marginal, ranks THAT frame (one vocab-sized window, never the corpus), and crosses 4 broadcast threshold rows - q162's sweep shape for the vocabulary family",
-    "q164_token_gini" -> "one narrow (source, doc_id, n_tokens) projection; ranks run per source (one hash shuffle + per-source sort, q76's window class - no global sort), then one partial-aggregable groupBy to |sources| rows; exact int64 Gini/top-decile arithmetic, DECIMAL is the documented swap past ~10^6 docs/source")
+    "q164_token_gini" -> "one narrow (source, doc_id, n_tokens) projection; ranks run per source (one hash shuffle + per-source sort, q76's window class - no global sort), then one partial-aggregable groupBy to |sources| rows; exact int64 Gini/top-decile arithmetic, DECIMAL is the documented swap past ~10^6 docs/source",
+    "q165_rebuild_plan" -> "everything derives from q159's |sources|x4 (source, status) frame - one conditional pivot + integer threshold compares; the only corpus-sized input is the fingerprint join q159 already prices, and in production THAT reads the shipped ledger artifact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3421,17 +3421,25 @@ object TextAnalysis {
       .orderBy(col("source"), col("status"))
   }
 
-  private def q159(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** The reproducible "yesterday's corpus" ledger q159 and q165 share:
+    * every tenth doc had not arrived, every seventh was since edited
+    * (stored text carries an `"OLD "` 4-char prefix). ONE definition —
+    * the rebuild plan must be computed over exactly the delta it
+    * summarizes. */
+  private def q159StoredLedger(docs: DataFrame): DataFrame = {
     val edited = (col("doc_id") % 7L) === 0L
-    val stored = docLedgerOf(
+    docLedgerOf(
       docs.filter((col("doc_id") % 10L) =!= 0L)
         .withColumn("text",
           when(edited, concat(lit("OLD "), col("text")))
             .otherwise(col("text")))
         .withColumn("n_chars",
           when(edited, col("n_chars") + 4L).otherwise(col("n_chars"))))
-    ledgerDelta(docLedgerOf(docs), stored)
+  }
+
+  private def q159(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ledgerDelta(docLedgerOf(docs), q159StoredLedger(docs))
   }
 
   private val q159Sql =
@@ -3650,6 +3658,88 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** INCREMENTAL REBUILD PLAN — the decision table that CONSUMES
+    * q159's delta (the q153→q69/q148 composition made explicit):
+    * per source, the delta class counts roll up to a churn rate and
+    * ONE of three verdicts the incremental layers act on — `skip`
+    * (zero churn: reuse every artifact untouched), `delta` (churn
+    * under [[RebuildDeltaMaxU]]: run the merge paths over the
+    * changed-document work-list, q69's new-batch side and q148's
+    * delta leg), or `full` (churn beyond the threshold: a delta
+    * merge would rewrite most rows anyway — rebuild). `est_work_docs`
+    * prices each verdict in documents so the plan doubles as the
+    * capacity forecast for the next run.
+    *
+    * Churn is measured against the CURRENT corpus (what the next run
+    * processes); a source that vanished entirely (cur_docs = 0, only
+    * `removed` rows) reads churn 10⁶ and verdicts `full` — its
+    * artifacts must be retired, which no delta merge expresses.
+    *
+    * Scale posture: everything derives from q159's (source, status)
+    * frame — |sources|×4 rows; the plan itself costs one conditional
+    * pivot and integer threshold compares. The expensive input is the
+    * one fingerprint join q159 already prices, and in production THAT
+    * reads the shipped ledger artifact. */
+  val RebuildDeltaMaxU = 200000L // ≤20% churn → delta merge wins
+
+  private def q165(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val delta = ledgerDelta(docLedgerOf(docs), q159StoredLedger(docs))
+    def cls(s: String): Column =
+      sum(when(col("status") === s, col("n_docs")).otherwise(0L))
+    delta.groupBy(col("source"))
+      .agg(cls("added").as("n_added"), cls("changed").as("n_changed"),
+        cls("removed").as("n_removed"), cls("unchanged").as("n_unchanged"))
+      .withColumn("cur_docs",
+        col("n_added") + col("n_changed") + col("n_unchanged"))
+      .withColumn("churn_u",
+        when(col("cur_docs") === 0L, lit(1000000L))
+          .otherwise(expr(
+            "(1000000 * (n_added + n_changed + n_removed)) div cur_docs")))
+      .withColumn("mode",
+        when(col("churn_u") === 0L, lit("skip"))
+          .when(col("churn_u") <= RebuildDeltaMaxU, lit("delta"))
+          .otherwise(lit("full")))
+      .withColumn("est_work_docs",
+        when(col("mode") === "skip", 0L)
+          .when(col("mode") === "delta",
+            col("n_added") + col("n_changed") + col("n_removed"))
+          .otherwise(col("cur_docs")))
+      .orderBy(col("source"))
+  }
+
+  private val q165Sql =
+    s"""WITH delta AS ($q159Sql),
+       |per_src AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN status = 'added' THEN n_docs ELSE 0 END)
+       |      AS BIGINT) AS n_added,
+       |    CAST(sum(CASE WHEN status = 'changed' THEN n_docs ELSE 0 END)
+       |      AS BIGINT) AS n_changed,
+       |    CAST(sum(CASE WHEN status = 'removed' THEN n_docs ELSE 0 END)
+       |      AS BIGINT) AS n_removed,
+       |    CAST(sum(CASE WHEN status = 'unchanged' THEN n_docs ELSE 0 END)
+       |      AS BIGINT) AS n_unchanged
+       |  FROM delta GROUP BY source),
+       |rolled AS (
+       |  SELECT *, n_added + n_changed + n_unchanged AS cur_docs,
+       |    CASE WHEN n_added + n_changed + n_unchanged = 0 THEN 1000000
+       |      ELSE (1000000 * (n_added + n_changed + n_removed))
+       |        // (n_added + n_changed + n_unchanged) END AS churn_u
+       |  FROM per_src)
+       |SELECT source, n_added, n_changed, n_removed, n_unchanged,
+       |  cur_docs, churn_u,
+       |  CASE WHEN churn_u = 0 THEN 'skip'
+       |       WHEN churn_u <= $RebuildDeltaMaxU THEN 'delta'
+       |       ELSE 'full' END AS mode,
+       |  CASE WHEN churn_u = 0 THEN 0
+       |       WHEN churn_u <= $RebuildDeltaMaxU
+       |         THEN n_added + n_changed + n_removed
+       |       ELSE cur_docs END AS est_work_docs
+       |FROM rolled
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q154_ks_drift" -> (q154 _),
     "q157_datasheet" -> (q157 _),
@@ -3657,6 +3747,7 @@ object TextAnalysis {
     "q161_norm_lift" -> (q161 _),
     "q163_coverage_curve" -> (q163 _),
     "q164_token_gini" -> (q164 _),
+    "q165_rebuild_plan" -> (q165 _),
     "q153_manifest_diff" -> (q153 _),
     "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
@@ -3711,6 +3802,7 @@ object TextAnalysis {
     "q161_norm_lift" -> q161Sql,
     "q163_coverage_curve" -> q163Sql,
     "q164_token_gini" -> q164Sql,
+    "q165_rebuild_plan" -> q165Sql,
     "q153_manifest_diff" -> q153Sql,
     "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,

@@ -553,6 +553,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("BroadcastNestedLoopJoin") // 4-row threshold frame
   }
 
+  test("q163: the curve ranks the vocab-sized marginal, never the " +
+      "corpus — the rank window sits above the term aggregate") {
+    val df = SparkEntry.queries("q163_coverage_curve")(spark, SparkSpec.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // 4-row threshold frame
+    // exactly one Window (the vocab rank), fed by aggregates
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size shouldBe 1
+  }
+
+  test("q164: ranks run per source (partitioned window), no join " +
+      "anywhere, pruned scan") {
+    val df = SparkEntry.queries("q164_token_gini")(spark, SparkSpec.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "Join"
+    p should include("Window")
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    scan.output.map(_.name).toSet shouldBe Set("doc_id", "text", "source")
+  }
+
+  test("q165: the plan derives from q159's aggregated frame — one " +
+      "fingerprint join, then aggregates and projections only") {
+    val p = plan("q165_rebuild_plan")
+    p should include("FullOuter")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
