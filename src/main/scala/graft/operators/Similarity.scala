@@ -2346,8 +2346,122 @@ object Similarity {
        |ORDER BY m_subspaces""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q166
+  /** IVF NPROBE SWEEP — the serving-knob tuning table that completes
+    * the sweep discipline across the index family (banding q142, PQ
+    * subspaces q158, decontamination cutoff q162, vocabulary head
+    * q163): for each candidate nprobe ∈ {1, 2, 4, 8}, the exact
+    * recall the production IVF index (q44's cells) would achieve
+    * against the brute-force top-5 truth (q38), PRICED in candidate
+    * rows scanned — the recall-vs-cost curve an ANN deployment reads
+    * before fixing its probe budget.
+    *
+    * The whole sweep is ONE pass, not |nprobes| re-runs: each query
+    * ranks the 10 cells once (prank), and a true neighbor is
+    * reachable at nprobe = p iff its cell's prank ≤ p. Reachable IS
+    * returned: the true top-5 carry the 5 highest cosines globally,
+    * so no candidate can outrank them inside any probed subset — the
+    * prefix predicate is exactly `ivfAnn(nprobe = p)`'s recall,
+    * which `IvfSweepSpec` pins by actually running the serving path
+    * at p = 2.
+    *
+    * Scale posture: truth is queries-sized by construction (recall is
+    * audited on a query SAMPLE at 100 TB — q113's posture, and the
+    * brute-force leg is the audit's cost, not the index's); the cell
+    * ranking is |queries| × 10 broadcast rows; cell sizes are one
+    * partial-aggregable groupBy of the assigned table; the sweep
+    * itself crosses two tiny frames with 4 broadcast probe rows. */
+  private def q166(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb)
+    val assigned = ivfAssigned(spark, dir)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_label"))
+    val qranks = emb.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2")))
+      .withColumn("prank", row_number().over(wProbe).cast("long"))
+      .select(col("vec_id").as("q_id"), col("c_label").as("cell"),
+        col("prank"))
+    val truthRanks = q38(spark, dir).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("t_vid"))
+      .join(assigned.select(col("vec_id").as("t_vid"), col("cell")), "t_vid")
+      .join(qranks, Seq("q_id", "cell"))
+      .select(col("q_id"), col("prank"))
+    val sizes = assigned.filter(col("vec_id") >= NQueries)
+      .groupBy(col("cell")).agg(count(lit(1)).as("csize"))
+    val probeCost = qranks.join(sizes, "cell")
+    val probes = spark.range(1)
+      .select(explode(array(lit(1L), lit(2L), lit(4L), lit(8L)))
+        .as("nprobe"))
+    val hits = broadcast(probes).crossJoin(truthRanks)
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("prank") <= col("nprobe"), 1L).otherwise(0L))
+        .as("n_hits"),
+        count(lit(1)).as("n_truth"))
+    val costs = broadcast(probes.withColumnRenamed("nprobe", "c_nprobe"))
+      .crossJoin(probeCost)
+      .groupBy(col("c_nprobe"))
+      .agg(sum(when(col("prank") <= col("c_nprobe"), col("csize"))
+        .otherwise(0L)).as("cand_rows"))
+    hits.join(costs, col("nprobe") === col("c_nprobe"))
+      .select(col("nprobe"), col("n_hits"), col("n_truth"),
+        expr("(1000000 * n_hits) div n_truth").as("recall_u"),
+        col("cand_rows"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val q166Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |qr AS (
+       |  SELECT q_id, cell, CAST(prank AS BIGINT) AS prank FROM (
+       |    SELECT e.vec_id AS q_id, c.c_label AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")} DESC,
+       |        c.c_label) AS prank
+       |    FROM emb e CROSS JOIN cent2 c
+       |    WHERE e.vec_id < $NQueries)),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")} DESC,
+       |        c.vec_id) AS rank
+       |    FROM emb c CROSS JOIN emb q
+       |    WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries)
+       |  WHERE rank <= 5),
+       |tr AS (
+       |  SELECT t.q_id, qr.prank
+       |  FROM truth t
+       |    JOIN assigned a ON t.vec_id = a.vec_id
+       |    JOIN qr ON t.q_id = qr.q_id AND a.cell = qr.cell),
+       |sizes AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS csize
+       |  FROM assigned WHERE vec_id >= $NQueries GROUP BY 1),
+       |cost AS (
+       |  SELECT qr.q_id, qr.prank, s.csize
+       |  FROM qr JOIN sizes s ON qr.cell = s.cell),
+       |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+       |hits AS (
+       |  SELECT nprobe,
+       |    CAST(sum(CASE WHEN prank <= nprobe THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits,
+       |    count(*) AS n_truth
+       |  FROM np CROSS JOIN tr GROUP BY 1),
+       |costs AS (
+       |  SELECT nprobe,
+       |    CAST(sum(CASE WHEN prank <= nprobe THEN csize ELSE 0 END)
+       |      AS BIGINT) AS cand_rows
+       |  FROM np CROSS JOIN cost GROUP BY 1)
+       |SELECT h.nprobe, n_hits, n_truth,
+       |  (1000000 * n_hits) // n_truth AS recall_u, cand_rows
+       |FROM hits h JOIN costs c ON h.nprobe = c.nprobe
+       |ORDER BY h.nprobe""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q158_pq_budget_sweep" -> (q158 _),
+    "q166_nprobe_sweep" -> (q166 _),
     "q124_hard_negatives" -> (q124 _),
     "q126_label_psi"      -> (q126 _),
     "q130_ivf_cell_profile" -> (q130 _),
@@ -2377,6 +2491,7 @@ object Similarity {
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
     "q158_pq_budget_sweep" -> q158Sql,
+    "q166_nprobe_sweep" -> q166Sql,
     "q124_hard_negatives" -> q124Sql,
     "q126_label_psi"      -> q126Sql,
     "q130_ivf_cell_profile" -> q130Sql,

@@ -584,6 +584,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "Window"
   }
 
+  test("q166: the sweep never re-runs the index per probe budget — " +
+      "centroids broadcast, no Cartesian between data-sized frames") {
+    val p = plan("q166_nprobe_sweep")
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // centroid/probe frames
+    p should include("ObjectHashAggregate")     // the argmax assignment
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
