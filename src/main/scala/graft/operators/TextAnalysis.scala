@@ -3740,6 +3740,73 @@ object TextAnalysis {
        |FROM rolled
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** QUALITY-GATE CALIBRATION BY LENGTH — q89's first-failing
+    * attribution cross-tabbed against document-length octaves: per
+    * power-of-two token bucket, how many docs each gate rejected and
+    * the admit rate. The two tuning questions this answers before
+    * anyone moves a cutoff: where does the `length` floor actually
+    * bite (is [[QualityMinTokens]] cutting into a bucket the other
+    * gates would have admitted?), and is the LM gate a length proxy
+    * (surprisal-per-token correlating with length octave instead of
+    * content — the known bias of perplexity-family filters, visible
+    * here as `n_lm` mass concentrating in one octave while its
+    * neighbors admit freely). Buckets are CASE thresholds, not log()
+    * — exact integer compares, zero float-parity machinery (q110's
+    * band discipline).
+    *
+    * Scale posture: one conditional pivot over the q89 decision frame
+    * (whose expensive input, the frozen LM, is session-memoized);
+    * output is ≤ 6 rows. The calibration view costs one
+    * partial-aggregable groupBy over decisions already made. */
+  private def q167(spark: SparkSession, dir: String): DataFrame = {
+    val dec = qualityDecisions(Tables.documents(spark, dir),
+      lmTable(spark, dir))
+    val lo = when(col("n_tokens") < 8L, 0L)
+      .when(col("n_tokens") < 16L, 8L)
+      .when(col("n_tokens") < 32L, 16L)
+      .when(col("n_tokens") < 64L, 32L)
+      .when(col("n_tokens") < 128L, 64L)
+      .otherwise(128L)
+    def reasonN(r: String, out: String): Column =
+      sum(when(col("reason") === r, 1L).otherwise(0L)).as(out)
+    dec.withColumn("bucket_lo", lo)
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        reasonN("admit", "n_admit"),
+        reasonN("length", "n_length"),
+        reasonN("repetition", "n_repetition"),
+        reasonN("lm_quality", "n_lm"))
+      .withColumn("admit_rate_u", expr("(1000000 * n_admit) div n_docs"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  // lazy: embeds qualityDecisionCtes (itself lazy — q157's rule).
+  private lazy val q167Sql =
+    s"""WITH $qualityDecisionCtes,
+       |bkt AS (
+       |  SELECT CAST(CASE WHEN n_tokens < 8 THEN 0
+       |    WHEN n_tokens < 16 THEN 8
+       |    WHEN n_tokens < 32 THEN 16
+       |    WHEN n_tokens < 64 THEN 32
+       |    WHEN n_tokens < 128 THEN 64
+       |    ELSE 128 END AS BIGINT) AS bucket_lo, reason
+       |  FROM dec)
+       |SELECT bucket_lo, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN reason = 'admit' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admit,
+       |  CAST(sum(CASE WHEN reason = 'length' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_length,
+       |  CAST(sum(CASE WHEN reason = 'repetition' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_repetition,
+       |  CAST(sum(CASE WHEN reason = 'lm_quality' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_lm,
+       |  (1000000 * CAST(sum(CASE WHEN reason = 'admit' THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS admit_rate_u
+       |FROM bkt
+       |GROUP BY bucket_lo
+       |ORDER BY bucket_lo""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q154_ks_drift" -> (q154 _),
     "q157_datasheet" -> (q157 _),
@@ -3748,6 +3815,7 @@ object TextAnalysis {
     "q163_coverage_curve" -> (q163 _),
     "q164_token_gini" -> (q164 _),
     "q165_rebuild_plan" -> (q165 _),
+    "q167_gate_calibration" -> (q167 _),
     "q153_manifest_diff" -> (q153 _),
     "q151_corpus_manifest" -> (q151 _),
     "q131_vocab_coverage" -> (q131 _),
@@ -3803,6 +3871,7 @@ object TextAnalysis {
     "q163_coverage_curve" -> q163Sql,
     "q164_token_gini" -> q164Sql,
     "q165_rebuild_plan" -> q165Sql,
+    "q167_gate_calibration" -> q167Sql,
     "q153_manifest_diff" -> q153Sql,
     "q151_corpus_manifest" -> q151Sql,
     "q131_vocab_coverage" -> q131Sql,
