@@ -592,6 +592,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("ObjectHashAggregate")     // the argmax assignment
   }
 
+  test("q167: one conditional pivot over the decision frame — no join " +
+      "added beyond q89's own plan, no Cartesian product") {
+    val p = plan("q167_gate_calibration")
+    p should not include "CartesianProduct"
+    p should not include "Window" // buckets are CASE, not ranks
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
