@@ -104,7 +104,8 @@ object ScaleBench {
     "q154_ks_drift", "q157_datasheet", "q158_pq_budget_sweep",
     "q159_snapshot_delta", "q160_cluster_purity", "q161_norm_lift",
     "q162_decontam_sweep", "q163_coverage_curve", "q164_token_gini",
-    "q165_rebuild_plan", "q166_nprobe_sweep", "q167_gate_calibration")
+    "q165_rebuild_plan", "q166_nprobe_sweep", "q167_gate_calibration",
+    "q168_retrieval_eval")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

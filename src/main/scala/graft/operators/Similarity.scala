@@ -2459,9 +2459,103 @@ object Similarity {
        |FROM hits h JOIN costs c ON h.nprobe = c.nprobe
        |ORDER BY h.nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** RETRIEVAL-QUALITY EVALUATION — the three production retrievers
+    * (exact dense q38, sign-LSH q39, IVF q44) scored side by side
+    * under label-match relevance (a candidate is relevant iff it
+    * shares the query vector's label — the standard proxy when no
+    * judgment set ships with the corpus): per retriever, MRR, hit
+    * rate and precision@5 in exact micro-units. q113/q166 audit
+    * RECALL against the exact top-k — "does the index return what
+    * brute force would"; this audits whether what ANY of them return
+    * is actually RELEVANT, which is the number a retrieval product
+    * reports. Denominators are the full query count, so a query whose
+    * LSH bucket comes back empty scores as a miss instead of silently
+    * shrinking the average (the honest-denominator rule).
+    *
+    * All reciprocal ranks are integer-floored (`1000000 div rank`)
+    * before averaging — no float summation order anywhere, so both
+    * engines agree bit-for-bit.
+    *
+    * Scale posture: each leg IS the production query (queries-sized
+    * outputs by construction; the exact leg is the evaluation's cost,
+    * q113's sample-audit posture); judging joins ≤ 3·k·|queries| rows
+    * against a broadcast label table, and the report is 3 rows. */
+  private def q168(spark: SparkSession, dir: String): DataFrame = {
+    val labels = scaledEmb(spark, dir).select(col("vec_id"), col("label"))
+    val qLab = labels.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val cLab = labels.select(col("vec_id").as("c_vid"),
+      col("label").as("c_label"))
+    def leg(name: String, topk: DataFrame): DataFrame =
+      topk.select(lit(name).as("retriever"), col("q_id"), col("vec_id"),
+        col("rank").cast("long").as("rank"))
+    val top = leg("dense", q38(spark, dir).filter(col("rank") <= 5))
+      .unionByName(leg("lsh", q39(spark, dir)))
+      .unionByName(leg("ivf", ivfAnn(spark, dir)))
+    val perQ = top
+      .join(broadcast(qLab), "q_id")
+      .join(broadcast(cLab), col("vec_id") === col("c_vid"))
+      .withColumn("rel",
+        when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+      .groupBy(col("retriever"), col("q_id"))
+      .agg(min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(col("rel")).as("nrel"))
+    perQ.groupBy(col("retriever"))
+      .agg(count(lit(1)).as("n_answered"),
+        sum(coalesce(expr("1000000 div first_rel"), lit(0L))).as("rr_sum"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("nrel")).as("rel_total"))
+      .select(col("retriever"),
+        lit(NQueries.toLong).as("n_queries"),
+        col("n_answered"),
+        expr(s"rr_sum div $NQueries").as("mrr_u"),
+        expr(s"(1000000 * n_hit) div $NQueries").as("hit_rate_u"),
+        expr(s"(1000000 * rel_total) div (5 * $NQueries)").as("prec5_u"))
+      .orderBy(col("retriever"))
+  }
+
+  private lazy val q168Sql =
+    s"""WITH d_dense AS (
+       |  SELECT q_id, vec_id, rank FROM ($q38Sql) WHERE rank <= 5),
+       |d_lsh AS (SELECT q_id, vec_id, rank FROM ($q39Sql)),
+       |d_ivf AS (SELECT q_id, vec_id, rank FROM ($q44Sql)),
+       |top AS (
+       |  SELECT 'dense' AS retriever, q_id, vec_id,
+       |    CAST(rank AS BIGINT) AS rank FROM d_dense
+       |  UNION ALL
+       |  SELECT 'lsh', q_id, vec_id, CAST(rank AS BIGINT) FROM d_lsh
+       |  UNION ALL
+       |  SELECT 'ivf', q_id, vec_id, CAST(rank AS BIGINT) FROM d_ivf),
+       |lab AS (SELECT vec_id, label FROM ($scaledEmbSql)),
+       |judged AS (
+       |  SELECT t.retriever, t.q_id, t.rank,
+       |    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel
+       |  FROM top t
+       |    JOIN lab q ON t.q_id = q.vec_id
+       |    JOIN lab c ON t.vec_id = c.vec_id),
+       |perq AS (
+       |  SELECT retriever, q_id,
+       |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+       |    CAST(sum(rel) AS BIGINT) AS nrel
+       |  FROM judged GROUP BY 1, 2)
+       |SELECT retriever,
+       |  CAST($NQueries AS BIGINT) AS n_queries,
+       |  count(*) AS n_answered,
+       |  CAST(sum(coalesce(1000000 // first_rel, 0)) AS BIGINT)
+       |    // $NQueries AS mrr_u,
+       |  (1000000 * CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0
+       |    END) AS BIGINT)) // $NQueries AS hit_rate_u,
+       |  (1000000 * CAST(sum(nrel) AS BIGINT)) // (5 * $NQueries)
+       |    AS prec5_u
+       |FROM perq
+       |GROUP BY retriever
+       |ORDER BY retriever""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q158_pq_budget_sweep" -> (q158 _),
     "q166_nprobe_sweep" -> (q166 _),
+    "q168_retrieval_eval" -> (q168 _),
     "q124_hard_negatives" -> (q124 _),
     "q126_label_psi"      -> (q126 _),
     "q130_ivf_cell_profile" -> (q130 _),
@@ -2492,6 +2586,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "q158_pq_budget_sweep" -> q158Sql,
     "q166_nprobe_sweep" -> q166Sql,
+    "q168_retrieval_eval" -> q168Sql,
     "q124_hard_negatives" -> q124Sql,
     "q126_label_psi"      -> q126Sql,
     "q130_ivf_cell_profile" -> q130Sql,

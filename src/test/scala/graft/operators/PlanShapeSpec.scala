@@ -599,6 +599,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "Window" // buckets are CASE, not ranks
   }
 
+  test("q168: judging joins ride broadcast label tables; no Cartesian " +
+      "beyond the retrievers' own audited broadcast shapes") {
+    val p = plan("q168_retrieval_eval")
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin") // the label judge joins
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
