@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** STREAMING exact-KS drift monitor — the full-resolution member of
+  * the streaming drift family, completing the PSI-vs-KS trade batch
+  * q117/q154 document: [[PsiStreams]] keeps 8 fixed bucket counters
+  * per source (robust, constant state, blind to shape changes inside
+  * a bucket); this keeps the EXACT per-value counters and emits the
+  * running two-sample Kolmogorov–Smirnov statistic against a FROZEN
+  * reference distribution (the blessed corpus' value marginal,
+  * computed batch-side — the same ship-the-artifact posture as the
+  * PSI reference, the quality LM and the decontamination postings).
+  *
+  * State is bounded by the VALUE DOMAIN, not the stream: one int64
+  * per distinct document length a source has ever shipped (q154's
+  * boundedness argument — lengths top out at the max document size,
+  * regardless of row count). The counters are an exact int64 monoid,
+  * so after any number of micro-batches the emitted statistic is
+  * bit-identical to the batch arithmetic over everything seen —
+  * [[ksU]] replays q154's integer ECDF math exactly (micro-unit
+  * `div` on cumulative counts, no float accumulation), and the spec
+  * pins a full-corpus stream equal to batch q154 per source.
+  *
+  * Scale posture: docs shuffle once, keyed by source, into the
+  * stateful operator; the reference rides the closure (value-domain-
+  * sized); snapshots are one row per source per batch. */
+object KsStreams {
+
+  final case class KsState(values: Map[Long, Long])
+  final case class KsSnapshot(source: String, n_docs: Long, ks_u: Long)
+
+  /** q154's exact integer ECDF-gap arithmetic: walk the merged sorted
+    * value domain, cumulate both sides, take the max micro-unit gap.
+    * Shared by the stream and the spec's batch replay. */
+  def ksU(counts: Map[Long, Long], ref: Seq[(Long, Long)]): Long = {
+    val stot = counts.valuesIterator.sum
+    val rtot = ref.iterator.map(_._2).sum
+    if (stot == 0L || rtot == 0L) return 0L
+    val refMap = ref.toMap
+    var scum = 0L; var rcum = 0L; var ks = 0L
+    (counts.keySet ++ refMap.keySet).toSeq.sorted.foreach { v =>
+      scum += counts.getOrElse(v, 0L)
+      rcum += refMap.getOrElse(v, 0L)
+      val d = math.abs(1000000L * scum / stot - 1000000L * rcum / rtot)
+      if (d > ks) ks = d
+    }
+    ks
+  }
+
+  /** The frozen reference: the trusted corpus' value marginal
+    * (needs n_chars). Value-domain-sized — ships in the closure. */
+  def referenceValues(docs: DataFrame): Seq[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val ref = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    require(ref.nonEmpty,
+      "referenceValues: the trusted reference documents frame is empty — " +
+        "a KS reference distribution cannot be derived from zero docs")
+    ref
+  }
+
+  /** Per-source KS snapshots, updated every micro-batch (use with
+    * `outputMode("update")`). `docs` needs (source, n_chars). */
+  def ks(docs: DataFrame, ref: Seq[(Long, Long)]): Dataset[KsSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), col("n_chars"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KsState, KsSnapshot](
+        GroupStateTimeout.NoTimeout()) { (src, rows, state) =>
+        advance(src, rows, ref, state)
+      }
+  }
+
+  /** Pure state transition, shared with the spec: fold the batch's
+    * value counts into the retained exact counters, emit the running
+    * statistic. */
+  private[streaming] def advance(src: String,
+      rows: Iterator[(String, Long)], ref: Seq[(Long, Long)],
+      state: GroupState[KsState]): KsSnapshot = {
+    var counts = state.getOption.map(_.values).getOrElse(Map.empty[Long, Long])
+    rows.foreach { case (_, v) =>
+      counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+    }
+    state.update(KsState(counts))
+    KsSnapshot(src, counts.valuesIterator.sum, ksU(counts, ref))
+  }
+}
