@@ -170,6 +170,12 @@ object ScaleBench {
       if (!Files.exists(Paths.get(s"$sf1/documents.parquet")))
         ScaleData.generate(spark, sf1, nDocs, nEmb)
 
+      // SPARK_GRAFT_SCALE_NAMES=q168_retrieval_eval,q40_embedding_neardup
+      // restricts the sweep — the targeted-sample knob for a query that
+      // landed after a full run (full sweeps leave it unset).
+      val names = sys.env.get("SPARK_GRAFT_SCALE_NAMES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Names)
       def sweep(dir: String): (Double, Map[String, Double]) = {
         val fb = time {
           noopWrite(Features.shingleSets(spark, dir))
@@ -178,13 +184,13 @@ object ScaleBench {
         }
         // two interleaved passes, min per query (Bench's timing model)
         val passes = (1 to 2).map(_ =>
-          Names.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))
-        (fb, Names.zipWithIndex
+          names.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))
+        (fb, names.zipWithIndex
           .map { case (n, i) => n -> passes.map(_(i)).min }.toMap)
       }
       val (fbBase, tBase) = sweep(base)
       val (fbSf1, tSf1) = sweep(sf1)
-      val qs = Names.map { n =>
+      val qs = names.map { n =>
         val (a, b) = (tBase(n), tSf1(n))
         s""""$n":[${f3(a)},${f3(b)},${f2(b / a)}]"""
       }.mkString("{", ",", "}")
