@@ -64,6 +64,32 @@ class CurateSpec extends AnyFunSuite with SparkSpec with Matchers {
     all(diff.map(_._4)) shouldBe 0L
   }
 
+  test("--with-ledger ships the doc-level fingerprint ledger of " +
+      "exactly the shipped corpus: the self-delta is all-unchanged") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("curate-l").toString + "/job"
+    Curate.run(spark, sfDir, out, withLedger = true)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // the ledger row set IS the corpus (doc-granularity manifest)
+    val ledger = ManifestWriter.read(spark, s"$out/ledger")
+    ledger.count() shouldBe corpus.count()
+    // delta of the shipped corpus against its own shipped ledger:
+    // every (source, status) row must read unchanged with zero drift —
+    // any added/changed/removed row means the artifact was computed
+    // off a different document set than what shipped.
+    val delta = ManifestWriter
+      .deltaAgainstStoredLedger(corpus, s"$out/ledger")
+      .as[(String, String, Long, Long)].collect()
+    delta should not be empty
+    all(delta.map(_._2)) shouldBe "unchanged"
+    all(delta.map(_._4)) shouldBe 0L
+    // and without the flag, no ledger ships
+    val out2 = Files.createTempDirectory("curate-l0").toString + "/job"
+    Curate.run(spark, sfDir, out2)
+    Files.exists(java.nio.file.Paths.get(s"$out2/ledger")) shouldBe false
+  }
+
   test("--with-quality ships exactly q92's final stage and only " +
       "quality-admitted documents") {
     import spark.implicits._
