@@ -372,7 +372,8 @@ object ScaleBench {
       val nMedia = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEDIA", "2000").toLong
       def sweepMedia(n: Long, tag: String): Map[String, (Double, Double, Long)] = {
         val dir = s"$out/media_$tag"
-        if (!Files.exists(Paths.get(s"$dir/images.parquet")))
+        if (!Files.exists(Paths.get(s"$dir/images.parquet")) ||
+            !Files.exists(Paths.get(s"$dir/audio.parquet")))
           ScaleData.generateMedia(spark, dir, n, n)
         import spark.implicits._
         Seq("image" -> s"$dir/images.parquet",

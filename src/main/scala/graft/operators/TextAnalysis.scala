@@ -2971,7 +2971,8 @@ object TextAnalysis {
     // driver-side replay of the trained merge list.
     val vocab =
       if (Features.bpeVocabOn(spark))
-        Features.cachedFrame(spark, s"$dir#bpeVocab") {
+        Features.cachedFrame(spark,
+            s"$dir#bpeVocab#${Features.bpeMerges(spark)}") {
           Bpe.mergeTable(Tables.documents(spark, dir),
               Features.bpeMerges(spark))
             .select(col("merged").as("w")).distinct()

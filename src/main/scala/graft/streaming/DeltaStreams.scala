@@ -29,13 +29,19 @@ import graft.operators.TextAnalysis
   * nobody reads the stream report as a full diff.
   *
   * Scale posture: per batch, one fingerprint projection of the
-  * micro-batch (narrow, stateless) + ONE doc_id-keyed join against
-  * the ledger — the batch side is micro-batch-sized, so the join
-  * broadcasts IT against the ledger scan (never the reverse; the
-  * ledger may be corpus-row-sized, which is exactly why it is a
-  * parquet artifact and not driver state), then a |sources|×3-row
-  * partial-aggregable groupBy. Nothing wider than a 16-byte hash
-  * shuffles. */
+  * micro-batch (narrow, stateless) + ONE doc_id-keyed INNER join
+  * against the ledger with the micro-batch side broadcast — inner is
+  * the join type where Spark can build EITHER side, so the hint is
+  * honored and the corpus-row-sized ledger is streamed past a
+  * batch-sized hash table in one scan, no shuffle (a broadcast hint
+  * on the preserved side of a left-outer join would be silently
+  * ignored and re-plan as a full-ledger sort-merge every batch). The
+  * `added` class — live rows with no ledger match — falls out of a
+  * second, batch-vs-batch-sized LEFT-ANTI join against the matched
+  * ids (both sides micro-batch rows; the match frame is persisted so
+  * the ledger is scanned exactly once per batch). Then a
+  * |sources|×3-row partial-aggregable groupBy. Nothing wider than a
+  * 16-byte hash shuffles. */
 object DeltaStreams {
 
   /** Start the monitor over a streaming `(doc_id, text, source,
@@ -55,17 +61,29 @@ object DeltaStreams {
         val live = TextAnalysis.docLedgerOf(batch)
           .withColumnRenamed("fp", "c_fp")
           .withColumnRenamed("n_chars", "c_chars")
-        val report = broadcast(live).join(stored, Seq("doc_id"), "left")
-          .select(col("source"),
-            when(col("s_fp").isNull, lit("added"))
-              .when(col("c_fp") === col("s_fp"), lit("unchanged"))
+        // One ledger scan: inner join, micro-batch side broadcast
+        // (buildable for inner — NOT for the preserved side of a
+        // left-outer, where the hint would be silently dropped).
+        // matched is ≤ micro-batch rows; persist so deriving `added`
+        // does not re-scan the ledger.
+        val matched = broadcast(live)
+          .join(stored, Seq("doc_id"), "inner").persist()
+        try {
+          val known = matched.select(col("source"),
+            when(col("c_fp") === col("s_fp"), lit("unchanged"))
               .otherwise(lit("changed")).as("status"),
-            (col("c_chars") - coalesce(col("s_chars"), lit(0L)))
-              .as("d_chars"))
-          .groupBy(col("source"), col("status"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("d_chars")).as("delta_chars"))
-        onBatch(report, batchId)
+            (col("c_chars") - col("s_chars")).as("d_chars"))
+          val added = live.join(
+              broadcast(matched.select(col("doc_id"))),
+              Seq("doc_id"), "left_anti")
+            .select(col("source"), lit("added").as("status"),
+              col("c_chars").as("d_chars"))
+          val report = known.unionByName(added)
+            .groupBy(col("source"), col("status"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("d_chars")).as("delta_chars"))
+          onBatch(report, batchId)
+        } finally matched.unpersist(blocking = false)
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()

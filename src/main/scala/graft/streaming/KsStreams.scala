@@ -78,14 +78,18 @@ object KsStreams {
 
   /** Pure state transition, shared with the spec: fold the batch's
     * value counts into the retained exact counters, emit the running
-    * statistic. */
+    * statistic. The fold runs in a `mutable.LongMap` (one hash-table
+    * upsert per row, zero per-row allocation) and materializes the
+    * immutable state map ONCE per micro-batch — on a hot stream the
+    * per-row `Map.updated` persistent-node chain this replaces was
+    * pure GC pressure. */
   private[streaming] def advance(src: String,
       rows: Iterator[(String, Long)], ref: Seq[(Long, Long)],
       state: GroupState[KsState]): KsSnapshot = {
-    var counts = state.getOption.map(_.values).getOrElse(Map.empty[Long, Long])
-    rows.foreach { case (_, v) =>
-      counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
-    }
+    val acc = scala.collection.mutable.LongMap.empty[Long]
+    state.getOption.foreach(_.values.foreach { case (v, c) => acc(v) = c })
+    rows.foreach { case (_, v) => acc(v) = acc.getOrElse(v, 0L) + 1L }
+    val counts = acc.iterator.map { case (v, c) => (v, c) }.toMap
     state.update(KsState(counts))
     KsSnapshot(src, counts.valuesIterator.sum, ksU(counts, ref))
   }
