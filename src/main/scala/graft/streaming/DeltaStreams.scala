@@ -49,7 +49,11 @@ object DeltaStreams {
     * (`ManifestWriter.read` of a `writeLedger` path, or any
     * `docLedgerOf`-shaped static frame). Per batch, `onBatch`
     * receives `(source, status, n_docs, delta_chars)` with status ∈
-    * added | changed | unchanged. */
+    * added | changed | unchanged — as a MATERIALIZED local frame (the
+    * ≤ |sources|×3-row aggregate is collected before the per-batch
+    * cache is released, so an `onBatch` that defers its action — an
+    * async writer, a retained handle — can never silently degrade the
+    * one-ledger-scan guarantee into a second full scan). */
   def monitor(docs: DataFrame, ledger: DataFrame,
       onBatch: (DataFrame, Long) => Unit,
       checkpoint: Option[String] = None): StreamingQuery = {
@@ -58,34 +62,60 @@ object DeltaStreams {
     val writer = docs.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val live = TextAnalysis.docLedgerOf(batch)
+        onBatch(batchReport(TextAnalysis.docLedgerOf(batch)
           .withColumnRenamed("fp", "c_fp")
-          .withColumnRenamed("n_chars", "c_chars")
-        // One ledger scan: inner join, micro-batch side broadcast
-        // (buildable for inner — NOT for the preserved side of a
-        // left-outer, where the hint would be silently dropped).
-        // matched is ≤ micro-batch rows; persist so deriving `added`
-        // does not re-scan the ledger.
-        val matched = broadcast(live)
-          .join(stored, Seq("doc_id"), "inner").persist()
-        try {
-          val known = matched.select(col("source"),
-            when(col("c_fp") === col("s_fp"), lit("unchanged"))
-              .otherwise(lit("changed")).as("status"),
-            (col("c_chars") - col("s_chars")).as("d_chars"))
-          val added = live.join(
-              broadcast(matched.select(col("doc_id"))),
-              Seq("doc_id"), "left_anti")
-            .select(col("source"), lit("added").as("status"),
-              col("c_chars").as("d_chars"))
-          val report = known.unionByName(added)
-            .groupBy(col("source"), col("status"))
-            .agg(count(lit(1)).as("n_docs"),
-              sum(col("d_chars")).as("delta_chars"))
-          onBatch(report, batchId)
-        } finally matched.unpersist(blocking = false)
+          .withColumnRenamed("n_chars", "c_chars"), stored), batchId)
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
+  }
+
+  /** The one-ledger-scan matched frame: inner join, micro-batch side
+    * broadcast (buildable for inner — NOT for the preserved side of a
+    * left-outer, where the hint would be silently dropped and the full
+    * ledger sort-merged every batch). Exposed so `DeltaPlanSpec` can
+    * pin that plan shape — a revert to left-outer turns this into a
+    * SortMergeJoin and the pin goes red. */
+  private[graft] def matchedOf(live: DataFrame, stored: DataFrame): DataFrame =
+    broadcast(live).join(stored, Seq("doc_id"), "inner")
+
+  /** The lazy per-batch report over an already-persisted `matched`
+    * frame — shared by [[batchReport]] and the plan pin. */
+  private[graft] def reportOver(live: DataFrame,
+      matched: DataFrame): DataFrame = {
+    // Batch-`ledgerDelta` parity on the matched ids, including the
+    // null-fingerprint edge (md5 of NULL stored text): s_fp null
+    // classifies `added` with d_chars = c_chars − coalesce(s_chars, 0),
+    // exactly the batch classifier's branch order and arithmetic.
+    val known = matched.select(col("source"),
+      when(col("s_fp").isNull, lit("added"))
+        .when(col("c_fp") === col("s_fp"), lit("unchanged"))
+        .otherwise(lit("changed")).as("status"),
+      (col("c_chars") - coalesce(col("s_chars"), lit(0L))).as("d_chars"))
+    val added = live.join(
+        broadcast(matched.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .select(col("source"), lit("added").as("status"),
+        col("c_chars").as("d_chars"))
+    known.unionByName(added)
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d_chars")).as("delta_chars"))
+  }
+
+  /** One batch's classification, fully materialized: persist the
+    * ≤ micro-batch-row matched frame (so deriving `added` does not
+    * re-scan the ledger), collect the ≤ |sources|×3-row report (a
+    * bounded-by-construction aggregate — the one sanctioned collect
+    * shape), and only then release the cache. */
+  private[graft] def batchReport(live: DataFrame,
+      stored: DataFrame): DataFrame = {
+    val matched = matchedOf(live, stored).persist()
+    try {
+      val report = reportOver(live, matched)
+      val rows = report.collect()
+      report.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), report.schema)
+    } finally matched.unpersist(blocking = false)
   }
 }
