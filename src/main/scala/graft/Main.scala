@@ -35,6 +35,11 @@ import graft.pipeline._
   *  - `--checkpoint <file>`: ship a model checkpoint artifact the same
   *    way and load it per partition ([[CheckpointScorer]] — the
   *    `checkpoint.pth` wiring, M2);
+  *  - `--centroid <model.gcm>`: ship a TRAINED [[CentroidModel]]
+  *    checkpoint (the `graft.Train` output) the same way and serve it
+  *    per partition ([[CentroidScorer]]) — manifest lines are image
+  *    paths, decoded for real and scored against the learned centroids
+  *    (M2 + M4 with an actual model, not the hash stand-in);
   *  - `--labels <file|dir>`: the reference's label-dictionary load
   *    precedence ([[LabelDict.load]]); default is the pinned 30-class
   *    dictionary.
@@ -51,7 +56,7 @@ object Main {
   private val Usage =
     "Usage: graft.Main <input_list.txt> <output_dir> [--labels <file|dir>] " +
       "[--pipe <script>] [--pipe-streaming <script>] [--checkpoint <file>] " +
-      "[--batch-size N] [--single-file]"
+      "[--centroid <model.gcm>] [--batch-size N] [--single-file]"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -80,6 +85,7 @@ object Main {
   final case class Config(manifest: String, outDir: String,
       labelsPath: Option[String] = None, pipeScript: Option[String] = None,
       pipeStreaming: Option[String] = None, checkpoint: Option[String] = None,
+      centroid: Option[String] = None,
       batchSize: Int = Infer.DefaultBatchSize, singleFile: Boolean = false)
 
   private def parse(args: Array[String]): Option[Config] = {
@@ -90,8 +96,8 @@ object Main {
           // passing two would silently run the first match's semantics
           // (per-batch subprocess when the user asked for the streaming
           // scorer), so combinations are a usage error, not a preference.
-          val scorers =
-            Seq(cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint).count(_.isDefined)
+          val scorers = Seq(cfg.pipeScript, cfg.pipeStreaming,
+            cfg.checkpoint, cfg.centroid).count(_.isDefined)
           if (pos.length == 2 && scorers <= 1)
             Some(cfg.copy(manifest = pos(1), outDir = pos(0)))
           else None
@@ -100,6 +106,7 @@ object Main {
         case "--pipe-streaming" :: v :: t =>
           loop(t, pos, cfg.copy(pipeStreaming = Some(v)))
         case "--checkpoint" :: v :: t  => loop(t, pos, cfg.copy(checkpoint = Some(v)))
+        case "--centroid" :: v :: t    => loop(t, pos, cfg.copy(centroid = Some(v)))
         case "--batch-size" :: v :: t  =>
           v.toIntOption.filter(_ > 0) match {
             case Some(n) => loop(t, pos, cfg.copy(batchSize = n))
@@ -147,13 +154,14 @@ object Main {
     val items = Sources.manifest(spark, cfg.manifest)
       .map(line => Item(line, line))
 
-    val preds = (cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint) match {
-      case (Some(script), _, _) =>
+    val preds = (cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint,
+        cfg.centroid) match {
+      case (Some(script), _, _, _) =>
         spark.sparkContext.addFile(script)
         val name = new java.io.File(script).getName
         Infer.classifyPiped(items, PipeScorer.fromSparkFiles(name), labels,
           cfg.batchSize)
-      case (None, Some(script), _) =>
+      case (None, Some(script), _, _) =>
         // One long-lived subprocess per partition (model loads once, not
         // once per batch); a per-row protocol failure yields the M3
         // sentinel via Infer.classify's per-item catch.
@@ -161,14 +169,22 @@ object Main {
         val name = new java.io.File(script).getName
         Infer.classify(items, StreamingPipeScorer.fromSparkFiles(name), labels,
           cfg.batchSize)
-      case (None, None, Some(ckpt)) =>
+      case (None, None, Some(ckpt), _) =>
         // The reference's checkpoint.pth DistributedCache wiring: ship the
         // artifact, load it per partition on the executor.
         spark.sparkContext.addFile(ckpt)
         val name = new java.io.File(ckpt).getName
         Infer.classify(items, new CheckpointScorer(name, labels.size), labels,
           cfg.batchSize)
-      case (None, None, None) =>
+      case (None, None, None, Some(model)) =>
+        // The TRAINED model (graft.Train output): same DistributedCache
+        // wiring, but the scorer decodes real pixels and serves learned
+        // centroids — manifest lines are image paths.
+        spark.sparkContext.addFile(model)
+        val name = new java.io.File(model).getName
+        Infer.classify(items, new CentroidScorer(name), labels,
+          cfg.batchSize)
+      case (None, None, None, None) =>
         Infer.classify(items, new HashScorer(labels.size), labels,
           cfg.batchSize)
     }

@@ -55,6 +55,12 @@ import graft.tools.ScaleData
   * separately at 1× and 10× objects — the multimodal twin of the
   * q35/q36 scale table.
   *
+  * An eighth phase (`train`) measures
+  * [[graft.pipeline.CentroidModel]]'s training claim — one decode scan
+  * collapsed map-side to a classes×17-long aggregate — at 1× and 10×
+  * labeled images (10 planted luminance bands), asserting perfect
+  * training-set accuracy so a training bug reads as accuracy, not time.
+  *
   * Env knobs: `SPARK_GRAFT_SCALE_DIR` (default /tmp/graft_scale; data is
   * regenerated only if absent — generation is deterministic),
   * `SPARK_GRAFT_SCALE_DOCS`/`_EMB`/`_HOT` row counts,
@@ -359,6 +365,47 @@ object ScaleBench {
         s"""{"metric":"bpe_train","docs":[$dA,$dB],"vocab_words":[$vA,$vB],""" +
           s""""rounds":$rounds,"seed_sec":[${f3(sA)},${f3(sB)},${f2(sB / sA)}],""" +
           s""""round_sec":[${f3(rA)},${f3(rB)},${f2(rB / rA)}]}""")
+    }
+
+    if (phase == "train" || phase == "both") {
+      // Centroid training's scale claim, measured: training is ONE
+      // corpus scan (decode + featurize, embarrassingly parallel)
+      // collapsed map-side into a classes×17-long aggregate, so at 10×
+      // the images wall-clock grows ≤~10× (scan-bound, no shuffle
+      // growth) and the artifact stays constant-size. Accuracy on the
+      // training corpus itself must be perfect — the 10 planted
+      // luminance bands are separable by construction, so a training
+      // bug (wrong quantization, class mixup) reads as accuracy, not
+      // just time.
+      import graft.pipeline.{CentroidModel, Media}
+      import org.apache.spark.sql.functions.col
+      val nTrain = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRAIN", "2000").toLong
+      def sweepTrain(n: Long, tag: String): (Double, CentroidModel, Double) = {
+        val dir = s"$out/train_$tag"
+        if (!Files.exists(Paths.get(s"$dir/labeled.parquet")))
+          ScaleData.generateLabeledImages(spark, dir, n)
+        val df = spark.read.parquet(s"$dir/labeled.parquet")
+        var model: CentroidModel = null
+        val t = (1 to 2)
+          .map(_ => time { model = CentroidModel.trainOnImages(df) }).min
+        val m = model
+        import spark.implicits._
+        val correct = df.select(col("label_idx").cast("int"), col("content"))
+          .as[(Int, Array[Byte])]
+          .map { case (idx, bytes) =>
+            if (m.scoreFeatures(Media.imageFeatures(bytes))._1 == idx) 1L
+            else 0L
+          }.reduce(_ + _)
+        (t, m, correct.toDouble / n)
+      }
+      val (tA, mA, accA) = sweepTrain(nTrain, s"base_$nTrain")
+      val (tB, mB, accB) = sweepTrain(nTrain * 10, s"x10_${nTrain * 10}")
+      require(mA.numClasses == 10 && mB.numClasses == 10,
+        "labeled generator must produce all 10 classes")
+      println(
+        s"""{"metric":"centroid_train","images":[$nTrain,${nTrain * 10}],""" +
+          s""""classes":10,"train_sec":[${f3(tA)},${f3(tB)},${f2(tB / tA)}],""" +
+          s""""train_acc":[${f3(accA)},${f3(accB)}]}""")
     }
 
     if (phase == "media" || phase == "both") {

@@ -212,6 +212,61 @@ object ScaleData {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/audio.parquet")
   }
 
+  /** A labeled training scene for the ScaleBench `train` phase: class =
+    * `id % 10`, rendered as a low-amplitude texture around a per-class
+    * luminance center (the 10 bands stay separable in the 16-bin
+    * histogram space [[graft.pipeline.CentroidModel]] trains over).
+    * Pure function of id — deterministic, embarrassingly parallel. */
+  private def labeledRow(id: Long): (Int, Array[Byte]) = {
+    val cls = (id % 10).toInt
+    val center = 18 + 24 * cls
+    val w = 32
+    val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sign = Array.tabulate(4, 4) { (u, v) =>
+      if (graft.pipeline.HashScorer.md5u32(s"train:$id:$u:$v") % 2 == 0) 1.0
+      else -1.0
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var u = 0
+        while (u < 4) {
+          var v = 0
+          while (v < 4) {
+            if (u + v > 0)
+              s += sign(u)(v) * 8.0 / (1.0 + u + v) *
+                math.cos(math.Pi * u * (y + 0.5) / h) *
+                math.cos(math.Pi * v * (x + 0.5) / w)
+            v += 1
+          }
+          u += 1
+        }
+        val c = (center + s).toInt.max(0).min(255)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val outBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", outBuf)
+    (cls, outBuf.toByteArray)
+  }
+
+  /** Labeled image corpus for the centroid-training scale phase:
+    * `(label_idx, content)` parquet, 10 luminance classes. */
+  def generateLabeledImages(spark: SparkSession, dir: String,
+      n: Long): Unit = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, par).as[Long].map(labeledRow _)
+      .toDF("label_idx", "content")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/labeled.parquet")
+  }
+
   /** Skewed documents table: `nBase` distinct docs plus `hotCopies` EXACT
     * copies of one viral document (ids from 10_000_000) — every copy
     * lands in the same four LSH band buckets, concentrating
