@@ -952,19 +952,45 @@ object Similarity {
     * the probe cell — broadcast by construction; the serving scan
     * reads code rows only. The exact leg is q38's broadcast shape and
     * at 100 TB runs on a query sample, exactly like q113/q136. */
+  /** The codebook mode in effect — suffixes the residual/code memo keys
+    * so a mid-session conf flip can never serve the other codebook's
+    * index (the BPE-merge-budget cache-key discipline). */
+  private def ivfCodebookMode(spark: SparkSession): String =
+    spark.conf.getOption(IvfCodebookConf).map(_.trim).getOrElse("label")
+
+  /** Per-cell centroid MEANS in the vectors' own fixed-point scale —
+    * the subtraction operand of the residual index, derived from the
+    * SAME codebook that assigned the cells ([[ivfCodebook]]), so the
+    * `trained` conf reaches the full IVF-PQ composition:
+    *  - `label`: the per-label exact int64 floor-mean (q100's
+    *    ((s − pmod(s, n))/n recipe) of the sum-vector codebook — the
+    *    oracle-pinned default, plan unchanged;
+    *  - `trained`: [[kmeansAuto]]'s converged centroids ARE already
+    *    floor-means in sv scale ([[ivfCodebook]] aliases `cv` → `cs`),
+    *    so they pass through directly — same rows that assigned the
+    *    cells, no second derivation that could drift. */
+  private[graft] def ivfCellMeans(spark: SparkSession, dir: String): DataFrame =
+    ivfCodebookMode(spark) match {
+      case "trained" =>
+        ivfCodebook(spark, dir)
+          .select(col("c_label").as("cell"), col("cs").as("cm"))
+      case _ =>
+        val emb = scaledEmb(spark, dir)
+        def floorDiv(s: Column, n: Column): Column =
+          ((s - pmod(s, n)) / n).cast(LongType)
+        val cnts = emb.groupBy(col("label").as("cnt_label"))
+          .agg(count(lit(1)).as("cn"))
+        centroids(emb)
+          .join(cnts, col("c_label") === col("cnt_label"))
+          .select(col("c_label").as("cell"),
+            transform(col("cs"), x => floorDiv(x, col("cn"))).as("cm"))
+    }
+
   private[graft] def ivfPqResiduals(spark: SparkSession, dir: String): DataFrame =
-    Features.cachedFrame(spark, s"$dir#ivfPqResid") {
-      val emb = scaledEmb(spark, dir)
-      def floorDiv(s: Column, n: Column): Column =
-        ((s - pmod(s, n)) / n).cast(LongType)
-      val cnts = emb.groupBy(col("label").as("cnt_label"))
-        .agg(count(lit(1)).as("cn"))
-      val cmean = centroids(emb)
-        .join(cnts, col("c_label") === col("cnt_label"))
-        .select(col("c_label").as("cell"),
-          transform(col("cs"), x => floorDiv(x, col("cn"))).as("cm"))
+    Features.cachedFrame(spark,
+        s"$dir#ivfPqResid@${ivfCodebookMode(spark)}") {
       ivfAssigned(spark, dir)
-        .join(broadcast(cmean), "cell")
+        .join(broadcast(ivfCellMeans(spark, dir)), "cell")
         .select(col("vec_id"), col("cell"),
           zip_with(col("sv"), col("cm"), (x, y) => x - y).as("sv"))
     }
@@ -973,7 +999,8 @@ object Similarity {
     * residual code, carrying its cell — memoized so the audit rows and
     * the ADC serving path read one assignment. */
   private[graft] def ivfPqCodes(spark: SparkSession, dir: String): DataFrame =
-    Features.cachedFrame(spark, s"$dir#ivfPqCodes") {
+    Features.cachedFrame(spark,
+        s"$dir#ivfPqCodes@${ivfCodebookMode(spark)}") {
       val resid = ivfPqResiduals(spark, dir)
       pqEncodeOver(resid, pqCodebook(resid))
         .join(resid.select(col("vec_id"), col("cell")), "vec_id")
