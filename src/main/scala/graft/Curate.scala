@@ -24,12 +24,26 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *     (q153's production shape) to decide what needs rebuilding.
   *
   * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]
-  * [--with-shards] [--with-tombstones] [--with-ledger]`
+  * [--with-shards] [--with-tombstones] [--with-ledger]
+  * [--reconcile <stored_ledger_dir>]`
   *
   * `--with-ledger` additionally ships the doc-granularity fingerprint
   * ledger (`<out>/ledger/`, q159's stored side via
   * [[ManifestWriter.writeLedger]]) so the next run can extract its
   * changed-document work-list without re-reading this corpus.
+  *
+  * `--reconcile <stored_ledger_dir>` closes the release-to-release
+  * loop: the SHIPPED corpus is diffed against a previous run's
+  * `--with-ledger` artifact (q159's full classification via
+  * [[ManifestWriter.deltaAgainstStoredLedger]]) and the per-(source,
+  * status) report ships as `<out>/report_reconcile/`. This is the
+  * production trigger for the `removed` class — the one leg the
+  * streaming monitor ([[graft.streaming.DeltaStreams]]) structurally
+  * cannot see, because absence never arrives on a stream: a document
+  * that shipped last release but not this one (dropped upstream, newly
+  * tombstoned, or newly funnel-rejected) shows up here, with exact
+  * char deltas. One fingerprint-sized full-outer join; neither
+  * release's payload bytes are re-read.
   *
   * `--with-tombstones` applies the standing deletion set (q139's
   * `% 23` stand-in for an uploaded takedown list) end-to-end:
@@ -86,8 +100,23 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   * stamped from a stateless per-row hash). */
 object Curate {
 
+  private val Usage =
+    "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
+      "[--with-dsir] [--with-shards] [--with-tombstones] " +
+      "[--with-ledger] [--reconcile <stored_ledger_dir>]"
+
   def main(args: Array[String]): Unit = {
-    val (flags, positional) = args.partition(_.startsWith("--"))
+    // --reconcile carries a value; peel the pair off before the
+    // boolean-flag partition.
+    val rIdx = args.indexOf("--reconcile")
+    val (reconcileLedger, rest) =
+      if (rIdx < 0) (None, args)
+      else if (rIdx + 1 >= args.length || args(rIdx + 1).startsWith("--")) {
+        System.err.println(Usage)
+        sys.exit(1)
+        (None, args) // unreachable
+      } else (Some(args(rIdx + 1)), args.patch(rIdx, Nil, 2))
+    val (flags, positional) = rest.partition(_.startsWith("--"))
     val withQuality = flags.contains("--with-quality")
     val withDsir = flags.contains("--with-dsir")
     val withShards = flags.contains("--with-shards")
@@ -97,10 +126,7 @@ object Curate {
         !flags.forall(f => f == "--with-quality" || f == "--with-dsir" ||
           f == "--with-shards" || f == "--with-tombstones" ||
           f == "--with-ledger")) {
-      System.err.println(
-        "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
-          "[--with-dsir] [--with-shards] [--with-tombstones] " +
-          "[--with-ledger]")
+      System.err.println(Usage)
       sys.exit(1)
     }
     val (sfDir, outDir) = (positional(0), positional(1))
@@ -109,7 +135,7 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       run(spark, sfDir, outDir, withQuality, withDsir, withShards,
-        withTombstones, withLedger)
+        withTombstones, withLedger, reconcileLedger)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -126,7 +152,8 @@ object Curate {
       outDir: String, withQuality: Boolean = false,
       withDsir: Boolean = false, withShards: Boolean = false,
       withTombstones: Boolean = false,
-      withLedger: Boolean = false): Unit = {
+      withLedger: Boolean = false,
+      reconcileLedger: Option[String] = None): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -203,6 +230,16 @@ object Curate {
     // the |sources|-row manifest, it is corpus-row-sized.
     if (withLedger)
       ManifestWriter.writeLedger(curated, s"$outDir/ledger")
+
+    // --reconcile: the release-to-release diff — THIS run's shipped
+    // corpus vs a previous run's stored ledger, q159's full
+    // classification including the `removed` class the streaming
+    // monitor cannot see. Fingerprint-sized join; the stored release's
+    // bytes are never read.
+    reconcileLedger.foreach { stored =>
+      ManifestWriter.deltaAgainstStoredLedger(curated, stored)
+        .coalesce(1).write.json(s"$outDir/report_reconcile")
+    }
 
     // The audit record ships with the corpus and describes the chain
     // that RAN: q84's per-source funnel, or the extended 6-stage q92;
