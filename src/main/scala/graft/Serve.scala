@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Retrieval serving CLI — the front door over the index stack the
+  * suite builds: answer the standing query set through a chosen
+  * retriever and ship the ranked results (plus, optionally, the q168
+  * quality scorecard) as artifacts.
+  *
+  * Usage: `graft.Serve <sf_dir> <out_dir>
+  * [--retriever dense|lsh|ivf|fused] [--queries <id_file>] [--eval]`
+  *
+  *  - `--retriever` picks the serving path (default `fused`):
+  *    `dense` = q38's exact cosine top-k (the recall ceiling),
+  *    `lsh` = q39's sign-LSH buckets, `ivf` = q44's inverted-file
+  *    index — built in-session through the memoized index frames, so
+  *    `spark.graft.ivf.codebook=trained` reaches serving exactly as it
+  *    reaches the audits — and `fused` = q144's reciprocal-rank fusion
+  *    of the semantic and BM25 legs (the production default: rank
+  *    fusion needs no score calibration);
+  *  - `--queries <id_file>`: restrict to a subset of the standing
+  *    query ids — one id per line, trimmed, blank and `#`-comment
+  *    lines dropped (the manifest-file discipline); unknown ids
+  *    simply answer nothing, exactly like a query with no candidates;
+  *  - `--eval`: also run q168's side-by-side retrieval-quality
+  *    evaluation (MRR / hit rate / precision@5 under label-match
+  *    relevance, exact micro-units) and ship it as `<out>/eval/`.
+  *
+  * Results land as `<out>/results/` single-file JSON lines, ranked
+  * rows exactly as the underlying query emits them — `ServeSpec` pins
+  * served == query rows, so the CLI can never drift from the oracled
+  * surface. Output-dir/exit-code contracts shared with [[Main]] and
+  * [[Curate]].
+  *
+  * Scale posture: everything is the underlying queries' audited plan
+  * shapes (query side broadcasts, corpus never self-joins un-bucketed);
+  * the query-id filter is a tiny IN-list pushed into the scan side of
+  * each leg. At 100 TB the standing query set is the sampled panel
+  * every recall audit (q113/q136/q168) already serves.
+  */
+object Serve {
+
+  private val Usage =
+    "Usage: graft.Serve <sf_dir> <out_dir> " +
+      "[--retriever dense|lsh|ivf|fused] [--queries <id_file>] [--eval]"
+
+  private val Retrievers = Map(
+    "dense" -> "q38_cosine_topk",
+    "lsh"   -> "q39_lsh_ann",
+    "ivf"   -> "q44_ivf_ann",
+    "fused" -> "q144_rrf_fusion")
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args)
+    if (code != 0) sys.exit(code)
+  }
+
+  final case class Config(sfDir: String, outDir: String,
+      retriever: String = "fused", queriesFile: Option[String] = None,
+      eval: Boolean = false)
+
+  private def parse(args: Array[String]): Option[Config] = {
+    def loop(rest: List[String], pos: List[String],
+        cfg: Config): Option[Config] = rest match {
+      case Nil =>
+        if (pos.length == 2) Some(cfg.copy(sfDir = pos(1), outDir = pos(0)))
+        else None
+      case "--retriever" :: v :: t if Retrievers.contains(v) =>
+        loop(t, pos, cfg.copy(retriever = v))
+      case "--queries" :: v :: t if !v.startsWith("--") =>
+        loop(t, pos, cfg.copy(queriesFile = Some(v)))
+      case "--eval" :: t => loop(t, pos, cfg.copy(eval = true))
+      case s :: t if !s.startsWith("--") && pos.length < 2 =>
+        loop(t, s :: pos, cfg)
+      case _ => None
+    }
+    loop(args.toList, Nil, Config("", ""))
+  }
+
+  /** Spec-friendly entry: no `System.exit`, optional injected session. */
+  def run(args: Array[String], existing: Option[SparkSession] = None): Int =
+    parse(args) match {
+      case None =>
+        System.err.println(Usage)
+        1
+      case Some(cfg) =>
+        val spark = existing.getOrElse(GraftSession.builder(
+          cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate())
+        try {
+          serve(spark, cfg)
+          0
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[graft.Serve] failed: ${e.getMessage}")
+            1
+        } finally if (existing.isEmpty) {
+          graft.operators.Features.clear(spark)
+          spark.stop()
+        }
+    }
+
+  private def serve(spark: SparkSession, cfg: Config): Unit = {
+    val outPath = new org.apache.hadoop.fs.Path(cfg.outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath))
+      throw new IllegalStateException(
+        s"output directory already exists: ${cfg.outDir}")
+
+    // The manifest-file discipline (S1/F1): trimmed lines, blanks and
+    // #-comments dropped; anything left must parse as an id.
+    val queryIds = cfg.queriesFile.map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.toLong).toSeq
+      finally src.close()
+    }
+
+    val all = SparkEntry.queries(Retrievers(cfg.retriever))(spark, cfg.sfDir)
+    val results = queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))
+    results.coalesce(1).write.json(s"${cfg.outDir}/results")
+
+    if (cfg.eval)
+      SparkEntry.queries("q168_retrieval_eval")(spark, cfg.sfDir)
+        .coalesce(1).write.json(s"${cfg.outDir}/eval")
+  }
+}
