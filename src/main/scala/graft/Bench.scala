@@ -48,12 +48,51 @@ import org.apache.spark.sql.SparkSession
   *      artifact rather than silently clipping;
   *   3. a ~130-byte totals-only line, the guaranteed-parseable floor
   *      for ANY tail capture.
+  *
+  * Idle gate (round-9 verdict task 3): before any timing, wait until
+  * the host's 1-min load average drops under
+  * `SPARK_GRAFT_BENCH_LOADGATE` (default 8.0) or the
+  * `SPARK_GRAFT_BENCH_LOADWAIT` budget (default 600 s) expires; the
+  * observed load and the gate verdict ship in the full stdout line and
+  * the file artifact (`"load1"`, `"load_gated"`), so a cross-round
+  * comparison can DISQUALIFY a noisy run from evidence instead of
+  * adjudicating per-query scatter by code-diff alibi.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // Idle gate (rounds 8–9 both spent judge time adjudicating per-query
+    // "regressions" that were host noise): refuse to start timing while
+    // the 1-min load average says the shared host is busy. Wait in 15 s
+    // steps until load1 < SPARK_GRAFT_BENCH_LOADGATE (default 8 — a
+    // mostly-idle 32-core box) or the SPARK_GRAFT_BENCH_LOADWAIT budget
+    // (default 600 s) expires; either way the observed load and the
+    // gate verdict are RECORDED in every output artifact, so the next
+    // comparison starts from evidence instead of a code-diff alibi.
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "8.0").toDouble
+    val loadWaitS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADWAIT", "600").toInt
+    def load1(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val gateT0 = System.nanoTime()
+    var loadNow = load1()
+    while (loadNow >= loadGate &&
+        (System.nanoTime() - gateT0) / 1e9 < loadWaitS) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] load gate: 1-min load %.1f >= %.1f, waiting 15s",
+        Double.box(loadNow), Double.box(loadGate)))
+      Thread.sleep(15000)
+      loadNow = load1()
+    }
+    val loadGated = loadNow >= 0 && loadNow < loadGate
+    if (!loadGated)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] load gate NOT satisfied after %ds (load %.1f) - " +
+          "timings may be noise-inflated", Int.box(loadWaitS),
+        Double.box(loadNow)))
     val spark = GraftSession.builder(cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
@@ -107,7 +146,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val head =
       s""""metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
-        s""""feature_build":$featureBuild,"cold_total":$coldTotal"""
+        s""""feature_build":$featureBuild,"cold_total":$coldTotal,""" +
+        s""""load1":${r3(loadNow)},"load_gated":$loadGated"""
     // Tear down BEFORE printing: in round 5 the driver's 2000-byte tail
     // window lost q01-q33 because Features.clear's unpersist of locally-
     // checkpointed RDDs logged six ~150 B WARN lines AFTER our JSON —
@@ -127,6 +167,7 @@ object Bench {
     val artifact =
       s"""{"sf":"$sfDir","passes":$passes,"feature_build":$featureBuild,""" +
         s""""cold_total":$coldTotal,"value":$total,""" +
+        s""""load1":${r3(loadNow)},"load_gated":$loadGated,""" +
         s""""queries":$qs,"runs":$runs}"""
     val artifactPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
