@@ -135,7 +135,19 @@ object Explain {
     sb.append("# EXPLAINS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Generated by `graft.Explain` at `$sfDir`. Each section notes the\n")
     sb.append("scale-relevant property the plan is expected to show; the\n")
-    sb.append("load-bearing ones are also pinned by `PlanShapeSpec` in CI.\n")
+    sb.append("load-bearing ones are also pinned by `PlanShapeSpec` in CI.\n\n")
+    sb.append(s"Inclusion policy: ${Headline.size} of " +
+      s"${SparkEntry.queries.size} queries appear here — every query\n")
+    sb.append("that INTRODUCES a plan shape (a new join/aggregate/window\n")
+    sb.append("topology, a custom expression at a load-bearing position, a\n")
+    sb.append("broadcast/salting/pruning decision worth auditing). Queries\n")
+    sb.append("omitted are compositional re-reads whose physical plans\n")
+    sb.append("duplicate an included section's shape over the same memoized\n")
+    sb.append("frames (e.g. the sweep/audit family re-aggregating a pinned\n")
+    sb.append("pair table) or driver-loop rounds whose per-round plan equals\n")
+    sb.append("an included single-step plan (q56/q60 ≙ q35's join shape;\n")
+    sb.append("kmeansAuto rounds ≙ q79). Plan REGRESSIONS are guarded by\n")
+    sb.append("`PlanShapeSpec` across the whole surface, not by this file.\n")
     Headline.foreach { case (name, property) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
