@@ -124,36 +124,52 @@ object CentroidModel {
 
   val Magic = "graft-centroid-v1"
 
-  /** Train from a `(label_idx: int, features: array<float>)` frame.
-    * One aggregation, one bounded collect (≤ `numClasses` rows); exact
-    * int64 throughout — see the class scaladoc. Class indices must be
-    * contiguous from 0 (the label-dictionary contract: index i serves
-    * `labels(i)`); a gap means a class with no training data, which
-    * could never be predicted — rejected loudly rather than silently
-    * shipped. */
-  def train(labeled: DataFrame, dim: Int = Media.FeatureDim): CentroidModel = {
+  /** The training monoid: per PRESENT class, `(row count, per-dim
+    * int64 sums of the ppb-quantized features)` — one partial-
+    * aggregable pass, one bounded collect (≤ `numClasses` rows, the
+    * kmeansAuto k-row discipline). Commutative-associative in both
+    * fields, which is what makes [[train]] partition-order invariant
+    * AND lets the streaming fold ([[graft.streaming.TrainStreams]])
+    * accumulate batches to the bit-identical model. */
+  private[graft] def classSums(labeled: DataFrame,
+      dim: Int): Map[Int, (Long, Array[Long])] = {
     val quantized = labeled.select(col("label_idx").cast("int").as("label_idx"),
       transform(col("features"),
         f => floor(f.cast("double") * lit(Ppb.toDouble)).cast(LongType)).as("qf"))
     val aggs = Seq(count(lit(1)).as("n")) ++
       (0 until dim).map(i => sum(element_at(col("qf"), i + 1)).as(s"s$i"))
-    // ≤ numClasses rows — bounded by the label dictionary, the
-    // sanctioned collect shape (kmeansAuto's k-row codebook discipline).
-    val rows = quantized.groupBy(col("label_idx")).agg(aggs.head, aggs.tail: _*)
+    quantized.groupBy(col("label_idx")).agg(aggs.head, aggs.tail: _*)
       .collect()
-    require(rows.nonEmpty, "no training rows")
-    val byIdx = rows.map { r =>
-      val idx = r.getInt(0)
-      val n = r.getLong(1)
-      idx -> Array.tabulate(dim)(i => Math.floorDiv(r.getLong(2 + i), n))
-    }.toMap
+      .map { r =>
+        r.getInt(0) -> ((r.getLong(1),
+          Array.tabulate(dim)(i => r.getLong(2 + i))))
+      }.toMap
+  }
+
+  /** Assemble the model from accumulated class sums: exact floor-mean
+    * centroids. Class indices must be contiguous from 0 (the
+    * label-dictionary contract: index i serves `labels(i)`); a gap
+    * means a class with no training data, which could never be
+    * predicted — rejected loudly rather than silently shipped. */
+  private[graft] def fromSums(
+      byIdx: Map[Int, (Long, Array[Long])]): CentroidModel = {
+    require(byIdx.nonEmpty, "no training rows")
     val k = byIdx.keys.max + 1
     val missing = (0 until k).filterNot(byIdx.contains)
     require(missing.isEmpty,
       s"class indices must be contiguous 0..${k - 1}; no training rows " +
         s"for ${missing.mkString(",")}")
-    CentroidModel((0 until k).map(byIdx).toVector)
+    CentroidModel((0 until k).map { idx =>
+      val (n, sums) = byIdx(idx)
+      sums.map(Math.floorDiv(_, n))
+    }.toVector)
   }
+
+  /** Train from a `(label_idx: int, features: array<float>)` frame.
+    * One aggregation, one bounded collect; exact int64 throughout —
+    * see the class scaladoc. */
+  def train(labeled: DataFrame, dim: Int = Media.FeatureDim): CentroidModel =
+    fromSums(classSums(labeled, dim))
 
   /** Train straight from labeled image bytes: decode + featurize on the
     * executors ([[Media.imageFeatures]] — real pixels), then [[train]].
