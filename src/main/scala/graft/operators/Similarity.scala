@@ -2579,7 +2579,322 @@ object Similarity {
        |GROUP BY retriever
        |ORDER BY retriever""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+  /** CENTROID LABEL-RECOVERY AUDIT — the supervised evaluation of the
+    * nearest-centroid family the engine now TRAINS
+    * ([[graft.pipeline.CentroidModel]], the M2/M4 closure): assign
+    * every vector to its nearest per-label centroid — the literal q44
+    * index-build assignment ([[ivfAssigned]]), so classifier
+    * evaluation and index build are ONE code path and cannot disagree
+    * — and score the assignment against the true labels. Per label:
+    * corpus support, correctly recovered count, exact recovery
+    * micro-rate, and the DOMINANT predicted cell with its mass (where
+    * a label's vectors collapse to when recovery is poor). A label
+    * whose vectors scatter to other cells is a class whose centroid
+    * the embedding geometry cannot carry — the number to read before
+    * trusting q44's per-label cells or serving a centroid classifier
+    * on this corpus; composes with q41 (cohesion says TIGHT, this
+    * says SEPARABLE — a label can be both cohesive and absorbed).
+    *
+    * Determinism: counts exact int64; the rate integer-floored
+    * (`div`); the dominant cell is the hash-aggregable argmax with
+    * ties to the LOWER cell id (`graft_argmax`, q44's tie rule —
+    * exercised for real when two labels carry identical vector
+    * multisets, the planted spec case).
+    *
+    * Scale posture: rides [[ivfAssigned]] (codebook broadcast, one
+    * ObjectHashAggregate argmax — never a corpus window); the
+    * confusion aggregate is partial-aggregable over ≤ labels² cells
+    * and the per-label re-aggregate is labels-sized. */
+  private def q169(spark: SparkSession, dir: String): DataFrame = {
+    val m = ivfAssigned(spark, dir)
+      .groupBy(col("label"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+    m.groupBy(col("label"))
+      .agg(sum(col("n")).as("n_vecs"),
+        sum(when(col("cell") === col("label"), col("n"))
+          .otherwise(lit(0L))).as("n_correct"),
+        graft.functions.ArgMaxAgg.argMax(
+          struct(col("n"), negate(col("cell"))),
+          struct(col("cell"), col("n"))).as("t"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_vecs").as("recovery_u"),
+        col("t.cell").as("top_cell"), col("t.n").as("top_cell_n"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val q169Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |m AS (
+       |  SELECT label, cell, count(*) AS n FROM assigned GROUP BY 1, 2),
+       |topc AS (
+       |  SELECT label, cell AS top_cell, n AS top_cell_n FROM (
+       |    SELECT label, cell, n,
+       |      row_number() OVER (PARTITION BY label
+       |        ORDER BY n DESC, cell) AS rn
+       |    FROM m) WHERE rn = 1)
+       |SELECT p.label, p.n_vecs, p.n_correct,
+       |  CAST((1000000 * p.n_correct) // p.n_vecs AS BIGINT) AS recovery_u,
+       |  t.top_cell, t.top_cell_n
+       |FROM (
+       |  SELECT label, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |    CAST(sum(CASE WHEN cell = label THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM m GROUP BY 1) p
+       |JOIN topc t ON p.label = t.label
+       |ORDER BY p.label""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+  /** DECISION-MARGIN AUDIT — the boundary-sharpness complement of q169:
+    * q169 says WHERE each label's vectors land, this says by HOW MUCH.
+    * Per vector, the gap between its best and second-best centroid
+    * cosines (micro-floored ints, so the gap is exact and tie-safe —
+    * it depends only on the two cos_u values, never on which centroid
+    * wins a tie); per TRUE label, the support, the minimum margin (the
+    * closest-to-the-boundary vector — the one a centroid nudge flips
+    * first) and the integer-floored mean margin. A label with high
+    * q169 recovery but near-zero min margin is one retraining or one
+    * drifted feed away from flipping (q100's drift monitor says the
+    * centroid moved; this says how much movement the corpus can
+    * absorb). Labels with IDENTICAL vector multisets (q169's planted
+    * absorption case) read margin exactly 0 — equal centroids make
+    * every assignment a knife-edge.
+    *
+    * Scale posture: the k-row centroid codebook broadcasts into q44's
+    * fan-out; the per-vector top-2 collapses through the rank-pruned
+    * [[graft.functions.TopKAgg]] bounded-heap aggregate
+    * (ObjectHashAggregate, map-side combine — k=2 longs per vector
+    * cross the shuffle, never a window over the corpus fan-out); the
+    * per-label re-aggregate is labels-sized. */
+  private def q170(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb)
+    val fan = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_u",
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType))
+    val margins = fan.groupBy(col("vec_id"), col("label"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
+        .as("top"))
+      .select(col("label"),
+        (element_at(col("top"), 1) - element_at(col("top"), 2))
+          .as("margin_u"))
+    margins.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("margin_u")).as("margin_min_u"),
+        sum(col("margin_u")).as("margin_sum_u"))
+      .select(col("label"), col("n_vecs"), col("margin_min_u"),
+        expr("margin_sum_u div n_vecs").as("margin_avg_u"),
+        col("margin_sum_u"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val q170Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |scored2 AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_u
+       |  FROM emb e CROSS JOIN cent2 c),
+       |r2 AS (
+       |  SELECT vec_id, label, cos_u,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_u DESC, c_label) AS rn
+       |  FROM scored2),
+       |marg AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN rn = 1 THEN cos_u END) -
+       |      max(CASE WHEN rn = 2 THEN cos_u END) AS margin_u
+       |  FROM r2 WHERE rn <= 2 GROUP BY 1, 2)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(min(margin_u) AS BIGINT) AS margin_min_u,
+       |  CAST(CAST(sum(margin_u) AS BIGINT) // count(*) AS BIGINT)
+       |    AS margin_avg_u,
+       |  CAST(sum(margin_u) AS BIGINT) AS margin_sum_u
+       |FROM marg GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** MARGIN CALIBRATION — the reliability diagram for the centroid
+    * family: q169 reports accuracy, q170 reports margins; this
+    * cross-tabs them — per margin band (exact CASE thresholds on the
+    * micro-floored top-2 cosine gap: knife-edge 0, <0.01, <0.05,
+    * <0.20, ≥0.20), the assigned population and its label-recovery
+    * rate. The question it answers is the one a serving threshold
+    * needs: IS the margin posterior calibrated — does a wider margin
+    * actually buy more accuracy on this corpus, and how much of the
+    * population sits in the bands a confidence cutoff would reject?
+    * (The standard reliability-diagram read, Guo et al. 2017, in the
+    * exact-integer house style — no ECE float soup, the bands ARE the
+    * diagram.)
+    *
+    * Correctness comes from the CANONICAL assignment ([[ivfAssigned]]
+    * — the one code path q44/q169 serve), margins from q170's tie-safe
+    * top-2 gap; the two frames join on the uniform vec_id. Bands are
+    * exact integer CASE cuts (q110's band discipline); rates are
+    * integer-floored micro-units.
+    *
+    * Scale posture: two broadcast-codebook fan-outs collapsed by
+    * hash-aggregable argmax/top-k (no corpus window), one
+    * vec_id-keyed equi-join (uniform key, co-located under id
+    * bucketing), and a ≤5-row band aggregate. */
+  private def q171(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb)
+    val fan = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_u",
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType))
+    val margins = fan.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
+        .as("top"))
+      .select(col("vec_id").as("m_vid"),
+        (element_at(col("top"), 1) - element_at(col("top"), 2))
+          .as("margin_u"))
+    val banded = ivfAssigned(spark, dir)
+      .select(col("vec_id"), col("label"), col("cell"))
+      .join(margins, col("vec_id") === col("m_vid"))
+      .withColumn("band_id",
+        when(col("margin_u") === 0L, 0)
+          .when(col("margin_u") < 10000L, 1)
+          .when(col("margin_u") < 50000L, 2)
+          .when(col("margin_u") < 200000L, 3)
+          .otherwise(4))
+    banded.groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cell") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("band_id"),
+        when(col("band_id") === 0, "0_knife_edge")
+          .when(col("band_id") === 1, "1_lt_0.01")
+          .when(col("band_id") === 2, "2_lt_0.05")
+          .when(col("band_id") === 3, "3_lt_0.20")
+          .otherwise("4_ge_0.20").as("band"),
+        col("n_vecs"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_vecs").as("recovery_u"))
+      .orderBy(col("band_id"))
+  }
+
+  private lazy val q171Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |scored2 AS (
+       |  SELECT e.vec_id, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_u
+       |  FROM emb e CROSS JOIN cent2 c),
+       |r2 AS (
+       |  SELECT vec_id, cos_u,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_u DESC, c_label) AS rn
+       |  FROM scored2),
+       |marg AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cos_u END) -
+       |      max(CASE WHEN rn = 2 THEN cos_u END) AS margin_u
+       |  FROM r2 WHERE rn <= 2 GROUP BY 1),
+       |banded AS (
+       |  SELECT a.label, a.cell,
+       |    CASE WHEN m.margin_u = 0 THEN 0
+       |      WHEN m.margin_u < 10000 THEN 1
+       |      WHEN m.margin_u < 50000 THEN 2
+       |      WHEN m.margin_u < 200000 THEN 3
+       |      ELSE 4 END AS band_id
+       |  FROM assigned a JOIN marg m ON a.vec_id = m.vec_id)
+       |SELECT band_id,
+       |  CASE band_id WHEN 0 THEN '0_knife_edge' WHEN 1 THEN '1_lt_0.01'
+       |    WHEN 2 THEN '2_lt_0.05' WHEN 3 THEN '3_lt_0.20'
+       |    ELSE '4_ge_0.20' END AS band,
+       |  count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN cell = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST((1000000 * CAST(sum(CASE WHEN cell = label THEN 1 ELSE 0
+       |    END) AS BIGINT)) // count(*) AS BIGINT) AS recovery_u
+       |FROM banded GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  /** RELABEL ROSTER (uncertainty sampling) — the actionable output of
+    * the margin audit: per label, the [[RosterK]] LOWEST-margin
+    * vectors, ranked — the exact queue an active-learning loop sends
+    * back for human relabeling (classic uncertainty sampling, Settles
+    * 2009: the knife-edge examples are where a label dollar buys the
+    * most boundary). q127 rosters eval docs by stable hash (coverage);
+    * this rosters by DECISION DIFFICULTY — margin ties break on the
+    * lower vec_id, so the roster is deterministic and hash-oracleable
+    * like every rank table in the suite.
+    *
+    * Scale posture: q170's margin frame (broadcast-codebook fan-out →
+    * rank-pruned top-2 heap aggregate), then the per-label bottom-k
+    * collapses through the SAME [[graft.functions.TopKAgg]] bounded
+    * heap (k rows per label cross the shuffle, never a corpus
+    * window); output is labels×k rows. */
+  val RosterK = 3
+
+  private def q172(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb)
+    val fan = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_u",
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType))
+    val margins = fan.groupBy(col("vec_id"), col("label"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
+        .as("top"))
+      .select(col("vec_id"), col("label"),
+        (element_at(col("top"), 1) - element_at(col("top"), 2))
+          .as("margin_u"))
+    margins.groupBy(col("label"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("margin_u")), negate(col("vec_id"))),
+        struct(col("vec_id"), col("margin_u")), RosterK).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "row")))
+      .select(col("label"), (col("pos") + 1).as("rank"),
+        col("row.vec_id").as("vec_id"), col("row.margin_u").as("margin_u"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  private lazy val q172Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |pos2 AS (
+       |  SELECT label, vec_id,
+       |    unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM emb),
+       |csum2 AS (
+       |  SELECT label AS c_label, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos2 GROUP BY 1, 2),
+       |cent AS (SELECT c_label, list(s ORDER BY p0) AS cs
+       |         FROM csum2 GROUP BY 1),
+       |cent2 AS (SELECT c_label, cs, ${dotLSql("cs", "cs")} AS cn2
+       |          FROM cent),
+       |scored2 AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_u
+       |  FROM emb e CROSS JOIN cent2 c),
+       |r2 AS (
+       |  SELECT vec_id, label, cos_u,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_u DESC, c_label) AS rn
+       |  FROM scored2),
+       |marg AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN rn = 1 THEN cos_u END) -
+       |      max(CASE WHEN rn = 2 THEN cos_u END) AS margin_u
+       |  FROM r2 WHERE rn <= 2 GROUP BY 1, 2)
+       |SELECT label, rank, vec_id, margin_u FROM (
+       |  SELECT label, vec_id, margin_u,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY margin_u, vec_id) AS rank
+       |  FROM marg)
+       |WHERE rank <= $RosterK
+       |ORDER BY label, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q172_relabel_roster" -> (q172 _),
+    "q171_margin_calibration" -> (q171 _),
+    "q170_margin_audit" -> (q170 _),
+    "q169_centroid_recovery" -> (q169 _),
     "q158_pq_budget_sweep" -> (q158 _),
     "q166_nprobe_sweep" -> (q166 _),
     "q168_retrieval_eval" -> (q168 _),
@@ -2611,6 +2926,10 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q172_relabel_roster" -> q172Sql,
+    "q171_margin_calibration" -> q171Sql,
+    "q170_margin_audit" -> q170Sql,
+    "q169_centroid_recovery" -> q169Sql,
     "q158_pq_budget_sweep" -> q158Sql,
     "q166_nprobe_sweep" -> q166Sql,
     "q168_retrieval_eval" -> q168Sql,
