@@ -82,6 +82,28 @@ class ServeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("the ivf retriever honors spark.graft.ivf.codebook: serving " +
+      "under 'trained' ships the trained-codebook q44 rows") {
+    val conf = graft.operators.Similarity.IvfCodebookConf
+    spark.conf.set(conf, "trained")
+    try {
+      val out = Files.createTempDirectory("serve_tc_").toString + "/job"
+      Serve.run(Array(sfDir, out, "--retriever", "ivf"),
+        Some(spark)) shouldBe 0
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("q_id", "vec_id", "rank")
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue))
+        .toSet
+      rows(spark.read.json(s"$out/results")) shouldBe
+        rows(SparkEntry.queries("q44_ivf_ann")(spark, sfDir))
+    } finally {
+      spark.conf.unset(conf)
+      graft.operators.Features.clear(spark)
+    }
+  }
+
   test("usage errors and the output-dir contract exit 1") {
     Serve.run(Array(sfDir), Some(spark)) shouldBe 1
     Serve.run(Array(sfDir, "/tmp/x", "--retriever", "bm42"),
