@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{CentroidModel, LabelDict}
+import graft.pipeline.{CentroidModel, CentroidSums, LabelDict}
 
 /** Training CLI — the entry point the reference implies but never ships
   * (its `checkpoint.pth` arrives from an offline torch run): learn the
@@ -19,18 +19,31 @@ import graft.pipeline.{CentroidModel, LabelDict}
   * `graft.Main --labels <class_dir>` serves for it: train and serve can
   * never disagree on the dictionary.
   *
+  * `--update <existing.gcm>` makes training INCREMENTAL and exact: the
+  * v2 checkpoint stores the training monoid itself (per class: count +
+  * exact int64 quantized sums), so folding a new labeled batch in
+  * yields the byte-identical artifact a from-scratch run over the
+  * union would produce — continual learning without reprocessing
+  * history. The artifact pins its label names; an update against a
+  * different or reordered class tree is rejected loudly (silent class
+  * index remapping is the dictionary-drift failure mode), as is a v1
+  * means-only artifact (its means already destroyed the monoid). An
+  * update batch may legitimately carry no new images for some classes
+  * — their sums pass through unchanged.
+  *
   * Scale posture: the image scan is one `binaryFile` read (split-planned,
   * embarrassingly parallel decode); training is ONE
   * `groupBy(label).agg(count, 16 × sum)` whose shuffle payload after
   * map-side combine is `classes × 17` longs, and ONE bounded driver
-  * collect (≤ classes rows). Undecodable training images are skipped and
-  * counted, not sentinel-scored — a corrupt blob carries no label
-  * evidence.
+  * collect (≤ classes rows). An update costs exactly one batch scan
+  * regardless of how much history the checkpoint summarizes.
+  * Undecodable training images are skipped and counted, not
+  * sentinel-scored — a corrupt blob carries no label evidence.
   */
 object Train {
 
   private val Usage =
-    "Usage: graft.Train <class_dir> <model_out.gcm>"
+    "Usage: graft.Train <class_dir> <model_out.gcm> [--update <existing.gcm>]"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -39,11 +52,18 @@ object Train {
 
   /** Spec-friendly entry: no `System.exit`, optional injected session. */
   def run(args: Array[String], existing: Option[SparkSession] = None): Int = {
-    if (args.length != 2 || args.exists(_.startsWith("--"))) {
+    val uIdx = args.indexOf("--update")
+    val (updatePath, rest) =
+      if (uIdx < 0) (None, args)
+      else if (uIdx + 1 >= args.length || args(uIdx + 1).startsWith("--"))
+        (Some(""), args) // missing value → usage error below
+      else (Some(args(uIdx + 1)), args.patch(uIdx, Nil, 2))
+    if (rest.length != 2 || rest.exists(_.startsWith("--")) ||
+        updatePath.contains("")) {
       System.err.println(Usage)
       return 1
     }
-    val (classDir, modelOut) = (args(0), args(1))
+    val (classDir, modelOut) = (rest(0), rest(1))
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(modelOut))) {
       System.err.println(s"[graft.Train] model file already exists: $modelOut")
       return 1
@@ -59,14 +79,27 @@ object Train {
         .join(broadcast(dims), "label_name")
         .select(col("label_idx"), col("content"))
       val skipped = spark.sparkContext.longAccumulator("train_skipped")
-      val model = CentroidModel.trainOnImages(labeled, Some(skipped))
-      require(model.numClasses == labels.size,
-        s"trained ${model.numClasses} classes but dictionary has " +
-          s"${labels.size} — a class directory contributed no decodable image")
-      model.save(modelOut)
-      System.err.println(s"[graft.Train] trained ${model.numClasses}-class " +
-        s"centroid model (dim ${model.dim}, ${skipped.value} images skipped) " +
-        s"-> $modelOut")
+      val raw = CentroidModel.imageSums(labeled, Some(skipped))
+      val sums = updatePath match {
+        case Some(existingPath) =>
+          val prior = CentroidSums.load(existingPath)
+          require(prior.labels == labels.labels,
+            s"label dictionaries differ: checkpoint has " +
+              s"[${prior.labels.mkString(",")}], class tree has " +
+              s"[${labels.labels.mkString(",")}] — refusing to remap " +
+              "class indices silently")
+          prior.merge(raw)
+        case None =>
+          require(raw.keySet == labels.labels.indices.toSet,
+            "a class directory contributed no decodable image — every " +
+              "class needs training data on a fresh train")
+          CentroidSums(labels.labels, raw)
+      }
+      sums.save(modelOut)
+      val m = sums.toModel
+      System.err.println(s"[graft.Train] ${if (updatePath.isDefined) "updated"
+        else "trained"} ${m.numClasses}-class centroid model " +
+        s"(dim ${m.dim}, ${skipped.value} images skipped) -> $modelOut")
       0
     } catch {
       case e: Exception =>

@@ -171,14 +171,15 @@ object CentroidModel {
   def train(labeled: DataFrame, dim: Int = Media.FeatureDim): CentroidModel =
     fromSums(classSums(labeled, dim))
 
-  /** Train straight from labeled image bytes: decode + featurize on the
-    * executors ([[Media.imageFeatures]] — real pixels), then [[train]].
-    * An undecodable training image is SKIPPED (and counted) rather than
-    * sentinel-scored: a corrupt blob carries no label evidence, and the
-    * reference's sentinel is a serving-time policy
+  /** The decode+featurize leg of [[trainOnImages]], returning the raw
+    * training monoid — possibly SPARSE in class indices (an update
+    * batch may carry no new images for some classes). An undecodable
+    * training image is SKIPPED (and counted) rather than
+    * sentinel-scored: a corrupt blob carries no label evidence, and
+    * the reference's sentinel is a serving-time policy
     * (`predict_batch_threaded_local.py:100-108`), not a training one. */
-  def trainOnImages(images: DataFrame,
-      skipped: Option[LongAccumulator] = None): CentroidModel = {
+  private[graft] def imageSums(images: DataFrame,
+      skipped: Option[LongAccumulator] = None): Map[Int, (Long, Array[Long])] = {
     val spark = images.sparkSession
     import spark.implicits._
     val feats = images.select(col("label_idx").cast("int"), col("content"))
@@ -192,13 +193,26 @@ object CentroidModel {
         }
       }
       .toDF("label_idx", "features")
-    train(feats)
+    classSums(feats, Media.FeatureDim)
   }
 
+  /** Train straight from labeled image bytes: decode + featurize on the
+    * executors ([[Media.imageFeatures]] — real pixels), then [[train]]. */
+  def trainOnImages(images: DataFrame,
+      skipped: Option[LongAccumulator] = None): CentroidModel =
+    fromSums(imageSums(images, skipped))
+
+  /** Load a serving model from EITHER checkpoint generation: the v1
+    * means-only artifact ([[CentroidModel.save]]) or the v2
+    * sums-carrying artifact ([[CentroidSums.save]], whose exact sums
+    * also make incremental update possible — v1 cannot be updated, the
+    * means have already destroyed the monoid). */
   def load(path: String): CentroidModel = {
     val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
     require(!lines.isEmpty, s"empty centroid checkpoint: $path")
     val header = lines.get(0).trim.split(" ")
+    if (header.nonEmpty && header(0) == CentroidSums.Magic)
+      return CentroidSums.load(path).toModel
     require(header.length == 3 && header(0) == Magic,
       s"not a $Magic checkpoint: $path")
     val (k, dim) = (header(1).toInt, header(2).toInt)
@@ -209,6 +223,86 @@ object CentroidModel {
       vals
     }.toVector
     CentroidModel(cents)
+  }
+}
+
+/** The v2 checkpoint: the TRAINING MONOID itself — per class, the label
+  * name, row count and exact per-dim quantized sums. Because int64
+  * sums are what training accumulates, a stored sums artifact makes
+  * incremental training EXACT: folding an update batch into it yields
+  * the byte-identical artifact a from-scratch run over the union would
+  * produce (no decay, no approximation — continual learning without
+  * reprocessing history, `graft.Train --update`). The artifact also
+  * pins its LABEL NAMES, so an update against a reordered or different
+  * class tree is rejected loudly instead of silently remapping class
+  * indices (the dictionary-drift failure mode). [[CentroidModel.load]]
+  * serves v2 directly — means are derived on load. */
+final case class CentroidSums(labels: IndexedSeq[String],
+    byIdx: Map[Int, (Long, Array[Long])]) {
+  require(labels.nonEmpty, "sums checkpoint must carry label names")
+  require(labels.forall(l => !l.contains(",") && !l.contains("|")),
+    "label names must not contain ',' or '|'")
+  require(byIdx.keySet == labels.indices.toSet,
+    "sums checkpoint must carry every class of its dictionary")
+
+  /** Fold an update batch's (possibly sparse) raw sums in — exact
+    * int64 addition, the same monoid the streaming trainer folds. */
+  def merge(update: Map[Int, (Long, Array[Long])]): CentroidSums = {
+    val bad = update.keySet.filterNot(byIdx.contains)
+    require(bad.isEmpty,
+      s"update carries unknown class indices ${bad.toSeq.sorted.mkString(",")}")
+    CentroidSums(labels, byIdx.map { case (idx, (n, sums)) =>
+      update.get(idx) match {
+        case Some((un, usums)) =>
+          idx -> ((n + un, Array.tabulate(sums.length)(i => sums(i) + usums(i))))
+        case None => idx -> ((n, sums))
+      }
+    })
+  }
+
+  def toModel: CentroidModel = CentroidModel.fromSums(byIdx)
+
+  /** Deterministic text artifact: magic+shape header, the label line,
+    * then one `n|s0,...` line per class in class order. */
+  def save(path: String): Unit = {
+    val dim = byIdx(0)._2.length
+    val body = new StringBuilder(
+      s"${CentroidSums.Magic} ${labels.size} $dim\n")
+    body.append(labels.mkString(",")).append('\n')
+    labels.indices.foreach { idx =>
+      val (n, sums) = byIdx(idx)
+      body.append(n).append('|').append(sums.mkString(",")).append('\n')
+    }
+    Files.write(Paths.get(path),
+      body.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+  }
+}
+
+object CentroidSums {
+
+  val Magic = "graft-centroid-v2"
+
+  def load(path: String): CentroidSums = {
+    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
+    require(lines.size >= 2, s"truncated sums checkpoint: $path")
+    val header = lines.get(0).trim.split(" ")
+    require(header.length == 3 && header(0) == Magic,
+      s"not a $Magic checkpoint: $path " +
+        "(a v1 means-only model cannot be updated — retrain with " +
+        "graft.Train to get a v2 sums artifact)")
+    val (k, dim) = (header(1).toInt, header(2).toInt)
+    val labels = lines.get(1).trim.split(",", -1).toIndexedSeq
+    require(labels.size == k, s"label line does not match k in $path")
+    require(lines.size >= k + 2, s"truncated sums checkpoint: $path")
+    val byIdx = (0 until k).map { idx =>
+      val parts = lines.get(2 + idx).trim.split("\\|")
+      require(parts.length == 2, s"bad sums line ${2 + idx} in $path")
+      val sums = parts(1).split(",").map(_.toLong)
+      require(sums.length == dim, s"bad sums line ${2 + idx} in $path")
+      idx -> ((parts(0).toLong, sums))
+    }.toMap
+    CentroidSums(labels, byIdx)
   }
 }
 
