@@ -88,7 +88,14 @@ object Bench {
       loadNow = load1()
     }
     val loadGated = loadNow >= 0 && loadNow < loadGate
-    if (!loadGated)
+    if (loadNow < 0)
+      // MX bean unsupported (some containers/Windows): nothing was
+      // waited for and nothing could be measured — recorded as
+      // load1:-1, load_gated:false, which reads as "unverifiable",
+      // not "verified busy".
+      System.err.println("[bench] 1-min load average unavailable on " +
+        "this platform - gate skipped, run quietness unverifiable")
+    else if (!loadGated)
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] load gate NOT satisfied after %ds (load %.1f) - " +
           "timings may be noise-inflated", Int.box(loadWaitS),

@@ -179,10 +179,33 @@ object Main {
       case (None, None, None, Some(model)) =>
         // The TRAINED model (graft.Train output): same DistributedCache
         // wiring, but the scorer decodes real pixels and serves learned
-        // centroids — manifest lines are image paths.
+        // centroids — manifest lines are image paths. The model's class
+        // INDICES must serve the dictionary they were learned against:
+        // a v2 artifact pins its label names, so they become the
+        // serving dictionary (an explicit --labels must match them);
+        // for a v1 artifact the class count must at least agree —
+        // silently letting LabelDict's labels(0) fallback relabel a
+        // real prediction is the dictionary-drift failure mode
+        // graft.Train rejects at update time.
+        val m = pipeline.CentroidModel.load(model) // driver-side validate
+        val artifactNames = pipeline.CentroidModel.labelNamesOf(model)
+        val servingLabels = (cfg.labelsPath, artifactNames) match {
+          case (None, Some(names)) => LabelDict(names)
+          case (Some(_), Some(names)) =>
+            require(labels.labels == names,
+              s"--labels dictionary [${labels.labels.mkString(",")}] does " +
+                s"not match the model artifact's [${names.mkString(",")}]")
+            labels
+          case (_, None) =>
+            require(m.numClasses == labels.size,
+              s"model has ${m.numClasses} classes but the label " +
+                s"dictionary has ${labels.size} — pass --labels for the " +
+                "tree the model was trained on")
+            labels
+        }
         spark.sparkContext.addFile(model)
         val name = new java.io.File(model).getName
-        Infer.classify(items, new CentroidScorer(name), labels,
+        Infer.classify(items, new CentroidScorer(name), servingLabels,
           cfg.batchSize)
       case (None, None, None, None) =>
         Infer.classify(items, new HashScorer(labels.size), labels,

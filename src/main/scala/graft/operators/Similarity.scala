@@ -2584,9 +2584,10 @@ object Similarity {
     * nearest-centroid family the engine now TRAINS
     * ([[graft.pipeline.CentroidModel]], the M2/M4 closure): assign
     * every vector to its nearest per-label centroid — the literal q44
-    * index-build assignment ([[ivfAssigned]]), so classifier
-    * evaluation and index build are ONE code path and cannot disagree
-    * — and score the assignment against the true labels. Per label:
+    * assignment code path ([[ivfAssignOver]]) over the label codebook,
+    * hard-pinned ([[labelAssigned]]: under a trained codebook, cells
+    * are cluster ids from a different id space and `cell == label`
+    * would be meaningless) — and score against the true labels. Per label:
     * corpus support, correctly recovered count, exact recovery
     * micro-rate, and the DOMINANT predicted cell with its mass (where
     * a label's vectors collapse to when recovery is poor). A label
@@ -2602,12 +2603,25 @@ object Similarity {
     * exercised for real when two labels carry identical vector
     * multisets, the planted spec case).
     *
-    * Scale posture: rides [[ivfAssigned]] (codebook broadcast, one
+    * Scale posture: rides [[labelAssigned]] (codebook broadcast, one
     * ObjectHashAggregate argmax — never a corpus window); the
     * confusion aggregate is partial-aggregable over ≤ labels² cells
     * and the per-label re-aggregate is labels-sized. */
+  /** The classifier-audit family's assignment: ALWAYS the per-label
+    * codebook, regardless of `spark.graft.ivf.codebook` — these audits
+    * evaluate the LABEL-centroid classifier, where `cell == label` is
+    * the definition of a correct prediction. Under the trained
+    * codebook, cells are kmeans cluster ids from a different id space
+    * entirely; comparing them against labels would produce
+    * plausible-looking but meaningless recovery rates (that index's
+    * health audit is q130, which is id-space-agnostic by design). */
+  private def labelAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    ivfAssignOver(emb, centroids(emb))
+  }
+
   private def q169(spark: SparkSession, dir: String): DataFrame = {
-    val m = ivfAssigned(spark, dir)
+    val m = labelAssigned(spark, dir)
       .groupBy(col("label"), col("cell"))
       .agg(count(lit(1)).as("n"))
     m.groupBy(col("label"))
@@ -2666,21 +2680,32 @@ object Similarity {
     * (ObjectHashAggregate, map-side combine — k=2 longs per vector
     * cross the shuffle, never a window over the corpus fan-out); the
     * per-label re-aggregate is labels-sized. */
+  /** The per-vector top-2 margin frame `(vec_id, label, margin_u)`
+    * shared by q170/q171/q172 — memoized per (session, dir) so the
+    * corpus×k fan-out and heap aggregate run ONCE however many of the
+    * family a session serves. Label centroids hard-pinned
+    * ([[labelAssigned]]'s rationale: the margin is a property of the
+    * label-centroid classifier). */
+  private[graft] def centroidMargins(spark: SparkSession,
+      dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#centroidMargins") {
+      val emb = scaledEmb(spark, dir)
+      val cent = centroids(emb)
+      emb.crossJoin(broadcast(cent))
+        .withColumn("cos_u",
+          floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+            * 1000000.0).cast(LongType))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(graft.functions.TopKAgg.topK(
+          struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
+          .as("top"))
+        .select(col("vec_id"), col("label"),
+          (element_at(col("top"), 1) - element_at(col("top"), 2))
+            .as("margin_u"))
+    }
+
   private def q170(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir)
-    val cent = centroids(emb)
-    val fan = emb.crossJoin(broadcast(cent))
-      .withColumn("cos_u",
-        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
-          * 1000000.0).cast(LongType))
-    val margins = fan.groupBy(col("vec_id"), col("label"))
-      .agg(graft.functions.TopKAgg.topK(
-        struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
-        .as("top"))
-      .select(col("label"),
-        (element_at(col("top"), 1) - element_at(col("top"), 2))
-          .as("margin_u"))
-    margins.groupBy(col("label"))
+    centroidMargins(spark, dir).groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("margin_u")).as("margin_min_u"),
         sum(col("margin_u")).as("margin_sum_u"))
@@ -2739,20 +2764,9 @@ object Similarity {
     * vec_id-keyed equi-join (uniform key, co-located under id
     * bucketing), and a ≤5-row band aggregate. */
   private def q171(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir)
-    val cent = centroids(emb)
-    val fan = emb.crossJoin(broadcast(cent))
-      .withColumn("cos_u",
-        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
-          * 1000000.0).cast(LongType))
-    val margins = fan.groupBy(col("vec_id"))
-      .agg(graft.functions.TopKAgg.topK(
-        struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
-        .as("top"))
-      .select(col("vec_id").as("m_vid"),
-        (element_at(col("top"), 1) - element_at(col("top"), 2))
-          .as("margin_u"))
-    val banded = ivfAssigned(spark, dir)
+    val margins = centroidMargins(spark, dir)
+      .select(col("vec_id").as("m_vid"), col("margin_u"))
+    val banded = labelAssigned(spark, dir)
       .select(col("vec_id"), col("label"), col("cell"))
       .join(margins, col("vec_id") === col("m_vid"))
       .withColumn("band_id",
@@ -2831,20 +2845,7 @@ object Similarity {
   val RosterK = 3
 
   private def q172(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir)
-    val cent = centroids(emb)
-    val fan = emb.crossJoin(broadcast(cent))
-      .withColumn("cos_u",
-        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
-          * 1000000.0).cast(LongType))
-    val margins = fan.groupBy(col("vec_id"), col("label"))
-      .agg(graft.functions.TopKAgg.topK(
-        struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
-        .as("top"))
-      .select(col("vec_id"), col("label"),
-        (element_at(col("top"), 1) - element_at(col("top"), 2))
-          .as("margin_u"))
-    margins.groupBy(col("label"))
+    centroidMargins(spark, dir).groupBy(col("label"))
       .agg(graft.functions.TopKAgg.topK(
         struct(negate(col("margin_u")), negate(col("vec_id"))),
         struct(col("vec_id"), col("margin_u")), RosterK).as("top"))

@@ -154,6 +154,9 @@ object CentroidModel {
   private[graft] def fromSums(
       byIdx: Map[Int, (Long, Array[Long])]): CentroidModel = {
     require(byIdx.nonEmpty, "no training rows")
+    val neg = byIdx.keys.filter(_ < 0)
+    require(neg.isEmpty, s"negative class indices ${neg.toSeq.sorted
+      .mkString(",")} — label evidence must not be dropped silently")
     val k = byIdx.keys.max + 1
     val missing = (0 until k).filterNot(byIdx.contains)
     require(missing.isEmpty,
@@ -201,6 +204,19 @@ object CentroidModel {
   def trainOnImages(images: DataFrame,
       skipped: Option[LongAccumulator] = None): CentroidModel =
     fromSums(imageSums(images, skipped))
+
+  /** The label names a v2 artifact pins, if this is one — [[Main]]'s
+    * `--centroid` mode uses them as the serving dictionary (and
+    * validates an explicit `--labels` against them), so the indices a
+    * model learned can never silently serve another dictionary's
+    * names. */
+  def labelNamesOf(path: String): Option[IndexedSeq[String]] = {
+    val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
+    if (lines.size >= 2 &&
+        lines.get(0).trim.startsWith(CentroidSums.Magic + " "))
+      Some(lines.get(1).trim.split(",", -1).toIndexedSeq)
+    else None
+  }
 
   /** Load a serving model from EITHER checkpoint generation: the v1
     * means-only artifact ([[CentroidModel.save]]) or the v2
@@ -251,6 +267,12 @@ final case class CentroidSums(labels: IndexedSeq[String],
     val bad = update.keySet.filterNot(byIdx.contains)
     require(bad.isEmpty,
       s"update carries unknown class indices ${bad.toSeq.sorted.mkString(",")}")
+    val dim = byIdx(0)._2.length
+    val badDim = update.collect { case (i, (_, s)) if s.length != dim => i }
+    require(badDim.isEmpty,
+      s"update dimensionality ${update(badDim.head)._2.length} != " +
+        s"checkpoint dimensionality $dim (classes ${badDim.toSeq.sorted
+          .mkString(",")}) — refusing to truncate or pad sums silently")
     CentroidSums(labels, byIdx.map { case (idx, (n, sums)) =>
       update.get(idx) match {
         case Some((un, usums)) =>

@@ -83,15 +83,19 @@ object DeltaStreams {
     * frame — shared by [[batchReport]] and the plan pin. */
   private[graft] def reportOver(live: DataFrame,
       matched: DataFrame): DataFrame = {
-    // Batch-`ledgerDelta` parity on the matched ids, including the
-    // null-fingerprint edge (md5 of NULL stored text): s_fp null
-    // classifies `added` with d_chars = c_chars − coalesce(s_chars, 0),
-    // exactly the batch classifier's branch order and arithmetic.
+    // Batch-`ledgerDelta` parity on the matched ids, including BOTH
+    // null-fingerprint edges (md5 of NULL text on either side): s_fp
+    // null classifies `added`, c_fp null (a live redelivery whose text
+    // is NULL) classifies `removed`, and the char delta coalesces both
+    // sides — exactly the batch classifier's branch order and
+    // arithmetic.
     val known = matched.select(col("source"),
       when(col("s_fp").isNull, lit("added"))
+        .when(col("c_fp").isNull, lit("removed"))
         .when(col("c_fp") === col("s_fp"), lit("unchanged"))
         .otherwise(lit("changed")).as("status"),
-      (col("c_chars") - coalesce(col("s_chars"), lit(0L))).as("d_chars"))
+      (coalesce(col("c_chars"), lit(0L)) -
+        coalesce(col("s_chars"), lit(0L))).as("d_chars"))
     val added = live.join(
         broadcast(matched.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")

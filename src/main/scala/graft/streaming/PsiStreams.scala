@@ -45,19 +45,12 @@ object PsiStreams {
     * sequence the batch plan runs: one subtraction, one ln of a
     * correctly-rounded ratio, left-associated multiply), summed as
     * exact int64. */
-  def psiU(counts: Array[Long], ref: Array[Long]): Long = {
-    val nS = counts.sum
-    val nC = ref.sum
-    var acc = 0L
-    var b = 0
-    while (b < B) {
-      val ps = (counts(b) + 1L).toDouble / (nS + B).toDouble
-      val pc = (ref(b) + 1L).toDouble / (nC + B).toDouble
-      acc += math.floor(1000000.0 * (ps - pc) * math.log(ps / pc)).toLong
-      b += 1
-    }
-    acc
-  }
+  def psiU(counts: Array[Long], ref: Array[Long]): Long =
+    // ONE definition of the bit-identity-critical cell sequence: the
+    // parametric-domain version in [[ModelDriftStreams.psiU]] (this is
+    // its fixed-B special case — delegating keeps the two monitors'
+    // exact-replay guarantees provably the same arithmetic).
+    ModelDriftStreams.psiU(counts, ref)
 
   /** The frozen reference: the trusted corpus' bucket marginal,
     * computed batch-side from a documents frame (needs n_chars).

@@ -73,18 +73,26 @@ object TrainStreams {
 
   /** Start the trainer over a streaming `(label_idx, features)` frame.
     * `onModel(model, batchId)` fires after each batch whose cumulative
-    * class set is contiguous from 0 (see the emission contract). */
+    * class set is contiguous from 0 (see the emission contract).
+    *
+    * Restart posture — deliberately NO checkpointLocation option here:
+    * the fold's state lives driver-side, so resuming a checkpointed
+    * source after a restart would skip the already-committed prefix
+    * while the fresh fold starts empty — silently violating the
+    * bit-equality contract. A restarted trainer must re-feed from the
+    * beginning (the fold is cheap: one aggregate per batch), or better,
+    * persist the model artifact per batch (`CentroidSums.save`) and
+    * resume by `--update`-folding only genuinely new batches into it —
+    * the exact-merge path `graft.Train --update` ships. */
   def monitor(labeled: DataFrame,
       onModel: (CentroidModel, Long) => Unit,
-      dim: Int = Media.FeatureDim,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      dim: Int = Media.FeatureDim): StreamingQuery = {
     val state = new TrainFold(dim)
-    val writer = labeled.writeStream
+    labeled.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         state.fold(batch, batchId).foreach(onModel(_, batchId))
       }
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    writer.start()
+      .start()
   }
 }

@@ -53,6 +53,20 @@ class CentroidRecoverySpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("the label codebook is hard-pinned: spark.graft.ivf.codebook=" +
+      "trained changes NOTHING in the recovery audit (trained cells are " +
+      "cluster ids, not labels)") {
+    val dir = Files.createTempDirectory("crec_conf_").toString
+    writeEmb(dir, (0 until 30).map(i => (i.toLong, vec(i % 3, i), i % 3)))
+    val before = audit(dir)
+    spark.conf.set(Similarity.IvfCodebookConf, "trained")
+    try audit(dir) shouldBe before
+    finally {
+      spark.conf.unset(Similarity.IvfCodebookConf)
+      Features.clear(spark)
+    }
+  }
+
   test("a label carrying another's exact vector multiset is absorbed " +
       "whole: recovery 0, dominant cell = the lower label (tie rule)") {
     val dir = Files.createTempDirectory("crec_dup_").toString

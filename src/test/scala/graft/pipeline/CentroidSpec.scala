@@ -194,4 +194,45 @@ class CentroidSpec extends AnyFunSuite with SparkSpec with Matchers {
       Some(spark)) shouldBe 1
     graft.Train.run(Array(classDir.toString), Some(spark)) shouldBe 1
   }
+
+  test("--centroid dictionary safety: the v2 artifact's pinned names " +
+      "serve by default; a mismatched --labels and an undersized " +
+      "default dictionary are refused, never silently remapped") {
+    val classDir = writeClassDir()
+    val model = classDir.resolve("safety.gcm")
+    graft.Train.run(Array(classDir.toString, model.toString),
+      Some(spark)) shouldBe 0
+
+    val servDir = Files.createTempDirectory("centroid_dict_")
+    val img = servDir.resolve("probe.png")
+    Files.write(img, png(31, 2))
+    val manifest = servDir.resolve("m.txt")
+    Files.writeString(manifest, img.toString)
+
+    // no --labels: the artifact IS the dictionary
+    val out1 = servDir.resolve("out1")
+    graft.Main.run(Array(manifest.toString, out1.toString,
+      "--centroid", model.toString, "--single-file"),
+      Some(spark)) shouldBe 0
+    Files.list(out1).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(f).asScala)
+      .head should include("\ta_dark,")
+
+    // --labels naming a different dictionary: refused loudly
+    val otherTree = Files.createTempDirectory("centroid_other_")
+    for (n <- Seq("x", "y", "z"))
+      Files.createDirectories(otherTree.resolve(n))
+    graft.Main.run(Array(manifest.toString,
+      servDir.resolve("out2").toString, "--centroid", model.toString,
+      "--labels", otherTree.toString), Some(spark)) shouldBe 1
+
+    // a v1 artifact (no pinned names) against the default 30-class
+    // dictionary: class-count mismatch is refused, not fallback-mapped
+    val v1 = servDir.resolve("v1.gcm")
+    CentroidModel.load(model.toString).save(v1.toString)
+    graft.Main.run(Array(manifest.toString,
+      servDir.resolve("out3").toString, "--centroid", v1.toString),
+      Some(spark)) shouldBe 1
+  }
 }

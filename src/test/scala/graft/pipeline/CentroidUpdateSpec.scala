@@ -101,4 +101,21 @@ class CentroidUpdateSpec extends AnyFunSuite with SparkSpec with Matchers {
     graft.Train.run(Array(treeA.toString,
       root.resolve("y.gcm").toString, "--update"), Some(spark)) shouldBe 1
   }
+
+  test("a dimensionality-mismatched update is rejected loudly, never " +
+      "silently truncated or padded") {
+    val sums = CentroidSums(IndexedSeq("a", "b"),
+      Map(0 -> ((2L, Array.fill(16)(5L))), 1 -> ((2L, Array.fill(16)(7L)))))
+    val e = intercept[IllegalArgumentException] {
+      sums.merge(Map(0 -> ((1L, Array.fill(8)(3L)))))
+    }
+    e.getMessage should include("dimensionality")
+    // equal dims still merge exactly
+    sums.merge(Map(0 -> ((1L, Array.fill(16)(1L)))))
+      .byIdx(0) match {
+      case (n, arr) =>
+        n shouldBe 3L
+        arr.toSeq shouldBe Seq.fill(16)(6L)
+    }
+  }
 }

@@ -134,4 +134,34 @@ class DeltaPlanSpec extends AnyFunSuite with SparkSpec with Matchers {
       ("sA", "unchanged") -> ((1L, 0L)))
     batch.view.filterKeys(_._2 != "removed").toMap shouldBe stream
   }
+
+  test("a LIVE row with null text (c_fp null) classifies `removed`, " +
+      "exactly as the batch classifier's branch order does") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_plan_cnull_").toString + "/ledger"
+    ManifestWriter.writeLedger(
+      Seq((6L, "i was here", "en", "sA", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    // the live redelivery carries NULL text (and so a null n_chars)
+    val liveDocs = Seq((6L, null.asInstanceOf[String], "en", "sA",
+      null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val live = TextAnalysis.docLedgerOf(liveDocs)
+      .withColumnRenamed("fp", "c_fp")
+      .withColumnRenamed("n_chars", "c_chars")
+    val stored = ManifestWriter.read(spark, dir)
+      .select(col("doc_id"), col("fp").as("s_fp"),
+        col("n_chars").as("s_chars"))
+
+    val stream = DeltaStreams.batchReport(live, stored).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val batch = ManifestWriter.deltaAgainstStoredLedger(liveDocs, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+
+    stream shouldBe Map(("sA", "removed") -> ((1L, -10L)))
+    batch shouldBe stream
+  }
 }
