@@ -49,14 +49,17 @@ import org.apache.spark.sql.SparkSession
   *   3. a ~130-byte totals-only line, the guaranteed-parseable floor
   *      for ANY tail capture.
   *
-  * Idle gate (round-9 verdict task 3): before any timing, wait until
-  * the host's 1-min load average drops under
-  * `SPARK_GRAFT_BENCH_LOADGATE` (default 8.0) or the
-  * `SPARK_GRAFT_BENCH_LOADWAIT` budget (default 600 s) expires; the
-  * observed load and the gate verdict ship in the full stdout line and
-  * the file artifact (`"load1"`, `"load_gated"`), so a cross-round
-  * comparison can DISQUALIFY a noisy run from evidence instead of
-  * adjudicating per-query scatter by code-diff alibi.
+  * Idle gate (round-9 verdict task 3; end-sample round-10 advice):
+  * before any timing, wait until the host's 1-min load average drops
+  * under `SPARK_GRAFT_BENCH_LOADGATE` (default 8.0) or the
+  * `SPARK_GRAFT_BENCH_LOADWAIT` budget (default 600 s) expires; after
+  * the passes, sample AGAIN (threshold gate + own `cpus`, since the
+  * run itself holds ~cpus runnable threads in the 1-min average) so a
+  * spike that starts mid-run disqualifies the run too. Both samples
+  * and the combined verdict ship in the full stdout line and the file
+  * artifact (`"load1"`, `"load1_end"`, `"load_gated"`), so a
+  * cross-round comparison can DISQUALIFY a noisy run from evidence
+  * instead of adjudicating per-query scatter by code-diff alibi.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,7 +90,8 @@ object Bench {
       Thread.sleep(15000)
       loadNow = load1()
     }
-    val loadGated = loadNow >= 0 && loadNow < loadGate
+    val loadStart = loadNow
+    val startGated = loadStart >= 0 && loadStart < loadGate
     if (loadNow < 0)
       // MX bean unsupported (some containers/Windows): nothing was
       // waited for and nothing could be measured — recorded as
@@ -95,7 +99,7 @@ object Bench {
       // not "verified busy".
       System.err.println("[bench] 1-min load average unavailable on " +
         "this platform - gate skipped, run quietness unverifiable")
-    else if (!loadGated)
+    else if (!startGated)
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] load gate NOT satisfied after %ds (load %.1f) - " +
           "timings may be noise-inflated", Int.box(loadWaitS),
@@ -122,6 +126,22 @@ object Bench {
 
     // Interleaved passes: sweep the whole suite, then sweep again.
     val samples: Seq[Seq[Double]] = (1 to passes).map(_ => names.map(runOnce))
+
+    // Close the gate's blind side (round-10 advice): the pre-run sample
+    // certifies only that the host WAS quiet — a spike that starts
+    // mid-run would still ship as "gated" evidence. Re-sample after the
+    // passes and require BOTH ends quiet. The end threshold allows for
+    // our own contribution: a multi-minute run keeps ~`cpus` runnable
+    // threads of its own in the 1-min average, so external quietness at
+    // the end reads as load1_end < gate + cpus, not < gate.
+    val loadEnd = load1()
+    val endGated = loadEnd >= 0 && loadEnd < loadGate + cpus.toDouble
+    val loadGated = startGated && endGated
+    if (startGated && !endGated)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] load rose DURING the run (end 1-min load %.1f >= " +
+          "%.1f + %s own) - run disqualified from gated evidence",
+        Double.box(loadEnd), Double.box(loadGate), cpus))
     val perQuery = names.zipWithIndex.map { case (n, i) =>
       val raw = samples.map(_(i))
       val ok = raw.filter(_ >= 0)
@@ -154,7 +174,8 @@ object Bench {
     val head =
       s""""metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
         s""""feature_build":$featureBuild,"cold_total":$coldTotal,""" +
-        s""""load1":${r3(loadNow)},"load_gated":$loadGated"""
+        s""""load1":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
+        s""""load_gated":$loadGated"""
     // Tear down BEFORE printing: in round 5 the driver's 2000-byte tail
     // window lost q01-q33 because Features.clear's unpersist of locally-
     // checkpointed RDDs logged six ~150 B WARN lines AFTER our JSON —
@@ -174,7 +195,8 @@ object Bench {
     val artifact =
       s"""{"sf":"$sfDir","passes":$passes,"feature_build":$featureBuild,""" +
         s""""cold_total":$coldTotal,"value":$total,""" +
-        s""""load1":${r3(loadNow)},"load_gated":$loadGated,""" +
+        s""""load1":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
+        s""""load_gated":$loadGated,""" +
         s""""queries":$qs,"runs":$runs}"""
     val artifactPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")

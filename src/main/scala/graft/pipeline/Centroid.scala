@@ -136,14 +136,31 @@ object CentroidModel {
     val quantized = labeled.select(col("label_idx").cast("int").as("label_idx"),
       transform(col("features"),
         f => floor(f.cast("double") * lit(Ppb.toDouble)).cast(LongType)).as("qf"))
+    // Malformed-row guard, in the SAME single pass (no extra action):
+    // `try_element_at` past a short array returns null and `sum`
+    // silently skips it (plain `element_at` would instead throw an
+    // opaque per-task ANSI error), so a features array whose length ≠
+    // dim would corrupt the training sums without any structured error
+    // — counted per class here and rejected loudly below, matching
+    // scoreFeatures' hard dim require.
     val aggs = Seq(count(lit(1)).as("n")) ++
-      (0 until dim).map(i => sum(element_at(col("qf"), i + 1)).as(s"s$i"))
-    quantized.groupBy(col("label_idx")).agg(aggs.head, aggs.tail: _*)
+      (0 until dim).map(i =>
+        sum(expr(s"try_element_at(qf, ${i + 1})")).as(s"s$i")) ++
+      Seq(sum(when(coalesce(size(col("qf")), lit(-1)) === dim, lit(0L))
+        .otherwise(lit(1L))).as("n_bad"))
+    val rows = quantized.groupBy(col("label_idx")).agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map { r =>
-        r.getInt(0) -> ((r.getLong(1),
-          Array.tabulate(dim)(i => r.getLong(2 + i))))
-      }.toMap
+    val bad = rows.map(r => r.getInt(0) -> r.getLong(2 + dim))
+      .filter(_._2 > 0L).sortBy(_._1)
+    require(bad.isEmpty,
+      s"classSums: ${bad.map(_._2).sum} feature row(s) whose array " +
+        s"length != $dim (per class: ${bad.map { case (c, n) => s"$c:$n" }
+          .mkString(",")}) — a short array would silently corrupt the " +
+        "training sums, rejected instead")
+    rows.map { r =>
+      r.getInt(0) -> ((r.getLong(1),
+        Array.tabulate(dim)(i => r.getLong(2 + i))))
+    }.toMap
   }
 
   /** Assemble the model from accumulated class sums: exact floor-mean

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.pipeline.LabelDict
 
@@ -30,18 +30,40 @@ import graft.pipeline.LabelDict
   * reference would absorb exactly the drift this monitor exists to
   * catch.
   *
-  * Scale posture: predictions reduce map-side to per-class counts;
-  * one snapshot row per batch. Rows whose label is outside the
-  * dictionary are ignored — they cannot arise from the pipeline's own
-  * scorers, which emit `labels(idx)` by construction. */
+  * Out-of-dictionary labels: the pipeline's own scorers emit
+  * `labels(idx)` by construction, so an unknown label means the
+  * monitor was wired with a MISMATCHED dictionary — silently ignoring
+  * such rows would leave the monitor blind while appearing healthy.
+  * They are counted into every snapshot's `n_unknown` instead
+  * (spec-pinned): `n_unknown > 0` is itself a page condition, visible
+  * on the same channel as the PSI it would otherwise mute.
+  *
+  * Scale posture — the [[TrainStreams]] foreachBatch fold, NOT a
+  * `groupByKey(_ => 0)` stateful operator (mapGroupsWithState has no
+  * map-side combine, so a single-key group would shuffle every raw
+  * prediction row of a batch onto one stateful task): each batch
+  * contributes ONE `groupBy(label).count()` whose shuffle payload is
+  * ≤ distinct-labels rows after map-side combine; the driver folds
+  * those counts into `classes` int64 cells (bounded forever) and emits
+  * one snapshot per batch. A replayed batch id folds nothing (counts
+  * are not idempotent — the DedupStreams at-least-once discipline,
+  * held driver-side like [[TrainStreams.TrainFold]]'s).
+  *
+  * Restart posture — deliberately NO checkpointLocation here, the
+  * [[TrainStreams.monitor]] rationale verbatim: the fold's state lives
+  * driver-side, so resuming a checkpointed source would skip the
+  * committed prefix while the fresh fold starts empty, silently
+  * violating the replay-equality contract. A restarted monitor re-feeds
+  * from the beginning (cheap: one labels-sized aggregate per batch) or
+  * re-seeds from the last persisted snapshot's counts. */
 object ModelDriftStreams {
 
-  final case class ShareState(counts: Array[Long])
-
   /** Running totals after a batch: predictions seen, exact PSI vs the
-    * frozen reference, and the per-class counts (dictionary order). */
+    * frozen reference, the per-class counts (dictionary order), and
+    * the out-of-dictionary count (0 under a correctly-wired
+    * dictionary; > 0 pages — see the class scaladoc). */
   final case class ShareSnapshot(n_preds: Long, psi_u: Long,
-      counts: Seq[Long])
+      counts: Seq[Long], n_unknown: Long)
 
   /** [[PsiStreams.psiU]]'s identical double-op sequence over a
     * parametric class domain (one subtraction, one ln of a
@@ -76,31 +98,50 @@ object ModelDriftStreams {
     Array.tabulate(labels.size)(i => byLabel.getOrElse(labels(i), 0L))
   }
 
-  /** Pure state transition, shared with the spec's replay. */
-  private[graft] def advance(batchLabels: Iterator[String],
-      idxOf: Map[String, Int], k: Int, ref: Array[Long],
-      state: GroupState[ShareState]): ShareSnapshot = {
-    val counts =
-      if (state.exists) state.get.counts.clone()
-      else new Array[Long](k)
-    batchLabels.foreach(l => idxOf.get(l).foreach(counts(_) += 1L))
-    state.update(ShareState(counts))
-    ShareSnapshot(counts.sum, psiU(counts, ref), counts.toSeq)
+  /** The driver-side fold, separated from the query wiring so the
+    * replay guard and the unknown-label accounting are directly
+    * testable: `fold` aggregates one micro-batch to ≤ distinct-labels
+    * `(label, n)` rows (map-side combine — the only shuffle), adds
+    * them into the bounded class counters, and returns the running
+    * snapshot; a batch id ≤ the last folded id adds nothing. */
+  private[graft] final class ShareFold(idxOf: Map[String, Int], k: Int,
+      ref: Array[Long]) {
+    private val counts = new Array[Long](k)
+    private var unknown = 0L
+    private var lastFolded = -1L
+
+    def fold(batch: DataFrame, batchId: Long): ShareSnapshot = {
+      if (batchId > lastFolded) {
+        lastFolded = batchId
+        batch.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .collect().foreach { r =>
+            val n = r.getLong(1)
+            idxOf.get(r.getString(0)) match {
+              case Some(i) => counts(i) += n
+              case None    => unknown += n
+            }
+          }
+      }
+      ShareSnapshot(counts.sum, psiU(counts, ref), counts.toSeq, unknown)
+    }
   }
 
-  /** The running share snapshot, updated every micro-batch (use with
-    * `outputMode("update")`). `preds` needs a `label` column — chain
-    * it straight off a streaming `Infer.classify`. */
-  def shares(preds: DataFrame, labels: LabelDict,
-      ref: Array[Long]): Dataset[ShareSnapshot] = {
-    import preds.sparkSession.implicits._
-    val k = labels.size
-    val idxOf = labels.labels.zipWithIndex.toMap
-    preds.select(col("label")).as[String]
-      .groupByKey(_ => 0)
-      .mapGroupsWithState[ShareState, ShareSnapshot](
-        GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
-        advance(rows, idxOf, k, ref, state)
+  /** Start the monitor over a streaming prediction frame (a streaming
+    * [[graft.pipeline.Infer.classify]] output — needs a `label`
+    * column). `onSnapshot(snapshot, batchId)` fires after every
+    * micro-batch with the running share snapshot; see the class
+    * scaladoc for the scale, replay, and restart contracts. */
+  def monitor(preds: DataFrame, labels: LabelDict, ref: Array[Long],
+      onSnapshot: (ShareSnapshot, Long) => Unit): StreamingQuery = {
+    require(ref.length == labels.size,
+      s"reference has ${ref.length} classes, dictionary ${labels.size}")
+    val fold = new ShareFold(labels.labels.zipWithIndex.toMap,
+      labels.size, ref)
+    preds.select(col("label")).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onSnapshot(fold.fold(batch, batchId), batchId)
       }
+      .start()
   }
 }

@@ -63,6 +63,29 @@ class CentroidSpec extends AnyFunSuite with SparkSpec with Matchers {
       m7.centroids.map(_.toSeq)
   }
 
+  test("a malformed feature row (length != dim, or null) is rejected " +
+      "loudly, not silently sum-skipped into a corrupt centroid") {
+    import spark.implicits._
+    val good = (0 until 3).map(i => (i % 2, Array.fill(16)(0.5f)))
+    // one short row: element_at past its end yields null, which sum()
+    // would silently skip — the guard must catch it instead
+    val short = Seq((1, Array.fill(9)(0.5f)))
+    val e = intercept[IllegalArgumentException] {
+      CentroidModel.train((good ++ short).toDF("label_idx", "features"), 16)
+    }
+    e.getMessage should include("!= 16")
+    e.getMessage should include("1:1") // per-class detail: class 1, 1 row
+    val eNull = intercept[IllegalArgumentException] {
+      CentroidModel.train(
+        (good :+ ((0, null.asInstanceOf[Array[Float]])))
+          .toDF("label_idx", "features"), 16)
+    }
+    eNull.getMessage should include("!= 16")
+    // exact-length rows still train fine (the guard is not over-eager)
+    CentroidModel.train(good.toDF("label_idx", "features"), 16)
+      .numClasses shouldBe 2
+  }
+
   test("planted separable classes: held-out images classify to their " +
       "class with a real margin; training actually learned from pixels") {
     val m = trainedModel(5)

@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -13,8 +12,9 @@ import graft.pipeline._
   * streaming Infer.classify under the TRAINED model feeds the
   * prediction-share PSI. Every boundary must equal an exact driver
   * replay over the prefix; a feed matching the reference mix stays
-  * near zero while a one-class flood alarms; state is the class-count
-  * array and nothing else. */
+  * near zero while a one-class flood alarms; a replayed batch id folds
+  * nothing; an out-of-dictionary label is COUNTED into the snapshot,
+  * never silently dropped. */
 class ModelDriftStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private def png(luma: Int, jitter: Int): Array[Byte] = {
@@ -62,19 +62,15 @@ class ModelDriftStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val b2 = (0 until 12).map(i => item(s"s2d$i.png", 30 + i, 3))
 
     val in = MemoryStream[Item]
-    val q = ModelDriftStreams.shares(
-      Infer.classify(in.toDS(), scorer, labels).toDF(), labels, ref)
-      .writeStream.format("memory").queryName("model_drift")
-      .outputMode(OutputMode.Update()).start()
     val snapshots = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Seq[Long])]
+      .empty[ModelDriftStreams.ShareSnapshot]
+    val q = ModelDriftStreams.monitor(
+      Infer.classify(in.toDS(), scorer, labels).toDF(), labels, ref,
+      (s, _) => snapshots.synchronized { snapshots += s })
     try {
       for (batch <- Seq(b1, b2)) {
         in.addData(batch)
         q.processAllAvailable()
-        val rows = spark.table("model_drift")
-          .as[(Long, Long, Seq[Long])].collect()
-        snapshots += rows.last
       }
     } finally q.stop()
 
@@ -91,14 +87,40 @@ class ModelDriftStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     val c1 = predicted(b1)
     val c12 = predicted(b1 ++ b2)
-    snapshots(0) shouldBe ((8L, ModelDriftStreams.psiU(c1, ref),
-      c1.toSeq))
-    snapshots(1) shouldBe ((20L, ModelDriftStreams.psiU(c12, ref),
-      c12.toSeq))
+    snapshots.toSeq shouldBe Seq(
+      ModelDriftStreams.ShareSnapshot(8L,
+        ModelDriftStreams.psiU(c1, ref), c1.toSeq, 0L),
+      ModelDriftStreams.ShareSnapshot(20L,
+        ModelDriftStreams.psiU(c12, ref), c12.toSeq, 0L))
 
     // semantics: balanced feed near zero, the flood alarms hard
-    snapshots(0)._2 should be < 10000L   // < 0.01 nats
-    snapshots(1)._2 should be > 100000L  // > 0.1 nats — page
-    c12.toSeq shouldBe Seq(16L, 4L)      // the flood is real dark mass
+    snapshots(0).psi_u should be < 10000L   // < 0.01 nats
+    snapshots(1).psi_u should be > 100000L  // > 0.1 nats — page
+    c12.toSeq shouldBe Seq(16L, 4L)         // the flood is real dark mass
+  }
+
+  test("a replayed batch id folds nothing, and an out-of-dictionary " +
+      "label is counted into n_unknown instead of muting the monitor") {
+    import spark.implicits._
+    val idxOf = Map("dark" -> 0, "bright" -> 1)
+    val ref = Array(6L, 6L)
+    val fold = new ModelDriftStreams.ShareFold(idxOf, 2, ref)
+
+    val b0 = Seq("dark", "dark", "bright").toDF("label")
+    val s0 = fold.fold(b0, 0L)
+    s0 shouldBe ModelDriftStreams.ShareSnapshot(3L,
+      ModelDriftStreams.psiU(Array(2L, 1L), ref), Seq(2L, 1L), 0L)
+
+    // at-least-once redelivery: strict no-op (counts not idempotent)
+    fold.fold(b0, 0L) shouldBe s0
+
+    // a mismatched dictionary (labels the dict doesn't know) must NOT
+    // be silently dropped: it lands in n_unknown, known counts still
+    // advance for the rows that do match
+    val b1 = Seq("dark", "dim", "dim", "dim").toDF("label")
+    val s1 = fold.fold(b1, 1L)
+    s1.counts shouldBe Seq(3L, 1L)
+    s1.n_unknown shouldBe 3L
+    s1.n_preds shouldBe 4L // dictionary-resolved predictions only
   }
 }
