@@ -123,7 +123,8 @@ object Explain {
     "q166_nprobe_sweep" -> "ONE pass for the whole sweep: each query ranks the 10 cells once (|queries| x 10 broadcast rows) and recall at nprobe=p is the prefix predicate prank <= p - reachable IS returned because the true top-5 outrank every candidate in any probed subset (serving-equivalence spec-pinned vs a live ivfAnn run); cell sizes are one partial-aggregable groupBy; the brute-force truth leg is queries-sized by construction (q113's sample-audit posture)",
     "q167_gate_calibration" -> "one conditional pivot over the q89 decision frame (frozen-LM input session-memoized); CASE octave buckets, not log() - exact integer compares; <=6-row output, one partial-aggregable groupBy over decisions already made",
     "q168_retrieval_eval" -> "each leg IS the production retriever (queries-sized outputs; the exact leg is the evaluation's cost - q113's sample-audit posture); judging joins <=3*k*|queries| rows against a broadcast label table; all reciprocal ranks integer-floored before averaging so no float summation order exists; 3-row report with honest full-query-count denominators",
-    "q170_margin_audit" -> "the 10-row centroid codebook broadcasts into the fan-out (BroadcastNestedLoopJoin over k rows); the per-vector top-2 collapses through the rank-pruned graft_topk bounded-heap aggregate (ObjectHashAggregate, map-side combine - 2 longs per vector cross the shuffle, NO window over the corpus fan-out); the per-label re-aggregate is labels-sized (q169/q171/q172 share this shape and are pinned in PlanShapeSpec)")
+    "q170_margin_audit" -> "the 10-row centroid codebook broadcasts into the fan-out (BroadcastNestedLoopJoin over k rows); the per-vector top-2 collapses through the rank-pruned graft_topk bounded-heap aggregate (ObjectHashAggregate, map-side combine - 2 longs per vector cross the shuffle, NO window over the corpus fan-out); the per-label re-aggregate is labels-sized (q169/q171/q172 share this shape and are pinned in PlanShapeSpec)",
+    "q173_source_recovery" -> "q169's broadcast-codebook assignment joined to a two-column documents projection on vec_id=doc_id - the ONLY corpus-sized operation (co-locatable under id bucketing, the q126 posture; BucketingSpec proves the exchange-free form); everything above the (source, label) frame is sources x labels rows, the per-source argmax an ObjectHashAggregate with map-side combine, output |sources|-sized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -112,7 +112,8 @@ object ScaleBench {
     "q162_decontam_sweep", "q163_coverage_curve", "q164_token_gini",
     "q165_rebuild_plan", "q166_nprobe_sweep", "q167_gate_calibration",
     "q168_retrieval_eval", "q169_centroid_recovery", "q170_margin_audit",
-    "q171_margin_calibration", "q172_relabel_roster")
+    "q171_margin_calibration", "q172_relabel_roster",
+    "q173_source_recovery")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

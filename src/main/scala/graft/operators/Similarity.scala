@@ -2891,7 +2891,95 @@ object Similarity {
        |WHERE rank <= $RosterK
        |ORDER BY label, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** PER-SOURCE LABEL-RECOVERY AUDIT — q169 sliced along the corpus's
+    * PROVENANCE axis, the classifier-audit family's answer to "which
+    * FEED is the model failing on": the same label-centroid assignment
+    * ([[labelAssigned]] — hard-pinned to the per-label codebook,
+    * q169's rationale) joined to each vector's document source
+    * (vec_id↔doc_id, q97's audited relation), then per source: vector
+    * support, recovered count, exact recovery micro-rate, how many
+    * distinct true labels the source carries, and the WORST-recovered
+    * label with its miss rate — the first drill-down a q169 regression
+    * needs, because a corpus-level recovery drop is almost always one
+    * feed's mix shift (the q126/q117 drift monitors say the feed
+    * changed; this says what that change costs the trained model,
+    * label by label). A source whose worst label misses hard while the
+    * others hold is a targeted-relabel candidate (q172's roster
+    * filtered to that source); a source where EVERY label misses is a
+    * feature-space mismatch — its vectors don't live where the
+    * centroids were trained.
+    *
+    * Determinism: counts exact int64, rates integer-floored (`div`);
+    * the worst label is the hash-aggregable argmax over exact
+    * micro-rates with ties to the LOWER label id (q169's tie rule,
+    * via `graft_argmax` key `(miss_u, -label)`).
+    *
+    * Scale posture: the vec_id↔doc_id equi-join is the only
+    * corpus-sized operation (both sides shuffle-pruned to two columns;
+    * co-locatable under id bucketing — the q126 posture); everything
+    * above the (source, label) frame is sources×labels-sized, the
+    * per-source re-aggregate sources-sized, and the argmax an
+    * ObjectHashAggregate with map-side combine — never a window over
+    * the corpus. */
+  private def q173(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val sl = labelAssigned(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cell") === col("label"), lit(1L)).otherwise(lit(0L)))
+          .as("n_correct"))
+      .withColumn("miss_u", expr("(1000000 * (n - n_correct)) div n"))
+    sl.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_vecs"),
+        sum(col("n_correct")).as("n_correct"),
+        count(lit(1)).as("n_labels"),
+        graft.functions.ArgMaxAgg.argMax(
+          struct(col("miss_u"), negate(col("label"))),
+          struct(col("label"), col("miss_u"))).as("w"))
+      .select(col("source"), col("n_vecs"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_vecs").as("recovery_u"),
+        col("n_labels"), col("w.label").as("worst_label"),
+        col("w.miss_u").as("worst_miss_u"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q173Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |j AS (
+       |  SELECT d.source, a.label, a.cell
+       |  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id),
+       |sl AS (
+       |  SELECT source, label, count(*) AS n,
+       |    CAST(sum(CASE WHEN cell = label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM j GROUP BY 1, 2),
+       |slm AS (
+       |  SELECT source, label, n, n_correct,
+       |    CAST((1000000 * (n - n_correct)) // n AS BIGINT) AS miss_u
+       |  FROM sl),
+       |worst AS (
+       |  SELECT source, label AS worst_label, miss_u AS worst_miss_u
+       |  FROM (
+       |    SELECT source, label, miss_u,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY miss_u DESC, label) AS rn
+       |    FROM slm) WHERE rn = 1)
+       |SELECT s.source, s.n_vecs, s.n_correct,
+       |  CAST((1000000 * s.n_correct) // s.n_vecs AS BIGINT) AS recovery_u,
+       |  s.n_labels, w.worst_label, w.worst_miss_u
+       |FROM (
+       |  SELECT source, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |    CAST(sum(n_correct) AS BIGINT) AS n_correct,
+       |    count(*) AS n_labels
+       |  FROM sl GROUP BY 1) s
+       |JOIN worst w ON s.source = w.source
+       |ORDER BY s.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q173_source_recovery" -> (q173 _),
     "q172_relabel_roster" -> (q172 _),
     "q171_margin_calibration" -> (q171 _),
     "q170_margin_audit" -> (q170 _),
@@ -2927,6 +3015,7 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q173_source_recovery" -> q173Sql,
     "q172_relabel_roster" -> q172Sql,
     "q171_margin_calibration" -> q171Sql,
     "q170_margin_audit" -> q170Sql,

@@ -618,6 +618,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q173: the provenance slice keeps the audit family's shape — " +
+      "hash-aggregable argmax, no window over the corpus, no Cartesian; " +
+      "the documents side is a two-column pruned scan") {
+    val p = plan("q173_source_recovery")
+    p should include("ObjectHashAggregate") // graft_argmax worst-label
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include("Broadcast") // the k-row codebook side
+    val docsScan = SparkEntry.queries("q173_source_recovery")(
+      spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan.collectLeaves()
+      .filter(_.nodeName.contains("Scan"))
+      .find(_.output.exists(_.name == "source")).get
+    docsScan.output.map(_.name).toSet shouldBe Set("doc_id", "source")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
