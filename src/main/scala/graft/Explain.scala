@@ -124,7 +124,8 @@ object Explain {
     "q167_gate_calibration" -> "one conditional pivot over the q89 decision frame (frozen-LM input session-memoized); CASE octave buckets, not log() - exact integer compares; <=6-row output, one partial-aggregable groupBy over decisions already made",
     "q168_retrieval_eval" -> "each leg IS the production retriever (queries-sized outputs; the exact leg is the evaluation's cost - q113's sample-audit posture); judging joins <=3*k*|queries| rows against a broadcast label table; all reciprocal ranks integer-floored before averaging so no float summation order exists; 3-row report with honest full-query-count denominators",
     "q170_margin_audit" -> "the 10-row centroid codebook broadcasts into the fan-out (BroadcastNestedLoopJoin over k rows); the per-vector top-2 collapses through the rank-pruned graft_topk bounded-heap aggregate (ObjectHashAggregate, map-side combine - 2 longs per vector cross the shuffle, NO window over the corpus fan-out); the per-label re-aggregate is labels-sized (q169/q171/q172 share this shape and are pinned in PlanShapeSpec)",
-    "q173_source_recovery" -> "q169's broadcast-codebook assignment joined to a two-column documents projection on vec_id=doc_id - the ONLY corpus-sized operation (co-locatable under id bucketing, the q126 posture; BucketingSpec proves the exchange-free form); everything above the (source, label) frame is sources x labels rows, the per-source argmax an ObjectHashAggregate with map-side combine, output |sources|-sized")
+    "q173_source_recovery" -> "q169's broadcast-codebook assignment joined to a two-column documents projection on vec_id=doc_id - the ONLY corpus-sized operation (co-locatable under id bucketing, the q126 posture; BucketingSpec proves the exchange-free form); everything above the (source, label) frame is sources x labels rows, the per-source argmax an ObjectHashAggregate with map-side combine, output |sources|-sized",
+    "q174_drift_panel" -> "a COMPOSITION (q157's discipline): the three parent drift monitors (q117 length PSI, q126 label PSI, q100 embedding drift) each produce their audited sources-sized frame, and the panel is two |sources|-row equi-joins plus codegen'd integer-threshold CASE columns - no new corpus-sized operation exists in the plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

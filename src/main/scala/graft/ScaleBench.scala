@@ -113,7 +113,7 @@ object ScaleBench {
     "q165_rebuild_plan", "q166_nprobe_sweep", "q167_gate_calibration",
     "q168_retrieval_eval", "q169_centroid_recovery", "q170_margin_audit",
     "q171_margin_calibration", "q172_relabel_roster",
-    "q173_source_recovery")
+    "q173_source_recovery", "q174_drift_panel")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

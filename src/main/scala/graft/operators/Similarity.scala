@@ -2978,7 +2978,78 @@ object Similarity {
        |JOIN worst w ON s.source = w.source
        |ORDER BY s.source""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** PER-SOURCE DRIFT-LOCALIZATION PANEL — the triage table the drift
+    * family's scaladocs keep promising, materialized as ONE query:
+    * q117 (input length marginal), q126 (label mix) and q100
+    * (embedding geometry) each watch one layer of a feed, and their
+    * per-source statistics joined side by side LOCALIZE an alarm to
+    * feed-vs-representation-vs-decision — the first question an
+    * on-call asks. Per source: doc support, the three exact
+    * statistics, three alarm flags (PSI ≥ the 0.1-nat investigate
+    * band the family documents; mean-direction cosine under
+    * [[PanelCosFloorU]] ≈ more than ~18° off the corpus mean), and a
+    * one-word diagnosis by explanatory priority: `feed` (the INPUT
+    * marginal moved — upstream mix shift explains any downstream
+    * movement too), else `representation` (inputs look stable but the
+    * geometry moved — the encoder drifted), else `decision` (inputs
+    * and geometry stable yet the label mix moved — the boundary is
+    * doing something new), else `stable`.
+    *
+    * Determinism: every number is the parent query's oracled exact
+    * int64; the flags are integer threshold compares on those, so no
+    * boundary row can flip engines.
+    *
+    * Scale posture: a COMPOSITION, not new machinery (q157's
+    * datasheet discipline) — the three parents' audited plans produce
+    * sources-sized frames, and everything here is two |sources|-row
+    * equi-joins plus codegen'd CASE columns. */
+  val PanelPsiAlarmU = 100000L  // the 0.1-nat investigate band
+  val PanelCosFloorU = 950000L  // cos 0.95 ≈ 18° off the corpus mean
+
+  private def q174(spark: SparkSession, dir: String): DataFrame = {
+    val len = TextAnalysis.queries("q117_source_psi")(spark, dir)
+      .select(col("source"), col("n_docs"),
+        col("psi_u").as("len_psi_u"))
+    val lab = q126(spark, dir)
+      .select(col("source"), col("psi_u").as("label_psi_u"))
+    val emb = q100(spark, dir)
+      .select(col("source"), col("drift_u").as("emb_cos_u"))
+    len.join(lab, Seq("source")).join(emb, Seq("source"))
+      .withColumn("len_alarm", col("len_psi_u") >= PanelPsiAlarmU)
+      .withColumn("label_alarm", col("label_psi_u") >= PanelPsiAlarmU)
+      .withColumn("emb_alarm", col("emb_cos_u") < PanelCosFloorU)
+      .withColumn("diagnosis",
+        when(col("len_alarm"), lit("feed"))
+          .when(col("emb_alarm"), lit("representation"))
+          .when(col("label_alarm"), lit("decision"))
+          .otherwise(lit("stable")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q174Sql =
+    s"""WITH lenp AS (
+       |  SELECT * FROM (${TextAnalysis.oracles("q117_source_psi")})),
+       |labp AS (SELECT * FROM ($q126Sql)),
+       |embd AS (SELECT * FROM ($q100Sql)),
+       |j AS (
+       |  SELECT l.source, l.n_docs, l.psi_u AS len_psi_u,
+       |    b.psi_u AS label_psi_u, e.drift_u AS emb_cos_u
+       |  FROM lenp l
+       |    JOIN labp b ON l.source = b.source
+       |    JOIN embd e ON l.source = e.source)
+       |SELECT source, n_docs, len_psi_u, label_psi_u, emb_cos_u,
+       |  len_psi_u >= $PanelPsiAlarmU AS len_alarm,
+       |  label_psi_u >= $PanelPsiAlarmU AS label_alarm,
+       |  emb_cos_u < $PanelCosFloorU AS emb_alarm,
+       |  CASE WHEN len_psi_u >= $PanelPsiAlarmU THEN 'feed'
+       |       WHEN emb_cos_u < $PanelCosFloorU THEN 'representation'
+       |       WHEN label_psi_u >= $PanelPsiAlarmU THEN 'decision'
+       |       ELSE 'stable' END AS diagnosis
+       |FROM j ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q174_drift_panel" -> (q174 _),
     "q173_source_recovery" -> (q173 _),
     "q172_relabel_roster" -> (q172 _),
     "q171_margin_calibration" -> (q171 _),
@@ -3015,6 +3086,7 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q174_drift_panel" -> q174Sql,
     "q173_source_recovery" -> q173Sql,
     "q172_relabel_roster" -> q172Sql,
     "q171_margin_calibration" -> q171Sql,
