@@ -3048,7 +3048,199 @@ object Similarity {
        |       ELSE 'stable' END AS diagnosis
        |FROM j ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** CONFIDENT-LEARNING LABEL-NOISE AUDIT — the Cleanlab-style
+    * (Northcutt et al., JAIR 2021) confident-joint over the
+    * label-centroid classifier the q169 family evaluates: q169 asks
+    * "does the geometry recover the labels?", this asks the inverse —
+    * "which GIVEN labels does the geometry confidently contradict?",
+    * the question that separates a weak classifier from a mislabeled
+    * corpus. Per class j, the self-confidence threshold t_j is the
+    * floor-mean cosine of class-j-labeled vectors to their OWN
+    * centroid; a vector counts into the confident joint at (given,
+    * pred) where pred is its highest-cosine centroid AMONG those whose
+    * threshold it clears (no centroid cleared → the vector abstains —
+    * Cleanlab's guard against counting low-confidence noise as
+    * evidence). Per given label: support, confident count, confidently
+    * contradicted count (`n_noise`), the noise micro-rate over the
+    * FULL support, and the dominant contradiction target (where the
+    * suspected-mislabeled mass points; −1/0 when no contradiction) —
+    * the per-class relabel-priority table q178 turns into a roster.
+    *
+    * Determinism: cosines micro-floored then SHIFTED (+10⁶ → every
+    * value ≥ 0) so the threshold floor-division agrees between Spark
+    * (`div` truncates toward zero) and DuckDB (`//` floors) — they
+    * coincide only on nonnegative operands, and a mean of raw cosines
+    * can be negative. The shift is mean-equivariant (⌊(Σc+nS)/n⌋ =
+    * ⌊Σc/n⌋+S), so the confident test is unchanged. Ties: argmax to
+    * the LOWER centroid id (q169's rule); dominant target ties to the
+    * lower pred id.
+    *
+    * Scale posture: ONE corpus×k broadcast fan-out (the q170 family's
+    * frame, memoized per session/dir via [[confidentPreds]] — q175 and
+    * q178 share it), collapsed by a hash-aggregable argmax
+    * (ObjectHashAggregate with map-side combine — k longs per vector
+    * cross the shuffle, never a corpus window); thresholds are a
+    * labels-sized broadcast; the joint is partial-aggregable over
+    * ≤ labels² cells. */
+  private[graft] def confidentPreds(spark: SparkSession,
+      dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#confidentPreds") {
+      val emb = scaledEmb(spark, dir)
+      val cent = centroids(emb)
+      val cos = emb.crossJoin(broadcast(cent))
+        .withColumn("cos_s",
+          floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+            * 1000000.0).cast(LongType) + lit(1000000L))
+        .select(col("vec_id"), col("label"), col("c_label"), col("cos_s"))
+      val thr = cos.filter(col("c_label") === col("label"))
+        .groupBy(col("c_label").as("t_label"))
+        .agg(expr("sum(cos_s) div count(1)").as("t_s"))
+      // One pass over the fan-out: the confident argmax (non-clearing
+      // rows demoted to key −1, flagged off via has_conf) and the
+      // self-cosine ride the same hash aggregate.
+      cos.join(broadcast(thr), col("c_label") === col("t_label"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          graft.functions.ArgMaxAgg.argMax(
+            struct(when(col("cos_s") >= col("t_s"), col("cos_s"))
+              .otherwise(lit(-1L)), negate(col("c_label"))),
+            struct(col("c_label"), col("cos_s"),
+              when(col("cos_s") >= col("t_s"), lit(1L)).otherwise(lit(0L))
+                .as("ok"))).as("p"),
+          max(when(col("c_label") === col("label"), col("cos_s")))
+            .as("self_s"))
+        .filter(col("p.ok") === 1L)
+        .select(col("vec_id"), col("label"), col("p.c_label").as("pred"),
+          col("p.cos_s").as("conf_s"), col("self_s"))
+    }
+
+  /** The confident-prediction CTE chain shared by q175/q178 — the SQL
+    * twin of [[confidentPreds]]. */
+  private val confidentSqlCtes =
+    s"""emb AS ($scaledEmbSql),
+       |pos AS (
+       |  SELECT label, vec_id, sv, n2,
+       |    unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM emb),
+       |csum AS (
+       |  SELECT label AS c_label, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT c_label, list(s ORDER BY p0) AS cs FROM csum GROUP BY 1),
+       |cent2 AS (
+       |  SELECT c_label, cs, ${dotLSql("cs", "cs")} AS cn2 FROM cent),
+       |cosv AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) + 1000000 AS cos_s
+       |  FROM emb e CROSS JOIN cent2 c),
+       |thr AS (
+       |  SELECT c_label AS t_label,
+       |    CAST(sum(cos_s) AS BIGINT) // count(*) AS t_s
+       |  FROM cosv WHERE c_label = label GROUP BY 1),
+       |cp AS (
+       |  SELECT p.vec_id, p.label, p.pred, p.conf_s, s.cos_s AS self_s
+       |  FROM (
+       |    SELECT vec_id, label, c_label AS pred, cos_s AS conf_s FROM (
+       |      SELECT v.*, row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.cos_s DESC, v.c_label) AS rn
+       |      FROM cosv v JOIN thr t ON v.c_label = t.t_label
+       |      WHERE v.cos_s >= t.t_s) WHERE rn = 1) p
+       |  JOIN cosv s ON p.vec_id = s.vec_id AND s.c_label = s.label)""".stripMargin
+
+  private def q175(spark: SparkSession, dir: String): DataFrame = {
+    val cp = confidentPreds(spark, dir)
+    val base = scaledEmb(spark, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val agg = cp.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_confident"),
+        sum(when(col("pred") =!= col("label"), 1L).otherwise(0L))
+          .as("n_noise"))
+    val topc = cp.filter(col("pred") =!= col("label"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("n"), negate(col("pred"))),
+        struct(col("pred"), col("n"))).as("t"))
+      .select(col("label"), col("t.pred").as("tc"), col("t.n").as("tcn"))
+    base.join(agg, Seq("label"), "left").join(topc, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_confident"), lit(0L)).as("n_confident"),
+        coalesce(col("n_noise"), lit(0L)).as("n_noise"),
+        expr("(1000000 * coalesce(n_noise, 0)) div n_vecs")
+          .as("noise_rate_u"),
+        coalesce(col("tc"), lit(-1)).as("top_confusion"),
+        coalesce(col("tcn"), lit(0L)).as("top_confusion_n"))
+      .orderBy(col("label"))
+  }
+
+  private val q175Sql =
+    s"""WITH $confidentSqlCtes,
+       |base AS (SELECT label, count(*) AS n_vecs FROM emb GROUP BY 1),
+       |agg AS (
+       |  SELECT label, count(*) AS n_confident,
+       |    CAST(sum(CASE WHEN pred <> label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_noise
+       |  FROM cp GROUP BY 1),
+       |topc AS (
+       |  SELECT label, pred AS tc, n AS tcn FROM (
+       |    SELECT label, pred, n, row_number() OVER (PARTITION BY label
+       |      ORDER BY n DESC, pred) AS rn
+       |    FROM (SELECT label, pred, count(*) AS n FROM cp
+       |          WHERE pred <> label GROUP BY 1, 2)) WHERE rn = 1)
+       |SELECT b.label, b.n_vecs,
+       |  coalesce(a.n_confident, 0) AS n_confident,
+       |  coalesce(a.n_noise, 0) AS n_noise,
+       |  (1000000 * coalesce(a.n_noise, 0)) // b.n_vecs AS noise_rate_u,
+       |  coalesce(t.tc, -1) AS top_confusion,
+       |  coalesce(t.tcn, 0) AS top_confusion_n
+       |FROM base b
+       |  LEFT JOIN agg a ON b.label = a.label
+       |  LEFT JOIN topc t ON b.label = t.label
+       |ORDER BY b.label""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+  /** LABEL-NOISE ROSTER — q175's actionable artifact: the top-30
+    * confidently-contradicted examples, ranked by HOW MUCH more the
+    * geometry believes the contradicting class than the given one
+    * (`wrong_u` = confident-argmax cosine − own-centroid cosine, exact
+    * micro-units; it CAN be negative — the pred centroid clearing its
+    * own class threshold while sitting below the self-cosine is
+    * Cleanlab's per-class-threshold subtlety, kept visible rather than
+    * clamped). The complement of q172's relabel roster: q172 surfaces
+    * the UNCERTAIN examples (minimum margin — annotate to sharpen the
+    * boundary), this surfaces the confidently-wrong ones (annotate to
+    * FIX the label) — an annotation budget wants both ends, never the
+    * comfortable middle.
+    *
+    * Scale posture: reads the memoized [[confidentPreds]] frame (built
+    * once for the q175 family), filters to contradictions, and the
+    * global top-30 is `orderBy.limit` — TakeOrderedAndProject, a
+    * bounded heap per partition + 30-row merge, never a global sort. */
+  private def q178(spark: SparkSession, dir: String): DataFrame =
+    confidentPreds(spark, dir)
+      .filter(col("pred") =!= col("label"))
+      .select(col("vec_id"), col("label"), col("pred"),
+        (col("conf_s") - lit(1000000L)).as("conf_u"),
+        (col("self_s") - lit(1000000L)).as("self_u"),
+        (col("conf_s") - col("self_s")).as("wrong_u"))
+      .orderBy(col("wrong_u").desc, col("vec_id"))
+      .limit(30)
+
+  private val q178Sql =
+    s"""WITH $confidentSqlCtes
+       |SELECT vec_id, label, pred,
+       |  conf_s - 1000000 AS conf_u,
+       |  self_s - 1000000 AS self_u,
+       |  conf_s - self_s AS wrong_u
+       |FROM cp WHERE pred <> label
+       |ORDER BY wrong_u DESC, vec_id
+       |LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q178_noise_roster" -> (q178 _),
+    "q175_label_noise" -> (q175 _),
     "q174_drift_panel" -> (q174 _),
     "q173_source_recovery" -> (q173 _),
     "q172_relabel_roster" -> (q172 _),
@@ -3086,6 +3278,8 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q178_noise_roster" -> q178Sql,
+    "q175_label_noise" -> q175Sql,
     "q174_drift_panel" -> q174Sql,
     "q173_source_recovery" -> q173Sql,
     "q172_relabel_roster" -> q172Sql,

@@ -3263,6 +3263,144 @@ object TextAnalysis {
        |FROM ecdf GROUP BY source
        |ORDER BY ks_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Exact 1-D WASSERSTEIN (earth-mover) drift per source — the
+    * mass-weighted complement of q154's KS: KS reads the single worst
+    * ECDF gap (sharp, but a distribution whose whole body shifted by
+    * one char and one whose tail teleported can score the same), EMD
+    * integrates |F_src − F_corpus| over the value axis, so the
+    * statistic is literally "average characters of movement per
+    * document" (×10⁶) — the number a retraining-trigger thresholds,
+    * because cost of drift is proportional to how far the mass moved,
+    * not how sharply. For discrete integer lengths the integral is
+    * exact: Σ_v |F_s(v) − F_c(v)| · (next_v − v) over the merged value
+    * domain, with both ECDFs in micro-units (integer `div` — the same
+    * fixed-point as q154, so no float accumulation and no boundary row
+    * can flip engines). `emd_u` = micro-units × chars; reading it
+    * `div` 10⁶ gives whole characters of mean displacement.
+    *
+    * Scale posture: identical frame to q154 (deliberately — one
+    * per-(source, value) partial-aggregable count is the only
+    * corpus-sized operation, and a session running both drift
+    * statistics shares the scan shape); the ECDF windows run over the
+    * |sources| × |values| grid where |values| is bounded by the max
+    * document length, and the gap term is one `lead` in the SAME
+    * source-partitioned window order (no extra shuffle: Spark plans
+    * the running sum and the lead as one window node). Int64 headroom:
+    * |gap| ≤ 10⁶ per grid row and Σ gaps = value span, so emd_u ≤
+    * 10⁶ · span — overflow needs a 9·10¹²-char document. */
+  private def q176(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val stot = sv.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
+    val cv = sv.groupBy(col("v")).agg(sum(col("cnt")).as("ccnt"))
+    val wDom = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = cv.withColumn("ccum", sum(col("ccnt")).over(wDom))
+      .select(col("v"), col("ccum"))
+    val ctot = cv.agg(sum(col("ccnt")).as("ctot"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+    val wSrcCum = wSrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stot.crossJoin(cc) // the |sources| × |values| ECDF grid (q154's)
+      .join(sv, Seq("source", "v"), "left").na.fill(0L, Seq("cnt"))
+      .withColumn("scum", sum(col("cnt")).over(wSrcCum))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wSrc), col("v")) - col("v"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("f_s", expr("(1000000 * scum) div stot"))
+      .withColumn("f_c", expr("(1000000 * ccum) div ctot"))
+      .groupBy(col("source"))
+      .agg(max(col("stot")).as("n_docs"),
+        sum(abs(col("f_s") - col("f_c")) * col("gap")).as("emd_u"))
+      .orderBy(col("emd_u").desc, col("source"))
+  }
+
+  private val q176Sql =
+    s"""WITH sv AS (
+       |  SELECT source, n_chars AS v, count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stot
+       |  FROM sv GROUP BY 1),
+       |cv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |  FROM sv GROUP BY 1),
+       |cc AS (SELECT v, CAST(sum(ccnt) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS ccum FROM cv),
+       |ctot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM cv),
+       |grid AS (
+       |  SELECT s.source, s.stot, c.v, c.ccum, t.ctot
+       |  FROM stot s CROSS JOIN cc c CROSS JOIN ctot t),
+       |ecdf AS (
+       |  SELECT g.source, g.stot, g.ctot, g.ccum,
+       |    CAST(sum(coalesce(x.cnt, 0)) OVER (PARTITION BY g.source
+       |      ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS scum,
+       |    coalesce(lead(g.v) OVER (PARTITION BY g.source ORDER BY g.v),
+       |      g.v) - g.v AS gap
+       |  FROM grid g LEFT JOIN sv x ON g.source = x.source AND g.v = x.v)
+       |SELECT source, max(stot) AS n_docs,
+       |  CAST(sum(abs((1000000 * scum) // stot - (1000000 * ccum) // ctot)
+       |    * gap) AS BIGINT) AS emd_u
+       |FROM ecdf GROUP BY source
+       |ORDER BY emd_u DESC, source""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** GOOD-TURING UNSEEN-MASS AUDIT per source — the token-level
+    * novelty forecast: the Good–Turing estimate of the probability
+    * that the NEXT token drawn from a source is a word never seen
+    * before is P₀ = N₁/N (hapax count over token count) — the only
+    * distribution-free answer to "how much new vocabulary is this
+    * source still holding?", which is the crawl-prioritization and
+    * mixing-weight signal q122 gives at document granularity and this
+    * gives at token granularity. Per source: token mass N, vocabulary
+    * V, hapax count N₁, dis-legomena N₂ (the Good–Turing smoothing
+    * pair — N₂/N₁ collapsing toward 0 flags a truncated/boilerplate
+    * vocabulary), `unseen_mass_u` = ⌊10⁶·N₁/N⌋ and `hapax_share_u` =
+    * ⌊10⁶·N₁/V⌋ (what fraction of the vocabulary is one-shot — near
+    * 10⁶ means the source never repeats itself: ids/hashes/spam).
+    *
+    * Determinism: exact int64 counts and integer `div` rates — no
+    * floats anywhere. Scale posture: one explode + one
+    * partial-aggregable (source, word) count — the q50 vocabulary
+    * frame one key coarser — then a |source·vocab|-row re-aggregate
+    * whose map side combines to |sources| rows; nothing corpus-sized
+    * crosses the wire twice, and the frequency-of-frequency counts
+    * (sum of CASE) ride the same aggregate rather than a second
+    * grouping. */
+  private def q177(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("unseen_mass_u", expr("(1000000 * n_hapax) div n_tokens"))
+      .withColumn("hapax_share_u", expr("(1000000 * n_hapax) div vocab"))
+      .orderBy(col("unseen_mass_u").desc, col("source"))
+  }
+
+  private val q177Sql =
+    s"""WITH wc AS (
+       |  SELECT source, w, count(*) AS c
+       |  FROM (SELECT source, unnest(${tokensSql("text")}) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS vocab,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+       |  FROM wc GROUP BY 1)
+       |SELECT source, n_tokens, vocab, n_hapax, n_dis,
+       |  (1000000 * n_hapax) // n_tokens AS unseen_mass_u,
+       |  (1000000 * n_hapax) // vocab AS hapax_share_u
+       |FROM agg
+       |ORDER BY unseen_mass_u DESC, source""".stripMargin
+
   // ---------------------------------------------------------------- q157
   /** DATASET CARD / DATASHEET — the per-source one-row summary a
     * released corpus publishes (Gebru et al., "Datasheets for
@@ -3810,6 +3948,8 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q154_ks_drift" -> (q154 _),
+    "q176_emd_drift" -> (q176 _),
+    "q177_good_turing" -> (q177 _),
     "q157_datasheet" -> (q157 _),
     "q159_snapshot_delta" -> (q159 _),
     "q161_norm_lift" -> (q161 _),
@@ -3866,6 +4006,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q154_ks_drift" -> q154Sql,
+    "q176_emd_drift" -> q176Sql,
+    "q177_good_turing" -> q177Sql,
     "q157_datasheet" -> q157Sql,
     "q159_snapshot_delta" -> q159Sql,
     "q161_norm_lift" -> q161Sql,

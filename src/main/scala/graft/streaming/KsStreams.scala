@@ -4,15 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
-/** STREAMING exact-KS drift monitor — the full-resolution member of
-  * the streaming drift family, completing the PSI-vs-KS trade batch
-  * q117/q154 document: [[PsiStreams]] keeps 8 fixed bucket counters
-  * per source (robust, constant state, blind to shape changes inside
-  * a bucket); this keeps the EXACT per-value counters and emits the
-  * running two-sample Kolmogorov–Smirnov statistic against a FROZEN
-  * reference distribution (the blessed corpus' value marginal,
-  * computed batch-side — the same ship-the-artifact posture as the
-  * PSI reference, the quality LM and the decontamination postings).
+/** STREAMING exact-KS + Wasserstein drift monitor — the
+  * full-resolution member of the streaming drift family, completing
+  * the PSI-vs-KS trade batch q117/q154 document: [[PsiStreams]] keeps
+  * 8 fixed bucket counters per source (robust, constant state, blind
+  * to shape changes inside a bucket); this keeps the EXACT per-value
+  * counters and emits the running two-sample Kolmogorov–Smirnov
+  * statistic AND the exact 1-D earth-mover distance (batch q176 —
+  * same state, second read: the counters are the sufficient statistic
+  * for the whole ECDF) against a FROZEN reference distribution (the
+  * blessed corpus' value marginal, computed batch-side — the same
+  * ship-the-artifact posture as the PSI reference, the quality LM and
+  * the decontamination postings).
   *
   * State is bounded by the VALUE DOMAIN, not the stream: one int64
   * per distinct document length a source has ever shipped (q154's
@@ -30,24 +33,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 object KsStreams {
 
   final case class KsState(values: Map[Long, Long])
-  final case class KsSnapshot(source: String, n_docs: Long, ks_u: Long)
+  final case class KsSnapshot(source: String, n_docs: Long, ks_u: Long,
+      emd_u: Long)
 
   /** q154's exact integer ECDF-gap arithmetic: walk the merged sorted
     * value domain, cumulate both sides, take the max micro-unit gap.
     * Shared by the stream and the spec's batch replay. */
-  def ksU(counts: Map[Long, Long], ref: Seq[(Long, Long)]): Long = {
+  def ksU(counts: Map[Long, Long], ref: Seq[(Long, Long)]): Long =
+    ksEmdU(counts, ref)._1
+
+  /** Both drift statistics off ONE walk of the merged value domain —
+    * the per-value counters the state already holds are the sufficient
+    * statistic for the whole ECDF, so the max gap (KS, q154) and the
+    * mass-weighted integral (1-D Wasserstein, q176: Σ|F_s−F_r|·gap
+    * with gap = next_v − v, 0 at the domain end) are two reads of the
+    * same cumulation. Integer micro-unit `div` throughout — replays
+    * both batch queries' arithmetic exactly, so boundary snapshots are
+    * bit-equal to q154/q176 (spec-pinned). */
+  def ksEmdU(counts: Map[Long, Long], ref: Seq[(Long, Long)]): (Long, Long) = {
     val stot = counts.valuesIterator.sum
     val rtot = ref.iterator.map(_._2).sum
-    if (stot == 0L || rtot == 0L) return 0L
+    if (stot == 0L || rtot == 0L) return (0L, 0L)
     val refMap = ref.toMap
-    var scum = 0L; var rcum = 0L; var ks = 0L
-    (counts.keySet ++ refMap.keySet).toSeq.sorted.foreach { v =>
+    val dom = (counts.keySet ++ refMap.keySet).toSeq.sorted
+    var scum = 0L; var rcum = 0L; var ks = 0L; var emd = 0L
+    dom.indices.foreach { i =>
+      val v = dom(i)
       scum += counts.getOrElse(v, 0L)
       rcum += refMap.getOrElse(v, 0L)
       val d = math.abs(1000000L * scum / stot - 1000000L * rcum / rtot)
       if (d > ks) ks = d
+      if (i + 1 < dom.size) emd += d * (dom(i + 1) - v)
     }
-    ks
+    (ks, emd)
   }
 
   /** The frozen reference: the trusted corpus' value marginal
@@ -91,6 +109,7 @@ object KsStreams {
     rows.foreach { case (_, v) => acc(v) = acc.getOrElse(v, 0L) + 1L }
     val counts = acc.iterator.map { case (v, c) => (v, c) }.toMap
     state.update(KsState(counts))
-    KsSnapshot(src, counts.valuesIterator.sum, ksU(counts, ref))
+    val (ks, emd) = ksEmdU(counts, ref)
+    KsSnapshot(src, counts.valuesIterator.sum, ks, emd)
   }
 }

@@ -48,22 +48,29 @@ class KsStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
             val counts = rs.groupBy(_._2).view
               .mapValues(_.size.toLong).toMap
             latest(src).n_docs shouldBe rs.size.toLong
-            latest(src).ks_u shouldBe KsStreams.ksU(counts, ref)
+            val (ks, emd) = KsStreams.ksEmdU(counts, ref)
+            latest(src).ks_u shouldBe ks
+            latest(src).emd_u shouldBe emd
           }
         }
       }
     } finally q.stop()
 
-    // Final boundary: bit-equal to batch q154 (reference = the corpus'
-    // own mixture, everything seen = the corpus).
+    // Final boundary: bit-equal to batch q154 AND batch q176 (reference
+    // = the corpus' own mixture, everything seen = the corpus) — the
+    // one retained state serves both drift statistics exactly.
     val batch = SparkEntry.queries("q154_ks_drift")(spark, dir)
       .select("source", "n_docs", "ks_u")
       .as[(String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batchEmd = SparkEntry.queries("q176_emd_drift")(spark, dir)
+      .select("source", "emd_u")
+      .as[(String, Long)].collect().toMap
     latest.synchronized {
       latest.keySet shouldBe batch.keySet
       latest.foreach { case (src, snap) =>
         (snap.n_docs, snap.ks_u) shouldBe batch(src)
+        snap.emd_u shouldBe batchEmd(src)
       }
     }
   }
@@ -100,6 +107,11 @@ class KsStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     latest.synchronized {
       latest("sGood").ks_u should be < 100000L
       latest("sDrift").ks_u shouldBe 1000000L // fully displaced mass
+      // EMD reads the DISTANCE the mass moved, not just that it moved:
+      // the drifted source slid ~50 chars, so the integral is ~50×10⁶
+      // micro-char-units; the in-place source stays near zero.
+      latest("sGood").emd_u should be < 1000000L
+      latest("sDrift").emd_u should be > 40000000L
     }
   }
 }
