@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   *    simply answer nothing, exactly like a query with no candidates;
   *  - `--eval`: also run q168's side-by-side retrieval-quality
   *    evaluation (MRR / hit rate / precision@5 under label-match
-  *    relevance, exact micro-units) and ship it as `<out>/eval/`.
+  *    relevance, exact micro-units) and ship it as `<out>/eval/`;
+  *  - `--diversify <λ>`: MMR re-rank of each served candidate list
+  *    ([[graft.operators.Similarity.mmrRerank]] — λ an integer
+  *    percent; 100 = pure relevance, lower λ trades relevance for
+  *    novelty so near-duplicate hits stop crowding the top-k). Same
+  *    rows, diversity-aware order, exact integer scoring.
   *
   * Results land as `<out>/results/` single-file JSON lines, ranked
   * rows exactly as the underlying query emits them — `ServeSpec` pins
@@ -43,7 +48,8 @@ object Serve {
 
   private val Usage =
     "Usage: graft.Serve <sf_dir> <out_dir> " +
-      "[--retriever dense|lsh|ivf|fused] [--queries <id_file>] [--eval]"
+      "[--retriever dense|lsh|ivf|fused] [--queries <id_file>] [--eval] " +
+      "[--diversify <lambda 0-100>]"
 
   private val Retrievers = Map(
     "dense" -> "q38_cosine_topk",
@@ -58,7 +64,7 @@ object Serve {
 
   final case class Config(sfDir: String, outDir: String,
       retriever: String = "fused", queriesFile: Option[String] = None,
-      eval: Boolean = false)
+      eval: Boolean = false, diversify: Option[Int] = None)
 
   private def parse(args: Array[String]): Option[Config] = {
     def loop(rest: List[String], pos: List[String],
@@ -71,6 +77,9 @@ object Serve {
       case "--queries" :: v :: t if !v.startsWith("--") =>
         loop(t, pos, cfg.copy(queriesFile = Some(v)))
       case "--eval" :: t => loop(t, pos, cfg.copy(eval = true))
+      case "--diversify" :: v :: t
+          if v.toIntOption.exists(x => x >= 0 && x <= 100) =>
+        loop(t, pos, cfg.copy(diversify = v.toIntOption))
       case s :: t if !s.startsWith("--") && pos.length < 2 =>
         loop(t, s :: pos, cfg)
       case _ => None
@@ -118,7 +127,13 @@ object Serve {
     }
 
     val all = SparkEntry.queries(Retrievers(cfg.retriever))(spark, cfg.sfDir)
-    val results = queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))
+    val picked = queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))
+    // --diversify λ: MMR re-rank of the served candidate lists (same
+    // rows, diversity-aware order — λ=100 is pure relevance). Runs
+    // AFTER the query-id filter so the greedy pass touches only the
+    // lists actually served.
+    val results = cfg.diversify.fold(picked)(lambda =>
+      graft.operators.Similarity.mmrRerank(spark, cfg.sfDir, picked, lambda))
     results.coalesce(1).write.json(s"${cfg.outDir}/results")
 
     if (cfg.eval)

@@ -3238,6 +3238,98 @@ object Similarity {
        |ORDER BY wrong_u DESC, vec_id
        |LIMIT 30""".stripMargin
 
+  // ------------------------------------------------------------- MMR
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity pass a serving layer runs over a retriever's
+    * candidate list: greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate
+    * hits (which every dedup audit in this suite shows corpora are full
+    * of) stop crowding out the second TOPIC in the top-k. Relevance
+    * and redundancy are deliberately the SAME instrument — exact
+    * micro-unit cosine from the scaled-embedding frame — so the two
+    * MMR terms are commensurable whatever retriever produced the list
+    * (rank-fused RRF scores and raw cosines are not). λ is an integer
+    * percent; scores compare as exact int64 (λ·rel_u − (100−λ)·sim_u —
+    * the /100 normalization cancels in comparisons), ties to the lower
+    * doc id, so the re-rank is deterministic. λ=100 degenerates to
+    * pure relevance — on the dense retriever that reproduces the
+    * retriever's own order exactly (spec-pinned).
+    *
+    * Scale posture: the greedy loop is inherently sequential but runs
+    * per query over the retriever's ALREADY-BOUNDED candidate list
+    * (≤ 10 rows here; pool-sized in production) — a typed `mapGroups`
+    * over bounded groups, the same discipline as the streaming
+    * modules' per-key state. The vector join fans the candidate list
+    * (queries × k rows) against the embedding table — candidates-
+    * sized, never corpus×corpus; the query-vector side broadcasts. */
+  def mmrRerank(spark: SparkSession, dir: String, served: DataFrame,
+      lambdaPct: Int): DataFrame = {
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"mmrRerank lambda must be an integer percent in [0, 100], got $lambdaPct")
+    import spark.implicits._
+    val idCol = if (served.columns.contains("vec_id")) "vec_id" else "doc_id"
+    val emb = scaledEmb(spark, dir)
+    val qv = emb.select(col("vec_id").as("q_id"), col("sv").as("qsv"),
+      col("n2").as("qn2"))
+    val pairs = served.select(col("q_id"), col(idCol).as("id"))
+      .join(emb.select(col("vec_id").as("id"), col("sv"), col("n2")), "id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("id"), col("qsv"), col("qn2"),
+        col("sv"), col("n2"))
+      .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // The exact Column-side cosine recipe ([[cosine]]) in driver-side
+    // form: one multiply, one sqrt, one divide — correctly-rounded
+    // IEEE doubles — then the micro-floor.
+    def cosU(d: Long, n2a: Long, n2b: Long): Long =
+      math.floor(d.toDouble / math.sqrt(n2a.toDouble * n2b.toDouble)
+        * 1000000.0).toLong
+    pairs.groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val cand = rows.map { case (_, id, qsv, qn2, sv, n2) =>
+          (id, cosU(dot(qsv, sv), qn2, n2), sv, n2)
+        }.toArray.sortBy { case (id, rel, _, _) => (-rel, id) }
+        val n = cand.length
+        val selected = Array.ofDim[Int](n)
+        val taken = Array.fill(n)(false)
+        val out = Array.ofDim[(Long, Long, Long, Long)](n)
+        var k = 0
+        while (k < n) {
+          var bestI = -1; var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              var maxSim = 0L
+              var j = 0
+              while (j < k) {
+                val s = cand(selected(j))
+                val sim = cosU(dot(cand(i)._3, s._3), cand(i)._4, s._4)
+                if (sim > maxSim) maxSim = sim
+                j += 1
+              }
+              val score = lambdaPct.toLong * cand(i)._2 -
+                (100L - lambdaPct) * maxSim
+              // strict > plus rel-desc/id-asc scan order = ties to the
+              // higher-relevance, then lower-id candidate
+              if (score > bestScore) { bestScore = score; bestI = i }
+            }
+            i += 1
+          }
+          selected(k) = bestI
+          taken(bestI) = true
+          out(k) = (cand(bestI)._1, (k + 1).toLong, cand(bestI)._2, bestScore)
+          k += 1
+        }
+        out.iterator.map { case (id, r, rel, sc) => (qid, id, r, rel, sc) }
+      }
+      .toDF("q_id", "doc_id", "mmr_rank", "rel_u", "mmr_score")
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q178_noise_roster" -> (q178 _),
     "q175_label_noise" -> (q175 _),

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Similarity
+
+/** `--diversify` / [[Similarity.mmrRerank]]: the greedy MMR pass must
+  * (a) reduce to pure relevance at λ=100, (b) on a planted
+  * near-duplicate candidate list at λ=50, pull the second TOPIC above
+  * the first topic's duplicate — the exact property the flag exists
+  * for, pinned order-exactly, and (c) ship through the Serve CLI with
+  * the same rows the retriever served, loudly rejecting a bad λ. */
+class MmrServeSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val Dim = Similarity.Dim
+
+  /** blockA: dims 0–5; blockB: dims 6–11; the query leans A with a
+    * small B component, so A-docs are more relevant than B-docs. */
+  private def vecOf(a: Float, b: Float, base: Float = 0.01f): Array[Float] =
+    (0 until Dim).map { d =>
+      if (d < 6) a else if (d < 12) b else base
+    }.toArray
+
+  private def writeEmb(dir: String,
+      rows: Seq[(Long, Array[Float], Int)]): Unit = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def plantedDir(): String = {
+    val dir = Files.createTempDirectory("mmr_").toString
+    writeEmb(dir, Seq(
+      (0L, vecOf(1.0f, 0.3f), 0),   // the query
+      (10L, vecOf(1.0f, 0.0f), 0),  // topic A
+      (11L, vecOf(1.0f, 0.0f), 0),  // topic A near-duplicate
+      (12L, vecOf(0.0f, 1.0f), 1))) // topic B — less relevant, novel
+    dir
+  }
+
+  private def served(qid: Long, ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(id => (qid, id)).toDF("q_id", "vec_id")
+  }
+
+  test("λ=100 is pure relevance: ranked by cosine desc, ties to the " +
+      "lower id") {
+    val dir = plantedDir()
+    val got = Similarity.mmrRerank(spark, dir, served(0L, Seq(12L, 11L, 10L)),
+      100).collect().map(r => (r.getLong(1), r.getLong(2)))
+    got shouldBe Array((10L, 1L), (11L, 2L), (12L, 3L))
+  }
+
+  test("λ=50 surfaces the second topic above the first topic's " +
+      "near-duplicate") {
+    val dir = plantedDir()
+    val got = Similarity.mmrRerank(spark, dir, served(0L, Seq(10L, 11L, 12L)),
+      50).collect().map(r => r.getLong(1))
+    got shouldBe Array(10L, 12L, 11L)
+  }
+
+  test("λ=0 is pure anti-redundancy: after the top pick, the novel " +
+      "topic wins regardless of relevance") {
+    val dir = plantedDir()
+    val got = Similarity.mmrRerank(spark, dir, served(0L, Seq(10L, 11L, 12L)),
+      0).collect().map(r => r.getLong(1))
+    // first pick is still the relevance argmax (empty selected set ⇒
+    // the sim term is 0 for everyone)
+    got.head shouldBe 10L
+    got(1) shouldBe 12L
+  }
+
+  test("Serve --diversify ships the same candidates per query, " +
+      "re-ranked 1..k; a bad λ is a usage error") {
+    val sfDir = SparkSpec.Sf0001
+    val base = Files.createTempDirectory("serve_mmr_")
+    val out = base.toString + "/job"
+    Serve.run(Array(sfDir, out, "--retriever", "dense",
+      "--diversify", "50"), Some(spark)) shouldBe 0
+    val got = spark.read.json(s"$out/results")
+      .select("q_id", "doc_id", "mmr_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = SparkEntry.queries("q38_cosine_topk")(spark, sfDir)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same candidate SET per query, contiguous ranks starting at 1
+    got.map(t => (t._1, t._2)).toSet shouldBe expected.toSet
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._3).sorted shouldBe (1L to rs.length).toArray
+    }
+
+    Serve.run(Array(sfDir, base.toString + "/bad",
+      "--diversify", "101"), Some(spark)) shouldBe 1
+    Serve.run(Array(sfDir, base.toString + "/bad2",
+      "--diversify", "fifty"), Some(spark)) shouldBe 1
+  }
+}
