@@ -25,7 +25,16 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   *
   * Usage: `graft.Curate <sf_dir> <out_dir> [--with-quality] [--with-dsir]
   * [--with-shards] [--with-tombstones] [--with-ledger]
-  * [--reconcile <stored_ledger_dir>]`
+  * [--with-audit] [--reconcile <stored_ledger_dir>]`
+  *
+  * `--with-audit` ships the corpus-HEALTH panel alongside the corpus
+  * (`<out>/audit/<query>/`, one JSON file each): length-distribution
+  * drift in earth-mover units (q176), token-level novelty forecast
+  * (q177 Good–Turing), term burstiness (q179), crawl-run duplication
+  * (q180), and the confident-learning label-noise joint (q175) — the
+  * release-gate numbers a corpus consumer reads BEFORE training,
+  * produced by exactly the oracled queries so the shipped panel can
+  * never drift from the audited surface.
   *
   * `--with-ledger` additionally ships the doc-granularity fingerprint
   * ledger (`<out>/ledger/`, q159's stored side via
@@ -103,7 +112,13 @@ object Curate {
   private val Usage =
     "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
       "[--with-dsir] [--with-shards] [--with-tombstones] " +
-      "[--with-ledger] [--reconcile <stored_ledger_dir>]"
+      "[--with-ledger] [--with-audit] [--reconcile <stored_ledger_dir>]"
+
+  /** The `--with-audit` release-gate panel: every member is an oracled
+    * query, so the shipped artifact is the audited surface verbatim. */
+  val AuditPanel: Seq[String] = Seq(
+    "q176_emd_drift", "q177_good_turing", "q179_burstiness",
+    "q180_crawl_runs", "q175_label_noise")
 
   def main(args: Array[String]): Unit = {
     // --reconcile carries a value; peel the pair off before the
@@ -122,10 +137,11 @@ object Curate {
     val withShards = flags.contains("--with-shards")
     val withTombstones = flags.contains("--with-tombstones")
     val withLedger = flags.contains("--with-ledger")
+    val withAudit = flags.contains("--with-audit")
     if (positional.length != 2 ||
         !flags.forall(f => f == "--with-quality" || f == "--with-dsir" ||
           f == "--with-shards" || f == "--with-tombstones" ||
-          f == "--with-ledger")) {
+          f == "--with-ledger" || f == "--with-audit")) {
       System.err.println(Usage)
       sys.exit(1)
     }
@@ -135,7 +151,7 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       run(spark, sfDir, outDir, withQuality, withDsir, withShards,
-        withTombstones, withLedger, reconcileLedger)
+        withTombstones, withLedger, reconcileLedger, withAudit)
       sys.exit(0)
     } catch {
       case e: Throwable =>
@@ -153,7 +169,8 @@ object Curate {
       withDsir: Boolean = false, withShards: Boolean = false,
       withTombstones: Boolean = false,
       withLedger: Boolean = false,
-      reconcileLedger: Option[String] = None): Unit = {
+      reconcileLedger: Option[String] = None,
+      withAudit: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -267,6 +284,15 @@ object Curate {
           count(col("g_id")).as("n_docs_funnel"))
         .orderBy(col("source"), col("decision"))
         .coalesce(1).write.json(s"$outDir/report_dsir")
+    }
+
+    // --with-audit: the corpus-health release gate. Each panel is the
+    // oracled query itself (no re-derivation that could drift) over
+    // the INPUT tables — the audit describes the corpus being curated,
+    // alongside the funnel report that says what was done about it.
+    if (withAudit) AuditPanel.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.json(s"$outDir/audit/$name")
     }
   }
 }

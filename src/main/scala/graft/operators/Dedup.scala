@@ -3476,9 +3476,82 @@ object Dedup {
        |GROUP BY threshold
        |ORDER BY threshold""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** CRAWL-RUN DUPLICATION AUDIT — the ADJACENCY view of exact
+    * duplication the global audits here can't localize: q45/q110 say
+    * HOW MUCH of a source is duplicate mass, this says whether it
+    * arrived in RUNS — consecutive documents (crawl order = ingest-id
+    * order) with identical content fingerprints, the signature of a
+    * crawler stuck in a template loop, a pagination trap, or a
+    * retrying feed, and operationally a different fix (repair the
+    * crawler frontier) than scattered duplication (dedup the corpus).
+    * Per source: document count, the number of ≥2-length identical
+    * runs, documents inside such runs, the longest run, and the
+    * micro-share of the source that arrived run-duplicated.
+    *
+    * Determinism: md5 fingerprints (q33's exact recipe — identical
+    * hex in both engines); run boundaries are integer lag compares;
+    * all counts exact int64, rates integer `div`.
+    *
+    * Scale posture: one narrow (doc_id, source, md5) scan, then
+    * per-source ordered windows (lag + running break-sum — Spark plans
+    * both in ONE window node, one shuffle keyed by source). Crawl
+    * partitions by source exactly like q25's sessionize partitions by
+    * user — at 100 TB a hot source additionally splits by ingest-day
+    * shard, which preserves run detection except across shard seams.
+    * The run re-aggregates are (source, run)-keyed and partial-
+    * aggregable; output is sources-sized. */
+  private def q180(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("brk",
+        when(lag(col("fp"), 1).over(w) === col("fp"), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("brk")).over(wCum))
+      .groupBy(col("source"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("source"))
+      .agg(sum(col("run_len")).as("n_docs"),
+        sum(when(col("run_len") >= 2L, 1L).otherwise(0L)).as("n_runs"),
+        sum(when(col("run_len") >= 2L, col("run_len")).otherwise(0L))
+          .as("docs_in_runs"),
+        max(col("run_len")).as("max_run"))
+      .withColumn("run_share_u", expr("(1000000 * docs_in_runs) div n_docs"))
+      .orderBy(col("run_share_u").desc, col("source"))
+  }
+
+  private val q180Sql =
+    s"""WITH fp AS (
+       |  SELECT source, doc_id, md5(text) AS fp FROM documents),
+       |brk AS (
+       |  SELECT source, doc_id, fp,
+       |    CASE WHEN lag(fp) OVER (PARTITION BY source ORDER BY doc_id)
+       |      = fp THEN 0 ELSE 1 END AS brk
+       |  FROM fp),
+       |runs AS (
+       |  SELECT source, run_id, count(*) AS run_len FROM (
+       |    SELECT source, CAST(sum(brk) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) AS BIGINT) AS run_id
+       |    FROM brk)
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(run_len) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_runs,
+       |  CAST(sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)
+       |    AS BIGINT) AS docs_in_runs,
+       |  max(run_len) AS max_run,
+       |  (1000000 * CAST(sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0
+       |    END) AS BIGINT)) // CAST(sum(run_len) AS BIGINT) AS run_share_u
+       |FROM runs GROUP BY source
+       |ORDER BY run_share_u DESC, source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q180_crawl_runs" -> (q180 _),
     "q160_cluster_purity" -> (q160 _),
     "q162_decontam_sweep" -> (q162 _),
     "q132_span_severity" -> (q132 _),
@@ -3520,6 +3593,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q180_crawl_runs" -> q180Sql,
     "q160_cluster_purity" -> q160Sql,
     "q162_decontam_sweep" -> q162Sql,
     "q132_span_severity" -> q132Sql,

@@ -3401,6 +3401,58 @@ object TextAnalysis {
        |FROM agg
        |ORDER BY unseen_mass_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** TERM BURSTINESS AUDIT (Church & Gale, "Poisson mixtures", 1995)
+    * — the within-document clumping statistic the collection-frequency
+    * family here doesn't read: TF-IDF (q57) and PMI (q91) rank terms
+    * by where they appear, burstiness ranks them by how they REPEAT
+    * once present — E[tf | present] = total_tf / df. A term that
+    * appears in few documents but many times each (burst ≫ 1) is
+    * topical/template content; a term with burst ≈ 1 at high df is a
+    * function word — the distinction behind data-driven stopword
+    * lists, keyword extraction, and q80-style repetition thresholds
+    * (a naturally bursty vocabulary needs a looser gate than a flat
+    * one). Top-20 burstiest terms above a [[BurstDfFloor]] document-
+    * frequency floor (singleton-df terms read burst = their own tf —
+    * noise, not signal), with exact counts and the micro-unit
+    * conditional mean.
+    *
+    * Determinism: exact int64 counts, integer `div` for the mean, ties
+    * by term; the floor keeps every ranked row statistically real.
+    * Scale posture: one explode into the per-(doc, term) tf aggregate
+    * (q57's frame), one partial-aggregable per-term re-aggregate
+    * (Σtf, df ride the same groupBy), and the top-20 is
+    * `orderBy.limit` — TakeOrderedAndProject, never a global sort. */
+  val BurstDfFloor = 5L
+
+  private def q179(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("w"))
+      .agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= BurstDfFloor)
+      .withColumn("burst_u", expr("(1000000 * total_tf) div df"))
+      .orderBy(col("burst_u").desc, col("w"))
+      .limit(20)
+  }
+
+  private val q179Sql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |term AS (
+       |  SELECT w, CAST(sum(tf) AS BIGINT) AS total_tf,
+       |    count(*) AS df
+       |  FROM tf GROUP BY 1)
+       |SELECT w, total_tf, df,
+       |  (1000000 * total_tf) // df AS burst_u
+       |FROM term WHERE df >= $BurstDfFloor
+       |ORDER BY burst_u DESC, w
+       |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q157
   /** DATASET CARD / DATASHEET — the per-source one-row summary a
     * released corpus publishes (Gebru et al., "Datasheets for
@@ -3950,6 +4002,7 @@ object TextAnalysis {
     "q154_ks_drift" -> (q154 _),
     "q176_emd_drift" -> (q176 _),
     "q177_good_turing" -> (q177 _),
+    "q179_burstiness" -> (q179 _),
     "q157_datasheet" -> (q157 _),
     "q159_snapshot_delta" -> (q159 _),
     "q161_norm_lift" -> (q161 _),
@@ -4008,6 +4061,7 @@ object TextAnalysis {
     "q154_ks_drift" -> q154Sql,
     "q176_emd_drift" -> q176Sql,
     "q177_good_turing" -> q177Sql,
+    "q179_burstiness" -> q179Sql,
     "q157_datasheet" -> q157Sql,
     "q159_snapshot_delta" -> q159Sql,
     "q161_norm_lift" -> q161Sql,
