@@ -3083,19 +3083,48 @@ object Similarity {
     * cross the shuffle, never a corpus window); thresholds are a
     * labels-sized broadcast; the joint is partial-aggregable over
     * ≤ labels² cells. */
+  /** The shifted-cosine fan-out (vec_id, label, c_label, cos_s) and
+    * the per-class threshold frame (t_label, t_s) — ONE definition
+    * each, read by the batch family ([[confidentPreds]]) and the
+    * streaming monitor's frozen artifact
+    * ([[graft.streaming.NoiseStreams]] via [[confidentReference]]), so
+    * a quantization or threshold change cannot silently diverge the
+    * stream from the batch oracle. */
+  private def confidentCos(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    emb.crossJoin(broadcast(centroids(emb)))
+      .withColumn("cos_s",
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType) + lit(1000000L))
+      .select(col("vec_id"), col("label"), col("c_label"), col("cos_s"))
+  }
+
+  private def confidentThr(cos: DataFrame): DataFrame =
+    cos.filter(col("c_label") === col("label"))
+      .groupBy(col("c_label").as("t_label"))
+      .agg(expr("sum(cos_s) div count(1)").as("t_s"))
+
+  /** The frozen classifier-trust artifact for streaming: per class
+    * (label asc) the exact int64 centroid, its squared norm, and the
+    * shifted-micro confident threshold — classes×(dim+2) longs, ships
+    * in the closure. Derived through the SAME frames as batch q175. */
+  private[graft] def confidentReference(spark: SparkSession,
+      dir: String): (Array[Int], Array[Array[Long]], Array[Long], Array[Long]) = {
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val thr = confidentThr(confidentCos(spark, dir)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (cent.map(_._1), cent.map(_._2), cent.map(_._3),
+      cent.map(c => thr(c._1)))
+  }
+
   private[graft] def confidentPreds(spark: SparkSession,
       dir: String): DataFrame =
     Features.cachedFrame(spark, s"$dir#confidentPreds") {
-      val emb = scaledEmb(spark, dir)
-      val cent = centroids(emb)
-      val cos = emb.crossJoin(broadcast(cent))
-        .withColumn("cos_s",
-          floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
-            * 1000000.0).cast(LongType) + lit(1000000L))
-        .select(col("vec_id"), col("label"), col("c_label"), col("cos_s"))
-      val thr = cos.filter(col("c_label") === col("label"))
-        .groupBy(col("c_label").as("t_label"))
-        .agg(expr("sum(cos_s) div count(1)").as("t_s"))
+      val cos = confidentCos(spark, dir)
+      val thr = confidentThr(cos)
       // One pass over the fan-out: the confident argmax (non-clearing
       // rows demoted to key −1, flagged off via has_conf) and the
       // self-cosine ride the same hash aggregate.
