@@ -3267,6 +3267,91 @@ object Similarity {
        |ORDER BY wrong_u DESC, vec_id
        |LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** LABEL-NOISE PROVENANCE AUDIT — q175 sliced by source, the same
+    * localization move q173 makes for recovery: the confident joint
+    * says WHICH CLASSES the geometry contradicts, this says WHICH FEED
+    * shipped the contradicted labels — the question that decides
+    * between "relabel a class" (q178's roster) and "quarantine a
+    * supplier" (this table). Per source: vector support (embeddings
+    * with a document twin — the q97 integrity join), confident count,
+    * confidently-contradicted count, the noise micro-rate over the
+    * full support, and the worst-hit GIVEN label inside that source
+    * with its contradiction count (exact-count argmax, ties to the
+    * lower label; −1/0 for a clean source). A clean corpus with one
+    * poisoned feed reads zero everywhere except that source's row —
+    * spec-planted.
+    *
+    * Determinism: q175's exact machinery (shifted micro thresholds,
+    * lower-label argmax ties) plus exact int64 counts and integer
+    * `div` rates.
+    *
+    * Scale posture: rides the memoized [[confidentPreds]] frame (built
+    * once for the q175/q178/q181 family) and [[scaledEmb]]; the only
+    * new corpus-sized work is two vec_id = doc_id equi-joins against
+    * the narrow (doc_id, source) projection; everything above them is
+    * (sources × labels)-sized and partial-aggregable. */
+  private def q181(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val base = scaledEmb(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_vecs"))
+    val cps = confidentPreds(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+    val agg = cps.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_confident"),
+        sum(when(col("pred") =!= col("label"), 1L).otherwise(0L))
+          .as("n_noise"))
+    val worst = cps.filter(col("pred") =!= col("label"))
+      .groupBy(col("source"), col("label")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("n"), negate(col("label"))),
+        struct(col("label"), col("n"))).as("w"))
+      .select(col("source"), col("w.label").as("wl"), col("w.n").as("wn"))
+    base.join(agg, Seq("source"), "left").join(worst, Seq("source"), "left")
+      .select(col("source"), col("n_vecs"),
+        coalesce(col("n_confident"), lit(0L)).as("n_confident"),
+        coalesce(col("n_noise"), lit(0L)).as("n_noise"),
+        expr("(1000000 * coalesce(n_noise, 0)) div n_vecs")
+          .as("noise_rate_u"),
+        coalesce(col("wl"), lit(-1)).as("worst_label"),
+        coalesce(col("wn"), lit(0L)).as("worst_label_n"))
+      .orderBy(col("noise_rate_u").desc, col("source"))
+  }
+
+  private val q181Sql =
+    s"""WITH $confidentSqlCtes,
+       |docs AS (SELECT doc_id, source FROM documents),
+       |base AS (
+       |  SELECT d.source, count(*) AS n_vecs
+       |  FROM emb e JOIN docs d ON e.vec_id = d.doc_id GROUP BY 1),
+       |cps AS (
+       |  SELECT d.source, c.label, c.pred
+       |  FROM cp c JOIN docs d ON c.vec_id = d.doc_id),
+       |agg AS (
+       |  SELECT source, count(*) AS n_confident,
+       |    CAST(sum(CASE WHEN pred <> label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_noise
+       |  FROM cps GROUP BY 1),
+       |worst AS (
+       |  SELECT source, label AS wl, n AS wn FROM (
+       |    SELECT source, label, n, row_number() OVER (PARTITION BY source
+       |      ORDER BY n DESC, label) AS rn
+       |    FROM (SELECT source, label, count(*) AS n FROM cps
+       |          WHERE pred <> label GROUP BY 1, 2)) WHERE rn = 1)
+       |SELECT b.source, b.n_vecs,
+       |  coalesce(a.n_confident, 0) AS n_confident,
+       |  coalesce(a.n_noise, 0) AS n_noise,
+       |  (1000000 * coalesce(a.n_noise, 0)) // b.n_vecs AS noise_rate_u,
+       |  coalesce(w.wl, -1) AS worst_label,
+       |  coalesce(w.wn, 0) AS worst_label_n
+       |FROM base b
+       |  LEFT JOIN agg a ON b.source = a.source
+       |  LEFT JOIN worst w ON b.source = w.source
+       |ORDER BY noise_rate_u DESC, b.source""".stripMargin
+
   // ------------------------------------------------------------- MMR
   /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
     * 1998) — the diversity pass a serving layer runs over a retriever's
@@ -3360,6 +3445,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q181_noise_by_source" -> (q181 _),
     "q178_noise_roster" -> (q178 _),
     "q175_label_noise" -> (q175 _),
     "q174_drift_panel" -> (q174 _),
@@ -3399,6 +3485,7 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q181_noise_by_source" -> q181Sql,
     "q178_noise_roster" -> q178Sql,
     "q175_label_noise" -> q175Sql,
     "q174_drift_panel" -> q174Sql,

@@ -82,6 +82,32 @@ class LabelNoiseSpec extends AnyFunSuite with SparkSpec with Matchers {
     wrongU should be > 500000L
   }
 
+  test("q181 localizes a poisoned feed: the mislabel's SOURCE carries " +
+      "the noise, every other source reads zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("noise_src_").toString
+    val rows =
+      (0 until 10).map(i => (i.toLong, vec(0), 0)) ++
+        (0 until 10).map(i => ((100 + i).toLong, vec(1), 1)) :+
+        ((999L, vec(1), 0)) // mislabeled, shipped by sBad
+    writeEmb(dir, rows)
+    rows.map { case (id, _, _) =>
+      (id, "x", "en", if (id == 999L) "sBad" else "sGood", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("q181_noise_by_source")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6)))).toMap
+    // (n_vecs, n_noise, noise_rate_u, worst_label, worst_label_n)
+    got("sBad") shouldBe ((1L, 1L, 1000000L, 0, 1L))
+    got("sGood") shouldBe ((20L, 0L, 0L, -1, 0L))
+    // and the noisy source ranks first
+    SparkEntry.queries("q181_noise_by_source")(spark, dir)
+      .collect().head.getString(0) shouldBe "sBad"
+  }
+
   test("a vector clearing no class threshold abstains: counted in " +
       "support, absent from the confident joint") {
     val dir = Files.createTempDirectory("noise_abstain_").toString
