@@ -125,7 +125,10 @@ object Explain {
     "q168_retrieval_eval" -> "each leg IS the production retriever (queries-sized outputs; the exact leg is the evaluation's cost - q113's sample-audit posture); judging joins <=3*k*|queries| rows against a broadcast label table; all reciprocal ranks integer-floored before averaging so no float summation order exists; 3-row report with honest full-query-count denominators",
     "q170_margin_audit" -> "the 10-row centroid codebook broadcasts into the fan-out (BroadcastNestedLoopJoin over k rows); the per-vector top-2 collapses through the rank-pruned graft_topk bounded-heap aggregate (ObjectHashAggregate, map-side combine - 2 longs per vector cross the shuffle, NO window over the corpus fan-out); the per-label re-aggregate is labels-sized (q169/q171/q172 share this shape and are pinned in PlanShapeSpec)",
     "q173_source_recovery" -> "q169's broadcast-codebook assignment joined to a two-column documents projection on vec_id=doc_id - the ONLY corpus-sized operation (co-locatable under id bucketing, the q126 posture; BucketingSpec proves the exchange-free form); everything above the (source, label) frame is sources x labels rows, the per-source argmax an ObjectHashAggregate with map-side combine, output |sources|-sized",
-    "q174_drift_panel" -> "a COMPOSITION (q157's discipline): the three parent drift monitors (q117 length PSI, q126 label PSI, q100 embedding drift) each produce their audited sources-sized frame, and the panel is two |sources|-row equi-joins plus codegen'd integer-threshold CASE columns - no new corpus-sized operation exists in the plan")
+    "q174_drift_panel" -> "a COMPOSITION (q157's discipline): the three parent drift monitors (q117 length PSI, q126 label PSI, q100 embedding drift) each produce their audited sources-sized frame, and the panel is two |sources|-row equi-joins plus codegen'd integer-threshold CASE columns - no new corpus-sized operation exists in the plan",
+    "q175_label_noise" -> "q170's broadcast fan-out shape with a second labels-sized broadcast (the per-class threshold table) joined in BEFORE the per-vector collapse; the confident argmax is ONE ObjectHashAggregate (graft_argmax - no window, no SortAggregate, map-side combine), the joint re-aggregates <= labels^2 cells, and the three report legs join labels-sized frames - the corpus crosses the wire once, as k-long argmax buffers",
+    "q176_emd_drift" -> "deliberately q154's grid (per-(source,value) partial-aggregable count, |sources| x |values| ECDF frame): the source-partitioned running sum AND the lead gap term plan into ONE Window node (same partition+order spec - no extra shuffle, no second sort), then one partial-aggregable groupBy to |sources| rows",
+    "q180_crawl_runs" -> "one narrow (source, doc_id, md5) scan; the lag break-flag and the running break-sum are two stacked Window nodes over ONE shuffle + ONE per-source sort (the run-sum consumes the lag's output, so they can't fuse - but no Exchange or Sort sits between them); run lengths and the per-source report are two partial-aggregable hash aggregates - text bytes never shuffle, fingerprints do")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

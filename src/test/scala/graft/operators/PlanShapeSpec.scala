@@ -634,6 +634,51 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     docsScan.output.map(_.name).toSet shouldBe Set("doc_id", "source")
   }
 
+  test("q175/q178/q181: the noise family collapses the fan-out through " +
+      "hash-aggregable argmax — no window over the corpus, thresholds " +
+      "and codebook broadcast, no Cartesian degradation") {
+    for (q <- Seq("q175_label_noise", "q178_noise_roster",
+        "q181_noise_by_source")) {
+      val p = plan(q)
+      p should include("ObjectHashAggregate") // graft_argmax
+      p should not include "Window"
+      p should not include "CartesianProduct"
+      p should include("Broadcast") // codebook + threshold sides
+    }
+    // q178's global top-30 is a bounded heap merge, never a global sort
+    plan("q178_noise_roster") should include("TakeOrderedAndProject")
+  }
+
+  test("q176: the EMD grid fuses the running sum and the lead gap into " +
+      "ONE source-keyed Window node — q154's shape plus nothing") {
+    val p = plan("q176_emd_drift")
+    // exactly two Window nodes total: the corpus-domain ECDF and the
+    // fused grid pass (a third would mean the lead split off its own
+    // sort/shuffle)
+    nodeCount(p, "Window") shouldBe 2
+    p should not include "CartesianProduct" // grid crossJoins are broadcast
+  }
+
+  /** Count physical nodes by name, stripping the tree-art prefix. */
+  private def nodeCount(p: String, node: String): Int =
+    p.linesIterator.count(
+      _.replaceAll("^[\\s:+*-]+", "").startsWith(node + " "))
+
+  test("q180: both run-window passes ride ONE shuffle + ONE per-source " +
+      "sort; text bytes never reach the exchange") {
+    val df = SparkEntry.queries("q180_crawl_runs")(spark, SparkSpec.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // two stacked Window nodes (lag, then the dependent running sum)...
+    nodeCount(p, "Window") shouldBe 2
+    // ...over a single sort: one per-source ordering pass feeds both
+    nodeCount(p, "Sort") shouldBe 2 // window + final orderBy
+    // the scan is pruned to the narrow projection — the md5 happens
+    // before the shuffle, text never crosses the wire
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    scan.output.map(_.name).toSet shouldBe Set("source", "doc_id", "text")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
