@@ -118,7 +118,8 @@ object Curate {
     * query, so the shipped artifact is the audited surface verbatim. */
   val AuditPanel: Seq[String] = Seq(
     "q176_emd_drift", "q177_good_turing", "q179_burstiness",
-    "q180_crawl_runs", "q175_label_noise", "q181_noise_by_source")
+    "q180_crawl_runs", "q175_label_noise", "q181_noise_by_source",
+    "q182_confidence_drift")
 
   def main(args: Array[String]): Unit = {
     // --reconcile carries a value; peel the pair off before the

@@ -113,7 +113,10 @@ object ScaleBench {
     "q165_rebuild_plan", "q166_nprobe_sweep", "q167_gate_calibration",
     "q168_retrieval_eval", "q169_centroid_recovery", "q170_margin_audit",
     "q171_margin_calibration", "q172_relabel_roster",
-    "q173_source_recovery", "q174_drift_panel")
+    "q173_source_recovery", "q174_drift_panel", "q175_label_noise",
+    "q176_emd_drift", "q177_good_turing", "q178_noise_roster",
+    "q179_burstiness", "q180_crawl_runs", "q181_noise_by_source",
+    "q182_confidence_drift")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

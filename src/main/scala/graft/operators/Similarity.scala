@@ -3352,6 +3352,98 @@ object Similarity {
        |  LEFT JOIN worst w ON b.source = w.source
        |ORDER BY noise_rate_u DESC, b.source""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** CONFIDENCE-DISTRIBUTION DRIFT per source — the decision layer of
+    * q174's triage panel at FULL resolution: the panel's decision leg
+    * (q126) watches the label MIX, but a model usually degrades before
+    * its argmax flips — the top-1 confidence mass slides toward the
+    * boundary first. Per source, the exact 1-D Wasserstein distance
+    * between its top-confidence distribution (every vector's best
+    * centroid cosine, no threshold — the serving-path score) and the
+    * corpus mixture, over per-mille confidence buckets: `emd_u` reads
+    * as "average confidence displacement" in micro-ECDF × per-mille
+    * units, the number that pages when a feed's vectors drift toward
+    * the decision boundary while their labels still look healthy.
+    * Completes the drift family: q176 is EMD on an INPUT marginal
+    * (lengths), this is EMD on the DECISION margin.
+    *
+    * Determinism: q175's shifted-micro confidences (exact int64),
+    * integer per-mille bucketing (`div 1000` on values ≥ 0 — Spark
+    * `div` == DuckDB `//` on nonnegatives), then q176's exact integer
+    * ECDF-integral arithmetic over the bucket domain.
+    *
+    * Scale posture: the corpus×k fan-out collapses to one max per
+    * vector through a partial-aggregable hash aggregate (k longs per
+    * vector cross no wire — the max combines map-side); the source
+    * join is the narrow (doc_id, source) projection; the ECDF grid is
+    * |sources| × ≤2001 buckets (the domain is BOUNDED by construction
+    * — per-mille cells of a [−1, 1] cosine — unlike raw micro values,
+    * which would grow with corpus cardinality); the windows run over
+    * that grid only. */
+  private def q182(spark: SparkSession, dir: String): DataFrame = {
+    val conf = confidentCos(spark, dir)
+      .groupBy(col("vec_id")).agg(max(col("cos_s")).as("conf_s"))
+      .withColumn("b", expr("conf_s div 1000"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val sv = conf.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+    val stot = sv.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
+    val cv = sv.groupBy(col("b")).agg(sum(col("cnt")).as("ccnt"))
+    val wDom = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = cv.withColumn("ccum", sum(col("ccnt")).over(wDom))
+      .select(col("b"), col("ccum"))
+    val ctot = cv.agg(sum(col("ccnt")).as("ctot"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("b"))
+    val wSrcCum = wSrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stot.crossJoin(cc)
+      .join(sv, Seq("source", "b"), "left").na.fill(0L, Seq("cnt"))
+      .withColumn("scum", sum(col("cnt")).over(wSrcCum))
+      .withColumn("gap", coalesce(lead(col("b"), 1).over(wSrc), col("b")) - col("b"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("f_s", expr("(1000000 * scum) div stot"))
+      .withColumn("f_c", expr("(1000000 * ccum) div ctot"))
+      .groupBy(col("source"))
+      .agg(max(col("stot")).as("n_vecs"),
+        sum(abs(col("f_s") - col("f_c")) * col("gap")).as("emd_u"))
+      .orderBy(col("emd_u").desc, col("source"))
+  }
+
+  private val q182Sql =
+    s"""WITH $confidentSqlCtes,
+       |conf AS (
+       |  SELECT vec_id, CAST(max(cos_s) // 1000 AS BIGINT) AS b
+       |  FROM cosv GROUP BY 1),
+       |sv AS (
+       |  SELECT d.source, c.b, count(*) AS cnt
+       |  FROM conf c JOIN documents d ON c.vec_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stot
+       |  FROM sv GROUP BY 1),
+       |cv AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |  FROM sv GROUP BY 1),
+       |cc AS (SELECT b, CAST(sum(ccnt) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS ccum FROM cv),
+       |ctot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM cv),
+       |grid AS (
+       |  SELECT s.source, s.stot, c.b, c.ccum, t.ctot
+       |  FROM stot s CROSS JOIN cc c CROSS JOIN ctot t),
+       |ecdf AS (
+       |  SELECT g.source, g.stot, g.ctot, g.ccum,
+       |    CAST(sum(coalesce(x.cnt, 0)) OVER (PARTITION BY g.source
+       |      ORDER BY g.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS scum,
+       |    coalesce(lead(g.b) OVER (PARTITION BY g.source ORDER BY g.b),
+       |      g.b) - g.b AS gap
+       |  FROM grid g LEFT JOIN sv x ON g.source = x.source AND g.b = x.b)
+       |SELECT source, max(stot) AS n_vecs,
+       |  CAST(sum(abs((1000000 * scum) // stot - (1000000 * ccum) // ctot)
+       |    * gap) AS BIGINT) AS emd_u
+       |FROM ecdf GROUP BY source
+       |ORDER BY emd_u DESC, source""".stripMargin
+
   // ------------------------------------------------------------- MMR
   /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
     * 1998) — the diversity pass a serving layer runs over a retriever's
@@ -3445,6 +3537,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q182_confidence_drift" -> (q182 _),
     "q181_noise_by_source" -> (q181 _),
     "q178_noise_roster" -> (q178 _),
     "q175_label_noise" -> (q175 _),
@@ -3485,6 +3578,7 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q182_confidence_drift" -> q182Sql,
     "q181_noise_by_source" -> q181Sql,
     "q178_noise_roster" -> q178Sql,
     "q175_label_noise" -> q175Sql,

@@ -14,6 +14,12 @@ object SparkSpec {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // The artifact lifecycle re-ships refreshed files under stable
+    // names (two specs each train their own model.gcm); without
+    // overwrite, Spark fails every task AFTER the second addFile with
+    // "exists and does not match contents" — the GraftSession setting,
+    // mirrored here because the shared test session builds directly.
+    .config("spark.files.overwrite", "true")
     .config("spark.ui.enabled", "false")
     .appName("graft-test")
     .getOrCreate()
