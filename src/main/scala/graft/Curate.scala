@@ -119,7 +119,7 @@ object Curate {
   val AuditPanel: Seq[String] = Seq(
     "q176_emd_drift", "q177_good_turing", "q179_burstiness",
     "q180_crawl_runs", "q175_label_noise", "q181_noise_by_source",
-    "q182_confidence_drift")
+    "q182_confidence_drift", "q183_trust_panel")
 
   def main(args: Array[String]): Unit = {
     // --reconcile carries a value; peel the pair off before the

@@ -116,7 +116,7 @@ object ScaleBench {
     "q173_source_recovery", "q174_drift_panel", "q175_label_noise",
     "q176_emd_drift", "q177_good_turing", "q178_noise_roster",
     "q179_burstiness", "q180_crawl_runs", "q181_noise_by_source",
-    "q182_confidence_drift")
+    "q182_confidence_drift", "q183_trust_panel")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */

@@ -3380,10 +3380,18 @@ object Similarity {
     * — per-mille cells of a [−1, 1] cosine — unlike raw micro values,
     * which would grow with corpus cardinality); the windows run over
     * that grid only. */
-  private def q182(spark: SparkSession, dir: String): DataFrame = {
-    val conf = confidentCos(spark, dir)
+  /** The per-vector top-confidence bucket frame (vec_id, b) — q182's
+    * serving-path score, exposed so the streaming monitor's frozen
+    * reference marginal ([[graft.streaming.ConfStreams]]) derives
+    * through the SAME arithmetic as the batch oracle. */
+  private[graft] def confidenceBuckets(spark: SparkSession,
+      dir: String): DataFrame =
+    confidentCos(spark, dir)
       .groupBy(col("vec_id")).agg(max(col("cos_s")).as("conf_s"))
       .withColumn("b", expr("conf_s div 1000"))
+
+  private def q182(spark: SparkSession, dir: String): DataFrame = {
+    val conf = confidenceBuckets(spark, dir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
     val sv = conf.join(docs, col("vec_id") === col("doc_id"))
@@ -3443,6 +3451,78 @@ object Similarity {
        |    * gap) AS BIGINT) AS emd_u
        |FROM ecdf GROUP BY source
        |ORDER BY emd_u DESC, source""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** CORPUS-TRUST PANEL — q174's triage discipline applied to the
+    * audit family this round completes: q176 (input lengths, EMD),
+    * q181 (label agreement with the blessed geometry) and q182
+    * (decision-margin confidence, EMD) each watch one layer of a
+    * source's health, and their per-source statistics joined side by
+    * side localize a bad feed to WHAT KIND of bad — per source the
+    * document support, all three exact statistics, three integer-
+    * threshold alarm flags, and a one-word diagnosis by explanatory
+    * priority: `feed` (the input marginal itself moved ≥
+    * [[PanelLenEmdAlarmU]] ≈ 50 chars of mean displacement — an
+    * upstream mix shift explains every downstream alarm too), else
+    * `labels` (inputs look right but ≥ 1% of the feed's labels are
+    * confidently contradicted — a labeling regression poisons training
+    * directly), else `decision` (inputs and labels look right but the
+    * confidence mass slid ≥ [[PanelConfEmdAlarmU]] toward the
+    * boundary — the quietest failure, and the one that pages LAST by
+    * construction because either upstream cause would explain it),
+    * else `stable`.
+    *
+    * Determinism: every number is the parent query's oracled exact
+    * int64; flags are integer threshold compares, so no boundary row
+    * can flip engines.
+    *
+    * Scale posture: a COMPOSITION (q157's discipline) — the three
+    * parents' audited plans produce sources-sized frames (and share
+    * the memoized fan-out/cos machinery within the session), the panel
+    * is two |sources|-row equi-joins plus codegen'd CASE columns. */
+  val PanelLenEmdAlarmU = 50000000L  // ≈ 50 chars of mean displacement
+  val PanelConfEmdAlarmU = 50000000L // ≈ 50 per-mille cells ≈ 0.1 cosine
+  val PanelNoiseAlarmU = 10000L      // ≥ 1% confidently contradicted
+
+  private def q183(spark: SparkSession, dir: String): DataFrame = {
+    val len = TextAnalysis.queries("q176_emd_drift")(spark, dir)
+      .select(col("source"), col("n_docs"), col("emd_u").as("len_emd_u"))
+    val noise = q181(spark, dir)
+      .select(col("source"), col("noise_rate_u"))
+    val conf = q182(spark, dir)
+      .select(col("source"), col("emd_u").as("conf_emd_u"))
+    len.join(noise, Seq("source")).join(conf, Seq("source"))
+      .withColumn("len_alarm", col("len_emd_u") >= PanelLenEmdAlarmU)
+      .withColumn("label_alarm", col("noise_rate_u") >= PanelNoiseAlarmU)
+      .withColumn("conf_alarm", col("conf_emd_u") >= PanelConfEmdAlarmU)
+      .withColumn("diagnosis",
+        when(col("len_alarm"), lit("feed"))
+          .when(col("label_alarm"), lit("labels"))
+          .when(col("conf_alarm"), lit("decision"))
+          .otherwise(lit("stable")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q183Sql =
+    s"""WITH lenp AS (
+       |  SELECT * FROM (${TextAnalysis.oracles("q176_emd_drift")})),
+       |noisep AS (SELECT * FROM ($q181Sql)),
+       |confp AS (SELECT * FROM ($q182Sql)),
+       |j AS (
+       |  SELECT l.source, l.n_docs, l.emd_u AS len_emd_u,
+       |    n.noise_rate_u, c.emd_u AS conf_emd_u
+       |  FROM lenp l
+       |    JOIN noisep n ON l.source = n.source
+       |    JOIN confp c ON l.source = c.source)
+       |SELECT source, n_docs, len_emd_u, noise_rate_u, conf_emd_u,
+       |  len_emd_u >= $PanelLenEmdAlarmU AS len_alarm,
+       |  noise_rate_u >= $PanelNoiseAlarmU AS label_alarm,
+       |  conf_emd_u >= $PanelConfEmdAlarmU AS conf_alarm,
+       |  CASE WHEN len_emd_u >= $PanelLenEmdAlarmU THEN 'feed'
+       |       WHEN noise_rate_u >= $PanelNoiseAlarmU THEN 'labels'
+       |       WHEN conf_emd_u >= $PanelConfEmdAlarmU THEN 'decision'
+       |       ELSE 'stable' END AS diagnosis
+       |FROM j ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------- MMR
   /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
@@ -3537,6 +3617,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q183_trust_panel" -> (q183 _),
     "q182_confidence_drift" -> (q182 _),
     "q181_noise_by_source" -> (q181 _),
     "q178_noise_roster" -> (q178 _),
@@ -3578,6 +3659,7 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q183_trust_panel" -> q183Sql,
     "q182_confidence_drift" -> q182Sql,
     "q181_noise_by_source" -> q181Sql,
     "q178_noise_roster" -> q178Sql,

@@ -69,11 +69,24 @@ object NoiseStreams {
       labels: Seq[Int], n_vecs: Seq[Long], n_confident: Seq[Long],
       n_noise: Seq[Long])
 
-  /** Batch q175's scoring arithmetic, op-for-op, for ONE raw vector:
-    * returns the confident-argmax label, or -1 when no class threshold
-    * clears (the abstention guard). Pure — shared by the executor map
-    * and the spec's prefix replay. */
-  def scoreOne(ref: NoiseRef, emb: Array[Float]): Int = {
+  /** Batch q182's serving-path score, op-for-op, for ONE raw vector:
+    * the per-mille bucket of the TOP centroid cosine (no threshold —
+    * the confidence the decision layer actually serves on). Shared by
+    * [[ConfStreams]]'s executor map and its spec's replay. */
+  def confBucket(ref: NoiseRef, emb: Array[Float]): Long = {
+    val (sv, n2) = quantize(ref, emb)
+    var best = Long.MinValue
+    var j = 0
+    while (j < ref.labels.length) {
+      val c = cosS(ref, sv, n2, j)
+      if (c > best) best = c
+      j += 1
+    }
+    best / 1000L // shifted ⇒ nonnegative ⇒ / is the floor div
+  }
+
+  private def quantize(ref: NoiseRef,
+      emb: Array[Float]): (Array[Long], Long) = {
     val dim = ref.cents(0).length
     require(emb.length == dim,
       s"NoiseStreams: got a ${emb.length}-dim vector, artifact is $dim-dim")
@@ -86,20 +99,34 @@ object NoiseStreams {
     var n2 = 0L
     i = 0
     while (i < dim) { n2 += sv(i) * sv(i); i += 1 }
+    (sv, n2)
+  }
+
+  private def cosS(ref: NoiseRef, sv: Array[Long], n2: Long,
+      j: Int): Long = {
+    var d = 0L
+    var t = 0
+    val c = ref.cents(j)
+    while (t < c.length) { d += sv(t) * c(t); t += 1 }
+    math.floor(d.toDouble /
+      math.sqrt(n2.toDouble * ref.cn2(j).toDouble) * 1000000.0).toLong +
+      1000000L
+  }
+
+  /** Batch q175's scoring arithmetic, op-for-op, for ONE raw vector:
+    * returns the confident-argmax label, or -1 when no class threshold
+    * clears (the abstention guard). Pure — shared by the executor map
+    * and the spec's prefix replay. */
+  def scoreOne(ref: NoiseRef, emb: Array[Float]): Int = {
+    val (sv, n2) = quantize(ref, emb)
     var best = -1
     var bestCos = Long.MinValue
     var j = 0
     while (j < ref.labels.length) {
-      var d = 0L
-      var t = 0
-      val c = ref.cents(j)
-      while (t < dim) { d += sv(t) * c(t); t += 1 }
-      val cosS = math.floor(d.toDouble /
-        math.sqrt(n2.toDouble * ref.cn2(j).toDouble) * 1000000.0).toLong +
-        1000000L
+      val c = cosS(ref, sv, n2, j)
       // strict > with ascending-label scan = ties to the LOWER label
-      if (cosS >= ref.thr(j) && cosS > bestCos) {
-        bestCos = cosS
+      if (c >= ref.thr(j) && c > bestCos) {
+        bestCos = c
         best = ref.labels(j)
       }
       j += 1
