@@ -3383,12 +3383,18 @@ object Similarity {
   /** The per-vector top-confidence bucket frame (vec_id, b) — q182's
     * serving-path score, exposed so the streaming monitor's frozen
     * reference marginal ([[graft.streaming.ConfStreams]]) derives
-    * through the SAME arithmetic as the batch oracle. */
+    * through the SAME arithmetic as the batch oracle. Memoized per
+    * (session, dir): the corpus×k fan-out + max collapse runs ONCE
+    * however many of q182 / q183 / the streaming reference a session
+    * serves (the [[confidentPreds]] discipline — without this, q183's
+    * composition re-priced the fan-out on top of q182's own run). */
   private[graft] def confidenceBuckets(spark: SparkSession,
       dir: String): DataFrame =
-    confidentCos(spark, dir)
-      .groupBy(col("vec_id")).agg(max(col("cos_s")).as("conf_s"))
-      .withColumn("b", expr("conf_s div 1000"))
+    Features.cachedFrame(spark, s"$dir#confidenceBuckets") {
+      confidentCos(spark, dir)
+        .groupBy(col("vec_id")).agg(max(col("cos_s")).as("conf_s"))
+        .withColumn("b", expr("conf_s div 1000"))
+    }
 
   private def q182(spark: SparkSession, dir: String): DataFrame = {
     val conf = confidenceBuckets(spark, dir)

@@ -73,6 +73,22 @@ class MmrServeSpec extends AnyFunSuite with SparkSpec with Matchers {
     got(1) shouldBe 12L
   }
 
+  test("the fused retriever's doc_id column resolves too: " +
+      "--diversify over q144 keeps its candidate sets") {
+    val sfDir = SparkSpec.Sf0001
+    val out = Files.createTempDirectory("serve_mmr_f_").toString + "/job"
+    Serve.run(Array(sfDir, out, "--diversify", "100"),
+      Some(spark)) shouldBe 0 // default retriever = fused (doc_id column)
+    val got = spark.read.json(s"$out/results")
+      .select("q_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = SparkEntry.queries("q144_rrf_fusion")(spark, sfDir)
+      .select("q_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+    expected should not be empty
+  }
+
   test("Serve --diversify ships the same candidates per query, " +
       "re-ranked 1..k; a bad λ is a usage error") {
     val sfDir = SparkSpec.Sf0001
