@@ -128,7 +128,8 @@ object Explain {
     "q174_drift_panel" -> "a COMPOSITION (q157's discipline): the three parent drift monitors (q117 length PSI, q126 label PSI, q100 embedding drift) each produce their audited sources-sized frame, and the panel is two |sources|-row equi-joins plus codegen'd integer-threshold CASE columns - no new corpus-sized operation exists in the plan",
     "q175_label_noise" -> "q170's broadcast fan-out shape with a second labels-sized broadcast (the per-class threshold table) joined in BEFORE the per-vector collapse; the confident argmax is ONE ObjectHashAggregate (graft_argmax - no window, no SortAggregate, map-side combine), the joint re-aggregates <= labels^2 cells, and the three report legs join labels-sized frames - the corpus crosses the wire once, as k-long argmax buffers",
     "q176_emd_drift" -> "deliberately q154's grid (per-(source,value) partial-aggregable count, |sources| x |values| ECDF frame): the source-partitioned running sum AND the lead gap term plan into ONE Window node (same partition+order spec - no extra shuffle, no second sort), then one partial-aggregable groupBy to |sources| rows",
-    "q180_crawl_runs" -> "one narrow (source, doc_id, md5) scan; the lag break-flag and the running break-sum are two stacked Window nodes over ONE shuffle + ONE per-source sort (the run-sum consumes the lag's output, so they can't fuse - but no Exchange or Sort sits between them); run lengths and the per-source report are two partial-aggregable hash aggregates - text bytes never shuffle, fingerprints do")
+    "q180_crawl_runs" -> "one narrow (source, doc_id, md5) scan; the lag break-flag and the running break-sum are two stacked Window nodes over ONE shuffle + ONE per-source sort (the run-sum consumes the lag's output, so they can't fuse - but no Exchange or Sort sits between them); run lengths and the per-source report are two partial-aggregable hash aggregates - text bytes never shuffle, fingerprints do",
+    "q184_cusum_shift" -> "the CUSUM walk runs over the |types| x |hours| dense grid (bounded by the time window, never the event count): one partial-aggregable (type, hour) count, the cumulative walk and its running min/max as stacked Window passes over ONE type-keyed shuffle + sort, change-point hours via the hash-aggregable graft_argmax (no second window, no sort aggregate) - raw events reduce map-side before anything sequential happens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -150,7 +150,7 @@ object ScaleBench {
     "q68_content_scan", "q93_trending", "q145_scd2_intervals",
     "q147_state_attribution", "q148_scd2_incremental",
     "q149_event_pairs", "q150_rfm_segments", "q152_mad_outliers",
-    "q155_event_debounce", "q156_touch_attribution")
+    "q155_event_debounce", "q156_touch_attribution", "q184_cusum_shift")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")

@@ -1042,7 +1042,123 @@ object Events {
        |SELECT * FROM credits UNION ALL SELECT * FROM none
        |ORDER BY touch_type""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** CUSUM CHANGE-POINT DETECTION per event type — the SEQUENTIAL
+    * complement of q65's pointwise rate anomaly: q65 flags an hour
+    * whose count leaves a trailing band (a spike), CUSUM (Page 1954)
+    * accumulates small persistent deviations until their SUM is
+    * undeniable — the canonical detector for a sustained rate SHIFT a
+    * spike detector never fires on (each post-shift hour sits inside
+    * the band; their sum does not). Exact integer form, no tuning
+    * constants: per type over the dense hour grid, the scaled
+    * deviation d_t = cnt_t·H − T sums to 0 exactly over the window, so
+    * the running sum S'_t is a drift-free random walk under a constant
+    * rate; `up_u` = max_t (S'_t − min_{u≤t} S'_u) is the classic
+    * one-sided CUSUM statistic (in event·hours units), `up_from_hour`
+    * the argmin of S' — the hour the sustained rise BEGINS after
+    * (CUSUM's change-point estimate); `down_u`/`down_from_hour` the
+    * mirrored one-sided drop detector. A flat type reads exactly 0/0.
+    *
+    * Determinism: counts exact int64, d_t exact (no mean division —
+    * scaling by H instead of dividing by it), min/max/argmin over
+    * int64 with ties to the LATEST hour — the change-point estimate is
+    * the LAST time the walk touched its extremum (an on-rate prefix
+    * holds the walk at 0, and the estimate must date the onset at the
+    * prefix's end, not its start; ties-to-earliest would blame hour
+    * zero).
+    *
+    * Scale posture: one partial-aggregable (type, hour) count (q20's
+    * frame), densified against the |hours| domain grid (bounded by the
+    * time window, not the event count); the walk is two stacked
+    * per-type Window passes over that grid (cum, then running min/max
+    * of cum — one shuffle keyed by type); the report re-aggregates
+    * |types| × |hours| rows with hash-aggregable argmax. Int64
+    * headroom: |S'| ≤ T·H, so ~10¹⁴ events over ~10⁴ hours wants the
+    * documented DECIMAL swap or per-week windows. */
+  private def q184(spark: SparkSession, dir: String): DataFrame = {
+    // graft_argmax rides the extension registry; Events queries are the
+    // one suite that can reach it without touching the vector frames
+    // (which register on access), so register explicitly.
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val hc = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val hours = hc.select(col("hour")).distinct()
+    val types = hc.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"))
+    val nHours = hours.agg(count(lit(1)).as("n_hours"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = types.crossJoin(hours) // |types| × |hours| grid
+      .join(hc, Seq("event_type", "hour"), "left").na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(nHours))
+      .withColumn("d", col("cnt") * col("n_hours") - col("total"))
+      .withColumn("s", sum(col("d")).over(wCum))
+      .withColumn("smin", min(col("s")).over(wCum))
+      .withColumn("smax", max(col("s")).over(wCum))
+    walk.groupBy(col("event_type"))
+      .agg(max(col("n_hours")).as("n_hours"),
+        max(col("total")).as("total"),
+        max(col("s") - col("smin")).as("up_u"),
+        graft.functions.ArgMaxAgg.argMax(
+          struct(negate(col("s")), unix_micros(col("hour"))),
+          col("hour")).as("up_from_hour"),
+        max(col("smax") - col("s")).as("down_u"),
+        graft.functions.ArgMaxAgg.argMax(
+          struct(col("s"), unix_micros(col("hour"))),
+          col("hour")).as("down_from_hour"))
+      .orderBy(col("up_u").desc, col("event_type"))
+  }
+
+  private val q184Sql =
+    s"""WITH hc AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    event_type, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |hours AS (SELECT DISTINCT hour FROM hc),
+       |types AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM hc GROUP BY 1),
+       |nh AS (SELECT count(*) AS n_hours FROM hours),
+       |walk AS (
+       |  SELECT *,
+       |    min(s) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin,
+       |    max(s) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smax
+       |  FROM (
+       |    SELECT t.event_type, h.hour, t.total, n.n_hours,
+       |      CAST(sum(coalesce(x.cnt, 0) * n.n_hours - t.total)
+       |        OVER (PARTITION BY t.event_type ORDER BY h.hour
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS BIGINT) AS s
+       |    FROM types t CROSS JOIN hours h CROSS JOIN nh n
+       |      LEFT JOIN hc x
+       |        ON x.event_type = t.event_type AND x.hour = h.hour)),
+       |updet AS (
+       |  SELECT event_type, hour AS up_from_hour FROM (
+       |    SELECT event_type, hour, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY s, hour DESC) AS rn
+       |    FROM walk) WHERE rn = 1),
+       |downdet AS (
+       |  SELECT event_type, hour AS down_from_hour FROM (
+       |    SELECT event_type, hour, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY s DESC, hour DESC) AS rn
+       |    FROM walk) WHERE rn = 1)
+       |SELECT w.event_type, max(w.n_hours) AS n_hours,
+       |  max(w.total) AS total,
+       |  CAST(max(w.s - w.smin) AS BIGINT) AS up_u,
+       |  max(u.up_from_hour) AS up_from_hour,
+       |  CAST(max(w.smax - w.s) AS BIGINT) AS down_u,
+       |  max(d.down_from_hour) AS down_from_hour
+       |FROM walk w
+       |  JOIN updet u ON w.event_type = u.event_type
+       |  JOIN downdet d ON w.event_type = d.event_type
+       |GROUP BY w.event_type
+       |ORDER BY up_u DESC, w.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q184_cusum_shift" -> (q184 _),
     "q155_event_debounce" -> (q155 _),
     "q156_touch_attribution" -> (q156 _),
     "q149_event_pairs"  -> (q149 _),
@@ -1065,6 +1181,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q184_cusum_shift" -> q184Sql,
     "q155_event_debounce" -> q155Sql,
     "q156_touch_attribution" -> q156Sql,
     "q149_event_pairs"  -> q149Sql,

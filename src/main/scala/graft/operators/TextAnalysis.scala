@@ -3453,6 +3453,90 @@ object TextAnalysis {
        |ORDER BY burst_u DESC, w
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** INGEST-ORDER DRIFT LOCALIZATION — the WHEN to q176's WHICH: the
+    * per-source EMD says which feed's length distribution moved, this
+    * slices the corpus into ten ingest-order cohorts (doc_id deciles —
+    * ingest ids are the arrival axis, q180's premise) and reads each
+    * cohort's exact 1-D Wasserstein distance from the corpus mixture,
+    * so a distribution that moved MID-CRAWL shows as a ramp across
+    * deciles and the repair scope ("re-crawl everything after cohort
+    * 7") falls out of the table. Flags ride the q183 threshold
+    * (≈ 50 chars of mean displacement).
+    *
+    * Determinism: the decile is pure integer arithmetic on ids
+    * (⌊10·doc_id/(max_id+1)⌋ — no ntile, whose row-count balancing
+    * would depend on tie order), and the EMD is q176's exact
+    * micro-int ECDF integral with deciles in place of sources.
+    *
+    * Scale posture: q176's frame shapes exactly — one per-(decile,
+    * value) partial-aggregable count (the decile is a stateless
+    * per-row projection, no shuffle to assign), the 10 × |values| ECDF
+    * grid, windows over the grid only. The max-id anchor is one
+    * single-row aggregate broadcast back. */
+  private def q185(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val sv = docs.select(col("doc_id"), col("n_chars").as("v"))
+      .crossJoin(broadcast(mx))
+      .withColumn("decile", expr("(10 * doc_id) div (mx + 1)"))
+      .groupBy(col("decile"), col("v")).agg(count(lit(1)).as("cnt"))
+    val stot = sv.groupBy(col("decile")).agg(sum(col("cnt")).as("stot"))
+    val cv = sv.groupBy(col("v")).agg(sum(col("cnt")).as("ccnt"))
+    val wDom = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = cv.withColumn("ccum", sum(col("ccnt")).over(wDom))
+      .select(col("v"), col("ccum"))
+    val ctot = cv.agg(sum(col("ccnt")).as("ctot"))
+    val wD = Window.partitionBy(col("decile")).orderBy(col("v"))
+    val wDCum = wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stot.crossJoin(cc)
+      .join(sv, Seq("decile", "v"), "left").na.fill(0L, Seq("cnt"))
+      .withColumn("scum", sum(col("cnt")).over(wDCum))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wD), col("v")) - col("v"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("f_s", expr("(1000000 * scum) div stot"))
+      .withColumn("f_c", expr("(1000000 * ccum) div ctot"))
+      .groupBy(col("decile"))
+      .agg(max(col("stot")).as("n_docs"),
+        sum(abs(col("f_s") - col("f_c")) * col("gap")).as("emd_u"))
+      .withColumn("drifted", col("emd_u") >= lit(50000000L))
+      .orderBy(col("decile"))
+  }
+
+  private val q185Sql =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |sv AS (
+       |  SELECT CAST((10 * d.doc_id) // (m.mx + 1) AS BIGINT) AS decile,
+       |    d.n_chars AS v, count(*) AS cnt
+       |  FROM documents d CROSS JOIN mx m GROUP BY 1, 2),
+       |stot AS (SELECT decile, CAST(sum(cnt) AS BIGINT) AS stot
+       |  FROM sv GROUP BY 1),
+       |cv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS ccnt
+       |  FROM sv GROUP BY 1),
+       |cc AS (SELECT v, CAST(sum(ccnt) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS ccum FROM cv),
+       |ctot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM cv),
+       |grid AS (
+       |  SELECT s.decile, s.stot, c.v, c.ccum, t.ctot
+       |  FROM stot s CROSS JOIN cc c CROSS JOIN ctot t),
+       |ecdf AS (
+       |  SELECT g.decile, g.stot, g.ctot, g.ccum,
+       |    CAST(sum(coalesce(x.cnt, 0)) OVER (PARTITION BY g.decile
+       |      ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS scum,
+       |    coalesce(lead(g.v) OVER (PARTITION BY g.decile ORDER BY g.v),
+       |      g.v) - g.v AS gap
+       |  FROM grid g LEFT JOIN sv x ON g.decile = x.decile AND g.v = x.v)
+       |SELECT decile, max(stot) AS n_docs,
+       |  CAST(sum(abs((1000000 * scum) // stot - (1000000 * ccum) // ctot)
+       |    * gap) AS BIGINT) AS emd_u,
+       |  CAST(sum(abs((1000000 * scum) // stot - (1000000 * ccum) // ctot)
+       |    * gap) AS BIGINT) >= 50000000 AS drifted
+       |FROM ecdf GROUP BY decile
+       |ORDER BY decile""".stripMargin
+
   // ---------------------------------------------------------------- q157
   /** DATASET CARD / DATASHEET — the per-source one-row summary a
     * released corpus publishes (Gebru et al., "Datasheets for
@@ -4003,6 +4087,7 @@ object TextAnalysis {
     "q176_emd_drift" -> (q176 _),
     "q177_good_turing" -> (q177 _),
     "q179_burstiness" -> (q179 _),
+    "q185_ingest_drift" -> (q185 _),
     "q157_datasheet" -> (q157 _),
     "q159_snapshot_delta" -> (q159 _),
     "q161_norm_lift" -> (q161 _),
@@ -4062,6 +4147,7 @@ object TextAnalysis {
     "q176_emd_drift" -> q176Sql,
     "q177_good_turing" -> q177Sql,
     "q179_burstiness" -> q179Sql,
+    "q185_ingest_drift" -> q185Sql,
     "q157_datasheet" -> q157Sql,
     "q159_snapshot_delta" -> q159Sql,
     "q161_norm_lift" -> q161Sql,
