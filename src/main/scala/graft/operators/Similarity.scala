@@ -3411,7 +3411,10 @@ object Similarity {
     val ctot = cv.agg(sum(col("ccnt")).as("ctot"))
     val wSrc = Window.partitionBy(col("source")).orderBy(col("b"))
     val wSrcCum = wSrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stot.crossJoin(cc)
+    // the domain side is ≤ 2001 rows BY CONSTRUCTION — broadcast it
+    // explicitly (derived-frame stats are unknown to the planner, and
+    // an unhinted cross join over unknowns degrades to CartesianProduct)
+    stot.crossJoin(broadcast(cc))
       .join(sv, Seq("source", "b"), "left").na.fill(0L, Seq("cnt"))
       .withColumn("scum", sum(col("cnt")).over(wSrcCum))
       .withColumn("gap", coalesce(lead(col("b"), 1).over(wSrc), col("b")) - col("b"))

@@ -3490,7 +3490,10 @@ object TextAnalysis {
     val ctot = cv.agg(sum(col("ccnt")).as("ctot"))
     val wD = Window.partitionBy(col("decile")).orderBy(col("v"))
     val wDCum = wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stot.crossJoin(cc)
+    // the value-domain side is bounded by the max document length —
+    // broadcast explicitly (q182's rationale: derived-frame stats are
+    // unknown and an unhinted cross join degrades to CartesianProduct)
+    stot.crossJoin(broadcast(cc))
       .join(sv, Seq("decile", "v"), "left").na.fill(0L, Seq("cnt"))
       .withColumn("scum", sum(col("cnt")).over(wDCum))
       .withColumn("gap", coalesce(lead(col("v"), 1).over(wD), col("v")) - col("v"))

@@ -679,6 +679,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     scan.output.map(_.name).toSet shouldBe Set("source", "doc_id", "text")
   }
 
+  test("q184: the CUSUM walk rides the grid, not the events — the " +
+      "stacked window passes sit above the partial (type, hour) " +
+      "aggregate, change hours are hash-aggregable argmax") {
+    val p = plan("q184_cusum_shift")
+    // cum + running min + running max over one type-keyed order: the
+    // walk is Window work over the grid; argmax hours never add a
+    // window (graft_argmax rides the final ObjectHashAggregate)
+    nodeCount(p, "Window") should be <= 3
+    p should include("ObjectHashAggregate")
+    p should not include "CartesianProduct"
+  }
+
+  test("q182/q185: the EMD grid family keeps q176's shape — bounded " +
+      "grid windows, no Cartesian, no window over raw rows") {
+    for (q <- Seq("q182_confidence_drift", "q185_ingest_drift")) {
+      val p = plan(q)
+      p should not include "CartesianProduct"
+      // the per-key cumsum+lead pass fuses (q176's pin): at most the
+      // domain window + the grid window
+      nodeCount(p, "Window") should be <= 2
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
