@@ -1084,13 +1084,24 @@ object Events {
       .groupBy(date_trunc("hour", col("ts")).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    val hours = hc.select(col("hour")).distinct()
+    // DENSE hour domain over the observed span — an hour in which NO
+    // type emitted (a total feed outage) must still fold cnt = 0 for
+    // every type, or a dead feed never drives the DOWN detectors
+    // (round-11 advice). sequence() is bounded by the time window.
+    val hours = hc.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
     val types = hc.groupBy(col("event_type"))
       .agg(sum(col("cnt")).as("total"))
     val nHours = hours.agg(count(lit(1)).as("n_hours"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val walk = types.crossJoin(hours) // |types| × |hours| grid
+    // |types| × |hours| grid. The hour domain is bounded by the time
+    // window, not the event count, and both sides are derived frames
+    // (no stats) — hint the broadcast STRUCTURALLY so the grid can
+    // never degrade to a CartesianProduct on a stats-blind plan (the
+    // exact q182/q185 defect class fixed in de8be44).
+    val walk = types.crossJoin(broadcast(hours))
       .join(hc, Seq("event_type", "hour"), "left").na.fill(0L, Seq("cnt"))
       .crossJoin(broadcast(nHours))
       .withColumn("d", col("cnt") * col("n_hours") - col("total"))
@@ -1116,7 +1127,9 @@ object Events {
        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
        |    event_type, count(*) AS cnt
        |  FROM events GROUP BY 1, 2),
-       |hours AS (SELECT DISTINCT hour FROM hc),
+       |hours AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+       |  FROM (SELECT min(hour) AS h0, max(hour) AS h1 FROM hc)),
        |types AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
        |  FROM hc GROUP BY 1),
        |nh AS (SELECT count(*) AS n_hours FROM hours),

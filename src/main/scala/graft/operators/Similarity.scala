@@ -3490,7 +3490,7 @@ object Similarity {
     * the memoized fan-out/cos machinery within the session), the panel
     * is two |sources|-row equi-joins plus codegen'd CASE columns. */
   val PanelLenEmdAlarmU = 50000000L  // ≈ 50 chars of mean displacement
-  val PanelConfEmdAlarmU = 50000000L // ≈ 50 per-mille cells ≈ 0.1 cosine
+  val PanelConfEmdAlarmU = 50000000L // ≈ 50 per-mille cells ≈ 0.05 cosine
   val PanelNoiseAlarmU = 10000L      // ≥ 1% confidently contradicted
 
   private def q183(spark: SparkSession, dir: String): DataFrame = {
@@ -3550,13 +3550,22 @@ object Similarity {
     * pure relevance — on the dense retriever that reproduces the
     * retriever's own order exactly (spec-pinned).
     *
+    * Candidates MUST carry embedding rows: any served id (query or
+    * candidate) missing from the embeddings table fails the job
+    * loudly (`raise_error` at the join) rather than silently shrinking
+    * the served set — `--diversify`'s contract is "same rows,
+    * diversity-aware order".
+    *
     * Scale posture: the greedy loop is inherently sequential but runs
     * per query over the retriever's ALREADY-BOUNDED candidate list
     * (≤ 10 rows here; pool-sized in production) — a typed `mapGroups`
     * over bounded groups, the same discipline as the streaming
     * modules' per-key state. The vector join fans the candidate list
     * (queries × k rows) against the embedding table — candidates-
-    * sized, never corpus×corpus; the query-vector side broadcasts. */
+    * sized, never corpus×corpus; the query-vector side is SEMI-JOINED
+    * to the distinct served q_ids (a served-list-sized frame) before
+    * the broadcast hint, so the build side is |queries|-sized, never
+    * corpus-sized. */
   def mmrRerank(spark: SparkSession, dir: String, served: DataFrame,
       lambdaPct: Int): DataFrame = {
     require(lambdaPct >= 0 && lambdaPct <= 100,
@@ -3564,13 +3573,26 @@ object Similarity {
     import spark.implicits._
     val idCol = if (served.columns.contains("vec_id")) "vec_id" else "doc_id"
     val emb = scaledEmb(spark, dir)
-    val qv = emb.select(col("vec_id").as("q_id"), col("sv").as("qsv"),
-      col("n2").as("qn2"))
+    // Only the vectors of queries that actually appear in `served`:
+    // the distinct-q_id frame is bounded by the served list, so IT is
+    // the broadcast-safe side to prune with.
+    val qv = emb
+      .select(col("vec_id").as("q_id"), col("sv").as("qsv"),
+        col("n2").as("qn2"))
+      .join(broadcast(served.select(col("q_id")).distinct()), Seq("q_id"))
+    def failMissing(side: String, guard: Column, idc: Column): Column =
+      when(guard.isNull, raise_error(concat(
+        lit(s"mmrRerank: served $side has no embeddings row: id="),
+        idc.cast("string")))).otherwise(guard)
     val pairs = served.select(col("q_id"), col(idCol).as("id"))
-      .join(emb.select(col("vec_id").as("id"), col("sv"), col("n2")), "id")
-      .join(broadcast(qv), "q_id")
-      .select(col("q_id"), col("id"), col("qsv"), col("qn2"),
-        col("sv"), col("n2"))
+      .join(emb.select(col("vec_id").as("id"), col("sv"), col("n2")),
+        Seq("id"), "left")
+      .join(broadcast(qv), Seq("q_id"), "left")
+      .select(col("q_id"), col("id"),
+        failMissing("query", col("qsv"), col("q_id")).as("qsv"),
+        col("qn2"),
+        failMissing("candidate", col("sv"), col("id")).as("sv"),
+        col("n2"))
       .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
     def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
@@ -3598,7 +3620,11 @@ object Similarity {
           var i = 0
           while (i < n) {
             if (!taken(i)) {
-              var maxSim = 0L
+              // TRUE max over the selected set — negative cosines are
+              // kept (mutual anti-similarity must raise the MMR score
+              // above λ·rel, per the formula); only the EMPTY set
+              // reads 0, making the first pick pure relevance.
+              var maxSim = if (k == 0) 0L else Long.MinValue
               var j = 0
               while (j < k) {
                 val s = cand(selected(j))

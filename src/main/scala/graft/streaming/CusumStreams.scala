@@ -25,7 +25,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * upstream watermark closes windows in order). Every reference type
   * is advanced for every arriving hour — a type silent in some hour
   * contributes cnt = 0, exactly the batch grid's densification, so a
-  * type going quiet drives its DOWN detector just like in batch.
+  * type going quiet drives its DOWN detector just like in batch. An
+  * ALL-silent hour (total feed outage) is densified too: the fold
+  * tracks the last folded hour and, when the feed resumes, folds every
+  * skipped hour as cnt = 0 for every type — mirroring batch q184's
+  * dense span grid. The one residual blind spot, stated plainly: being
+  * event-time driven, the walk cannot advance DURING an outage (no
+  * row, no micro-batch content) — detection of a dead feed lands at
+  * resume time, or needs a wall-clock prober upstream.
   * Unknown types (absent from the reference) are counted into
   * `n_unknown`, never silently dropped (the [[ModelDriftStreams]]
   * posture).
@@ -65,10 +72,28 @@ object CusumStreams {
     * Separated from the query wiring so the replay guard, the
     * densification, and the unknown-type accounting are directly
     * testable. */
+  private val HourMicros = 3600000000L
+
   private[graft] final class CusumFold(ref: CusumRef) {
     private val st = ref.totals.keys.map(_ -> new TypeState).toMap
     private var unknown = 0L
     private var lastFolded = -1L
+    private var lastHour = Long.MinValue
+
+    private def foldHour(h: Long, cnts: Map[String, Long]): Unit =
+      ref.totals.foreach { case (t, total) =>
+        val d = cnts.getOrElse(t, 0L) * ref.nHours - total
+        val s0 = st(t)
+        s0.s += d
+        s0.hours += 1
+        // inclusive compares = ties to the LATEST hour (q184's
+        // rule: the change-point estimate is the last extremum
+        // touch, so an on-rate prefix dates the onset at its end)
+        if (s0.s <= s0.smin) { s0.smin = s0.s; s0.sminHour = h }
+        if (s0.s >= s0.smax) { s0.smax = s0.s; s0.smaxHour = h }
+        if (s0.s - s0.smin > s0.up) s0.up = s0.s - s0.smin
+        if (s0.smax - s0.s > s0.down) s0.down = s0.smax - s0.s
+      }
 
     def fold(rows: Seq[(Long, String, Long)],
         batchId: Long): (Seq[CusumSnapshot], Long) = {
@@ -81,20 +106,16 @@ object CusumStreams {
         }
         val byHour = known.groupBy(_._1)
         byHour.keys.toSeq.sorted.foreach { h =>
-          val cnts = byHour(h).map(r => r._2 -> r._3).toMap
-          ref.totals.foreach { case (t, total) =>
-            val d = cnts.getOrElse(t, 0L) * ref.nHours - total
-            val s0 = st(t)
-            s0.s += d
-            s0.hours += 1
-            // inclusive compares = ties to the LATEST hour (q184's
-            // rule: the change-point estimate is the last extremum
-            // touch, so an on-rate prefix dates the onset at its end)
-            if (s0.s <= s0.smin) { s0.smin = s0.s; s0.sminHour = h }
-            if (s0.s >= s0.smax) { s0.smax = s0.s; s0.smaxHour = h }
-            if (s0.s - s0.smin > s0.up) s0.up = s0.s - s0.smin
-            if (s0.smax - s0.s > s0.down) s0.down = s0.smax - s0.s
+          // densify the gap: hours with NO rows at all (total outage)
+          // fold cnt = 0 for every type, exactly batch q184's dense
+          // span grid (round-11 advice — a dead feed must drive the
+          // DOWN detectors once the feed resumes)
+          if (lastHour != Long.MinValue) {
+            var g = lastHour + HourMicros
+            while (g < h) { foldHour(g, Map.empty); g += HourMicros }
           }
+          foldHour(h, byHour(h).map(r => r._2 -> r._3).toMap)
+          lastHour = h
         }
       }
       (ref.totals.keys.toSeq.sorted.map { t =>

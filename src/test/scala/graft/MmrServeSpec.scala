@@ -73,6 +73,40 @@ class MmrServeSpec extends AnyFunSuite with SparkSpec with Matchers {
     got(1) shouldBe 12L
   }
 
+  test("anti-similarity is kept, not clamped: a candidate anti-similar " +
+      "to the selected set outranks an equally-relevant orthogonal one") {
+    import spark.implicits._
+    def unit(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(Dim)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val dir = Files.createTempDirectory("mmr_neg_").toString
+    writeEmb(dir, Seq(
+      (0L, unit(0 -> 1.0f), 0),             // the query: pure e0
+      (10L, unit(0 -> 1.0f, 1 -> 0.3f), 0), // top relevance, picked 1st
+      (11L, unit(2 -> 1.0f), 0),            // rel 0, orthogonal to 10
+      (12L, unit(1 -> -1.0f), 1)))          // rel 0, ANTI-similar to 10
+    // λ·rel − (1−λ)·max sim: for 12 the max sim is NEGATIVE (−0.287),
+    // so its score exceeds λ·rel; a max(0, sim) clamp would tie 11/12
+    // at 0 and pick the lower id. The documented formula picks 12.
+    val got = Similarity.mmrRerank(spark, dir, served(0L, Seq(10L, 11L, 12L)),
+      50).collect().map(r => r.getLong(1))
+    got shouldBe Array(10L, 12L, 11L)
+  }
+
+  test("a served candidate with no embeddings row fails LOUDLY, never " +
+      "silently shrinking the served set") {
+    val dir = plantedDir()
+    val e = intercept[Exception] {
+      Similarity.mmrRerank(spark, dir, served(0L, Seq(10L, 99L)), 50)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    msgs should include("no embeddings row")
+  }
+
   test("the fused retriever's doc_id column resolves too: " +
       "--diversify over q144 keeps its candidate sets") {
     val sfDir = SparkSpec.Sf0001

@@ -64,6 +64,32 @@ class CusumShiftSpec extends AnyFunSuite with SparkSpec with Matchers {
       .collect().head.getString(0) shouldBe "tShift"
   }
 
+  test("a TOTAL feed outage (hours with no events at all) folds cnt=0 " +
+      "for every type: the dense span grid drives the DOWN detector") {
+    import spark.implicits._
+    // tLive: 10/hour for hours 0..9, NOTHING anywhere for 10..19,
+    // 10/hour again for 20..23. Span-dense H = 24, T = 140.
+    // d = 10·24 − 140 = 100 live, −140 dead: the walk climbs to 1000
+    // (h9), falls to −400 (h19), returns to 0 — up_u = 900 (pre-outage
+    // climb, argmin h19), down_u = 1400 (the outage, from h9).
+    val rows = ((0 until 10) ++ (20 until 24)).flatMap(h =>
+      (0 until 10).map(i =>
+        (h * 100L + i, at(h), i.toLong, "tLive", 1.0, "{}")))
+    val dir = Files.createTempDirectory("cusum3_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val r = SparkEntry.queries("q184_cusum_shift")(spark, dir)
+      .collect().head
+    r.getString(0) shouldBe "tLive"
+    r.getLong(1) shouldBe 24L    // n_hours counts the silent hours
+    r.getLong(2) shouldBe 140L
+    r.getLong(3) shouldBe 900L
+    r.getTimestamp(4) shouldBe at(19)
+    r.getLong(5) shouldBe 1400L
+    r.getTimestamp(6) shouldBe at(9)
+  }
+
   test("a sustained shift alarms where a spike detector sees nothing: " +
       "post-shift hours are each inside the pre-shift range") {
     import spark.implicits._

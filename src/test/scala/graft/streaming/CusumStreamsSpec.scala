@@ -26,7 +26,10 @@ class CusumStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
         col("event_type"), col("cnt"))
       .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
     val hours = hc.map(_._1).distinct.sorted
-    val ref = CusumStreams.CusumRef(hours.size.toLong,
+    // H is the DENSE span count (batch q184's grid densifies total-
+    // outage hours too); the fold reproduces those gaps itself
+    val denseH = (hours.last - hours.head) / 3600000000L + 1L
+    val ref = CusumStreams.CusumRef(denseH,
       hc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap)
 
     val fold = new CusumStreams.CusumFold(ref)
@@ -66,6 +69,25 @@ class CusumStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
       Seq((hours.last + 3600000000L, "tGhost", 5L)), 3L)
     unk2 shouldBe 1L
     snaps2 shouldBe snaps
+  }
+
+  test("a TOTAL feed outage is densified: skipped hours fold cnt=0 " +
+      "for every type once the feed resumes, driving the DOWN detector") {
+    val hourU = 3600000000L
+    // reference: 10/hour over a 24-hour window, T = 140 (14 live hours)
+    val ref = CusumStreams.CusumRef(24L, Map("tLive" -> 140L))
+    val fold = new CusumStreams.CusumFold(ref)
+    // hours 0..9 live at 10/hour, 10..19 SILENT (no rows at all),
+    // 20..23 live again — d = 10·24−140 = 100 live, −140 dead
+    fold.fold((0 until 10).map(h => (h * hourU, "tLive", 10L)), 0L)
+    val (snaps, _) = fold.fold(
+      (20 until 24).map(h => (h * hourU, "tLive", 10L)), 1L)
+    val s = snaps.head
+    s.n_hours shouldBe 24L            // the 10 silent hours were folded
+    s.down_u shouldBe 1400L           // smax 1000 (h9) − smin −400 (h19)
+    s.down_from_hour shouldBe 9L * hourU
+    s.up_u shouldBe 900L              // the pre-outage climb
+    s.up_from_hour shouldBe 19L * hourU
   }
 
   test("a planted sustained shift alarms MID-stream through the " +
