@@ -1735,7 +1735,9 @@ object Similarity {
     * Floor-mean components stay 10⁴-scaled regardless of corpus size,
     * so the final dot products can never overflow int64 (raw-sum dots
     * would at ~10¹⁰ rows). */
-  private def q100(spark: SparkSession, dir: String): DataFrame = {
+  // Memoized per (session, dir): composed by the q174 drift panel.
+  private def q100(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#q100EmbDrift") {
     val j = scaledEmb(spark, dir)
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), col("source")),
@@ -2176,7 +2178,9 @@ object Similarity {
     * shuffled; the report is sources-sized. */
   private[graft] val LabelDomain = 10L
 
-  private def q126(spark: SparkSession, dir: String): DataFrame = {
+  // Memoized per (session, dir): composed by the q174 drift panel.
+  private def q126(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#q126LabelPsi") {
     val cells = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast(LongType).as("lbl"))
       .join(Tables.documents(spark, dir)
@@ -3291,7 +3295,9 @@ object Similarity {
     * new corpus-sized work is two vec_id = doc_id equi-joins against
     * the narrow (doc_id, source) projection; everything above them is
     * (sources × labels)-sized and partial-aggregable. */
-  private def q181(spark: SparkSession, dir: String): DataFrame = {
+  // Memoized per (session, dir): composed by the q183 trust panel.
+  private def q181(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#q181NoiseBySource") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
     val base = scaledEmb(spark, dir)
@@ -3396,7 +3402,9 @@ object Similarity {
         .withColumn("b", expr("conf_s div 1000"))
     }
 
-  private def q182(spark: SparkSession, dir: String): DataFrame = {
+  // Memoized per (session, dir): composed by the q183 trust panel.
+  private def q182(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#q182ConfDrift") {
     val conf = confidenceBuckets(spark, dir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))

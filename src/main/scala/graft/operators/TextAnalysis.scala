@@ -2533,7 +2533,12 @@ object TextAnalysis {
   private[graft] val PsiBuckets = 8L
   private[graft] val PsiStride = 64L
 
-  private def q117(spark: SparkSession, dir: String): DataFrame = {
+  // Memoized per (session, dir): the q174 drift panel composes this
+  // sources-sized frame with q126/q100 — caching the PARENT output
+  // (not just its leaf stages) makes the panel a join of cached
+  // frames instead of a re-run of the whole aggregation pyramid.
+  private def q117(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#q117SourcePsi") {
     val bucket = least(lit(PsiBuckets - 1L),
       floor(col("n_chars").cast(DoubleType) / lit(PsiStride.toDouble))
         .cast("long"))
@@ -3289,7 +3294,9 @@ object TextAnalysis {
     * the running sum and the lead as one window node). Int64 headroom:
     * |gap| ≤ 10⁶ per grid row and Σ gaps = value span, so emd_u ≤
     * 10⁶ · span — overflow needs a 9·10¹²-char document. */
-  private def q176(spark: SparkSession, dir: String): DataFrame = {
+  // Memoized per (session, dir): composed by the q183 trust panel.
+  private def q176(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#q176EmdDrift") {
     val sv = Tables.documents(spark, dir)
       .select(col("source"), col("n_chars").as("v"))
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))

@@ -105,4 +105,23 @@ class DriftPanelSpec extends AnyFunSuite with SparkSpec with Matchers {
       embCos shouldBe embP(src)
     }
   }
+
+  test("the panels read MEMOIZED parents: running each parent, then its " +
+      "panel, then the panel again builds every parent frame exactly once") {
+    val s = spark.newSession()
+    try {
+      for (q <- Seq("q117_source_psi", "q126_label_psi",
+          "q100_embedding_drift", "q174_drift_panel", "q174_drift_panel",
+          "q176_emd_drift", "q181_noise_by_source", "q182_confidence_drift",
+          "q183_trust_panel", "q183_trust_panel"))
+        SparkEntry.queries(q)(s, SparkSpec.Sf0001).count()
+      val counts = Features.buildCountsFor(s)
+      val parentKeys = counts.keys.filter(k =>
+        Seq("q117SourcePsi", "q126LabelPsi", "q100EmbDrift", "q176EmdDrift",
+          "q181NoiseBySource", "q182ConfDrift").exists(k.endsWith))
+      parentKeys should have size 6
+      val rebuilt = counts.view.filterKeys(parentKeys.toSet).filter(_._2 > 1)
+      withClue(s"panel parents rebuilt: $rebuilt") { rebuilt shouldBe empty }
+    } finally Features.clear(s)
+  }
 }

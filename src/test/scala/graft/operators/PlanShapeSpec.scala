@@ -702,6 +702,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q174/q183: the panels are JOINS OF CACHED sources-sized parent " +
+      "frames — every parent monitor reads its memoized output, no " +
+      "corpus re-scan inside the panel") {
+    for ((q, parents) <- Seq(
+        "q174_drift_panel" -> 3, // q117 + q126 + q100
+        "q183_trust_panel" -> 3  // q176 + q181 + q182
+    )) {
+      val df = SparkEntry.queries(q)(spark, SparkSpec.Sf0001)
+      df.collect() // cache/stage shapes are AQE runtime decisions
+      val p = df.queryExecution.executedPlan.toString
+      // TableCacheQueryStage marks a LIVE cache read; one per parent
+      // means the panel never re-runs a parent's aggregation pyramid
+      withClue(q) {
+        p.linesIterator.count(_.contains("TableCacheQueryStage")) should
+          be >= parents
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("q177: Good–Turing is two stacked partial-aggregable hash " +
+      "aggregates — no window, no sort aggregate, nothing corpus-sized " +
+      "shuffles twice") {
+    val p = plan("q177_good_turing")
+    p should not include "Window"
+    p should not include "SortAggregate"
+    p should not include "CartesianProduct"
+    p should include("HashAggregate")
+  }
+
+  test("q179: the burstiness top-20 is a bounded heap merge over the " +
+      "term aggregate — never a global sort or a window over the corpus") {
+    val p = plan("q179_burstiness")
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
