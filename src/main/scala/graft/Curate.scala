@@ -31,8 +31,11 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   * (`<out>/audit/<query>/`, one JSON file each): length-distribution
   * drift in earth-mover units (q176), token-level novelty forecast
   * (q177 Good–Turing), term burstiness (q179), crawl-run duplication
-  * (q180), and the confident-learning label-noise joint (q175) — the
-  * release-gate numbers a corpus consumer reads BEFORE training,
+  * (q180), the confident-learning label-noise joint (q175),
+  * chance-corrected label agreement (q186 kappa), the serving
+  * risk–coverage curve (q187), and Simpson token concentration
+  * (q190) — the release-gate numbers a corpus consumer reads BEFORE
+  * training,
   * produced by exactly the oracled queries so the shipped panel can
   * never drift from the audited surface.
   *
@@ -119,7 +122,10 @@ object Curate {
   val AuditPanel: Seq[String] = Seq(
     "q176_emd_drift", "q177_good_turing", "q179_burstiness",
     "q180_crawl_runs", "q175_label_noise", "q181_noise_by_source",
-    "q182_confidence_drift", "q183_trust_panel")
+    "q182_confidence_drift", "q183_trust_panel",
+    // round-12 legs: chance-corrected label agreement, the serving
+    // operating curve, and the zero-float concentration early-warning
+    "q186_source_kappa", "q187_risk_coverage", "q190_simpson")
 
   def main(args: Array[String]): Unit = {
     // --reconcile carries a value; peel the pair off before the

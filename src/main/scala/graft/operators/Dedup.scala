@@ -3548,9 +3548,80 @@ object Dedup {
        |FROM runs GROUP BY source
        |ORDER BY run_share_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** DUP-CLUSTER DENSITY AUDIT — the SHAPE of each near-dup component:
+    * q56 reports the components and q110 their size histogram; this
+    * reads each component's edge density — verified-pair edges over
+    * possible pairs. A density-1 component is a CLIQUE (every member
+    * pairwise-verified: a true duplicate set, safe to collapse to one
+    * canonical); a sparse component is a CHAIN built by transitive
+    * closure (A≈B≈C with A and C NOT verified similar — the
+    * drift-merge a dedup budget must inspect before deleting, because
+    * keep-one-per-cluster would drop documents never shown to
+    * duplicate the survivor). The classic transitivity question asked
+    * cluster-by-cluster — WITHOUT counting triangles, which explodes
+    * as O(s³) on exactly the viral clusters that matter most; edge
+    * density reads the same cliquishness from frames that already
+    * exist.
+    *
+    * Determinism: exact integer counts; possible = s(s−1)/2 (an even
+    * product — exact); density micro floor-div; shape bands are
+    * integer CASE cuts.
+    *
+    * Scale posture: both inputs are memoized pairs-bounded frames
+    * ([[ccLabels]], the q35 verified pairs); the audit is two
+    * partial-aggregable groupBys and one cluster-keyed join on frames
+    * tiny next to the corpus — no new corpus scan, no triangle
+    * enumeration. */
+  /** The density table over an arbitrary (labels, verified-pairs)
+    * frame pair — ONE definition, read by q189 and by its spec's
+    * hand-planted chain/clique graphs (text-level chain fixtures would
+    * ride minhash luck; the formula is what needs pinning). */
+  private[graft] def clusterDensityOver(labels: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_docs"))
+    val edges = pairs.select(col("doc_a").as("id"))
+      .join(labels, "id")
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("lbl"))
+      .withColumn("possible", expr("(n_docs * (n_docs - 1)) div 2"))
+      .withColumn("density_u", expr("(1000000 * n_edges) div possible"))
+      .withColumn("shape",
+        when(col("density_u") === 1000000L, lit("clique"))
+          .when(col("density_u") >= 500000L, lit("dense"))
+          .otherwise(lit("chain")))
+      .select(col("lbl").as("cluster_id"), col("n_docs"), col("n_edges"),
+        col("possible"), col("density_u"), col("shape"))
+      .orderBy(col("density_u"), col("cluster_id"))
+  }
+
+  private def q189(spark: SparkSession, dir: String): DataFrame =
+    clusterDensityOver(ccLabels(spark, dir),
+      q35(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  private val q189Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |sizes AS (SELECT lbl, count(*) AS n_docs FROM labels GROUP BY 1),
+       |ecnt AS (
+       |  SELECT l.lbl, count(*) AS n_edges
+       |  FROM pairs p JOIN labels l ON p.doc_a = l.id GROUP BY 1)
+       |SELECT s.lbl AS cluster_id, s.n_docs, e.n_edges,
+       |  (s.n_docs * (s.n_docs - 1)) // 2 AS possible,
+       |  (1000000 * e.n_edges) // ((s.n_docs * (s.n_docs - 1)) // 2)
+       |    AS density_u,
+       |  CASE WHEN (1000000 * e.n_edges)
+       |      // ((s.n_docs * (s.n_docs - 1)) // 2) = 1000000 THEN 'clique'
+       |    WHEN (1000000 * e.n_edges)
+       |      // ((s.n_docs * (s.n_docs - 1)) // 2) >= 500000 THEN 'dense'
+       |    ELSE 'chain' END AS shape
+       |FROM sizes s JOIN ecnt e ON s.lbl = e.lbl
+       |ORDER BY density_u, cluster_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q189_cluster_density" -> (q189 _),
     "q180_crawl_runs" -> (q180 _),
     "q160_cluster_purity" -> (q160 _),
     "q162_decontam_sweep" -> (q162 _),
@@ -3593,6 +3664,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q189_cluster_density" -> q189Sql,
     "q180_crawl_runs" -> q180Sql,
     "q160_cluster_purity" -> q160Sql,
     "q162_decontam_sweep" -> q162Sql,

@@ -3541,6 +3541,253 @@ object Similarity {
        |       ELSE 'stable' END AS diagnosis
        |FROM j ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** COHEN'S KAPPA PER SOURCE — chance-corrected agreement (Cohen 1960)
+    * between each source's GIVEN labels and the centroid classifier's
+    * predictions. q173 reports raw per-source recovery; raw agreement
+    * flatters a source whose label marginal is skewed (predict the
+    * majority class and you "agree" often by luck). Kappa subtracts
+    * exactly that luck: per source, p_o = agree/n, p_e = Σ_j g_j·p_j/n²
+    * (the agreement two independent raters with these marginals would
+    * reach), κ = (p_o − p_e)/(1 − p_e). A source whose recovery is high
+    * but kappa is low is a single-class feed the classifier isn't
+    * actually reading — the triage distinction between "easy source"
+    * and "healthy source".
+    *
+    * Determinism: counts exact int64; κ is one exact rational —
+    * 10⁶·(n·agree − Σg_j·p_j) FLOOR-div (n² − Σg_j·p_j) — with the
+    * q100 floor-division spelled identically in both engines (the
+    * numerator is negative whenever agreement falls below chance, and
+    * truncate-vs-floor diverges exactly there). Degenerate marginals
+    * (p_e = 1: single class on both sides) read κ = 0 by convention —
+    * no skill beyond chance is demonstrable.
+    *
+    * Scale posture: rides the memoized [[labelAssigned]] fan-out (built
+    * once per session); everything after is aggregation over
+    * ≤ |sources|·k² cells — the confusion cube never leaves the
+    * executors un-combined. Int64 headroom: n² at ~10⁹ rows per source
+    * wants the documented DECIMAL swap (q184's discipline). */
+  private def q186(spark: SparkSession, dir: String): DataFrame = {
+    def floorDiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast(LongType)
+    val cells = labelAssigned(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("g"),
+        col("cell").cast(LongType).as("p"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("source"), col("g"), col("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = cells.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        sum(when(col("g") === col("p"), col("cnt")).otherwise(lit(0L)))
+          .as("agree"))
+    val gj = cells.groupBy(col("source"), col("g"))
+      .agg(sum(col("cnt")).as("gn"))
+    val pj = cells.groupBy(col("source"), col("p"))
+      .agg(sum(col("cnt")).as("pn"))
+    val chance = gj.join(pj,
+        gj("source") === pj("source") && gj("g") === pj("p"))
+      .groupBy(gj("source").as("source"))
+      .agg(sum(col("gn") * col("pn")).as("chance"))
+    n.join(chance, Seq("source"), "left").na.fill(0L, Seq("chance"))
+      .withColumn("po_u", expr("(1000000 * agree) div n_vecs"))
+      .withColumn("pe_u", expr("(1000000 * chance) div (n_vecs * n_vecs)"))
+      .withColumn("kappa_u",
+        when(col("n_vecs") * col("n_vecs") === col("chance"), lit(0L))
+          .otherwise(floorDiv(
+            lit(1000000L) * (col("n_vecs") * col("agree") - col("chance")),
+            col("n_vecs") * col("n_vecs") - col("chance"))))
+      .select(col("source"), col("n_vecs"), col("agree"), col("po_u"),
+        col("pe_u"), col("kappa_u"))
+      .orderBy(col("kappa_u"), col("source"))
+  }
+
+  private lazy val q186Sql = {
+    // q100's explicit floor division — spelled the same in both engines
+    // so negative below-chance numerators cannot diverge on
+    // truncate-vs-floor semantics.
+    def fd(x: String, y: String): String =
+      s"CAST((($x) - (((($x) % ($y)) + ($y)) % ($y))) / ($y) AS BIGINT)"
+    s"""WITH $ivfAssignedSqlCtes,
+       |j AS (
+       |  SELECT d.source, a.label AS g, a.cell AS p
+       |  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id),
+       |cells AS (
+       |  SELECT source, g, p, count(*) AS cnt FROM j GROUP BY 1, 2, 3),
+       |n AS (
+       |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+       |    CAST(sum(CASE WHEN g = p THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS agree
+       |  FROM cells GROUP BY 1),
+       |gj AS (SELECT source, g, CAST(sum(cnt) AS BIGINT) AS gn
+       |  FROM cells GROUP BY 1, 2),
+       |pj AS (SELECT source, p, CAST(sum(cnt) AS BIGINT) AS pn
+       |  FROM cells GROUP BY 1, 2),
+       |ch AS (
+       |  SELECT gj.source, CAST(sum(gj.gn * pj.pn) AS BIGINT) AS chance
+       |  FROM gj JOIN pj ON gj.source = pj.source AND gj.g = pj.p
+       |  GROUP BY 1)
+       |SELECT n.source, n.n_vecs, n.agree,
+       |  (1000000 * n.agree) // n.n_vecs AS po_u,
+       |  (1000000 * coalesce(ch.chance, 0))
+       |    // (n.n_vecs * n.n_vecs) AS pe_u,
+       |  CASE WHEN n.n_vecs * n.n_vecs = coalesce(ch.chance, 0)
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE ${fd("1000000 * (n.n_vecs * n.agree - coalesce(ch.chance, 0))",
+                      "n.n_vecs * n.n_vecs - coalesce(ch.chance, 0)")} END
+       |    AS kappa_u
+       |FROM n LEFT JOIN ch ON n.source = ch.source
+       |ORDER BY kappa_u, n.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q187
+  /** SELECTIVE-PREDICTION RISK–COVERAGE TABLE (Geifman & El-Yaniv,
+    * NeurIPS 2017) — the table a serving confidence cutoff is tuned
+    * from: at each candidate threshold on the TOP-centroid cosine (the
+    * score the decision layer actually serves on — q182's instrument),
+    * what fraction of the corpus would the classifier still answer
+    * (coverage) and how accurate are those answers (selective
+    * accuracy)? q171 reads calibration across MARGIN bands; this reads
+    * the absolute-confidence operating curve — the two together are
+    * the reliability diagram and the risk–coverage curve, the standard
+    * pair. Thresholds are fixed integer per-mille cuts (0.99 / 0.95 /
+    * 0.90 / 0.80 / 0.50), so the table is a plan-stable 5-row frame.
+    *
+    * Determinism: the per-vector confidence bucket is q182's exact
+    * shifted per-mille cell; keep/correct counts are int64; rates are
+    * floor-div micro-units; an empty threshold band reads 0 coverage
+    * and 0 accuracy by the explicit CASE.
+    *
+    * Scale posture: rides the memoized [[confidenceBuckets]] and
+    * [[labelAssigned]] frames (each built once per session); the
+    * threshold sweep aggregates the ≤ 2001×2 (bucket, correct) grid —
+    * BOUNDED by construction (per-mille cells of a [−1,1] cosine) — so
+    * the 5-way fan-out multiplies grid rows, never corpus rows. */
+  private def q187(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = confidenceBuckets(spark, dir).select(col("vec_id"), col("b"))
+    val cells = labelAssigned(spark, dir)
+      .select(col("vec_id"),
+        (col("cell") === col("label")).cast(LongType).as("ok"))
+      .join(conf, "vec_id")
+      .groupBy(col("b"), col("ok")).agg(count(lit(1)).as("cnt"))
+    val tot = cells.agg(sum(col("cnt")).as("n_total"))
+    val thr = Seq(1990L, 1950L, 1900L, 1800L, 1500L).toDF("tm")
+    val kept = cells.join(broadcast(thr), col("b") >= col("tm"))
+      .groupBy(col("tm"))
+      .agg(sum(col("cnt")).as("n_kept"),
+        sum(col("ok") * col("cnt")).as("n_correct"))
+    broadcast(thr).join(kept, Seq("tm"), "left")
+      .na.fill(0L, Seq("n_kept", "n_correct"))
+      .crossJoin(broadcast(tot))
+      .select(((col("tm") - 1000L) * 1000L).as("thr_u"),
+        col("n_kept"),
+        expr("(1000000 * n_kept) div n_total").as("coverage_u"),
+        col("n_correct"),
+        when(col("n_kept") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * n_correct) div n_kept")).as("acc_u"))
+      .orderBy(col("thr_u").desc)
+  }
+
+  private lazy val q187Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |conf AS (
+       |  SELECT e.vec_id,
+       |    CAST(max(CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"),
+                "e.n2", "c.cn2")} * 1000000.0) AS BIGINT) + 1000000)
+       |      // 1000 AS BIGINT) AS b
+       |  FROM emb e CROSS JOIN cent2 c GROUP BY 1),
+       |cells AS (
+       |  SELECT f.b,
+       |    CASE WHEN a.cell = a.label THEN 1 ELSE 0 END AS ok,
+       |    count(*) AS cnt
+       |  FROM assigned a JOIN conf f ON a.vec_id = f.vec_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cells),
+       |thr AS (SELECT unnest([1990, 1950, 1900, 1800, 1500]) AS tm),
+       |kept AS (
+       |  SELECT t.tm, CAST(sum(c.cnt) AS BIGINT) AS n_kept,
+       |    CAST(sum(c.ok * c.cnt) AS BIGINT) AS n_correct
+       |  FROM thr t JOIN cells c ON c.b >= t.tm GROUP BY 1)
+       |SELECT CAST((t.tm - 1000) * 1000 AS BIGINT) AS thr_u,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  (1000000 * coalesce(k.n_kept, 0)) // n.n_total AS coverage_u,
+       |  coalesce(k.n_correct, 0) AS n_correct,
+       |  CASE WHEN coalesce(k.n_kept, 0) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (1000000 * k.n_correct) // k.n_kept END AS acc_u
+       |FROM thr t LEFT JOIN kept k ON t.tm = k.tm CROSS JOIN tot n
+       |ORDER BY thr_u DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** SOURCE×LABEL LIFT TABLE (pointwise mutual information per cell) —
+    * q126 reports that a source's label MIX diverges (one PSI scalar
+    * per source); this says WHICH labels and WHICH WAY: per (source,
+    * label) cell, the observed support and the exact-int-derived lift
+    * ln(n_ij·n / (n_i·n_j)) in micro-nats — positive where the source
+    * over-represents a label vs independence, negative where it
+    * starves one — plus the cell's MI contribution (n_ij·lift,
+    * summable to the corpus' total source–label mutual information).
+    * The per-cell read is what a mixing/rebalance decision (q75/q94)
+    * actually needs: "source S is 3× over on label 7" is actionable,
+    * "source S has PSI 0.2" is not.
+    *
+    * Determinism: q101's ln recipe — counts exact int64, the single
+    * float step is one division of two exact ≤2⁵³ products and one
+    * correctly-rounded ln, micro-floored per cell then summed exactly.
+    *
+    * Scale posture: one narrow (vec_id, label)⋈(doc_id, source) join
+    * (uniform key, co-located under id bucketing), one
+    * partial-aggregable cell count, and marginal re-aggregates of the
+    * ≤ |sources|·|labels| cell frame — nothing corpus-sized crosses
+    * the wire twice. */
+  private def q188(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("lbl"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("source"), col("lbl")).agg(count(lit(1)).as("n_ij"))
+    val ni = cells.groupBy(col("source")).agg(sum(col("n_ij")).as("n_i"))
+    val nj = cells.groupBy(col("lbl")).agg(sum(col("n_ij")).as("n_j"))
+    val n = cells.agg(sum(col("n_ij")).as("n"))
+    cells.join(broadcast(ni), "source")
+      .join(broadcast(nj), "lbl")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_u",
+        floor(lit(1000000.0) *
+          log((col("n_ij") * col("n")).cast(DoubleType) /
+            (col("n_i") * col("n_j")).cast(DoubleType))).cast(LongType))
+      .withColumn("contrib_u",
+        floor(lit(1000000.0) * col("n_ij").cast(DoubleType) *
+          log((col("n_ij") * col("n")).cast(DoubleType) /
+            (col("n_i") * col("n_j")).cast(DoubleType))).cast(LongType))
+      .select(col("source"), col("lbl"), col("n_ij"), col("lift_u"),
+        col("contrib_u"))
+      .orderBy(col("source"), col("lbl"))
+  }
+
+  private val q188Sql =
+    s"""WITH cells AS (
+       |  SELECT d.source, CAST(e.label AS BIGINT) AS lbl,
+       |    count(*) AS n_ij
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |ni AS (SELECT source, CAST(sum(n_ij) AS BIGINT) AS n_i
+       |  FROM cells GROUP BY 1),
+       |nj AS (SELECT lbl, CAST(sum(n_ij) AS BIGINT) AS n_j
+       |  FROM cells GROUP BY 1),
+       |n AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM cells)
+       |SELECT c.source, c.lbl, c.n_ij,
+       |  CAST(floor(1000000.0 * ln(CAST(c.n_ij * n.n AS DOUBLE) /
+       |    CAST(i.n_i * j.n_j AS DOUBLE))) AS BIGINT) AS lift_u,
+       |  CAST(floor(1000000.0 * CAST(c.n_ij AS DOUBLE) *
+       |    ln(CAST(c.n_ij * n.n AS DOUBLE) /
+       |      CAST(i.n_i * j.n_j AS DOUBLE))) AS BIGINT) AS contrib_u
+       |FROM cells c
+       |  JOIN ni i ON c.source = i.source
+       |  JOIN nj j ON c.lbl = j.lbl
+       |  CROSS JOIN n
+       |ORDER BY c.source, c.lbl""".stripMargin
+
   // ------------------------------------------------------------- MMR
   /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
     * 1998) — the diversity pass a serving layer runs over a retriever's
@@ -3660,6 +3907,9 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q186_source_kappa" -> (q186 _),
+    "q187_risk_coverage" -> (q187 _),
+    "q188_label_lift" -> (q188 _),
     "q183_trust_panel" -> (q183 _),
     "q182_confidence_drift" -> (q182 _),
     "q181_noise_by_source" -> (q181 _),
@@ -3702,6 +3952,9 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q186_source_kappa" -> q186Sql,
+    "q187_risk_coverage" -> q187Sql,
+    "q188_label_lift" -> q188Sql,
     "q183_trust_panel" -> q183Sql,
     "q182_confidence_drift" -> q182Sql,
     "q181_noise_by_source" -> q181Sql,

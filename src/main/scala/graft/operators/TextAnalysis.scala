@@ -4092,7 +4092,59 @@ object TextAnalysis {
        |GROUP BY bucket_lo
        |ORDER BY bucket_lo""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** SIMPSON TOKEN CONCENTRATION PER SOURCE — the repeat-probability
+    * complement of the entropy audit (q128): Simpson's index
+    * D = Σ c_w(c_w−1) / N(N−1) is exactly the probability that two
+    * tokens drawn WITHOUT replacement from the source are the same
+    * type — an exact rational, where entropy needs ln. Entropy weights
+    * the tail (vocabulary richness), Simpson weights the HEAD: a
+    * boilerplate-flooded or template-heavy feed concentrates token
+    * mass into few types and its D jumps long before the mean length
+    * (q117/q176) or even entropy moves — the cheapest early-warning
+    * statistic in the drift family, and the one with zero float
+    * machinery.
+    *
+    * Determinism: pure int64 — counts, the even-product N(N−1), one
+    * micro floor-div. Int64 headroom: Σc(c−1) ≤ N² overflows at
+    * N ≈ 3·10⁹ tokens per source — the documented DECIMAL swap
+    * (q184's discipline) for corpora past that.
+    *
+    * Scale posture: one re-aggregate of the memoized
+    * [[Features.sourceTokenCounts]] vocabulary frame (built once per
+    * session, shared with q101/q125/q128/q131) — no new corpus scan;
+    * output is |sources| rows. */
+  private def q190(spark: SparkSession, dir: String): DataFrame =
+    Features.sourceTokenCounts(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("cnt") * (col("cnt") - 1L)).as("rep2"))
+      .filter(col("n_tokens") >= 2L)
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("(1000000 * rep2) div (n_tokens * (n_tokens - 1))")
+          .as("simpson_u"))
+      .orderBy(col("simpson_u").desc, col("source"))
+
+  private val q190Sql =
+    s"""WITH wc AS (
+       |  SELECT source, w, count(*) AS c
+       |  FROM (SELECT source, unnest(${tokensSql("text")}) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS vocab,
+       |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+       |  FROM wc GROUP BY 1)
+       |SELECT source, n_tokens, vocab,
+       |  (1000000 * rep2) // (n_tokens * (n_tokens - 1)) AS simpson_u
+       |FROM agg WHERE n_tokens >= 2
+       |ORDER BY simpson_u DESC, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q190_simpson" -> (q190 _),
     "q154_ks_drift" -> (q154 _),
     "q176_emd_drift" -> (q176 _),
     "q177_good_turing" -> (q177 _),
@@ -4153,6 +4205,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q190_simpson" -> q190Sql,
     "q154_ks_drift" -> q154Sql,
     "q176_emd_drift" -> q176Sql,
     "q177_good_turing" -> q177Sql,

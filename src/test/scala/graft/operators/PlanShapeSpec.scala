@@ -740,6 +740,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q186/q188: kappa and lift collapse through hash aggregates — " +
+      "no window over the corpus, no Cartesian degradation, marginal " +
+      "sides broadcast") {
+    val kappa = plan("q186_source_kappa")
+    kappa should include("ObjectHashAggregate") // the assigned argmax
+    kappa should not include "Window"
+    kappa should not include "CartesianProduct"
+    val lift = plan("q188_label_lift")
+    lift should include("BroadcastHashJoin") // ni/nj marginals broadcast
+    lift should not include "Window"
+    lift should not include "CartesianProduct"
+  }
+
+  test("q187: the threshold sweep fans out the BOUNDED confidence grid " +
+      "(≤2001×2 cells), never corpus rows — broadcast non-equi join, " +
+      "no Cartesian product") {
+    val p = plan("q187_risk_coverage")
+    p should include("BroadcastNestedLoopJoin") // grid × 5-row thresholds
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("q189/q190: density and Simpson re-aggregate MEMOIZED frames — " +
+      "no new corpus window, no Cartesian product, hash aggregation " +
+      "only") {
+    for (q <- Seq("q189_cluster_density", "q190_simpson")) {
+      val p = plan(q)
+      withClue(q) {
+        p should not include "CartesianProduct"
+        p should not include "Window"
+        p should not include "SortAggregate"
+      }
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
