@@ -70,14 +70,14 @@ object DedupStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-source stream over a documents-table directory: the production
-    * entry (`readStream` — swap for Kafka by changing only this method). */
+  /** File-source stream over a documents-table directory. The Kafka
+    * swap is [[StreamSources.documentsFromKafkaWire]] — same output
+    * schema, so every gate downstream runs unchanged
+    * (`KafkaSeamSpec` proves it). */
   def documentSource(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(DocumentsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(path)
+    StreamSources.fileSource(spark, path, DocumentsSchema,
+      maxFilesPerTrigger)
 
   /** Corpus indexes for the ingest loop: the content-fingerprint table
     * and the MinHash signature table a production deployment keeps
