@@ -67,8 +67,15 @@ import graft.tools.ScaleData
   * `SPARK_GRAFT_STREAM_BATCHES` (default 10),
   * `SPARK_GRAFT_BPE_MERGES` (default 24),
   * `SPARK_GRAFT_SCALE_MEDIA` (default 2000 objects per modality),
+  * `SPARK_GRAFT_SERVE_REQS` (default 12 single-request serve calls),
   * `SPARK_GRAFT_SCALE_PHASE` = suite | skew | relational | tail |
-  * streaming | bpe | media | both (all).
+  * streaming | bpe | media | train | serve | both (all).
+  *
+  * A ninth phase (`serve`) measures the retrieval SERVING path
+  * ([[graft.Serve]]) end-to-end at ~sf1: batch standing-panel latency
+  * per retriever cold/warm (with and without `--diversify` MMR), and
+  * single-request p50/p95 through the full CLI path — the wall-clock
+  * figure an ANN deployment watches next to the recall audits.
   */
 object ScaleBench {
 
@@ -458,6 +465,77 @@ object ScaleBench {
       println(
         s"""{"metric":"media_neardup","objects":[$nMedia,${nMedia * 10}],""" +
           leg("image") + "," + leg("audio") + "}")
+    }
+
+    if (phase == "serve" || phase == "both") {
+      // Serve-path latency (round-11 verdict task 5): recall is audited
+      // (q113/q166/q168) — this measures the number an ANN deployment
+      // watches NEXT TO recall: end-to-end serving wall-clock. Two
+      // regimes at ~sf1: (a) the standing-panel batch serve per
+      // retriever (index build amortized by the session cache — cold
+      // first call, then warm), with and without the MMR diversify
+      // pass; (b) single-request latency — Serve with a one-id query
+      // file, N repeated calls, p50/p95 — the per-request figure, full
+      // CLI path included (parse, plan, probe, artifact write).
+      val sf1 = s"$out/sf1"
+      if (!Files.exists(Paths.get(s"$sf1/documents.parquet")))
+        ScaleData.generate(spark, sf1, nDocs, nEmb)
+      val serveOut = Files.createTempDirectory("graft_serve_").toString
+      var n = 0
+      def runServe(extra: String*): Double = {
+        n += 1
+        val t = time {
+          require(Serve.run(
+            Array(sf1, s"$serveOut/run$n") ++ extra, Some(spark)) == 0,
+            s"Serve failed: ${extra.mkString(" ")}")
+        }
+        t
+      }
+      def servedRows(dirN: Int): Long =
+        spark.read.json(s"$serveOut/run$dirN/results").count()
+
+      // (a) batch panel: cold (builds the session index frames), then
+      // two warm passes (min — Bench's model), per retriever.
+      def batchLeg(retriever: String, extra: String*): (Double, Double, Long) = {
+        val cold = runServe(Seq("--retriever", retriever) ++ extra: _*)
+        val rowsAt = n
+        val warm = (1 to 2).map(_ =>
+          runServe(Seq("--retriever", retriever) ++ extra: _*)).min
+        (cold, warm, servedRows(rowsAt))
+      }
+      val (dCold, dWarm, dRows) = batchLeg("dense")
+      val (iCold, iWarm, iRows) = batchLeg("ivf")
+      val (fCold, fWarm, fRows) = batchLeg("fused")
+      val (mCold, mWarm, mRows) = batchLeg("fused", "--diversify", "70")
+
+      // (b) single-request latency: one-id query file, N calls.
+      val oneId = Tables.embeddings(spark, sf1)
+        .select("vec_id").limit(1).collect().head.getLong(0)
+      val idFile = Paths.get(serveOut, "one_query.txt")
+      Files.write(idFile, s"$oneId\n".getBytes("UTF-8"))
+      val reqN = sys.env.getOrElse("SPARK_GRAFT_SERVE_REQS", "12").toInt
+      def requestLats(retriever: String, extra: String*): (Double, Double) = {
+        val lats = (1 to reqN).map(_ =>
+          runServe(Seq("--retriever", retriever,
+            "--queries", idFile.toString) ++ extra: _*)).sorted
+        (lats(lats.size / 2), lats((lats.size * 95) / 100 min (lats.size - 1)))
+      }
+      val (ivP50, ivP95) = requestLats("ivf")
+      val (fuP50, fuP95) = requestLats("fused")
+      val (dvP50, dvP95) = requestLats("fused", "--diversify", "70")
+
+      def leg(nm: String, cold: Double, warm: Double, rows: Long): String =
+        s""""$nm":{"cold_sec":${f2(cold)},"warm_sec":${f2(warm)},""" +
+          s""""rows":$rows,"rows_per_sec":${f2(rows / warm)}}"""
+      println(
+        s"""{"metric":"serve_latency","docs":$nDocs,"embeddings":$nEmb,""" +
+          leg("dense", dCold, dWarm, dRows) + "," +
+          leg("ivf", iCold, iWarm, iRows) + "," +
+          leg("fused", fCold, fWarm, fRows) + "," +
+          leg("fused_mmr70", mCold, mWarm, mRows) + "," +
+          s""""request_p50_p95_sec":{"ivf":[${f2(ivP50)},${f2(ivP95)}],""" +
+          s""""fused":[${f2(fuP50)},${f2(fuP95)}],""" +
+          s""""fused_mmr70":[${f2(dvP50)},${f2(dvP95)}]},"requests":$reqN}""")
     }
 
     if (phase == "skew" || phase == "both") {

@@ -3805,11 +3805,16 @@ object Similarity {
     * pure relevance — on the dense retriever that reproduces the
     * retriever's own order exactly (spec-pinned).
     *
-    * Candidates MUST carry embedding rows: any served id (query or
-    * candidate) missing from the embeddings table fails the job
-    * loudly (`raise_error` at the join) rather than silently shrinking
-    * the served set — `--diversify`'s contract is "same rows,
-    * diversity-aware order".
+    * Vector-coverage contract (same rows, NEVER a silent shrink): the
+    * QUERY must carry an embeddings row — a q_id without one fails the
+    * job loudly (`raise_error`): there is no relevance instrument at
+    * all without the query vector. CANDIDATES may legitimately lack
+    * vectors (the fused retriever's BM25 leg serves text-only
+    * documents on any corpus where embedding coverage is partial —
+    * the production norm); those cannot participate in vector MMR, so
+    * they ship AFTER the re-ranked vectorized head, in doc-id order,
+    * with NULL rel/score — visibly unranked, not dropped, and the
+    * served row set is exactly the retriever's.
     *
     * Scale posture: the greedy loop is inherently sequential but runs
     * per query over the retriever's ALREADY-BOUNDED candidate list
@@ -3839,16 +3844,29 @@ object Similarity {
       when(guard.isNull, raise_error(concat(
         lit(s"mmrRerank: served $side has no embeddings row: id="),
         idc.cast("string")))).otherwise(guard)
-    val pairs = served.select(col("q_id"), col(idCol).as("id"))
+    val joined = served.select(col("q_id"), col(idCol).as("id"))
       .join(emb.select(col("vec_id").as("id"), col("sv"), col("n2")),
         Seq("id"), "left")
       .join(broadcast(qv), Seq("q_id"), "left")
       .select(col("q_id"), col("id"),
         failMissing("query", col("qsv"), col("q_id")).as("qsv"),
-        col("qn2"),
-        failMissing("candidate", col("sv"), col("id")).as("sv"),
-        col("n2"))
+        col("qn2"), col("sv"), col("n2"))
+    val pairs = joined.filter(col("sv").isNotNull)
       .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
+    // Candidates without vectors: shipped after the re-ranked head in
+    // id order, NULL rel/score (the vector-coverage contract above).
+    val wTail = Window.partitionBy(col("q_id")).orderBy(col("doc_id"))
+    val headCounts = pairs.toDF().groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_head"))
+    val tail = joined.filter(col("sv").isNull)
+      .select(col("q_id"), col("id").as("doc_id"))
+      .join(broadcast(headCounts), Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_head"))
+      .select(col("q_id"), col("doc_id"),
+        (col("n_head") + row_number().over(wTail)).cast(LongType)
+          .as("mmr_rank"),
+        lit(null).cast(LongType).as("rel_u"),
+        lit(null).cast(LongType).as("mmr_score"))
     def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -3903,6 +3921,7 @@ object Similarity {
         out.iterator.map { case (id, r, rel, sc) => (qid, id, r, rel, sc) }
       }
       .toDF("q_id", "doc_id", "mmr_rank", "rel_u", "mmr_score")
+      .unionByName(tail)
       .orderBy(col("q_id"), col("mmr_rank"))
   }
 

@@ -95,11 +95,24 @@ class MmrServeSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe Array(10L, 12L, 11L)
   }
 
-  test("a served candidate with no embeddings row fails LOUDLY, never " +
-      "silently shrinking the served set") {
+  test("vector-less candidates ship AFTER the re-ranked head in id " +
+      "order with null scores — same rows, never a silent shrink") {
+    // the fused retriever's BM25 leg serves text-only docs on any
+    // corpus with partial embedding coverage — the production norm
+    val dir = plantedDir()
+    val got = Similarity.mmrRerank(spark, dir,
+      served(0L, Seq(10L, 99L, 12L, 98L)), 50).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    got.map(_._1).toSeq shouldBe Seq(10L, 12L, 98L, 99L)
+    got.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L, 4L) // contiguous ranks
+    got.map(_._3).toSeq shouldBe Seq(false, false, true, true)
+  }
+
+  test("a served QUERY with no embeddings row fails LOUDLY — there is " +
+      "no relevance instrument without the query vector") {
     val dir = plantedDir()
     val e = intercept[Exception] {
-      Similarity.mmrRerank(spark, dir, served(0L, Seq(10L, 99L)), 50)
+      Similarity.mmrRerank(spark, dir, served(77L, Seq(10L, 11L)), 50)
         .collect()
     }
     val msgs = Iterator.iterate(e: Throwable)(_.getCause)
