@@ -56,7 +56,8 @@ object Main {
   private val Usage =
     "Usage: graft.Main <input_list.txt> <output_dir> [--labels <file|dir>] " +
       "[--pipe <script>] [--pipe-streaming <script>] [--checkpoint <file>] " +
-      "[--centroid <model.gcm>] [--batch-size N] [--single-file]"
+      "[--centroid <model.gcm>] [--logit <model.glm>] [--batch-size N] " +
+      "[--single-file]"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -85,7 +86,7 @@ object Main {
   final case class Config(manifest: String, outDir: String,
       labelsPath: Option[String] = None, pipeScript: Option[String] = None,
       pipeStreaming: Option[String] = None, checkpoint: Option[String] = None,
-      centroid: Option[String] = None,
+      centroid: Option[String] = None, logit: Option[String] = None,
       batchSize: Int = Infer.DefaultBatchSize, singleFile: Boolean = false)
 
   private def parse(args: Array[String]): Option[Config] = {
@@ -97,7 +98,7 @@ object Main {
           // (per-batch subprocess when the user asked for the streaming
           // scorer), so combinations are a usage error, not a preference.
           val scorers = Seq(cfg.pipeScript, cfg.pipeStreaming,
-            cfg.checkpoint, cfg.centroid).count(_.isDefined)
+            cfg.checkpoint, cfg.centroid, cfg.logit).count(_.isDefined)
           if (pos.length == 2 && scorers <= 1)
             Some(cfg.copy(manifest = pos(1), outDir = pos(0)))
           else None
@@ -107,6 +108,7 @@ object Main {
           loop(t, pos, cfg.copy(pipeStreaming = Some(v)))
         case "--checkpoint" :: v :: t  => loop(t, pos, cfg.copy(checkpoint = Some(v)))
         case "--centroid" :: v :: t    => loop(t, pos, cfg.copy(centroid = Some(v)))
+        case "--logit" :: v :: t       => loop(t, pos, cfg.copy(logit = Some(v)))
         case "--batch-size" :: v :: t  =>
           v.toIntOption.filter(_ > 0) match {
             case Some(n) => loop(t, pos, cfg.copy(batchSize = n))
@@ -154,7 +156,26 @@ object Main {
     val items = Sources.manifest(spark, cfg.manifest)
       .map(line => Item(line, line))
 
-    val preds = (cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint,
+    val preds = if (cfg.logit.isDefined) {
+      // The logistic head (graft.Train --logit output): the artifact
+      // ALWAYS pins its label names — they are the serving dictionary,
+      // and an explicit --labels must match them (the same
+      // dictionary-drift refusal as the centroid v2 path).
+      val model = cfg.logit.get
+      val m = pipeline.LogitModel.load(model) // driver-side validate
+      val servingLabels = cfg.labelsPath match {
+        case None => LabelDict(m.labels)
+        case Some(_) =>
+          require(labels.labels == m.labels,
+            s"--labels dictionary [${labels.labels.mkString(",")}] does " +
+              s"not match the logit artifact's [${m.labels.mkString(",")}]")
+          labels
+      }
+      spark.sparkContext.addFile(model)
+      val name = new java.io.File(model).getName
+      Infer.classify(items, new pipeline.LogitScorer(name), servingLabels,
+        cfg.batchSize)
+    } else (cfg.pipeScript, cfg.pipeStreaming, cfg.checkpoint,
         cfg.centroid) match {
       case (Some(script), _, _, _) =>
         spark.sparkContext.addFile(script)

@@ -43,7 +43,8 @@ import graft.pipeline.{CentroidModel, CentroidSums, LabelDict}
 object Train {
 
   private val Usage =
-    "Usage: graft.Train <class_dir> <model_out.gcm> [--update <existing.gcm>]"
+    "Usage: graft.Train <class_dir> <model_out.gcm> " +
+      "[--update <existing.gcm>] [--logit]"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -52,12 +53,25 @@ object Train {
 
   /** Spec-friendly entry: no `System.exit`, optional injected session. */
   def run(args: Array[String], existing: Option[SparkSession] = None): Int = {
-    val uIdx = args.indexOf("--update")
+    val lIdx = args.indexOf("--logit")
+    val (logit, args1) =
+      if (lIdx < 0) (false, args) else (true, args.patch(lIdx, Nil, 1))
+    val uIdx = args1.indexOf("--update")
     val (updatePath, rest) =
-      if (uIdx < 0) (None, args)
-      else if (uIdx + 1 >= args.length || args(uIdx + 1).startsWith("--"))
-        (Some(""), args) // missing value → usage error below
-      else (Some(args(uIdx + 1)), args.patch(uIdx, Nil, 2))
+      if (uIdx < 0) (None, args1)
+      else if (uIdx + 1 >= args1.length || args1(uIdx + 1).startsWith("--"))
+        (Some(""), args1) // missing value → usage error below
+      else (Some(args1(uIdx + 1)), args1.patch(uIdx, Nil, 2))
+    // --logit + --update is a usage error, stated rather than silent:
+    // gradient descent is not a monoid — there is no exact fold of a
+    // new batch into trained weights (the centroid v2 sums artifact is
+    // exactly the property logit gives up for its richer boundary).
+    if (logit && updatePath.isDefined) {
+      System.err.println("[graft.Train] --logit cannot --update: " +
+        "logistic training is not an exact monoid; retrain over the " +
+        "union instead")
+      return 1
+    }
     if (rest.length != 2 || rest.exists(_.startsWith("--")) ||
         updatePath.contains("")) {
       System.err.println(Usage)
@@ -79,6 +93,18 @@ object Train {
         .join(broadcast(dims), "label_name")
         .select(col("label_idx"), col("content"))
       val skipped = spark.sparkContext.longAccumulator("train_skipped")
+      if (logit) {
+        // The multinomial-logistic head in the same artifact contract:
+        // byte-deterministic .glm with the dictionary pinned, served by
+        // graft.Main --logit / LogitScorer.
+        val m = pipeline.LogitModel.trainOnImages(labeled,
+          Some(labels.labels), Some(skipped))
+        m.save(modelOut)
+        System.err.println(s"[graft.Train] trained ${m.numClasses}-class " +
+          s"logit model (dim ${m.dim}, ${skipped.value} images skipped) " +
+          s"-> $modelOut")
+        return 0
+      }
       val raw = CentroidModel.imageSums(labeled, Some(skipped))
       val sums = updatePath match {
         case Some(existingPath) =>

@@ -114,6 +114,56 @@ class LogitSpec extends AnyFunSuite with SparkSpec with Matchers {
     eg.getMessage should include("contiguous")
   }
 
+  test("CLI round trip: graft.Train --logit learns from the class tree " +
+      "and graft.Main --logit serves it; --update is refused (GD is " +
+      "not a monoid); dictionary drift is refused") {
+    import scala.jdk.CollectionConverters._
+    val classDir = Files.createTempDirectory("logit_classes_")
+    for ((name, base) <- Seq("a_dark" -> 30, "b_mid" -> 128,
+        "c_bright" -> 220)) {
+      val d = Files.createDirectories(classDir.resolve(name))
+      for (j <- Seq(0, 4, 8, 12))
+        Files.write(d.resolve(s"img$j.png"), png(base + j / 2, j))
+    }
+    val model = classDir.resolve("model.glm")
+    graft.Train.run(Array(classDir.toString, model.toString, "--logit"),
+      Some(spark)) shouldBe 0
+    val trained = LogitModel.load(model.toString)
+    trained.labels shouldBe IndexedSeq("a_dark", "b_mid", "c_bright")
+
+    val servDir = Files.createTempDirectory("logit_serve_")
+    val paths = Seq("a_dark" -> 31, "b_mid" -> 129, "c_bright" -> 221).map {
+      case (cls, luma) =>
+        val p = servDir.resolve(s"$cls.png")
+        Files.write(p, png(luma, 2))
+        cls -> p.toString
+    }
+    val corrupt = servDir.resolve("corrupt.png")
+    Files.write(corrupt, Array[Byte](0, 1, 2))
+    val manifest = servDir.resolve("manifest.txt")
+    Files.writeString(manifest,
+      (paths.map(_._2) :+ corrupt.toString).mkString("\n"))
+    val out = servDir.resolve("out")
+    graft.Main.run(Array(manifest.toString, out.toString,
+      "--logit", model.toString, "--single-file"), Some(spark)) shouldBe 0
+    val rows = Files.list(out).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(f).asScala)
+      .map { l => val Array(p, lp) = l.split("\t"); p -> lp }
+      .toMap
+    for ((cls, p) <- paths) rows(p) should startWith(s"$cls,")
+    rows(corrupt.toString) shouldBe "a_dark,0.0000" // M3 sentinel, %.4f
+
+    // --update with --logit is a stated usage error
+    graft.Train.run(Array(classDir.toString,
+      classDir.resolve("m2.glm").toString, "--logit",
+      "--update", model.toString), Some(spark)) shouldBe 1
+    // a mismatched --labels dictionary is refused, never remapped
+    graft.Main.run(Array(manifest.toString,
+      servDir.resolve("out2").toString, "--logit", model.toString,
+      "--labels", servDir.toString), Some(spark)) shouldBe 1
+  }
+
   test("train -> ship -> serve: the artifact rides addFile/SparkFiles, " +
       "serves learned top-1 through Infer, corrupt payloads land on " +
       "the M3 sentinel") {
