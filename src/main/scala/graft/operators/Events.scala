@@ -1170,7 +1170,155 @@ object Events {
        |GROUP BY w.event_type
        |ORDER BY up_u DESC, w.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** EVENT TRANSITION MATRIX (first-order Markov audit) — q149 mines
+    * which event pairs co-occur in a user's history; this reads the
+    * SEQUENTIAL structure those sets erase: for each consecutive pair
+    * in a user's stream (ts, then event_id order — q25's total order),
+    * the (from → to) count and the exact row-conditional probability
+    * P(next = to | cur = from). The product surfaces broken funnels
+    * ("purchase → error spiked"), bot signatures (self-loops at
+    * p ≈ 1), and the empirical transition kernel a simulator or
+    * session-generating test harness replays.
+    *
+    * Determinism: counts exact int64; the probability is one
+    * nonnegative floor-div in micro-units; output ordered (from, to).
+    *
+    * Scale posture: ONE user-keyed window (lead over q25's sort — the
+    * sessionize shuffle shape) feeding a partial-aggregable
+    * (from, to) count; the marginal re-aggregates the ≤|types|² cell
+    * frame and broadcasts back. Nothing corpus-sized shuffles twice. */
+  private def q191(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val marg = cells.groupBy(col("from_type")).agg(sum(col("cnt")).as("n_from"))
+    cells.join(broadcast(marg), "from_type")
+      .withColumn("p_u", expr("(1000000 * cnt) div n_from"))
+      .select(col("from_type"), col("to_type"), col("cnt"), col("n_from"),
+        col("p_u"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q191Sql =
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |cells AS (
+       |  SELECT from_type, to_type, count(*) AS cnt
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |marg AS (
+       |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n_from
+       |  FROM cells GROUP BY 1)
+       |SELECT c.from_type, c.to_type, c.cnt, m.n_from,
+       |  (1000000 * c.cnt) // m.n_from AS p_u
+       |FROM cells c JOIN marg m ON c.from_type = m.from_type
+       |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  /** SESSION ENTRY-TYPE REPORT — q25 builds the sessions, this asks
+    * the landing-page question of them: per ENTRY event type (the
+    * event that opened the session — exactly the `is_new = 1` row, so
+    * no second window pass is needed to find it), how many sessions
+    * start there, how deep they go, how long they last, and how often
+    * they convert (reach a `purchase`). The table a funnel owner reads
+    * next to q63: not "how far do users get" but "which doors are
+    * worth the traffic".
+    *
+    * Determinism: q25's exact session assignment (30-minute gap, ts +
+    * event_id total order); depth/duration/conversion are int64 counts
+    * and second-diffs with floor-div micro rates.
+    *
+    * Scale posture: q25's one user-keyed window (gap + cumulative
+    * session id ride a single sort), one partial-aggregable
+    * per-session aggregate — the entry type surfaces as
+    * max(CASE is_new) inside it, not a second window — then a
+    * ≤|types|-row re-aggregate. */
+  private def q192(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_s",
+        col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        // graft_argmax instead of max(CASE): a string-buffered max
+        // demotes the whole aggregate to SortAggregate; the argmax
+        // rides ObjectHashAggregate, and the single is_new=1 row wins
+        // its ordering strictly (every session has exactly one)
+        graft.functions.ArgMaxAgg.argMax(struct(col("is_new")),
+          col("event_type")).as("entry_type"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast(LongType)) - min(col("ts").cast(LongType)))
+          .as("dur_s"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sess.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("sum_events"),
+        sum(col("dur_s")).as("sum_dur_s"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("entry_type"), col("n_sessions"),
+        expr("(1000000 * sum_events) div n_sessions").as("depth_u"),
+        expr("sum_dur_s div n_sessions").as("avg_dur_s"),
+        col("n_converted"),
+        expr("(1000000 * n_converted) div n_sessions").as("conversion_u"))
+      .orderBy(col("n_sessions").desc, col("entry_type"))
+  }
+
+  private val q192Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+       |      AS is_new
+       |  FROM gaps),
+       |sess AS (
+       |  SELECT user_id, ts, event_type, is_new,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged),
+       |per AS (
+       |  SELECT user_id, session_id,
+       |    max(CASE WHEN is_new = 1 THEN event_type END) AS entry_type,
+       |    count(*) AS n_events,
+       |    date_diff('second', CAST(min(ts) AS TIMESTAMP),
+       |      CAST(max(ts) AS TIMESTAMP)) AS dur_s,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS converted
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT entry_type, count(*) AS n_sessions,
+       |  (1000000 * CAST(sum(n_events) AS BIGINT)) // count(*) AS depth_u,
+       |  CAST(sum(dur_s) AS BIGINT) // count(*) AS avg_dur_s,
+       |  CAST(sum(converted) AS BIGINT) AS n_converted,
+       |  (1000000 * CAST(sum(converted) AS BIGINT)) // count(*)
+       |    AS conversion_u
+       |FROM per GROUP BY entry_type
+       |ORDER BY n_sessions DESC, entry_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q191_event_transitions" -> (q191 _),
+    "q192_entry_sessions" -> (q192 _),
     "q184_cusum_shift" -> (q184 _),
     "q155_event_debounce" -> (q155 _),
     "q156_touch_attribution" -> (q156 _),
@@ -1194,6 +1342,8 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q191_event_transitions" -> q191Sql,
+    "q192_entry_sessions" -> q192Sql,
     "q184_cusum_shift" -> q184Sql,
     "q155_event_debounce" -> q155Sql,
     "q156_touch_attribution" -> q156Sql,

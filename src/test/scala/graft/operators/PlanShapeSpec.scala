@@ -775,6 +775,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q191/q192: the sequence pair rides ONE user-keyed sort each — " +
+      "lead/gap/session windows stack on the q25 shuffle, cells " +
+      "re-aggregate hash-side, marginals broadcast") {
+    val trans = plan("q191_event_transitions")
+    // one lead pass; the static plan prints it once more under the
+    // marginal's subtree (the shuffle is exchange-reused at runtime)
+    nodeCount(trans, "Window") should be <= 2
+    trans should include("BroadcastHashJoin") // the |types| marginal
+    trans should not include "CartesianProduct"
+    val entry = plan("q192_entry_sessions")
+    // gap lag + cumulative session id fuse into stacked Window nodes
+    // over ONE user sort; the entry type is a CASE inside the
+    // aggregate, never a third pass
+    nodeCount(entry, "Window") should be <= 2
+    entry should not include "CartesianProduct"
+    entry should not include "SortAggregate" // argmax entry, not max(string)
+    entry should include("ObjectHashAggregate")
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
