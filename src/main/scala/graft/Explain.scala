@@ -129,7 +129,14 @@ object Explain {
     "q175_label_noise" -> "q170's broadcast fan-out shape with a second labels-sized broadcast (the per-class threshold table) joined in BEFORE the per-vector collapse; the confident argmax is ONE ObjectHashAggregate (graft_argmax - no window, no SortAggregate, map-side combine), the joint re-aggregates <= labels^2 cells, and the three report legs join labels-sized frames - the corpus crosses the wire once, as k-long argmax buffers",
     "q176_emd_drift" -> "deliberately q154's grid (per-(source,value) partial-aggregable count, |sources| x |values| ECDF frame): the source-partitioned running sum AND the lead gap term plan into ONE Window node (same partition+order spec - no extra shuffle, no second sort), then one partial-aggregable groupBy to |sources| rows",
     "q180_crawl_runs" -> "one narrow (source, doc_id, md5) scan; the lag break-flag and the running break-sum are two stacked Window nodes over ONE shuffle + ONE per-source sort (the run-sum consumes the lag's output, so they can't fuse - but no Exchange or Sort sits between them); run lengths and the per-source report are two partial-aggregable hash aggregates - text bytes never shuffle, fingerprints do",
-    "q184_cusum_shift" -> "the CUSUM walk runs over the |types| x |hours| dense grid (bounded by the time window, never the event count): one partial-aggregable (type, hour) count, the cumulative walk and its running min/max as stacked Window passes over ONE type-keyed shuffle + sort, change-point hours via the hash-aggregable graft_argmax (no second window, no sort aggregate) - raw events reduce map-side before anything sequential happens")
+    "q184_cusum_shift" -> "the CUSUM walk runs over the |types| x |hours| dense grid (bounded by the time window, never the event count; the hour domain is sequence()-densified over the span and BROADCAST structurally): one partial-aggregable (type, hour) count, the cumulative walk and its running min/max as stacked Window passes over ONE type-keyed shuffle + sort, change-point hours via the hash-aggregable graft_argmax (no second window, no sort aggregate) - raw events reduce map-side before anything sequential happens",
+    "q186_source_kappa" -> "rides the memoized assigned fan-out (ObjectHashAggregate argmax, built once per session); every confusion/marginal/chance stage is a partial-aggregable hash aggregate over <= |sources| x k^2 cells - no window, no Cartesian product",
+    "q187_risk_coverage" -> "the threshold sweep fans out the BOUNDED (confidence-bucket, correct) grid (<= 2001 x 2 cells by construction) against the broadcast 5-row threshold frame (BroadcastNestedLoopJoin) - corpus rows are counted once into the grid and never multiplied",
+    "q188_label_lift" -> "one narrow embeddings-documents equi-join, one partial-aggregable cell count; the n_i/n_j marginals re-aggregate the cell frame and BROADCAST back (BroadcastHashJoin) - nothing corpus-sized crosses the wire twice",
+    "q189_cluster_density" -> "both inputs are memoized pairs-bounded frames (CC labels + verified pairs); the audit is two hash aggregates and one cluster-keyed join on tiny frames - no corpus scan, no triangle enumeration",
+    "q190_simpson" -> "ONE re-aggregate of the memoized (source, token) vocabulary frame (TableCacheQueryStage) - the corpus-sized token explode ran once at cache build; |sources| rows out",
+    "q191_event_transitions" -> "one user-keyed lead Window (the sessionize sort), a partial-aggregable <= |types|^2 cell count, and the broadcast from-type marginal (BroadcastHashJoin) - the static plan prints the window under both consumers, the runtime reuses the exchange",
+    "q192_entry_sessions" -> "the gap lag + cumulative session id stack on ONE user-keyed shuffle + sort; the per-session aggregate picks the entry type via graft_argmax (ObjectHashAggregate - a max(CASE) over strings would demote everything to SortAggregate), then a <= |types|-row re-aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -169,6 +169,14 @@ object ScaleBench {
     val spark = GraftSession.builder(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k=v" — session-conf knobs for targeted
+    // experiments (e.g. the q40 banding demo: lshBits=32,lshBands=2).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        System.err.println(s"[ScaleBench] conf $k=$v")
+      })
 
     // Locale-proof fixed-point formatting: these lines are machine-parsed
     // JSON, and the f-interpolator would emit decimal commas under e.g.

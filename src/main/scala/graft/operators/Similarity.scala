@@ -117,8 +117,16 @@ object Similarity {
     * dense rotations of the latent space, so leading-dim signs partition
     * uniformly. */
   private def signBucket(sv: Column, bits: Int = DefaultLshBits): Column =
+    signBucketAt(sv, bits, 0)
+
+  /** Sign bucket over components [offset, offset+bits) — band b of a
+    * multi-band index reads offset = b·bits, so bands are sign
+    * patterns over DISJOINT component ranges (independent hash tables,
+    * the minhash-banding construction on the vector side). */
+  private def signBucketAt(sv: Column, bits: Int, offset: Int): Column =
     (0 until bits).map(j =>
-      when(element_at(sv, j + 1) > 0L, lit(1L << j)).otherwise(lit(0L)))
+      when(element_at(sv, offset + j + 1) > 0L, lit(1L << j))
+        .otherwise(lit(0L)))
       .reduce(_ + _)
 
   private val signBucketSql: String =
@@ -399,24 +407,83 @@ object Similarity {
       k
     }
 
+  /** Multi-band width for the near-dup candidate index: B independent
+    * sign tables over DISJOINT component ranges (band b = bits
+    * [b·lshBits, (b+1)·lshBits)). Default 1 = the single-table index
+    * the oracle pins. Why it exists, measured: at the 100× ScaleBench
+    * density (10 clusters at within-cluster cos ≈ 0.8) a single
+    * `bits`-wide table prunes candidates by only 0.795^bits — widening
+    * it past ~16 bits starts dropping true near-dups (0.994^bits per
+    * planted pair). Banding breaks the trade the way minhash banding
+    * does: 2 bands × 32 bits keeps planted-dup recall at
+    * 1−(1−0.994³²)² ≈ 0.97 while cutting cluster-pair candidates by
+    * 2·0.795³² ≈ 10³× — the production setting for dense corpora,
+    * demonstrated in the 100× sweep. */
+  val LshBandsConf = "spark.graft.neardup.lshBands"
+
+  private def lshBands(spark: SparkSession): Int =
+    spark.conf.getOption(LshBandsConf) match {
+      case None => 1
+      case Some(raw) =>
+        val b = raw.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"$LshBandsConf must be a positive integer, got '$raw'"))
+        require(b >= 1, s"$LshBandsConf must be >= 1, got $b")
+        b
+    }
+
   /** Embedding-cosine near-dup pairs: intra-bucket pairs with cosine ≥
     * `threshold` (default [[NearDupCosine]]) — the vector twin of
     * [[Dedup]]'s MinHash/SimHash text near-dup. Honors [[MaxPairsConf]]
-    * (per-a_id top-k budget; absent = uncapped). */
+    * (per-a_id top-k budget; absent = uncapped) and [[LshBandsConf]]
+    * (candidates = same key in ANY band; verified pairs dedup before
+    * the budget, and the cosine filter is identical, so banding only
+    * moves RECALL/cost, never admits a below-threshold pair). */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = NearDupCosine): DataFrame = {
-    val emb = scaledEmb(spark, dir)
-      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
-    val a = emb.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
-      col("n2").as("a_n2"), col("bkt").as("a_bkt"))
-    val b = emb.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
-      col("n2").as("b_n2"), col("bkt").as("b_bkt"))
-    val pairs = a
-      .join(b, col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
-        col("a_n2"), col("b_n2")))
-      .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cos"))
+    val bits = lshBits(spark)
+    val bands = lshBands(spark)
+    require(bands * bits <= Dim,
+      s"$LshBandsConf ($bands) x $LshBitsConf ($bits) exceeds $Dim " +
+        "vector components - bands read disjoint component ranges")
+    val base = scaledEmb(spark, dir)
+    val pairs =
+      if (bands == 1) {
+        // the single-table path the oracle pins, byte-for-byte
+        val emb = base.withColumn("bkt", signBucket(col("sv"), bits))
+        val a = emb.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
+          col("n2").as("a_n2"), col("bkt").as("a_bkt"))
+        val b = emb.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
+          col("n2").as("b_n2"), col("bkt").as("b_bkt"))
+        a.join(b, col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
+          .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
+            col("a_n2"), col("b_n2")))
+          .filter(col("cos") >= threshold)
+          .select(col("a_id"), col("b_id"), col("cos"))
+      } else {
+        // B independent tables: explode each vector to its B (band,
+        // key) rows, equi-join on both, verify, dedup the (a, b)
+        // survivors (a pair caught by two bands verifies twice — B is
+        // small, the distinct runs over verified survivors only)
+        val emb = base.select(col("vec_id"), col("sv"), col("n2"),
+          explode(array((0 until bands).map(bd =>
+            struct(lit(bd).as("band"),
+              signBucketAt(col("sv"), bits, bd * bits).as("bk"))): _*))
+            .as("bb"))
+          .select(col("vec_id"), col("sv"), col("n2"),
+            col("bb.band").as("band"), col("bb.bk").as("bk"))
+        val a = emb.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
+          col("n2").as("a_n2"), col("band"), col("bk"))
+        val b = emb.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
+          col("n2").as("b_n2"), col("band"), col("bk"))
+        a.join(b, Seq("band", "bk"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
+            col("a_n2"), col("b_n2")))
+          .filter(col("cos") >= threshold)
+          .select(col("a_id"), col("b_id"), col("cos"))
+          .distinct()
+      }
     val budgeted = maxPairs(spark).fold(pairs) { k =>
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("cos").desc, col("b_id"))
