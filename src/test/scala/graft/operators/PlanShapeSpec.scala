@@ -17,6 +17,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     SparkEntry.queries(name)(spark, SparkSpec.Sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Plan in a FRESH session (own cache namespace): pins on queries
+    * that are session-memoized (q100/q176/q181/q182…) must inspect the
+    * BUILD plan — in the shared session an earlier suite may have
+    * materialized the cache, and the InMemoryRelation's printed child
+    * plan double-counts nodes. The fresh session's transient persist
+    * entries are dropped before returning. */
+  private def freshPlan(name: String): String = {
+    val s = spark.newSession()
+    try SparkEntry.queries(name)(s, SparkSpec.Sf0001)
+      .queryExecution.executedPlan.toString
+    finally Features.clear(s)
+  }
+
   test("q06: filters are pushed into the lineitem scan; schema is pruned") {
     val scan = plan("q06_forecast_revenue").linesIterator
       .find(_.contains("FileScan parquet")).get
@@ -321,7 +334,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("q100: the drift monitor's global frame joins back by BROADCAST " +
       "and the per-source sums are partial-aggregable hash aggregates") {
-    val p = plan("q100_embedding_drift")
+    val p = freshPlan("q100_embedding_drift")
     p should include("BroadcastNestedLoopJoin") // 1-row global frame
     p should include("HashAggregate")
     p should not include "SortAggregate"
@@ -639,7 +652,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       "and codebook broadcast, no Cartesian degradation") {
     for (q <- Seq("q175_label_noise", "q178_noise_roster",
         "q181_noise_by_source")) {
-      val p = plan(q)
+      val p = freshPlan(q)
       p should include("ObjectHashAggregate") // graft_argmax
       p should not include "Window"
       p should not include "CartesianProduct"
@@ -651,7 +664,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("q176: the EMD grid fuses the running sum and the lead gap into " +
       "ONE source-keyed Window node — q154's shape plus nothing") {
-    val p = plan("q176_emd_drift")
+    val p = freshPlan("q176_emd_drift")
     // exactly two Window nodes total: the corpus-domain ECDF and the
     // fused grid pass (a third would mean the lead split off its own
     // sort/shuffle)
@@ -694,7 +707,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q182/q185: the EMD grid family keeps q176's shape — bounded " +
       "grid windows, no Cartesian, no window over raw rows") {
     for (q <- Seq("q182_confidence_drift", "q185_ingest_drift")) {
-      val p = plan(q)
+      val p = freshPlan(q)
       p should not include "CartesianProduct"
       // the per-key cumsum+lead pass fuses (q176's pin): at most the
       // domain window + the grid window
@@ -743,7 +756,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q186/q188: kappa and lift collapse through hash aggregates — " +
       "no window over the corpus, no Cartesian degradation, marginal " +
       "sides broadcast") {
-    val kappa = plan("q186_source_kappa")
+    val kappa = freshPlan("q186_source_kappa")
     kappa should include("ObjectHashAggregate") // the assigned argmax
     kappa should not include "Window"
     kappa should not include "CartesianProduct"
@@ -756,7 +769,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q187: the threshold sweep fans out the BOUNDED confidence grid " +
       "(≤2001×2 cells), never corpus rows — broadcast non-equi join, " +
       "no Cartesian product") {
-    val p = plan("q187_risk_coverage")
+    val p = freshPlan("q187_risk_coverage")
     p should include("BroadcastNestedLoopJoin") // grid × 5-row thresholds
     p should not include "CartesianProduct"
     p should not include "Window"
