@@ -426,6 +426,36 @@ object ScaleBench {
         s"""{"metric":"centroid_train","images":[$nTrain,${nTrain * 10}],""" +
           s""""classes":10,"train_sec":[${f3(tA)},${f3(tB)},${f2(tB / tA)}],""" +
           s""""train_acc":[${f3(accA)},${f3(accB)}]}""")
+
+      // The logistic head's claim: per epoch one corpus pass collapsing
+      // to k·(dim+1)+1 longs — so wall-clock ~ epochs × scan, and the
+      // same 10 planted bands must train to perfect accuracy (a
+      // training bug reads as accuracy, not time).
+      def sweepLogit(n: Long, tag: String): (Double, Double) = {
+        val dir = s"$out/train_$tag"
+        val df = spark.read.parquet(s"$dir/labeled.parquet")
+        var model: graft.pipeline.LogitModel = null
+        val t = (1 to 2).map(_ => time {
+          model = graft.pipeline.LogitModel.trainOnImages(df)
+        }).min
+        val m = model
+        import spark.implicits._
+        import graft.pipeline.Media
+        val correct = df.select(col("label_idx").cast("int"), col("content"))
+          .as[(Int, Array[Byte])]
+          .map { case (idx, bytes) =>
+            if (m.scoreFeatures(Media.imageFeatures(bytes))._1 == idx) 1L
+            else 0L
+          }.reduce(_ + _)
+        (t, correct.toDouble / n)
+      }
+      val (lA, laccA) = sweepLogit(nTrain, s"base_$nTrain")
+      val (lB, laccB) = sweepLogit(nTrain * 10, s"x10_${nTrain * 10}")
+      println(
+        s"""{"metric":"logit_train","images":[$nTrain,${nTrain * 10}],""" +
+          s""""classes":10,"epochs":40,""" +
+          s""""train_sec":[${f3(lA)},${f3(lB)},${f2(lB / lA)}],""" +
+          s""""train_acc":[${f3(laccA)},${f3(laccB)}]}""")
     }
 
     if (phase == "media" || phase == "both") {
