@@ -1316,7 +1316,291 @@ object Events {
        |FROM per GROUP BY entry_type
        |ORDER BY n_sessions DESC, entry_type""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** USER RETENTION SURVIVAL CURVE (Nelson–Aalen cumulative hazard,
+    * right-censored) — q64 counts "users seen again on day d"; this
+    * answers the question retention analyses actually pose: *given a
+    * user survived d days, what fraction churn on day d* (the hazard),
+    * and how does churn risk ACCUMULATE over a lifetime (the
+    * Nelson–Aalen estimator H(d) = Σ_{d'≤d} churn(d')/at_risk(d'),
+    * with S ≈ exp(−H)). The estimator is censoring-aware: a user whose
+    * last event falls inside the final [[SurvivalCensorS]] of the
+    * observation window has not been OBSERVED to churn — their
+    * lifetime is a lower bound, so they count in every risk set up to
+    * it but never as a churn event. Ignoring censoring (as a naive
+    * lifetime histogram does) systematically inflates late-day churn.
+    *
+    * Determinism: lifetimes are int64 second diffs floor-divided to
+    * days; the hazard is one nonnegative micro floor-div per day and
+    * the cumulative hazard an int64 running sum — no floats anywhere
+    * (this is why Nelson–Aalen over Kaplan–Meier: H is a pure rational
+    * sum where KM's S is a product needing ln).
+    *
+    * Scale posture: ONE user-keyed aggregate (first/last event — the
+    * q64 shuffle shape) collapses the corpus to |users| rows; the
+    * day table is ≤ span-days rows, so the risk-set window (reverse
+    * cumulative sum) and the hazard walk run over a time-bounded
+    * frame, not an event- or user-bounded one. The observation
+    * boundary is a 1-row derived frame, broadcast structurally. */
+  private[graft] val SurvivalCensorS = 7L * 86400L
+
+  private def q194(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast(LongType)).as("t0_s"),
+        max(col("ts").cast(LongType)).as("t1_s"))
+    val bound = users.agg(max(col("t1_s")).as("w_s"))
+    val lives = users.crossJoin(broadcast(bound))
+      .withColumn("life_day", expr("(t1_s - t0_s) div 86400"))
+      .withColumn("censored",
+        when(col("t1_s") > col("w_s") - SurvivalCensorS, 1L).otherwise(0L))
+    val days = lives.groupBy(col("life_day"))
+      .agg(sum(lit(1L) - col("censored")).as("n_churn"),
+        sum(col("censored")).as("n_censored"))
+    // Reverse-cumulative risk set over the ≤span-days frame (time-
+    // bounded, not data-bounded — same class as q184's hour walk).
+    val wDesc = Window.orderBy(col("life_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("life_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("n_risk", sum(col("n_churn") + col("n_censored")).over(wDesc))
+      .withColumn("hazard_u", expr("(1000000 * n_churn) div n_risk"))
+      .withColumn("cumhaz_u", sum(col("hazard_u")).over(wAsc))
+      .select(col("life_day"), col("n_risk"), col("n_churn"),
+        col("n_censored"), col("hazard_u"), col("cumhaz_u"))
+      .orderBy(col("life_day"))
+  }
+
+  private val q194Sql =
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    min(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+       |      AS t0_s,
+       |    max(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+       |      AS t1_s
+       |  FROM events GROUP BY 1),
+       |bound AS (SELECT max(t1_s) AS w_s FROM users),
+       |lives AS (
+       |  SELECT (t1_s - t0_s) // 86400 AS life_day,
+       |    CASE WHEN t1_s > w_s - ${SurvivalCensorS} THEN 1 ELSE 0 END
+       |      AS censored
+       |  FROM users CROSS JOIN bound),
+       |days AS (
+       |  SELECT life_day,
+       |    CAST(sum(1 - censored) AS BIGINT) AS n_churn,
+       |    CAST(sum(censored) AS BIGINT) AS n_censored
+       |  FROM lives GROUP BY 1),
+       |walk AS (
+       |  SELECT life_day, n_churn, n_censored,
+       |    CAST(sum(n_churn + n_censored) OVER (ORDER BY life_day DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM days)
+       |SELECT life_day, n_risk, n_churn, n_censored,
+       |  (1000000 * n_churn) // n_risk AS hazard_u,
+       |  CAST(sum((1000000 * n_churn) // n_risk) OVER (ORDER BY life_day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cumhaz_u
+       |FROM walk
+       |ORDER BY life_day""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+  /** STATIONARY DISTRIBUTION of the q191 transition kernel — the
+    * long-run occupancy the empirical Markov chain converges to: where
+    * a user following the OBSERVED transition probabilities spends
+    * their time, independent of entry point. Divergence between π and
+    * the raw event-type frequency is the diagnostic: a type can be
+    * common in the log yet transient in the dynamics (an entry page
+    * everyone bounces off) or rare but absorbing (an error state users
+    * cannot leave). [[StationaryIters]] synchronous power-iteration
+    * steps on the micro-integer kernel; with every observed chain
+    * mixing in far fewer steps, the iterate is stationary to within
+    * the floor-division quantum.
+    *
+    * Determinism: the kernel is q191's exact micro floor-div; each
+    * step is Σᵢ πᵢ·pᵤ(i,j) div 10⁶ in int64 (|π|≤10⁶, |pᵤ|≤10⁶,
+    * Σ over ≤|types| terms ≤ |types|·10¹² ≪ 2⁶³) — the driver-side
+    * loop and the oracle's unrolled CTE chain perform the identical
+    * integer arithmetic. Floor loss makes Σπ drift a few micro per
+    * step (documented; both engines drift identically).
+    *
+    * Scale posture: the corpus-sized work is exactly q191's (one
+    * user-keyed lead window + a ≤|types|² cell count); the kernel is
+    * then a bounded artifact — collecting ≤|types|² rows and iterating
+    * on the driver is the same bounded-collect discipline as the
+    * k-means codebook loop (q79). Types with no outgoing transitions
+    * shed their mass (documented absorbing-edge semantics, identical
+    * in both engines). */
+  private[graft] val StationaryIters = 24
+
+  private def q195(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val marg = cells.groupBy(col("from_type")).agg(sum(col("cnt")).as("n_from"))
+    val kernel = cells.join(broadcast(marg), "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("(1000000 * cnt) div n_from").as("p_u"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // Bounded driver iteration: ≤|types|² kernel rows (q79's collected-
+    // codebook discipline). π₀ uniform over the from-type set, floors
+    // mirroring the oracle's integer CTE chain exactly.
+    val fromTypes = kernel.map(_._1).distinct.sorted
+    val k = fromTypes.length.toLong
+    var pi: Map[String, Long] =
+      fromTypes.map(t => t -> 1000000L / k).toMap
+    for (_ <- 1 to StationaryIters) {
+      pi = kernel
+        .filter { case (f, _, _) => pi.contains(f) }
+        .groupBy(_._2)
+        .map { case (to, rows) =>
+          to -> rows.map { case (f, _, p) => pi(f) * p }.sum / 1000000L }
+    }
+    pi.toSeq.toDF("event_type", "pi_u")
+      .orderBy(col("pi_u").desc, col("event_type"))
+  }
+
+  // MATERIALIZED: DuckDB inlines CTEs by default, and the 24-deep
+  // chain (each step referencing `kernel` again) explodes its
+  // optimizer's search space — materialization plans each step once.
+  private val q195Sql = {
+    val chain = (1 to StationaryIters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT k.to_type AS t,
+         |    CAST(sum(p.pi_u * k.p_u) // 1000000 AS BIGINT) AS pi_u
+         |  FROM p${i - 1} p JOIN kernel k ON p.t = k.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |cells AS MATERIALIZED (
+       |  SELECT from_type, to_type, count(*) AS cnt
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |marg AS MATERIALIZED (
+       |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n_from
+       |  FROM cells GROUP BY 1),
+       |kernel AS MATERIALIZED (
+       |  SELECT c.from_type, c.to_type, (1000000 * c.cnt) // m.n_from AS p_u
+       |  FROM cells c JOIN marg m ON c.from_type = m.from_type),
+       |p0 AS MATERIALIZED (
+       |  SELECT from_type AS t,
+       |    1000000 // (SELECT count(*) FROM marg) AS pi_u
+       |  FROM marg),
+       |$chain
+       |SELECT t AS event_type, pi_u FROM p$StationaryIters
+       |ORDER BY pi_u DESC, t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q199
+  /** DAILY-CYCLE SEASONALITY AUDIT — lag-24 autocorrelation of each
+    * type's hourly count series over q184's dense hour grid: the
+    * exact Pearson correlation between hour h and hour h−24. High r
+    * = human diurnal traffic; r ≈ 0 = arrival-time noise or uniform
+    * automation; NEGATIVE r = alternating load. The number a capacity
+    * planner or anomaly-detector calibrator reads before assuming
+    * "same hour yesterday" is a valid baseline (q65's trailing band
+    * and q184's CUSUM both quietly do) — and a bot-vs-human signature
+    * next to q191's self-loop probabilities.
+    *
+    * Determinism: counts on the DENSE grid (missing hours fold 0 —
+    * q184's densification, so the pairing is positional in TIME, not
+    * in observed rows); the five moment sums are exact int64; r is
+    * one double expression (cast, multiply, sqrt, divide — each a
+    * single correctly-rounded IEEE op) floored to micro. Flat series
+    * (zero variance on either side) read r_u = 0 with the pair count
+    * still emitted.
+    *
+    * Scale posture: one partial-aggregable (type, hour) count; the
+    * grid is |types| × |hours| (time-bounded); one per-type lag
+    * window over it and a |types|-row moment aggregate. Int64
+    * headroom: Σx² ≤ hours·peak² — a year of hours at 10⁶/hour peaks
+    * sits at 10¹⁶ < 2⁶³; beyond that, the documented DECIMAL swap. */
+  private def q199(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val hours = hc.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+    val types = hc.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val grid = types.crossJoin(broadcast(hours))
+      .join(hc, Seq("event_type", "hour"), "left").na.fill(0L, Seq("cnt"))
+      .withColumn("prev", lag(col("cnt"), 24).over(w))
+      .filter(col("prev").isNotNull)
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cnt")).as("sy"), sum(col("prev")).as("sx"),
+        sum(col("cnt") * col("prev")).as("sxy"),
+        sum(col("cnt") * col("cnt")).as("syy"),
+        sum(col("prev") * col("prev")).as("sxx"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r24_u",
+        when(col("vx") === 0L || col("vy") === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+            sqrt(col("vx").cast(DoubleType) * col("vy").cast(DoubleType)))
+            .cast(LongType)))
+      .select(col("event_type"), col("n_pairs"), col("r24_u"))
+      .orderBy(col("r24_u").desc, col("event_type"))
+  }
+
+  private val q199Sql =
+    s"""WITH hc AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |    event_type, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |hours AS (
+       |  SELECT unnest(generate_series(
+       |    (SELECT min(hour) FROM hc), (SELECT max(hour) FROM hc),
+       |    INTERVAL 1 HOUR)) AS hour),
+       |grid AS (
+       |  SELECT t.event_type, h.hour, COALESCE(c.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT event_type FROM hc) t
+       |    CROSS JOIN hours h
+       |    LEFT JOIN hc c ON c.event_type = t.event_type
+       |      AND c.hour = h.hour),
+       |lagged AS (
+       |  SELECT event_type, cnt,
+       |    lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY hour)
+       |      AS prev
+       |  FROM grid),
+       |mom AS (
+       |  SELECT event_type, count(*) AS n_pairs,
+       |    CAST(sum(cnt) AS BIGINT) AS sy,
+       |    CAST(sum(prev) AS BIGINT) AS sx,
+       |    CAST(sum(cnt * prev) AS BIGINT) AS sxy,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS syy,
+       |    CAST(sum(prev * prev) AS BIGINT) AS sxx
+       |  FROM lagged WHERE prev IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_pairs,
+       |  CASE WHEN n_pairs * sxx - sx * sx = 0
+       |         OR n_pairs * syy - sy * sy = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 *
+       |      CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+       |      sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+       |           CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS BIGINT)
+       |  END AS r24_u
+       |FROM mom
+       |ORDER BY r24_u DESC, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q194_survival" -> (q194 _),
+    "q195_stationary" -> (q195 _),
+    "q199_seasonality" -> (q199 _),
     "q191_event_transitions" -> (q191 _),
     "q192_entry_sessions" -> (q192 _),
     "q184_cusum_shift" -> (q184 _),
@@ -1342,6 +1626,9 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q194_survival" -> q194Sql,
+    "q195_stationary" -> q195Sql,
+    "q199_seasonality" -> q199Sql,
     "q191_event_transitions" -> q191Sql,
     "q192_entry_sessions" -> q192Sql,
     "q184_cusum_shift" -> q184Sql,

@@ -3992,7 +3992,202 @@ object Similarity {
       .orderBy(col("q_id"), col("mmr_rank"))
   }
 
+  // ---------------------------------------------------------------- q193
+  /** HUBNESS AUDIT of the serving ANN graph — the k-occurrence
+    * (in-degree) distribution of the sign-LSH kNN graph q39 serves
+    * from. In high dimension, nearest-neighbor relations concentrate:
+    * a few "hub" vectors appear in a disproportionate share of other
+    * points' top-k lists while "antihubs" appear in none
+    * (Radovanović et al., JMLR 2010) — hubs dominate every retrieval
+    * answer and drag their label into results they don't belong in,
+    * antihubs are unreachable however good the index recall is. The
+    * in-degree histogram is the canonical measurement: for each vector,
+    * its top-[[HubK]] in-bucket neighbors define the graph; the report
+    * banded-counts how often each vector is CITED as a neighbor. A
+    * healthy graph concentrates near occ = k; a hub-pathological one
+    * piles mass at 0 and ≥ 2k simultaneously — the audit to read next
+    * to the recall numbers (q113/q166), because recall cannot see
+    * reachability skew.
+    *
+    * Determinism: exact micro-cosine ordering with vec_id tiebreak
+    * (q39's rank discipline); in-degrees and band membership are pure
+    * int64; never-cited vectors fold occ = 0 via the left join.
+    *
+    * Scale posture: candidate generation is q39's bucket equi-join
+    * (never all-pairs; bits grows with log n — [[LshBitsConf]]); the
+    * top-k window partitions by the HIGH-CARDINALITY query id; the
+    * in-degree count and band histogram are partial-aggregable; output
+    * is ≤ 6 band rows. The vector-count scalar broadcasts. */
+  private[graft] val HubK = 5
+
+  private def q193(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
+    val qs = emb.select(col("vec_id").as("q_id"), col("sv").as("qv"),
+      col("n2").as("qn2"), col("bkt").as("qbkt"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val occ = emb
+      .join(qs, col("bkt") === col("qbkt") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HubK)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("occ"))
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    emb.select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left").na.fill(0L, Seq("occ"))
+      .withColumn("band_lo",
+        when(col("occ") === 0L, 0L).when(col("occ") === 1L, 1L)
+          .when(col("occ") < 4L, 2L).when(col("occ") < 8L, 4L)
+          .when(col("occ") < 16L, 8L).otherwise(16L))
+      .groupBy(col("band_lo"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("occ")).as("sum_occ"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_u", expr("(1000000 * n_vecs) div n_total"))
+      .select(col("band_lo"), col("n_vecs"), col("sum_occ"), col("share_u"))
+      .orderBy(col("band_lo"))
+  }
+
+  private val q193Sql =
+    s"""WITH emb AS (
+       |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |edges AS (
+       |  SELECT c.vec_id AS nb, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")}
+       |      DESC, c.vec_id) AS rnk
+       |  FROM emb c JOIN emb q
+       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+       |occ AS (
+       |  SELECT nb, count(*) AS occ FROM edges WHERE rnk <= $HubK
+       |  GROUP BY 1),
+       |alln AS (
+       |  SELECT e.vec_id, COALESCE(o.occ, 0) AS occ
+       |  FROM emb e LEFT JOIN occ o ON e.vec_id = o.nb),
+       |banded AS (
+       |  SELECT CAST(CASE WHEN occ = 0 THEN 0 WHEN occ = 1 THEN 1
+       |    WHEN occ < 4 THEN 2 WHEN occ < 8 THEN 4
+       |    WHEN occ < 16 THEN 8 ELSE 16 END AS BIGINT) AS band_lo, occ
+       |  FROM alln)
+       |SELECT band_lo, count(*) AS n_vecs,
+       |  CAST(sum(occ) AS BIGINT) AS sum_occ,
+       |  (1000000 * count(*)) // (SELECT count(*) FROM emb) AS share_u
+       |FROM banded GROUP BY 1
+       |ORDER BY band_lo""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+  /** TWO-NN INTRINSIC DIMENSIONALITY per label (Facco et al.,
+    * Scientific Reports 2017) — the embedding-space health number the
+    * hubness audit (q193) begs for: hubness severity is DRIVEN by
+    * intrinsic dimension, and every ANN index knob (q39 bits, q44/q166
+    * nprobe, q135 PQ budget) is really calibrated against ID, not the
+    * ambient 64. The Two-NN estimator needs only each point's two
+    * nearest-neighbor distances: μ = d₂/d₁ follows Pareto(id) exactly
+    * under local uniformity, so id = n / Σ ln μ — no density model, no
+    * binning. Per label: a label whose id collapses far below the
+    * others is template/near-dup-degenerate (its "cluster" is a few
+    * repeated points — cross-checked by n_dup0, the exact-duplicate
+    * twins the estimator must exclude since d₁ = 0 breaks μ); a label
+    * far above is unclustered noise.
+    *
+    * Determinism: distances are exact int64 squared euclids
+    * (n2a + n2b − 2·dot of the scaled vectors); the neighbor order is
+    * (d² asc, vec_id) — no float ties; ln μ = ½·ln(d₂²/d₁²) folds the
+    * ½ into the final constant, each term one correctly-rounded ln of
+    * an exact-integer ratio, micro-floored; the estimate is one int64
+    * floor-div (2·10⁶·10⁶·n — headroom to n ≈ 4.6·10⁶ per label,
+    * then the documented DECIMAL swap). Degenerate sums read id_u = 0.
+    *
+    * Scale posture: shares q193's bucket equi-join candidate
+    * generation verbatim (the in-bucket 2-NN is the SERVED 2-NN — the
+    * audit measures the geometry the index actually exposes); top-2
+    * via the same high-cardinality window; per-label aggregate is
+    * |labels|-sized. Vectors with < 2 in-bucket neighbors are counted
+    * (`n_sparse`), not silently dropped. */
+  private def q196(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
+    val qs = emb.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("sv").as("qv"), col("n2").as("qn2"), col("bkt").as("qbkt"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2sq"), col("vec_id"))
+    val nn2 = emb
+      .join(qs, col("bkt") === col("qbkt") && col("vec_id") =!= col("q_id"))
+      .withColumn("d2sq",
+        col("n2") + col("qn2") - lit(2L) * dotL(col("sv"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).as("n_nb"),
+        max(when(col("rnk") === 1, col("d2sq"))).as("d1sq"),
+        max(when(col("rnk") === 2, col("d2sq"))).as("d2sq"))
+    val pts = emb.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      .join(nn2, Seq("q_id", "q_label"), "left")
+    pts
+      .withColumn("usable",
+        when(col("n_nb") === 2L && col("d1sq") > 0L, 1L).otherwise(0L))
+      .withColumn("lnmu_u",
+        when(col("usable") === 1L,
+          floor(lit(1000000.0) *
+            log(col("d2sq").cast(DoubleType) / col("d1sq").cast(DoubleType)))
+            .cast(LongType))
+          .otherwise(lit(0L)))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("usable")).as("n_used"),
+        sum(when(col("n_nb").isNull || col("n_nb") < 2L, 1L).otherwise(0L))
+          .as("n_sparse"),
+        sum(when(col("n_nb").isNotNull && col("n_nb") === 2L &&
+          col("d1sq") === 0L, 1L).otherwise(0L)).as("n_dup0"),
+        sum(col("lnmu_u")).as("sum_u"))
+      .withColumn("id_u",
+        when(col("sum_u") > 0L,
+          expr("(2000000000000 * n_used) div sum_u")).otherwise(lit(0L)))
+      .select(col("label"), col("n_vecs"), col("n_used"), col("n_sparse"),
+        col("n_dup0"), col("id_u"))
+      .orderBy(col("label"))
+  }
+
+  private val q196Sql =
+    s"""WITH emb AS (
+       |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |edges AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    c.n2 + q.n2 - 2 * ${dotLSql("c.sv", "q.sv")} AS d2sq,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY c.n2 + q.n2 - 2 * ${dotLSql("c.sv", "q.sv")},
+       |        c.vec_id) AS rnk
+       |  FROM emb c JOIN emb q
+       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+       |nn2 AS (
+       |  SELECT q_id, q_label, count(*) AS n_nb,
+       |    max(CASE WHEN rnk = 1 THEN d2sq END) AS d1sq,
+       |    max(CASE WHEN rnk = 2 THEN d2sq END) AS d2sq
+       |  FROM edges WHERE rnk <= 2 GROUP BY 1, 2),
+       |pts AS (
+       |  SELECT e.label AS q_label, n.n_nb, n.d1sq, n.d2sq,
+       |    CASE WHEN n.n_nb = 2 AND n.d1sq > 0 THEN 1 ELSE 0 END
+       |      AS usable,
+       |    CASE WHEN n.n_nb = 2 AND n.d1sq > 0
+       |      THEN CAST(floor(1000000.0 * ln(CAST(n.d2sq AS DOUBLE) /
+       |        CAST(n.d1sq AS DOUBLE))) AS BIGINT)
+       |      ELSE 0 END AS lnmu_u
+       |  FROM emb e LEFT JOIN nn2 n ON e.vec_id = n.q_id)
+       |SELECT q_label AS label, count(*) AS n_vecs,
+       |  CAST(sum(usable) AS BIGINT) AS n_used,
+       |  CAST(sum(CASE WHEN n_nb IS NULL OR n_nb < 2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_sparse,
+       |  CAST(sum(CASE WHEN n_nb = 2 AND d1sq = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup0,
+       |  CASE WHEN sum(lnmu_u) > 0
+       |    THEN (2000000000000 * CAST(sum(usable) AS BIGINT))
+       |      // CAST(sum(lnmu_u) AS BIGINT)
+       |    ELSE 0 END AS id_u
+       |FROM pts GROUP BY 1
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q193_hubness" -> (q193 _),
+    "q196_twonn_id" -> (q196 _),
     "q186_source_kappa" -> (q186 _),
     "q187_risk_coverage" -> (q187 _),
     "q188_label_lift" -> (q188 _),
@@ -4038,6 +4233,8 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q193_hubness" -> q193Sql,
+    "q196_twonn_id" -> q196Sql,
     "q186_source_kappa" -> q186Sql,
     "q187_risk_coverage" -> q187Sql,
     "q188_label_lift" -> q188Sql,

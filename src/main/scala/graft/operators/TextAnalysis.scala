@@ -4143,7 +4143,155 @@ object TextAnalysis {
        |FROM agg WHERE n_tokens >= 2
        |ORDER BY simpson_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** BIGRAM CONDITIONAL ENTROPY per source — H(W₂|W₁) =
+    * Σ c(w₁w₂)·ln(c(w₁·)/c(w₁w₂)) / N over the source's adjacent
+    * token pairs: how PREDICTABLE the next token is given the current
+    * one. The unigram entropy family (q128 entropy, q190 Simpson)
+    * sees the token URN; this is the first statistic in the suite
+    * that sees token ORDER — a template/boilerplate source whose
+    * unigram profile looks healthy (many types, flat counts) still
+    * collapses here, because its transitions are deterministic
+    * (H→0). The corpus-level twin of what q141's per-doc bigram
+    * surprisal scores one document at a time, and the text-side
+    * sibling of q191's event-transition kernel.
+    *
+    * Determinism: bigram and context counts exact int64; each term is
+    * one ln of an exact-integer ratio times an exact count, micro-
+    * floored (q141's recipe verbatim); the final H is one nonneg
+    * floor-div by N.
+    *
+    * Scale posture: one bigram explode (token-mass-sized, the q141
+    * shape) into a partial-aggregable (source, bigram) count; the
+    * context marginal re-aggregates that count frame (never the
+    * corpus); output is |sources| rows. */
+  private def q197(spark: SparkSession, dir: String): DataFrame = {
+    val bc = Tables.documents(spark, dir)
+      .select(col("source"), explode(ngramOccurrences(col("text"), 2)).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val ctx = bc.groupBy(col("source"), col("w1"))
+      .agg(sum(col("cnt")).as("ctx"))
+    bc.join(ctx, Seq("source", "w1"))
+      .withColumn("term_u",
+        floor(lit(1000000.0) * col("cnt").cast(DoubleType) *
+          log(col("ctx").cast(DoubleType) / col("cnt").cast(DoubleType)))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("vocab_bg"),
+        sum(col("term_u")).as("sum_u"))
+      .withColumn("hcond_u", expr("sum_u div n_bigrams"))
+      .select(col("source"), col("n_bigrams"), col("vocab_bg"),
+        col("hcond_u"))
+      .orderBy(col("hcond_u").desc, col("source"))
+  }
+
+  private val q197Sql =
+    s"""WITH bc AS (
+       |  SELECT source, bg, count(*) AS cnt,
+       |    string_split(bg, ' ')[1] AS w1
+       |  FROM (SELECT source,
+       |          unnest(${ngramOccurrencesSql("text", 2)}) AS bg
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT source, w1, CAST(sum(cnt) AS BIGINT) AS ctx
+       |  FROM bc GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT b.source, b.cnt,
+       |    CAST(floor(1000000.0 * CAST(b.cnt AS DOUBLE) *
+       |      ln(CAST(c.ctx AS DOUBLE) / CAST(b.cnt AS DOUBLE))) AS BIGINT)
+       |      AS term_u
+       |  FROM bc b JOIN ctx c ON b.source = c.source AND b.w1 = c.w1)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  count(*) AS vocab_bg,
+       |  CAST(sum(term_u) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+       |    AS hcond_u
+       |FROM terms GROUP BY 1
+       |ORDER BY hcond_u DESC, source""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+  /** LENGTH↔RICHNESS RANK CORRELATION per source — Spearman's ρ
+    * between a document's token count and its distinct-token count,
+    * computed exactly: ρ = 1 − 6·Σd²/(n(n²−1)) over rank differences.
+    * The drift monitors (q117 PSI, q176 EMD) watch each marginal
+    * alone; this watches the JOINT structure: in organic text longer
+    * documents keep introducing types (ρ → 1), while template
+    * expansion, log spam, or repetition padding grows length without
+    * vocabulary (ρ collapses — q80 catches the per-document extreme,
+    * this catches the per-source population shift). Rank correlation,
+    * not Pearson, so one pathological megadoc cannot own the
+    * statistic.
+    *
+    * Determinism: both per-doc measures are pure array expressions
+    * (size / size∘distinct — no explode); ranks are row_number with a
+    * doc_id tiebreak (a DETERMINISTIC Spearman variant — ties get
+    * arrival ranks, not midranks; documented, identical in both
+    * engines); Σd² in int64, the final ratio exact decimal with one
+    * integral div (headroom: 6·10⁶·Σd² needs DECIMAL past n ≈ 10⁴ —
+    * carried as DECIMAL(38,0) from the start).
+    *
+    * Scale posture: the per-doc stats are scan-shaped; the two rank
+    * windows partition by SOURCE (the q125 caveat: an exact-rank
+    * window concentrates a source's docs — the documented
+    * approx-quantile swap applies past memory scale); the moment
+    * aggregate is |sources|-sized. */
+  private def q198(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_types"))
+    val wx = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val wy = Window.partitionBy(col("source"))
+      .orderBy(col("n_types"), col("doc_id"))
+    docs
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .withColumn("d", col("rx") - col("ry"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .filter(col("n_docs") >= 2L)
+      .withColumn("spearman_u",
+        lit(1000000L) -
+          expr("""(CAST(6000000 AS DECIMAL(38,0)) *
+                  CAST(sum_d2 AS DECIMAL(38,0)))
+                 div (n_docs * (n_docs * n_docs - 1))"""))
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        col("spearman_u"))
+      .orderBy(col("spearman_u").desc, col("source"))
+  }
+
+  private val q198Sql =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT)
+       |      AS n_types
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_tokens, doc_id) AS BIGINT) -
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_types, doc_id) AS BIGINT) AS d
+       |  FROM docs),
+       |mom AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(d * d) AS BIGINT) AS sum_d2
+       |  FROM ranked GROUP BY 1)
+       |SELECT source, n_docs, sum_d2,
+       |  1000000 - CAST((6000000 * CAST(sum_d2 AS HUGEINT))
+       |    // CAST(n_docs * (n_docs * n_docs - 1) AS HUGEINT) AS BIGINT)
+       |    AS spearman_u
+       |FROM mom WHERE n_docs >= 2
+       |ORDER BY spearman_u DESC, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q197_cond_entropy" -> (q197 _),
+    "q198_rank_corr" -> (q198 _),
     "q190_simpson" -> (q190 _),
     "q154_ks_drift" -> (q154 _),
     "q176_emd_drift" -> (q176 _),
@@ -4205,6 +4353,8 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q197_cond_entropy" -> q197Sql,
+    "q198_rank_corr" -> q198Sql,
     "q190_simpson" -> q190Sql,
     "q154_ks_drift" -> q154Sql,
     "q176_emd_drift" -> q176Sql,
