@@ -106,7 +106,29 @@ object Features {
       .collect { case ((s, key), n) if s == sk => key -> n }.toMap
   }
 
+  /** Session opt-out for stage memoization: `spark.graft.features.cache
+    * = off` makes every memoized stage build INLINE — no persist, no
+    * registry entry. A one-shot batch job that reads each stage once
+    * saves the cache memory (the warehouse posture materializes feature
+    * tables across MANY queries; a single-query job has nothing to
+    * amortize), and plan tests inspect the true build shape instead of
+    * an InMemoryRelation boundary. Loud rejection of unknown values —
+    * a typo must not silently run the cached plan a user believed they
+    * switched off. */
+  val CacheModeConf = "spark.graft.features.cache"
+  private def cacheOff(spark: SparkSession): Boolean =
+    spark.conf.getOption(CacheModeConf) match {
+      case None => false
+      case Some(raw) => raw.trim.toLowerCase match {
+        case "off" => true
+        case "on"  => false
+        case other => throw new IllegalArgumentException(
+          s"$CacheModeConf must be 'on' or 'off', got '$other'")
+      }
+    }
+
   def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (cacheOff(spark)) return build
     val k = (sessionKey(spark), key)
     cache.get(k) match {
       case Some(df) => df

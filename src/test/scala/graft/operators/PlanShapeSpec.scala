@@ -17,18 +17,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     SparkEntry.queries(name)(spark, SparkSpec.Sf0001)
       .queryExecution.executedPlan.toString
 
-  /** Plan in a FRESH session (own cache namespace): pins on queries
-    * that are session-memoized (q100/q176/q181/q182…) must inspect the
-    * BUILD plan — in the shared session an earlier suite may have
-    * materialized the cache, and the InMemoryRelation's printed child
-    * plan double-counts nodes. The fresh session's transient persist
-    * entries are dropped before returning. */
-  private def freshPlan(name: String): String = {
+  /** COLD physical tree, pre-AQE (`sparkPlan`): the build-shape pins on
+    * session-memoized queries (q100/q175/q176/q182…) must not depend on
+    * cache state, and cache state leaks two ways — the cacheManager is
+    * shared across ALL sessions of the context (a fresh session still
+    * picks up live InMemoryRelations, whose plan STRING then embeds the
+    * cached child plan and double-counts nodes), and `cachedFrame`
+    * persists during CONSTRUCTION (even a first build plans as an
+    * InMemoryRelation boundary that hides its nodes from tree
+    * traversal). So: a fresh session with stage memoization OFF, over a
+    * symlink alias of the sf0.001 tables so no shared-session cache
+    * fragment can match by path. The result is the true first-build
+    * plan, every time, whatever ran before. */
+  private lazy val coldDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("planshape_")
+    new java.io.File(SparkSpec.Sf0001).listFiles().foreach { f =>
+      java.nio.file.Files.createSymbolicLink(d.resolve(f.getName), f.toPath)
+    }
+    d.toString
+  }
+
+  private def freshTree(name: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
     val s = spark.newSession()
-    try SparkEntry.queries(name)(s, SparkSpec.Sf0001)
-      .queryExecution.executedPlan.toString
+    s.conf.set(Features.CacheModeConf, "off")
+    try SparkEntry.queries(name)(s, coldDir).queryExecution.sparkPlan
     finally Features.clear(s)
   }
+
+  private def treeCount(p: org.apache.spark.sql.execution.SparkPlan,
+      node: String): Int =
+    p.collect { case n if n.nodeName == node => n }.size
+
+  private def treeHas(p: org.apache.spark.sql.execution.SparkPlan,
+      node: String): Boolean =
+    p.collect { case n if n.nodeName.contains(node) => n }.nonEmpty
 
   test("q06: filters are pushed into the lineitem scan; schema is pruned") {
     val scan = plan("q06_forecast_revenue").linesIterator
@@ -334,10 +357,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("q100: the drift monitor's global frame joins back by BROADCAST " +
       "and the per-source sums are partial-aggregable hash aggregates") {
-    val p = freshPlan("q100_embedding_drift")
-    p should include("BroadcastNestedLoopJoin") // 1-row global frame
-    p should include("HashAggregate")
-    p should not include "SortAggregate"
+    val p = freshTree("q100_embedding_drift")
+    treeHas(p, "BroadcastNestedLoopJoin") shouldBe true // 1-row global frame
+    treeHas(p, "HashAggregate") shouldBe true
+    treeHas(p, "SortAggregate") shouldBe false
   }
 
   test("q101: the KL join is vocab-vs-vocab — every leg reads the " +
@@ -652,11 +675,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       "and codebook broadcast, no Cartesian degradation") {
     for (q <- Seq("q175_label_noise", "q178_noise_roster",
         "q181_noise_by_source")) {
-      val p = freshPlan(q)
-      p should include("ObjectHashAggregate") // graft_argmax
-      p should not include "Window"
-      p should not include "CartesianProduct"
-      p should include("Broadcast") // codebook + threshold sides
+      val p = freshTree(q)
+      withClue(q) {
+        treeHas(p, "ObjectHashAggregate") shouldBe true // graft_argmax
+        treeCount(p, "Window") shouldBe 0
+        treeHas(p, "CartesianProduct") shouldBe false
+        treeHas(p, "Broadcast") shouldBe true // codebook + threshold sides
+      }
     }
     // q178's global top-30 is a bounded heap merge, never a global sort
     plan("q178_noise_roster") should include("TakeOrderedAndProject")
@@ -664,12 +689,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("q176: the EMD grid fuses the running sum and the lead gap into " +
       "ONE source-keyed Window node — q154's shape plus nothing") {
-    val p = freshPlan("q176_emd_drift")
+    val p = freshTree("q176_emd_drift")
     // exactly two Window nodes total: the corpus-domain ECDF and the
     // fused grid pass (a third would mean the lead split off its own
     // sort/shuffle)
-    nodeCount(p, "Window") shouldBe 2
-    p should not include "CartesianProduct" // grid crossJoins are broadcast
+    treeCount(p, "Window") shouldBe 2
+    treeHas(p, "CartesianProduct") shouldBe false // grid crossJoins broadcast
   }
 
   /** Count physical nodes by name, stripping the tree-art prefix. */
@@ -707,11 +732,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q182/q185: the EMD grid family keeps q176's shape — bounded " +
       "grid windows, no Cartesian, no window over raw rows") {
     for (q <- Seq("q182_confidence_drift", "q185_ingest_drift")) {
-      val p = freshPlan(q)
-      p should not include "CartesianProduct"
-      // the per-key cumsum+lead pass fuses (q176's pin): at most the
-      // domain window + the grid window
-      nodeCount(p, "Window") should be <= 2
+      val p = freshTree(q)
+      withClue(q) {
+        treeHas(p, "CartesianProduct") shouldBe false
+        // the per-key cumsum+lead pass fuses (q176's pin): at most the
+        // domain window + the grid window
+        treeCount(p, "Window") should be <= 2
+      }
     }
   }
 
@@ -756,10 +783,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q186/q188: kappa and lift collapse through hash aggregates — " +
       "no window over the corpus, no Cartesian degradation, marginal " +
       "sides broadcast") {
-    val kappa = freshPlan("q186_source_kappa")
-    kappa should include("ObjectHashAggregate") // the assigned argmax
-    kappa should not include "Window"
-    kappa should not include "CartesianProduct"
+    val kappa = freshTree("q186_source_kappa")
+    treeHas(kappa, "ObjectHashAggregate") shouldBe true // assigned argmax
+    treeCount(kappa, "Window") shouldBe 0
+    treeHas(kappa, "CartesianProduct") shouldBe false
     val lift = plan("q188_label_lift")
     lift should include("BroadcastHashJoin") // ni/nj marginals broadcast
     lift should not include "Window"
@@ -769,10 +796,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q187: the threshold sweep fans out the BOUNDED confidence grid " +
       "(≤2001×2 cells), never corpus rows — broadcast non-equi join, " +
       "no Cartesian product") {
-    val p = freshPlan("q187_risk_coverage")
-    p should include("BroadcastNestedLoopJoin") // grid × 5-row thresholds
-    p should not include "CartesianProduct"
-    p should not include "Window"
+    val p = freshTree("q187_risk_coverage")
+    treeHas(p, "BroadcastNestedLoopJoin") shouldBe true // grid × 5 thresholds
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeCount(p, "Window") shouldBe 0
   }
 
   test("q189/q190: density and Simpson re-aggregate MEMOIZED frames — " +
@@ -805,6 +832,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     entry should not include "CartesianProduct"
     entry should not include "SortAggregate" // argmax entry, not max(string)
     entry should include("ObjectHashAggregate")
+  }
+
+  test("q193/q196: the ANN-graph audits generate candidates through the " +
+      "bucket equi-join — never a Cartesian product — and rank with ONE " +
+      "query-keyed window; the scalar/total sides are the only " +
+      "nested-loop joins") {
+    for (q <- Seq("q193_hubness", "q196_twonn_id")) {
+      val p = freshTree(q)
+      withClue(q) {
+        treeHas(p, "CartesianProduct") shouldBe false
+        treeCount(p, "Window") shouldBe 1
+      }
+    }
+  }
+
+  test("q194: the hazard walk runs over the ≤span-days frame — one " +
+      "user-keyed aggregate below, broadcast observation boundary, " +
+      "bounded windows above") {
+    val p = freshTree("q194_survival")
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeHas(p, "BroadcastNestedLoopJoin") shouldBe true // 1-row boundary
+    treeCount(p, "Window") should be <= 2 // reverse risk-set + cum hazard
+  }
+
+  test("q195: the stationary iterate is a bounded LOCAL result — the " +
+      "kernel collapsed to ≤|types|² rows before the driver loop, and " +
+      "the returned frame plans as a local scan") {
+    val p = freshTree("q195_stationary")
+    treeHas(p, "LocalTableScan") shouldBe true
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeCount(p, "Window") shouldBe 0 // kernel work happened upstream
+  }
+
+  test("q197/q198: the text-order audits keep aggregation hash-side — " +
+      "conditional entropy has NO window at all; the rank correlation " +
+      "rides exactly its two source-keyed rank passes over a pruned scan") {
+    val ce = freshTree("q197_cond_entropy")
+    treeHas(ce, "CartesianProduct") shouldBe false
+    treeCount(ce, "Window") shouldBe 0
+    val rc = freshTree("q198_rank_corr")
+    treeHas(rc, "CartesianProduct") shouldBe false
+    treeCount(rc, "Window") shouldBe 2
+    val scan = SparkEntry.queries("q198_rank_corr")(spark, SparkSpec.Sf0001)
+      .queryExecution.sparkPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    // n_chars is never read: both measures derive from the text column
+    scan.output.map(_.name).toSet shouldBe Set("source", "doc_id", "text")
+  }
+
+  test("q199: the autocorrelation grid is broadcast-built (q184's " +
+      "densification) and laged with ONE type-keyed window; moments are " +
+      "a |types|-row hash aggregate") {
+    val p = freshTree("q199_seasonality")
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeHas(p, "BroadcastNestedLoopJoin") shouldBe true // types × hours
+    treeCount(p, "Window") shouldBe 1
   }
 
   test("q27: the classify projection runs inside whole-stage codegen") {
