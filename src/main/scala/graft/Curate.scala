@@ -33,9 +33,10 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   * (q177 Good–Turing), term burstiness (q179), crawl-run duplication
   * (q180), the confident-learning label-noise joint (q175),
   * chance-corrected label agreement (q186 kappa), the serving
-  * risk–coverage curve (q187), and Simpson token concentration
-  * (q190) — the release-gate numbers a corpus consumer reads BEFORE
-  * training,
+  * risk–coverage curve (q187), Simpson token concentration (q190),
+  * bigram conditional entropy (q197 — template predictability
+  * collapse), and the length↔richness Spearman correlation (q198) —
+  * the release-gate numbers a corpus consumer reads BEFORE training,
   * produced by exactly the oracled queries so the shipped panel can
   * never drift from the audited surface.
   *
@@ -125,7 +126,10 @@ object Curate {
     "q182_confidence_drift", "q183_trust_panel",
     // round-12 legs: chance-corrected label agreement, the serving
     // operating curve, and the zero-float concentration early-warning
-    "q186_source_kappa", "q187_risk_coverage", "q190_simpson")
+    "q186_source_kappa", "q187_risk_coverage", "q190_simpson",
+    // round-12 text-order legs: predictability collapse (template
+    // floods) and the length↔richness joint the marginals can't see
+    "q197_cond_entropy", "q198_rank_corr")
 
   def main(args: Array[String]): Unit = {
     // --reconcile carries a value; peel the pair off before the

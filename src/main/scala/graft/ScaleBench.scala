@@ -123,7 +123,10 @@ object ScaleBench {
     "q173_source_recovery", "q174_drift_panel", "q175_label_noise",
     "q176_emd_drift", "q177_good_turing", "q178_noise_roster",
     "q179_burstiness", "q180_crawl_runs", "q181_noise_by_source",
-    "q182_confidence_drift", "q183_trust_panel")
+    "q182_confidence_drift", "q183_trust_panel", "q186_source_kappa",
+    "q187_risk_coverage", "q188_label_lift", "q189_cluster_density",
+    "q190_simpson", "q193_hubness", "q196_twonn_id",
+    "q197_cond_entropy", "q198_rank_corr")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -157,7 +160,9 @@ object ScaleBench {
     "q68_content_scan", "q93_trending", "q145_scd2_intervals",
     "q147_state_attribution", "q148_scd2_incremental",
     "q149_event_pairs", "q150_rfm_segments", "q152_mad_outliers",
-    "q155_event_debounce", "q156_touch_attribution", "q184_cusum_shift")
+    "q155_event_debounce", "q156_touch_attribution", "q184_cusum_shift",
+    "q191_event_transitions", "q192_entry_sessions", "q194_survival",
+    "q195_stationary", "q199_seasonality")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
