@@ -1597,7 +1597,387 @@ object Events {
        |FROM mom
        |ORDER BY r24_u DESC, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** PERIOD DETECTION (autocorrelation over a lag set) — q199 asks
+    * "is this feed daily?"; this asks "what period IS it": the exact
+    * Pearson autocorrelation of each type's dense hourly series at
+    * every lag in [[PeriodLags]] (1 h through 2 d), one row per
+    * (type, lag). The reader takes the argmax; the full curve is the
+    * deliverable because the SHAPE distinguishes a true daily cycle
+    * (peak at 24, echo at 48) from short-range stickiness (monotone
+    * decay from lag 1) — the difference between "model the diurnal
+    * curve" and "model a bursty arrival process" (q201's CV slices
+    * the same question by dispersion).
+    *
+    * Determinism: q199's arithmetic verbatim per lag — dense-grid
+    * counts, exact int64 moments, one double expression micro-floored,
+    * zero-variance guard. All lags ride ONE window pass (one shuffle,
+    * one sort — each lag is just another offset over the same frame).
+    *
+    * Scale posture: the grid is |types|×|hours| (time-bounded); the
+    * lag columns widen rows, not partitions; the unpivot multiplies
+    * the GRID by |lags| (still time-bounded); moments are
+    * partial-aggregable to |types|·|lags| rows. */
+  private[graft] val PeriodLags = Seq(1, 2, 3, 6, 12, 24, 48)
+
+  private def q200(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val hours = hc.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+    val types = hc.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val lagged = types.crossJoin(broadcast(hours))
+      .join(hc, Seq("event_type", "hour"), "left").na.fill(0L, Seq("cnt"))
+    val withLags = PeriodLags.foldLeft(lagged) { (df, l) =>
+      df.withColumn(s"p$l", lag(col("cnt"), l).over(w))
+    }
+    val stacked = withLags.select(col("event_type"), col("cnt"),
+      expr(PeriodLags.map(l => s"${l}L, p$l").mkString(
+        s"stack(${PeriodLags.size}, ", ", ", ")")).as(Seq("lag_h", "prev")))
+      .filter(col("prev").isNotNull)
+    stacked.groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cnt")).as("sy"), sum(col("prev")).as("sx"),
+        sum(col("cnt") * col("prev")).as("sxy"),
+        sum(col("cnt") * col("cnt")).as("syy"),
+        sum(col("prev") * col("prev")).as("sxx"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r_u",
+        when(col("vx") === 0L || col("vy") === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+            sqrt(col("vx").cast(DoubleType) * col("vy").cast(DoubleType)))
+            .cast(LongType)))
+      .select(col("event_type"), col("lag_h").cast(LongType).as("lag_h"),
+        col("n_pairs"), col("r_u"))
+      .orderBy(col("event_type"), col("lag_h"))
+  }
+
+  private val q200Sql = {
+    val lagCols = PeriodLags.map(l =>
+      s"lag(cnt, $l) OVER (PARTITION BY event_type ORDER BY hour) AS p$l")
+      .mkString(",\n    ")
+    val unions = PeriodLags.map(l =>
+      s"SELECT event_type, CAST($l AS BIGINT) AS lag_h, cnt, p$l AS prev FROM lagged")
+      .mkString("\n  UNION ALL ")
+    s"""WITH hc AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |    event_type, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |hours AS (
+       |  SELECT unnest(generate_series(
+       |    (SELECT min(hour) FROM hc), (SELECT max(hour) FROM hc),
+       |    INTERVAL 1 HOUR)) AS hour),
+       |grid AS (
+       |  SELECT t.event_type, h.hour, COALESCE(c.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT event_type FROM hc) t
+       |    CROSS JOIN hours h
+       |    LEFT JOIN hc c ON c.event_type = t.event_type
+       |      AND c.hour = h.hour),
+       |lagged AS (
+       |  SELECT event_type, cnt,
+       |    $lagCols
+       |  FROM grid),
+       |stacked AS (
+       |  $unions),
+       |mom AS (
+       |  SELECT event_type, lag_h, count(*) AS n_pairs,
+       |    CAST(sum(cnt) AS BIGINT) AS sy,
+       |    CAST(sum(prev) AS BIGINT) AS sx,
+       |    CAST(sum(cnt * prev) AS BIGINT) AS sxy,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS syy,
+       |    CAST(sum(prev * prev) AS BIGINT) AS sxx
+       |  FROM stacked WHERE prev IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, lag_h, n_pairs,
+       |  CASE WHEN n_pairs * sxx - sx * sx = 0
+       |         OR n_pairs * syy - sy * sy = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 *
+       |      CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+       |      sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+       |           CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS BIGINT)
+       |  END AS r_u
+       |FROM mom
+       |ORDER BY event_type, lag_h""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q201
+  /** FEED-CADENCE DISPERSION per type — the coefficient of variation
+    * of inter-arrival times: a Poisson (memoryless, organic) feed
+    * reads CV ≈ 1, a scheduler/metronome reads CV → 0, a bursty
+    * crawler or retry storm reads CV ≫ 1. The event-side sibling of
+    * q179's Church–Gale document burstiness, and the third leg of the
+    * bot-signature kit next to q191's self-loops and q199/q200's
+    * periodicity — the three catch different automations (a metronome
+    * bot has no self-loop signature; a diurnal human feed has CV ≈ 1).
+    *
+    * Determinism: gaps are whole-second int64 diffs under the
+    * (ts, event_id) total order (q22's recipe); Σx and Σx² exact
+    * int64; CV = √(n·Σx² − (Σx)²)/Σx is one double expression
+    * micro-floored, zero guard for the empty/degenerate feed. Int64
+    * headroom: Σx² ≤ n·maxgap² — a year-long span at second gaps is
+    * ~10¹⁴·n; past ~10⁴ events/type·year², the documented DECIMAL
+    * swap.
+    *
+    * Scale posture caveat (stated, q106's discipline): the gap window
+    * partitions by TYPE — a low-cardinality key, so the exact
+    * oracle-pinned form concentrates each type's events in one sort
+    * partition. The production swap segments the sort by the events
+    * table's native date partitions (gaps computed within days, the
+    * |days|·|types| boundary gaps dropped — a bounded, documented
+    * loss); the oracle pins the exact global form. */
+  private def q201(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s",
+        col("ts").cast(LongType) - col("prev_ts").cast(LongType))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sx"),
+        sum(col("gap_s") * col("gap_s")).as("sxx"))
+      .withColumn("mean_gap_u", expr("(1000000 * sx) div n_gaps"))
+      .withColumn("cv_u",
+        when(col("sx") === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            sqrt((col("n_gaps") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)) / col("sx").cast(DoubleType))
+            .cast(LongType)))
+      .select(col("event_type"), col("n_gaps"), col("mean_gap_u"),
+        col("cv_u"))
+      .orderBy(col("cv_u").desc, col("event_type"))
+  }
+
+  private val q201Sql =
+    s"""WITH gaps AS (
+       |  SELECT event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |mom AS (
+       |  SELECT event_type, count(*) AS n_gaps,
+       |    CAST(sum(gap_s) AS BIGINT) AS sx,
+       |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx
+       |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_gaps,
+       |  (1000000 * sx) // n_gaps AS mean_gap_u,
+       |  CASE WHEN sx = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 *
+       |      sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) /
+       |      CAST(sx AS DOUBLE)) AS BIGINT)
+       |  END AS cv_u
+       |FROM mom
+       |ORDER BY cv_u DESC, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  /** GROWTH ACCOUNTING — the canonical daily user-lifecycle ledger:
+    * every active (user, day) is exactly one of NEW (first day ever),
+    * RETAINED (also active the previous calendar day), or RESURRECTED
+    * (returning after a gap), and yesterday's actives who didn't
+    * return are CHURNED-FROM-PREVIOUS — so
+    * active(d) = new + retained + resurrected and
+    * churn(d) = active(d−1) − retained(d) hold as exact identities
+    * the spec pins. q64 reports a fixed cohort's day-k return; this is
+    * the running ledger a growth team reads daily (Reforge-style
+    * accounting), and the denominators q194's hazard curve needs
+    * context for.
+    *
+    * Determinism: calendar days from epoch-second floor-div (UTC);
+    * classification is a lag over each user's distinct active days;
+    * all counts int64.
+    *
+    * Scale posture: ONE user-keyed shuffle produces the distinct
+    * (user, day) frame and its per-user lag; the daily ledger is a
+    * ≤span-days aggregate and the churn join a bounded self-join of
+    * that ledger (day = day−1). */
+  private def q202(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val classed = ud
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("cls",
+        when(col("prev_day").isNull, "new")
+          .when(col("day") - col("prev_day") === 1L, "retained")
+          .otherwise("resurrected"))
+    val ledger = classed.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val prev = ledger.select((col("day") + 1L).as("day"),
+      col("n_active").as("prev_active"))
+    ledger.join(prev, Seq("day"), "left")
+      .withColumn("n_churned",
+        coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  private val q202Sql =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 86400 AS day
+       |  FROM events),
+       |classed AS (
+       |  SELECT day,
+       |    CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day)
+       |           IS NULL THEN 'new'
+       |      WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+       |           = 1 THEN 'retained'
+       |      ELSE 'resurrected' END AS cls
+       |  FROM ud),
+       |ledger AS (
+       |  SELECT day, count(*) AS n_active,
+       |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_new,
+       |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_retained,
+       |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_resurrected
+       |  FROM classed GROUP BY 1)
+       |SELECT l.day, l.n_active, l.n_new, l.n_retained, l.n_resurrected,
+       |  COALESCE(p.n_active, 0) - l.n_retained AS n_churned
+       |FROM ledger l LEFT JOIN ledger p ON p.day = l.day - 1
+       |ORDER BY l.day""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** STRICT-ORDER SESSION FUNNEL — the product-analytics funnel q63
+    * (daily step counts) cannot express: within ONE session, the step
+    * sequence view → click → purchase must occur IN ORDER (a purchase
+    * before the first view does not count as step 3, exactly
+    * Amplitude/Mixpanel "this order" semantics). Per step: sessions
+    * reaching it and the exact micro conversion from the session
+    * base.
+    *
+    * Determinism: q25's exact session assignment (30-minute gap,
+    * (ts, event_id) total order); step anchors are per-session mins
+    * of the event's session ORDINAL under strictly-greater
+    * constraints, so ties cannot double-fire; counts int64, rates
+    * micro floor-divs.
+    *
+    * Scale posture: the session id, the ordinal, and the three step
+    * anchors are ALL windows over the same user-then-session
+    * partitioning — one corpus shuffle, stacked Window passes (the
+    * step-2/step-3 anchors are min(CASE) windows over the session
+    * partition, not joins); the report re-aggregates 3 rows. */
+  private def q203(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_s",
+        col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+    val stepped = sess
+      .withColumn("ord", row_number().over(bySess).cast(LongType))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ord"))).over(wSess))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ord") > col("t1"),
+          col("ord"))).over(wSess))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ord") > col("t2"),
+          col("ord"))).over(wSess))
+    val per = stepped.groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    val counts = per.agg(count(lit(1)).as("n_sessions"),
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("s1"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("s2"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("s3"))
+    counts.select(
+      explode(array(
+        struct(lit(1L).as("step"), lit("view").as("step_type"),
+          col("s1").as("n_reached")),
+        struct(lit(2L).as("step"), lit("view>click").as("step_type"),
+          col("s2").as("n_reached")),
+        struct(lit(3L).as("step"), lit("view>click>purchase").as("step_type"),
+          col("s3").as("n_reached")))).as("r"),
+      col("n_sessions"))
+      .select(col("r.step").as("step"), col("r.step_type").as("step_type"),
+        col("r.n_reached").as("n_reached"), col("n_sessions"))
+      .withColumn("reach_u", expr("(1000000 * n_reached) div n_sessions"))
+      .orderBy(col("step"))
+  }
+
+  private val q203Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |ord AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id, session_id
+       |    ORDER BY ts, event_id) AS BIGINT) AS ord
+       |  FROM sess),
+       |s1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'view' THEN ord END)
+       |    OVER (PARTITION BY user_id, session_id) AS t1
+       |  FROM ord),
+       |s2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND ord > t1
+       |    THEN ord END) OVER (PARTITION BY user_id, session_id) AS t2
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ord > t2
+       |    THEN ord END) OVER (PARTITION BY user_id, session_id) AS t3
+       |  FROM s2),
+       |per AS (
+       |  SELECT user_id, session_id, max(t1) AS t1, max(t2) AS t2,
+       |    max(t3) AS t3
+       |  FROM s3 GROUP BY 1, 2),
+       |counts AS (
+       |  SELECT count(*) AS n_sessions,
+       |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS x1,
+       |    CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS x2,
+       |    CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS x3
+       |  FROM per)
+       |SELECT s.step, s.step_type, s.n_reached, c.n_sessions,
+       |  (1000000 * s.n_reached) // c.n_sessions AS reach_u
+       |FROM counts c, LATERAL (VALUES
+       |  (CAST(1 AS BIGINT), 'view', c.x1),
+       |  (CAST(2 AS BIGINT), 'view>click', c.x2),
+       |  (CAST(3 AS BIGINT), 'view>click>purchase', c.x3))
+       |  AS s(step, step_type, n_reached)
+       |ORDER BY s.step""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q200_period_scan" -> (q200 _),
+    "q201_cadence_cv" -> (q201 _),
+    "q202_growth_accounting" -> (q202 _),
+    "q203_session_funnel" -> (q203 _),
     "q194_survival" -> (q194 _),
     "q195_stationary" -> (q195 _),
     "q199_seasonality" -> (q199 _),
@@ -1626,6 +2006,10 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q200_period_scan" -> q200Sql,
+    "q201_cadence_cv" -> q201Sql,
+    "q202_growth_accounting" -> q202Sql,
+    "q203_session_funnel" -> q203Sql,
     "q194_survival" -> q194Sql,
     "q195_stationary" -> q195Sql,
     "q199_seasonality" -> q199Sql,

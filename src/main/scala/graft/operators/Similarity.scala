@@ -4020,19 +4020,33 @@ object Similarity {
     * is ≤ 6 band rows. The vector-count scalar broadcasts. */
   private[graft] val HubK = 5
 
+  /** The SERVED kNN edge table (q_id, q_label, nb): each vector's
+    * top-[[HubK]] in-bucket cosine neighbors under q39's exact rank
+    * discipline. Session-memoized per (dir, bits, k) — q193's hubness
+    * bands and q204's reciprocity audit both read it, and the n·k
+    * frame is referenced three times inside q204 alone, so the
+    * "feature table built once" posture pays within a single query. */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark,
+      s"$dir#knnEdges#${lshBits(spark)}#$HubK") {
+      val emb = scaledEmb(spark, dir)
+        .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
+      val qs = emb.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("sv").as("qv"), col("n2").as("qn2"), col("bkt").as("qbkt"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb
+        .join(qs, col("bkt") === col("qbkt") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= HubK)
+        .select(col("q_id"), col("q_label"), col("vec_id").as("nb"))
+    }
+
   private def q193(spark: SparkSession, dir: String): DataFrame = {
     val emb = scaledEmb(spark, dir)
-      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
-    val qs = emb.select(col("vec_id").as("q_id"), col("sv").as("qv"),
-      col("n2").as("qn2"), col("bkt").as("qbkt"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val occ = emb
-      .join(qs, col("bkt") === col("qbkt") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= HubK)
-      .groupBy(col("vec_id")).agg(count(lit(1)).as("occ"))
+    val occ = knnEdges(spark, dir)
+      .groupBy(col("nb").as("vec_id")).agg(count(lit(1)).as("occ"))
     val total = emb.agg(count(lit(1)).as("n_total"))
     emb.select(col("vec_id"))
       .join(occ, Seq("vec_id"), "left").na.fill(0L, Seq("occ"))
@@ -4185,9 +4199,71 @@ object Similarity {
        |FROM pts GROUP BY 1
        |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** MUTUAL-kNN SYMMETRY AUDIT — the share of the serving graph's
+    * edges that are RECIPROCATED (I'm in your top-k AND you're in
+    * mine), per label. The third leg of the graph-health kit: q193
+    * counts citations (hubness), q196 measures the geometry driving
+    * them (intrinsic dimension), this reads the consequence retrieval
+    * feels — asymmetric edges are exactly the hub links (everyone
+    * cites the hub; the hub cites 5 of its thousand citers), so a low
+    * mutual share marks labels whose neighborhoods are hub-mediated
+    * rather than genuinely local. Mutual-kNN is also the standard
+    * pre-filter for density clustering and the dedup-pair
+    * high-precision regime — this audit prices how much of the graph
+    * survives that filter BEFORE a pipeline adopts it.
+    *
+    * Determinism: q193's exact edge set verbatim (micro-cosine order,
+    * vec_id ties); reciprocity is an equi-join on the exact (q, nb)
+    * pair; counts int64, one micro floor-div.
+    *
+    * Scale posture: the edge frame is n·k rows (bounded by the top-k,
+    * not the bucket); the reciprocity check is a self-equi-join of
+    * that frame on the composite key (shuffle of an n·k frame, both
+    * sides identically partitioned); the report is |labels| rows. */
+  private def q204(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(spark, dir)
+    val rev = edges.select(col("nb").as("q_id"), col("q_id").as("nb"))
+    edges.join(rev, Seq("q_id", "nb"), "left_semi")
+      .groupBy(col("q_label")).agg(count(lit(1)).as("n_mutual"))
+      .join(edges.groupBy(col("q_label")).agg(count(lit(1)).as("n_edges")),
+        Seq("q_label"), "right")
+      .na.fill(0L, Seq("n_mutual"))
+      .select(col("q_label").as("label"), col("n_edges"), col("n_mutual"),
+        expr("(1000000 * n_mutual) div n_edges").as("mutual_u"))
+      .orderBy(col("mutual_u").desc, col("label"))
+  }
+
+  private val q204Sql =
+    s"""WITH emb AS (
+       |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |edges AS (
+       |  SELECT q_id, q_label, nb FROM (
+       |    SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")}
+       |          DESC, c.vec_id) AS rnk
+       |    FROM emb c JOIN emb q
+       |      ON c.bkt = q.bkt AND c.vec_id <> q.vec_id)
+       |  WHERE rnk <= $HubK),
+       |mut AS (
+       |  SELECT e.q_label, count(*) AS n_mutual
+       |  FROM edges e
+       |  WHERE EXISTS (SELECT 1 FROM edges r
+       |    WHERE r.q_id = e.nb AND r.nb = e.q_id)
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT q_label, count(*) AS n_edges FROM edges GROUP BY 1)
+       |SELECT t.q_label AS label, t.n_edges,
+       |  COALESCE(m.n_mutual, 0) AS n_mutual,
+       |  (1000000 * COALESCE(m.n_mutual, 0)) // t.n_edges AS mutual_u
+       |FROM tot t LEFT JOIN mut m ON t.q_label = m.q_label
+       |ORDER BY mutual_u DESC, label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q193_hubness" -> (q193 _),
     "q196_twonn_id" -> (q196 _),
+    "q204_mutual_knn" -> (q204 _),
     "q186_source_kappa" -> (q186 _),
     "q187_risk_coverage" -> (q187 _),
     "q188_label_lift" -> (q188 _),
@@ -4235,6 +4311,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "q193_hubness" -> q193Sql,
     "q196_twonn_id" -> q196Sql,
+    "q204_mutual_knn" -> q204Sql,
     "q186_source_kappa" -> q186Sql,
     "q187_risk_coverage" -> q187Sql,
     "q188_label_lift" -> q188Sql,

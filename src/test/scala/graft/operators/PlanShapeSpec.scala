@@ -890,6 +890,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     treeCount(p, "Window") shouldBe 1
   }
 
+  test("q200/q201: the cadence pair rides ONE window each — all seven " +
+      "period lags are offsets over one grid sort; moments are hash " +
+      "aggregates") {
+    val ps = freshTree("q200_period_scan")
+    treeHas(ps, "CartesianProduct") shouldBe false
+    treeHas(ps, "BroadcastNestedLoopJoin") shouldBe true // types × hours
+    treeCount(ps, "Window") shouldBe 1
+    val cv = freshTree("q201_cadence_cv")
+    treeHas(cv, "CartesianProduct") shouldBe false
+    treeCount(cv, "Window") shouldBe 1
+  }
+
+  test("q202: the lifecycle ledger is one user-keyed window over the " +
+      "distinct (user, day) frame; the churn join is day-ledger-sized") {
+    val p = freshTree("q202_growth_accounting")
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeCount(p, "Window") shouldBe 1
+  }
+
+  test("q203: the funnel is PURE window work on the session partitioning " +
+      "— no join of any kind touches the corpus") {
+    val p = freshTree("q203_session_funnel")
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeHas(p, "SortMergeJoin") shouldBe false
+    treeHas(p, "ShuffledHashJoin") shouldBe false
+    treeCount(p, "Window") should be <= 6 // gap/cum + ord + t1/t2/t3 chain
+  }
+
+  test("q204: reciprocity is an equi-join of the bounded n·k edge frame " +
+      "— never a Cartesian; the cold build textually repeats the edge " +
+      "window per reference, but at runtime all three references read " +
+      "the ONE memoized knnEdges build (MutualKnnSpec pins the count)") {
+    val p = freshTree("q204_mutual_knn")
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeCount(p, "Window") should be <= 3 // edges referenced 3× cold
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
