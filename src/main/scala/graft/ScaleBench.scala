@@ -126,7 +126,7 @@ object ScaleBench {
     "q182_confidence_drift", "q183_trust_panel", "q186_source_kappa",
     "q187_risk_coverage", "q188_label_lift", "q189_cluster_density",
     "q190_simpson", "q193_hubness", "q196_twonn_id",
-    "q197_cond_entropy", "q198_rank_corr")
+    "q197_cond_entropy", "q198_rank_corr", "q204_mutual_knn")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -162,7 +162,8 @@ object ScaleBench {
     "q149_event_pairs", "q150_rfm_segments", "q152_mad_outliers",
     "q155_event_debounce", "q156_touch_attribution", "q184_cusum_shift",
     "q191_event_transitions", "q192_entry_sessions", "q194_survival",
-    "q195_stationary", "q199_seasonality")
+    "q195_stationary", "q199_seasonality", "q200_period_scan",
+    "q201_cadence_cv", "q202_growth_accounting", "q203_session_funnel")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
