@@ -1870,27 +1870,13 @@ object Events {
     * constraints, so ties cannot double-fire; counts int64, rates
     * micro floor-divs.
     *
-    * Scale posture: the session id, the ordinal, and the three step
-    * anchors are ALL windows over the same user-then-session
-    * partitioning — one corpus shuffle, stacked Window passes (the
-    * step-2/step-3 anchors are min(CASE) windows over the session
-    * partition, not joins); the report re-aggregates 3 rows. */
+    * Scale posture: the three step anchors are min(CASE) windows
+    * over the session partition of the memoized [[sessionized]]
+    * stage (never joins) — the corpus window stack is built once and
+    * shared with q205/q206/q207; the report re-aggregates 3 rows. */
   private def q203(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("gap_s",
-        col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType))
-      .withColumn("is_new",
-        when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("is_new")).over(cum))
-    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
-      .orderBy(col("ts"), col("event_id"))
     val wSess = Window.partitionBy(col("user_id"), col("session_id"))
-    val stepped = sess
-      .withColumn("ord", row_number().over(bySess).cast(LongType))
+    val stepped = sessionized(spark, dir)
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ord"))).over(wSess))
       .withColumn("t2",
@@ -1973,7 +1959,270 @@ object Events {
        |  AS s(step, step_type, n_reached)
        |ORDER BY s.step""".stripMargin
 
+  /** SESSIONIZED EVENTS — q25's exact session assignment (30-minute
+    * gap under the (ts, event_id) total order) plus the in-session
+    * ordinal and epoch seconds, built ONCE per (session, dir) and
+    * shared by the whole session-analytics family (q203 funnel, q205
+    * sequence support, q206 conversion latency, q207 dwell): the
+    * "sessionize once, query many" posture — at warehouse scale this
+    * frame is the materialized session table every product-analytics
+    * query reads, not a per-query window stack. */
+  private[graft] def sessionized(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#sessionized") {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("ts_s", col("ts").cast(LongType))
+        .withColumn("gap_s",
+          col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .withColumn("ord", row_number().over(bySess).cast(LongType))
+        .select(col("user_id"), col("session_id"), col("ord"),
+          col("event_id"), col("ts"), col("ts_s"), col("event_type"))
+    }
+
+  // ---------------------------------------------------------------- q205
+  /** SEQUENTIAL PAIR SUPPORT — the first mining step of GSP/PrefixSpan
+    * over q25's sessions: for every ordered type pair (a ≺ b), the
+    * number of sessions in which a's FIRST occurrence precedes b's
+    * first occurrence, plus the confidence against a's session base.
+    * q149 mines UNORDERED co-occurrence over a user's whole history;
+    * q191 sees only ADJACENT transitions; this reads "a then
+    * eventually b, within one visit" — the shape funnel DISCOVERY
+    * needs before q203 can be pointed at a hypothesis.
+    *
+    * Determinism: first occurrences under q25's exact (ts, event_id)
+    * ordinal; support/confidence are int64 counts and one micro
+    * floor-div; output ordered (support desc, pair).
+    *
+    * Scale posture: the per-(session, type) first-ordinal frame is
+    * ≤|types|·sessions rows off the MEMOIZED [[sessionized]] stage
+    * (built once per session, shared with q203/q206/q207 — its three
+    * references here ride one build, SeqSupportSpec pins it); the
+    * pair self-join is per-session and type-bounded (≤|types|² rows
+    * per session); supports are partial-aggregable to ≤|types|²
+    * report rows. */
+  private def q205(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = sessionized(spark, dir)
+      .groupBy(col("user_id"), col("session_id"), col("event_type"))
+      .agg(min(col("ord")).as("first_ord"))
+    val a = firsts.select(col("user_id"), col("session_id"),
+      col("event_type").as("a"), col("first_ord").as("oa"))
+    val b = firsts.select(col("user_id"), col("session_id"),
+      col("event_type").as("b"), col("first_ord").as("ob"))
+    val support = a.join(b, Seq("user_id", "session_id"))
+      .filter(col("oa") < col("ob"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    val base = firsts.groupBy(col("event_type").as("a"))
+      .agg(count(lit(1)).as("n_a"))
+    support.join(broadcast(base), "a")
+      .withColumn("confidence_u", expr("(1000000 * support) div n_a"))
+      .select(col("a"), col("b"), col("support"), col("n_a"),
+        col("confidence_u"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+  }
+
+  private val q205Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |ord AS (
+       |  SELECT user_id, session_id, event_type,
+       |    CAST(row_number() OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS BIGINT) AS ord
+       |  FROM sess),
+       |firsts AS (
+       |  SELECT user_id, session_id, event_type, min(ord) AS first_ord
+       |  FROM ord GROUP BY 1, 2, 3),
+       |support AS (
+       |  SELECT a.event_type AS a, b.event_type AS b, count(*) AS support
+       |  FROM firsts a JOIN firsts b
+       |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+       |   AND a.first_ord < b.first_ord
+       |  GROUP BY 1, 2),
+       |base AS (
+       |  SELECT event_type AS a, count(*) AS n_a FROM firsts GROUP BY 1)
+       |SELECT s.a, s.b, s.support, t.n_a,
+       |  (1000000 * s.support) // t.n_a AS confidence_u
+       |FROM support s JOIN base t ON s.a = t.a
+       |ORDER BY s.support DESC, s.a, s.b""".stripMargin
+
+  // ---------------------------------------------------------------- q206
+  /** CONVERSION-LATENCY QUANTILES — how long the view → purchase leg
+    * of q203's strict funnel TAKES: per converting session, the
+    * seconds from the first view to the first purchase after it, then
+    * the exact nearest-rank quantile table (min/p25/p50/p75/max).
+    * q203 prices how many sessions convert; this prices how long the
+    * conversion capital is tied up — the latency SLA a checkout team
+    * actually watches.
+    *
+    * Determinism: q203's strict step anchors at timestamp grain;
+    * nearest-rank quantiles over the exact total order (latency,
+    * user, session) — no interpolation, no float percentile.
+    *
+    * Scale posture: anchors are two stacked per-session windows over
+    * the memoized [[sessionized]] stage; the latency frame is conversions-sized and the global
+    * rank window runs over THAT bounded frame (q61's exact-quantile
+    * caveat applies only past conversions ≫ memory, with the same
+    * documented approx swap); the report is 5 rows. */
+  private def q206(spark: SparkSession, dir: String): DataFrame = {
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+    val lat = sessionized(spark, dir)
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_s"))).over(wSess))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_s") > col("t1"), col("ts_s"))).over(wSess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t3")).as("t3"))
+      .filter(col("t1").isNotNull && col("t3").isNotNull)
+      .select(col("user_id"), col("session_id"),
+        (col("t3") - col("t1")).as("latency_s"))
+    // Both the rank and the population count are windows over the
+    // CONVERSIONS-sized frame (single bounded partition) — a separate
+    // count aggregate would re-run the anchor windows for one row.
+    val wRank = Window.orderBy(col("latency_s"), col("user_id"),
+      col("session_id"))
+    val ranked = lat
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("n_conv",
+        count(lit(1)).over(Window.partitionBy()).cast(LongType))
+    ranked
+      .select(explode(array(Seq(0L, 25L, 50L, 75L, 100L).map(lit): _*))
+        .as("p"), col("rnk"), col("latency_s"), col("n_conv"))
+      .filter(col("rnk") === lit(1L) + expr("((n_conv - 1) * p) div 100"))
+      .select(col("p"), col("latency_s"), col("n_conv"))
+      .orderBy(col("p"))
+  }
+
+  private val q206Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_s,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |s1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_s END)
+       |    OVER (PARTITION BY user_id, session_id) AS t1
+       |  FROM sess),
+       |s3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s > t1
+       |    THEN ts_s END) OVER (PARTITION BY user_id, session_id) AS t3
+       |  FROM s1),
+       |lat AS (
+       |  SELECT user_id, session_id,
+       |    max(t3) - max(t1) AS latency_s
+       |  FROM s3 GROUP BY 1, 2
+       |  HAVING max(t1) IS NOT NULL AND max(t3) IS NOT NULL),
+       |ranked AS (
+       |  SELECT latency_s,
+       |    CAST(row_number() OVER (ORDER BY latency_s, user_id, session_id)
+       |      AS BIGINT) AS rnk,
+       |    (SELECT count(*) FROM lat) AS n_conv
+       |  FROM lat)
+       |SELECT p, latency_s, n_conv
+       |FROM ranked, (VALUES (CAST(0 AS BIGINT)), (25), (50), (75), (100))
+       |  AS q(p)
+       |WHERE rnk = 1 + ((n_conv - 1) * p) // 100
+       |ORDER BY p""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  /** DWELL-TIME ATTRIBUTION — where session TIME goes, by event type:
+    * each consecutive in-session gap attributes to the event the user
+    * was dwelling ON (the pair's FROM side). Depth (q192) and step
+    * counts (q63/q203) weight every event equally; this weights by
+    * seconds — the difference between "views dominate the logs" and
+    * "views dominate the visit", and the denominator an engagement
+    * or exposure-pricing model wants.
+    *
+    * Determinism: gaps under q25's exact in-session ordinal via one
+    * lead; int64 sums, micro floor-div mean and share (share
+    * denominator = total attributed seconds, so shares sum to ≤10⁶
+    * with floor loss only).
+    *
+    * Scale posture: one in-session lead over the memoized
+    * [[sessionized]] stage (the session sort is already paid);
+    * the report is a ≤|types|-row hash aggregate plus a broadcast
+    * 1-row total. */
+  private def q207(spark: SparkSession, dir: String): DataFrame = {
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ord"))
+    val dwell = sessionized(spark, dir)
+      .withColumn("dwell_s", lead(col("ts_s"), 1).over(bySess) - col("ts_s"))
+      .filter(col("dwell_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_dwells"), sum(col("dwell_s")).as("dwell_s"))
+    // share denominator as a window over the ≤|types|-row aggregate —
+    // a separate total aggregate would re-run the session lead pass.
+    dwell
+      .withColumn("total_s", sum(col("dwell_s")).over(Window.partitionBy()))
+      .select(col("event_type"), col("n_dwells"), col("dwell_s"),
+        expr("(1000000 * dwell_s) div n_dwells").as("mean_dwell_u"),
+        expr("(1000000 * dwell_s) div total_s").as("share_u"))
+      .orderBy(col("share_u").desc, col("event_type"))
+  }
+
+  private val q207Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_s,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |dwells AS (
+       |  SELECT event_type,
+       |    lead(ts_s) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) - ts_s AS dwell_s
+       |  FROM sess),
+       |agg AS (
+       |  SELECT event_type, count(*) AS n_dwells,
+       |    CAST(sum(dwell_s) AS BIGINT) AS dwell_s
+       |  FROM dwells WHERE dwell_s IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_dwells, dwell_s,
+       |  (1000000 * dwell_s) // n_dwells AS mean_dwell_u,
+       |  CAST((1000000 * dwell_s) //
+       |    CAST((SELECT sum(dwell_s) FROM agg) AS BIGINT) AS BIGINT)
+       |    AS share_u
+       |FROM agg
+       |ORDER BY share_u DESC, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q205_seq_support" -> (q205 _),
+    "q206_conversion_latency" -> (q206 _),
+    "q207_dwell_share" -> (q207 _),
     "q200_period_scan" -> (q200 _),
     "q201_cadence_cv" -> (q201 _),
     "q202_growth_accounting" -> (q202 _),
@@ -2006,6 +2255,9 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q205_seq_support" -> q205Sql,
+    "q206_conversion_latency" -> q206Sql,
+    "q207_dwell_share" -> q207Sql,
     "q200_period_scan" -> q200Sql,
     "q201_cadence_cv" -> q201Sql,
     "q202_growth_accounting" -> q202Sql,

@@ -927,6 +927,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     treeCount(p, "Window") should be <= 3 // edges referenced 3× cold
   }
 
+  test("q205/q206/q207: the session trio rides the memoized sessionized " +
+      "stage — no Cartesian anywhere; cold builds inline the stage per " +
+      "reference, the build-once runtime is pinned in SeqSupportSpec") {
+    val sup = freshTree("q205_seq_support")
+    treeHas(sup, "CartesianProduct") shouldBe false
+    val lat = freshTree("q206_conversion_latency")
+    treeHas(lat, "CartesianProduct") shouldBe false
+    // no join of any kind: anchors, rank, AND the population count are
+    // all windows (stage 2 + t1/t3 + rank + count over the bounded frame)
+    treeHas(lat, "BroadcastNestedLoopJoin") shouldBe false
+    treeCount(lat, "Window") should be <= 6
+    val dw = freshTree("q207_dwell_share")
+    treeHas(dw, "CartesianProduct") shouldBe false
+    treeHas(dw, "SortMergeJoin") shouldBe false
+    // stage (≤3 nodes cold) + lead + |types|-row share-denominator window
+    treeCount(dw, "Window") should be <= 5
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
