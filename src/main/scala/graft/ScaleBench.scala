@@ -355,6 +355,43 @@ object ScaleBench {
           mod("dsir_gate", dSec, dRows, dLats) + "," +
           mod("incremental_dedup", iSec, iRows, iLats,
             s""","index_rows":[$baseFp,$finalFp]""") + "}")
+
+      // Stateful EVENT monitors (frontier state per user) over the
+      // driver events table, staged time-range-partitioned so
+      // micro-batches approximate arrival order; boundary disorder is
+      // MEASURED, not hidden — the late-marker counts ship in the line.
+      import graft.streaming.{EventStreams, GrowthStreams, TransitionStreams}
+      import spark.implicits._
+      val evStage = s"$out/stream_events_$batches"
+      if (!Files.exists(Paths.get(evStage)))
+        spark.read.parquet(s"$base/events.parquet")
+          .repartitionByRange(batches,
+            org.apache.spark.sql.functions.col("ts"))
+          .write.parquet(evStage)
+      val evRows = spark.read.parquet(evStage).count()
+      def evSrc() = spark.readStream
+        .schema(spark.read.parquet(evStage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(evStage)
+        .as[EventStreams.EventRow]
+
+      val (tSec, tRows, tLats) = drive(cb =>
+        TransitionStreams.transitions(evSrc()).toDF().writeStream
+          .outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) => cb(b, id)).start())
+      val (gSec, gRows, gLats) = drive(cb =>
+        GrowthStreams.dayClasses(evSrc()).toDF().writeStream
+          .outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) => cb(b, id)).start())
+      def evMod(n: String, sec: Double, rows: Long, lats: Seq[Double]): String =
+        s""""$n":{"sec":${f2(sec)},"out_rows":$rows,""" +
+          s""""rows_per_sec":${f2(evRows / sec)},""" +
+          s""""batch_latency_mmm":${latStats(lats)}}"""
+      println(
+        s"""{"metric":"streaming_events","in_rows":$evRows,""" +
+          s""""batches":$batches,""" +
+          evMod("transition_monitor", tSec, tRows, tLats) + "," +
+          evMod("growth_monitor", gSec, gRows, gLats) + "}")
     }
 
     if (phase == "bpe" || phase == "both") {
