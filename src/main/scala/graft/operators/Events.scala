@@ -1723,21 +1723,43 @@ object Events {
     * ~10¹⁴·n; past ~10⁴ events/type·year², the documented DECIMAL
     * swap.
     *
-    * Scale posture caveat (stated, q106's discipline): the gap window
-    * partitions by TYPE — a low-cardinality key, so the exact
-    * oracle-pinned form concentrates each type's events in one sort
-    * partition. The production swap segments the sort by the events
-    * table's native date partitions (gaps computed within days, the
-    * |days|·|types| boundary gaps dropped — a bounded, documented
-    * loss); the oracle pins the exact global form. */
+    * Scale posture caveat (stated AND implemented, q106's quantile-
+    * mode discipline): the gap window partitions by TYPE — a
+    * low-cardinality key, so the exact oracle-pinned form concentrates
+    * each type's events in one sort partition. [[CadenceModeConf]] =
+    * `segmented` runs the production swap: the sort segments by the
+    * events table's native UTC date partitions (gaps computed within
+    * (type, day), the ≤|days|·|types| midnight-boundary gaps dropped —
+    * a bounded, documented loss, `CadenceModeSpec`-pinned); `exact`
+    * (default) keeps the oracle-pinned global form. Loud rejection of
+    * unknown values. */
+  val CadenceModeConf = "spark.graft.cadence.mode"
+
+  private def cadenceSegmented(spark: SparkSession): Boolean =
+    spark.conf.getOption(CadenceModeConf) match {
+      case None => false
+      case Some(raw) => raw.trim.toLowerCase match {
+        case "segmented" => true
+        case "exact"     => false
+        case other => throw new IllegalArgumentException(
+          s"$CadenceModeConf must be 'exact' or 'segmented', got '$other'")
+      }
+    }
+
   private def q201(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    val base = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("ts"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("gap_s",
-        col("ts").cast(LongType) - col("prev_ts").cast(LongType))
+      .withColumn("ts_s", col("ts").cast(LongType))
+    val w =
+      if (cadenceSegmented(spark))
+        Window.partitionBy(col("event_type"), expr("ts_s div 86400"))
+          .orderBy(col("ts"), col("event_id"))
+      else
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+    base
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("gap_s", col("ts_s") - col("prev_s"))
       .filter(col("gap_s").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
