@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   - `q207_dwell_share`       — where session time actually goes;
   *   - `q200_period_scan`       — the feed's period structure;
   *   - `q201_cadence_cv`        — arrival dispersion (bot signature);
+  *   - `q208_entry_exit`        — the landing→leaving matrix + bounce;
   *   - `q194_survival`          — censoring-aware retention hazard.
   *
   * Same contract as the reference driver and the sibling CLIs
@@ -35,7 +36,8 @@ object Insights {
   val Panels: Seq[String] = Seq(
     "q202_growth_accounting", "q192_entry_sessions", "q203_session_funnel",
     "q206_conversion_latency", "q205_seq_support", "q207_dwell_share",
-    "q200_period_scan", "q201_cadence_cv", "q194_survival")
+    "q200_period_scan", "q201_cadence_cv", "q208_entry_exit",
+    "q194_survival")
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit =
     Panels.foreach { name =>

@@ -164,7 +164,8 @@ object ScaleBench {
     "q191_event_transitions", "q192_entry_sessions", "q194_survival",
     "q195_stationary", "q199_seasonality", "q200_period_scan",
     "q201_cadence_cv", "q202_growth_accounting", "q203_session_funnel",
-    "q205_seq_support", "q206_conversion_latency", "q207_dwell_share")
+    "q205_seq_support", "q206_conversion_latency", "q207_dwell_share",
+    "q208_entry_exit")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")

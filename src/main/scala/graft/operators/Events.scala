@@ -2241,7 +2241,81 @@ object Events {
        |FROM agg
        |ORDER BY share_u DESC, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  /** ENTRY→EXIT MATRIX with bounce rates — q192 asks which doors are
+    * worth the traffic; this asks where each door's sessions END: per
+    * (entry type, exit type), the session count, how many were
+    * single-event BOUNCES (entry = exit by construction), and the
+    * exact bounce share. The landing→leaving matrix is the other
+    * standing panel of a session report (a door whose mass sits on
+    * the diagonal with depth 1 is a bounce problem; one whose exits
+    * concentrate on `error` is a breakage problem q191's kernel only
+    * shows one hop of).
+    *
+    * Determinism: entry/exit via `graft_argmax` keyed ±ord — the
+    * in-session ordinal is unique, so both selections are total;
+    * bounce and share are int64 with one micro floor-div.
+    *
+    * Scale posture: one per-session aggregate over the memoized
+    * [[sessionized]] stage — entry/exit ride the hash-aggregable
+    * `graft_argmax` (a `min(struct(ord, type))` would demote the
+    * whole aggregate to SortAggregate, q192's pitfall: struct min/max
+    * are declarative, only TypedImperative buffers keep OHA) — then a
+    * ≤|types|²-row re-aggregate. */
+  private def q208(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val per = sessionized(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        graft.functions.ArgMaxAgg.argMax(struct(negate(col("ord"))),
+          col("event_type")).as("entry_type"),
+        graft.functions.ArgMaxAgg.argMax(struct(col("ord")),
+          col("event_type")).as("exit_type"),
+        count(lit(1)).as("n_events"))
+    per.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_u", expr("(1000000 * n_bounce) div n_sessions"))
+      .orderBy(col("n_sessions").desc, col("entry_type"), col("exit_type"))
+  }
+
+  private val q208Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |ord AS (
+       |  SELECT user_id, session_id, event_type,
+       |    CAST(row_number() OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS BIGINT) AS ord,
+       |    CAST(count(*) OVER (PARTITION BY user_id, session_id)
+       |      AS BIGINT) AS n_events
+       |  FROM sess),
+       |per AS (
+       |  SELECT user_id, session_id,
+       |    max(CASE WHEN ord = 1 THEN event_type END) AS entry_type,
+       |    max(CASE WHEN ord = n_events THEN event_type END) AS exit_type,
+       |    max(n_events) AS n_events
+       |  FROM ord GROUP BY 1, 2)
+       |SELECT entry_type, exit_type, count(*) AS n_sessions,
+       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounce,
+       |  (1000000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS bounce_u
+       |FROM per GROUP BY 1, 2
+       |ORDER BY n_sessions DESC, entry_type, exit_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q208_entry_exit" -> (q208 _),
     "q205_seq_support" -> (q205 _),
     "q206_conversion_latency" -> (q206 _),
     "q207_dwell_share" -> (q207 _),
@@ -2277,6 +2351,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q208_entry_exit" -> q208Sql,
     "q205_seq_support" -> q205Sql,
     "q206_conversion_latency" -> q206Sql,
     "q207_dwell_share" -> q207Sql,

@@ -945,6 +945,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     treeCount(dw, "Window") should be <= 5
   }
 
+  test("q208: entry/exit are struct min/max INSIDE the per-session " +
+      "aggregate (ObjectHashAggregate) — no extra window beyond the " +
+      "memoized stage, no Cartesian, no join at all") {
+    val p = freshTree("q208_entry_exit")
+    treeHas(p, "CartesianProduct") shouldBe false
+    treeHas(p, "SortMergeJoin") shouldBe false
+    treeHas(p, "ObjectHashAggregate") shouldBe true
+    treeCount(p, "Window") should be <= 3 // the cold stage only
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
