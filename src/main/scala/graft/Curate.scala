@@ -160,18 +160,23 @@ object Curate {
     val spark = GraftSession.builder(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      run(spark, sfDir, outDir, withQuality, withDsir, withShards,
-        withTombstones, withLedger, reconcileLedger, withAudit)
-      sys.exit(0)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[curate] failed: ${e.getMessage}")
-        sys.exit(1)
-    } finally {
-      Features.clear(spark)
-      spark.stop()
-    }
+    // Exit-code decided inside, exit CALLED after cleanup: sys.exit
+    // inside the try would unwind past the finally (JVM terminates
+    // before Features.clear/spark.stop run).
+    val status =
+      try {
+        run(spark, sfDir, outDir, withQuality, withDsir, withShards,
+          withTombstones, withLedger, reconcileLedger, withAudit)
+        0
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[curate] failed: ${e.getMessage}")
+          1
+      } finally {
+        Features.clear(spark)
+        spark.stop()
+      }
+    sys.exit(status)
   }
 
   /** The job body, separated from the exit-code shell for specs. */

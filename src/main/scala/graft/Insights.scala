@@ -58,16 +58,21 @@ object Insights {
     val spark = GraftSession.builder(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      run(spark, sfDir, outDir)
-      sys.exit(0)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"graft.Insights: ${e.getMessage}")
-        sys.exit(1)
-    } finally {
-      graft.operators.Features.clear(spark)
-      spark.stop()
-    }
+    // Exit-code decided inside, exit CALLED after cleanup: sys.exit
+    // inside the try would unwind past the finally (JVM terminates
+    // before Features.clear/spark.stop run).
+    val status =
+      try {
+        run(spark, sfDir, outDir)
+        0
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"graft.Insights: ${e.getMessage}")
+          1
+      } finally {
+        graft.operators.Features.clear(spark)
+        spark.stop()
+      }
+    sys.exit(status)
   }
 }

@@ -673,6 +673,30 @@ object ScaleBench {
           s""""accepted_pairs":$pairs,$fields,""" +
           s""""noaqe_speedup":${f2(m("shuffle_unsalted_noaqe") / m("shuffle_salted_noaqe"))},""" +
           s""""aqe_speedup":${f2(m("shuffle_unsalted_aqe") / m("shuffle_salted_aqe"))},"salt":8}""")
+
+      // q108's content-equality leg on the same viral corpus (round-12
+      // verdict task 3's wall-clock line): at the default cap the
+      // 10⁴-copy fingerprint group emits NOTHING — the leg costs one
+      // pass over the base corpus — while lifting the cap above the
+      // group re-admits its m·(m−1)/2 pairs. Pair counts published next
+      // to the times so the ratio reads as output volume, not noise.
+      val fpHot = Dedup.contentFpOf(Tables.documents(spark, hotDir)).persist()
+      fpHot.count()
+      val capDefault = Dedup.ContentEqGroupCap
+      val tCapped = (1 to 2).map(_ =>
+        time(noopWrite(Dedup.contentEqPairs(fpHot, capDefault)))).min
+      val cappedPairs = Dedup.contentEqPairs(fpHot, capDefault).count()
+      val capLifted = (hotCopies + 1).toInt
+      val tUncapped =
+        time(noopWrite(Dedup.contentEqPairs(fpHot, capLifted)))
+      val viralPairs = hotCopies * (hotCopies - 1) / 2
+      fpHot.unpersist(blocking = false)
+      println(
+        s"""{"metric":"audit_group_cap","hot_copies":$hotCopies,""" +
+          s""""cap":$capDefault,"capped_sec":${f2(tCapped)},""" +
+          s""""capped_pairs":$cappedPairs,""" +
+          s""""uncapped_sec":${f2(tUncapped)},""" +
+          s""""uncapped_viral_pairs":$viralPairs}""")
     }
     Features.clear(spark)
     spark.stop()

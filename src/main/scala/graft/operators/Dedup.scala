@@ -387,12 +387,83 @@ object Dedup {
     * multiplying bucket count by 2⁸ per widening step); changing the
     * fingerprint width changes which pairs are near-dups, so it is a
     * corpus-versioned redeploy decision (q96/q98's fidelity audits
-    * exist to price it), not a session knob like q40's
-    * `spark.graft.similarity.lshBits`. */
+    * exist to price it), now shipped as [[SimHashBitsConf]]. */
+  /** Fingerprint width for the SimHash scan (q36 + q98): 32 (default —
+    * the oracle-pinned output) or 64. Why 64 exists, measured: the
+    * direct 100× ScaleBench sweep clocked the 32-bit path at ×68
+    * (0.71 → 48.0 s for 100× rows) because its radius-3 pigeonhole
+    * banding is 4×8-bit — 256 buckets per band, so candidates grow
+    * ~n²/256 no matter what AQE or salting do. At 64 bits the SAME
+    * radius-3 guarantee bands as 4×16-bit — 65,536 buckets per band,
+    * cutting candidate volume 256× (the exact `lshBands`/`lshBits`
+    * move that took q40 from 147 s to 9.6 s). Semantics shift with
+    * width: hamming ≤ 3 of 64 estimates cos ≥ cos(3π/64) ≈ 0.989 vs
+    * ≈ 0.957 at 32 — a STRICTER near-dup definition, so switching is
+    * a corpus-versioned redeploy decision and the default stays 32;
+    * q98 re-scores whichever path is live (its estimator follows the
+    * width) and `SimHashWidthSpec` pins exact-dup recall plus
+    * fidelity on the wide path. Loud rejection of anything but
+    * {32, 64} — a typo must not silently run the narrow scan. */
+  val SimHashBitsConf = "spark.graft.simhash.bits"
+
+  private[graft] def simhashBits(spark: SparkSession): Int =
+    spark.conf.getOption(SimHashBitsConf) match {
+      case None => SimHashBits
+      case Some(raw) =>
+        val b = raw.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"$SimHashBitsConf must be 32 or 64, got '$raw'"))
+        require(b == 32 || b == 64,
+          s"$SimHashBitsConf must be 32 or 64, got $b")
+        b
+    }
+
   /** q36's verified pairs (doc_a, doc_b, hamming ≤ 3), pre-sort —
     * shared with the fidelity audit (q98), which re-scores exactly the
-    * pairs the production sketch ships. */
-  private def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    * pairs the production sketch ships. Dispatches on
+    * [[SimHashBitsConf]]: the default 32-bit body is untouched (plan
+    * pins + oracle); 64 widens fingerprint AND bands. */
+  private def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    if (simhashBits(spark) == 64) simhashVerifiedPairs64(spark, dir)
+    else simhashVerifiedPairs32(spark, dir)
+
+  /** 64-bit production path: 64 sign bits from the md5's two
+    * independent 32-bit lanes ([[Features.hashedShingles2]]), banded
+    * 4×16-bit — the radius-3 pigeonhole holds exactly as at 32 (3
+    * differing bits cannot touch all 4 bands) while each band carries
+    * 2¹⁶ buckets. Bit 63 lands on the long's sign bit; the bit terms
+    * are disjoint so their sum IS the bitwise OR (no carries), and
+    * both `shiftright` (arithmetic) band extractions mask to 16 bits,
+    * so the sign extension never leaks into a band value. */
+  private def simhashVerifiedPairs64(spark: SparkSession, dir: String): DataFrame = {
+    val half = SimHashBits // 32 bits per md5 lane
+    val bitSums = Features.hashedShingles2(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sum(simBit(0, col("h"))).as("s0"),
+        ((1 until half).map(j => sum(simBit(j, col("h"))).as(s"s$j")) ++
+          (0 until half).map(j =>
+            sum(simBit(j, col("h2"))).as(s"s${half + j}"))): _*)
+    val simhash = (0 until 2 * half)
+      .map(j => when(col(s"s$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = Features.cachedFrame(spark, s"$dir#simhashFp64") {
+      bitSums.select(col("doc_id"), simhash.as("simhash"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    saltedSelfPairs(banded, Seq("band", "bv"))
+      .select(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"),
+        bit_count(col("x_simhash").bitwiseXOR(col("y_simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  private def simhashVerifiedPairs32(spark: SparkSession, dir: String): DataFrame = {
     val bitSums = Features.hashedShingles(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(simBit(0, col("h"))).as("s0"),
@@ -1507,9 +1578,17 @@ object Dedup {
     * Scale posture: rides q36's banded candidates (never all-pairs);
     * the shingle-set join touches only verified pairs; output is one
     * aggregate row. */
-  private[graft] val SimHashEstCosU: IndexedSeq[Long] =
+  /** Sign-LSH cosine estimates per hamming count, width-aware: with
+    * `bits` hyperplanes, P(bit differs) = θ/π, so est cos =
+    * cos(π·h/bits). The 32-bit table is the oracle-pinned one; q98's
+    * Spark side follows [[SimHashBitsConf]] so the fidelity audit
+    * re-scores whichever sketch is LIVE (at 64 bits the same h maps
+    * to a tighter estimate — h=3 ⇒ ≈0.989 vs ≈0.957). */
+  private[graft] def simHashEstCosU(bits: Int): IndexedSeq[Long] =
     (0 to 3).map(h =>
-      math.floor(1e6 * math.cos(math.Pi * h / SimHashBits)).toLong)
+      math.floor(1e6 * math.cos(math.Pi * h / bits)).toLong)
+  private[graft] val SimHashEstCosU: IndexedSeq[Long] =
+    simHashEstCosU(SimHashBits)
   val SimHashCosTolU = 100000L
 
   private def q98(spark: SparkSession, dir: String): DataFrame = {
@@ -1517,7 +1596,7 @@ object Dedup {
     val sh = Features.shingleSets(spark, dir)
     val sa = sh.toDF("a_doc", "a_ss")
     val sb = sh.toDF("b_doc", "b_ss")
-    val est = SimHashEstCosU.zipWithIndex
+    val est = simHashEstCosU(simhashBits(spark)).zipWithIndex
       .foldLeft(lit(0L)) { case (acc, (v, h)) =>
         when(col("hamming") === h, lit(v)).otherwise(acc)
       }
@@ -2874,26 +2953,46 @@ object Dedup {
     *
     * Scale posture: distinct (source, h) is one partial-aggregable
     * groupBy over the memoized hashed-shingle features (8-byte hashes,
-    * never strings); ownership is a second partial-aggregable
-    * `min(source)` groupBy on the uniform hash key — a shingle shared
-    * by 10⁶ documents is ONE row per source here, so the viral-dup
-    * skew cannot arise (q82's argument); the report is sources-sized. */
+    * never strings); ownership is a second partial-aggregable groupBy
+    * on the uniform hash key — a shingle shared by 10⁶ documents is
+    * ONE row per source here, so the viral-dup skew cannot arise
+    * (q82's argument); the report is sources-sized.
+    *
+    * The first-owner aggregate runs over a DICTIONARY-ENCODED source
+    * rank, not the source string: `min(string)` carries a string
+    * aggregation buffer, which is not hash-aggregable — it demoted
+    * both the partial and final aggregates of the corpus-scale
+    * (h, source) frame to SortAggregate (the round-12 plan audit's
+    * only genuine demotion). Sources are a tiny dimension, so the
+    * name→rank table broadcasts, `min(int)` rides HashAggregate, and
+    * rank order == name order keeps the owner — and the oracle hash —
+    * identical. Pinned SortAggregate-free in `PlanShapeSpec`. */
   private def q122(spark: SparkSession, dir: String): DataFrame = {
+    val docsSrc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    // sources-sized frame; the unpartitioned rank window is bounded by
+    // the dimension's cardinality, never the corpus.
+    val srcRank = docsSrc.select(col("source")).distinct()
+      .withColumn("src_rank",
+        row_number().over(Window.orderBy(col("source"))).cast("int"))
     val srcShingles = Features.hashedShingles(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-        "doc_id")
-      .select(col("source"), col("h")).distinct()
+      .join(docsSrc.join(broadcast(srcRank), "source")
+        .select(col("doc_id"), col("src_rank")), "doc_id")
+      .select(col("src_rank"), col("h")).distinct()
     val owners = srcShingles.groupBy(col("h"))
-      .agg(min(col("source")).as("owner"))
-    val perSource = srcShingles.groupBy(col("source"))
+      .agg(min(col("src_rank")).as("owner_rank"))
+    val perSource = srcShingles.groupBy(col("src_rank"))
       .agg(count(lit(1)).as("n_distinct"))
-    val novel = owners.groupBy(col("owner").as("source"))
+    val novel = owners.groupBy(col("owner_rank").as("src_rank"))
       .agg(count(lit(1)).as("n_novel"))
-    perSource.join(novel, Seq("source"), "left")
+    perSource.join(novel, Seq("src_rank"), "left")
+      .join(broadcast(srcRank), Seq("src_rank"))
       .na.fill(0L, Seq("n_novel"))
       .withColumn("novelty_u",
         floor(lit(1000000.0) * col("n_novel").cast(DoubleType) /
           col("n_distinct").cast(DoubleType)).cast("long"))
+      .select(col("source"), col("n_distinct"), col("n_novel"),
+        col("novelty_u"))
       .orderBy(col("source"))
   }
 

@@ -1455,17 +1455,25 @@ object Events {
     // mirroring the oracle's integer CTE chain exactly.
     val fromTypes = kernel.map(_._1).distinct.sorted
     val k = fromTypes.length.toLong
-    var pi: Map[String, Long] =
-      fromTypes.map(t => t -> 1000000L / k).toMap
-    for (_ <- 1 to StationaryIters) {
-      pi = kernel
-        .filter { case (f, _, _) => pi.contains(f) }
-        .groupBy(_._2)
-        .map { case (to, rows) =>
-          to -> rows.map { case (f, _, p) => pi(f) * p }.sum / 1000000L }
+    // Empty-kernel guard: an events table with no user producing two
+    // ordered events yields zero transitions — the oracle's CTE chain is
+    // then empty at every step, so the Spark side must return the empty
+    // frame too (not divide 10⁶ by zero building π₀).
+    if (k == 0L) {
+      Seq.empty[(String, Long)].toDF("event_type", "pi_u")
+    } else {
+      var pi: Map[String, Long] =
+        fromTypes.map(t => t -> 1000000L / k).toMap
+      for (_ <- 1 to StationaryIters) {
+        pi = kernel
+          .filter { case (f, _, _) => pi.contains(f) }
+          .groupBy(_._2)
+          .map { case (to, rows) =>
+            to -> rows.map { case (f, _, p) => pi(f) * p }.sum / 1000000L }
+      }
+      pi.toSeq.toDF("event_type", "pi_u")
+        .orderBy(col("pi_u").desc, col("event_type"))
     }
-    pi.toSeq.toDF("event_type", "pi_u")
-      .orderBy(col("pi_u").desc, col("event_type"))
   }
 
   // MATERIALIZED: DuckDB inlines CTEs by default, and the 24-deep
@@ -2086,15 +2094,19 @@ object Events {
        |ORDER BY s.support DESC, s.a, s.b""".stripMargin
 
   // ---------------------------------------------------------------- q206
-  /** CONVERSION-LATENCY QUANTILES — how long the view → purchase leg
-    * of q203's strict funnel TAKES: per converting session, the
-    * seconds from the first view to the first purchase after it, then
-    * the exact nearest-rank quantile table (min/p25/p50/p75/max).
-    * q203 prices how many sessions convert; this prices how long the
-    * conversion capital is tied up — the latency SLA a checkout team
-    * actually watches.
+  /** CONVERSION-LATENCY QUANTILES — how long a session's view →
+    * purchase conversion TAKES: per converting session, the seconds
+    * from the first view to the first purchase strictly after it (at
+    * TIMESTAMP grain, so a same-second view→purchase does not anchor,
+    * and with NO intervening-click requirement — deliberately a
+    * broader conversion population than q203's ordinal-strict
+    * view→click→purchase funnel, which anchors on session ordinals),
+    * then the exact nearest-rank quantile table (min/p25/p50/p75/max).
+    * q203 prices how many sessions complete the full funnel; this
+    * prices how long the two-step conversion capital is tied up — the
+    * latency SLA a checkout team actually watches.
     *
-    * Determinism: q203's strict step anchors at timestamp grain;
+    * Determinism: timestamp-grain strict anchors (ts_s > t1);
     * nearest-rank quantiles over the exact total order (latency,
     * user, session) — no interpolation, no float percentile.
     *

@@ -170,6 +170,20 @@ object Features {
         .select(col("doc_id"), md5u32(col("w")).as("h"))
     }
 
+  /** Two independent 32-bit lanes per shingle occurrence: (doc_id, h,
+    * h2) — the 64-bit SimHash path (`spark.graft.simhash.bits=64`)
+    * needs 64 independent sign bits per word; the lanes are hex chars
+    * 1–8 and 9–16 of ONE md5 ([[md5u32]]/[[md5u32b]] — Catalyst CSEs
+    * the shared md5 call). Built only when the wide path is enabled,
+    * so the default session carries no extra cached blocks. */
+  def hashedShingles2(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(spark, s"$dir#hashedShingles2") {
+      shingleSets(spark, dir)
+        .select(col("doc_id"), explode(col("ss")).as("w"))
+        .select(col("doc_id"), md5u32(col("w")).as("h"),
+          md5u32b(col("w")).as("h2"))
+    }
+
   /** Per-(source, token) occurrence counts: (source, w, cnt) — the
     * finest text-distribution aggregate, shared by the KL monitor
     * (q101), the Zipf fit (q125), the entropy audit (q128), and the

@@ -4258,7 +4258,9 @@ object TextAnalysis {
         lit(1000000L) -
           expr("""(CAST(6000000 AS DECIMAL(38,0)) *
                   CAST(sum_d2 AS DECIMAL(38,0)))
-                 div (n_docs * (n_docs * n_docs - 1))"""))
+                 div (CAST(n_docs AS DECIMAL(38,0)) *
+                  (CAST(n_docs AS DECIMAL(38,0)) *
+                   CAST(n_docs AS DECIMAL(38,0)) - 1))"""))
       .select(col("source"), col("n_docs"), col("sum_d2"),
         col("spearman_u"))
       .orderBy(col("spearman_u").desc, col("source"))
@@ -4284,8 +4286,9 @@ object TextAnalysis {
        |  FROM ranked GROUP BY 1)
        |SELECT source, n_docs, sum_d2,
        |  1000000 - CAST((6000000 * CAST(sum_d2 AS HUGEINT))
-       |    // CAST(n_docs * (n_docs * n_docs - 1) AS HUGEINT) AS BIGINT)
-       |    AS spearman_u
+       |    // (CAST(n_docs AS HUGEINT) *
+       |        (CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT) - 1))
+       |    AS BIGINT) AS spearman_u
        |FROM mom WHERE n_docs >= 2
        |ORDER BY spearman_u DESC, source""".stripMargin
 

@@ -955,6 +955,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     treeCount(p, "Window") should be <= 3 // the cold stage only
   }
 
+  test("q122: the first-owner aggregate rides HashAggregate over the " +
+      "dictionary-encoded source rank — no SortAggregate anywhere " +
+      "(min(string) demoted the corpus-scale aggregate in round 12), " +
+      "and the rank table broadcasts") {
+    val p = freshTree("q122_source_novelty")
+    treeHas(p, "SortAggregate") shouldBe false
+    treeHas(p, "HashAggregate") shouldBe true
+    treeHas(p, "BroadcastHashJoin") shouldBe true // name->rank dimension
+    treeHas(p, "CartesianProduct") shouldBe false
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
