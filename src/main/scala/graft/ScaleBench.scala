@@ -698,6 +698,91 @@ object ScaleBench {
           s""""uncapped_sec":${f2(tUncapped)},""" +
           s""""uncapped_viral_pairs":$viralPairs}""")
     }
+
+    // Tenth phase (`events100`): the direct 100× sweep for the
+    // session/event analytics family (round-12 verdict task 4). The
+    // driver tables cap the family's scale evidence at 10× (sf0.01 →
+    // sf0.1); this generates a 10M-event / 150k-user corpus (100× the
+    // sf0.1 rows AND state cardinality) and sweeps the sessionize-once
+    // stack, the transition/stationary kernels, and the report family
+    // at both scales, then re-drives the two stateful streaming event
+    // monitors over the 100× corpus so their per-user frontier state
+    // is measured at 100× keys.
+    if (phase == "events100" || phase == "both") {
+      val evDir = s"$out/ev100"
+      val nEv = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "10000000").toLong
+      val nUsers = sys.env.getOrElse("SPARK_GRAFT_SCALE_USERS", "150000").toLong
+      if (!Files.exists(Paths.get(s"$evDir/events.parquet")))
+        ScaleData.generateEvents(spark, evDir, nEv, nUsers)
+      val famNames = sys.env.get("SPARK_GRAFT_EVENTS_NAMES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq(
+          "q191_event_transitions", "q192_entry_sessions", "q194_survival",
+          "q195_stationary", "q199_seasonality", "q200_period_scan",
+          "q201_cadence_cv", "q202_growth_accounting", "q203_session_funnel",
+          "q205_seq_support", "q206_conversion_latency", "q207_dwell_share",
+          "q208_entry_exit"))
+      def sweepEv(dir: String): Map[String, Double] = {
+        val passes = (1 to 2).map(_ =>
+          famNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))
+        famNames.zipWithIndex
+          .map { case (n, i) => n -> passes.map(_(i)).min }.toMap
+      }
+      val tBase = sweepEv(base)
+      val tBig = sweepEv(evDir)
+      val qs = famNames.map { n =>
+        val (a, b) = (tBase(n), tBig(n))
+        s""""$n":[${f3(a)},${f3(b)},${f2(b / a)}]"""
+      }.mkString("{", ",", "}")
+      val (sumA, sumB) = (tBase.values.sum, tBig.values.sum)
+      println(
+        s"""{"metric":"events_scale_ratio","base":"$base","scaled":"$evDir",""" +
+          s""""rows":{"events":[100000,$nEv],"users":[1500,$nUsers]},""" +
+          s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],""" +
+          s""""queries":$qs}""")
+
+      // Streaming monitors at 100× state cardinality: same staging and
+      // drive discipline as the `streaming` phase (time-range-
+      // partitioned files, one micro-batch each).
+      import graft.streaming.{EventStreams, GrowthStreams, TransitionStreams}
+      import spark.implicits._
+      val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+      val evStage = s"$out/stream_ev100_$batches"
+      if (!Files.exists(Paths.get(evStage)))
+        spark.read.parquet(s"$evDir/events.parquet")
+          .repartitionByRange(batches,
+            org.apache.spark.sql.functions.col("ts"))
+          .write.parquet(evStage)
+      val evRows = spark.read.parquet(evStage).count()
+      def evSrc() = spark.readStream
+        .schema(spark.read.parquet(evStage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(evStage)
+        .as[EventStreams.EventRow]
+      def driveEv(start: ((DataFrame, Long) => Unit) =>
+          org.apache.spark.sql.streaming.StreamingQuery): (Double, Long) = {
+        val done = new java.util.concurrent.atomic.AtomicLong(0L)
+        val t0 = System.nanoTime()
+        val q = start { (scored, _) => done.addAndGet(scored.count()); () }
+        try { q.processAllAvailable() } finally q.stop()
+        ((System.nanoTime() - t0) / 1e9, done.get())
+      }
+      val (tSec, tRows) = driveEv(cb =>
+        TransitionStreams.transitions(evSrc()).toDF().writeStream
+          .outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) => cb(b, id)).start())
+      val (gSec, gRows) = driveEv(cb =>
+        GrowthStreams.dayClasses(evSrc()).toDF().writeStream
+          .outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) => cb(b, id)).start())
+      println(
+        s"""{"metric":"streaming_events_100x","in_rows":$evRows,""" +
+          s""""batches":$batches,""" +
+          s""""transition_monitor":{"sec":${f2(tSec)},"out_rows":$tRows,""" +
+          s""""rows_per_sec":${f2(evRows / tSec)}},""" +
+          s""""growth_monitor":{"sec":${f2(gSec)},"out_rows":$gRows,""" +
+          s""""rows_per_sec":${f2(evRows / gSec)}}}""")
+    }
     Features.clear(spark)
     spark.stop()
   }

@@ -44,7 +44,9 @@ object Train {
 
   private val Usage =
     "Usage: graft.Train <class_dir> <model_out.gcm> " +
-      "[--update <existing.gcm>] [--logit]"
+      "[--update <existing.gcm>] [--logit]\n" +
+      "       graft.Train --eval <class_dir> <model.gcm|.glm> " +
+      "<scorecard_out.tsv>"
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -53,6 +55,8 @@ object Train {
 
   /** Spec-friendly entry: no `System.exit`, optional injected session. */
   def run(args: Array[String], existing: Option[SparkSession] = None): Int = {
+    val eIdx = args.indexOf("--eval")
+    if (eIdx >= 0) return runEval(args.patch(eIdx, Nil, 1), existing)
     val lIdx = args.indexOf("--logit")
     val (logit, args1) =
       if (lIdx < 0) (false, args) else (true, args.patch(lIdx, Nil, 1))
@@ -130,6 +134,117 @@ object Train {
     } catch {
       case e: Exception =>
         System.err.println(s"[graft.Train] training failed: ${e.getMessage}")
+        1
+    } finally if (existing.isEmpty) spark.stop()
+  }
+
+  /** `--eval`: the classifier-head SCORECARD — evaluate a trained
+    * artifact (centroid `.gcm` v1/v2 or logit `.glm`, dispatched on
+    * the checkpoint magic) against a labeled class tree and write the
+    * per-class table `(label_idx, label_name, n_images, n_correct,
+    * acc_u, conf_min_u, conf_avg_u)` as a TSV artifact — the image-head
+    * twin of the oracled q209 holdout scorecard (same shape: support,
+    * exact micro accuracy, worst/mean confidence per class), so the
+    * centroid and logit heads are compared on the SAME corpus with the
+    * SAME card. Confidence is each head's own posterior
+    * (`scoreFeatures`: d₂/(d₁+d₂) for centroids, softmax for logit),
+    * micro-floored.
+    *
+    * Scale posture: one `binaryFile` scan (decode + score per row,
+    * embarrassingly parallel; the model broadcasts inside the task
+    * closure), one classes-sized hash aggregate, one bounded collect
+    * for the classes-sized artifact. Undecodable images are skipped
+    * and counted — no label evidence, same as training. */
+  private def runEval(args: Array[String],
+      existing: Option[SparkSession]): Int = {
+    if (args.length != 3 || args.exists(_.startsWith("--"))) {
+      System.err.println(Usage)
+      return 1
+    }
+    val (classDir, modelPath, outPath) = (args(0), args(1), args(2))
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) {
+      System.err.println(s"[graft.Train] scorecard already exists: $outPath")
+      return 1
+    }
+    val spark = existing.getOrElse(buildSession())
+    try {
+      val labels = LabelDict.load(classDir)
+      val magic = {
+        val src = scala.io.Source.fromFile(modelPath, "UTF-8")
+        try src.getLines().next().split(" ").head finally src.close()
+      }
+      // Dispatch on the checkpoint's own magic, and pin the dictionary:
+      // an artifact whose labels disagree with the class tree would
+      // produce a plausible-looking but misindexed scorecard.
+      val (headName, artifactLabels, score):
+          (String, Option[IndexedSeq[String]],
+            Array[Float] => (Int, Double)) = magic match {
+        case pipeline.LogitModel.Magic =>
+          val m = pipeline.LogitModel.load(modelPath)
+          ("logit", Some(m.labels), m.scoreFeatures _)
+        case CentroidSums.Magic =>
+          val s = CentroidSums.load(modelPath)
+          val m = s.toModel
+          ("centroid", Some(s.labels), m.scoreFeatures _)
+        case CentroidModel.Magic =>
+          val m = CentroidModel.load(modelPath)
+          ("centroid", CentroidModel.labelNamesOf(modelPath),
+            m.scoreFeatures _)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unrecognized model magic '$other' in $modelPath")
+      }
+      artifactLabels.foreach(al => require(al == labels.labels,
+        s"label dictionaries differ: model has [${al.mkString(",")}], " +
+          s"class tree has [${labels.labels.mkString(",")}] — refusing " +
+          "a misindexed scorecard"))
+      import spark.implicits._
+      val dims = labels.toSeq.toDF("label_idx", "label_name")
+      val skipped = spark.sparkContext.longAccumulator("eval_skipped")
+      val scored = spark.read.format("binaryFile").load(s"$classDir/*/*")
+        .select(col("path"), col("content"))
+        .withColumn("label_name", element_at(split(col("path"), "/"), -2))
+        .join(broadcast(dims), "label_name")
+        .select(col("label_idx").cast("int"), col("content"))
+        .as[(Int, Array[Byte])]
+        .flatMap { case (idx, bytes) =>
+          try {
+            val (pred, prob) = score(pipeline.Media.imageFeatures(bytes))
+            Some((idx, pred, math.floor(prob * 1000000.0).toLong))
+          } catch {
+            case _: Exception => skipped.add(1); None
+          }
+        }
+        .toDF("label_idx", "pred", "conf_u")
+      val card = scored.groupBy(col("label_idx"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("pred") === col("label_idx"), 1L).otherwise(0L))
+            .as("n_correct"),
+          min(col("conf_u")).as("conf_min_u"),
+          sum(col("conf_u")).as("conf_sum_u"))
+        .join(broadcast(dims), "label_idx")
+        .select(col("label_idx"), col("label_name"), col("n_images"),
+          col("n_correct"),
+          expr("(1000000 * n_correct) div n_images").as("acc_u"),
+          col("conf_min_u"),
+          expr("conf_sum_u div n_images").as("conf_avg_u"))
+        .orderBy(col("label_idx"))
+        .collect() // classes-sized
+      val header = Seq("label_idx", "label_name", "n_images", "n_correct",
+        "acc_u", "conf_min_u", "conf_avg_u").mkString("\t")
+      val body = card.map(_.toSeq.mkString("\t")).mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath),
+        s"$header\n$body\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      val total = card.map(_.getLong(2)).sum
+      val correct = card.map(_.getLong(3)).sum
+      System.err.println(s"[graft.Train] $headName scorecard: " +
+        s"$correct/$total correct (${skipped.value} skipped) -> $outPath")
+      0
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft.Train] eval failed: ${e.getMessage}")
         1
     } finally if (existing.isEmpty) spark.stop()
   }

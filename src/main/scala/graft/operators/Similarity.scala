@@ -2810,6 +2810,104 @@ object Similarity {
        |  CAST(sum(margin_u) AS BIGINT) AS margin_sum_u
        |FROM marg GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** HOLDOUT HEAD SCORECARD — the generalization evaluation of the
+    * trained nearest-centroid head, the classifier twin of q168's
+    * retrieval scorecard (round-12 verdict task 6): q169/q170 score
+    * the head on the vectors it was FIT on (recovery + in-sample
+    * margins); this holds out every odd vec_id, trains the centroid
+    * codebook on the even half only, and scores the held-out half —
+    * per true label: test support, correct top-1 predictions, exact
+    * micro accuracy, and the min/mean decision margin ON UNSEEN
+    * vectors. In-sample recovery (q169) far above holdout accuracy is
+    * the overfit read; a holdout min-margin near 0 prices how close
+    * the deployed boundary sits to live traffic. `Train --eval` ships
+    * the same scorecard shape for the image heads (centroid AND
+    * logistic over decoded luminance histograms — `TrainEvalSpec`);
+    * this query is the oracle-checkable twin on the embeddings
+    * corpus, where the centroid fit is SQL-expressible.
+    *
+    * Determinism: the split is vec_id parity (deterministic, id-space
+    * uniform); centroid fit = exact int64 component sums (cosine is
+    * scale-invariant, so sums serve as means); predictions and
+    * margins ride the micro-floored cosine with q169/q44's tie rule
+    * (lower c_label wins); rates/averages integer-floored.
+    *
+    * Scale posture: the trained codebook is labels-sized and
+    * broadcasts into the test fan-out; the per-vector top-1/top-2
+    * collapses through ObjectHashAggregate (argmax + bounded-heap
+    * TopK, map-side combine — never a corpus window); the scorecard
+    * re-aggregate is labels-sized. */
+  private def q209(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb.filter(col("vec_id") % 2 === 0))
+    val per = emb.filter(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_u",
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        graft.functions.ArgMaxAgg.argMax(
+          struct(col("cos_u"), negate(col("c_label"))),
+          col("c_label")).as("pred"),
+        graft.functions.TopKAgg.topK(
+          struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
+          .as("top"))
+      .select(col("vec_id"), col("label"), col("pred"),
+        (element_at(col("top"), 1) - element_at(col("top"), 2))
+          .as("margin_u"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        min(col("margin_u")).as("margin_min_u"),
+        sum(col("margin_u")).as("margin_sum_u"))
+      .select(col("label"), col("n_test"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_test").as("acc_u"),
+        col("margin_min_u"),
+        expr("margin_sum_u div n_test").as("margin_avg_u"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val q209Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |tpos AS (
+       |  SELECT label, unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM emb WHERE vec_id % 2 = 0),
+       |tsum AS (
+       |  SELECT label AS c_label, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM tpos GROUP BY 1, 2),
+       |tcent AS (
+       |  SELECT c_label, list(s ORDER BY p0) AS cs FROM tsum GROUP BY 1),
+       |tcent2 AS (
+       |  SELECT c_label, cs, ${dotLSql("cs", "cs")} AS cn2 FROM tcent),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_u
+       |  FROM emb e CROSS JOIN tcent2 c WHERE e.vec_id % 2 = 1),
+       |r2 AS (
+       |  SELECT vec_id, label, c_label, cos_u,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_u DESC, c_label) AS rn
+       |  FROM scored),
+       |per AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN rn = 1 THEN c_label END) AS pred,
+       |    max(CASE WHEN rn = 1 THEN cos_u END) -
+       |      max(CASE WHEN rn = 2 THEN cos_u END) AS margin_u
+       |  FROM r2 WHERE rn <= 2 GROUP BY 1, 2)
+       |SELECT label, count(*) AS n_test,
+       |  CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST((1000000 * CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS BIGINT) AS acc_u,
+       |  CAST(min(margin_u) AS BIGINT) AS margin_min_u,
+       |  CAST(CAST(sum(margin_u) AS BIGINT) // count(*) AS BIGINT)
+       |    AS margin_avg_u
+       |FROM per GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- q171
   /** MARGIN CALIBRATION — the reliability diagram for the centroid
     * family: q169 reports accuracy, q170 reports margins; this
@@ -4278,6 +4376,7 @@ object Similarity {
     "q171_margin_calibration" -> (q171 _),
     "q170_margin_audit" -> (q170 _),
     "q169_centroid_recovery" -> (q169 _),
+    "q209_head_scorecard" -> (q209 _),
     "q158_pq_budget_sweep" -> (q158 _),
     "q166_nprobe_sweep" -> (q166 _),
     "q168_retrieval_eval" -> (q168 _),
@@ -4326,6 +4425,7 @@ object Similarity {
     "q171_margin_calibration" -> q171Sql,
     "q170_margin_audit" -> q170Sql,
     "q169_centroid_recovery" -> q169Sql,
+    "q209_head_scorecard" -> q209Sql,
     "q158_pq_budget_sweep" -> q158Sql,
     "q166_nprobe_sweep" -> q166Sql,
     "q168_retrieval_eval" -> q168Sql,

@@ -75,4 +75,22 @@ object StreamSources {
     * every text gate consumes. */
   def documentsFromKafkaWire(raw: DataFrame): DataFrame =
     fromKafkaWire(raw, DedupStreams.DocumentsSchema)
+
+  /** The `embeddings` table schema — the shape the vector gates
+    * ([[DecontamStreams.embeddingGate]], [[IndexStreams]],
+    * [[PqStreams]]) consume. */
+  val EmbeddingsSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** [[fromKafkaWire]] pre-bound to the embeddings table — the vector
+    * twin of [[documentsFromKafkaWire]] (`value` is a JSON object with
+    * `vec_id`, a float-array `embedding`, and `label`). */
+  def embeddingsFromKafkaWire(raw: DataFrame): DataFrame =
+    fromKafkaWire(raw, EmbeddingsSchema)
 }

@@ -271,6 +271,46 @@ object ScaleData {
     * copies of one viral document (ids from 10_000_000) — every copy
     * lands in the same four LSH band buckets, concentrating
     * m(m-1)/2 candidate pairs on single join keys unless salted. */
+  final case class EventGenRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+
+  private val EventTypes =
+    Vector("view", "click", "purchase", "signup", "error")
+  private val EventEpochMicros =
+    java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L
+  private val EventSpanMicros = 30L * 24 * 3600 * 1000000L
+
+  /** Testdata-shaped event row: same schema, type set, 30-day January
+    * window, and value range as the driver's events.parquet tables;
+    * timestamps increase with event_id (an append log) with per-slot
+    * jitter, exactly like the driver tables. Pure function of
+    * (id, nEvents, nUsers) — regeneration is byte-identical. */
+  private def eventRow(id: Long, nEvents: Long, nUsers: Long): EventGenRow = {
+    val r = new java.util.Random(id * 6364136223846793005L + 97L)
+    val slot = math.max(1L, EventSpanMicros / nEvents)
+    val tsMicros = EventEpochMicros + id * slot +
+      math.floorMod(r.nextLong(), slot)
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      tsMicros / 1000000L, (tsMicros % 1000000L) * 1000L))
+    EventGenRow(id, ts, r.nextInt(nUsers.toInt).toLong,
+      EventTypes(r.nextInt(EventTypes.size)),
+      math.rint(r.nextDouble() * 560.0 * 100.0) / 100.0,
+      s"""{"k": ${r.nextInt(100)}}""")
+  }
+
+  /** Generate `events.parquet` under `dir` — the scale axis for the
+    * session/event analytics family (the driver generator caps at
+    * sf0.1 = 100k events / 1.5k users; this produces the 100× corpus
+    * the round-12 verdict asked the family to be swept on). */
+  def generateEvents(spark: SparkSession, dir: String, nEvents: Long,
+      nUsers: Long): Unit = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    spark.range(0, nEvents, 1, par).as[Long]
+      .map(id => eventRow(id, nEvents, nUsers))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+  }
+
   def generateHot(spark: SparkSession, dir: String, nBase: Long,
       hotCopies: Long): Unit = {
     import spark.implicits._
