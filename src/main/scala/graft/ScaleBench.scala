@@ -126,7 +126,10 @@ object ScaleBench {
     "q182_confidence_drift", "q183_trust_panel", "q186_source_kappa",
     "q187_risk_coverage", "q188_label_lift", "q189_cluster_density",
     "q190_simpson", "q193_hubness", "q196_twonn_id",
-    "q197_cond_entropy", "q198_rank_corr", "q204_mutual_knn")
+    "q197_cond_entropy", "q198_rank_corr", "q204_mutual_knn",
+    "q209_head_scorecard", "q213_centroid_separation",
+    "q214_cluster_health", "q215_vocab_growth",
+    "q218_dup_quality_phi")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -165,7 +168,8 @@ object ScaleBench {
     "q195_stationary", "q199_seasonality", "q200_period_scan",
     "q201_cadence_cv", "q202_growth_accounting", "q203_session_funnel",
     "q205_seq_support", "q206_conversion_latency", "q207_dwell_share",
-    "q208_entry_exit")
+    "q208_entry_exit", "q210_session_paths", "q211_return_latency",
+    "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
@@ -721,7 +725,8 @@ object ScaleBench {
           "q195_stationary", "q199_seasonality", "q200_period_scan",
           "q201_cadence_cv", "q202_growth_accounting", "q203_session_funnel",
           "q205_seq_support", "q206_conversion_latency", "q207_dwell_share",
-          "q208_entry_exit"))
+          "q208_entry_exit", "q210_session_paths", "q211_return_latency",
+          "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles"))
       def sweepEv(dir: String): Map[String, Double] = {
         val passes = (1 to 2).map(_ =>
           famNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))

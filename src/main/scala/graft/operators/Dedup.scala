@@ -1757,6 +1757,94 @@ object Dedup {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q218
+  /** DUPLICATION × QUALITY INTERACTION — per source, the contingency
+    * between near-dup membership (q35's components — `ccLabels`) and
+    * the composite quality gate's verdict (q89), with the exact phi
+    * coefficient: "are my duplicates also my junk?" A strongly
+    * positive phi says dedup and the quality gate are spending their
+    * budgets on the SAME documents (one of the two stages is nearly
+    * free to drop for that feed); phi ≈ 0 says they prune
+    * independently (both earn their keep); negative phi marks feeds
+    * whose duplicated content is its GOOD content (syndicated quality
+    * articles) — the one case where dedup-before-quality changes
+    * which text survives. Composes the two memoized stages the
+    * curation funnel (q92) already chains, into the per-feed
+    * diagnostic the funnel's corpus-level counts hide.
+    *
+    * Determinism: all four cells exact int64; phi one micro-floored
+    * double over exact operands (cell products fit int64 through
+    * ~3·10⁹ docs/source — past that, the same expression in DECIMAL;
+    * documented headroom); degenerate marginals (a feed entirely
+    * dup or entirely admitted) report phi 0 rather than 0/0.
+    *
+    * Scale posture: rides the session-memoized `ccLabels` (pairs-
+    * bounded) and the q89 decision frame; the membership probe is a
+    * left join against the LABELS-sized id set; the report is
+    * sources-sized. */
+  private def q218(spark: SparkSession, dir: String): DataFrame = {
+    val dec = TextAnalysis.qualityDecisions(Tables.documents(spark, dir),
+        TextAnalysis.lmTable(spark, dir))
+      .select(col("doc_id"), col("source"), col("admit"))
+    val dupIds = ccLabels(spark, dir).select(col("id")).distinct()
+    val cells = dec
+      .join(dupIds, dec("doc_id") === dupIds("id"), "left")
+      .withColumn("is_dup", col("id").isNotNull)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("is_dup") && !col("admit"), 1L).otherwise(0L))
+          .as("dup_reject"),
+        sum(when(col("is_dup") && col("admit"), 1L).otherwise(0L))
+          .as("dup_admit"),
+        sum(when(!col("is_dup") && !col("admit"), 1L).otherwise(0L))
+          .as("uniq_reject"),
+        sum(when(!col("is_dup") && col("admit"), 1L).otherwise(0L))
+          .as("uniq_admit"))
+    val (a, b, c, d) = (col("dup_reject"), col("dup_admit"),
+      col("uniq_reject"), col("uniq_admit"))
+    cells
+      .withColumn("phi_u",
+        when((a + b) === 0L || (c + d) === 0L ||
+            (a + c) === 0L || (b + d) === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            (a * d - b * c).cast(DoubleType) /
+            sqrt(((a + b) * (c + d)).cast(DoubleType) *
+              ((a + c) * (b + d)).cast(DoubleType))).cast("long")))
+      .select(col("source"), a, b, c, d, col("phi_u"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q218Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |${TextAnalysis.qualityDecisionCtes},
+       |dup AS (SELECT DISTINCT id FROM labels),
+       |cells AS (
+       |  SELECT d.source,
+       |    CAST(sum(CASE WHEN u.id IS NOT NULL AND d.reason <> 'admit'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dup_reject,
+       |    CAST(sum(CASE WHEN u.id IS NOT NULL AND d.reason = 'admit'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dup_admit,
+       |    CAST(sum(CASE WHEN u.id IS NULL AND d.reason <> 'admit'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS uniq_reject,
+       |    CAST(sum(CASE WHEN u.id IS NULL AND d.reason = 'admit'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS uniq_admit
+       |  FROM dec d LEFT JOIN dup u ON d.doc_id = u.id
+       |  GROUP BY 1)
+       |SELECT source, dup_reject, dup_admit, uniq_reject, uniq_admit,
+       |  CASE WHEN dup_reject + dup_admit = 0 OR uniq_reject + uniq_admit = 0
+       |         OR dup_reject + uniq_reject = 0 OR dup_admit + uniq_admit = 0
+       |    THEN 0
+       |    ELSE CAST(floor(1000000.0 *
+       |      CAST(dup_reject * uniq_admit - dup_admit * uniq_reject
+       |        AS DOUBLE) /
+       |      sqrt(CAST((dup_reject + dup_admit) * (uniq_reject + uniq_admit)
+       |          AS DOUBLE) *
+       |        CAST((dup_reject + uniq_reject) * (dup_admit + uniq_admit)
+       |          AS DOUBLE))) AS BIGINT) END AS phi_u
+       |FROM cells
+       |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** PER-SOURCE CURATION FUNNEL — q78's survival chain broken out by
     * source: for each source, how many docs survive text dedup,
@@ -3752,6 +3840,7 @@ object Dedup {
     "q142_banding_sweep" -> (q142 _),
     "q146_dup_degree" -> (q146 _),
     "q108_method_agreement" -> (q108 _),
+    "q218_dup_quality_phi" -> (q218 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
@@ -3795,6 +3884,7 @@ object Dedup {
     "q142_banding_sweep" -> q142Sql,
     "q146_dup_degree" -> q146Sql,
     "q108_method_agreement" -> q108Sql,
+    "q218_dup_quality_phi" -> q218Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,

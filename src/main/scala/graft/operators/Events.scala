@@ -2326,7 +2326,348 @@ object Events {
        |FROM per GROUP BY 1, 2
        |ORDER BY n_sessions DESC, entry_type, exit_type""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** SESSION PATH MINING (trigrams) — the top 20 ADJACENT type-triples
+    * inside sessions: q191's kernel sees one hop, q205 sees "a then
+    * eventually b"; this reads the literal 3-step paths users walk
+    * (view→click→purchase vs view→error→view), the unit a UX funnel
+    * review or a next-step recommender's n-gram baseline consumes.
+    * Per trigram: total occurrences and the number of DISTINCT
+    * sessions containing it (a path that recurs inside few sessions
+    * is a loop artifact, not a population pattern).
+    *
+    * Determinism: adjacency under the in-session ordinal (unique), so
+    * the lead windows are total; top-20 under (occurrences desc,
+    * t1, t2, t3).
+    *
+    * Scale posture: two leads on ONE window pass over the memoized
+    * [[sessionized]] stage; the per-(session, trigram) frame collapses
+    * through two stacked partial-aggregable hash aggregates (cnt,
+    * then sum+count) — never a corpus-global window; the top-20 is a
+    * bounded heap (TakeOrderedAndProject). */
+  private def q210(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ord"))
+    val tri = sessionized(spark, dir)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("user_id"), col("session_id"),
+        col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+    tri.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(sum(col("cnt")).as("n_occurrences"),
+        count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_occurrences").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  private val q210Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |tri AS (
+       |  SELECT user_id, session_id, event_type AS t1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS t2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS t3
+       |  FROM sess),
+       |per AS (
+       |  SELECT user_id, session_id, t1, t2, t3, count(*) AS cnt
+       |  FROM tri WHERE t3 IS NOT NULL GROUP BY 1, 2, 3, 4, 5)
+       |SELECT t1, t2, t3, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+       |  count(*) AS n_sessions
+       |FROM per GROUP BY 1, 2, 3
+       |ORDER BY n_occurrences DESC, t1, t2, t3
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q211
+  /** RETURN-TIME QUANTILES — how long users stay away BETWEEN
+    * sessions: per user, the seconds from each session's end to the
+    * next session's start, then the exact nearest-rank quantile table
+    * (min/p25/p50/p75/max) over all return gaps. q194's survival curve
+    * reads day-grain return probability; this reads the raw
+    * within-corpus return-latency distribution at second grain — the
+    * number a notification-timing or cache-TTL decision consumes.
+    *
+    * Determinism: session bounds are min/max of the second-truncated
+    * ts over the exact session assignment; the lag is per user by
+    * session_id (dense by construction); nearest-rank over the total
+    * order (gap, user, session) — no interpolation.
+    *
+    * Scale posture: the per-session bounds collapse through one
+    * partial-aggregable hash aggregate off the memoized
+    * [[sessionized]] stage; the lag is a user-keyed window over the
+    * SESSIONS-sized frame; the global rank rides that bounded frame
+    * (q61's exact-quantile caveat past gaps ≫ memory, with the same
+    * documented approx swap); the report is 5 rows. */
+  private def q211(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = sessionized(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("session_id"))
+    val gapsF = bounds
+      .withColumn("prev_end", lag(col("end_s"), 1).over(wUser))
+      .filter(col("prev_end").isNotNull)
+      .select(col("user_id"), col("session_id"),
+        (col("start_s") - col("prev_end")).as("gap_s"))
+    val wRank = Window.orderBy(col("gap_s"), col("user_id"),
+      col("session_id"))
+    gapsF
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("n_gaps",
+        count(lit(1)).over(Window.partitionBy()).cast(LongType))
+      .select(explode(array(Seq(0L, 25L, 50L, 75L, 100L).map(lit): _*))
+        .as("p"), col("rnk"), col("gap_s"), col("n_gaps"))
+      .filter(col("rnk") === lit(1L) + expr("((n_gaps - 1) * p) div 100"))
+      .select(col("p"), col("gap_s"), col("n_gaps"))
+      .orderBy(col("p"))
+  }
+
+  private val q211Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |bounds AS (
+       |  SELECT user_id, session_id,
+       |    min(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+       |      AS start_s,
+       |    max(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+       |      AS end_s
+       |  FROM sess GROUP BY 1, 2),
+       |ret AS (
+       |  SELECT user_id, session_id,
+       |    start_s - lag(end_s) OVER (PARTITION BY user_id
+       |      ORDER BY session_id) AS gap_s
+       |  FROM bounds),
+       |ranked AS (
+       |  SELECT gap_s,
+       |    CAST(row_number() OVER (ORDER BY gap_s, user_id, session_id)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_gaps
+       |  FROM ret WHERE gap_s IS NOT NULL)
+       |SELECT p, gap_s, n_gaps
+       |FROM ranked CROSS JOIN (SELECT unnest([0,25,50,75,100]) AS p)
+       |WHERE rnk = 1 + ((n_gaps - 1) * p) // 100
+       |ORDER BY p""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+  /** SESSION-DEPTH QUANTILES PER ENTRY TYPE — how deep sessions go by
+    * which door they came in: per entry type, the session count and
+    * the exact nearest-rank p50/p90/max of session depth (event
+    * count). q192 prices doors by traffic and total depth; q208 says
+    * where they END; this gives the depth DISTRIBUTION per door — a
+    * door with healthy median but collapsed p90 lost its power users.
+    *
+    * Determinism: entry via the hash-aggregable `graft_argmax` keyed
+    * −ord (q208's selection); per-group nearest-rank under the total
+    * order (depth, user, session).
+    *
+    * Scale posture: one per-session aggregate over the memoized
+    * [[sessionized]] stage; the rank windows partition by ENTRY TYPE
+    * over the sessions-sized frame (low-cardinality key — the q125/
+    * q201 caveat applies past sessions ≫ memory, same documented
+    * approx swap); the report is ≤ 3·|types| rows. */
+  private def q212(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val per = sessionized(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        graft.functions.ArgMaxAgg.argMax(struct(negate(col("ord"))),
+          col("event_type")).as("entry_type"),
+        count(lit(1)).as("depth"))
+    val wRank = Window.partitionBy(col("entry_type"))
+      .orderBy(col("depth"), col("user_id"), col("session_id"))
+    val wGrp = Window.partitionBy(col("entry_type"))
+    per
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("n_sessions", count(lit(1)).over(wGrp).cast(LongType))
+      .select(col("entry_type"), col("rnk"), col("depth"),
+        col("n_sessions"),
+        explode(array(Seq(50L, 90L, 100L).map(lit): _*)).as("p"))
+      .filter(col("rnk") === lit(1L) + expr("((n_sessions - 1) * p) div 100"))
+      .select(col("entry_type"), col("p"), col("depth"), col("n_sessions"))
+      .orderBy(col("entry_type"), col("p"))
+  }
+
+  private val q212Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |ord AS (
+       |  SELECT user_id, session_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS ord
+       |  FROM sess),
+       |per AS (
+       |  SELECT user_id, session_id,
+       |    max(CASE WHEN ord = 1 THEN event_type END) AS entry_type,
+       |    CAST(count(*) AS BIGINT) AS depth
+       |  FROM ord GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT entry_type, depth, user_id, session_id,
+       |    CAST(row_number() OVER (PARTITION BY entry_type
+       |      ORDER BY depth, user_id, session_id) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY entry_type) AS BIGINT)
+       |      AS n_sessions
+       |  FROM per)
+       |SELECT entry_type, p, depth, n_sessions
+       |FROM ranked CROSS JOIN (SELECT unnest([50,90,100]) AS p)
+       |WHERE rnk = 1 + ((n_sessions - 1) * p) // 100
+       |ORDER BY entry_type, p""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+  /** WEEKLY COHORT-RETENTION TRIANGLE — the classic growth chart q64's
+    * single-day-grain cohort read generalizes to: cohort = the
+    * epoch-week of a user's FIRST event (deterministic calendar-free
+    * week: day div 7, day = ts_s div 86400 — q202's floor family);
+    * per (cohort week, week offset), the distinct users active that
+    * week and the exact retention share against the cohort's size.
+    * Rows with offset 0 are the cohort definition (retention 100%);
+    * the triangle's columns are what a weekly growth review reads.
+    *
+    * Determinism: all floors int64; shares micro floor-div.
+    *
+    * Scale posture: the (user, week) frame is one partial-aggregable
+    * distinct off the events scan; first-week is a second
+    * user-keyed aggregate; the join is user-keyed (same shuffle key),
+    * and the triangle is ≤ weeks² rows. */
+  private def q216(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(CAST(ts AS LONG) div 86400) div 7").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_w"))
+    val sizes = first.groupBy(col("cohort_w"))
+      .agg(count(lit(1)).as("cohort_n"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_w"), (col("week") - col("cohort_w")).as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_w")
+      .withColumn("retention_u", expr("(1000000 * n_active) div cohort_n"))
+      .select(col("cohort_w"), col("offset_w"), col("cohort_n"),
+        col("n_active"), col("retention_u"))
+      .orderBy(col("cohort_w"), col("offset_w"))
+  }
+
+  private val q216Sql =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id,
+       |    (date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 86400) // 7 AS week
+       |  FROM events),
+       |first AS (
+       |  SELECT user_id, min(week) AS cohort_w FROM uw GROUP BY 1),
+       |sizes AS (
+       |  SELECT cohort_w, count(*) AS cohort_n FROM first GROUP BY 1)
+       |SELECT f.cohort_w, u.week - f.cohort_w AS offset_w, s.cohort_n,
+       |  count(*) AS n_active,
+       |  (1000000 * count(*)) // s.cohort_n AS retention_u
+       |FROM uw u
+       |JOIN first f ON u.user_id = f.user_id
+       |JOIN sizes s ON f.cohort_w = s.cohort_w
+       |GROUP BY 1, 2, 3
+       |ORDER BY f.cohort_w, offset_w""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** LIFETIME-VALUE DECILE TABLE — users ranked by their total event
+    * value and cut into ten equal-population deciles: per decile, the
+    * user count, the exact summed value (ten-thousandth units — the
+    * testdata's value column carries ≤ 2 decimals, so DECIMAL(18,4) ×
+    * 10⁴ is exact int64 in both engines), and each decile's share of
+    * total value. The concentration read every monetization review
+    * starts with (decile 0 owning 60% of value is a whale business;
+    * flat deciles a subscription one) — q150's RFM segments describe
+    * WHO, this prices HOW MUCH, exactly.
+    *
+    * Determinism: per-user LTV is an exact decimal sum scaled to
+    * int64; deciles by `((rnk−1)·10) div n` over the (ltv desc,
+    * user_id) total order — NOT ntile, whose remainders differ in
+    * placement across engines' documentation even when equal; shares
+    * micro floor-div against the int64 grand total.
+    *
+    * Scale posture: per-user sums partial-aggregable; the rank window
+    * is global over the USERS-sized frame (q61's exact-quantile
+    * caveat past users ≫ memory, same documented approx swap); the
+    * report is 10 rows. */
+  private def q217(spark: SparkSession, dir: String): DataFrame = {
+    val ltv = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(dec(col("value"))) * lit(10000)).cast(LongType).as("ltv_u"))
+    val wRank = Window.orderBy(col("ltv_u").desc, col("user_id"))
+    ltv
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("n_users",
+        count(lit(1)).over(Window.partitionBy()).cast(LongType))
+      .withColumn("total_u",
+        sum(col("ltv_u")).over(Window.partitionBy()))
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_users"))
+      .groupBy(col("decile"), col("total_u"))
+      .agg(count(lit(1)).as("n_users"), sum(col("ltv_u")).as("sum_value_u"))
+      .withColumn("share_u", expr("(1000000 * sum_value_u) div total_u"))
+      .select(col("decile"), col("n_users"), col("sum_value_u"),
+        col("share_u"))
+      .orderBy(col("decile"))
+  }
+
+  private val q217Sql =
+    s"""WITH ltv AS (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |      AS ltv_u
+       |  FROM events GROUP BY 1),
+       |ranked AS (
+       |  SELECT ltv_u,
+       |    CAST(row_number() OVER (ORDER BY ltv_u DESC, user_id)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_users,
+       |    CAST(sum(ltv_u) OVER () AS BIGINT) AS total_u
+       |  FROM ltv)
+       |SELECT ((rnk - 1) * 10) // n_users AS decile,
+       |  count(*) AS n_users, CAST(sum(ltv_u) AS BIGINT) AS sum_value_u,
+       |  (1000000 * CAST(sum(ltv_u) AS BIGINT)) // total_u AS share_u
+       |FROM ranked
+       |GROUP BY 1, total_u
+       |ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q216_weekly_cohorts" -> (q216 _),
+    "q217_ltv_deciles" -> (q217 _),
+    "q210_session_paths" -> (q210 _),
+    "q211_return_latency" -> (q211 _),
+    "q212_depth_by_entry" -> (q212 _),
     "q208_entry_exit" -> (q208 _),
     "q205_seq_support" -> (q205 _),
     "q206_conversion_latency" -> (q206 _),
@@ -2363,6 +2704,11 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q216_weekly_cohorts" -> q216Sql,
+    "q217_ltv_deciles" -> q217Sql,
+    "q210_session_paths" -> q210Sql,
+    "q211_return_latency" -> q211Sql,
+    "q212_depth_by_entry" -> q212Sql,
     "q208_entry_exit" -> q208Sql,
     "q205_seq_support" -> q205Sql,
     "q206_conversion_latency" -> q206Sql,

@@ -2908,6 +2908,163 @@ object Similarity {
        |    AS margin_avg_u
        |FROM per GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** CENTROID SEPARATION MATRIX — the exact pairwise cosine between
+    * every two label centroids: q41 reports how TIGHT each label is
+    * around its centroid, q169/q209 how often vectors land on the
+    * right one; this reports how CLOSE the centroids themselves sit —
+    * the geometry that decides whether a nearest-centroid head can
+    * work at all (two centroids at cos ≈ 1 make their labels
+    * structurally inseparable whatever the cohesion says). Pairs
+    * ordered by similarity so the top row IS the most confusable
+    * label pair.
+    *
+    * Determinism: centroids are exact int64 component sums; each pair
+    * cosine is one micro-floored double over exact operands.
+    *
+    * Scale posture: the codebook is labels-sized — the pair frame is
+    * ≤ labels²/2 rows off a broadcast self-join; corpus cost is the
+    * one shared [[centroids]] aggregate (partial-aggregable). */
+  private def q213(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(scaledEmb(spark, dir))
+    val a = cent.select(col("c_label").as("label_a"), col("cs").as("cs_a"),
+      col("cn2").as("cn2_a"))
+    val b = cent.select(col("c_label").as("label_b"), col("cs").as("cs_b"),
+      col("cn2").as("cn2_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        floor(cosine(dotL(col("cs_a"), col("cs_b")),
+          col("cn2_a"), col("cn2_b")) * 1000000.0).cast(LongType)
+          .as("cos_u"))
+      .orderBy(col("cos_u").desc, col("label_a"), col("label_b"))
+  }
+
+  private lazy val q213Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |pos AS (
+       |  SELECT vec_id, label,
+       |    unnest(range(1, $Dim + 1)) AS pos, unnest(sv) AS v
+       |  FROM emb),
+       |cent AS (
+       |  SELECT label AS c_label, pos AS c_pos, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |cn2 AS (
+       |  SELECT c_label, CAST(sum(s * s) AS BIGINT) AS cn2
+       |  FROM cent GROUP BY 1),
+       |dots AS (
+       |  SELECT x.c_label AS label_a, y.c_label AS label_b,
+       |    CAST(sum(x.s * y.s) AS BIGINT) AS dotab
+       |  FROM cent x JOIN cent y
+       |    ON x.c_pos = y.c_pos AND x.c_label < y.c_label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  CAST(floor(${cosineSql("d.dotab", "a.cn2", "b.cn2")} * 1000000.0)
+       |    AS BIGINT) AS cos_u
+       |FROM dots d
+       |JOIN cn2 a ON d.label_a = a.c_label
+       |JOIN cn2 b ON d.label_b = b.c_label
+       |ORDER BY cos_u DESC, label_a, label_b""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** CLUSTER-HEALTH AUDIT (cohesion vs separation) — the
+    * Davies–Bouldin-style per-label read, in the exact-integer house
+    * style: each label's mean cosine to its OWN centroid (q41's
+    * cohesion) next to its similarity to the NEAREST OTHER centroid
+    * (q213's worst pair, per label) and the gap between them. A label
+    * is healthy when members sit closer to their centroid than the
+    * nearest rival centroid does (health_u > 0); health_u ≤ 0 marks a
+    * label whose own spread overlaps a rival — the class the holdout
+    * scorecard (q209) will show bleeding, localized to WHICH rival.
+    *
+    * Determinism: cohesion the integer-floored mean of micro-floored
+    * member cosines; the nearest rival via the hash-aggregable
+    * `graft_argmax` with ties to the LOWER rival label.
+    *
+    * Scale posture: one corpus pass for cohesion (centroid broadcast,
+    * partial-aggregable mean); the rival scan is the labels² broadcast
+    * self-join; the report is labels-sized. */
+  private def q214(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb)
+    val coh = emb.join(broadcast(cent), col("label") === col("c_label"))
+      .select(col("label"),
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType).as("cos_u"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cos_u")).as("sum_cos_u"))
+      .select(col("label"), col("n_vecs"),
+        expr("sum_cos_u div n_vecs").as("cohesion_u"))
+    val a = cent.select(col("c_label").as("label"), col("cs").as("cs_a"),
+      col("cn2").as("cn2_a"))
+    val b = cent.select(col("c_label").as("other"), col("cs").as("cs_b"),
+      col("cn2").as("cn2_b"))
+    val sep = a.join(broadcast(b), col("label") =!= col("other"))
+      .select(col("label"), col("other"),
+        floor(cosine(dotL(col("cs_a"), col("cs_b")),
+          col("cn2_a"), col("cn2_b")) * 1000000.0).cast(LongType)
+          .as("cos_u"))
+      .groupBy(col("label"))
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("cos_u"), negate(col("other"))),
+        struct(col("other"), col("cos_u"))).as("t"))
+      .select(col("label"), col("t.other").as("nearest_label"),
+        col("t.cos_u").as("sep_u"))
+    coh.join(sep, "label")
+      .withColumn("health_u", col("cohesion_u") - col("sep_u"))
+      .select(col("label"), col("n_vecs"), col("cohesion_u"),
+        col("nearest_label"), col("sep_u"), col("health_u"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val q214Sql =
+    s"""WITH emb AS ($scaledEmbSql),
+       |pos AS (
+       |  SELECT vec_id, label,
+       |    unnest(range(1, $Dim + 1)) AS pos, unnest(sv) AS v
+       |  FROM emb),
+       |cent AS (
+       |  SELECT label AS c_label, pos AS c_pos, CAST(sum(v) AS BIGINT) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |cn2 AS (
+       |  SELECT c_label AS n_label, CAST(sum(s * s) AS BIGINT) AS cn2
+       |  FROM cent GROUP BY 1),
+       |dots AS (
+       |  SELECT vec_id, label, CAST(sum(v * s) AS BIGINT) AS dotc
+       |  FROM pos JOIN cent ON label = c_label AND pos = c_pos
+       |  GROUP BY 1, 2),
+       |coh AS (
+       |  SELECT d.label, count(*) AS n_vecs,
+       |    CAST(sum(CAST(floor(${cosineSql("d.dotc", "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS cohesion_u
+       |  FROM dots d
+       |  JOIN cn2 c ON d.label = c.n_label
+       |  JOIN emb e ON d.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |pdots AS (
+       |  SELECT x.c_label AS label, y.c_label AS other,
+       |    CAST(sum(x.s * y.s) AS BIGINT) AS dotab
+       |  FROM cent x JOIN cent y
+       |    ON x.c_pos = y.c_pos AND x.c_label <> y.c_label
+       |  GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT p.label, p.other,
+       |    CAST(floor(${cosineSql("p.dotab", "a.cn2", "b.cn2")} * 1000000.0)
+       |      AS BIGINT) AS cos_u
+       |  FROM pdots p
+       |  JOIN cn2 a ON p.label = a.n_label
+       |  JOIN cn2 b ON p.other = b.n_label),
+       |sep AS (
+       |  SELECT label, other AS nearest_label, cos_u AS sep_u FROM (
+       |    SELECT label, other, cos_u,
+       |      row_number() OVER (PARTITION BY label
+       |        ORDER BY cos_u DESC, other) AS rn
+       |    FROM pc) WHERE rn = 1)
+       |SELECT c.label, c.n_vecs, c.cohesion_u, s.nearest_label, s.sep_u,
+       |  c.cohesion_u - s.sep_u AS health_u
+       |FROM coh c JOIN sep s ON c.label = s.label
+       |ORDER BY c.label""".stripMargin
+
   // ---------------------------------------------------------------- q171
   /** MARGIN CALIBRATION — the reliability diagram for the centroid
     * family: q169 reports accuracy, q170 reports margins; this
@@ -4377,6 +4534,8 @@ object Similarity {
     "q170_margin_audit" -> (q170 _),
     "q169_centroid_recovery" -> (q169 _),
     "q209_head_scorecard" -> (q209 _),
+    "q213_centroid_separation" -> (q213 _),
+    "q214_cluster_health" -> (q214 _),
     "q158_pq_budget_sweep" -> (q158 _),
     "q166_nprobe_sweep" -> (q166 _),
     "q168_retrieval_eval" -> (q168 _),
@@ -4426,6 +4585,8 @@ object Similarity {
     "q170_margin_audit" -> q170Sql,
     "q169_centroid_recovery" -> q169Sql,
     "q209_head_scorecard" -> q209Sql,
+    "q213_centroid_separation" -> q213Sql,
+    "q214_cluster_health" -> q214Sql,
     "q158_pq_budget_sweep" -> q158Sql,
     "q166_nprobe_sweep" -> q166Sql,
     "q168_retrieval_eval" -> q168Sql,

@@ -4292,7 +4292,79 @@ object TextAnalysis {
        |FROM mom WHERE n_docs >= 2
        |ORDER BY spearman_u DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** VOCABULARY-GROWTH AUDIT (Heaps-law read) — per source, how much
+    * NEW vocabulary the second half of the feed still contributes:
+    * rank documents in ingest order (doc_id), mark each distinct
+    * token's FIRST-seen rank, and report the vocabulary present by
+    * the half-way document against the full vocabulary. Organic text
+    * keeps minting types (Heaps' V(n) ~ K·n^β: a large second-half
+    * share); template expansion, log spam, or a feed re-crawling
+    * itself saturates (growth → 0) — the corpus-level twin of q80's
+    * per-document repetition gate and the cheap "is this feed worth
+    * continuing to crawl" read next to q122's novelty attribution.
+    *
+    * Determinism: ranks over the (doc_id) total order; all counts
+    * int64; the growth share one micro floor-div.
+    *
+    * Scale posture: the first-seen table is one partial-aggregable
+    * `min(rank)` groupBy over the exploded distinct tokens (int
+    * buffer — hash-aggregable); the per-source rank window partitions
+    * by SOURCE (the q125 low-cardinality caveat, same documented
+    * approx swap past per-source docs ≫ memory); the report is
+    * sources-sized. */
+  private def q215(spark: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("rnk", row_number().over(wSrc).cast("long"))
+    val nDocs = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val firstSeen = ranked
+      .select(col("source"), col("rnk"), explode(col("toks")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(min(col("rnk")).as("first_rnk"))
+    firstSeen.join(broadcast(nDocs), "source")
+      .groupBy(col("source"), col("n_docs"))
+      .agg(count(lit(1)).as("vocab_full"),
+        sum(when(col("first_rnk") <= expr("(n_docs + 1) div 2"), 1L)
+          .otherwise(0L)).as("vocab_half"))
+      .withColumn("growth_u",
+        expr("(1000000 * (vocab_full - vocab_half)) div vocab_half"))
+      .select(col("source"), col("n_docs"), col("vocab_half"),
+        col("vocab_full"), col("growth_u"))
+      .orderBy(col("growth_u").desc, col("source"))
+  }
+
+  private lazy val q215Sql =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id,
+       |    list_distinct(${tokensSql("text")}) AS toks,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS BIGINT) AS rnk
+       |  FROM documents),
+       |nd AS (
+       |  SELECT source, count(*) AS n_docs FROM ranked GROUP BY 1),
+       |fs AS (
+       |  SELECT source, w, min(rnk) AS first_rnk
+       |  FROM (SELECT source, rnk, unnest(toks) AS w FROM ranked)
+       |  GROUP BY 1, 2)
+       |SELECT f.source, n.n_docs,
+       |  CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS vocab_half,
+       |  count(*) AS vocab_full,
+       |  (1000000 * (count(*) -
+       |    CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
+       |      THEN 1 ELSE 0 END) AS BIGINT))) //
+       |    CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS growth_u
+       |FROM fs f JOIN nd n ON f.source = n.source
+       |GROUP BY 1, 2
+       |ORDER BY growth_u DESC, f.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q215_vocab_growth" -> (q215 _),
     "q197_cond_entropy" -> (q197 _),
     "q198_rank_corr" -> (q198 _),
     "q190_simpson" -> (q190 _),
@@ -4356,6 +4428,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q215_vocab_growth" -> q215Sql,
     "q197_cond_entropy" -> q197Sql,
     "q198_rank_corr" -> q198Sql,
     "q190_simpson" -> q190Sql,

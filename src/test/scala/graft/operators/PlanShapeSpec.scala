@@ -966,6 +966,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     treeHas(p, "CartesianProduct") shouldBe false
   }
 
+  test("q210/q213/q214/q215: the round-13 additions keep their bounded " +
+      "shapes — heap-bounded top-k, broadcast codebook self-joins, " +
+      "hash-only aggregates, no Cartesian products") {
+    val paths = freshTree("q210_session_paths")
+    treeHas(paths, "TakeOrderedAndProject") shouldBe true // top-20 heap
+    treeHas(paths, "CartesianProduct") shouldBe false
+    Seq("q213_centroid_separation", "q214_cluster_health").foreach { q =>
+      val p = freshTree(q)
+      withClue(q) {
+        treeHas(p, "CartesianProduct") shouldBe false
+        // the labels-sized self-join must ride a broadcast, never a
+        // shuffle of the (tiny) codebook
+        treeHas(p, "Broadcast") shouldBe true
+      }
+    }
+    val vg = freshTree("q215_vocab_growth")
+    treeHas(vg, "SortAggregate") shouldBe false // min(long) stays hash
+    treeHas(vg, "CartesianProduct") shouldBe false
+  }
+
+  test("q216/q217: cohort and decile tables aggregate hash-only with " +
+      "no Cartesian degradation") {
+    Seq("q216_weekly_cohorts", "q217_ltv_deciles").foreach { q =>
+      val p = freshTree(q)
+      withClue(q) {
+        treeHas(p, "CartesianProduct") shouldBe false
+        treeHas(p, "SortAggregate") shouldBe false
+        treeHas(p, "HashAggregate") shouldBe true
+      }
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
