@@ -1845,6 +1845,60 @@ object Dedup {
        |FROM cells
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** DUPLICATION TREND OVER INGEST ORDER — per source, the near-dup
+    * membership rate across ingest-order deciles (doc_id order, the
+    * append log): a feed whose late deciles dup-rate climbs is
+    * re-crawling itself — q110's histogram says HOW MUCH duplication,
+    * q122 WHOSE content it was, this says WHEN it started, which is
+    * what decides whether to cut a feed or just cap its refresh rate.
+    *
+    * Determinism: deciles by `((rnk−1)·10) div n` over the per-source
+    * (doc_id) total order; counts int64; rates micro floor-div.
+    *
+    * Scale posture: rides the session-memoized `ccLabels` (the
+    * membership probe is a left join against the labels-sized id
+    * set); the per-source rank window has the q125 low-cardinality
+    * caveat (documented approx swap); the report is ≤ 10·|sources|
+    * rows. */
+  private def q220(spark: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rnk", row_number().over(wSrc).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_src"))
+    val dupIds = ccLabels(spark, dir).select(col("id")).distinct()
+    ranked.join(dupIds, ranked("doc_id") === dupIds("id"), "left")
+      .withColumn("is_dup", col("id").isNotNull)
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate_u", expr("(1000000 * n_dup) div n_docs"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  private lazy val q220Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |dup AS (SELECT DISTINCT id FROM labels),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM documents)
+       |SELECT r.source, ((r.rnk - 1) * 10) // r.n_src AS decile,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN u.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  (1000000 * CAST(sum(CASE WHEN u.id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS dup_rate_u
+       |FROM ranked r LEFT JOIN dup u ON r.doc_id = u.id
+       |GROUP BY 1, 2
+       |ORDER BY source, decile""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** PER-SOURCE CURATION FUNNEL — q78's survival chain broken out by
     * source: for each source, how many docs survive text dedup,
@@ -3841,6 +3895,7 @@ object Dedup {
     "q146_dup_degree" -> (q146 _),
     "q108_method_agreement" -> (q108 _),
     "q218_dup_quality_phi" -> (q218 _),
+    "q220_dup_trend" -> (q220 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
@@ -3885,6 +3940,7 @@ object Dedup {
     "q146_dup_degree" -> q146Sql,
     "q108_method_agreement" -> q108Sql,
     "q218_dup_quality_phi" -> q218Sql,
+    "q220_dup_trend" -> q220Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,

@@ -2403,15 +2403,21 @@ object Events {
     *
     * Determinism: session bounds are min/max of the second-truncated
     * ts over the exact session assignment; the lag is per user by
-    * session_id (dense by construction); nearest-rank over the total
-    * order (gap, user, session) — no interpolation.
+    * session_id (dense by construction); nearest-rank quantiles — and
+    * the nearest-rank VALUE at any rank depends only on the sorted
+    * values, so the histogram route below returns bit-identical rows.
     *
     * Scale posture: the per-session bounds collapse through one
     * partial-aggregable hash aggregate off the memoized
     * [[sessionized]] stage; the lag is a user-keyed window over the
-    * SESSIONS-sized frame; the global rank rides that bounded frame
-    * (q61's exact-quantile caveat past gaps ≫ memory, with the same
-    * documented approx swap); the report is 5 rows. */
+    * SESSIONS-sized frame. The quantile cut deliberately does NOT
+    * rank the sessions frame (a global row_number concentrated ~10⁶
+    * return gaps in one sort task — measured ×30 on the 100× event
+    * corpus): it aggregates a (gap_s → count) HISTOGRAM first
+    * (partial-aggregable; distinct gap values are bounded by the
+    * corpus time span in seconds, orders of magnitude below the
+    * session count) and takes the cumulative-count cut over that
+    * bounded frame. The report is 5 rows. */
   private def q211(spark: SparkSession, dir: String): DataFrame = {
     val bounds = sessionized(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
@@ -2420,17 +2426,19 @@ object Events {
     val gapsF = bounds
       .withColumn("prev_end", lag(col("end_s"), 1).over(wUser))
       .filter(col("prev_end").isNotNull)
-      .select(col("user_id"), col("session_id"),
-        (col("start_s") - col("prev_end")).as("gap_s"))
-    val wRank = Window.orderBy(col("gap_s"), col("user_id"),
-      col("session_id"))
-    gapsF
-      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .select((col("start_s") - col("prev_end")).as("gap_s"))
+    val hist = gapsF.groupBy(col("gap_s")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n_gaps",
-        count(lit(1)).over(Window.partitionBy()).cast(LongType))
+        sum(col("cnt")).over(Window.partitionBy()).cast(LongType))
       .select(explode(array(Seq(0L, 25L, 50L, 75L, 100L).map(lit): _*))
-        .as("p"), col("rnk"), col("gap_s"), col("n_gaps"))
-      .filter(col("rnk") === lit(1L) + expr("((n_gaps - 1) * p) div 100"))
+        .as("p"), col("gap_s"), col("cnt"), col("cum"), col("n_gaps"))
+      .withColumn("target", lit(1L) + expr("((n_gaps - 1) * p) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
       .select(col("p"), col("gap_s"), col("n_gaps"))
       .orderBy(col("p"))
   }
@@ -2481,14 +2489,18 @@ object Events {
     * door with healthy median but collapsed p90 lost its power users.
     *
     * Determinism: entry via the hash-aggregable `graft_argmax` keyed
-    * −ord (q208's selection); per-group nearest-rank under the total
-    * order (depth, user, session).
+    * −ord (q208's selection); nearest-rank depth values depend only
+    * on the per-type sorted depths, so the histogram route below is
+    * bit-identical to a per-type rank.
     *
     * Scale posture: one per-session aggregate over the memoized
-    * [[sessionized]] stage; the rank windows partition by ENTRY TYPE
-    * over the sessions-sized frame (low-cardinality key — the q125/
-    * q201 caveat applies past sessions ≫ memory, same documented
-    * approx swap); the report is ≤ 3·|types| rows. */
+    * [[sessionized]] stage; the quantile cut deliberately does NOT
+    * rank the sessions frame (per-type row_number concentrated ~10⁶
+    * sessions per type partition — measured ×14 on the 100× event
+    * corpus): it aggregates the (entry type, depth) HISTOGRAM first
+    * (partial-aggregable; distinct depths are bounded by the longest
+    * session) and cuts on cumulative counts over that bounded frame;
+    * the report is ≤ 3·|types| rows. */
   private def q212(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(spark)
     val per = sessionized(spark, dir)
@@ -2497,16 +2509,21 @@ object Events {
         graft.functions.ArgMaxAgg.argMax(struct(negate(col("ord"))),
           col("event_type")).as("entry_type"),
         count(lit(1)).as("depth"))
-    val wRank = Window.partitionBy(col("entry_type"))
-      .orderBy(col("depth"), col("user_id"), col("session_id"))
+    val hist = per.groupBy(col("entry_type"), col("depth"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("entry_type")).orderBy(col("depth"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wGrp = Window.partitionBy(col("entry_type"))
-    per
-      .withColumn("rnk", row_number().over(wRank).cast(LongType))
-      .withColumn("n_sessions", count(lit(1)).over(wGrp).cast(LongType))
-      .select(col("entry_type"), col("rnk"), col("depth"),
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_sessions", sum(col("cnt")).over(wGrp).cast(LongType))
+      .select(col("entry_type"), col("depth"), col("cnt"), col("cum"),
         col("n_sessions"),
         explode(array(Seq(50L, 90L, 100L).map(lit): _*)).as("p"))
-      .filter(col("rnk") === lit(1L) + expr("((n_sessions - 1) * p) div 100"))
+      .withColumn("target",
+        lit(1L) + expr("((n_sessions - 1) * p) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
       .select(col("entry_type"), col("p"), col("depth"), col("n_sessions"))
       .orderBy(col("entry_type"), col("p"))
   }
@@ -2662,7 +2679,58 @@ object Events {
        |GROUP BY 1, total_u
        |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** ERROR-STREAK HISTOGRAM — gaps-and-islands over each user's event
+    * sequence: maximal runs of CONSECUTIVE `error` events (island key
+    * = global ordinal − per-type ordinal, the classic RLE identity),
+    * reported as a run-length histogram with the users affected at
+    * each length. One error is noise; a 5-run is a stuck client or a
+    * hard-down endpoint — q65's rate monitor sees the hourly volume,
+    * q191's kernel the error→error self-loop PROBABILITY; this reads
+    * the actual burst lengths an on-call review wants.
+    *
+    * Determinism: both ordinals under the (ts, event_id) total order;
+    * all counts int64.
+    *
+    * Scale posture: two stacked windows on the SAME user partition
+    * key (one shuffle), then a per-island aggregate and a ≤max-run-
+    * length histogram — nothing corpus-global. */
+  private def q221(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser).cast("long"))
+      .withColumn("rt", row_number().over(byUserType).cast("long"))
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), (col("rn") - col("rt")).as("island"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("run_len"))
+      .agg(count(lit(1)).as("n_runs"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("run_len"))
+  }
+
+  private val q221Sql =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    CAST(row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) AS BIGINT) AS rt
+       |  FROM events),
+       |runs AS (
+       |  SELECT user_id, rn - rt AS island, count(*) AS run_len
+       |  FROM seq WHERE event_type = 'error' GROUP BY 1, 2)
+       |SELECT run_len, count(*) AS n_runs,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM runs GROUP BY 1
+       |ORDER BY run_len""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q221_error_streaks" -> (q221 _),
     "q216_weekly_cohorts" -> (q216 _),
     "q217_ltv_deciles" -> (q217 _),
     "q210_session_paths" -> (q210 _),
@@ -2704,6 +2772,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q221_error_streaks" -> q221Sql,
     "q216_weekly_cohorts" -> q216Sql,
     "q217_ltv_deciles" -> q217Sql,
     "q210_session_paths" -> q210Sql,

@@ -3065,6 +3065,83 @@ object Similarity {
        |FROM coh c JOIN sep s ON c.label = s.label
        |ORDER BY c.label""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** NORM ↔ MARGIN RANK CORRELATION — per label, Spearman's ρ between
+    * a vector's exact squared norm and its decision margin (q170's
+    * top-2 cosine gap): embedding folklore says low-norm vectors are
+    * the under-trained/uncertain ones — if that holds on THIS corpus
+    * (ρ well above 0), the norm is a free pre-filter for the relabel
+    * roster (q172) and a pruning signal cheaper than any margin
+    * computation; ρ ≈ 0 kills that shortcut before a pipeline builds
+    * on it. q198's deterministic Spearman recipe (arrival-rank ties,
+    * DECIMAL cubic denominator) applied to the vector family.
+    *
+    * Scale posture: rides the session-memoized [[centroidMargins]]
+    * frame (built once, shared with q170/q171/q172); the two rank
+    * windows partition by LABEL (bounded cardinality — the q125
+    * caveat, same documented approx swap); the report is
+    * labels-sized. */
+  private def q222(spark: SparkSession, dir: String): DataFrame = {
+    val base = centroidMargins(spark, dir)
+      .join(scaledEmb(spark, dir).select(col("vec_id"), col("n2")), "vec_id")
+    val wx = Window.partitionBy(col("label"))
+      .orderBy(col("n2"), col("vec_id"))
+    val wy = Window.partitionBy(col("label"))
+      .orderBy(col("margin_u"), col("vec_id"))
+    base
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .withColumn("d", col("rx") - col("ry"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d") * col("d")).as("sum_d2"))
+      .filter(col("n_vecs") >= 2L)
+      .withColumn("spearman_u",
+        lit(1000000L) -
+          expr("""(CAST(6000000 AS DECIMAL(38,0)) *
+                  CAST(sum_d2 AS DECIMAL(38,0)))
+                 div (CAST(n_vecs AS DECIMAL(38,0)) *
+                  (CAST(n_vecs AS DECIMAL(38,0)) *
+                   CAST(n_vecs AS DECIMAL(38,0)) - 1))"""))
+      .select(col("label"), col("n_vecs"), col("sum_d2"), col("spearman_u"))
+      .orderBy(col("spearman_u").desc, col("label"))
+  }
+
+  private lazy val q222Sql =
+    s"""WITH $ivfAssignedSqlCtes,
+       |scored2 AS (
+       |  SELECT e.vec_id, e.label, e.n2, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("e.sv", "c.cs"), "e.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_u
+       |  FROM emb e CROSS JOIN cent2 c),
+       |r2 AS (
+       |  SELECT vec_id, label, n2, cos_u,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_u DESC, c_label) AS rn
+       |  FROM scored2),
+       |marg AS (
+       |  SELECT vec_id, label, max(n2) AS n2,
+       |    max(CASE WHEN rn = 1 THEN cos_u END) -
+       |      max(CASE WHEN rn = 2 THEN cos_u END) AS margin_u
+       |  FROM r2 WHERE rn <= 2 GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT label,
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY n2, vec_id) AS BIGINT) -
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY margin_u, vec_id) AS BIGINT) AS d
+       |  FROM marg),
+       |mom AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |    CAST(sum(d * d) AS BIGINT) AS sum_d2
+       |  FROM ranked GROUP BY 1)
+       |SELECT label, n_vecs, sum_d2,
+       |  1000000 - CAST((6000000 * CAST(sum_d2 AS HUGEINT))
+       |    // (CAST(n_vecs AS HUGEINT) *
+       |        (CAST(n_vecs AS HUGEINT) * CAST(n_vecs AS HUGEINT) - 1))
+       |    AS BIGINT) AS spearman_u
+       |FROM mom WHERE n_vecs >= 2
+       |ORDER BY spearman_u DESC, label""".stripMargin
+
   // ---------------------------------------------------------------- q171
   /** MARGIN CALIBRATION — the reliability diagram for the centroid
     * family: q169 reports accuracy, q170 reports margins; this
@@ -4536,6 +4613,7 @@ object Similarity {
     "q209_head_scorecard" -> (q209 _),
     "q213_centroid_separation" -> (q213 _),
     "q214_cluster_health" -> (q214 _),
+    "q222_norm_margin_corr" -> (q222 _),
     "q158_pq_budget_sweep" -> (q158 _),
     "q166_nprobe_sweep" -> (q166 _),
     "q168_retrieval_eval" -> (q168 _),
@@ -4587,6 +4665,7 @@ object Similarity {
     "q209_head_scorecard" -> q209Sql,
     "q213_centroid_separation" -> q213Sql,
     "q214_cluster_health" -> q214Sql,
+    "q222_norm_margin_corr" -> q222Sql,
     "q158_pq_budget_sweep" -> q158Sql,
     "q166_nprobe_sweep" -> q166Sql,
     "q168_retrieval_eval" -> q168Sql,

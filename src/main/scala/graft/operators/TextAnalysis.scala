@@ -4363,7 +4363,94 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |ORDER BY growth_u DESC, f.source""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+  /** SECRET/CREDENTIAL SCAN — the high-entropy-token sweep every
+    * training-data pipeline runs before release (leaked API keys,
+    * tokens, base64 blobs memorize verbatim): per source, documents
+    * carrying candidate secrets. The detector is exact-integer (no
+    * float entropy): a token is a CANDIDATE when it is long
+    * (≥ [[SecretMinLen]] chars), character-diverse (≥
+    * [[SecretMinDistinct]] distinct chars — natural words repeat
+    * letters; keys don't), and mixes character classes (contains a
+    * digit AND a letter). Ladder columns (long tokens, diverse
+    * tokens, candidates, flagged docs) localize WHY a source lights
+    * up; a clean corpus reports honest zeros rather than dropping
+    * rows — the absence-of-findings row is the release evidence.
+    *
+    * Determinism: all predicates exact on code points; counts int64;
+    * the rate one micro floor-div.
+    *
+    * Scale posture: one scan-shaped pass (explode → per-token
+    * predicates → partial-aggregable per-doc then per-source
+    * aggregates); the report is sources-sized. */
+  val SecretMinLen = 16
+  val SecretMinDistinct = 12
+
+  private def q219(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("is_long", (length(col("w")) >= SecretMinLen).cast("long"))
+      .withColumn("n_distinct_chars",
+        size(array_distinct(expr("regexp_extract_all(w, '.', 0)")))
+          .cast("long"))
+      .withColumn("is_diverse",
+        (col("is_long") === 1L &&
+          col("n_distinct_chars") >= SecretMinDistinct).cast("long"))
+      .withColumn("is_candidate",
+        (col("is_diverse") === 1L &&
+          col("w").rlike("[0-9]") && col("w").rlike("[A-Za-z]"))
+          .cast("long"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("is_long")).as("n_long"),
+        sum(col("is_diverse")).as("n_diverse"),
+        sum(col("is_candidate")).as("n_cand"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_long")).as("n_long_tokens"),
+        sum(col("n_diverse")).as("n_diverse_tokens"),
+        sum(col("n_cand")).as("n_secret_candidates"),
+        sum(when(col("n_cand") > 0L, 1L).otherwise(0L)).as("n_docs_flagged"))
+      .withColumn("flag_rate_u",
+        expr("(1000000 * n_docs_flagged) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q219Sql =
+    s"""WITH tok AS (
+       |  SELECT source, doc_id, unnest(${tokensSql("text")}) AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN len(w) >= $SecretMinLen THEN 1 ELSE 0 END AS is_long,
+       |    CASE WHEN len(w) >= $SecretMinLen AND
+       |      len(list_distinct(regexp_extract_all(w, '.'))) >=
+       |        $SecretMinDistinct THEN 1 ELSE 0 END AS is_diverse,
+       |    CASE WHEN len(w) >= $SecretMinLen AND
+       |      len(list_distinct(regexp_extract_all(w, '.'))) >=
+       |        $SecretMinDistinct AND regexp_matches(w, '[0-9]')
+       |      AND regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END
+       |      AS is_candidate
+       |  FROM tok),
+       |per_doc AS (
+       |  SELECT source, doc_id,
+       |    CAST(sum(is_long) AS BIGINT) AS n_long,
+       |    CAST(sum(is_diverse) AS BIGINT) AS n_diverse,
+       |    CAST(sum(is_candidate) AS BIGINT) AS n_cand
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_long) AS BIGINT) AS n_long_tokens,
+       |  CAST(sum(n_diverse) AS BIGINT) AS n_diverse_tokens,
+       |  CAST(sum(n_cand) AS BIGINT) AS n_secret_candidates,
+       |  CAST(sum(CASE WHEN n_cand > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_flagged,
+       |  (1000000 * CAST(sum(CASE WHEN n_cand > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS flag_rate_u
+       |FROM per_doc GROUP BY 1
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q219_secret_scan" -> (q219 _),
     "q215_vocab_growth" -> (q215 _),
     "q197_cond_entropy" -> (q197 _),
     "q198_rank_corr" -> (q198 _),
@@ -4428,6 +4515,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q219_secret_scan" -> q219Sql,
     "q215_vocab_growth" -> q215Sql,
     "q197_cond_entropy" -> q197Sql,
     "q198_rank_corr" -> q198Sql,

@@ -998,6 +998,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q211/q212: the quantile cut windows run over the HISTOGRAM " +
+      "aggregate, never the sessions frame (the x30/x14 100x hazard " +
+      "measured and fixed in round 13)") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q211_return_latency", "q212_depth_by_entry").foreach { q =>
+      val p = freshTree(q)
+      withClue(q) {
+        // the quantile-cut windows (cum / totals) must sit ABOVE an
+        // aggregate — i.e. they rank the histogram, not raw sessions.
+        // (The user-partitioned sessionize window below is inherent
+        // and distributes on user_id.)
+        val cutNames = Set("cum", "n_gaps", "n_sessions")
+        val cumWindows = p.collect { case w: WindowExec => w }
+          .filter(_.windowExpression.exists(e => cutNames(e.name)))
+        cumWindows should not be empty
+        cumWindows.foreach { w =>
+          val hasAggBelow = w.collectFirst {
+            case a: HashAggregateExec => a
+            case a: ObjectHashAggregateExec => a
+          }.isDefined
+          withClue(s"window ${w.windowExpression.map(_.name)}: ") {
+            hasAggBelow shouldBe true
+          }
+        }
+        treeHas(p, "CartesianProduct") shouldBe false
+      }
+    }
+  }
+
+  test("q219/q220/q221/q222: third-wave additions stay hash-aggregated " +
+      "and Cartesian-free; q219 is joinless scan-shaped") {
+    val scan = freshTree("q219_secret_scan")
+    treeHas(scan, "CartesianProduct") shouldBe false
+    treeHas(scan, "SortMergeJoin") shouldBe false
+    treeHas(scan, "BroadcastHashJoin") shouldBe false // no join at all
+    Seq("q220_dup_trend", "q221_error_streaks",
+        "q222_norm_margin_corr").foreach { q =>
+      withClue(q) {
+        treeHas(freshTree(q), "CartesianProduct") shouldBe false
+      }
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
