@@ -37,7 +37,13 @@ object Insights {
     "q202_growth_accounting", "q192_entry_sessions", "q203_session_funnel",
     "q206_conversion_latency", "q205_seq_support", "q207_dwell_share",
     "q200_period_scan", "q201_cadence_cv", "q208_entry_exit",
-    "q194_survival")
+    "q194_survival",
+    // round-13 panels: paths, return latency, depth-by-door, cohort
+    // triangle, value deciles, error streaks, gap tails — same
+    // one-definition contract (each panel IS its oracled query)
+    "q210_session_paths", "q211_return_latency", "q212_depth_by_entry",
+    "q216_weekly_cohorts", "q217_ltv_deciles", "q221_error_streaks",
+    "q223_gap_tail_quantiles")
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit =
     Panels.foreach { name =>

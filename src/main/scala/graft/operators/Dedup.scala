@@ -1899,6 +1899,46 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY source, decile""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+  /** DUP-CLUSTER SOURCE-SPAN HISTOGRAM — do near-dup clusters stay
+    * inside one feed or cross feeds? Per cluster the distinct-source
+    * span, reported as a histogram: span-1 clusters are a feed
+    * re-crawling ITSELF (fix the crawler); multi-source clusters are
+    * syndication/mirroring (a licensing/canonicalization question —
+    * q82 prices WHICH pair overlaps, this the population split that
+    * decides which playbook applies).
+    *
+    * Determinism: exact counts; cluster membership from the memoized
+    * CC labels (q56's min-label semantics).
+    *
+    * Scale posture: one labels-sized join against the documents
+    * projection, two stacked partial-aggregable aggregates, a
+    * <=|sources|-row histogram. */
+  private def q225(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = ccLabels(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("id") === col("doc_id"))
+    val perCluster = labeled.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+    perCluster.groupBy(col("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("n_sources"))
+  }
+
+  private lazy val q225Sql =
+    s"""WITH RECURSIVE
+       |$ccLabelsSqlCtes,
+       |per_cluster AS (
+       |  SELECT l.lbl, count(*) AS n_docs,
+       |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+       |  FROM labels l JOIN documents d ON l.id = d.doc_id
+       |  GROUP BY 1)
+       |SELECT n_sources, count(*) AS n_clusters,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+       |FROM per_cluster GROUP BY 1
+       |ORDER BY n_sources""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** PER-SOURCE CURATION FUNNEL — q78's survival chain broken out by
     * source: for each source, how many docs survive text dedup,
@@ -3896,6 +3936,7 @@ object Dedup {
     "q108_method_agreement" -> (q108 _),
     "q218_dup_quality_phi" -> (q218 _),
     "q220_dup_trend" -> (q220 _),
+    "q225_cluster_span" -> (q225 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
@@ -3941,6 +3982,7 @@ object Dedup {
     "q108_method_agreement" -> q108Sql,
     "q218_dup_quality_phi" -> q218Sql,
     "q220_dup_trend" -> q220Sql,
+    "q225_cluster_span" -> q225Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,

@@ -2729,7 +2729,75 @@ object Events {
        |FROM runs GROUP BY 1
        |ORDER BY run_len""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+  /** INTER-ARRIVAL TAIL QUANTILES PER TYPE — the tail complement of
+    * q201's dispersion: per event type, exact nearest-rank
+    * p50/p90/p99/max of the inter-arrival gap (q201's exact-mode gap
+    * definition — the per-type (ts, event_id) order at second grain).
+    * CV says HOW bursty; the p99 says how long the worst quiet
+    * stretches actually get — the number a freshness SLO or a
+    * dead-feed alarm threshold is set from.
+    *
+    * Determinism: same gap definition as q201's oracle-pinned exact
+    * mode; nearest-rank values depend only on sorted gaps, so the
+    * histogram route is exact.
+    *
+    * Scale posture: the gap lag shares q201's type-partitioned window
+    * (and its documented segmented swap applies identically); the
+    * quantile cut rides the (type, gap) HISTOGRAM — q211/q212's
+    * measured scale-safe shape — never a rank over the gaps frame. */
+  private def q223(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("ts_s", col("ts").cast(LongType))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGrp = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_gaps", sum(col("cnt")).over(wGrp).cast(LongType))
+      .select(col("event_type"), col("gap_s"), col("cnt"), col("cum"),
+        col("n_gaps"),
+        explode(array(Seq(50L, 90L, 99L, 100L).map(lit): _*)).as("p"))
+      .withColumn("target", lit(1L) + expr("((n_gaps - 1) * p) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col("event_type"), col("p"), col("gap_s"), col("n_gaps"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  private val q223Sql =
+    s"""WITH gaps AS (
+       |  SELECT event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |hist AS (
+       |  SELECT event_type, gap_s, count(*) AS cnt
+       |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT event_type, gap_s, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS n_gaps
+       |  FROM hist)
+       |SELECT event_type, p, gap_s, n_gaps
+       |FROM cums CROSS JOIN (SELECT unnest([50,90,99,100]) AS p)
+       |WHERE cum >= 1 + ((n_gaps - 1) * p) // 100
+       |  AND cum - cnt < 1 + ((n_gaps - 1) * p) // 100
+       |ORDER BY event_type, p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q223_gap_tail_quantiles" -> (q223 _),
     "q221_error_streaks" -> (q221 _),
     "q216_weekly_cohorts" -> (q216 _),
     "q217_ltv_deciles" -> (q217 _),
@@ -2772,6 +2840,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q223_gap_tail_quantiles" -> q223Sql,
     "q221_error_streaks" -> q221Sql,
     "q216_weekly_cohorts" -> q216Sql,
     "q217_ltv_deciles" -> q217Sql,

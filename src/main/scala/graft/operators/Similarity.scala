@@ -3142,6 +3142,147 @@ object Similarity {
        |FROM mom WHERE n_vecs >= 2
        |ORDER BY spearman_u DESC, label""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+  /** QUANTIZATION IMPACT ON THE SERVING HEAD — does int8 storage
+    * change what the classifier PREDICTS? The holdout scorecard
+    * (q209) re-run with the test vectors round-tripped through q58's
+    * scalar quantizer (corpus min/range stats, 8-bit codes, exact
+    * int64 reconstruction) against the full-precision trained
+    * codebook — the deployment reality where the index stores codes
+    * and the model stays float. Per label: holdout support, correct
+    * at full precision, correct after quantization, prediction FLIPS
+    * (the per-vector disagreement count — accuracy can stay flat
+    * while flips churn, which is what an A/B on compressed serving
+    * actually feels), and the exact micro accuracy delta. q58 prices
+    * reconstruction error in vector space; q136 recall on retrieval;
+    * this prices the DECISION impact — the number that approves the
+    * 32× memory saving.
+    *
+    * Determinism: quantize/reconstruct is q58's exact int64 recipe;
+    * both assignments ride the micro-floored cosine with q44's tie
+    * rule; counts int64, deltas exact.
+    *
+    * Scale posture: quantizer stats are one 1-row aggregate broadcast;
+    * the even-half codebook broadcasts into ONE test fan-out scoring
+    * both representations; per-vector argmaxes collapse through one
+    * ObjectHashAggregate; the report is labels-sized. */
+  private def q226(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val emb = scaledEmb(spark, dir)
+    val cent = centroids(emb.filter(col("vec_id") % 2 === 0))
+    val statAggs =
+      (0 until Dim).map(i => min(element_at(col("sv"), i + 1)).as(s"mn$i")) ++
+        (0 until Dim).map(i => max(element_at(col("sv"), i + 1)).as(s"mx$i"))
+    val stats = emb.agg(statAggs.head, statAggs.tail: _*)
+    val lists = stats.select(
+      array((0 until Dim).map(i => col(s"mn$i")): _*).as("mins"),
+      array((0 until Dim).map(i => col(s"mx$i") - col(s"mn$i")): _*).as("rngs"))
+    val rqExpr = expr(s"""transform(sequence(1, $Dim), i ->
+      CASE WHEN element_at(rngs, i) = 0 THEN element_at(mins, i)
+      ELSE (((element_at(sv, i) - element_at(mins, i)) * 255
+             div element_at(rngs, i)) * element_at(rngs, i)) div 255
+           + element_at(mins, i) END)""")
+    val test = emb.filter(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(lists))
+      .withColumn("rq", rqExpr)
+      .withColumn("rn2", dotL(col("rq"), col("rq")))
+      .select(col("vec_id"), col("label"), col("sv"), col("n2"),
+        col("rq"), col("rn2"))
+    val per = test.crossJoin(broadcast(cent))
+      .withColumn("cos_f_u",
+        floor(cosine(dotL(col("sv"), col("cs")), col("n2"), col("cn2"))
+          * 1000000.0).cast(LongType))
+      .withColumn("cos_q_u",
+        floor(cosine(dotL(col("rq"), col("cs")), col("rn2"), col("cn2"))
+          * 1000000.0).cast(LongType))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        graft.functions.ArgMaxAgg.argMax(
+          struct(col("cos_f_u"), negate(col("c_label"))),
+          col("c_label")).as("pred_f"),
+        graft.functions.ArgMaxAgg.argMax(
+          struct(col("cos_q_u"), negate(col("c_label"))),
+          col("c_label")).as("pred_q"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred_f") === col("label"), 1L).otherwise(0L))
+          .as("n_correct_full"),
+        sum(when(col("pred_q") === col("label"), 1L).otherwise(0L))
+          .as("n_correct_quant"),
+        sum(when(col("pred_f") =!= col("pred_q"), 1L).otherwise(0L))
+          .as("n_flips"))
+      .withColumn("acc_full_u", expr("(1000000 * n_correct_full) div n_test"))
+      .withColumn("acc_quant_u",
+        expr("(1000000 * n_correct_quant) div n_test"))
+      .withColumn("delta_u", col("acc_quant_u") - col("acc_full_u"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val q226Sql = {
+    val mns = (0 until Dim).map(i => s"min(sv[${i + 1}]) AS mn$i").mkString(", ")
+    val mxs = (0 until Dim).map(i => s"max(sv[${i + 1}]) AS mx$i").mkString(", ")
+    val minList = (0 until Dim).map(i => s"mn$i").mkString("[", ", ", "]")
+    val rngList = (0 until Dim).map(i => s"mx$i - mn$i").mkString("[", ", ", "]")
+    s"""WITH emb AS ($scaledEmbSql),
+       |tpos AS (
+       |  SELECT label, unnest(range(1, $Dim + 1)) AS p0, unnest(sv) AS v
+       |  FROM emb WHERE vec_id % 2 = 0),
+       |tsum AS (
+       |  SELECT label AS c_label, p0, CAST(sum(v) AS BIGINT) AS s
+       |  FROM tpos GROUP BY 1, 2),
+       |tcent AS (
+       |  SELECT c_label, list(s ORDER BY p0) AS cs FROM tsum GROUP BY 1),
+       |tcent2 AS (
+       |  SELECT c_label, cs, ${dotLSql("cs", "cs")} AS cn2 FROM tcent),
+       |stats AS (SELECT $mns, $mxs FROM emb),
+       |lists AS (SELECT $minList AS mins, $rngList AS rngs FROM stats),
+       |test AS (
+       |  SELECT vec_id, label, sv, n2,
+       |    list_transform(range(1, ${Dim + 1}), i ->
+       |      CASE WHEN rngs[i] = 0 THEN mins[i]
+       |      ELSE (((sv[i] - mins[i]) * 255 // rngs[i]) * rngs[i]) // 255
+       |           + mins[i] END) AS rq
+       |  FROM emb CROSS JOIN lists WHERE vec_id % 2 = 1),
+       |test2 AS (
+       |  SELECT *, ${dotLSql("rq", "rq")} AS rn2 FROM test),
+       |scored AS (
+       |  SELECT t.vec_id, t.label, c.c_label,
+       |    CAST(floor(${cosineSql(dotLSql("t.sv", "c.cs"), "t.n2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_f_u,
+       |    CAST(floor(${cosineSql(dotLSql("t.rq", "c.cs"), "t.rn2", "c.cn2")}
+       |      * 1000000.0) AS BIGINT) AS cos_q_u
+       |  FROM test2 t CROSS JOIN tcent2 c),
+       |ranked AS (
+       |  SELECT vec_id, label, c_label,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_f_u DESC, c_label) AS rf,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_q_u DESC, c_label) AS rn_q
+       |  FROM scored),
+       |per AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN rf = 1 THEN c_label END) AS pred_f,
+       |    max(CASE WHEN rn_q = 1 THEN c_label END) AS pred_q
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT label, count(*) AS n_test,
+       |  CAST(sum(CASE WHEN pred_f = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct_full,
+       |  CAST(sum(CASE WHEN pred_q = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct_quant,
+       |  CAST(sum(CASE WHEN pred_f <> pred_q THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flips,
+       |  (1000000 * CAST(sum(CASE WHEN pred_f = label THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS acc_full_u,
+       |  (1000000 * CAST(sum(CASE WHEN pred_q = label THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS acc_quant_u,
+       |  (1000000 * CAST(sum(CASE WHEN pred_q = label THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) -
+       |  (1000000 * CAST(sum(CASE WHEN pred_f = label THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS delta_u
+       |FROM per GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q171
   /** MARGIN CALIBRATION — the reliability diagram for the centroid
     * family: q169 reports accuracy, q170 reports margins; this
@@ -4614,6 +4755,7 @@ object Similarity {
     "q213_centroid_separation" -> (q213 _),
     "q214_cluster_health" -> (q214 _),
     "q222_norm_margin_corr" -> (q222 _),
+    "q226_quant_impact" -> (q226 _),
     "q158_pq_budget_sweep" -> (q158 _),
     "q166_nprobe_sweep" -> (q166 _),
     "q168_retrieval_eval" -> (q168 _),
@@ -4666,6 +4808,7 @@ object Similarity {
     "q213_centroid_separation" -> q213Sql,
     "q214_cluster_health" -> q214Sql,
     "q222_norm_margin_corr" -> q222Sql,
+    "q226_quant_impact" -> q226Sql,
     "q158_pq_budget_sweep" -> q158Sql,
     "q166_nprobe_sweep" -> q166Sql,
     "q168_retrieval_eval" -> q168Sql,

@@ -4449,7 +4449,107 @@ object TextAnalysis {
        |FROM per_doc GROUP BY 1
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** CHARACTER-CLASS FORMAT PROFILE per source — the cheapest format-
+    * drift detector there is: exact per-source counts of letters,
+    * digits, whitespace, and everything else, their micro shares, and
+    * a chi-square-style distance to the corpus profile. A feed whose
+    * digit share doubles started shipping tables/logs; punctuation
+    * spikes mark markup leakage — caught at CHARACTER grain before
+    * any tokenizer (q117/q125 read token-level shifts; this fires on
+    * format changes tokenization can mask).
+    *
+    * Determinism: class counts are exact regexp counts; shares micro
+    * floor-div; the chi-square is a FIXED 4-term expression over
+    * exact int64 counts (one double rounding per term, identical
+    * shape in both engines — never an order-dependent float
+    * aggregate).
+    *
+    * Scale posture: one scan-shaped partial-aggregable pass (per-row
+    * regexp counts → per-source sums); the corpus profile is a 1-row
+    * aggregate broadcast; the report is sources-sized. */
+  private def q224(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("CAST(regexp_count(text, '[A-Za-z]') AS LONG)").as("n_let"),
+        expr("CAST(regexp_count(text, '[0-9]') AS LONG)").as("n_dig"),
+        expr("CAST(regexp_count(text, ' ') AS LONG)").as("n_sp"))
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("n_chars"), sum(col("n_let")).as("n_let"),
+        sum(col("n_dig")).as("n_dig"), sum(col("n_sp")).as("n_sp"))
+      .withColumn("n_oth",
+        col("n_chars") - col("n_let") - col("n_dig") - col("n_sp"))
+    val corp = perSrc.agg(sum(col("n_chars")).as("c_chars"),
+      sum(col("n_let")).as("c_let"), sum(col("n_dig")).as("c_dig"),
+      sum(col("n_sp")).as("c_sp"), sum(col("n_oth")).as("c_oth"))
+    def share(n: Column, tot: Column): Column =
+      n.cast(DoubleType) / tot.cast(DoubleType)
+    def term(n: Column, c: Column): Column = {
+      val ps = share(n, col("n_chars"))
+      val pc = share(c, col("c_chars"))
+      // a class absent from the whole corpus contributes nothing (and
+      // is then absent from every source too — 0/0 guarded to 0)
+      when(c === 0L, lit(0.0)).otherwise((ps - pc) * (ps - pc) / pc)
+    }
+    perSrc.crossJoin(broadcast(corp))
+      .withColumn("chi2_u",
+        floor(lit(1000000.0) *
+          (term(col("n_let"), col("c_let")) +
+            term(col("n_dig"), col("c_dig")) +
+            term(col("n_sp"), col("c_sp")) +
+            term(col("n_oth"), col("c_oth")))).cast("long"))
+      .select(col("source"), col("n_chars"),
+        expr("(1000000 * n_let) div n_chars").as("letter_u"),
+        expr("(1000000 * n_dig) div n_chars").as("digit_u"),
+        expr("(1000000 * n_sp) div n_chars").as("space_u"),
+        expr("(1000000 * n_oth) div n_chars").as("other_u"),
+        col("chi2_u"))
+      .orderBy(col("chi2_u").desc, col("source"))
+  }
+
+  private lazy val q224Sql = {
+    def cnt(re: String) =
+      s"CAST(sum(len(regexp_extract_all(text, '$re'))) AS BIGINT)"
+    def term(n: String, c: String) =
+      s"""(CASE WHEN $c = 0 THEN 0.0 ELSE
+         |  ((CAST($n AS DOUBLE) / CAST(n_chars AS DOUBLE) -
+         |    CAST($c AS DOUBLE) / CAST(c_chars AS DOUBLE)) *
+         |   (CAST($n AS DOUBLE) / CAST(n_chars AS DOUBLE) -
+         |    CAST($c AS DOUBLE) / CAST(c_chars AS DOUBLE)) /
+         |   (CAST($c AS DOUBLE) / CAST(c_chars AS DOUBLE))) END)""".stripMargin
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |    CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       |    ${cnt("[A-Za-z]")} AS n_let,
+       |    ${cnt("[0-9]")} AS n_dig,
+       |    ${cnt(" ")} AS n_sp
+       |  FROM documents GROUP BY 1),
+       |per_src2 AS (
+       |  SELECT *, n_chars - n_let - n_dig - n_sp AS n_oth FROM per_src),
+       |corp AS (
+       |  SELECT CAST(sum(n_chars) AS BIGINT) AS c_chars,
+       |    CAST(sum(n_let) AS BIGINT) AS c_let,
+       |    CAST(sum(n_dig) AS BIGINT) AS c_dig,
+       |    CAST(sum(n_sp) AS BIGINT) AS c_sp,
+       |    CAST(sum(n_oth) AS BIGINT) AS c_oth
+       |  FROM per_src2)
+       |SELECT source, n_chars,
+       |  (1000000 * n_let) // n_chars AS letter_u,
+       |  (1000000 * n_dig) // n_chars AS digit_u,
+       |  (1000000 * n_sp) // n_chars AS space_u,
+       |  (1000000 * n_oth) // n_chars AS other_u,
+       |  CAST(floor(1000000.0 * (
+       |    ${term("n_let", "c_let")} +
+       |    ${term("n_dig", "c_dig")} +
+       |    ${term("n_sp", "c_sp")} +
+       |    ${term("n_oth", "c_oth")})) AS BIGINT) AS chi2_u
+       |FROM per_src2 CROSS JOIN corp
+       |ORDER BY chi2_u DESC, source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_format_profile" -> (q224 _),
     "q219_secret_scan" -> (q219 _),
     "q215_vocab_growth" -> (q215 _),
     "q197_cond_entropy" -> (q197 _),
@@ -4515,6 +4615,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q224_format_profile" -> q224Sql,
     "q219_secret_scan" -> q219Sql,
     "q215_vocab_growth" -> q215Sql,
     "q197_cond_entropy" -> q197Sql,
