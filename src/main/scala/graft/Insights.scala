@@ -43,7 +43,7 @@ object Insights {
     // one-definition contract (each panel IS its oracled query)
     "q210_session_paths", "q211_return_latency", "q212_depth_by_entry",
     "q216_weekly_cohorts", "q217_ltv_deciles", "q221_error_streaks",
-    "q223_gap_tail_quantiles")
+    "q223_gap_tail_quantiles", "q229_entry_value")
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit =
     Panels.foreach { name =>

@@ -131,7 +131,7 @@ object ScaleBench {
     "q214_cluster_health", "q215_vocab_growth",
     "q218_dup_quality_phi", "q219_secret_scan", "q220_dup_trend",
     "q222_norm_margin_corr", "q224_format_profile", "q225_cluster_span",
-    "q226_quant_impact")
+    "q226_quant_impact", "q227_quality_trend", "q228_dup_distance")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -172,7 +172,8 @@ object ScaleBench {
     "q205_seq_support", "q206_conversion_latency", "q207_dwell_share",
     "q208_entry_exit", "q210_session_paths", "q211_return_latency",
     "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles",
-    "q221_error_streaks", "q223_gap_tail_quantiles")
+    "q221_error_streaks", "q223_gap_tail_quantiles",
+    "q229_entry_value")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
@@ -730,7 +731,8 @@ object ScaleBench {
           "q205_seq_support", "q206_conversion_latency", "q207_dwell_share",
           "q208_entry_exit", "q210_session_paths", "q211_return_latency",
           "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles",
-          "q221_error_streaks", "q223_gap_tail_quantiles"))
+          "q221_error_streaks", "q223_gap_tail_quantiles",
+    "q229_entry_value"))
       def sweepEv(dir: String): Map[String, Double] = {
         val passes = (1 to 2).map(_ =>
           famNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))

@@ -1939,6 +1939,45 @@ object Dedup {
        |FROM per_cluster GROUP BY 1
        |ORDER BY n_sources""".stripMargin
 
+  // ---------------------------------------------------------------- q228
+  /** NEAR-DUP PAIR DISTANCE HISTOGRAM — how far apart (in ingest
+    * order) near-dup pairs sit: |doc_a − doc_b| bucketed by power of
+    * two. Adjacent dups (distance 1-8) are crawler stutter /
+    * double-fetch; mid-range the same feed re-crawling itself
+    * (q220's WHEN at pair grain); far pairs independent syndication.
+    * The bucket profile decides whether a cheap sliding-window dedup
+    * (compare only nearby ids — O(n·w)) would catch most duplication
+    * before the full banded pass pays for the tail.
+    *
+    * Determinism: exact id distance; power-of-two buckets via the
+    * BINARY-STRING length (bit length − 1 == floor(log2), exact for
+    * any positive int64 — a float log2 rounds ambiguously at exact
+    * powers of two across libm implementations).
+    *
+    * Scale posture: one projection + partial-aggregable histogram
+    * over q35's banding-bounded verified pairs; ≤ 63 rows. */
+  private def q228(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q35(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairs
+      .withColumn("dist", col("doc_b") - col("doc_a"))
+      .withColumn("bucket",
+        (length(conv(col("dist"), 10, 2)) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy(col("bucket"))
+  }
+
+  private lazy val q228Sql =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($q35Sql))
+       |SELECT CAST(length(to_base(doc_b - doc_a, 2)) - 1 AS BIGINT)
+       |    AS bucket,
+       |  count(*) AS n_pairs,
+       |  CAST(min(doc_b - doc_a) AS BIGINT) AS min_dist,
+       |  CAST(max(doc_b - doc_a) AS BIGINT) AS max_dist
+       |FROM pairs GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** PER-SOURCE CURATION FUNNEL — q78's survival chain broken out by
     * source: for each source, how many docs survive text dedup,
@@ -3937,6 +3976,7 @@ object Dedup {
     "q218_dup_quality_phi" -> (q218 _),
     "q220_dup_trend" -> (q220 _),
     "q225_cluster_span" -> (q225 _),
+    "q228_dup_distance" -> (q228 _),
     "q110_dup_histogram" -> (q110 _),
     "q85_span_dedup"     -> (q85 _),
     "q88_containment"    -> (q88 _),
@@ -3983,6 +4023,7 @@ object Dedup {
     "q218_dup_quality_phi" -> q218Sql,
     "q220_dup_trend" -> q220Sql,
     "q225_cluster_span" -> q225Sql,
+    "q228_dup_distance" -> q228Sql,
     "q110_dup_histogram" -> q110Sql,
     "q85_span_dedup"     -> q85Sql,
     "q88_containment"    -> q88Sql,

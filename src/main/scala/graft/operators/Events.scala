@@ -2796,7 +2796,84 @@ object Events {
        |  AND cum - cnt < 1 + ((n_gaps - 1) * p) // 100
        |ORDER BY event_type, p""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+  /** ENTRY-DOOR VALUE ATTRIBUTION — which landing type drives the
+    * money: each session's full value attributed to its ENTRY event
+    * type (last-touch q156 answers "which touch gets conversion
+    * credit"; this is the session-level first-touch read on raw event
+    * value). Per entry type: sessions, exact summed value, value per
+    * session, and the share of total value. Read next to q192
+    * (traffic) and q212 (depth): a door with thin traffic but fat
+    * value share is the one the homepage redesign must not bury.
+    *
+    * Determinism: entry via hash-aggregable `graft_argmax` (q208's
+    * selection); value sums exact DECIMAL(18,4)·10⁴ int64 units
+    * (q217's recipe); shares micro floor-div.
+    *
+    * Scale posture: one per-session aggregate over the memoized
+    * [[sessionized]] stage joined 1:1 back to per-session value sums
+    * — same groupBy key, one shuffle; ≤|types| report rows with the
+    * grand total as a 1-row broadcast window. */
+  private def q229(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val withValue = sessionized(spark, dir)
+      .join(Tables.events(spark, dir).select(col("event_id"), col("value")),
+        "event_id")
+    val per = withValue
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        graft.functions.ArgMaxAgg.argMax(struct(negate(col("ord"))),
+          col("event_type")).as("entry_type"),
+        (sum(dec(col("value"))) * lit(10000)).cast(LongType).as("value_u"))
+    per.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("value_u")).as("sum_value_u"))
+      .withColumn("total_u",
+        sum(col("sum_value_u")).over(Window.partitionBy()))
+      .withColumn("value_per_session_u", expr("sum_value_u div n_sessions"))
+      .withColumn("share_u", expr("(1000000 * sum_value_u) div total_u"))
+      .select(col("entry_type"), col("n_sessions"), col("sum_value_u"),
+        col("value_per_session_u"), col("share_u"))
+      .orderBy(col("share_u").desc, col("entry_type"))
+  }
+
+  private val q229Sql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, event_id, ts, event_type, value,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) AS gap_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type, value,
+       |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM gaps),
+       |ord AS (
+       |  SELECT user_id, session_id, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS ord
+       |  FROM sess),
+       |per AS (
+       |  SELECT user_id, session_id,
+       |    max(CASE WHEN ord = 1 THEN event_type END) AS entry_type,
+       |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |      AS value_u
+       |  FROM ord GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT entry_type, count(*) AS n_sessions,
+       |    CAST(sum(value_u) AS BIGINT) AS sum_value_u
+       |  FROM per GROUP BY 1)
+       |SELECT entry_type, n_sessions, sum_value_u,
+       |  sum_value_u // n_sessions AS value_per_session_u,
+       |  (1000000 * sum_value_u) //
+       |    (SELECT CAST(sum(sum_value_u) AS BIGINT) FROM agg) AS share_u
+       |FROM agg
+       |ORDER BY share_u DESC, entry_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q229_entry_value" -> (q229 _),
     "q223_gap_tail_quantiles" -> (q223 _),
     "q221_error_streaks" -> (q221 _),
     "q216_weekly_cohorts" -> (q216 _),
@@ -2840,6 +2917,7 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q229_entry_value" -> q229Sql,
     "q223_gap_tail_quantiles" -> q223Sql,
     "q221_error_streaks" -> q221Sql,
     "q216_weekly_cohorts" -> q216Sql,

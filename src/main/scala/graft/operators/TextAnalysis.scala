@@ -4548,7 +4548,56 @@ object TextAnalysis {
        |ORDER BY chi2_u DESC, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q227
+  /** QUALITY TREND OVER INGEST ORDER — q220's decile read applied to
+    * the quality gate: per source, the q89 ADMIT rate across
+    * ingest-order deciles. A feed whose late deciles collapse is
+    * degrading at the crawler (template rot, spam infill) — caught
+    * per FEED and per TIME, where q95's triage sees only the
+    * per-source total. Read next to q220: dup-rate climbing while
+    * admit-rate falls is one sick feed, not two problems.
+    *
+    * Determinism: deciles by `((rnk−1)·10) div n` over the per-source
+    * (doc_id) total order; counts int64; rates micro floor-div.
+    *
+    * Scale posture: rides the q89 decision frame (memoized lmTable
+    * features); the rank window has the q125 low-cardinality caveat
+    * (documented swap); ≤ 10·|sources| rows. */
+  private def q227(spark: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+      .select(col("source"), col("doc_id"), col("admit"))
+      .withColumn("rnk", row_number().over(wSrc).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_src"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("n_admit"))
+      .withColumn("admit_rate_u", expr("(1000000 * n_admit) div n_docs"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  private lazy val q227Sql =
+    s"""WITH $qualityDecisionCtes,
+       |ranked AS (
+       |  SELECT source, doc_id, reason,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM dec)
+       |SELECT source, ((rnk - 1) * 10) // n_src AS decile,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN reason = 'admit' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admit,
+       |  (1000000 * CAST(sum(CASE WHEN reason = 'admit' THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS admit_rate_u
+       |FROM ranked
+       |GROUP BY 1, 2
+       |ORDER BY source, decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q227_quality_trend" -> (q227 _),
     "q224_format_profile" -> (q224 _),
     "q219_secret_scan" -> (q219 _),
     "q215_vocab_growth" -> (q215 _),
@@ -4615,6 +4664,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q227_quality_trend" -> q227Sql,
     "q224_format_profile" -> q224Sql,
     "q219_secret_scan" -> q219Sql,
     "q215_vocab_growth" -> q215Sql,
