@@ -10,9 +10,11 @@ import EventStreams.{toMicros, EventRow}
   * (round-12 verdict task 7): per-user open-session state closes
   * sessions as the event stream proves them over (gap exceeded, or the
   * watermark passing the session's horizon), emitting one
-  * `(user, entry_type, exit_type, n_events)` row per CLOSED session;
-  * [[entryExitMatrix]] is then q208's exact consumer-side re-aggregate
-  * (counts, bounces, micro bounce share) over whatever closed so far.
+  * `(user, entry_type, exit_type, n_events, value_u)` row per CLOSED
+  * session; [[entryExitMatrix]] is then q208's exact consumer-side
+  * re-aggregate (counts, bounces, micro bounce share) and
+  * [[entryValuePanel]] q229's (first-touch value by entry door) over
+  * whatever closed so far.
   *
   * Semantics pinned to batch q208's `sessionized` stage at its exact
   * grain: the gap rule compares EPOCH-SECOND-truncated timestamps
@@ -36,14 +38,18 @@ import EventStreams.{toMicros, EventRow}
   * is ≤ |types|² rows. */
 object SessionStreams {
 
-  /** Per-user open session: the (ts, event_id)-order extremes and the
-    * running event count. */
+  /** Per-user open session: the (ts, event_id)-order extremes, the
+    * running event count, and the exact value sum in ten-thousandth
+    * units (per-row `rint(value·10⁴)` — the testdata's values carry
+    * ≤ 2 decimals, so the long units equal batch q229's
+    * DECIMAL(18,4)·10⁴ sum exactly AND order-independently, which a
+    * double accumulator could not promise). */
   final case class OpenSession(startUs: Long, startId: Long, entry: String,
-      endUs: Long, endId: Long, exit: String, n: Long)
+      endUs: Long, endId: Long, exit: String, n: Long, valueU: Long)
 
   /** One closed session — final the moment it is emitted. */
   final case class ClosedSession(user_id: Long, entry_type: String,
-      exit_type: String, n_events: Long)
+      exit_type: String, n_events: Long, value_u: Long)
 
   /** q208's gap grain: epoch-second truncation (`ts.cast(long)`), break
     * strictly past 1800 s. */
@@ -62,7 +68,8 @@ object SessionStreams {
       // Watermark passed the open session's horizon: close it, free the
       // user's state slot.
       val out = state.getOption
-        .map(s => ClosedSession(userId, s.entry, s.exit, s.n)).iterator
+        .map(s => ClosedSession(userId, s.entry, s.exit, s.n, s.valueU))
+        .iterator
       state.remove()
       return out
     }
@@ -72,9 +79,10 @@ object SessionStreams {
     var open = state.getOption
     sorted.foreach { e =>
       val t = toMicros(e.ts)
+      val vU = math.rint(e.value * 10000.0).toLong
       open match {
         case Some(s) if sameSession(s.endUs, t) =>
-          var s2 = s.copy(n = s.n + 1)
+          var s2 = s.copy(n = s.n + 1, valueU = s.valueU + vU)
           if (t < s.startUs || (t == s.startUs && e.event_id < s.startId))
             s2 = s2.copy(startUs = t, startId = e.event_id,
               entry = e.event_type)
@@ -84,9 +92,9 @@ object SessionStreams {
           open = Some(s2)
         case prev =>
           prev.foreach(s =>
-            closed ::= ClosedSession(userId, s.entry, s.exit, s.n))
+            closed ::= ClosedSession(userId, s.entry, s.exit, s.n, s.valueU))
           open = Some(OpenSession(t, e.event_id, e.event_type,
-            t, e.event_id, e.event_type, 1L))
+            t, e.event_id, e.event_type, 1L, vU))
       }
     }
     open.foreach { s =>
@@ -110,6 +118,21 @@ object SessionStreams {
         (userId, rows, st) => advance(userId, rows, st)
       }
   }
+
+  /** q229's value panel over closed sessions — the identical consumer
+    * re-aggregate (entry door, sessions, exact value units, value per
+    * session, micro share, q229's order). */
+  def entryValuePanel(closed: DataFrame): DataFrame =
+    closed.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("value_u")).as("sum_value_u"))
+      .withColumn("total_u", sum(col("sum_value_u")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("value_per_session_u", expr("sum_value_u div n_sessions"))
+      .withColumn("share_u", expr("(1000000 * sum_value_u) div total_u"))
+      .select(col("entry_type"), col("n_sessions"), col("sum_value_u"),
+        col("value_per_session_u"), col("share_u"))
+      .orderBy(col("share_u").desc, col("entry_type"))
 
   /** q208's matrix over closed sessions — the identical aggregate
     * (entry, exit, count, bounces, micro bounce share, q208's order). */

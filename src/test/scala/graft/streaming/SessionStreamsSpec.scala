@@ -75,6 +75,14 @@ class SessionStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
         .collect().map(_.toSeq).toSeq
       val expMatrix = batchPer.collect().map(_.toSeq).toSeq
       gotMatrix shouldBe expMatrix
+
+      // (c) the value panel equals batch q229 row for row (the exact
+      // long units equal the batch DECIMAL(18,4)*10^4 sums)
+      val gotValue = entryValuePanel(closed.toDF())
+        .collect().map(_.toSeq).toSeq
+      val expValue = SparkEntry.queries("q229_entry_value")(
+        spark, SparkSpec.Sf0001).collect().map(_.toSeq).toSeq
+      gotValue shouldBe expValue
     } finally q.stop()
   }
 
@@ -106,7 +114,7 @@ class SessionStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
       q.processAllAvailable()
       val first = spark.table("sessions_gap").as[ClosedSession].collect()
       first.length shouldBe 1
-      first.head shouldBe ClosedSession(7L, "view", "error", 4L)
+      first.head.copy(value_u = 0L) shouldBe ClosedSession(7L, "view", "error", 4L, 0L)
 
       // a lone event for another user, then the flushing sentinel:
       // the singleton closes as a BOUNCE (entry == exit, n == 1)
@@ -117,7 +125,7 @@ class SessionStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
         .filter(_.user_id >= 0L)
       all.length shouldBe 3 // user 7's two sessions + user 8's bounce
       val bounce = all.find(_.user_id == 8L).get
-      bounce shouldBe ClosedSession(8L, "view", "view", 1L)
+      bounce shouldBe ClosedSession(8L, "view", "view", 1L, 10000L)
       val m = entryExitMatrix(all.toSeq.toDF()).collect()
         .map(r => (r.getString(0), r.getString(1)) ->
           ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
@@ -145,7 +153,7 @@ class SessionStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
       val got = spark.table("sessions_disorder").as[ClosedSession]
         .collect().filter(_.user_id >= 0L)
       got.length shouldBe 1
-      got.head shouldBe ClosedSession(9L, "view", "purchase", 3L)
+      got.head shouldBe ClosedSession(9L, "view", "purchase", 3L, 30000L)
     } finally q.stop()
   }
 }
