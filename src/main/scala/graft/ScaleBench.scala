@@ -707,6 +707,45 @@ object ScaleBench {
           s""""uncapped_viral_pairs":$viralPairs}""")
     }
 
+    // Eleventh phase (`relational100`): the direct 100× sweep for the
+    // relational prefix — the one family whose scale evidence stopped
+    // at 10× (sf0.01 → sf0.1). Generates the seven TPC-H-ish tables at
+    // `SPARK_GRAFT_REL_FACTOR`× the sf0.1 cardinalities (default 100 →
+    // lineitem 60M rows) with the driver testdata's schemas, key
+    // relationships, and value domains, then sweeps q01–q19 + q47–q49 +
+    // q134 at both scales (two interleaved passes, min).
+    if (phase == "relational100" || phase == "both") {
+      val relDir = s"$out/rel100"
+      val factor = sys.env.getOrElse("SPARK_GRAFT_REL_FACTOR", "100").toLong
+      if (!Files.exists(Paths.get(s"$relDir/lineitem.parquet")))
+        ScaleData.generateRelational(spark, relDir, factor)
+      val relNames = RelationalNames ++ Seq(
+        "q10_no_bigorder_anti", "q11_rollup_flags", "q12_priority_case",
+        "q13_order_count_dist", "q14_promo_share", "q15_top_supplier",
+        "q16_supplier_cnt", "q17_small_qty_rev", "q18_large_orders",
+        "q19_band_join", "q47_set_ops", "q48_date_math", "q49_salted_agg")
+      def sweepRel(dir: String): Map[String, Double] = {
+        val passes = (1 to 2).map(_ =>
+          relNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))
+        relNames.zipWithIndex
+          .map { case (n, i) => n -> passes.map(_(i)).min }.toMap
+      }
+      val tBase = sweepRel(base)
+      val tBig = sweepRel(relDir)
+      val qs = relNames.map { n =>
+        val (a, b) = (tBase(n), tBig(n))
+        s""""$n":[${f3(a)},${f3(b)},${f2(b / a)}]"""
+      }.mkString("{", ",", "}")
+      val (sumA, sumB) = (tBase.values.sum, tBig.values.sum)
+      println(
+        s"""{"metric":"relational_scale_ratio","base":"$base",""" +
+          s""""scaled":"$relDir","factor":$factor,""" +
+          s""""rows":{"lineitem":[600000,${600000L * factor}],""" +
+          s""""orders":[150000,${150000L * factor}]},""" +
+          s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],""" +
+          s""""queries":$qs}""")
+    }
+
     // Tenth phase (`events100`): the direct 100× sweep for the
     // session/event analytics family (round-12 verdict task 4). The
     // driver tables cap the family's scale evidence at 10× (sf0.01 →

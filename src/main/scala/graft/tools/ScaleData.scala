@@ -311,6 +311,100 @@ object ScaleData {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
   }
 
+  // ------------------------------------------------------------------
+  // TPC-H-ish relational generator: the 100× scale axis for the
+  // relational prefix (q01–q19, q47–q49, q134). Same schemas, key
+  // relationships, and value DOMAINS as the driver testdata (so every
+  // filter/band predicate selects non-trivially); distributions are
+  // uniform — the sweep measures plan scaling, not cardinality
+  // estimation. Deterministic per id.
+  // ------------------------------------------------------------------
+  final case class CustRow(c_custkey: Long, c_name: String,
+      c_nationkey: Int, c_acctbal: Double, c_mktsegment: String)
+  final case class SuppRow(s_suppkey: Long, s_name: String,
+      s_nationkey: Int, s_acctbal: Double)
+  final case class PartRow(p_partkey: Long, p_name: String,
+      p_brand: String, p_type: String, p_size: Int, p_retailprice: Double)
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double,
+      o_orderdate: java.sql.Timestamp, o_orderpriority: String)
+  final case class LineRow(l_orderkey: Long, l_partkey: Long,
+      l_suppkey: Long, l_linenumber: Int, l_quantity: Double,
+      l_extendedprice: Double, l_discount: Double, l_tax: Double,
+      l_returnflag: String, l_linestatus: String,
+      l_shipdate: java.sql.Timestamp)
+
+  private val Segments = Vector("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY")
+  private val Priorities = Vector("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val PTypes =
+    Vector("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+  private val PColors = Vector("cold", "hot", "blue", "red", "small", "old",
+    "large", "new")
+  private val PNouns = Vector("plate", "gear", "rod", "ring", "bolt", "anvil")
+  private val RfLs = Vector(("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"),
+    ("R", "F"), ("R", "O"))
+  private val Epoch1995 = 788918400L // 1995-01-01T00:00:00Z, seconds
+
+  private def money(r: java.util.Random, lo: Double, hi: Double): Double =
+    math.rint((lo + r.nextDouble() * (hi - lo)) * 100.0) / 100.0
+  private def dayTs(r: java.util.Random, spanDays: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Epoch1995 + r.nextInt(spanDays).toLong * 86400L))
+
+  /** Generate the seven relational tables under `dir`, scaled from the
+    * driver sf0.1 cardinalities by `factor` (100 → customer 1.5M,
+    * orders 15M, lineitem 60M — exactly 4 lines per order, FK-valid
+    * by construction). */
+  def generateRelational(spark: SparkSession, dir: String,
+      factor: Long): Unit = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val (nCust, nSupp, nPart, nOrd) =
+      (15000L * factor, 1000L * factor, 20000L * factor, 150000L * factor)
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+      (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/region.parquet")
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/nation.parquet")
+    spark.range(0, nCust, 1, par).as[Long].map { id =>
+      val r = new java.util.Random(id * 7919L + 1)
+      CustRow(id, f"Customer#$id%09d", r.nextInt(25),
+        money(r, -999.85, 9999.8), Segments(r.nextInt(5)))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+    spark.range(0, nSupp, 1, par).as[Long].map { id =>
+      val r = new java.util.Random(id * 6131L + 2)
+      SuppRow(id, f"Supplier#$id%09d", r.nextInt(25),
+        money(r, -999.0, 9999.0))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
+    spark.range(0, nPart, 1, par).as[Long].map { id =>
+      val r = new java.util.Random(id * 4253L + 3)
+      PartRow(id, s"${PColors(r.nextInt(PColors.size))} " +
+          s"${PNouns(r.nextInt(PNouns.size))}",
+        s"Brand#${r.nextInt(25) + 1}", PTypes(r.nextInt(PTypes.size)),
+        r.nextInt(50) + 1, money(r, 900.0, 999.9))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
+    spark.range(0, nOrd, 1, par).as[Long].map { id =>
+      val r = new java.util.Random(id * 104729L + 4)
+      OrderRow(id, r.nextInt(nCust.toInt).toLong,
+        Vector("O", "P", "F")(r.nextInt(3)), money(r, 1000.0, 500000.0),
+        dayTs(r, 2405), Priorities(r.nextInt(5)))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    spark.range(0, nOrd * 4, 1, par).as[Long].map { id =>
+      val r = new java.util.Random(id * 15485863L + 5)
+      val (rf, ls) = RfLs(r.nextInt(RfLs.size))
+      LineRow(id / 4, r.nextInt(nPart.toInt).toLong,
+        r.nextInt(nSupp.toInt).toLong, (id % 4).toInt + 1,
+        (r.nextInt(50) + 1).toDouble, money(r, 900.68, 104999.91),
+        r.nextInt(11) / 100.0, r.nextInt(9) / 100.0, rf, ls,
+        dayTs(r, 2500))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+  }
+
   def generateHot(spark: SparkSession, dir: String, nBase: Long,
       hotCopies: Long): Unit = {
     import spark.implicits._
