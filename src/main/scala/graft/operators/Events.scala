@@ -2653,7 +2653,11 @@ object Events {
       .withColumn("decile", expr("((rnk - 1) * 10) div n_users"))
       .groupBy(col("decile"), col("total_u"))
       .agg(count(lit(1)).as("n_users"), sum(col("ltv_u")).as("sum_value_u"))
-      .withColumn("share_u", expr("(1000000 * sum_value_u) div total_u"))
+      // all-zero-value corpus: a 0 grand total must report share 0, not
+      // divide by zero (ANSI Spark throws; DuckDB // 0 errors)
+      .withColumn("share_u",
+        when(col("total_u") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * sum_value_u) div total_u")))
       .select(col("decile"), col("n_users"), col("sum_value_u"),
         col("share_u"))
       .orderBy(col("decile"))
@@ -2674,7 +2678,8 @@ object Events {
        |  FROM ltv)
        |SELECT ((rnk - 1) * 10) // n_users AS decile,
        |  count(*) AS n_users, CAST(sum(ltv_u) AS BIGINT) AS sum_value_u,
-       |  (1000000 * CAST(sum(ltv_u) AS BIGINT)) // total_u AS share_u
+       |  CASE WHEN total_u = 0 THEN 0 ELSE
+       |    (1000000 * CAST(sum(ltv_u) AS BIGINT)) // total_u END AS share_u
        |FROM ranked
        |GROUP BY 1, total_u
        |ORDER BY decile""".stripMargin
@@ -2830,7 +2835,9 @@ object Events {
       .withColumn("total_u",
         sum(col("sum_value_u")).over(Window.partitionBy()))
       .withColumn("value_per_session_u", expr("sum_value_u div n_sessions"))
-      .withColumn("share_u", expr("(1000000 * sum_value_u) div total_u"))
+      .withColumn("share_u",
+        when(col("total_u") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * sum_value_u) div total_u")))
       .select(col("entry_type"), col("n_sessions"), col("sum_value_u"),
         col("value_per_session_u"), col("share_u"))
       .orderBy(col("share_u").desc, col("entry_type"))
@@ -2867,8 +2874,9 @@ object Events {
        |  FROM per GROUP BY 1)
        |SELECT entry_type, n_sessions, sum_value_u,
        |  sum_value_u // n_sessions AS value_per_session_u,
-       |  (1000000 * sum_value_u) //
-       |    (SELECT CAST(sum(sum_value_u) AS BIGINT) FROM agg) AS share_u
+       |  CASE WHEN (SELECT CAST(sum(sum_value_u) AS BIGINT) FROM agg) = 0
+       |    THEN 0 ELSE (1000000 * sum_value_u) //
+       |    (SELECT CAST(sum(sum_value_u) AS BIGINT) FROM agg) END AS share_u
        |FROM agg
        |ORDER BY share_u DESC, entry_type""".stripMargin
 

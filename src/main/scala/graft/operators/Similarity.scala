@@ -2855,7 +2855,10 @@ object Similarity {
           struct(col("cos_u"), negate(col("c_label"))), col("cos_u"), 2)
           .as("top"))
       .select(col("vec_id"), col("label"), col("pred"),
-        (element_at(col("top"), 1) - element_at(col("top"), 2))
+        // try_element_at: a single-class train half yields a 1-element
+        // heap; the margin is then NULL in BOTH engines (DuckDB's
+        // CASE rn=2 aggregate is NULL there), never an index error
+        expr("try_element_at(top, 1) - try_element_at(top, 2)")
           .as("margin_u"))
     per.groupBy(col("label"))
       .agg(count(lit(1)).as("n_test"),

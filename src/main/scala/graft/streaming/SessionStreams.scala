@@ -129,7 +129,9 @@ object SessionStreams {
       .withColumn("total_u", sum(col("sum_value_u")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("value_per_session_u", expr("sum_value_u div n_sessions"))
-      .withColumn("share_u", expr("(1000000 * sum_value_u) div total_u"))
+      .withColumn("share_u",
+        when(col("total_u") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * sum_value_u) div total_u")))
       .select(col("entry_type"), col("n_sessions"), col("sum_value_u"),
         col("value_per_session_u"), col("share_u"))
       .orderBy(col("share_u").desc, col("entry_type"))
