@@ -74,10 +74,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       "l_returnflag", "l_linestatus", "l_shipdate")
   }
 
-  test("q02: dimension joins are broadcast, never shuffled") {
+  test("q02: dimension joins are broadcast, never shuffled; the fact " +
+      "side aggregates PER ORDER before any join (eager-aggregation " +
+      "reassociation - measured x21.8 -> x4.8 at the 100x relational " +
+      "sweep)") {
     val p = plan("q02_revenue_by_nation")
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
+    // the 60M-row fact table never reaches a join un-aggregated
+    p should include("keys=[l_orderkey")
   }
 
   test("q05: six-way star join plans without a Cartesian product") {
