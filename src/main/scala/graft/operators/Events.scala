@@ -2748,12 +2748,22 @@ object Events {
     * histogram route is exact.
     *
     * Scale posture: the gap lag shares q201's type-partitioned window
-    * (and its documented segmented swap applies identically); the
-    * quantile cut rides the (type, gap) HISTOGRAM — q211/q212's
-    * measured scale-safe shape — never a rank over the gaps frame. */
+    * AND its production knob: `spark.graft.cadence.mode = segmented`
+    * partitions the lag by (type, UTC day) here exactly as in q201,
+    * dropping only the midnight-boundary gaps (one session conf moves
+    * both cadence readers together — a split-brain gap definition
+    * between the CV and its tail table would be worse than either
+    * mode); the quantile cut rides the (type, gap) HISTOGRAM —
+    * q211/q212's measured scale-safe shape — never a rank over the
+    * gaps frame. Default exact, oracle-pinned. */
   private def q223(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
+    val w =
+      if (cadenceSegmented(spark))
+        Window.partitionBy(col("event_type"), expr("ts_s div 86400"))
+          .orderBy(col("ts"), col("event_id"))
+      else
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
     val gaps = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("ts"))
       .withColumn("ts_s", col("ts").cast(LongType))

@@ -45,5 +45,20 @@ class CadenceModeSpec extends AnyFunSuite with SparkSpec with Matchers {
       val e = intercept[IllegalArgumentException] { run() }
       e.getMessage should include(Events.CadenceModeConf)
     } finally spark.conf.unset(Events.CadenceModeConf)
+
+    // ONE conf moves BOTH cadence readers: the q223 tail table drops
+    // the same midnight gap under segmented mode (a split-brain gap
+    // definition between the CV and its tails would be worse than
+    // either mode).
+    def tails(): (Long, Long) = {
+      val rows = SparkEntry.queries("q223_gap_tail_quantiles")(spark, dir)
+        .collect()
+      (rows.head.getLong(3), rows.map(_.getLong(2)).max)
+    }
+    tails() shouldBe ((3L, 28800L)) // exact: 3 gaps, max 28800 s
+    spark.conf.set(Events.CadenceModeConf, "segmented")
+    try {
+      tails() shouldBe ((2L, 28800L)) // midnight gap dropped here too
+    } finally spark.conf.unset(Events.CadenceModeConf)
   }
 }
