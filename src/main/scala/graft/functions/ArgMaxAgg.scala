@@ -119,13 +119,20 @@ object ArgMax {
 
 object ArgMaxAgg {
   /** Column API: `graft_argmax(ord, value)` → the `value` of the row
-    * with the greatest `ord` (ties: first seen — make `ord` unique). */
-  def argMax(ord: Column, value: Column): Column =
+    * with the greatest `ord` (ties: first seen — make `ord` unique).
+    * Self-registering — see [[TopKAgg.topK]]'s note. */
+  def argMax(ord: Column, value: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(VectorExprs.ensureRegistered)
     call_function("graft_argmax", ord, value)
+  }
 
   /** `graft_argmin(ord, value)` — smallest `ord` wins. A separate
     * function (not `argMax(negate(ord))`) because ordering keys like
     * timestamps and strings have no negation. */
-  def argMin(ord: Column, value: Column): Column =
+  def argMin(ord: Column, value: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(VectorExprs.ensureRegistered)
     call_function("graft_argmin", ord, value)
+  }
 }

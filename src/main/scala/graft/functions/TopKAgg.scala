@@ -154,7 +154,14 @@ object TopK {
 object TopKAgg {
   /** Column API: `graft_topk(ord, value, k)` → array of the `value`s of
     * the k greatest-`ord` rows, best first (ties: arbitrary — make `ord`
-    * unique per group, e.g. `struct(score, -id)`). */
-  def topK(ord: Column, value: Column, k: Int): Column =
+    * unique per group, e.g. `struct(score, -id)`). Self-registering:
+    * `call_function` resolves through the ACTIVE session's function
+    * registry, which a bare `newSession()` (no GraftExtensions) starts
+    * empty — every call site registering by hand proved forgettable
+    * (the whole-surface plan census caught two misses). */
+  def topK(ord: Column, value: Column, k: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(VectorExprs.ensureRegistered)
     call_function("graft_topk", ord, value, lit(k))
+  }
 }

@@ -279,6 +279,7 @@ object Relational {
     * one oracle. */
   private def q134(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKAgg
+    graft.functions.VectorExprs.ensureRegistered(spark)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .groupBy(col("o_custkey"))

@@ -2839,6 +2839,7 @@ object Similarity {
     * TopK, map-side combine — never a corpus window); the scorecard
     * re-aggregate is labels-sized. */
   private def q209(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
     val emb = scaledEmb(spark, dir)
     val cent = centroids(emb.filter(col("vec_id") % 2 === 0))
     val per = emb.filter(col("vec_id") % 2 === 1)

@@ -626,15 +626,25 @@ object TextAnalysis {
     * anchored by this exact form (the q51 pattern). */
   private def q62(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def prof(c: String): DataFrame =
-      docs.agg(
+    // count-distinct SPLIT from the min/max(string) fold: combined,
+    // Spark's two-phase distinct rewrite groups phase 1 by the
+    // column's VALUES, and the string min/max buffers demote that
+    // corpus-keyed aggregate to SortAggregate — the whole-surface
+    // census caught q62 sorting the corpus by doc_id. Split, the
+    // distinct phase stays HashAggregate and the min/max fold is a
+    // grouping-free (sort-free) single pass; the 1×1 join is a
+    // broadcast of one row.
+    def prof(c: String): DataFrame = {
+      val basic = docs.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
         min(col(c)).cast("string").as("min_val"),
         max(col(c)).cast("string").as("max_val"))
+      val nd = docs.agg(countDistinct(col(c)).as("n_distinct"))
+      basic.crossJoin(broadcast(nd))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
+    }
     Seq("doc_id", "lang", "source", "n_chars")
       .map(prof).reduce(_ union _)
       .orderBy(col("col_name"))

@@ -41,8 +41,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       : org.apache.spark.sql.execution.SparkPlan = {
     val s = spark.newSession()
     s.conf.set(Features.CacheModeConf, "off")
+    // a bare newSession starts with an empty custom-function registry;
+    // queries self-register against their OWN session, and setActive
+    // covers any helper that resolves through the active one
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
     try SparkEntry.queries(name)(s, coldDir).queryExecution.sparkPlan
-    finally Features.clear(s)
+    finally {
+      Features.clear(s)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
   }
 
   private def treeCount(p: org.apache.spark.sql.execution.SparkPlan,
@@ -1045,6 +1052,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
         treeHas(freshTree(q), "CartesianProduct") shouldBe false
       }
     }
+  }
+
+  test("WHOLE SURFACE: no query plans a CartesianProduct or a GROUPED " +
+      "SortAggregate (a keyed SortAggregate sorts its whole input — the " +
+      "q122-class hazard; global string-buffer folds like q62's are " +
+      "sort-free and exempt)") {
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    val offendersCart = scala.collection.mutable.ListBuffer.empty[String]
+    val offendersSort = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = freshTree(name)
+      if (p.collect { case n if n.nodeName.contains("CartesianProduct") => n }
+          .nonEmpty) offendersCart += name
+      if (p.collect { case n: SortAggregateExec
+          if n.groupingExpressions.nonEmpty => n }.nonEmpty)
+        offendersSort += name
+    }
+    withClue("CartesianProduct plans: ") { offendersCart shouldBe empty }
+    withClue("grouped SortAggregate plans: ") { offendersSort shouldBe empty }
   }
 
   test("q27: the classify projection runs inside whole-stage codegen") {
