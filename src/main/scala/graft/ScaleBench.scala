@@ -369,7 +369,7 @@ object ScaleBench {
       // driver events table, staged time-range-partitioned so
       // micro-batches approximate arrival order; boundary disorder is
       // MEASURED, not hidden — the late-marker counts ship in the line.
-      import graft.streaming.{EventStreams, GrowthStreams, TransitionStreams}
+      import graft.streaming.{EventStreams, GrowthStreams, SessionStreams, TransitionStreams}
       import spark.implicits._
       val evStage = s"$out/stream_events_$batches"
       if (!Files.exists(Paths.get(evStage)))
@@ -794,7 +794,7 @@ object ScaleBench {
       // Streaming monitors at 100× state cardinality: same staging and
       // drive discipline as the `streaming` phase (time-range-
       // partitioned files, one micro-batch each).
-      import graft.streaming.{EventStreams, GrowthStreams, TransitionStreams}
+      import graft.streaming.{EventStreams, GrowthStreams, SessionStreams, TransitionStreams}
       import spark.implicits._
       val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
       val evStage = s"$out/stream_ev100_$batches"
@@ -825,13 +825,19 @@ object ScaleBench {
         GrowthStreams.dayClasses(evSrc()).toDF().writeStream
           .outputMode("append")
           .foreachBatch((b: DataFrame, id: Long) => cb(b, id)).start())
+      val (sSec, sRows) = driveEv(cb =>
+        SessionStreams.closedSessions(evSrc()).toDF().writeStream
+          .outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) => cb(b, id)).start())
       println(
         s"""{"metric":"streaming_events_100x","in_rows":$evRows,""" +
           s""""batches":$batches,""" +
           s""""transition_monitor":{"sec":${f2(tSec)},"out_rows":$tRows,""" +
           s""""rows_per_sec":${f2(evRows / tSec)}},""" +
           s""""growth_monitor":{"sec":${f2(gSec)},"out_rows":$gRows,""" +
-          s""""rows_per_sec":${f2(evRows / gSec)}}}""")
+          s""""rows_per_sec":${f2(evRows / gSec)}},""" +
+          s""""session_panel":{"sec":${f2(sSec)},"out_rows":$sRows,""" +
+          s""""rows_per_sec":${f2(evRows / sSec)}}}""")
     }
     Features.clear(spark)
     spark.stop()

@@ -101,7 +101,15 @@ object SessionStreams {
       state.update(s)
       // Close once the watermark proves no in-gap event can arrive:
       // the horizon is second-granular like the gap rule itself.
-      state.setTimeoutTimestamp((secOf(s.endUs) + 1800L + 1L) * 1000L)
+      // Clamped to watermark+1: under cross-batch disorder (staged
+      // files arriving out of time order — measured on the 100×
+      // staged corpus) a late batch can carry a session whose horizon
+      // the watermark has ALREADY passed; Spark rejects a timeout
+      // before the watermark, and the clamp makes that session close
+      // on the very next batch instead of crashing the query.
+      val horizon = (secOf(s.endUs) + 1800L + 1L) * 1000L
+      state.setTimeoutTimestamp(
+        math.max(horizon, state.getCurrentWatermarkMs() + 1L))
     }
     closed.reverseIterator
   }
