@@ -139,7 +139,7 @@ object ScaleBench {
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
     "q04_priority_exists", "q05_local_supplier", "q06_forecast_revenue",
     "q07_window_topk", "q08_running_total", "q09_segment_stats",
-    "q134_topk_agg")
+    "q134_topk_agg", "q230_trailing_revenue", "q231_fk_orphans")
 
   /** Everything else (round-5 verdict task 5: the full 98-query surface
     * needs scale evidence, not just the doc/embedding + q01-q09 subset):
@@ -723,7 +723,8 @@ object ScaleBench {
         "q10_no_bigorder_anti", "q11_rollup_flags", "q12_priority_case",
         "q13_order_count_dist", "q14_promo_share", "q15_top_supplier",
         "q16_supplier_cnt", "q17_small_qty_rev", "q18_large_orders",
-        "q19_band_join", "q47_set_ops", "q48_date_math", "q49_salted_agg")
+        "q19_band_join", "q47_set_ops", "q48_date_math", "q49_salted_agg",
+        "q230_trailing_revenue", "q231_fk_orphans")
       def sweepRel(dir: String): Map[String, Double] = {
         val passes = (1 to 2).map(_ =>
           relNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))

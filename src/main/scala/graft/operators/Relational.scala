@@ -686,7 +686,109 @@ object Relational {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q230
+  /** 7-DAY TRAILING REVENUE — the RANGE-frame window the suite's other
+    * windows don't exercise: daily order totals, then a sum over
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on the epoch-day
+    * VALUE — a value frame, not a row frame, so days absent from the
+    * data contribute nothing and a 7-calendar-day trailing figure is
+    * exact even over sparse calendars (q08's running total is the
+    * unbounded row frame; this is the bounded value frame every
+    * revenue dashboard's trailing-week tile needs).
+    *
+    * Determinism: day = epoch-day floor of o_orderdate; daily totals
+    * exact DECIMAL(18,4)·10⁴ int64 units (q217's recipe), so the
+    * trailing sum is an exact int64 — no float window accumulation.
+    *
+    * Scale posture: one partial-aggregable daily aggregate (the
+    * corpus never enters the window — ≤ span-days rows do), then one
+    * value-frame window over that bounded frame; report span-days
+    * rows. */
+  private def q230(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      // orders parquet reads as TIMESTAMP_NTZ; the session runs UTC so
+      // the NTZ->TZ cast is value-preserving (Tables.events' rationale)
+      .groupBy(expr(
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400").as("day"))
+      .agg((sum(dec(col("o_totalprice"))) * lit(10000)).cast("long")
+        .as("revenue_u"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6L, 0L)
+    daily
+      .withColumn("trailing7_u", sum(col("revenue_u")).over(w))
+      .select(col("day"), col("n_orders"), col("revenue_u"),
+        col("trailing7_u"))
+      .orderBy(col("day"))
+  }
+
+  private val q230Sql =
+    s"""WITH daily AS (
+       |  SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+       |      o_orderdate) // 86400 AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |      AS revenue_u,
+       |    count(*) AS n_orders
+       |  FROM orders GROUP BY 1)
+       |SELECT day, n_orders, revenue_u,
+       |  CAST(sum(revenue_u) OVER (ORDER BY day
+       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS trailing7_u
+       |FROM daily
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q231
+  /** REFERENTIAL-INTEGRITY AUDIT — orphan counts for every foreign-key
+    * relationship in the star schema (orders→customer, lineitem→orders,
+    * lineitem→part, lineitem→supplier): the warehouse load check that
+    * runs after every ingest, where a nonzero row means a broken ETL
+    * upstream. Honest zeros on a consistent corpus ARE the release
+    * evidence (q219's posture); q97 audits the doc↔embedding twin —
+    * this is the relational family's own.
+    *
+    * Scale posture: four LEFT ANTI joins, each keyed on its FK with
+    * the dimension side broadcast-able (customer/part/supplier) or
+    * key-aligned (orders); each collapses to one count — no orphan
+    * rows ever reach the driver. */
+  private def q231(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val or = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame,
+        pk: String): DataFrame =
+      fact.select(col(fk)).join(dim.select(col(pk)),
+        col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+    val legs = Seq(
+      ("orders->customer",
+        orphans(or, "o_custkey", Tables.customer(spark, dir), "c_custkey")),
+      ("lineitem->orders",
+        orphans(li, "l_orderkey", or, "o_orderkey")),
+      ("lineitem->part",
+        orphans(li, "l_partkey", Tables.part(spark, dir), "p_partkey")),
+      ("lineitem->supplier",
+        orphans(li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey")))
+    legs.map { case (name, df) =>
+      df.select(lit(name).as("relationship"), col("n_orphans"))
+    }.reduce(_ union _).orderBy(col("relationship"))
+  }
+
+  private val q231Sql =
+    s"""SELECT 'orders->customer' AS relationship, count(*) AS n_orphans
+       |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       |UNION ALL
+       |SELECT 'lineitem->orders', count(*)
+       |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       |UNION ALL
+       |SELECT 'lineitem->part', count(*)
+       |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+       |UNION ALL
+       |SELECT 'lineitem->supplier', count(*)
+       |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+       |ORDER BY relationship""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q230_trailing_revenue" -> (q230 _),
+    "q231_fk_orphans" -> (q231 _),
     "q01_pricing_summary"   -> (q01 _),
     "q02_revenue_by_nation" -> (q02 _),
     "q03_shipping_priority" -> (q03 _),
@@ -712,6 +814,8 @@ object Relational {
     "q49_salted_agg"        -> (q49 _))
 
   val oracles: Map[String, String] = Map(
+    "q230_trailing_revenue" -> q230Sql,
+    "q231_fk_orphans" -> q231Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

@@ -1073,6 +1073,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     withClue("grouped SortAggregate plans: ") { offendersSort shouldBe empty }
   }
 
+  test("q230/q231: the RANGE window rides the daily aggregate (never " +
+      "the orders scan) and the orphan audit plans four anti joins") {
+    val t = freshTree("q230_trailing_revenue")
+    val win = t.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    win should not be empty
+    win.foreach { w =>
+      w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.isDefined shouldBe true
+    }
+    val o = freshTree("q231_fk_orphans")
+    val anti = o.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftAnti" => j }
+    anti.size shouldBe 4
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
