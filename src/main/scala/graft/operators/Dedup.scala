@@ -1858,17 +1858,14 @@ object Dedup {
     *
     * Scale posture: rides the session-memoized `ccLabels` (the
     * membership probe is a left join against the labels-sized id
-    * set); the per-source rank window has the q125 low-cardinality
-    * caveat (documented approx swap); the report is ≤ 10·|sources|
-    * rows. */
+    * set); the decile cut is [[Features.ingestDecile]] — exact
+    * per-source rank window by default (oracle-pinned; q125
+    * low-cardinality caveat), the broadcast `percentile_approx`
+    * thresholds under `spark.graft.quantiles.mode=approx` (no rank
+    * window at any feed size); the report is ≤ 10·|sources| rows. */
   private def q220(spark: SparkSession, dir: String): DataFrame = {
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val ranked = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"))
-      .withColumn("rnk", row_number().over(wSrc).cast("long"))
-      .withColumn("n_src",
-        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
-      .withColumn("decile", expr("((rnk - 1) * 10) div n_src"))
+    val ranked = Features.ingestDecile(
+      Tables.documents(spark, dir).select(col("source"), col("doc_id")))
     val dupIds = ccLabels(spark, dir).select(col("id")).distinct()
     ranked.join(dupIds, ranked("doc_id") === dupIds("id"), "left")
       .withColumn("is_dup", col("id").isNotNull)

@@ -2636,23 +2636,48 @@ object Events {
     * micro floor-div against the int64 grand total.
     *
     * Scale posture: per-user sums partial-aggregable; the rank window
-    * is global over the USERS-sized frame (q61's exact-quantile
-    * caveat past users ≫ memory, same documented approx swap); the
-    * report is 10 rows. */
+    * is global over the USERS-sized frame, kept EXACT by default
+    * because the oracle pins per-decile membership; under
+    * `spark.graft.quantiles.mode=approx` ([[Features.QuantileModeConf]],
+    * the q106/q109/q150 discipline) the single-task global sort is
+    * replaced by ONE `percentile_approx` aggregate whose nine decile
+    * thresholds broadcast back — no global window, bounded memory at
+    * any user count (boundary ties then land in the lower-value
+    * decile, the documented jitter `QuantileModeSpec` grades); the
+    * report is 10 rows either way. */
   private def q217(spark: SparkSession, dir: String): DataFrame = {
     val ltv = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg((sum(dec(col("value"))) * lit(10000)).cast(LongType).as("ltv_u"))
-    val wRank = Window.orderBy(col("ltv_u").desc, col("user_id"))
-    ltv
-      .withColumn("rnk", row_number().over(wRank).cast(LongType))
-      .withColumn("n_users",
-        count(lit(1)).over(Window.partitionBy()).cast(LongType))
-      .withColumn("total_u",
-        sum(col("ltv_u")).over(Window.partitionBy()))
-      .withColumn("decile", expr("((rnk - 1) * 10) div n_users"))
-      .groupBy(col("decile"), col("total_u"))
+    val deciled =
+      if (!Features.approxQuantiles(spark)) {
+        val wRank = Window.orderBy(col("ltv_u").desc, col("user_id"))
+        ltv
+          .withColumn("rnk", row_number().over(wRank).cast(LongType))
+          .withColumn("n_users",
+            count(lit(1)).over(Window.partitionBy()).cast(LongType))
+          .withColumn("decile", expr("((rnk - 1) * 10) div n_users"))
+      } else {
+        // The documented 100 TB swap: nine ascending thresholds
+        // (p10..p90) in one aggregate row, broadcast back. Descending
+        // deciles ⇒ above p90 is the top decile 0.
+        val thr = ltv.agg(percentile_approx(col("ltv_u"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("t"))
+        // foldLeft wraps the LAST iteration outermost, so i = 9 (the
+        // p90 check, decile 0) must come last to be tested first.
+        val d = (1 to 9).foldLeft(lit(9L)) { (acc, i) =>
+          when(col("ltv_u") > element_at(col("t"), i), lit((9 - i).toLong))
+            .otherwise(acc)
+        }
+        ltv.crossJoin(broadcast(thr)).withColumn("decile", d)
+      }
+    deciled
+      .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("ltv_u")).as("sum_value_u"))
+      // the grand total now rides the ≤10-row aggregated frame, never a
+      // users-frame global window
+      .withColumn("total_u",
+        sum(col("sum_value_u")).over(Window.partitionBy()))
       // all-zero-value corpus: a 0 grand total must report share 0, not
       // divide by zero (ANSI Spark throws; DuckDB // 0 errors)
       .withColumn("share_u",

@@ -246,6 +246,45 @@ object Features {
         s"$QuantileModeConf must be 'exact' or 'approx', got '$other'")
     }
 
+  /** PER-SOURCE INGEST-ORDER DECILE — the shared stage under q220's
+    * dup-trend and q227's quality-trend (and any other "over ingest
+    * order" read): ranks `df`'s rows per `source` by `doc_id` and cuts
+    * ten equal-population deciles. Exact mode (default, oracle-pinned)
+    * is the `((rnk−1)·10) div n` rank-window recipe — per-source
+    * partitions, the documented q125 low-cardinality caveat (a
+    * 10¹¹-doc feed is ONE sort task). Under
+    * `spark.graft.quantiles.mode=approx` ([[QuantileModeConf]]) the
+    * window is replaced by one per-source `percentile_approx(doc_id)`
+    * aggregate (|sources| rows) broadcast back — no rank window at any
+    * feed size; boundary docs land in the lower decile (the documented
+    * jitter `QuantileModeSpec` grades). Input must carry `source` and
+    * `doc_id`; output adds `decile`. */
+  def ingestDecile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!approxQuantiles(spark)) {
+      import org.apache.spark.sql.expressions.Window
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      df.withColumn("rnk", row_number().over(wSrc).cast("long"))
+        .withColumn("n_src",
+          count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n_src"))
+        .drop("rnk", "n_src")
+    } else {
+      val thr = df.groupBy(col("source").as("thr_source"))
+        .agg(percentile_approx(col("doc_id"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("t"))
+      // foldLeft wraps the LAST iteration outermost: i = 9 (the p90
+      // check, decile 9) is tested first; at or below p10 ⇒ decile 0.
+      val d = (1 to 9).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("doc_id") > element_at(col("t"), i), lit(i.toLong))
+          .otherwise(acc)
+      }
+      df.join(broadcast(thr), col("source") === col("thr_source"))
+        .withColumn("decile", d)
+        .drop("thr_source", "t")
+    }
+  }
+
   /** Session conf selecting q131's frozen vocabulary source: `topk`
     * (default — the corpus' own top-[[TextAnalysis.VocabTopK]] tokens,
     * the oracle-pinned head) or `bpe` — the vocabulary TRAINED by

@@ -4341,7 +4341,11 @@ object TextAnalysis {
         sum(when(col("first_rnk") <= expr("(n_docs + 1) div 2"), 1L)
           .otherwise(0L)).as("vocab_half"))
       .withColumn("growth_u",
-        expr("(1000000 * (vocab_full - vocab_half)) div vocab_half"))
+        // Guard: a source whose first-half documents are all token-free
+        // has vocab_half = 0 — non-ANSI div would yield NULL here while
+        // the DuckDB oracle's `// 0` errors (ADVICE r13).
+        when(col("vocab_half") === 0L, lit(0L)).otherwise(
+          expr("(1000000 * (vocab_full - vocab_half)) div vocab_half")))
       .select(col("source"), col("n_docs"), col("vocab_half"),
         col("vocab_full"), col("growth_u"))
       .orderBy(col("growth_u").desc, col("source"))
@@ -4364,11 +4368,13 @@ object TextAnalysis {
        |  CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
        |    THEN 1 ELSE 0 END) AS BIGINT) AS vocab_half,
        |  count(*) AS vocab_full,
-       |  (1000000 * (count(*) -
+       |  CASE WHEN CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
+       |      THEN 1 ELSE 0 END) AS BIGINT) = 0 THEN 0
+       |  ELSE (1000000 * (count(*) -
        |    CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
        |      THEN 1 ELSE 0 END) AS BIGINT))) //
        |    CAST(sum(CASE WHEN f.first_rnk <= (n.n_docs + 1) // 2
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS growth_u
+       |      THEN 1 ELSE 0 END) AS BIGINT) END AS growth_u
        |FROM fs f JOIN nd n ON f.source = n.source
        |GROUP BY 1, 2
        |ORDER BY growth_u DESC, f.source""".stripMargin
@@ -4502,18 +4508,26 @@ object TextAnalysis {
       // is then absent from every source too — 0/0 guarded to 0)
       when(c === 0L, lit(0.0)).otherwise((ps - pc) * (ps - pc) / pc)
     }
+    // Guard the n_chars = 0 degenerate (a source of all-empty texts):
+    // its shares are defined 0 and its chi-square 0 — without the guard
+    // Spark's 0.0/0.0 = NaN floors to NULL while DuckDB's CAST(NaN)
+    // errors, an engine divergence (ADVICE r13).
+    def shareU(n: String): Column =
+      when(col("n_chars") === 0L, lit(0L))
+        .otherwise(expr(s"(1000000 * $n) div n_chars"))
     perSrc.crossJoin(broadcast(corp))
       .withColumn("chi2_u",
-        floor(lit(1000000.0) *
-          (term(col("n_let"), col("c_let")) +
-            term(col("n_dig"), col("c_dig")) +
-            term(col("n_sp"), col("c_sp")) +
-            term(col("n_oth"), col("c_oth")))).cast("long"))
+        when(col("n_chars") === 0L, lit(0L)).otherwise(
+          floor(lit(1000000.0) *
+            (term(col("n_let"), col("c_let")) +
+              term(col("n_dig"), col("c_dig")) +
+              term(col("n_sp"), col("c_sp")) +
+              term(col("n_oth"), col("c_oth")))).cast("long")))
       .select(col("source"), col("n_chars"),
-        expr("(1000000 * n_let) div n_chars").as("letter_u"),
-        expr("(1000000 * n_dig) div n_chars").as("digit_u"),
-        expr("(1000000 * n_sp) div n_chars").as("space_u"),
-        expr("(1000000 * n_oth) div n_chars").as("other_u"),
+        shareU("n_let").as("letter_u"),
+        shareU("n_dig").as("digit_u"),
+        shareU("n_sp").as("space_u"),
+        shareU("n_oth").as("other_u"),
         col("chi2_u"))
       .orderBy(col("chi2_u").desc, col("source"))
   }
@@ -4545,15 +4559,20 @@ object TextAnalysis {
        |    CAST(sum(n_oth) AS BIGINT) AS c_oth
        |  FROM per_src2)
        |SELECT source, n_chars,
-       |  (1000000 * n_let) // n_chars AS letter_u,
-       |  (1000000 * n_dig) // n_chars AS digit_u,
-       |  (1000000 * n_sp) // n_chars AS space_u,
-       |  (1000000 * n_oth) // n_chars AS other_u,
-       |  CAST(floor(1000000.0 * (
+       |  CASE WHEN n_chars = 0 THEN 0
+       |    ELSE (1000000 * n_let) // n_chars END AS letter_u,
+       |  CASE WHEN n_chars = 0 THEN 0
+       |    ELSE (1000000 * n_dig) // n_chars END AS digit_u,
+       |  CASE WHEN n_chars = 0 THEN 0
+       |    ELSE (1000000 * n_sp) // n_chars END AS space_u,
+       |  CASE WHEN n_chars = 0 THEN 0
+       |    ELSE (1000000 * n_oth) // n_chars END AS other_u,
+       |  CASE WHEN n_chars = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 * (
        |    ${term("n_let", "c_let")} +
        |    ${term("n_dig", "c_dig")} +
        |    ${term("n_sp", "c_sp")} +
-       |    ${term("n_oth", "c_oth")})) AS BIGINT) AS chi2_u
+       |    ${term("n_oth", "c_oth")})) AS BIGINT) END AS chi2_u
        |FROM per_src2 CROSS JOIN corp
        |ORDER BY chi2_u DESC, source""".stripMargin
   }
@@ -4571,16 +4590,14 @@ object TextAnalysis {
     * (doc_id) total order; counts int64; rates micro floor-div.
     *
     * Scale posture: rides the q89 decision frame (memoized lmTable
-    * features); the rank window has the q125 low-cardinality caveat
-    * (documented swap); ≤ 10·|sources| rows. */
+    * features); the decile cut is [[Features.ingestDecile]] — exact
+    * per-source rank window by default (oracle-pinned; q125
+    * low-cardinality caveat), broadcast `percentile_approx` thresholds
+    * under `spark.graft.quantiles.mode=approx`; ≤ 10·|sources| rows. */
   private def q227(spark: SparkSession, dir: String): DataFrame = {
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
-      .select(col("source"), col("doc_id"), col("admit"))
-      .withColumn("rnk", row_number().over(wSrc).cast("long"))
-      .withColumn("n_src",
-        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
-      .withColumn("decile", expr("((rnk - 1) * 10) div n_src"))
+    Features.ingestDecile(
+      qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+        .select(col("source"), col("doc_id"), col("admit")))
       .groupBy(col("source"), col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("admit"), 1L).otherwise(0L)).as("n_admit"))

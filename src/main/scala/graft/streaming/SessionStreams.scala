@@ -24,11 +24,16 @@ import EventStreams.{toMicros, EventRow}
   * iterator runs). Cross-batch the feed is assumed batch-monotone per
   * user (the staging contract every monitor in this package documents);
   * a cross-batch late event that still lands within the open session's
-  * gap window MERGES into it — it can re-elect the entry if it precedes
-  * the session's current start in the total order — while one older
-  * than the gap window starts (and instantly isolates) its own session
-  * rather than silently disappearing. `SessionStreamsSpec` pins
-  * stream ≡ batch bit-equality on the per-session rows AND the matrix.
+  * gap window — bounded on BOTH sides of the session span ([[withinSpan]]:
+  * no earlier than `start − 1800 s`, no later than `end + 1800 s`) —
+  * MERGES into it and can re-elect the entry if it precedes the
+  * session's current start in the total order, while one older than the
+  * span's gap window closes instantly as its own isolated singleton
+  * rather than silently disappearing or corrupting the live session
+  * (flatMapGroupsWithState does not auto-drop below-watermark rows, so
+  * this path is reachable under cross-batch disorder).
+  * `SessionStreamsSpec` pins stream ≡ batch bit-equality on the
+  * per-session rows AND the matrix, plus the ancient-late-event case.
   *
   * Scale posture: state is ONE bounded record per user with an open
   * session (start/end micros + ids, two type strings, a count) —
@@ -58,6 +63,14 @@ object SessionStreams {
   private[streaming] def sameSession(endUs: Long, tUs: Long): Boolean =
     secOf(tUs) - secOf(endUs) <= 1800L
 
+  /** A cross-batch late event merges only if it lands within the gap
+    * window of the open session's SPAN — bounded on BOTH sides. Without
+    * the early bound, `sameSession(end, t)` is vacuously true for any
+    * t in the past, and an arbitrarily old late event would re-elect
+    * the entry and inflate n/value, breaking stream ≡ batch q208/q229. */
+  private[streaming] def withinSpan(s: OpenSession, tUs: Long): Boolean =
+    sameSession(s.endUs, tUs) && secOf(s.startUs) - secOf(tUs) <= 1800L
+
   /** Pure per-user transition — shared by the operator and the spec's
     * direct replay. */
   private[streaming] def advance(
@@ -81,7 +94,7 @@ object SessionStreams {
       val t = toMicros(e.ts)
       val vU = math.rint(e.value * 10000.0).toLong
       open match {
-        case Some(s) if sameSession(s.endUs, t) =>
+        case Some(s) if withinSpan(s, t) =>
           var s2 = s.copy(n = s.n + 1, valueU = s.valueU + vU)
           if (t < s.startUs || (t == s.startUs && e.event_id < s.startId))
             s2 = s2.copy(startUs = t, startId = e.event_id,
@@ -90,6 +103,13 @@ object SessionStreams {
             s2 = s2.copy(endUs = t, endId = e.event_id,
               exit = e.event_type)
           open = Some(s2)
+        case Some(s) if secOf(s.startUs) - secOf(t) > 1800L =>
+          // Cross-batch late event OLDER than the open session's gap
+          // window: it belongs to a session the watermark already proved
+          // over, so it closes instantly as its own isolated singleton;
+          // the open session — still live — is untouched.
+          closed ::= ClosedSession(userId, e.event_type, e.event_type,
+            1L, vU)
         case prev =>
           prev.foreach(s =>
             closed ::= ClosedSession(userId, s.entry, s.exit, s.n, s.valueU))

@@ -64,6 +64,73 @@ class QuantileModeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q217 approx: totals intact, ten deciles, value monotone down " +
+      "the decile ladder, per-decile population near n/10") {
+    import spark.implicits._
+    // sf0.01 here: sf0.001 has only 15 users, too few for population-
+    // jitter bounds to mean anything (a ±1 tie straddles ±33%).
+    val bigDir = "/root/testdata/sf0.01"
+    def report(mode: Option[String]) = {
+      val f = () => graft.operators.Events.queries("q217_ltv_deciles")(
+        spark, bigDir)
+        .select("decile", "n_users", "sum_value_u", "share_u")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      mode.fold(f())(m => withMode(m)(f()))
+    }
+    val exact = report(None)
+    val approx = report(Some("approx"))
+    approx.map(_._1) shouldBe exact.map(_._1) // deciles 0..9
+    approx.map(_._2).sum shouldBe exact.map(_._2).sum // every user binned
+    approx.map(_._3).sum shouldBe exact.map(_._3).sum // value mass intact
+    // per-decile mean LTV is monotone non-increasing down the ladder —
+    // thresholds partition by VALUE, so boundary jitter moves members
+    // between adjacent deciles but never reorders the ladder
+    val means = approx.map(r => r._3.toDouble / r._2)
+    means.sliding(2).foreach { case Array(hi, lo) =>
+      hi should be >= lo - 1e-9
+    }
+    // boundary jitter only: each decile within ±20% of the exact size
+    val n10 = exact.map(_._2).sum / 10.0
+    approx.foreach { case (_, n, _, _) =>
+      math.abs(n - n10) / n10 should be <= 0.2
+    }
+  }
+
+  test("q220/q227 approx (the shared ingestDecile stage): per-source " +
+      "totals intact, ten monotone deciles, counts near the exact size") {
+    import spark.implicits._
+    for ((qname, module) <- Seq(
+        "q220_dup_trend" -> Dedup.queries,
+        "q227_quality_trend" -> TextAnalysis.queries)) {
+      def report(mode: Option[String]) = {
+        val f = () => module(qname)(spark, dir)
+          .select(org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("decile"),
+            org.apache.spark.sql.functions.col("n_docs"))
+          .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        mode.fold(f())(m => withMode(m)(f()))
+      }
+      val exact = report(None)
+      val approx = report(Some("approx"))
+      withClue(s"$qname: ") {
+        // every doc still binned, per source
+        val eBySrc = exact.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        val aBySrc = approx.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        aBySrc.toMap shouldBe eBySrc.toMap
+        // ten deciles per source, each within ±25% of the exact tenth
+        approx.groupBy(_._1).foreach { case (src, rows) =>
+          rows.map(_._2).sorted shouldBe (0L to 9L)
+          val tenth = eBySrc(src) / 10.0
+          rows.foreach { case (_, _, n) =>
+            withClue(s"source $src: ") {
+              math.abs(n - tenth) / tenth should be <= 0.25
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("unknown quantile mode rejects loudly") {
     intercept[IllegalArgumentException] {
       withMode("fuzzy") {

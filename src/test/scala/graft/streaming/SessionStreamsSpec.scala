@@ -157,6 +157,45 @@ class SessionStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("a cross-batch late event older than the open session's gap " +
+      "window isolates as its own closed singleton; the live session " +
+      "keeps its entry, count, and value") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L
+    def ev(id: Long, offsetMs: Long, tpe: String): EventRow =
+      EventRow(id, new Timestamp(t0 + offsetMs), 11L, tpe, 1.0, "{}")
+    val in = MemoryStream[EventRow]
+    val q = closedSessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 opens a session at t0+3h (view → click); the 1 h
+      // watermark delay puts the watermark at start − 3540 s
+      in.addData(ev(10, 10800000, "view"), ev(11, 10860000, "click"))
+      q.processAllAvailable()
+      // batch 2 carries a late event 2400 s before the open session's
+      // start: ABOVE the watermark (so Spark's own late-row filter lets
+      // it through to the state function) yet older than the session's
+      // gap window (start − 1800 s) — it must close instantly as its
+      // own bounce, NOT merge, NOT re-elect the entry
+      in.addData(ev(9, 10800000 - 2400000, "error"))
+      q.processAllAvailable()
+      val mid = spark.table("sessions_late").as[ClosedSession].collect()
+      mid.toSeq shouldBe Seq(ClosedSession(11L, "error", "error", 1L, 10000L))
+      // batch 3 extends the live session, then the sentinel flushes it:
+      // entry is still the original view, n counts only the 3 live events
+      in.addData(ev(12, 10920000, "purchase"))
+      in.addData(flushSentinel(new Timestamp(t0 + 11000000L)))
+      q.processAllAvailable()
+      val all = spark.table("sessions_late").as[ClosedSession].collect()
+        .filter(_.user_id >= 0L)
+      all.length shouldBe 2
+      val live = all.find(_.entry_type == "view").get
+      live shouldBe ClosedSession(11L, "view", "purchase", 3L, 30000L)
+    } finally q.stop()
+  }
+
   test("checkpointed session stream killed and restarted mid-ingest " +
       "closes every session exactly once, bit-equal to batch q208/q229") {
     import spark.implicits._
