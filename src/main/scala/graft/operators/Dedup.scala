@@ -3823,22 +3823,25 @@ object Dedup {
     * hex in both engines); run boundaries are integer lag compares;
     * all counts exact int64, rates integer `div`.
     *
-    * Scale posture: one narrow (doc_id, source, md5) scan, then
-    * per-source ordered windows (lag + running break-sum — Spark plans
-    * both in ONE window node, one shuffle keyed by source). Crawl
-    * partitions by source exactly like q25's sessionize partitions by
-    * user — at 100 TB a hot source additionally splits by ingest-day
-    * shard, which preserves run detection except across shard seams.
-    * The run re-aggregates are (source, run)-keyed and partial-
+    * Scale posture: one narrow (doc_id, source, md5) scan, then the
+    * SHARD-STITCHED lag + two-phase running break-sum
+    * ([[Features.shardedLag]]/[[Features.shardedPrefixSum]]): each
+    * shard's first row compares against the previous shard's last
+    * fingerprint via a bounded edges frame, so run detection is exact
+    * ACROSS shard seams and no sort task ever exceeds one shard —
+    * bit-identical to the per-source global windows they replace. The
+    * run re-aggregates are (source, run)-keyed and partial-
     * aggregable; output is sources-sized. */
   private def q180(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val runs = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), md5(col("text")).as("fp"))
+    val shard = expr(s"doc_id div ${Features.PrefixShardSize}")
+    val lagged = Features.shardedLag(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("fp")),
+      Seq("source"), shard, col("doc_id"), col("fp"), "prev_fp")
       .withColumn("brk",
-        when(lag(col("fp"), 1).over(w) === col("fp"), 0L).otherwise(1L))
-      .withColumn("run_id", sum(col("brk")).over(wCum))
+        when(col("prev_fp") === col("fp"), 0L).otherwise(1L))
+    val runs = Features.shardedPrefixSum(lagged, Seq("source"), shard,
+        Seq(col("doc_id")), col("brk"), "run_id", inclusive = true)
       .groupBy(col("source"), col("run_id"))
       .agg(count(lit(1)).as("run_len"))
     runs.groupBy(col("source"))

@@ -334,6 +334,105 @@ object Features {
         s"$CompressionGateConf must be 'on' or 'off', got '$other'")
     }
 
+  // ------------------------------------------------------------------
+  // DISTRIBUTED (TWO-PHASE) ORDER STATISTICS — exact replacements for
+  // per-source rank / prefix-sum / lag windows over corpus-sized
+  // inputs. A window partitioned only by `source` concentrates
+  // O(corpus/|sources|) rows into one sort task (the q211/q217 class
+  // the 100× sweep measured at ×14–×30); these helpers split the same
+  // computation into (1) an ORDER-ALIGNED shard key, (2) per-shard
+  // aggregates cumulated by a window over the |sources|×|shards|
+  // AGGREGATED frame (bounded whatever the corpus size), broadcast
+  // back, and (3) a per-(source, shard) window whose sort task is at
+  // most one shard. The result is BIT-IDENTICAL to the global window —
+  // the classic parallel prefix-sum, not an approximation — so the
+  // oracle-pinned defaults can run it unconditionally.
+  //
+  // Correctness requirement: `bucket` must be monotone non-decreasing
+  // along `order` within each partition group (doc_id div N for
+  // ingest-ordered reads; value div W for value-ranked reads — ties on
+  // the value stay inside one bucket, so the doc_id tie-break remains
+  // intra-shard). `ShardedPrefixSpec` pins equality against the global
+  // windows at shard sizes that force many shards.
+
+  /** Default order-shard width for ingest-ordered (doc_id) reads: at
+    * 100 TB a shard is ~64k rows per sort task; the offsets frame is
+    * |sources| × |shards| rows — KBs per billion docs. */
+  val PrefixShardSize: Long = 65536L
+
+  /** Exclusive (default) or inclusive running sum of `value` per
+    * `part` group along `order`, as `out` (long). Phase 1 aggregates
+    * per (part, bucket); phase 2 cumulates bucket totals in a window
+    * over that bounded frame; phase 3 adds the intra-bucket running
+    * sum. `value` must be non-null. */
+  def shardedPrefixSum(df: DataFrame, part: Seq[String],
+      bucket: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column, out: String,
+      inclusive: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__ps_b", bucket)
+      .withColumn("__ps_v", value.cast(LongType))
+    val totals = b.groupBy((part.map(col) :+ col("__ps_b")): _*)
+      .agg(sum(col("__ps_v")).as("__ps_tot"))
+    val wB = Window.partitionBy(part.map(col): _*).orderBy(col("__ps_b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offs = totals
+      .withColumn("__ps_off", sum(col("__ps_tot")).over(wB) - col("__ps_tot"))
+      .drop("__ps_tot")
+    val wIn = Window.partitionBy((part.map(col) :+ col("__ps_b")): _*)
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = col("__ps_off") + sum(col("__ps_v")).over(wIn) -
+      (if (inclusive) lit(0L) else col("__ps_v"))
+    b.join(broadcast(offs), part :+ "__ps_b")
+      .withColumn(out, cum)
+      .drop("__ps_b", "__ps_v", "__ps_off")
+  }
+
+  /** `row_number()` per `part` group along `order`, as `out` (long,
+    * 1-based) — [[shardedPrefixSum]] of 1s, inclusive. `order` must be
+    * a total order within each group (append the unique doc_id). */
+  def shardedRowNumber(df: DataFrame, part: Seq[String],
+      bucket: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column], out: String): DataFrame =
+    shardedPrefixSum(df, part, bucket, order, lit(1L), out,
+      inclusive = true)
+
+  /** `lag(value, 1)` per `part` group along `orderCol`, as `out`:
+    * within-shard lag, with each shard's FIRST row stitched to the
+    * previous non-empty shard's LAST value via a bounded edges frame.
+    * The edges build is `max(orderCol)` per shard (long buffer —
+    * hash-aggregable; a `max_by(value, order)` would carry the value
+    * in the buffer and demote to the q122-class grouped SortAggregate
+    * when it is a string) joined back to fetch the value at that
+    * order key. `value` must be non-null (the stitch uses coalesce to
+    * detect shard heads); the group's first row gets null, like the
+    * window it replaces. */
+  def shardedLag(df: DataFrame, part: Seq[String],
+      bucket: org.apache.spark.sql.Column,
+      orderCol: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__sl_b", bucket)
+      .withColumn("__sl_v", value).withColumn("__sl_o", orderCol)
+    val lastIds = b.groupBy((part.map(col) :+ col("__sl_b")): _*)
+      .agg(max(col("__sl_o")).as("__sl_o"))
+    val edges = b
+      .join(broadcast(lastIds), part ++ Seq("__sl_b", "__sl_o"))
+      .select((part.map(col) :+ col("__sl_b") :+
+        col("__sl_v").as("__sl_last")): _*)
+    val wE = Window.partitionBy(part.map(col): _*).orderBy(col("__sl_b"))
+    val prev = edges
+      .withColumn("__sl_prev", lag(col("__sl_last"), 1).over(wE))
+      .drop("__sl_last")
+    val wIn = Window.partitionBy((part.map(col) :+ col("__sl_b")): _*)
+      .orderBy(col("__sl_o"))
+    b.join(broadcast(prev), part :+ "__sl_b")
+      .withColumn(out,
+        coalesce(lag(col("__sl_v"), 1).over(wIn), col("__sl_prev")))
+      .drop("__sl_b", "__sl_v", "__sl_o", "__sl_prev")
+  }
+
   /** Unpersist and forget the frames registered by ONE session — a
     * session's teardown must not evict caches that a concurrently-running
     * session in the same JVM still reads. Safe to call after the owning

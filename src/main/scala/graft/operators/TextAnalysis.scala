@@ -914,20 +914,25 @@ object TextAnalysis {
     * engine-exact (integer floor division via the `(a - a%b)/b` long
     * pattern).
     *
-    * Scale posture: the cumulative sum is a window PARTITIONED BY
-    * source (parallel across sources, no global sort); at 100 TB the
-    * same op runs per shard — packing is shard-local by construction in
-    * every training pipeline, because sequence order within a shard is
-    * all that matters. Budget 512 tokens. */
+    * Scale posture: the cumulative sum is the TWO-PHASE parallel
+    * prefix sum ([[Features.shardedPrefixSum]]) — per-shard token
+    * totals, a bounded cumsum over the |sources|×|shards| aggregated
+    * frame broadcast back, then per-(source, shard) windows — so no
+    * sort task ever exceeds one [[Features.PrefixShardSize]] shard at
+    * any corpus size, and the prefix values are bit-identical to the
+    * per-source global window they replace. Budget 512 tokens. */
+  /** The shared exclusive token-prefix stage under q76 and q102. */
+  private def packingPrefix(spark: SparkSession, dir: String): DataFrame =
+    Features.shardedPrefixSum(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq("source"), expr(s"doc_id div ${Features.PrefixShardSize}"),
+      Seq(col("doc_id")), col("n_tokens"), "prefix")
+
   private def q76(spark: SparkSession, dir: String): DataFrame = {
     val budget = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    packingPrefix(spark, dir)
       .select(col("source"), col("doc_id"), col("n_tokens"),
         ((col("prefix") - col("prefix") % budget) / budget).cast("long").as("bin_id"),
         (col("prefix") % budget).as("bin_offset"))
@@ -1765,14 +1770,8 @@ object TextAnalysis {
     * sources-sized. */
   private def q102(spark: SparkSession, dir: String): DataFrame = {
     val budget = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     def fdiv(a: Column): Column = ((a - a % budget) / budget).cast("long")
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    packingPrefix(spark, dir)
       .withColumn("straddle",
         when(col("n_tokens") > 0 &&
           fdiv(col("prefix") + col("n_tokens") - 1) > fdiv(col("prefix")), 1L)
@@ -3904,12 +3903,14 @@ object TextAnalysis {
     val perDoc = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("x"))
-    val wRank = Window.partitionBy(col("source"))
-      .orderBy(col("x"), col("doc_id"))
-    val wAll = Window.partitionBy(col("source"))
-    perDoc
-      .withColumn("i", row_number().over(wRank).cast("long"))
-      .withColumn("nn", count(lit(1)).over(wAll))
+    // Two-phase rank (value-bucketed) + an aggregated count joined
+    // back: bit-identical to the per-source rank/count windows they
+    // replace, with every sort task bounded by one value bucket
+    // (Features scaladoc; ShardedPrefixSpec pins the equality).
+    val nn = perDoc.groupBy(col("source")).agg(count(lit(1)).as("nn"))
+    Features.shardedRowNumber(perDoc, Seq("source"), expr("x div 64"),
+        Seq(col("x"), col("doc_id")), "i")
+      .join(broadcast(nn), "source")
       .withColumn("top10", col("i") > col("nn") - expr("(nn + 9) div 10"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -4252,13 +4253,12 @@ object TextAnalysis {
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         size(array_distinct(tokens(col("text")))).cast("long").as("n_types"))
-    val wx = Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    val wy = Window.partitionBy(col("source"))
-      .orderBy(col("n_types"), col("doc_id"))
-    docs
-      .withColumn("rx", row_number().over(wx).cast("long"))
-      .withColumn("ry", row_number().over(wy).cast("long"))
+    // Both Spearman rank legs run the two-phase value-bucketed rank
+    // (exact; no per-source whole-corpus sort task — Features scaladoc).
+    val rx = Features.shardedRowNumber(docs, Seq("source"),
+      expr("n_tokens div 64"), Seq(col("n_tokens"), col("doc_id")), "rx")
+    Features.shardedRowNumber(rx, Seq("source"),
+        expr("n_types div 64"), Seq(col("n_types"), col("doc_id")), "ry")
       .withColumn("d", col("rx") - col("ry"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -4319,16 +4319,16 @@ object TextAnalysis {
     *
     * Scale posture: the first-seen table is one partial-aggregable
     * `min(rank)` groupBy over the exploded distinct tokens (int
-    * buffer — hash-aggregable); the per-source rank window partitions
-    * by SOURCE (the q125 low-cardinality caveat, same documented
-    * approx swap past per-source docs ≫ memory); the report is
-    * sources-sized. */
+    * buffer — hash-aggregable); the ingest rank is the two-phase
+    * [[Features.shardedRowNumber]] (exact, no per-source whole-corpus
+    * sort task at any feed size); the report is sources-sized. */
   private def q215(spark: SparkSession, dir: String): DataFrame = {
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val ranked = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        array_distinct(tokens(col("text"))).as("toks"))
-      .withColumn("rnk", row_number().over(wSrc).cast("long"))
+    val ranked = Features.shardedRowNumber(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          array_distinct(tokens(col("text"))).as("toks")),
+      Seq("source"), expr(s"doc_id div ${Features.PrefixShardSize}"),
+      Seq(col("doc_id")), "rnk")
     val nDocs = ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
     val firstSeen = ranked

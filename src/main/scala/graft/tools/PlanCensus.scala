@@ -7,15 +7,20 @@ import graft.operators.Features
 
 /** Whole-surface physical-plan census — the judge-style anti-pattern
   * sweep run as a tool: for EVERY registered query (fresh session,
-  * stage memoization off, so the true first-build plan is visible),
-  * count CartesianProduct, SortAggregate, BroadcastNestedLoopJoin, and
-  * Window nodes, and print one summary line per offender class.
-  * `PlanShapeSpec` pins specific load-bearing shapes; this sweeps the
-  * whole surface so a NEW query can't introduce a hazard silently.
+  * stage memoization off, PRODUCTION posture confs on, so the true
+  * first-build at-scale plan is visible), count CartesianProduct,
+  * grouped SortAggregate, BroadcastNestedLoopJoin, and hazard-class
+  * Window nodes ([[hazardWindows]]: unbounded global / low-cardinality
+  * rank windows — the q211/q217 ×30 class), and print one summary line
+  * per offender class. `PlanShapeSpec` pins specific load-bearing
+  * shapes; this sweeps the whole surface so a NEW query can't
+  * introduce a hazard silently.
   *
   * Usage: `runMain graft.tools.PlanCensus [sfDir]` — exits 1 if any
-  * plan contains a CartesianProduct (always a bug here: every
-  * deliberate small-side cross join must carry a broadcast hint).
+  * plan contains a CartesianProduct, a grouped SortAggregate, or a
+  * hazard rank window (every deliberate small-side cross join must
+  * carry a broadcast hint; every corpus-frame quantile must ride a
+  * histogram-cumsum or the approx-threshold swap).
   */
 object PlanCensus {
 
@@ -34,6 +39,59 @@ object PlanCensus {
           if n.groupingExpressions.nonEmpty => n
     }.size
 
+  /** Partition-key column names treated as corpus-INDEPENDENT
+    * cardinality: a rank window partitioned ONLY by these keys still
+    * concentrates O(corpus/|keys|) rows into each sort task — the
+    * q220/q227 per-source ingest-rank class, one notch milder than the
+    * empty-key q211/q217 class but the same cliff at a 10¹¹-doc feed. */
+  private val LowCardKeys = Set(
+    "source", "lang", "event_type", "label", "entry_type", "method",
+    "l_returnflag", "l_linestatus", "o_orderpriority", "c_mktsegment")
+
+  /** A Window input is BOUNDED when something below it already
+    * collapsed the corpus: any aggregate (the histogram-cumsum shape —
+    * q211/q212's quantile cuts, q230's daily RANGE frame), an explicit
+    * limit/top-k, a rank-limit pushdown (WindowGroupLimit caps each
+    * group at k rows per input partition BEFORE the shuffle — q127's
+    * quota roster), or a driver-built LocalTableScan. Rank windows
+    * over such frames sort ≤bucket-count rows whatever the corpus
+    * size. */
+  private def boundedBelow(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case n: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => n
+      case n: org.apache.spark.sql.execution.GlobalLimitExec => n
+      case n: org.apache.spark.sql.execution.CollectLimitExec => n
+      case n: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => n
+      case n: org.apache.spark.sql.execution.LocalTableScanExec => n
+      case n: org.apache.spark.sql.execution.window.WindowGroupLimitExec => n
+    }.isDefined
+
+  /** The q211/q217 hazard class (round-13 verdict task 2): a Window
+    * whose partition key is empty — or drawn only from
+    * corpus-independent [[LowCardKeys]] — running over an input no
+    * aggregate/limit has bounded. Such a window sorts the whole corpus
+    * (or corpus/|sources|) in single tasks: exactly the shape that
+    * measured ×30.45 (q211) and ×14.18 (q212) at the 100× event sweep
+    * before their histogram-cumsum rewrites. The census runs every
+    * query in PRODUCTION posture (`spark.graft.quantiles.mode=approx`,
+    * `spark.graft.cadence.mode=segmented`) where zero such windows must
+    * survive; the exact-mode twins remain oracle-pinned but carry their
+    * documented low-cardinality caveat. */
+  def hazardWindows(p: SparkPlan): Seq[String] =
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if !boundedBelow(w.child) =>
+        val keys = w.partitionSpec.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            => a.name.toLowerCase(java.util.Locale.ROOT)
+        })
+        if (w.partitionSpec.isEmpty)
+          Some("global-window")
+        else if (keys.nonEmpty && keys.forall(LowCardKeys))
+          Some(s"low-card-window[${keys.mkString(",")}]")
+        else None
+    }.flatten
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.builder(
@@ -41,15 +99,22 @@ object PlanCensus {
     spark.sparkContext.setLogLevel("ERROR")
     var cartesian = List.empty[String]
     var sortAgg = List.empty[String]
+    var hazardWin = List.empty[String]
     var bnlj = 0
     var failed = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val s = spark.newSession()
       s.conf.set(Features.CacheModeConf, "off")
+      // Production posture: the census grades the plans a 100 TB
+      // deployment would run, so the documented at-scale swaps are ON.
+      s.conf.set(Features.QuantileModeConf, "approx")
+      s.conf.set(graft.operators.Events.CadenceModeConf, "segmented")
       try {
         val p = fn(s, sfDir).queryExecution.sparkPlan
         if (count(p, "CartesianProduct") > 0) cartesian ::= name
         if (groupedSortAggs(p) > 0) sortAgg ::= name
+        val hw = hazardWindows(p)
+        if (hw.nonEmpty) hazardWin ::= s"$name: ${hw.mkString(";")}"
         bnlj += count(p, "BroadcastNestedLoopJoin")
       } catch {
         case e: Exception =>
@@ -59,9 +124,11 @@ object PlanCensus {
     println(s"queries: ${SparkEntry.queries.size}")
     println(s"cartesian_product: ${cartesian.size} ${cartesian.sorted}")
     println(s"grouped_sort_aggregate: ${sortAgg.size} ${sortAgg.sorted}")
+    println(s"hazard_rank_windows: ${hazardWin.size} ${hazardWin.sorted}")
     println(s"broadcast_nested_loop_joins_total: $bnlj")
     if (failed.nonEmpty) println(s"plan_failures: ${failed.sorted}")
     spark.stop()
-    if (cartesian.nonEmpty || sortAgg.nonEmpty || failed.nonEmpty) sys.exit(1)
+    if (cartesian.nonEmpty || sortAgg.nonEmpty || hazardWin.nonEmpty ||
+      failed.nonEmpty) sys.exit(1)
   }
 }

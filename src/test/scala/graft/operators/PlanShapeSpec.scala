@@ -613,11 +613,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.size shouldBe 1
   }
 
-  test("q164: ranks run per source (partitioned window), no join " +
-      "anywhere, pruned scan") {
+  test("q164: the rank leg is the two-phase sharded row_number — " +
+      "bucket offsets broadcast back (no sort-merge join), every " +
+      "window partitioned by (source, bucket), pruned scan") {
     val df = SparkEntry.queries("q164_token_gini")(spark, SparkSpec.Sf0001)
     val p = df.queryExecution.executedPlan.toString
-    p should not include "Join"
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
     p should include("Window")
     val scan = df.queryExecution.sparkPlan.collectLeaves()
       .find(_.nodeName.contains("Scan")).get
@@ -714,17 +716,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p.linesIterator.count(
       _.replaceAll("^[\\s:+*-]+", "").startsWith(node + " "))
 
-  test("q180: both run-window passes ride ONE shuffle + ONE per-source " +
-      "sort; text bytes never reach the exchange") {
+  test("q180: the run passes are shard-stitched — every corpus-side " +
+      "window partitioned by (source, shard), edge/offset frames " +
+      "broadcast back, no hazard window; text bytes never reach the " +
+      "exchange") {
     val df = SparkEntry.queries("q180_crawl_runs")(spark, SparkSpec.Sf0001)
-    val p = df.queryExecution.executedPlan.toString
-    // two stacked Window nodes (lag, then the dependent running sum)...
-    nodeCount(p, "Window") shouldBe 2
-    // ...over a single sort: one per-source ordering pass feeds both
-    nodeCount(p, "Sort") shouldBe 2 // window + final orderBy
+    val t = df.queryExecution.sparkPlan
+    graft.tools.PlanCensus.hazardWindows(t) shouldBe empty
+    val p = t.toString
+    p should include("BroadcastHashJoin")
     // the scan is pruned to the narrow projection — the md5 happens
     // before the shuffle, text never crosses the wire
-    val scan = df.queryExecution.sparkPlan.collectLeaves()
+    val scan = t.collectLeaves()
       .find(_.nodeName.contains("Scan")).get
     scan.output.map(_.name).toSet shouldBe Set("source", "doc_id", "text")
   }
@@ -885,7 +888,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     treeCount(ce, "Window") shouldBe 0
     val rc = freshTree("q198_rank_corr")
     treeHas(rc, "CartesianProduct") shouldBe false
-    treeCount(rc, "Window") shouldBe 2
+    // two sharded rank passes: every window partitioned by
+    // (source, bucket) or riding the bounded offsets frame
+    graft.tools.PlanCensus.hazardWindows(rc) shouldBe empty
     val scan = SparkEntry.queries("q198_rank_corr")(spark, SparkSpec.Sf0001)
       .queryExecution.sparkPlan.collectLeaves()
       .find(_.nodeName.contains("Scan")).get
@@ -1071,6 +1076,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     withClue("CartesianProduct plans: ") { offendersCart shouldBe empty }
     withClue("grouped SortAggregate plans: ") { offendersSort shouldBe empty }
+  }
+
+  test("WHOLE SURFACE in production posture: no query plans a hazard " +
+      "rank window (empty or low-cardinality partition key over an " +
+      "unbounded input — the q211/q217 ×30 class); exact mode still " +
+      "carries its documented q217/q220/q227 windows, proving the check " +
+      "sees the class it exists for") {
+    // Production posture: the at-scale swaps a 100 TB deployment runs.
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val s = spark.newSession()
+      s.conf.set(Features.CacheModeConf, "off")
+      s.conf.set(Features.QuantileModeConf, "approx")
+      s.conf.set(Events.CadenceModeConf, "segmented")
+      org.apache.spark.sql.SparkSession.setActiveSession(s)
+      try {
+        val hw = graft.tools.PlanCensus.hazardWindows(
+          SparkEntry.queries(name)(s, coldDir).queryExecution.sparkPlan)
+        if (hw.nonEmpty) offenders += s"$name: ${hw.mkString(";")}"
+      } finally {
+        Features.clear(s)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    }
+    withClue("hazard rank windows in production posture: ") {
+      offenders shouldBe empty
+    }
+    // Negative control: the detector DOES flag the exact-mode decile
+    // windows (q217 global, q220/q227 per-source) it was built to catch.
+    val exactFlags = Seq("q217_ltv_deciles", "q220_dup_trend",
+      "q227_quality_trend").flatMap { name =>
+      graft.tools.PlanCensus.hazardWindows(freshTree(name))
+    }
+    exactFlags should not be empty
   }
 
   test("q230/q231: the RANGE window rides the daily aggregate (never " +
