@@ -174,20 +174,40 @@ object Relational {
       |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q05
-  /** TPC-H Q5-style local-supplier volume: 6-way join through a region. */
+  /** TPC-H Q5-style local-supplier volume: 6-way join through a region.
+    *
+    * Join order is written out smallest-first (Catalyst without CBO
+    * keeps the syntactic order): orders⋈customer FIRST — two
+    * dimension-scale sides whose shuffle is cheap — projected to the
+    * two columns the fact table needs (`o_orderkey, c_nationkey`),
+    * and only THEN the 4-column lineitem projection joins that narrow
+    * frame on its own key. The 100× sweep measured the naive
+    * fact-first order at ×12.8 (the 60M-row intermediate carried
+    * order+customer payload through TWO wide shuffles once the 1.5M
+    * customer side outgrew broadcast); fact-last keeps the fact table
+    * in exactly one shuffle, the q02 eager-shape discipline applied
+    * to join ordering. Q5's supplier equality (`c_nationkey =
+    * s_nationkey`) genuinely needs per-line customer nations, so the
+    * q02 pre-aggregation itself cannot apply — lineitem rows join
+    * suppliers per line, with supplier/nation/region broadcast. */
   private def q05(spark: SparkSession, dir: String): DataFrame = {
     val cu = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
     val or = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
     val su = Tables.supplier(spark, dir)
     val na = Tables.nation(spark, dir)
     val re = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    li.join(or, li("l_orderkey") === or("o_orderkey"))
-      .join(cu, or("o_custkey") === cu("c_custkey"))
+    val orderNation = or.join(cu, or("o_custkey") === cu("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    li.join(orderNation, li("l_orderkey") === orderNation("o_orderkey"))
       .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
-        cu("c_nationkey") === su("s_nationkey"))
+        col("c_nationkey") === su("s_nationkey"))
       .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
       .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
       .groupBy(col("n_name"))

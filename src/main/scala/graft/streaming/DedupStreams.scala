@@ -38,9 +38,12 @@ import graft.operators.Dedup
   * the skip). What remains is the unavoidable marker-side window — a
   * crash BETWEEN `onBatch` and the marker write replays `onBatch`'s
   * effects once more. Closing that last window requires the SINK
-  * itself to be batchId-transactional (e.g. a decision log written as
-  * overwrite-by-batchId partitions), which is the sink's contract, not
-  * this loop's — the standard Spark exactly-once recipe. Restart
+  * itself to be batchId-transactional — and [[DecisionLog]] SHIPS that
+  * sink (overwrite-by-batchId parquet partitions): with it as
+  * `onBatch` the loop is exactly-once end-to-end, the crash-window
+  * replay overwriting its own partition instead of doubling it
+  * (`DedupStreamsSpec` kills the marker write and proves the
+  * converged count). Restart
   * contract with a [[RefreshingIndex]]: rebuild it from corpus +
   * decision log before restarting — the log contains every
   * marker-committed batch, so index and log agree.
@@ -159,6 +162,41 @@ object DedupStreams {
       owned = Nil
       cur = initial
     }
+  }
+
+  /** BATCHID-TRANSACTIONAL DECISION LOG — the sink that closes the
+    * marker-side replay window (the standard Spark exactly-once
+    * recipe the object scaladoc describes): each batch's decisions
+    * are written as ONE parquet partition keyed by `batch_id`, in
+    * dynamic partition-overwrite mode, so a replay of batch N (crash
+    * after `onBatch` ran but before the `onceMarkers` write) REPLACES
+    * partition `batch_id=N` instead of appending a duplicate copy.
+    * Idempotent-by-construction: any number of replays of the same
+    * batch converge to exactly one copy of its rows (an append-mode
+    * log would double them — `DedupStreamsSpec` proves both the
+    * overwrite and the count). With this sink as `onBatch`, the loop
+    * is exactly-once END-TO-END: offsets journal in the checkpoint,
+    * completed-batch replays skip via markers, and the one
+    * crash-window replay that can still re-run `onBatch` overwrites
+    * its own partition.
+    *
+    * Scale posture: one partition directory per micro-batch, written
+    * by the batch's own tasks (no extra shuffle); the overwrite
+    * resolves per-partition (only `batch_id=N` is touched — dynamic
+    * mode never truncates sibling batches); readers get a plain
+    * partitioned parquet table pruned by `batch_id`. */
+  final class DecisionLog(dir: String) {
+    /** The `onBatch` function: write this batch's decision frame as
+      * its own overwrite-by-batchId partition. */
+    def write(decisions: DataFrame, batchId: Long): Unit =
+      decisions.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(dir)
+
+    /** The accumulated decision table across all logged batches. */
+    def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)
   }
 
   /** Durable batchId-idempotency markers: `<dir>/<batchId>.done` exists

@@ -267,4 +267,60 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec with Matchers {
     refresher.current.fp.count() shouldBe fpAfterFirst // no double admit
     refresher.close()
   }
+
+  test("DecisionLog closes the marker-side crash window: a crash " +
+      "BETWEEN onBatch and the marker write replays onBatch, and the " +
+      "overwrite-by-batchId partition converges to ONE copy of the " +
+      "batch's rows (exactly-once end-to-end)") {
+    import spark.implicits._
+    def docRow(id: Long, text: String) =
+      (id, text, "en", "crawl", text.length.toLong)
+    val corpus = Seq(docRow(1L, (0 until 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      docRow(100L, (0 until 60).map(i => s"w$i").mkString(" ")),
+      docRow(101L, (0 until 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val logDir = Files.createTempDirectory("graft-decision-log").toFile
+    logDir.deleteOnExit()
+    val markers = Files.createTempDirectory("graft-dl-markers").toFile
+    markers.deleteOnExit()
+    val log = new DedupStreams.DecisionLog(
+      new java.io.File(logDir, "log").getAbsolutePath)
+    val index = DedupStreams.corpusIndex(corpus)
+
+    // Crash simulation: the batch's effects (the decision-log write)
+    // fully apply, but the process dies BEFORE the marker write — so
+    // run the batch with NO marker dir. That is byte-for-byte the
+    // on-disk state a kill between onBatch and the marker leaves.
+    DedupStreams.processBatch(batch, batchId = 3L, index = index,
+      refresher = None, onceMarkers = None, onBatch = log.write)
+    val afterCrash = log.read(spark)
+    afterCrash.count() shouldBe 2L
+
+    // Restart: foreachBatch re-delivers batchId 3; no marker exists, so
+    // onBatch RUNS AGAIN — and the sink overwrites partition
+    // batch_id=3 instead of appending a second copy.
+    DedupStreams.processBatch(batch, batchId = 3L, index = index,
+      refresher = None, onceMarkers = Some(markers.getAbsolutePath),
+      onBatch = log.write) shouldBe true
+    val afterReplay = log.read(spark)
+    afterReplay.count() shouldBe 2L // converged, not doubled
+    afterReplay.select("batch_id").distinct().as[Long].collect()
+      .toSeq shouldBe Seq(3L)
+
+    // A LATER batch lands in its own partition, untouched by future
+    // replays of batch 3.
+    DedupStreams.processBatch(batch.withColumn("doc_id",
+        col("doc_id") + 200L), batchId = 4L, index = index,
+      refresher = None, onceMarkers = Some(markers.getAbsolutePath),
+      onBatch = log.write) shouldBe true
+    log.read(spark).count() shouldBe 4L
+    // Third delivery of batch 3 now finds its marker: skipped entirely.
+    DedupStreams.processBatch(batch, batchId = 3L, index = index,
+      refresher = None, onceMarkers = Some(markers.getAbsolutePath),
+      onBatch = log.write) shouldBe false
+    log.read(spark).count() shouldBe 4L
+  }
 }
