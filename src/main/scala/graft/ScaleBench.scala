@@ -131,7 +131,9 @@ object ScaleBench {
     "q214_cluster_health", "q215_vocab_growth",
     "q218_dup_quality_phi", "q219_secret_scan", "q220_dup_trend",
     "q222_norm_margin_corr", "q224_format_profile", "q225_cluster_span",
-    "q226_quant_impact", "q227_quality_trend", "q228_dup_distance")
+    "q226_quant_impact", "q227_quality_trend", "q228_dup_distance",
+    "q237_prefix_families", "q238_embedding_quality",
+    "q240_knn_homophily")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -139,7 +141,8 @@ object ScaleBench {
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
     "q04_priority_exists", "q05_local_supplier", "q06_forecast_revenue",
     "q07_window_topk", "q08_running_total", "q09_segment_stats",
-    "q134_topk_agg", "q230_trailing_revenue", "q231_fk_orphans")
+    "q134_topk_agg", "q230_trailing_revenue", "q231_fk_orphans",
+    "q232_returned_revenue", "q233_waiting_suppliers", "q234_idle_rich")
 
   /** Everything else (round-5 verdict task 5: the full 98-query surface
     * needs scale evidence, not just the doc/embedding + q01-q09 subset):
@@ -173,7 +176,7 @@ object ScaleBench {
     "q208_entry_exit", "q210_session_paths", "q211_return_latency",
     "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles",
     "q221_error_streaks", "q223_gap_tail_quantiles",
-    "q229_entry_value")
+    "q229_entry_value", "q235_peak_concurrency", "q236_user_gini")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
@@ -629,6 +632,60 @@ object ScaleBench {
           s""""fused_mmr70":[${f2(dvP50)},${f2(dvP95)}]},"requests":$reqN}""")
     }
 
+    // Serve-path CONCURRENCY (round-13 verdict task 7): the serving
+    // posture had latency (phase `serve`) but no figure for PARALLEL
+    // retrievals through one shared session — the shape a serving
+    // deployment actually runs (Spark schedules concurrent actions
+    // from multiple driver threads; the session index frames are the
+    // shared cache). 8/16/32 request drivers each run the full Serve
+    // CLI path (parse, plan, probe, artifact write) against the ~sf1
+    // corpus; reported per tier: p50/p99 request latency and
+    // requests/s + served rows/s throughput.
+    if (phase == "serveconc" || phase == "both") {
+      val sf1 = s"$out/sf1"
+      if (!Files.exists(Paths.get(s"$sf1/documents.parquet")))
+        ScaleData.generate(spark, sf1, nDocs, nEmb)
+      val servOut = Files.createTempDirectory("graft_serveconc_").toString
+      val oneId = Tables.embeddings(spark, sf1)
+        .select("vec_id").limit(1).collect().head.getLong(0)
+      val idFile = Paths.get(servOut, "one_query.txt")
+      Files.write(idFile, s"$oneId\n".getBytes("UTF-8"))
+      // Warm the session index frames once so every tier measures the
+      // steady serving state, not the first build.
+      require(Serve.run(Array(sf1, s"$servOut/warm", "--retriever", "ivf",
+        "--queries", idFile.toString), Some(spark)) == 0, "warm failed")
+      val reqRows = spark.read.json(s"$servOut/warm/results").count()
+      val tiers = Seq(8, 16, 32).map { par =>
+        val reqTotal = par * 4
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val t0 = System.nanoTime()
+        val futs = (1 to reqTotal).map { i =>
+          scala.concurrent.Future {
+            val s0 = System.nanoTime()
+            require(Serve.run(Array(sf1, s"$servOut/c$par-$i",
+              "--retriever", "ivf", "--queries", idFile.toString),
+              Some(spark)) == 0, s"request $i failed")
+            (System.nanoTime() - s0) / 1e9
+          }
+        }
+        val lats = futs.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)).sorted
+        val wall = (System.nanoTime() - t0) / 1e9
+        pool.shutdown()
+        val p50 = lats(lats.size / 2)
+        val p99 = lats(((lats.size * 99) / 100) min (lats.size - 1))
+        s""""par$par":{"requests":$reqTotal,"wall_sec":${f2(wall)},""" +
+          s""""p50_sec":${f2(p50)},"p99_sec":${f2(p99)},""" +
+          s""""req_per_sec":${f2(reqTotal / wall)},""" +
+          s""""rows_per_sec":${f2(reqRows * reqTotal / wall)}}"""
+      }
+      println(s"""{"metric":"serve_concurrency","docs":$nDocs,""" +
+        s""""embeddings":$nEmb,"rows_per_request":$reqRows,""" +
+        tiers.mkString(",") + "}")
+    }
+
     if (phase == "skew" || phase == "both") {
       val hotDir = s"$out/hot"
       if (!Files.exists(Paths.get(s"$hotDir/documents.parquet")))
@@ -772,7 +829,7 @@ object ScaleBench {
           "q208_entry_exit", "q210_session_paths", "q211_return_latency",
           "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles",
           "q221_error_streaks", "q223_gap_tail_quantiles",
-    "q229_entry_value"))
+          "q229_entry_value", "q235_peak_concurrency", "q236_user_gini"))
       def sweepEv(dir: String): Map[String, Double] = {
         val passes = (1 to 2).map(_ =>
           famNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))

@@ -2915,7 +2915,173 @@ object Events {
        |FROM agg
        |ORDER BY share_u DESC, entry_type""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+  /** PEAK SESSION CONCURRENCY — the capacity-planning read the session
+    * family lacked: per day, the maximum number of SIMULTANEOUSLY
+    * open sessions, measured exactly at session-boundary instants
+    * (the classic interval-stabbing +1/−1 sweep). q20 counts events
+    * per hour and q192 counts sessions per entry type; neither says
+    * how many sessions are OPEN at once — the number a connection
+    * pool, a state-store, or a streaming watermark budget must be
+    * sized for.
+    *
+    * Semantics: a session is open through its last event's second
+    * (inclusive), so the −1 lands at `end_s + 1`; per-second deltas
+    * aggregate first (ties collapse — no intra-second ordering
+    * ambiguity), and the running concurrency is the global prefix sum
+    * of net deltas. Peak per day = max over that day's boundary
+    * seconds; days with zero boundaries have no open-session change
+    * and no row, by definition.
+    *
+    * Scale posture: the GLOBAL running sum is the two-phase
+    * [[Features.shardedPrefixSum]] with an empty partition key —
+    * per-day shard totals cumulate in a window over the bounded
+    * |days| frame and broadcast back, so no single-task global sort
+    * exists at any event count (the q211 hazard class this suite
+    * retired), and the result is bit-identical to the naive global
+    * window. Everything upstream rides the memoized [[sessionized]]
+    * stage's one user-keyed shuffle. */
+  private def q235(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
+    val deltas = sess.select(col("start_s").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("net"),
+        sum(when(col("d") > 0L, col("d")).otherwise(0L)).as("n_starts"))
+    Features.shardedPrefixSum(deltas, Seq.empty, expr("t div 86400"),
+        Seq(col("t")), col("net"), "open_now", inclusive = true)
+      .groupBy(expr("t div 86400").as("day"))
+      .agg(max(col("open_now")).as("peak_concurrent"),
+        sum(col("n_starts")).as("n_session_starts"))
+      .orderBy(col("day"))
+  }
+
+  private val q235Sql =
+    s"""WITH sess AS (
+       |  SELECT user_id, session_id,
+       |    min(ts_s) AS start_s, max(ts_s) AS end_s
+       |  FROM (
+       |    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       |      CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+       |        ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS session_id
+       |    FROM (
+       |      SELECT user_id, event_id, ts,
+       |        date_diff('second',
+       |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |          ts) AS gap_s
+       |      FROM events))
+       |  GROUP BY 1, 2),
+       |deltas AS (
+       |  SELECT t, CAST(sum(d) AS BIGINT) AS net,
+       |    CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+       |      AS n_starts
+       |  FROM (
+       |    SELECT start_s AS t, 1 AS d FROM sess
+       |    UNION ALL
+       |    SELECT end_s + 1, -1 FROM sess)
+       |  GROUP BY t),
+       |cum AS (
+       |  SELECT t, n_starts,
+       |    CAST(sum(net) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS open_now
+       |  FROM deltas)
+       |SELECT t // 86400 AS day,
+       |  max(open_now) AS peak_concurrent,
+       |  CAST(sum(n_starts) AS BIGINT) AS n_session_starts
+       |FROM cum
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q236
+  /** USER-ACTIVITY CONCENTRATION (Gini) — is each event stream driven
+    * by a broad base or a handful of power users? Per event type: the
+    * exact Gini coefficient of events-per-user and the share of the
+    * type's volume generated by its most-active decile of users. The
+    * user-side twin of q164's token-mass Gini (docs per source) and
+    * the distributional read behind q99's heavy hitters — a
+    * bot-farmed type shows Gini → 1 with a fat top-decile share;
+    * organic engagement sits far lower.
+    *
+    * Determinism: the rank-weighted sum Σ i·xᵢ is computed from the
+    * activity-level HISTOGRAM, not a per-user rank window: for each
+    * distinct activity level x with frequency f and users-below c,
+    * the tie block contributes x·(f·c + f(f+1)/2) exactly — ties
+    * share rank mass identically in both engines, no per-user
+    * ordering needed. All int64; shares micro floor-div.
+    *
+    * Scale posture: one (type, user) count aggregate (the only
+    * corpus-sized shuffle), collapsed to the ≤|types|·|levels|
+    * histogram; every window runs over that bounded frame
+    * (aggregate-below — census-whitelisted by construction). */
+  private def q236(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val hist = counts.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("f"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("c", sum(col("f")).over(wCum) - col("f"))
+      .withColumn("n", sum(col("f")).over(wAll))
+      .withColumn("total", sum(col("x") * col("f")).over(wAll))
+      .withColumn("ix",
+        col("x") * (col("f") * col("c") +
+          expr("(f * (f + 1)) div 2")))
+      .withColumn("topk", expr("(n + 9) div 10"))
+      .withColumn("in_top",
+        greatest(lit(0L),
+          least(col("c") + col("f"), col("n")) -
+            greatest(col("c"), col("n") - col("topk"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_users"),
+        max(col("total")).as("n_events"),
+        sum(col("ix")).as("six"),
+        sum(col("in_top") * col("x")).as("top_mass"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        expr("(1000000 * (2 * six - (n_users + 1) * n_events))" +
+          " div (n_users * n_events)").as("gini_u"),
+        expr("(1000000 * top_mass) div n_events").as("top_decile_share_u"))
+      .orderBy(col("gini_u").desc, col("event_type"))
+  }
+
+  private val q236Sql =
+    s"""WITH counts AS (
+       |  SELECT event_type, user_id, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT event_type, x, count(*) AS f
+       |  FROM counts GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT event_type, x, f,
+       |    CAST(sum(f) OVER (PARTITION BY event_type ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f
+       |      AS BIGINT) AS c,
+       |    CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    CAST(sum(x * f) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS total
+       |  FROM hist)
+       |SELECT event_type,
+       |  max(n) AS n_users,
+       |  max(total) AS n_events,
+       |  (1000000 * (2 * CAST(sum(x * (f * c + (f * (f + 1)) // 2))
+       |      AS BIGINT) - (max(n) + 1) * max(total)))
+       |    // (max(n) * max(total)) AS gini_u,
+       |  (1000000 * CAST(sum(GREATEST(0, LEAST(c + f, n) -
+       |      GREATEST(c, n - (n + 9) // 10)) * x) AS BIGINT))
+       |    // max(total) AS top_decile_share_u
+       |FROM cums
+       |GROUP BY event_type
+       |ORDER BY gini_u DESC, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q235_peak_concurrency" -> (q235 _),
+    "q236_user_gini" -> (q236 _),
     "q229_entry_value" -> (q229 _),
     "q223_gap_tail_quantiles" -> (q223 _),
     "q221_error_streaks" -> (q221 _),
@@ -2960,6 +3126,8 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q235_peak_concurrency" -> q235Sql,
+    "q236_user_gini" -> q236Sql,
     "q229_entry_value" -> q229Sql,
     "q223_gap_tail_quantiles" -> q223Sql,
     "q221_error_streaks" -> q221Sql,

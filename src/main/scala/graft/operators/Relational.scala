@@ -806,9 +806,182 @@ object Relational {
        |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
        |ORDER BY relationship""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+  /** RETURNED-ITEM REVENUE REPORT (the TPC-H Q10 shape this suite
+    * lacked): the top-20 customers by revenue lost to returned
+    * lineitems in a half-year order window — the "who is sending
+    * things back" report joining the fact table through orders to
+    * customer and nation.
+    *
+    * Scale posture: q05's fact-last join order — the date-filtered
+    * orders (half a year) pre-join customer and project to the four
+    * columns the report needs, so the lineitem projection (3 columns
+    * + the `l_returnflag = 'R'` pushed filter) crosses exactly ONE
+    * shuffle; nation broadcasts; the top-20 is TakeOrderedAndProject
+    * (per-partition heaps, 20 rows to the driver). Revenue is the
+    * exact decimal sum. */
+  private def q232(spark: SparkSession, dir: String): DataFrame = {
+    val or = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cu = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val orderCust = or.join(cu, or("o_custkey") === cu("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_nationkey"))
+    li.join(orderCust, li("l_orderkey") === orderCust("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_returned_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q232Sql =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${d2dSql(sumRev)} AS revenue,
+       |  count(*) AS n_returned_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q233
+  /** WAITING-SUPPLIER AUDIT (the TPC-H Q21 shape, adapted to this
+    * schema's `l_shipdate`): suppliers who were the SOLE late shipper
+    * in a multi-supplier order — late = shipped more than 75 days
+    * after the order date. Q21's classic form is a lineitem
+    * self-join with EXISTS (another supplier in the order) and NOT
+    * EXISTS (another LATE supplier); that shape re-shuffles the fact
+    * table three times, so this is written as the aggregate
+    * reformulation instead: ONE per-order aggregate computes the
+    * distinct-supplier count, the distinct-LATE-supplier count, and
+    * (via max over the single survivor) WHO the sole late supplier
+    * was — then orders with n_supp > 1 and n_late_supp = 1 attribute
+    * the blame. Semantically identical, and the oracle runs the same
+    * aggregate form so both engines compute the same plan-independent
+    * table.
+    *
+    * Scale posture: lineitem joins the 2-column orders projection on
+    * its own key (one fact shuffle), the per-order aggregate is
+    * partial-aggregable (distinct counts over ≤7-line groups), blamed
+    * orders are orders-scale, and the supplier/nation joins broadcast.
+    * Top-20 is TakeOrderedAndProject. */
+  private def q233(spark: SparkSession, dir: String): DataFrame = {
+    val or = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 75 DAYS")
+    val perOrder = li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .withColumn("late_supp", when(late, col("l_suppkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("late_supp")).as("n_late_supp"),
+        max(col("late_supp")).as("sole_late_supp"))
+      .filter(col("n_supp") > 1L && col("n_late_supp") === 1L)
+    perOrder
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("sole_late_supp") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  private val q233Sql =
+    s"""WITH per_order AS (
+       |  SELECT l_orderkey,
+       |    count(DISTINCT l_suppkey) AS n_supp,
+       |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate +
+       |      INTERVAL 75 DAY THEN l_suppkey END) AS n_late_supp,
+       |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+       |      THEN l_suppkey END) AS sole_late_supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY l_orderkey)
+       |SELECT s_suppkey, s_name, n_name,
+       |  count(*) AS n_waiting_orders
+       |FROM per_order
+       |JOIN supplier ON sole_late_supp = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |WHERE n_supp > 1 AND n_late_supp = 1
+       |GROUP BY s_suppkey, s_name, n_name
+       |ORDER BY n_waiting_orders DESC, s_suppkey
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+  /** IDLE HIGH-BALANCE CUSTOMERS (the TPC-H Q22 shape): customers
+    * whose account balance exceeds the average POSITIVE balance yet
+    * who have placed no order since 1999 (dormant through the
+    * corpus' trailing ~2.5 years) — per nation, how many such
+    * dormant-value accounts exist and what balance mass they hold.
+    *
+    * Determinism: the threshold compare is CROSS-MULTIPLIED decimals
+    * (`c_acctbal · n_pos > total_pos`), never a decimal division —
+    * divisions round differently across engines; products and
+    * comparisons are exact. Balance mass is the exact decimal sum.
+    *
+    * Scale posture: the threshold is ONE scalar aggregate broadcast
+    * back (single-row hinted cross join); the no-orders test is a
+    * LEFT ANTI join keyed on the customer key; nation broadcasts; the
+    * report is nations-sized. */
+  private def q234(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.customer(spark, dir)
+    val stats = cu.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(dec(col("c_acctbal"))).as("total_pos"))
+    cu.join(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("total_pos"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_idle_rich"),
+        dsum(col("c_acctbal")).as("balance_mass"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q234Sql =
+    s"""WITH stats AS (
+       |  SELECT count(*) AS n_pos,
+       |    sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_pos
+       |  FROM customer WHERE c_acctbal > 0.0)
+       |SELECT n_name,
+       |  count(*) AS n_idle_rich,
+       |  ${d2dSql("sum(CAST(c_acctbal AS DECIMAL(18,4)))")} AS balance_mass
+       |FROM customer CROSS JOIN stats
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > total_pos
+       |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+       |    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q230_trailing_revenue" -> (q230 _),
     "q231_fk_orphans" -> (q231 _),
+    "q232_returned_revenue" -> (q232 _),
+    "q233_waiting_suppliers" -> (q233 _),
+    "q234_idle_rich" -> (q234 _),
     "q01_pricing_summary"   -> (q01 _),
     "q02_revenue_by_nation" -> (q02 _),
     "q03_shipping_priority" -> (q03 _),
@@ -836,6 +1009,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q230_trailing_revenue" -> q230Sql,
     "q231_fk_orphans" -> q231Sql,
+    "q232_returned_revenue" -> q232Sql,
+    "q233_waiting_suppliers" -> q233Sql,
+    "q234_idle_rich" -> q234Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

@@ -4737,7 +4737,146 @@ object Similarity {
        |FROM tot t LEFT JOIN mut m ON t.q_label = m.q_label
        |ORDER BY mutual_u DESC, label""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+  /** EMBEDDING-QUALITY AUDIT — the ingest gate for the VECTOR side of
+    * the corpus (q62 profiles relational columns; q71 profiles value
+    * ranges; this audits vector HEALTH per label): zero vectors (a
+    * failed encoder returns all-zeros — they poison cosine math with
+    * 0/0), norm range, and norm OUTLIERS in both directions (a norm
+    * far below the class mean is a truncated/padded embedding; far
+    * above is a scaling bug). The pre-flight check every ANN index
+    * build should run: q38/q44's cosine legs silently mis-rank broken
+    * vectors; this row says whether any exist.
+    *
+    * Determinism: norms are the exact int64 scaled squared-norm `n2`
+    * ([[Features.scaledEmb]]); outlier tests are CROSS-MULTIPLIED
+    * integer compares against the label's n2 sum (2·n2·n < Σ and
+    * n2·n > 2·Σ — never a division), widened to DECIMAL(38,0) so a
+    * 10⁹-vector label cannot overflow (q198's discipline).
+    *
+    * Scale posture: two partial-aggregable label-keyed aggregates
+    * over the memoized scaled frame, stats broadcast back; report is
+    * |labels| rows. */
+  private def q238(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir).select(col("label"), col("n2"))
+    val stats = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n2")).as("sum_n2"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val big = (c: Column) => c.cast(org.apache.spark.sql.types
+      .DataTypes.createDecimalType(38, 0))
+    emb.join(broadcast(stats), "label")
+      .withColumn("low",
+        when(big(col("n2")) * 2 * col("n_vecs") < big(col("sum_n2")), 1L)
+          .otherwise(0L))
+      .withColumn("high",
+        when(big(col("n2")) * col("n_vecs") > big(col("sum_n2")) * 2, 1L)
+          .otherwise(0L))
+      .groupBy(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_n2"), col("max_n2"), col("sum_n2"))
+      .agg(sum(col("low")).as("n_norm_low"),
+        sum(col("high")).as("n_norm_high"))
+      .withColumn("avg_n2", expr("sum_n2 div n_vecs"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_n2"), col("max_n2"), col("avg_n2"),
+        col("n_norm_low"), col("n_norm_high"))
+      .orderBy(col("label"))
+  }
+
+  private val q238Sql =
+    s"""WITH n2t AS (
+       |  SELECT label, ${dotLSql("sv", "sv")} AS n2
+       |  FROM (SELECT label, ${scaledVecSql("embedding")} AS sv
+       |        FROM embeddings)),
+       |st AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |    CAST(sum(n2) AS BIGINT) AS sum_n2,
+       |    min(n2) AS min_n2, max(n2) AS max_n2,
+       |    CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero
+       |  FROM n2t GROUP BY 1)
+       |SELECT n2t.label, max(n_vecs) AS n_vecs, max(n_zero) AS n_zero,
+       |  max(min_n2) AS min_n2, max(max_n2) AS max_n2,
+       |  max(sum_n2) // max(n_vecs) AS avg_n2,
+       |  CAST(sum(CASE WHEN CAST(n2 AS HUGEINT) * 2 * n_vecs
+       |    < CAST(sum_n2 AS HUGEINT) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_norm_low,
+       |  CAST(sum(CASE WHEN CAST(n2 AS HUGEINT) * n_vecs
+       |    > CAST(sum_n2 AS HUGEINT) * 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_norm_high
+       |FROM n2t JOIN st ON n2t.label = st.label
+       |GROUP BY n2t.label
+       |ORDER BY n2t.label""".stripMargin
+
+  // ---------------------------------------------------------------- q240
+  /** kNN LABEL HOMOPHILY — does the embedding geometry respect the
+    * labels? Per label: the share of served top-k neighbor edges
+    * (q193's [[knnEdges]] table) that land on a SAME-label neighbor,
+    * next to the CHANCE rate (the label's corpus share — what a
+    * random neighbor would score). Homophily ≫ chance means the
+    * space clusters by label (k-NN classification and q77's semantic
+    * dedup are trustworthy); homophily ≈ chance means the labels are
+    * invisible to the geometry and every label-assuming consumer
+    * (q41 centroids, q169 recovery) is building on sand. The
+    * edge-level companion to q169's centroid-level recovery audit.
+    *
+    * Determinism: counts int64 off the exact-ranked edge table;
+    * shares micro floor-div.
+    *
+    * Scale posture: one broadcast label-lookup join onto the memoized
+    * n·k edge frame, then a partial-aggregable |labels| aggregate;
+    * the label marginals are a second |labels| aggregate broadcast
+    * in. */
+  private def q240(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+    val marginals = emb.groupBy(col("label").as("m_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_total"))))
+    val nbLabels = emb.select(col("vec_id").as("nb"),
+      col("label").as("nb_label"))
+    knnEdges(spark, dir)
+      .join(broadcast(nbLabels), "nb")
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("q_label") === col("nb_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .join(broadcast(marginals), col("label") === col("m_label"))
+      .select(col("label"), col("n_edges"), col("n_same"),
+        expr("(1000000 * n_same) div n_edges").as("homophily_u"),
+        expr("(1000000 * cnt) div n_total").as("chance_u"))
+      .orderBy(col("label"))
+  }
+
+  private val q240Sql =
+    s"""WITH emb AS (
+       |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |edges AS (
+       |  SELECT q.label AS q_label, c.label AS nb_label,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")}
+       |        DESC, c.vec_id) AS rnk
+       |  FROM emb c JOIN emb q
+       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+       |agg AS (
+       |  SELECT q_label AS label, count(*) AS n_edges,
+       |    CAST(sum(CASE WHEN q_label = nb_label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_same
+       |  FROM edges WHERE rnk <= $HubK GROUP BY 1),
+       |marg AS (
+       |  SELECT label, count(*) AS cnt,
+       |    (SELECT count(*) FROM emb) AS n_total
+       |  FROM emb GROUP BY 1)
+       |SELECT a.label, n_edges, n_same,
+       |  (1000000 * n_same) // n_edges AS homophily_u,
+       |  (1000000 * cnt) // n_total AS chance_u
+       |FROM agg a JOIN marg m ON a.label = m.label
+       |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q238_embedding_quality" -> (q238 _),
+    "q240_knn_homophily" -> (q240 _),
     "q193_hubness" -> (q193 _),
     "q196_twonn_id" -> (q196 _),
     "q204_mutual_knn" -> (q204 _),
@@ -4791,6 +4930,8 @@ object Similarity {
   // touches this object (semNearDupPairsSql) — an eager map here would
   // force q114Sql inside that nested init and read a null Dedup map.
   lazy val oracles: Map[String, String] = Map(
+    "q238_embedding_quality" -> q238Sql,
+    "q240_knn_homophily" -> q240Sql,
     "q193_hubness" -> q193Sql,
     "q196_twonn_id" -> q196Sql,
     "q204_mutual_knn" -> q204Sql,

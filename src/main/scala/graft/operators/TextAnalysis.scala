@@ -4623,7 +4623,66 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |ORDER BY source, decile""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+  /** SHARED-PREFIX TEMPLATE FAMILIES — boilerplate the body-level
+    * dedup stack structurally misses: documents OPENING with the same
+    * 8 tokens but carrying DIFFERENT bodies (form letters, generated
+    * reports, scraped templates with per-page payloads). q34 catches
+    * identical bodies, q35/q36 near-identical bodies, q85 shared
+    * 8-word windows ANYWHERE; this groups by the head specifically —
+    * per family: member count, distinct bodies, distinct sources, and
+    * the smallest member id as the inspection handle. A family with
+    * many members and many bodies is a TEMPLATE (strip the head,
+    * dedup the payload); one body is plain duplication q34 already
+    * handles, so those are excluded.
+    *
+    * Determinism: heads are md5u32 of the joined first-8 tokens
+    * (collisions hash identically in both engines — the documented
+    * md5u32 posture); bodies full md5 hex; counts int64; top-20
+    * ordered (n_docs desc, head_h).
+    *
+    * Scale posture: one stateless projection (slice + hash — no
+    * shingle explosion), one partial-aggregable head-keyed groupBy,
+    * and a TakeOrderedAndProject top-20; docs shorter than 8 tokens
+    * are filtered before the shuffle. */
+  private def q237(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        md5u32(array_join(slice(toks, 1, 8), " ")).as("head_h"),
+        md5(col("text")).as("fp"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 8L)
+      .groupBy(col("head_h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_bodies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2L && col("n_bodies") >= 2L)
+      .orderBy(col("n_docs").desc, col("head_h"))
+      .limit(20)
+  }
+
+  private lazy val q237Sql = {
+    val head = md5u32Sql(
+      s"array_to_string((${tokensSql("text")})[1:8], ' ')")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $head AS head_h, md5(text) AS fp,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT head_h, count(*) AS n_docs,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_bodies,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  min(doc_id) AS example_doc
+       |FROM d WHERE n_tokens >= 8
+       |GROUP BY head_h
+       |HAVING count(*) >= 2 AND count(DISTINCT fp) >= 2
+       |ORDER BY n_docs DESC, head_h
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q237_prefix_families" -> (q237 _),
     "q227_quality_trend" -> (q227 _),
     "q224_format_profile" -> (q224 _),
     "q219_secret_scan" -> (q219 _),
@@ -4691,6 +4750,7 @@ object TextAnalysis {
     "q76_context_packing" -> (q76 _))
 
   val oracles: Map[String, String] = Map(
+    "q237_prefix_families" -> q237Sql,
     "q227_quality_trend" -> q227Sql,
     "q224_format_profile" -> q224Sql,
     "q219_secret_scan" -> q219Sql,

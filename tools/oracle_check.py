@@ -35,10 +35,19 @@ def frame_fingerprint(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Optional third arg: write a CORRECTNESS-style JSON of the results
+    # (used for the generated-scale spot-oracle, CORRECTNESS_scale.json).
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Generated harness dirs (e.g. the 100x relational tables) carry
+        # only a subset of the star schema — skip absent tables so the
+        # views that DO exist are checkable there.
+        if _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
@@ -95,7 +104,12 @@ def main():
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
+            results[name] = {"rows": len(sr), "schema_match": True,
+                             "hash_match": True}
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+                   "queries": results}, open(json_out, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 
