@@ -43,7 +43,9 @@ object Insights {
     // one-definition contract (each panel IS its oracled query)
     "q210_session_paths", "q211_return_latency", "q212_depth_by_entry",
     "q216_weekly_cohorts", "q217_ltv_deciles", "q221_error_streaks",
-    "q223_gap_tail_quantiles", "q229_entry_value")
+    "q223_gap_tail_quantiles", "q229_entry_value",
+    // round-14 panels: capacity sizing + concentration
+    "q235_peak_concurrency", "q236_user_gini")
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit =
     Panels.foreach { name =>

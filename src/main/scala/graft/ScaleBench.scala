@@ -142,7 +142,8 @@ object ScaleBench {
     "q04_priority_exists", "q05_local_supplier", "q06_forecast_revenue",
     "q07_window_topk", "q08_running_total", "q09_segment_stats",
     "q134_topk_agg", "q230_trailing_revenue", "q231_fk_orphans",
-    "q232_returned_revenue", "q233_waiting_suppliers", "q234_idle_rich")
+    "q232_returned_revenue", "q233_waiting_suppliers", "q234_idle_rich",
+    "q239_price_qty_corr", "q241_order_aging", "q242_share_drift")
 
   /** Everything else (round-5 verdict task 5: the full 98-query surface
     * needs scale evidence, not just the doc/embedding + q01-q09 subset):

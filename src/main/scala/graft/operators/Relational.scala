@@ -976,12 +976,207 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q239
+  /** PRICE–QUANTITY CORRELATION — exact-input Pearson per return
+    * flag: do bigger orders ship at higher unit totals, and does the
+    * relationship differ for returned lines? The suite's rank
+    * correlations (q198/q222) read MONOTONE association over text and
+    * vector features; this is the LINEAR moment version over the fact
+    * table — one pass, five decimal-exact moments.
+    *
+    * Determinism: all five moments are exact decimal sums (quantity
+    * DECIMAL(12,4) × price DECIMAL(18,4) products stay ≪ precision
+    * 38 at any row count); each converts to double once via the
+    * floor-split ([[graft.functions.Parity.decToDouble]]), and the
+    * Pearson formula is then the IDENTICAL double expression tree in
+    * both engines — every step one correctly-rounded IEEE op. Report
+    * floors to micro units.
+    *
+    * Scale posture: ONE partial-aggregable groupBy over the pruned
+    * 3-column scan; ≤|flags| report rows; no join, no window. */
+  private def q239(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec4(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        decToDouble(sum(x)).as("sx"),
+        decToDouble(sum(y)).as("sy"),
+        decToDouble(sum(x * x)).as("sxx"),
+        decToDouble(sum(y * y)).as("syy"),
+        decToDouble(sum(x * y)).as("sxy"))
+      .withColumn("den2",
+        (col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_lines"),
+        when(col("den2") <= 0.0, 0L)
+          .otherwise(floor(lit(1000000.0) *
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(col("den2"))).cast("long")).as("pearson_u"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q239Sql = {
+    // DuckDB narrows DECIMAL(18)×DECIMAL(18) instead of widening, so
+    // the moments run in exact HUGEINT ten-thousandth units; the
+    // floor-split back to double ((S div 10^k) + (S mod 10^k)/10^k)
+    // performs the IDENTICAL single IEEE roundings as Spark's
+    // decToDouble over the decimal sums (each part exactly
+    // representable, one correctly-rounded op per term).
+    def d(sum: String, pow: Long) =
+      s"(CAST($sum // $pow AS DOUBLE) + CAST($sum % $pow AS DOUBLE) / $pow.0)"
+    s"""WITH iu AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10000 AS HUGEINT)
+       |      AS xu,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+       |      AS yu
+       |  FROM lineitem),
+       |mom AS (
+       |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+       |    ${d("sum(xu)", 10000L)} AS sx,
+       |    ${d("sum(yu)", 10000L)} AS sy,
+       |    ${d("sum(xu * xu)", 100000000L)} AS sxx,
+       |    ${d("sum(yu * yu)", 100000000L)} AS syy,
+       |    ${d("sum(xu * yu)", 100000000L)} AS sxy
+       |  FROM iu GROUP BY 1)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+       |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0.0
+       |    THEN 0
+       |    ELSE CAST(floor(1000000.0 * (n * sxy - sx * sy) /
+       |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) AS BIGINT)
+       |  END AS pearson_u
+       |FROM mom
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q241
+  /** OPEN-ORDER AGING — the accounts-receivable view: orders still in
+    * status 'O', bucketed by age against the corpus' LATEST order
+    * date (the "as of the data's own now" convention every aging
+    * report uses), per priority: counts and exact value mass per
+    * bucket. An old open order in a high priority band is the
+    * fulfillment failure the report exists to surface.
+    *
+    * Determinism: day ages via date-boundary diffs (identical in
+    * both engines); buckets integer CASE cuts; value mass exact
+    * DECIMAL(18,4)·10⁴ int64 units.
+    *
+    * Scale posture: the as-of anchor is ONE scalar max broadcast
+    * back (1-row hinted cross join); the rest is one
+    * partial-aggregable groupBy over the status-filtered scan;
+    * ≤|priorities|·4 report rows. */
+  private def q241(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+    val anchor = open.agg(max(col("o_orderdate")).as("as_of"))
+    open.join(broadcast(anchor))
+      .withColumn("age_d",
+        datediff(col("as_of"), col("o_orderdate")).cast("long"))
+      .withColumn("age_bucket",
+        when(col("age_d") <= 90L, "a_0_90d")
+          .when(col("age_d") <= 365L, "b_91_365d")
+          .when(col("age_d") <= 730L, "c_1_2y")
+          .otherwise("d_over_2y"))
+      .groupBy(col("o_orderpriority"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(dec(col("o_totalprice"))) * lit(10000)).cast("long")
+          .as("value_u"))
+      .orderBy(col("o_orderpriority"), col("age_bucket"))
+  }
+
+  private val q241Sql =
+    s"""WITH open_orders AS (
+       |  SELECT * FROM orders WHERE o_orderstatus = 'O'),
+       |anchor AS (
+       |  SELECT max(o_orderdate) AS as_of FROM open_orders),
+       |aged AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    date_diff('day', o_orderdate, as_of) AS age_d
+       |  FROM open_orders CROSS JOIN anchor)
+       |SELECT o_orderpriority,
+       |  CASE WHEN age_d <= 90 THEN 'a_0_90d'
+       |    WHEN age_d <= 365 THEN 'b_91_365d'
+       |    WHEN age_d <= 730 THEN 'c_1_2y'
+       |    ELSE 'd_over_2y' END AS age_bucket,
+       |  count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+       |    AS value_u
+       |FROM aged
+       |GROUP BY 1, 2
+       |ORDER BY o_orderpriority, age_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q242
+  /** NATION MARKET-SHARE DRIFT (the TPC-H Q8 shape on this schema):
+    * per (order year, customer nation), the nation's micro-share of
+    * that year's order value and the year-over-year share delta — the
+    * "is this market growing or ceding share" read, which the
+    * absolute revenue of q02 cannot answer in a growing corpus.
+    *
+    * Determinism: value sums exact DECIMAL(18,4)·10⁴ int64 units;
+    * shares micro floor-div against the year total; deltas integer
+    * subtraction of shares with the first year NULL in both engines
+    * (lag over an aggregated frame).
+    *
+    * Scale posture: orders⋈customer keyed on the customer key (the
+    * only fact-scale shuffle — lineitem never enters), nation
+    * broadcast; the share/delta windows run over the
+    * |years|×|nations| AGGREGATED frame (census-whitelisted by
+    * construction). */
+  private def q242(spark: SparkSession, dir: String): DataFrame = {
+    val or = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"), col("o_totalprice"))
+    val cu = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val yearNation = or.join(cu, or("o_custkey") === cu("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("yr"), col("n_name"))
+      .agg((sum(dec(col("o_totalprice"))) * lit(10000)).cast("long")
+        .as("rev_u"))
+    val wYear = Window.partitionBy(col("yr"))
+    val wNation = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    yearNation
+      .withColumn("year_total_u", sum(col("rev_u")).over(wYear))
+      .withColumn("share_u", expr("(1000000 * rev_u) div year_total_u"))
+      .withColumn("share_delta_u",
+        col("share_u") - lag(col("share_u"), 1).over(wNation))
+      .select(col("yr"), col("n_name"), col("rev_u"), col("share_u"),
+        col("share_delta_u"))
+      .orderBy(col("yr"), col("n_name"))
+  }
+
+  private val q242Sql =
+    s"""WITH yn AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+       |      AS BIGINT) AS rev_u
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT yr, n_name, rev_u,
+       |    (1000000 * rev_u) //
+       |      CAST(sum(rev_u) OVER (PARTITION BY yr) AS BIGINT)
+       |      AS share_u
+       |  FROM yn)
+       |SELECT yr, n_name, rev_u, share_u,
+       |  share_u - lag(share_u) OVER (PARTITION BY n_name ORDER BY yr)
+       |    AS share_delta_u
+       |FROM sh
+       |ORDER BY yr, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q230_trailing_revenue" -> (q230 _),
     "q231_fk_orphans" -> (q231 _),
     "q232_returned_revenue" -> (q232 _),
     "q233_waiting_suppliers" -> (q233 _),
     "q234_idle_rich" -> (q234 _),
+    "q239_price_qty_corr" -> (q239 _),
+    "q241_order_aging" -> (q241 _),
+    "q242_share_drift" -> (q242 _),
     "q01_pricing_summary"   -> (q01 _),
     "q02_revenue_by_nation" -> (q02 _),
     "q03_shipping_priority" -> (q03 _),
@@ -1012,6 +1207,9 @@ object Relational {
     "q232_returned_revenue" -> q232Sql,
     "q233_waiting_suppliers" -> q233Sql,
     "q234_idle_rich" -> q234Sql,
+    "q239_price_qty_corr" -> q239Sql,
+    "q241_order_aging" -> q241Sql,
+    "q242_share_drift" -> q242Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

@@ -4506,7 +4506,11 @@ object Similarity {
   private def knnEdges(spark: SparkSession, dir: String): DataFrame =
     Features.cachedFrame(spark,
       s"$dir#knnEdges#${lshBits(spark)}#$HubK") {
+      // Zero-norm vectors cannot rank (cosine 0/0); they are excluded
+      // from the served graph on BOTH sides — q238's quality audit is
+      // where they surface, not as NaN edges here.
       val emb = scaledEmb(spark, dir)
+        .filter(col("n2") > 0L)
         .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
       val qs = emb.select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("sv").as("qv"), col("n2").as("qn2"), col("bkt").as("qbkt"))
@@ -4547,7 +4551,8 @@ object Similarity {
        |    ORDER BY ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")}
        |      DESC, c.vec_id) AS rnk
        |  FROM emb c JOIN emb q
-       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
+       |    AND c.n2 > 0 AND q.n2 > 0),
        |occ AS (
        |  SELECT nb, count(*) AS occ FROM edges WHERE rnk <= $HubK
        |  GROUP BY 1),
@@ -4648,7 +4653,8 @@ object Similarity {
        |      ORDER BY c.n2 + q.n2 - 2 * ${dotLSql("c.sv", "q.sv")},
        |        c.vec_id) AS rnk
        |  FROM emb c JOIN emb q
-       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
+       |    AND c.n2 > 0 AND q.n2 > 0),
        |nn2 AS (
        |  SELECT q_id, q_label, count(*) AS n_nb,
        |    max(CASE WHEN rnk = 1 THEN d2sq END) AS d1sq,
@@ -4721,7 +4727,8 @@ object Similarity {
        |        ORDER BY ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")}
        |          DESC, c.vec_id) AS rnk
        |    FROM emb c JOIN emb q
-       |      ON c.bkt = q.bkt AND c.vec_id <> q.vec_id)
+       |      ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
+       |      AND c.n2 > 0 AND q.n2 > 0)
        |  WHERE rnk <= $HubK),
        |mut AS (
        |  SELECT e.q_label, count(*) AS n_mutual
@@ -4858,7 +4865,8 @@ object Similarity {
        |      ORDER BY ${cosineSql(dotLSql("c.sv", "q.sv"), "c.n2", "q.n2")}
        |        DESC, c.vec_id) AS rnk
        |  FROM emb c JOIN emb q
-       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+       |    ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
+       |    AND c.n2 > 0 AND q.n2 > 0),
        |agg AS (
        |  SELECT q_label AS label, count(*) AS n_edges,
        |    CAST(sum(CASE WHEN q_label = nb_label THEN 1 ELSE 0 END)

@@ -44,10 +44,16 @@ def main():
     for t in TABLES:
         # Generated harness dirs (e.g. the 100x relational tables) carry
         # only a subset of the star schema — skip absent tables so the
-        # views that DO exist are checkable there.
-        if _os.path.exists(f"{sf_dir}/{t}.parquet"):
+        # views that DO exist are checkable there. Driver testdata are
+        # single parquet FILES; Spark-generated harness tables are
+        # DIRECTORIES of part files — glob accordingly.
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif _os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
