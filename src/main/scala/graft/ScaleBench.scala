@@ -143,7 +143,8 @@ object ScaleBench {
     "q07_window_topk", "q08_running_total", "q09_segment_stats",
     "q134_topk_agg", "q230_trailing_revenue", "q231_fk_orphans",
     "q232_returned_revenue", "q233_waiting_suppliers", "q234_idle_rich",
-    "q239_price_qty_corr", "q241_order_aging", "q242_share_drift")
+    "q239_price_qty_corr", "q241_order_aging", "q242_share_drift",
+    "q244_supplier_gini", "q245_repeat_interval")
 
   /** Everything else (round-5 verdict task 5: the full 98-query surface
     * needs scale evidence, not just the doc/embedding + q01-q09 subset):
@@ -177,7 +178,8 @@ object ScaleBench {
     "q208_entry_exit", "q210_session_paths", "q211_return_latency",
     "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles",
     "q221_error_streaks", "q223_gap_tail_quantiles",
-    "q229_entry_value", "q235_peak_concurrency", "q236_user_gini")
+    "q229_entry_value", "q235_peak_concurrency", "q236_user_gini",
+    "q243_weekday_profile")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
@@ -830,7 +832,8 @@ object ScaleBench {
           "q208_entry_exit", "q210_session_paths", "q211_return_latency",
           "q212_depth_by_entry", "q216_weekly_cohorts", "q217_ltv_deciles",
           "q221_error_streaks", "q223_gap_tail_quantiles",
-          "q229_entry_value", "q235_peak_concurrency", "q236_user_gini"))
+          "q229_entry_value", "q235_peak_concurrency", "q236_user_gini",
+          "q243_weekday_profile"))
       def sweepEv(dir: String): Map[String, Double] = {
         val passes = (1 to 2).map(_ =>
           famNames.map(n => time(noopWrite(SparkEntry.queries(n)(spark, dir)))))

@@ -3079,9 +3079,80 @@ object Events {
        |GROUP BY event_type
        |ORDER BY gini_u DESC, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q243
+  /** WEEKDAY SEASONALITY PROFILE — the weekly structure q199's lag-24
+    * HOURLY autocorrelation can't see: per event type, the
+    * day-of-week histogram, the peak day and its micro-share, and an
+    * exact chi-square statistic against the uniform-weekday null —
+    * organic human traffic has a weekly pulse (χ² ≫ 0 with a weekend
+    * or weekday peak); machine feeds are flat (χ² ≈ 0); a χ²
+    * explosion on one day is a batch-job signature.
+    *
+    * Determinism: day-of-week from epoch days ((day + 4) mod 7,
+    * Thursday-anchored — Spark's `dayofweek` and DuckDB's `dow` use
+    * DIFFERENT numbering, so neither appears); χ² = Σ(7·obs − n)² /
+    * (7n) in micro units with DECIMAL(38,0) squares (a 10¹²-event
+    * type would overflow int64); peak day by (count, dow) rank over
+    * the 7-row-per-type aggregate.
+    *
+    * Scale posture: ONE partial-aggregable (type, dow) aggregate —
+    * ≤7·|types| cells; every window runs over that bounded frame. */
+  private def q243(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("((CAST(ts AS LONG) div 86400) + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("cnt"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("dow"))
+    cells
+      .withColumn("n", sum(col("cnt")).over(wType))
+      .withColumn("rnk", row_number().over(wPeak))
+      .withColumn("d", lit(7L) * col("cnt") - col("n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(when(col("rnk") === 1, col("dow"))).as("peak_dow"),
+        max(when(col("rnk") === 1,
+          expr("(1000000 * cnt) div n"))).as("peak_share_u"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))"))
+          .as("sum_d2"))
+      .withColumn("chi2_u",
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_d2)
+               div (7 * CAST(n_events AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("event_type"), col("n_events"), col("peak_dow"),
+        col("peak_share_u"), col("chi2_u"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q243Sql =
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |    ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, dow, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY cnt DESC, dow) AS rnk
+       |  FROM cells)
+       |SELECT event_type,
+       |  max(n) AS n_events,
+       |  max(CASE WHEN rnk = 1 THEN dow END) AS peak_dow,
+       |  max(CASE WHEN rnk = 1 THEN (1000000 * cnt) // n END)
+       |    AS peak_share_u,
+       |  CAST((1000000 * sum(CAST(7 * cnt - n AS HUGEINT)
+       |      * CAST(7 * cnt - n AS HUGEINT)))
+       |    // (7 * CAST(max(n) AS HUGEINT)) AS BIGINT) AS chi2_u
+       |FROM ranked
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q235_peak_concurrency" -> (q235 _),
     "q236_user_gini" -> (q236 _),
+    "q243_weekday_profile" -> (q243 _),
     "q229_entry_value" -> (q229 _),
     "q223_gap_tail_quantiles" -> (q223 _),
     "q221_error_streaks" -> (q221 _),
@@ -3128,6 +3199,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q235_peak_concurrency" -> q235Sql,
     "q236_user_gini" -> q236Sql,
+    "q243_weekday_profile" -> q243Sql,
     "q229_entry_value" -> q229Sql,
     "q223_gap_tail_quantiles" -> q223Sql,
     "q221_error_streaks" -> q221Sql,

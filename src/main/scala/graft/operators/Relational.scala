@@ -1168,6 +1168,199 @@ object Relational {
        |FROM sh
        |ORDER BY yr, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q244
+  /** SUPPLIER REVENUE CONCENTRATION — per nation, the exact Gini of
+    * lineitem revenue across its suppliers plus the top-decile
+    * supplier share: a nation whose volume concentrates in a handful
+    * of suppliers is a supply-chain risk q15's single top supplier
+    * can't quantify. The relational sibling of q236's user-activity
+    * Gini — but revenue values are near-continuous (the histogram
+    * trick q236 uses would degenerate to one row per supplier), so
+    * the rank leg is [[Features.shardedRowNumber]] on the VALUE
+    * ordering: exact ranks, every sort task bounded by one revenue
+    * bucket, the same two-phase machinery the text suite adopted.
+    *
+    * Determinism: revenue per supplier in exact DECIMAL(18,4)·10⁴
+    * int64 units; Σi·x in DECIMAL(38,0) (rank × micro-revenue
+    * products overflow int64 at warehouse scale); Gini micro
+    * floor-div.
+    *
+    * Scale posture: one fact-table aggregate keyed by (suppkey) —
+    * suppliers-scale output; nation broadcast; ranks two-phase;
+    * report is |nations| rows. */
+  private def q244(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg((sum(revenue(col("l_extendedprice"), col("l_discount"))) *
+        lit(10000)).cast("long").as("rev_u"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_suppkey"), col("rev_u"))
+    val nn = perSupp.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("rev_u")).as("total_u"))
+    Features.shardedRowNumber(perSupp, Seq("n_name"),
+        expr("rev_u div 1000000000"), Seq(col("rev_u"), col("l_suppkey")),
+        "i")
+      .join(broadcast(nn), "n_name")
+      .withColumn("top10",
+        col("i") > col("n_supp") - expr("(n_supp + 9) div 10"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n_supp")).as("n_suppliers"),
+        max(col("total_u")).as("revenue_u"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * CAST(rev_u AS DECIMAL(38,0))"))
+          .as("six"),
+        sum(when(col("top10"), col("rev_u")).otherwise(0L)).as("top_mass"))
+      .select(col("n_name"), col("n_suppliers"), col("revenue_u"),
+        when(col("revenue_u") === 0L, 0L).otherwise(expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+             (2 * six - (CAST(n_suppliers AS DECIMAL(38,0)) + 1) *
+              CAST(revenue_u AS DECIMAL(38,0))))
+             div (CAST(n_suppliers AS DECIMAL(38,0)) *
+              CAST(revenue_u AS DECIMAL(38,0))) AS BIGINT)"""))
+          .as("gini_u"),
+        when(col("revenue_u") === 0L, 0L)
+          .otherwise(expr("(1000000 * top_mass) div revenue_u"))
+          .as("top_decile_share_u"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q244Sql =
+    s"""WITH per_supp AS (
+       |  SELECT n_name, l_suppkey,
+       |    CAST($sumRev * 10000 AS BIGINT) AS rev_u
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation   ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT n_name, rev_u,
+       |    CAST(row_number() OVER (PARTITION BY n_name
+       |      ORDER BY rev_u, l_suppkey) AS BIGINT) AS i,
+       |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+       |    CAST(sum(rev_u) OVER (PARTITION BY n_name) AS BIGINT) AS total
+       |  FROM per_supp)
+       |SELECT n_name,
+       |  max(n) AS n_suppliers,
+       |  max(total) AS revenue_u,
+       |  CASE WHEN max(total) = 0 THEN 0
+       |    ELSE CAST((1000000 * (2 * sum(CAST(i AS HUGEINT)
+       |        * CAST(rev_u AS HUGEINT))
+       |      - (CAST(max(n) AS HUGEINT) + 1) * CAST(max(total) AS HUGEINT)))
+       |      // (CAST(max(n) AS HUGEINT) * CAST(max(total) AS HUGEINT))
+       |      AS BIGINT) END AS gini_u,
+       |  CASE WHEN max(total) = 0 THEN 0
+       |    ELSE (1000000 * CAST(sum(CASE WHEN i > n - (n + 9) // 10
+       |      THEN rev_u ELSE 0 END) AS BIGINT)) // max(total)
+       |  END AS top_decile_share_u
+       |FROM ranked
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q245
+  /** REPEAT-PURCHASE INTERVAL — per market segment, exact nearest-rank
+    * p50/p90 of the day gaps between a customer's consecutive orders,
+    * plus the repeat rate: the re-engagement cadence a retention
+    * campaign is tuned against (q64/q194 read RETENTION of event
+    * users; this is the ORDER-table purchase rhythm). One-order
+    * customers contribute to the repeat-rate denominator but no gaps.
+    *
+    * Determinism: per-customer lag over the (orderdate, orderkey)
+    * total order (customer-keyed — high-cardinality partitions, not
+    * the hazard class); gaps in whole epoch-days; quantiles via the
+    * histogram-cumsum shape (distinct gap values bounded by the
+    * calendar span, never the row count).
+    *
+    * Scale posture: orders shuffle once keyed by customer; the gap
+    * histogram is a partial-aggregable (segment, gap) aggregate; the
+    * quantile cut windows run over that bounded frame. */
+  private def q245(spark: SparkSession, dir: String): DataFrame = {
+    val wCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("day"),
+        col("o_orderkey"))
+      .withColumn("gap_d", col("day") - lag(col("day"), 1).over(wCust))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val base = gaps.groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(when(col("gap_d").isNotNull, col("o_custkey")))
+          .as("n_repeat"))
+    val hist = gaps.filter(col("gap_d").isNotNull)
+      .groupBy(col("c_mktsegment"), col("gap_d"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+    val cums = hist
+      .withColumn("cum", sum(col("cnt")).over(wSeg))
+      .withColumn("n_gaps", sum(col("cnt")).over(wAll))
+    def cut(p: Int): org.apache.spark.sql.Column = {
+      val target = expr(s"1 + ((n_gaps - 1) * $p) div 100")
+      min(when(col("cum") >= target && col("cum") - col("cnt") < target,
+        col("gap_d")))
+    }
+    cums.groupBy(col("c_mktsegment"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        cut(50).as("p50_gap_d"), cut(90).as("p90_gap_d"))
+      .join(base, "c_mktsegment")
+      .withColumn("repeat_rate_u",
+        expr("(1000000 * n_repeat) div n_customers"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_repeat"),
+        col("repeat_rate_u"), col("n_gaps"), col("p50_gap_d"),
+        col("p90_gap_d"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q245Sql =
+    s"""WITH gaps AS (
+       |  SELECT c_mktsegment, o_custkey,
+       |    day - lag(day) OVER (PARTITION BY o_custkey
+       |      ORDER BY day, o_orderkey) AS gap_d
+       |  FROM (
+       |    SELECT o_custkey, o_orderkey,
+       |      date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+       |        o_orderdate) // 86400 AS day
+       |    FROM orders)
+       |  JOIN customer ON o_custkey = c_custkey),
+       |base AS (
+       |  SELECT c_mktsegment,
+       |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       |    CAST(count(DISTINCT CASE WHEN gap_d IS NOT NULL
+       |      THEN o_custkey END) AS BIGINT) AS n_repeat
+       |  FROM gaps GROUP BY 1),
+       |hist AS (
+       |  SELECT c_mktsegment, gap_d, count(*) AS cnt
+       |  FROM gaps WHERE gap_d IS NOT NULL GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT c_mktsegment, gap_d, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY gap_d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+       |      AS n_gaps
+       |  FROM hist),
+       |qs AS (
+       |  SELECT c_mktsegment, max(n_gaps) AS n_gaps,
+       |    min(CASE WHEN cum >= 1 + ((n_gaps - 1) * 50) // 100
+       |      AND cum - cnt < 1 + ((n_gaps - 1) * 50) // 100
+       |      THEN gap_d END) AS p50_gap_d,
+       |    min(CASE WHEN cum >= 1 + ((n_gaps - 1) * 90) // 100
+       |      AND cum - cnt < 1 + ((n_gaps - 1) * 90) // 100
+       |      THEN gap_d END) AS p90_gap_d
+       |  FROM cums GROUP BY 1)
+       |SELECT q.c_mktsegment, n_customers, n_repeat,
+       |  (1000000 * n_repeat) // n_customers AS repeat_rate_u,
+       |  n_gaps, p50_gap_d, p90_gap_d
+       |FROM qs q JOIN base b ON q.c_mktsegment = b.c_mktsegment
+       |ORDER BY q.c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q230_trailing_revenue" -> (q230 _),
     "q231_fk_orphans" -> (q231 _),
@@ -1177,6 +1370,8 @@ object Relational {
     "q239_price_qty_corr" -> (q239 _),
     "q241_order_aging" -> (q241 _),
     "q242_share_drift" -> (q242 _),
+    "q244_supplier_gini" -> (q244 _),
+    "q245_repeat_interval" -> (q245 _),
     "q01_pricing_summary"   -> (q01 _),
     "q02_revenue_by_nation" -> (q02 _),
     "q03_shipping_priority" -> (q03 _),
@@ -1210,6 +1405,8 @@ object Relational {
     "q239_price_qty_corr" -> q239Sql,
     "q241_order_aging" -> q241Sql,
     "q242_share_drift" -> q242Sql,
+    "q244_supplier_gini" -> q244Sql,
+    "q245_repeat_interval" -> q245Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
