@@ -607,7 +607,8 @@ object ScaleBench {
 
       // (b) single-request latency: one-id query file, N calls.
       val oneId = Tables.embeddings(spark, sf1)
-        .select("vec_id").limit(1).collect().head.getLong(0)
+        .agg(org.apache.spark.sql.functions.min("vec_id"))
+        .collect().head.getLong(0) // min id is inside the served query panel
       val idFile = Paths.get(serveOut, "one_query.txt")
       Files.write(idFile, s"$oneId\n".getBytes("UTF-8"))
       val reqN = sys.env.getOrElse("SPARK_GRAFT_SERVE_REQS", "12").toInt
@@ -650,7 +651,8 @@ object ScaleBench {
         ScaleData.generate(spark, sf1, nDocs, nEmb)
       val servOut = Files.createTempDirectory("graft_serveconc_").toString
       val oneId = Tables.embeddings(spark, sf1)
-        .select("vec_id").limit(1).collect().head.getLong(0)
+        .agg(org.apache.spark.sql.functions.min("vec_id"))
+        .collect().head.getLong(0) // min id is inside the served query panel
       val idFile = Paths.get(servOut, "one_query.txt")
       Files.write(idFile, s"$oneId\n".getBytes("UTF-8"))
       // Warm the session index frames once so every tier measures the
