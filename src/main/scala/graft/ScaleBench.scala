@@ -133,7 +133,7 @@ object ScaleBench {
     "q222_norm_margin_corr", "q224_format_profile", "q225_cluster_span",
     "q226_quant_impact", "q227_quality_trend", "q228_dup_distance",
     "q237_prefix_families", "q238_embedding_quality",
-    "q240_knn_homophily")
+    "q240_knn_homophily", "q247_perm_sweep")
 
   /** The relational prefix: TPC-H-shaped queries over the driver
     * testdata's lineitem/orders/customer tables at two SFs. */
@@ -144,7 +144,7 @@ object ScaleBench {
     "q134_topk_agg", "q230_trailing_revenue", "q231_fk_orphans",
     "q232_returned_revenue", "q233_waiting_suppliers", "q234_idle_rich",
     "q239_price_qty_corr", "q241_order_aging", "q242_share_drift",
-    "q244_supplier_gini", "q245_repeat_interval")
+    "q244_supplier_gini", "q245_repeat_interval", "q246_reorder_rate")
 
   /** Everything else (round-5 verdict task 5: the full 98-query surface
     * needs scale evidence, not just the doc/embedding + q01-q09 subset):

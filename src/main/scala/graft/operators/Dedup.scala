@@ -3953,7 +3953,129 @@ object Dedup {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q247
+  /** MINHASH PERMUTATION-COUNT SWEEP — the sizing table for the
+    * signature WIDTH axis, completing the sweep family (q142 swept
+    * banding, q158 PQ budgets, q166 nprobe, q162 thresholds): for
+    * k ∈ {4, 8, 16} permutations, the estimator's mean absolute
+    * error, mean signed bias, and worst error against exact Jaccard
+    * over q35's verified pairs. The first k lanes of the 16-lane
+    * signature ARE a valid k-perm MinHash (lanes are independent), so
+    * the whole sweep reads the one memoized signature table — no
+    * re-aggregation per k. The number this buys: whether a pipeline
+    * can halve its signature storage (8 perms) before the error band
+    * crosses its dedup threshold margin.
+    *
+    * Determinism: per-lane agreements are exact integer compares;
+    * estimates/exacts micro-floored doubles (single IEEE rounding);
+    * the means floor(sum/count) on doubles — identical both engines.
+    *
+    * Scale posture: rides the MEMOIZED signature table and verified
+    * pairs (pairs-bounded frames); the shingle-set join is the q96
+    * exact leg; 3 report rows. */
+  private def q247(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val pairs = minhashVerifiedPairs(sig).select(col("doc_a"), col("doc_b"))
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
+    val sh = Features.shingleSets(spark, dir)
+    def matchesUpTo(k: Int): Column = (0 until k).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val base = pairs
+      .join(sa, col("doc_a") === col("a_doc_id"))
+      .join(sb, col("doc_b") === col("b_doc_id"))
+      .join(sh.toDF("sa_doc", "a_ss"), col("doc_a") === col("sa_doc"))
+      .join(sh.toDF("sb_doc", "b_ss"), col("doc_b") === col("sb_doc"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_ss")) + size(col("b_ss"))).cast("long") -
+          col("n_common"))
+      .withColumn("exact_u",
+        floor(lit(1000000.0) * col("n_common").cast(DoubleType) /
+          col("n_union").cast(DoubleType)).cast("long"))
+      .select(col("exact_u") +: Seq(4, 8, 16).map(k =>
+        matchesUpTo(k).as(s"k$k")): _*)
+    Seq(4, 8, 16).map { k =>
+      base.select(lit(k.toLong).as("n_perms"),
+        (floor(lit(1000000.0) * col(s"k$k").cast(DoubleType) /
+          lit(k.toDouble)).cast("long") - col("exact_u")).as("err_u"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("n_perms"))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(abs(col("err_u"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).cast("long")
+          .as("mean_abs_err_u"),
+        floor(sum(col("err_u")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).cast("long").as("mean_bias_u"),
+        max(abs(col("err_u"))).as("max_abs_err_u"))
+      .orderBy(col("n_perms"))
+  }
+
+  private lazy val q247Sql = {
+    val mins = (0 until MinHashK)
+      .map(i => s"min(${permSql(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val ms = (0 until LshRows).map(r => s"m${b * LshRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ms)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    def matches(k: Int) = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val legs = Seq(4, 8, 16).map { k =>
+      s"""SELECT $k AS n_perms,
+         |    CAST(floor(1000000.0 * CAST(k$k AS DOUBLE) / $k.0) AS BIGINT)
+         |      - exact_u AS err_u
+         |  FROM base""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS ss
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, ${md5u32Sql("w")} AS h
+       |           FROM (SELECT doc_id, unnest(ss) AS w FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    ${matches(4)} AS k4, ${matches(8)} AS k8, ${matches(16)} AS k16
+       |  FROM cand
+       |  JOIN sig sa ON doc_a = sa.doc_id
+       |  JOIN sig sb ON doc_b = sb.doc_id
+       |  WHERE ${matches(MinHashK)} >= $MinHashMatchMin),
+       |base AS (
+       |  SELECT v.doc_a, v.doc_b, k4, k8, k16,
+       |    CAST(floor(1000000.0 * CAST(len(list_intersect(a.ss, b.ss))
+       |        AS DOUBLE) /
+       |      CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))
+       |        AS DOUBLE)) AS BIGINT) AS exact_u
+       |  FROM verified v
+       |  JOIN sh a ON v.doc_a = a.doc_id
+       |  JOIN sh b ON v.doc_b = b.doc_id),
+       |errs AS (
+       |  $legs)
+       |SELECT n_perms, count(*) AS n_pairs,
+       |  CAST(floor(CAST(sum(abs(err_u)) AS DOUBLE) / count(*))
+       |    AS BIGINT) AS mean_abs_err_u,
+       |  CAST(floor(CAST(sum(err_u) AS DOUBLE) / count(*))
+       |    AS BIGINT) AS mean_bias_u,
+       |  max(abs(err_u)) AS max_abs_err_u
+       |FROM errs
+       |GROUP BY n_perms
+       |ORDER BY n_perms""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q247_perm_sweep" -> (q247 _),
     "q189_cluster_density" -> (q189 _),
     "q180_crawl_runs" -> (q180 _),
     "q160_cluster_purity" -> (q160 _),
@@ -4001,6 +4123,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q247_perm_sweep" -> q247Sql,
     "q189_cluster_density" -> q189Sql,
     "q180_crawl_runs" -> q180Sql,
     "q160_cluster_purity" -> q160Sql,

@@ -1361,7 +1361,60 @@ object Relational {
        |FROM qs q JOIN base b ON q.c_mktsegment = b.c_mktsegment
        |ORDER BY q.c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q246
+  /** BRAND REORDER RATE — per part brand, the share of (customer,
+    * part) purchase pairs that repeat: q245 reads WHEN customers come
+    * back; this reads WHAT they come back for — a brand whose pairs
+    * are one-shot is acquisition-driven, a high-reorder brand is the
+    * replenishment business. The retail staple the schema supports
+    * end-to-end (lineitem → orders for the customer, part for the
+    * brand).
+    *
+    * Determinism: counts int64; rate micro floor-div; ordered (rate
+    * desc, brand).
+    *
+    * Scale posture: ONE fact-scale aggregate keyed by (custkey,
+    * partkey, brand) — uniform composite key; the brand rollup is
+    * |brands|-sized and partial-aggregable; part broadcast onto the
+    * pruned 2-column lineitem projection, orders pre-projected to its
+    * 2 columns. */
+  private def q246(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val or = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"), col("p_brand"))
+      .agg(count(lit(1)).as("n_buys"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n_buys") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .withColumn("reorder_rate_u",
+        expr("(1000000 * n_repeat) div n_pairs"))
+      .orderBy(col("reorder_rate_u").desc, col("p_brand"))
+  }
+
+  private val q246Sql =
+    s"""WITH pairs AS (
+       |  SELECT o_custkey, l_partkey, p_brand, count(*) AS n_buys
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part   ON l_partkey = p_partkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT p_brand, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN n_buys >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_repeat,
+       |  (1000000 * CAST(sum(CASE WHEN n_buys >= 2 THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS reorder_rate_u
+       |FROM pairs
+       |GROUP BY p_brand
+       |ORDER BY reorder_rate_u DESC, p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q246_reorder_rate" -> (q246 _),
     "q230_trailing_revenue" -> (q230 _),
     "q231_fk_orphans" -> (q231 _),
     "q232_returned_revenue" -> (q232 _),
@@ -1407,6 +1460,7 @@ object Relational {
     "q242_share_drift" -> q242Sql,
     "q244_supplier_gini" -> q244Sql,
     "q245_repeat_interval" -> q245Sql,
+    "q246_reorder_rate" -> q246Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
