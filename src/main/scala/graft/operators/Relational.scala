@@ -887,12 +887,20 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val late = col("l_shipdate") >
       col("o_orderdate") + expr("INTERVAL 75 DAYS")
-    val perOrder = li.join(or, li("l_orderkey") === or("o_orderkey"))
-      .withColumn("late_supp", when(late, col("l_suppkey")))
+    // Two stacked plain aggregates instead of two count-DISTINCTs in
+    // one: Spark plans multi-distinct via an Expand that doubles the
+    // 60M-row input (measured x10.5 at the 100x sweep); the
+    // per-(order, supplier) pre-aggregate gets the same distinct
+    // semantics from hash aggregation alone.
+    val perPair = li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1L).otherwise(0L)).as("is_late"))
+    val perOrder = perPair
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(col("late_supp")).as("n_late_supp"),
-        max(col("late_supp")).as("sole_late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("is_late")).as("n_late_supp"),
+        max(when(col("is_late") === 1L, col("l_suppkey")))
+          .as("sole_late_supp"))
       .filter(col("n_supp") > 1L && col("n_late_supp") === 1L)
     perOrder
       .join(broadcast(Tables.supplier(spark, dir)),
@@ -1139,7 +1147,12 @@ object Relational {
     val wNation = Window.partitionBy(col("n_name")).orderBy(col("yr"))
     yearNation
       .withColumn("year_total_u", sum(col("rev_u")).over(wYear))
-      .withColumn("share_u", expr("(1000000 * rev_u) div year_total_u"))
+      // DECIMAL(38,0) cross-multiply: 10⁶ × a year-nation micro total
+      // overflows int64 once yearly revenue passes ~9·10¹² micro units
+      // (the 100× sweep caught exactly this; shares still fit a long)
+      .withColumn("share_u",
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_u)
+               div year_total_u AS BIGINT)"""))
       .withColumn("share_delta_u",
         col("share_u") - lag(col("share_u"), 1).over(wNation))
       .select(col("yr"), col("n_name"), col("rev_u"), col("share_u"),
@@ -1158,9 +1171,9 @@ object Relational {
        |  GROUP BY 1, 2),
        |sh AS (
        |  SELECT yr, n_name, rev_u,
-       |    (1000000 * rev_u) //
-       |      CAST(sum(rev_u) OVER (PARTITION BY yr) AS BIGINT)
-       |      AS share_u
+       |    CAST((1000000 * CAST(rev_u AS HUGEINT)) //
+       |      CAST(sum(rev_u) OVER (PARTITION BY yr) AS HUGEINT)
+       |      AS BIGINT) AS share_u
        |  FROM yn)
        |SELECT yr, n_name, rev_u, share_u,
        |  share_u - lag(share_u) OVER (PARTITION BY n_name ORDER BY yr)
@@ -1222,7 +1235,11 @@ object Relational {
               CAST(revenue_u AS DECIMAL(38,0))) AS BIGINT)"""))
           .as("gini_u"),
         when(col("revenue_u") === 0L, 0L)
-          .otherwise(expr("(1000000 * top_mass) div revenue_u"))
+          // widened like q242's share: top_mass is a micro-unit
+          // revenue mass, so 10⁶ × it overflows int64 at 100× scale
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * top_mass)
+               div revenue_u AS BIGINT)"""))
           .as("top_decile_share_u"))
       .orderBy(col("n_name"))
   }
@@ -1252,8 +1269,9 @@ object Relational {
        |      // (CAST(max(n) AS HUGEINT) * CAST(max(total) AS HUGEINT))
        |      AS BIGINT) END AS gini_u,
        |  CASE WHEN max(total) = 0 THEN 0
-       |    ELSE (1000000 * CAST(sum(CASE WHEN i > n - (n + 9) // 10
-       |      THEN rev_u ELSE 0 END) AS BIGINT)) // max(total)
+       |    ELSE CAST((1000000 * sum(CASE WHEN i > n - (n + 9) // 10
+       |      THEN CAST(rev_u AS HUGEINT) ELSE 0 END)) //
+       |      CAST(max(total) AS HUGEINT) AS BIGINT)
        |  END AS top_decile_share_u
        |FROM ranked
        |GROUP BY n_name
