@@ -3833,7 +3833,7 @@ object Dedup {
     * run re-aggregates are (source, run)-keyed and partial-
     * aggregable; output is sources-sized. */
   private def q180(spark: SparkSession, dir: String): DataFrame = {
-    val shard = expr(s"doc_id div ${Features.PrefixShardSize}")
+    val shard = expr(s"doc_id div ${Features.prefixShardSize(spark)}")
     val lagged = Features.shardedLag(
       Tables.documents(spark, dir)
         .select(col("source"), col("doc_id"), md5(col("text")).as("fp")),

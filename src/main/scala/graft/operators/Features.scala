@@ -357,8 +357,27 @@ object Features {
 
   /** Default order-shard width for ingest-ordered (doc_id) reads: at
     * 100 TB a shard is ~64k rows per sort task; the offsets frame is
-    * |sources| × |shards| rows — KBs per billion docs. */
+    * |sources| × |shards| rows — KBs per billion docs. The offsets
+    * frame is broadcast back, so its row count (≈ corpus / shard
+    * size) is the one quantity to size: at 10¹² docs the default
+    * yields ~15M offset rows (~hundreds of MB — heavy but legal to
+    * broadcast); [[PrefixShardSizeConf]] raises the shard width to
+    * keep offsets comfortably broadcastable at any corpus size (the
+    * per-shard sort grows correspondingly — both sides stay bounded,
+    * the knob picks the split). */
   val PrefixShardSize: Long = 65536L
+
+  /** Session conf overriding [[PrefixShardSize]] for the
+    * ingest-ordered two-phase stages (q76/q102's packing prefix,
+    * q215's ingest rank, q180's run stitch). */
+  val PrefixShardSizeConf = "spark.graft.prefix.shardSize"
+
+  def prefixShardSize(spark: SparkSession): Long = {
+    val v = spark.conf.getOption(PrefixShardSizeConf)
+      .map(_.toLong).getOrElse(PrefixShardSize)
+    require(v > 0L, s"$PrefixShardSizeConf must be positive, got $v")
+    v
+  }
 
   /** Exclusive (default) or inclusive running sum of `value` per
     * `part` group along `order`, as `out` (long). Phase 1 aggregates

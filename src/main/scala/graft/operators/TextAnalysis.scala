@@ -927,7 +927,7 @@ object TextAnalysis {
       Tables.documents(spark, dir)
         .select(col("source"), col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens")),
-      Seq("source"), expr(s"doc_id div ${Features.PrefixShardSize}"),
+      Seq("source"), expr(s"doc_id div ${Features.prefixShardSize(spark)}"),
       Seq(col("doc_id")), col("n_tokens"), "prefix")
 
   private def q76(spark: SparkSession, dir: String): DataFrame = {
@@ -4327,7 +4327,7 @@ object TextAnalysis {
       Tables.documents(spark, dir)
         .select(col("source"), col("doc_id"),
           array_distinct(tokens(col("text"))).as("toks")),
-      Seq("source"), expr(s"doc_id div ${Features.PrefixShardSize}"),
+      Seq("source"), expr(s"doc_id div ${Features.prefixShardSize(spark)}"),
       Seq(col("doc_id")), "rnk")
     val nDocs = ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))

@@ -75,6 +75,26 @@ class ShardedPrefixSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows(got) shouldBe rows(expected)
   }
 
+  test("the ingest shard-size conf changes the plan's shard split " +
+      "but not one output value (q215 at shard size 7 ≡ default)") {
+    val s = spark.newSession()
+    s.conf.set(Features.CacheModeConf, "off")
+    s.conf.set(Features.PrefixShardSizeConf, "7")
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      val tiny = graft.SparkEntry
+        .queries("q215_vocab_growth")(s, SparkSpec.Sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      val default = graft.SparkEntry
+        .queries("q215_vocab_growth")(spark, SparkSpec.Sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      tiny shouldBe default
+    } finally {
+      Features.clear(s)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("the rewritten consumers plan ZERO hazard rank windows and " +
       "ZERO grouped SortAggregates in their default (exact) mode") {
     Seq("q76_context_packing", "q102_packing_audit", "q164_token_gini",
