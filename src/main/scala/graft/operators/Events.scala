@@ -302,7 +302,13 @@ object Events {
     * streaming [[graft.streaming.EventStreams.followWithin]] interval
     * join. One equi-join shuffle on `user_id` with the time window as a
     * post-join filter; per-user event counts bound the pair blowup, and
-    * a viral hot user is AQE skew-join territory. */
+    * a viral hot user is AQE skew-join territory. The day report rolls
+    * up through an exact (day, click)→(day, user)→day aggregate LADDER
+    * instead of `count(DISTINCT click), count(DISTINCT user)` — the
+    * multi-distinct form Expands (replicates) every PAIR row ×3 before
+    * its first aggregate (the q233 census class); the ladder collapses
+    * pairs to clicks-scale in one partial-aggregable pass and each
+    * later stage only shrinks. */
   private def q63(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val a = ev.filter(col("event_type") === "click")
@@ -314,10 +320,17 @@ object Events {
         col("a_user") === col("b_user") &&
           col("b_ts") > col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
-      .groupBy(date_trunc("day", col("a_ts")).as("day"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("a_id")).as("n_converting_clicks"),
-        countDistinct(col("a_user")).as("n_users"))
+      // day is functionally dependent on a_id (one click, one ts), so
+      // grouping by (day, a_id, a_user) = per-click pair counts.
+      .groupBy(date_trunc("day", col("a_ts")).as("day"),
+        col("a_id"), col("a_user"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("day"), col("a_user"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("clicks"))
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n_pairs"),
+        sum(col("clicks")).as("n_converting_clicks"),
+        count(lit(1)).as("n_users"))
       .orderBy(col("day"))
   }
 
@@ -3011,7 +3024,11 @@ object Events {
     * distinct activity level x with frequency f and users-below c,
     * the tie block contributes x·(f·c + f(f+1)/2) exactly — ties
     * share rank mass identically in both engines, no per-user
-    * ordering needed. All int64; shares micro floor-div.
+    * ordering needed. Σi·x and the Gini/top-decile numerators ride
+    * DECIMAL(38,0) (HUGEINT in the oracle): six reaches
+    * n_users·n_events and 10⁶× it overflows int64 past ~9·10¹²
+    * micro-units — the same warehouse-scale cliff q242/q244 widened
+    * for; shares micro floor-div.
     *
     * Scale posture: one (type, user) count aggregate (the only
     * corpus-sized shuffle), collapsed to the ≤|types|·|levels|
@@ -3031,8 +3048,8 @@ object Events {
       .withColumn("n", sum(col("f")).over(wAll))
       .withColumn("total", sum(col("x") * col("f")).over(wAll))
       .withColumn("ix",
-        col("x") * (col("f") * col("c") +
-          expr("(f * (f + 1)) div 2")))
+        expr("""CAST(x AS DECIMAL(38,0)) *
+               (CAST(f AS DECIMAL(38,0)) * c + (f * (f + 1)) div 2)"""))
       .withColumn("topk", expr("(n + 9) div 10"))
       .withColumn("in_top",
         greatest(lit(0L),
@@ -3044,9 +3061,13 @@ object Events {
         sum(col("ix")).as("six"),
         sum(col("in_top") * col("x")).as("top_mass"))
       .select(col("event_type"), col("n_users"), col("n_events"),
-        expr("(1000000 * (2 * six - (n_users + 1) * n_events))" +
-          " div (n_users * n_events)").as("gini_u"),
-        expr("(1000000 * top_mass) div n_events").as("top_decile_share_u"))
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+             (2 * six - (CAST(n_users AS DECIMAL(38,0)) + 1) *
+              CAST(n_events AS DECIMAL(38,0))))
+             div (CAST(n_users AS DECIMAL(38,0)) *
+              CAST(n_events AS DECIMAL(38,0))) AS BIGINT)""").as("gini_u"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * top_mass)
+             div n_events AS BIGINT)""").as("top_decile_share_u"))
       .orderBy(col("gini_u").desc, col("event_type"))
   }
 
@@ -3069,12 +3090,14 @@ object Events {
        |SELECT event_type,
        |  max(n) AS n_users,
        |  max(total) AS n_events,
-       |  (1000000 * (2 * CAST(sum(x * (f * c + (f * (f + 1)) // 2))
-       |      AS BIGINT) - (max(n) + 1) * max(total)))
-       |    // (max(n) * max(total)) AS gini_u,
-       |  (1000000 * CAST(sum(GREATEST(0, LEAST(c + f, n) -
-       |      GREATEST(c, n - (n + 9) // 10)) * x) AS BIGINT))
-       |    // max(total) AS top_decile_share_u
+       |  CAST((1000000 * (2 * sum(CAST(x AS HUGEINT) *
+       |        (CAST(f AS HUGEINT) * c + (f * (f + 1)) // 2))
+       |      - (CAST(max(n) AS HUGEINT) + 1) * CAST(max(total) AS HUGEINT)))
+       |    // (CAST(max(n) AS HUGEINT) * CAST(max(total) AS HUGEINT))
+       |    AS BIGINT) AS gini_u,
+       |  CAST((1000000 * sum(CAST(GREATEST(0, LEAST(c + f, n) -
+       |      GREATEST(c, n - (n + 9) // 10)) * x AS HUGEINT)))
+       |    // CAST(max(total) AS HUGEINT) AS BIGINT) AS top_decile_share_u
        |FROM cums
        |GROUP BY event_type
        |ORDER BY gini_u DESC, event_type""".stripMargin

@@ -426,7 +426,19 @@ object Features {
     * when it is a string) joined back to fetch the value at that
     * order key. `value` must be non-null (the stitch uses coalesce to
     * detect shard heads); the group's first row gets null, like the
-    * window it replaces. */
+    * window it replaces.
+    *
+    * CONTRACT (same as [[shardedRowNumber]]): `orderCol` must be a
+    * TOTAL order within each (part, bucket) shard — append a unique
+    * id if the natural key can tie. A tie at a shard's max key would
+    * otherwise match several rows in the edges fetch-back join,
+    * duplicating shard rows downstream and stitching an arbitrary
+    * prev value. Defensively, the edges frame is deduped to one row
+    * per shard (greatest value wins — a rank over the shards-sized
+    * edges frame, NOT a grouped max(value), whose string buffer would
+    * demote to the q122-class grouped SortAggregate): deterministic,
+    * and a no-op under the contract — so a violated contract degrades
+    * to a wrong-but-stable stitch rather than row duplication. */
   def shardedLag(df: DataFrame, part: Seq[String],
       bucket: org.apache.spark.sql.Column,
       orderCol: org.apache.spark.sql.Column,
@@ -436,8 +448,15 @@ object Features {
       .withColumn("__sl_v", value).withColumn("__sl_o", orderCol)
     val lastIds = b.groupBy((part.map(col) :+ col("__sl_b")): _*)
       .agg(max(col("__sl_o")).as("__sl_o"))
+    val wTie = Window
+      .partitionBy((part.map(col) :+ col("__sl_b")): _*)
+      .orderBy(col("__sl_v").desc)
     val edges = b
       .join(broadcast(lastIds), part ++ Seq("__sl_b", "__sl_o"))
+      // ≤ one row per shard under the contract; the rank is the
+      // deterministic tie-break over that bounded frame, not a hot path.
+      .withColumn("__sl_rn", row_number().over(wTie))
+      .where(col("__sl_rn") === 1)
       .select((part.map(col) :+ col("__sl_b") :+
         col("__sl_v").as("__sl_last")): _*)
     val wE = Window.partitionBy(part.map(col): _*).orderBy(col("__sl_b"))

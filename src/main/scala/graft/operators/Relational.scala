@@ -1303,13 +1303,24 @@ object Relational {
           .as("day"),
         col("o_orderkey"))
       .withColumn("gap_d", col("day") - lag(col("day"), 1).over(wCust))
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      // NO broadcast hint: customer grows with scale (q05's 100× sweep
+      // saw the 1.5M-row side outgrow broadcast). The 2-column
+      // projection broadcasts under the size threshold at test SF and
+      // degrades to a shuffle join at warehouse scale instead of
+      // forcing a driver OOM.
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-    val base = gaps.groupBy(col("c_mktsegment"))
-      .agg(countDistinct(col("o_custkey")).as("n_customers"),
-        countDistinct(when(col("gap_d").isNotNull, col("o_custkey")))
-          .as("n_repeat"))
+    // Exact customer ladder, not countDistinct×2: the multi-distinct
+    // form Expands every orders-scale gap row ×2 before aggregating
+    // (the q233 census class); per-customer max(has-repeat) collapses
+    // to customers-scale in one partial-aggregable pass instead.
+    val base = gaps.groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(max(when(col("gap_d").isNotNull, 1L).otherwise(0L))
+        .as("has_rep"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("has_rep")).as("n_repeat"))
     val hist = gaps.filter(col("gap_d").isNotNull)
       .groupBy(col("c_mktsegment"), col("gap_d"))
       .agg(count(lit(1)).as("cnt"))
@@ -1395,7 +1406,9 @@ object Relational {
     * partkey, brand) — uniform composite key; the brand rollup is
     * |brands|-sized and partial-aggregable; part broadcast onto the
     * pruned 2-column lineitem projection, orders pre-projected to its
-    * 2 columns. */
+    * 2 columns; part joins UNHINTED (scale-growing — the planner
+    * broadcasts its 2-column projection under the threshold at test
+    * SF and shuffles at warehouse scale). */
   private def q246(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -1403,8 +1416,10 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     val pt = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"))
+    // part is scale-growing like q245's customer: no forced broadcast —
+    // the 2-column projection rides the size threshold.
     li.join(or, li("l_orderkey") === or("o_orderkey"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("o_custkey"), col("l_partkey"), col("p_brand"))
       .agg(count(lit(1)).as("n_buys"))
       .groupBy(col("p_brand"))

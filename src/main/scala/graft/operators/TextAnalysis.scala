@@ -2132,22 +2132,43 @@ object TextAnalysis {
     *
     * Scale posture: the rules leg is per-row expressions at scan
     * position; the gate leg is q89's plan; the bucket is the q109/q106
-    * exact-rank-vs-scale trade (ONE doc-count window, quantile
-    * thresholds at 100 TB); the cross-tab is one partial-aggregable
-    * groupBy over ≤ 3·2·2 cells. */
+    * exact-rank-vs-scale trade — exact mode (oracle-pinned) runs ONE
+    * doc-count window, production ([[Features.QuantileModeConf]]
+    * =approx) swaps it for a broadcast p60 threshold so the census
+    * sees zero global windows; the cross-tab is one partial-
+    * aggregable groupBy over ≤ 3·2·2 cells. */
   private def q112(spark: SparkSession, dir: String): DataFrame = {
     val dec = qualityDecisions(Tables.documents(spark, dir),
         lmTable(spark, dir))
       .select(col("doc_id"), col("xent_u"), col("admit"))
     val rules = q31(spark, dir)
       .select(col("doc_id").as("r_id"), col("quality").as("rules_quality"))
-    dec
-      .withColumn("bucket", ntile(5)
-        .over(Window.orderBy(col("xent_u"), col("doc_id"))))
+    // The q109 exact-rank-vs-scale trade, realized (not just cited):
+    // exact mode keeps the oracle-pinned global ntile; production
+    // (`spark.graft.quantiles.mode=approx`) swaps the ONE global rank
+    // window for a single approx-p60 threshold broadcast back — the
+    // quintile cut only feeds a ≤3-vs-top-2 split, so one threshold
+    // replaces the whole rank. Boundary ties land on the low side
+    // (QuantileModeSpec-class jitter).
+    val bucketed =
+      if (!Features.approxQuantiles(spark))
+        dec.withColumn("low5",
+          when(ntile(5).over(
+            Window.orderBy(col("xent_u"), col("doc_id"))) <= 3, 1L)
+            .otherwise(0L))
+      else {
+        val thr = dec.agg(percentile_approx(col("xent_u"), lit(0.6),
+          lit(10000)).as("t60"))
+        dec.crossJoin(broadcast(thr))
+          .withColumn("low5",
+            when(col("xent_u") <= col("t60"), 1L).otherwise(0L))
+          .drop("t60")
+      }
+    bucketed
       .join(rules, col("doc_id") === col("r_id"))
       .select(col("rules_quality"),
         when(col("admit"), 1L).otherwise(0L).as("gate_admit"),
-        when(col("bucket") <= 3, 1L).otherwise(0L).as("low_surprisal"))
+        col("low5").as("low_surprisal"))
       .groupBy(col("rules_quality"), col("gate_admit"), col("low_surprisal"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("rules_quality"), col("gate_admit").desc,
@@ -3779,10 +3800,11 @@ object TextAnalysis {
     * Scale posture: three codegen'd hash columns in ONE narrow scan
     * (no text shuffle), then one partial-aggregable groupBy carrying
     * three `count(DISTINCT)` legs — Spark expands them into one
-    * partial-agg expand (3× the fingerprint rows, still narrow);
-    * output is |sources| rows. The ladder never materializes pairs or
-    * groups — it counts distinct keys, which is all the lift numbers
-    * need. */
+    * partial-agg expand (3× the fingerprint rows, still narrow;
+    * census-whitelisted as the optimal exact single-scan plan — an
+    * Expand-free form would re-hash the text per leg); output is
+    * |sources| rows. The ladder never materializes pairs or groups —
+    * it counts distinct keys, which is all the lift numbers need. */
   private def q161(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
@@ -4642,9 +4664,12 @@ object TextAnalysis {
     * ordered (n_docs desc, head_h).
     *
     * Scale posture: one stateless projection (slice + hash — no
-    * shingle explosion), one partial-aggregable head-keyed groupBy,
-    * and a TakeOrderedAndProject top-20; docs shorter than 8 tokens
-    * are filtered before the shuffle. */
+    * shingle explosion), one partial-aggregable head-keyed groupBy
+    * whose two distinct legs ride Spark's multi-distinct Expand over
+    * the narrow hashed projection (census-whitelisted like q161 — the
+    * Expand-free alternative re-tokenizes the corpus per leg), and a
+    * TakeOrderedAndProject top-20; docs shorter than 8 tokens are
+    * filtered before the shuffle. */
   private def q237(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.documents(spark, dir)

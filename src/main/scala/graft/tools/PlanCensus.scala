@@ -55,16 +55,73 @@ object PlanCensus {
     * group at k rows per input partition BEFORE the shuffle — q127's
     * quota roster), or a driver-built LocalTableScan. Rank windows
     * over such frames sort ≤bucket-count rows whatever the corpus
-    * size. */
-  private def boundedBelow(p: SparkPlan): Boolean =
-    p.collectFirst {
-      case n: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => n
-      case n: org.apache.spark.sql.execution.GlobalLimitExec => n
-      case n: org.apache.spark.sql.execution.CollectLimitExec => n
-      case n: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => n
-      case n: org.apache.spark.sql.execution.LocalTableScanExec => n
-      case n: org.apache.spark.sql.execution.window.WindowGroupLimitExec => n
-    }.isDefined
+    * size.
+    *
+    * The bounding node must sit on the window's MAIN input chain: a
+    * broadcast join's BUILD side never bounds the streamed side's row
+    * count, so `corpus.join(broadcast(stats_agg))` recurses into the
+    * STREAMED child only — a subtree-wide collectFirst would let the
+    * 1-row stats branch whitewash a corpus-scale rank window (the
+    * q234/q241 broadcast-stats shape as a false negative). Multi-child
+    * nodes that genuinely merge inputs (shuffled joins, unions) are
+    * bounded only when EVERY input is. */
+  private[tools] def boundedBelow(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec |
+         _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.LocalTableScanExec |
+         _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+    case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+      boundedBelow(streamedSide(j.buildSide, j.left, j.right))
+    case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+      boundedBelow(streamedSide(j.buildSide, j.left, j.right))
+    case n if n.children.isEmpty => false
+    case n => n.children.forall(boundedBelow)
+  }
+
+  private def streamedSide(build: org.apache.spark.sql.catalyst.optimizer.BuildSide,
+      left: SparkPlan, right: SparkPlan): SparkPlan = build match {
+    case org.apache.spark.sql.catalyst.optimizer.BuildLeft => right
+    case _ => left
+  }
+
+  /** The q233 multi-distinct Expand hazard (round-14, found by hand):
+    * Spark rewrites `count(DISTINCT a), count(DISTINCT b), …` into an
+    * `Expand` that REPLICATES every input row once per distinct group
+    * before the first aggregate — over a fact-scale input that is an
+    * N× corpus blow-up on the wire (q233 measured ×10.50 at the 100×
+    * sweep before its single-pass rewrite). Flagged: an ExpandExec
+    * whose input no aggregate/limit has bounded AND whose output
+    * carries the distinct-rewrite `gid` column. Grouping-sets /
+    * rollup Expands (q11's class) instead emit `spark_grouping_id`
+    * and stay whitelisted — a rollup's ≤(levels)× fan-out is the
+    * query's declared semantics, not a rewrite artifact. */
+  /** Adjudicated multi-distinct Expands — queries whose Expand IS the
+    * optimal exact single-scan plan and stays whitelisted:
+    *  - q161_norm_lift: three `count(DISTINCT hash)` legs over hashes
+    *    computed at scan position. Any exact Expand-free form either
+    *    re-scans + re-hashes the text once per leg (3× the CPU that
+    *    dominates this query) or manually explodes the same 3× narrow
+    *    (source, 16-byte-hash) rows the Expand emits — identical wire
+    *    bytes, so the Expand is not a blow-up, it is the plan.
+    *  - q237_prefix_families: same shape — two distinct legs over a
+    *    narrow (head_h, fp, source) projection; the alternative
+    *    re-tokenizes the corpus per leg.
+    * Contrast q63/q245 (rewritten): their Expands replicated JOIN
+    * output / orders rows where a pre-aggregate ladder strictly
+    * shrinks the data first. */
+  private[graft] val NarrowExpandWhitelist =
+    Set("q161_norm_lift", "q237_prefix_families")
+
+  def expandHazards(p: SparkPlan): Seq[String] =
+    p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec
+          if !boundedBelow(e.child) &&
+            e.output.exists(_.name == "gid") &&
+            !e.output.exists(_.name.contains("grouping_id")) =>
+        s"multi-distinct-expand[x${e.projections.size}]"
+    }
 
   /** The q211/q217 hazard class (round-13 verdict task 2): a Window
     * whose partition key is empty — or drawn only from
@@ -100,6 +157,7 @@ object PlanCensus {
     var cartesian = List.empty[String]
     var sortAgg = List.empty[String]
     var hazardWin = List.empty[String]
+    var expandHaz = List.empty[String]
     var bnlj = 0
     var failed = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -115,6 +173,9 @@ object PlanCensus {
         if (groupedSortAggs(p) > 0) sortAgg ::= name
         val hw = hazardWindows(p)
         if (hw.nonEmpty) hazardWin ::= s"$name: ${hw.mkString(";")}"
+        val eh = expandHazards(p)
+        if (eh.nonEmpty && !NarrowExpandWhitelist(name))
+          expandHaz ::= s"$name: ${eh.mkString(";")}"
         bnlj += count(p, "BroadcastNestedLoopJoin")
       } catch {
         case e: Exception =>
@@ -125,10 +186,11 @@ object PlanCensus {
     println(s"cartesian_product: ${cartesian.size} ${cartesian.sorted}")
     println(s"grouped_sort_aggregate: ${sortAgg.size} ${sortAgg.sorted}")
     println(s"hazard_rank_windows: ${hazardWin.size} ${hazardWin.sorted}")
+    println(s"multi_distinct_expand: ${expandHaz.size} ${expandHaz.sorted}")
     println(s"broadcast_nested_loop_joins_total: $bnlj")
     if (failed.nonEmpty) println(s"plan_failures: ${failed.sorted}")
     spark.stop()
     if (cartesian.nonEmpty || sortAgg.nonEmpty || hazardWin.nonEmpty ||
-      failed.nonEmpty) sys.exit(1)
+      expandHaz.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1112,6 +1112,71 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     exactFlags should not be empty
   }
 
+  test("WHOLE SURFACE: no multi-distinct Expand over an unbounded input " +
+      "(the q233 class — Spark's count(DISTINCT a), count(DISTINCT b) " +
+      "rewrite replicates every fact row per distinct group), outside " +
+      "the two adjudicated narrow-projection whitelist entries; " +
+      "negative controls prove the detector sees the pre-fix shapes") {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      countDistinct, lit, row_number}
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val whitelistFired = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val eh = graft.tools.PlanCensus.expandHazards(freshTree(name))
+      if (eh.nonEmpty) {
+        if (graft.tools.PlanCensus.NarrowExpandWhitelist(name))
+          whitelistFired += name
+        else offenders += s"$name: ${eh.mkString(";")}"
+      }
+    }
+    withClue("multi-distinct Expand over unbounded input: ") {
+      offenders shouldBe empty
+    }
+    // The whitelist entries are conscious adjudications of REAL
+    // detections, not stale names: both must still plan the Expand.
+    whitelistFired.toSet shouldBe
+      graft.tools.PlanCensus.NarrowExpandWhitelist
+
+    val s = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      val li = s.read.parquet(s"$coldDir/lineitem.parquet")
+      // Negative control 1: the pre-fix q233 shape — two DISTINCT
+      // legs over the raw fact scan — IS flagged.
+      val preFix = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("a"),
+          countDistinct(col("l_partkey")).as("b"))
+      graft.tools.PlanCensus.expandHazards(
+        preFix.queryExecution.sparkPlan) should not be empty
+      // Negative control 2: a grouping-sets rollup Expand (q11's
+      // declared-semantics class) is NOT flagged.
+      val rollup = li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      graft.tools.PlanCensus.expandHazards(
+        rollup.queryExecution.sparkPlan) shouldBe empty
+      // Negative control 3 (the boundedBelow broadcast fix): a global
+      // rank window over corpus.join(broadcast(1-row stats)) is a
+      // HAZARD — the build-side aggregate must not whitewash the
+      // streamed corpus (the q234/q241 false-negative shape).
+      val stats = li.agg(count(lit(1)).as("n_total"))
+      val washed = li.crossJoin(broadcast(stats))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"))))
+      graft.tools.PlanCensus.hazardWindows(
+        washed.queryExecution.sparkPlan) should not be empty
+      // ...while the same window over a genuine aggregate of the
+      // corpus on the MAIN chain stays bounded (not flagged).
+      val boundedWin = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n"))))
+      graft.tools.PlanCensus.hazardWindows(
+        boundedWin.queryExecution.sparkPlan) shouldBe empty
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("q230/q231: the RANGE window rides the daily aggregate (never " +
       "the orders scan) and the orphan audit plans four anti joins") {
     val t = freshTree("q230_trailing_revenue")

@@ -131,6 +131,27 @@ class QuantileModeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q112 approx: the agreement cross-tab keeps every (rules, gate) " +
+      "margin EXACTLY (the swap only moves the low/high surprisal " +
+      "split) and the low-side mass stays near the exact 60%") {
+    import spark.implicits._
+    def cells(mode: Option[String]) = {
+      val f = () => TextAnalysis.queries("q112_quality_agreement")(spark, dir)
+        .select("rules_quality", "gate_admit", "low_surprisal", "n_docs")
+        .as[(String, Long, Long, Long)].collect()
+      mode.fold(f())(m => withMode(m)(f()))
+    }
+    val exact = cells(None)
+    val approx = cells(Some("approx"))
+    def margins(xs: Array[(String, Long, Long, Long)]) =
+      xs.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum).toMap
+    margins(approx) shouldBe margins(exact) // rules+gate legs untouched
+    val total = exact.map(_._4).sum
+    val lowExact = exact.filter(_._3 == 1L).map(_._4).sum
+    val lowApprox = approx.filter(_._3 == 1L).map(_._4).sum
+    math.abs(lowApprox - lowExact).toDouble / total should be <= 0.05
+  }
+
   test("unknown quantile mode rejects loudly") {
     intercept[IllegalArgumentException] {
       withMode("fuzzy") {

@@ -75,6 +75,29 @@ class ShardedPrefixSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows(got) shouldBe rows(expected)
   }
 
+  test("shardedLag under a VIOLATED total-order contract (ties at a " +
+      "shard's max key) degrades to the documented wrong-but-stable " +
+      "stitch: no row duplication, and the tied shard-seam value is " +
+      "the deterministic max") {
+    import spark.implicits._
+    // two shards of bucket width 10; shard 0's max key (9) is TIED
+    // twice with values "b" < "c"; shard 1 has one row.
+    val df = Seq(
+      ("s", 1L, "a"), ("s", 9L, "b"), ("s", 9L, "c"), ("s", 12L, "d"))
+      .toDF("source", "k", "v")
+    val got = Features.shardedLag(df, Seq("source"),
+        expr("k div 10"), col("k"), col("v"), "pv")
+      .select(col("k"), col("v"), col("pv"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).sortBy(t => (t._1, t._2))
+    // 4 input rows -> exactly 4 output rows (without the edges dedupe
+    // the tied shard carries TWO edge rows, duplicating every one of
+    // its rows through the final join-back)
+    got.length shouldBe 4
+    // shard 1's head stitches to max("b", "c") = "c", deterministically
+    got.find(_._1 == 12L).get._3 shouldBe Some("c")
+  }
+
   test("the ingest shard-size conf changes the plan's shard split " +
       "but not one output value (q215 at shard size 7 ≡ default)") {
     val s = spark.newSession()
