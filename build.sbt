@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // Experiment hook (round-15 drift isolation): extra JVM flags for
+  // forked runs, e.g. SPARK_GRAFT_JAVA_OPTS="-XX:ReservedCodeCacheSize=512m".
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

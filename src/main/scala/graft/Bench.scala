@@ -114,14 +114,30 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional subset run (SPARK_GRAFT_BENCH_NAMES: comma-separated
+    // exact names or prefixes) — the per-family ISOLATED-JVM probe the
+    // round-14 drift adjudication needed: bench one family in a fresh
+    // JVM and compare against its full-suite numbers to separate
+    // per-plan cost from suite-level JVM pressure.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_NAMES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.forall(_.exists(t => n == t || n.startsWith(t))))
+    require(names.nonEmpty, "SPARK_GRAFT_BENCH_NAMES matched no queries")
     runOnce(names.head) // warmup: session init + codegen JIT, not charged
 
     // Cold build of the shared feature tables, as its own line item.
+    // SPARK_GRAFT_BENCH_FEATURES=off skips it (isolated family probes
+    // of non-dedup/vector families would otherwise charge the JVM 30 s
+    // of irrelevant shingle work and hold its cache memory).
+    val buildFeatures =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FEATURES", "on") != "off"
     val tf0 = System.nanoTime()
-    noopWrite(graft.operators.Features.shingleSets(spark, sfDir))
-    noopWrite(graft.operators.Features.hashedShingles(spark, sfDir))
-    noopWrite(graft.operators.Features.scaledEmb(spark, sfDir))
+    if (buildFeatures) {
+      noopWrite(graft.operators.Features.shingleSets(spark, sfDir))
+      noopWrite(graft.operators.Features.hashedShingles(spark, sfDir))
+      noopWrite(graft.operators.Features.scaledEmb(spark, sfDir))
+    }
     val featureBuild = (System.nanoTime() - tf0) / 1e9
 
     // Interleaved passes: sweep the whole suite, then sweep again.
@@ -154,6 +170,41 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = perQuery.map(_._3).sum
     val coldTotal = total + featureBuild
+    // JVM-pressure diagnostics (round-14 verdict task 1: the ~15%
+    // uniform suite drift on untouched plans needed evidence, not an
+    // alibi). All cumulative since JVM start, sampled after the passes:
+    //  - jit_ms: HotSpot compiler thread time — grows superlinearly
+    //    when the suite outsizes the code cache and C2 re-JITs;
+    //  - code_cache_used_mb / _max_mb: a full CodeCache disables the
+    //    compiler => uniform interpreted-tier slowdown, the classic
+    //    cause of "same plan, +15%";
+    //  - codegen_compiles / codegen_nanos: Spark's Janino source
+    //    compilations (CodegenMetrics) — the suite outsizing
+    //    spark.sql.codegen.cache.maxEntries (default 100 classes)
+    //    shows up here as per-pass recompilation;
+    //  - gc_ms, metaspace_used_mb: heap/class pressure from memoized
+    //    frames and generated-class churn.
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val jitMs = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(-1L)
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    def poolMb(pred: String => Boolean)(f: java.lang.management.MemoryUsage
+        => Long): Long =
+      ManagementFactory.getMemoryPoolMXBeans.asScala.filter(p => pred(p.getName))
+        .map(p => f(p.getUsage)).sum / (1024 * 1024)
+    val ccUsed = poolMb(n => n.contains("CodeHeap") || n.contains("Code Cache"))(_.getUsed)
+    val ccMax = poolMb(n => n.contains("CodeHeap") || n.contains("Code Cache"))(_.getMax)
+    val msUsed = poolMb(_.contains("Metaspace"))(_.getUsed)
+    val cgHist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    val jvmDiag =
+      s""""jit_ms":$jitMs,"gc_ms":$gcMs,"code_cache_used_mb":$ccUsed,""" +
+        s""""code_cache_max_mb":$ccMax,"metaspace_used_mb":$msUsed,""" +
+        s""""codegen_compiles":${cgHist.getCount},""" +
+        s""""codegen_mean_ms":${cgHist.getSnapshot.getMean}"""
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // decimal-comma locale would make this machine-parsed line invalid JSON.
     def r3(v: Double): String = if (v < 0) "-1"
@@ -175,7 +226,7 @@ object Bench {
       s""""metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
         s""""feature_build":$featureBuild,"cold_total":$coldTotal,""" +
         s""""load1":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
-        s""""load_gated":$loadGated"""
+        s""""load_gated":$loadGated,$jvmDiag"""
     // Tear down BEFORE printing: in round 5 the driver's 2000-byte tail
     // window lost q01-q33 because Features.clear's unpersist of locally-
     // checkpointed RDDs logged six ~150 B WARN lines AFTER our JSON —
@@ -196,7 +247,7 @@ object Bench {
       s"""{"sf":"$sfDir","passes":$passes,"feature_build":$featureBuild,""" +
         s""""cold_total":$coldTotal,"value":$total,""" +
         s""""load1":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
-        s""""load_gated":$loadGated,""" +
+        s""""load_gated":$loadGated,$jvmDiag,""" +
         s""""queries":$qs,"runs":$runs}"""
     val artifactPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")

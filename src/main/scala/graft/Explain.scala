@@ -192,7 +192,106 @@ object Explain {
     "q244_supplier_gini" -> "one fact aggregate keyed by supplier, nation broadcast; the value-ordered rank is the two-phase shardedRowNumber (every sort task bounded by one revenue bucket); DECIMAL(38,0) rank x revenue products",
     "q245_repeat_interval" -> "orders shuffle once keyed by customer (high-cardinality lag partitions - not the hazard class); day-gap quantiles ride the histogram-cumsum shape over the bounded (segment, gap) frame",
     "q246_reorder_rate" -> "ONE fact-scale aggregate on the uniform (custkey, partkey, brand) composite; part broadcast onto the pruned 2-column lineitem projection; |brands|-sized partial-aggregable rollup",
-    "q247_perm_sweep" -> "all three perm counts read the ONE memoized signature table (prefix lanes are valid k-perm MinHashes); pairs-bounded joins, 3 report rows - no re-shingling, no re-aggregation per k")
+    "q247_perm_sweep" -> "all three perm counts read the ONE memoized signature table (prefix lanes are valid k-perm MinHashes); pairs-bounded joins, 3 report rows - no re-shingling, no re-aggregation per k",
+    "q11_rollup_flags" -> "grouping-sets rollup planned as ONE Expand whose x(levels) fan-out is the query's DECLARED semantics (spark_grouping_id - the census distinguishes it from the q233-class multi-distinct rewrite Expand) feeding a partial-aggregable hash aggregate",
+    "q28_kv_sorted" -> "the reference's SH1+K1 semantics (shuffle + global key sort into the TSV sink) planned as a RangePartitioning exchange - sampled bounds, PARALLEL sort tasks - never a single-task sort; runs once per report at output scale",
+    "q49_salted_agg" -> "two-stage salted aggregate: the hot key fans out over (key, salt) in a first partial-aggregable groupBy, the second collapses salts - the planted-skew defense the skew phase measures; no single reducer ever owns a hot key",
+    "q63_funnel_daily" -> "interval pair join as ONE user-keyed equi-join (time window as a post-join filter; per-user counts bound the pair blow-up), then the day report rolls up through an Expand-free (day,click)->(day,user)->day aggregate ladder - the q233-class multi-distinct rewrite, every stage partial-aggregable and shrinking",
+    "q248_window_report" -> "the one-week day bounds sit at scan position; on the date-PARTITIONED warehouse layout (variant section below) the SAME filter becomes PartitionFilters - the scan never lists out-of-window day directories; flat testdata derives day in the projection, one oracle covers both layouts",
+    "q249_peak_day_drill" -> "find-then-drill: top-3 purchase days as a bounded aggregate broadcast back into the full-profile drill; on the partitioned layout (variant below) the drill scan carries a dynamicpruningexpression DPP subquery - the second pass lists 3 day directories instead of re-scanning the log; distinct users via the Expand-free (day,user) ladder")
+
+  /** Queries WITHOUT an EXPLAINS section, each mapped to the Headline
+    * query that OWNS its plan shape — the machine-checked form of the
+    * inclusion policy above (`ExplainPolicySpec` fails the build when a
+    * registered query is neither listed in [[Headline]] nor mapped
+    * here, and when an owner is stale). An owner means: this query's
+    * physical plan repeats the owner's audited topology (same
+    * join/aggregate/window skeleton, often over the same memoized
+    * frames) with only projection/filter deltas — re-printing it would
+    * duplicate the owner's section. */
+  private[graft] val ShapeOwners: Map[String, String] = Map(
+    // single-scan filtered/projected aggregates (q01's skeleton)
+    "q06_forecast_revenue" -> "q01_pricing_summary",
+    "q09_segment_stats" -> "q01_pricing_summary",
+    "q12_priority_case" -> "q01_pricing_summary",
+    "q14_promo_share" -> "q01_pricing_summary",
+    "q20_hourly_events" -> "q01_pricing_summary",
+    "q21_user_pivot" -> "q01_pricing_summary",
+    "q24_json_buckets" -> "q01_pricing_summary",
+    "q29_class_analytics" -> "q01_pricing_summary",
+    "q48_date_math" -> "q01_pricing_summary",
+    "q62_profile" -> "q01_pricing_summary",
+    // dimension-join + fact-aggregate (q02's skeleton)
+    "q03_shipping_priority" -> "q02_revenue_by_nation",
+    "q15_top_supplier" -> "q02_revenue_by_nation",
+    "q16_supplier_cnt" -> "q02_revenue_by_nation",
+    "q17_small_qty_rev" -> "q02_revenue_by_nation",
+    "q18_large_orders" -> "q02_revenue_by_nation",
+    "q64_retention" -> "q02_revenue_by_nation",
+    // high-cardinality per-key window pass (q52's skeleton)
+    "q07_window_topk" -> "q52_asof_join",
+    "q08_running_total" -> "q52_asof_join",
+    "q22_event_gaps" -> "q52_asof_join",
+    "q23_first_event" -> "q52_asof_join",
+    "q25_sessionize" -> "q52_asof_join",
+    // stateless per-row expressions + partial-aggregable groupBy (q83/q115)
+    "q26_manifest_sanitize" -> "q83_split_assign",
+    "q27_classify_stub" -> "q83_split_assign",
+    "q42_binary_meta" -> "q83_split_assign",
+    "q43_media_profile" -> "q83_split_assign",
+    "q55_det_sample" -> "q83_split_assign",
+    "q30_token_stats" -> "q115_gopher_rules",
+    "q31_quality" -> "q115_gopher_rules",
+    "q32_lang_guess" -> "q115_gopher_rules",
+    "q33_fingerprint" -> "q115_gopher_rules",
+    "q67_normalize" -> "q115_gopher_rules",
+    "q68_content_scan" -> "q115_gopher_rules",
+    // uniform-hash-key dedup aggregates (q122/q80's stacked-agg shapes)
+    "q34_content_dedup" -> "q122_source_novelty",
+    "q45_exact_dedup" -> "q122_source_novelty",
+    "q13_order_count_dist" -> "q80_repetition",
+    "q177_good_turing" -> "q80_repetition",
+    // banded candidate joins (q35's skeleton; q56/q60 per the policy text)
+    "q36_simhash" -> "q35_minhash_lsh",
+    "q19_band_join" -> "q35_minhash_lsh",
+    "q53_range_join" -> "q35_minhash_lsh",
+    "q56_dedup_clusters" -> "q35_minhash_lsh",
+    "q60_dedup_decisions" -> "q35_minhash_lsh",
+    // verified-candidate audits (q96's skeleton)
+    "q54_edit_verify" -> "q96_sketch_fidelity",
+    "q59_banded_edit" -> "q96_sketch_fidelity",
+    // ANN probes (q38/q39/q44 own the three generator shapes)
+    "q40_embedding_neardup" -> "q39_lsh_ann",
+    "q66_ann_retrieval" -> "q44_ivf_ann",
+    "q71_embedding_profile" -> "q58_scalar_quant",
+    "q169_centroid_recovery" -> "q79_kmeans_step",
+    // vocabulary / term-statistics family (q81/q86/q90 skeletons)
+    "q46_bpe_tokens" -> "q81_boilerplate",
+    "q50_vocab" -> "q81_boilerplate",
+    "q51_vocab_approx" -> "q90_sketch_quantiles",
+    "q61_length_quantiles" -> "q90_sketch_quantiles",
+    "q57_tfidf_terms" -> "q86_bm25",
+    "q47_set_ops" -> "q82_source_overlap",
+    // rank windows over bounded aggregated frames (q93's skeleton)
+    "q65_rate_anomaly" -> "q93_trending",
+    // curation composites over memoized stages
+    "q69_incremental_dedup" -> "q72_bloom_incremental",
+    "q70_dedup_report" -> "q110_dup_histogram",
+    "q74_term_redaction" -> "q73_decontamination",
+    "q75_source_mixing" -> "q94_temperature_mixing",
+    "q76_context_packing" -> "q102_packing_audit",
+    "q78_curation_funnel" -> "q84_source_funnel",
+    "q181_noise_by_source" -> "q95_source_quality",
+    // label-noise / drift / roster family owners
+    "q171_margin_calibration" -> "q170_margin_audit",
+    "q172_relabel_roster" -> "q127_eval_roster",
+    "q178_noise_roster" -> "q127_eval_roster",
+    "q179_burstiness" -> "q81_boilerplate",
+    "q182_confidence_drift" -> "q176_emd_drift",
+    "q185_ingest_drift" -> "q176_emd_drift",
+    "q183_trust_panel" -> "q174_drift_panel")
+
+  private[graft] def headlineNames: Set[String] = Headline.map(_._1).toSet
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -217,7 +316,13 @@ object Explain {
     sb.append("pair table) or driver-loop rounds whose per-round plan equals\n")
     sb.append("an included single-step plan (q56/q60 ≙ q35's join shape;\n")
     sb.append("kmeansAuto rounds ≙ q79). Plan REGRESSIONS are guarded by\n")
-    sb.append("`PlanShapeSpec` across the whole surface, not by this file.\n")
+    sb.append("`PlanShapeSpec` across the whole surface, not by this file.\n\n")
+    sb.append("The policy is MACHINE-CHECKED: every registered query is\n")
+    sb.append("either a section here or a row in the shape-owner table at\n")
+    sb.append("the end of this file (`Explain.ShapeOwners`);\n")
+    sb.append("`ExplainPolicySpec` fails the build on a query that is\n")
+    sb.append("neither, on a stale owner, and on an owner that is not\n")
+    sb.append("itself a section.\n")
     Headline.foreach { case (name, property) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -265,6 +370,37 @@ object Explain {
         case Some(v) => spark.conf.set(ck, v)
         case None => spark.conf.unset(ck)
       }
+    }
+    // LAYOUT variants: the same query over the date-partitioned
+    // warehouse layout, where the plan difference IS the 100 TB claim
+    // (PartitionFilters / a DPP subquery instead of full-log scans).
+    val partAlias = graft.tools.ScaleData.partitionedAlias(spark, sfDir)
+    val LayoutVariants: Seq[(String, String)] = Seq(
+      "q05_local_supplier" -> ("the o_date year bounds appear as " +
+        "PartitionFilters on the orders_part scan - only the bounded " +
+        "day directories are LISTED, the 100 TB date-layout posture"),
+      "q248_window_report" -> ("the one-week day window appears as " +
+        "PartitionFilters on the events_part scan - 7 day directories " +
+        "listed whatever the log size"),
+      "q249_peak_day_drill" -> ("the drill scan carries " +
+        "dynamicpruningexpression(day IN dynamicpruning#N) in its " +
+        "PartitionFilters - the top-3-day broadcast prunes the second " +
+        "pass at the FILE LISTING (DPP)"))
+    LayoutVariants.foreach { case (name, property) =>
+      val df = SparkEntry.queries(name)(spark, partAlias)
+      val plan =
+        df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name (partitioned layout)\n\n**Expected:** " +
+        s"$property\n\n```\n")
+      sb.append(plan.trim)
+      sb.append("\n```\n")
+    }
+    // The machine-checked owner table (ExplainPolicySpec reconciles it
+    // against the query registry and this file's sections).
+    sb.append("\n## Shape-owner table — queries without a section\n\n")
+    sb.append("| query | owns its plan shape |\n|---|---|\n")
+    ShapeOwners.toSeq.sortBy(t => (t._2, t._1)).foreach { case (q, o) =>
+      sb.append(s"| $q | $o |\n")
     }
     Files.writeString(Paths.get(outPath), sb.toString)
     graft.operators.Features.clear(spark)

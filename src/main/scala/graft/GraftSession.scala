@@ -32,6 +32,26 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.files.overwrite", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR across scheduler pools: batch work keeps FIFO semantics
+      // (everything lands in one default pool), while the serving path
+      // assigns each request thread its own pool
+      // (sc.setLocalProperty("spark.scheduler.pool", …)) so concurrent
+      // probes interleave stage-by-stage instead of queuing behind
+      // whichever request submitted first — the round-14 serveconc
+      // saturation was requests serializing through FIFO.
+      .config("spark.scheduler.mode", "FAIR")
+      // Round-15 drift root-cause (BENCH_NOTES r15): Spark's Janino
+      // codegen cache defaults to 100 entries; a multi-hundred-query
+      // session generates thousands of distinct codegen classes per
+      // sweep, so EVERY re-execution recompiled its whole plan
+      // (measured: 17,068 blocking compiles × ~11-14 ms across a
+      // 3-pass 249-query suite = ~30% of total wall, and the per-
+      // compile cost itself grows with loaded-class pressure — the
+      // uniform round-over-round "drift" on untouched plans). 10k
+      // entries holds the whole surface: same suite re-measured
+      // 176.4 s → 123.2 s, compiles 17,068 → 3,890. Static conf, so
+      // it must be set at session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     if (local) b.master(s"local[$cores]") else b
   }
 }

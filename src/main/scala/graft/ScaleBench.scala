@@ -668,6 +668,12 @@ object ScaleBench {
         val t0 = System.nanoTime()
         val futs = (1 to reqTotal).map { i =>
           scala.concurrent.Future {
+            // One FAIR pool per driver thread (GraftSession runs the
+            // scheduler in FAIR mode): concurrent probes interleave
+            // stage-by-stage instead of queueing FIFO behind the first
+            // submitter — the round-14 saturation mechanism.
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"serve-${i % par}")
             val s0 = System.nanoTime()
             require(Serve.run(Array(sf1, s"$servOut/c$par-$i",
               "--retriever", "ivf", "--queries", idFile.toString),
@@ -807,6 +813,48 @@ object ScaleBench {
           s""""orders":[150000,${150000L * factor}]},""" +
           s""""total":[${f3(sumA)},${f3(sumB)},${f2(sumB / sumA)}],""" +
           s""""queries":$qs}""")
+    }
+
+    // Twelfth phase (`relskew`): PLANTED relational key skew + AQE
+    // evidence (round-14 verdict task 7). Regenerates the 100× harness
+    // with `hotCustomerShare`=0.5 — half of all orders owned by
+    // customer 0 — so the orders⋈customer shuffle joins in q05 and
+    // q232 concentrate half their rows on ONE key (customer outgrows
+    // broadcast at this factor: 1.5M × 3 cols). Measures both queries
+    // with AQE's OptimizeSkewedJoin on vs off (two alternating passes,
+    // min) and PINS the plan evidence: with AQE on, the executed plan
+    // must carry a `skew=true` SortMergeJoin.
+    if (phase == "relskew" || phase == "both") {
+      val dir = s"$out/rel100skew"
+      val factor = sys.env.getOrElse("SPARK_GRAFT_REL_FACTOR", "100").toLong
+      if (!Files.exists(Paths.get(s"$dir/lineitem.parquet")))
+        ScaleData.generateRelational(spark, dir, factor,
+          hotCustomerShare = 0.5)
+      val SkewConf = "spark.sql.adaptive.skewJoin.enabled"
+      val names = Seq("q05_local_supplier", "q232_returned_revenue")
+      def run1(n: String, skew: Boolean): Double = {
+        spark.conf.set(SkewConf, skew.toString)
+        try time(noopWrite(SparkEntry.queries(n)(spark, dir)))
+        finally spark.conf.set(SkewConf, "true")
+      }
+      val t = (1 to 2).map(_ =>
+        names.map(n => (run1(n, skew = true), run1(n, skew = false))))
+      // Plan pin: execute once with AQE skew handling on and read the
+      // FINAL adaptive plan (skew splits only appear post-execution).
+      val pinned = names.map { n =>
+        val df = SparkEntry.queries(n)(spark, dir)
+        noopWrite(df)
+        n -> df.queryExecution.executedPlan.toString.contains("skew=true")
+      }.toMap
+      val legs = names.zipWithIndex.map { case (n, i) =>
+        val aqe = t.map(_(i)._1).min
+        val no = t.map(_(i)._2).min
+        s""""$n":{"aqe_sec":${f2(aqe)},"noaqe_sec":${f2(no)},""" +
+          s""""aqe_speedup":${f2(no / aqe)},"skew_plan":${pinned(n)}}"""
+      }.mkString(",")
+      println(
+        s"""{"metric":"relational_skew","factor":$factor,""" +
+          s""""hot_customer_share":0.5,$legs}""")
     }
 
     // Tenth phase (`events100`): the direct 100× sweep for the

@@ -126,8 +126,19 @@ object Serve {
       finally src.close()
     }
 
-    val all = SparkEntry.queries(Retrievers(cfg.retriever))(spark, cfg.sfDir)
-    val picked = queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))
+    // The IVF request path: an id-bounded retrieval resolves its query
+    // vectors off the driver-memoized panel and scans only its probe
+    // cells (batch-pruned cached index) — row-identical to the panel
+    // query filtered to the ids (ServeSpec pins it), but per-request
+    // cost is nprobe cells, not a corpus rebuild. Other retrievers (and
+    // panel serves) keep the query-plan path.
+    val picked = (cfg.retriever, queryIds) match {
+      case ("ivf", Some(ids)) =>
+        graft.operators.Similarity.serveIvfRequest(spark, cfg.sfDir, ids)
+      case _ =>
+        val all = SparkEntry.queries(Retrievers(cfg.retriever))(spark, cfg.sfDir)
+        queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))
+    }
     // --diversify λ: MMR re-rank of the served candidate lists (same
     // rows, diversity-aware order — λ=100 is pure relevance). Runs
     // AFTER the query-id filter so the greedy pass touches only the

@@ -42,4 +42,49 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  // ------------------------------------------------------------------
+  // Partition-aware accessors (round-15: the 100 TB layout posture).
+  //
+  // A warehouse deployment stores its fact tables DATE-PARTITIONED so
+  // date-bounded reads prune at the FILE LISTING, not the row filter.
+  // These accessors expose that layout without forking the queries:
+  // when `<dir>/<name>_part` exists (written by
+  // [[graft.tools.ScaleData.generatePartitioned]] — Hive-style
+  // `o_date=.../day=...` directories), the read returns the partition
+  // column for real and a filter on it becomes `PartitionFilters`
+  // (static pruning) or a DPP subquery (join-driven pruning). On the
+  // flat driver testdata the same column is DERIVED in the projection,
+  // so every query and its DuckDB oracle are layout-agnostic —
+  // identical results, pruning activating exactly when the layout
+  // supports it. Date bounds stay exactly translatable because both
+  // columns quantize to whole days: `o_date >= D` ⟺ `o_orderdate >=
+  // D 00:00:00`, `o_date < D` ⟺ `o_orderdate < D 00:00:00`.
+  // ------------------------------------------------------------------
+  private def hasPart(spark: SparkSession, dir: String, name: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/${name}_part")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Exception => false }
+
+  /** orders + `o_date` (DATE of o_orderdate): partition column under
+    * the partitioned layout, derived expression on flat testdata. */
+  def ordersDated(spark: SparkSession, dir: String): DataFrame =
+    if (hasPart(spark, dir, "orders"))
+      spark.read.parquet(s"$dir/orders_part")
+        .withColumn("o_orderdate",
+          expr("o_orderdate").cast(org.apache.spark.sql.types.TimestampType))
+    else
+      orders(spark, dir).withColumn("o_date",
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)"))
+
+  /** events + `day` (DATE of ts): partition column under the
+    * partitioned layout, derived expression on flat testdata. */
+  def eventsDated(spark: SparkSession, dir: String): DataFrame =
+    if (hasPart(spark, dir, "events"))
+      spark.read.parquet(s"$dir/events_part")
+        .withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+    else
+      events(spark, dir).withColumn("day", expr("CAST(ts AS DATE)"))
 }

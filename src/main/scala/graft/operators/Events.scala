@@ -3172,7 +3172,113 @@ object Events {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+  /** DATE-WINDOWED ACTIVITY REPORT — q20's hourly/daily read bounded
+    * to an analysis window, THE dashboard query a warehouse runs
+    * hourly: per (day, type) counts and exact decimal value mass for
+    * one week. Functionally a filtered q20; structurally it exists to
+    * exercise the date-PARTITIONED layout: the `day` bounds ride
+    * [[graft.Tables.eventsDated]], so on `events_part` the filter is
+    * `PartitionFilters` — the scan never LISTS the out-of-window day
+    * directories. At 10¹¹-event scale that is the difference between
+    * reading 7 days and scanning the full log (the ScaleBench `dpp`
+    * phase measures it; PlanShapeSpec pins the pruned scan). On flat
+    * testdata `day` is a derived projection — same rows, so one oracle
+    * covers both layouts.
+    *
+    * Determinism: whole-day DATE bounds (exactly translatable to ts
+    * bounds); day reported as epoch days; dsum decimal value mass. */
+  private def q248(spark: SparkSession, dir: String): DataFrame = {
+    Tables.eventsDated(spark, dir)
+      .filter(col("day") >= lit("2024-01-08").cast("date") &&
+        col("day") <= lit("2024-01-14").cast("date"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        expr("CAST(CAST(day AS TIMESTAMP) AS LONG) div 86400").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q248Sql =
+    s"""SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+       |    CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400 AS day,
+       |  event_type, count(*) AS n_events,
+       |  ${d2dSql("sum(CAST(value AS DECIMAL(18,4)))")} AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+       |  AND CAST(ts AS DATE) <= DATE '2024-01-14'
+       |GROUP BY 1, 2
+       |ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q249
+  /** PEAK-DAY DRILLDOWN — the find-then-drill read behind every
+    * incident review: rank days by purchase volume, take the top 3,
+    * and pull the FULL activity profile of just those days (all-type
+    * event count, distinct users, decimal value mass). The ranking leg
+    * aggregates the whole log to |days| rows; the drill leg re-reads
+    * only the chosen days — and on the date-partitioned layout that
+    * re-read is DYNAMIC PARTITION PRUNING: the 3-row broadcast of hot
+    * days becomes a `dynamicpruningexpression` in the drill scan's
+    * PartitionFilters, so the second pass over a 10¹¹-event log lists
+    * 3 day-directories instead of re-scanning everything. Flat
+    * testdata runs the same plan as a plain broadcast join — one
+    * oracle, both layouts (PlanShapeSpec pins the DPP subquery on a
+    * partitioned mini-layout).
+    *
+    * Determinism: top-3 by (n_purchases desc, day) — a total order;
+    * users via a (day, user) ladder (one distinct leg would also be
+    * Expand-free, but the ladder keeps every stage partial-
+    * aggregable); day as epoch days; dsum value mass. */
+  private def q249(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsDated(spark, dir)
+    val hot = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("n_purchases").desc, col("day"))
+      .limit(3)
+      .select(col("day").as("hot_day"), col("n_purchases"))
+    ev.join(broadcast(hot), col("day") === col("hot_day"))
+      .groupBy(col("day"), col("user_id"))
+      // inner mass stays EXACT decimal — only the final report row
+      // converts to double (one IEEE rounding in both engines)
+      .agg(max(col("n_purchases")).as("n_purchases"),
+        count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+      .groupBy(col("day"))
+      .agg(max(col("n_purchases")).as("n_purchases"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        decToDouble(sum(col("v"))).as("sum_value"))
+      .select(
+        expr("CAST(CAST(day AS TIMESTAMP) AS LONG) div 86400").as("day"),
+        col("n_purchases"), col("n_events"), col("n_users"),
+        col("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  private val q249Sql =
+    s"""WITH hot AS (
+       |  SELECT CAST(ts AS DATE) AS hot_day, count(*) AS n_purchases
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1 ORDER BY n_purchases DESC, hot_day LIMIT 3),
+       |pu AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id, max(n_purchases)
+       |      AS n_purchases,
+       |    count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS v
+       |  FROM events JOIN hot ON CAST(ts AS DATE) = hot_day
+       |  GROUP BY 1, 2)
+       |SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+       |    CAST(day AS TIMESTAMP)) // 86400 AS day,
+       |  max(n_purchases) AS n_purchases,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  count(*) AS n_users,
+       |  ${d2dSql("sum(v)")} AS sum_value
+       |FROM pu
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q248_window_report" -> (q248 _),
+    "q249_peak_day_drill" -> (q249 _),
     "q235_peak_concurrency" -> (q235 _),
     "q236_user_gini" -> (q236 _),
     "q243_weekday_profile" -> (q243 _),
@@ -3220,6 +3326,8 @@ object Events {
     "q53_range_join"    -> (q53 _))
 
   val oracles: Map[String, String] = Map(
+    "q248_window_report" -> q248Sql,
+    "q249_peak_day_drill" -> q249Sql,
     "q235_peak_concurrency" -> q235Sql,
     "q236_user_gini" -> q236Sql,
     "q243_weekday_profile" -> q243Sql,

@@ -235,6 +235,27 @@ object Features {
     * (`QuantileModeSpec` pins the agreement rate). */
   val QuantileModeConf = "spark.graft.quantiles.mode"
 
+  /** Session conf for the quality gate's LM-scoring form:
+    * `broadcast` (default) scores each document map-side via the
+    * [[graft.functions.LmXentScore]] expression holding the serialized
+    * frozen LM — no token explode, no corpus-token shuffle, no
+    * vocabulary join (the round-14 q89 ×16.9 doc-side tail was mostly
+    * those two shuffles); `join` keeps the original explode→groupBy→
+    * vocabulary-join plan. The two are BIT-IDENTICAL (integer
+    * contributions, order-independent sums — `LmScoringModeSpec` pins
+    * it), so the default swap holds under unchanged oracles. */
+  val LmScoringConf = "spark.graft.lm.scoring"
+
+  /** True when the session forces the explode+join LM scoring plan.
+    * Loud rejection of unknown values. */
+  def lmScoringJoin(spark: SparkSession): Boolean =
+    spark.conf.getOption(LmScoringConf).getOrElse("broadcast") match {
+      case "broadcast" => false
+      case "join" => true
+      case other => throw new IllegalArgumentException(
+        s"$LmScoringConf must be 'broadcast' or 'join', got '$other'")
+    }
+
   /** True when the session opted into approx-quantile thresholds.
     * Loud rejection of unknown values — a typo must not silently run
     * the exact-rank plan a user believed they swapped out. */

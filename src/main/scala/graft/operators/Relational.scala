@@ -189,13 +189,22 @@ object Relational {
     * to join ordering. Q5's supplier equality (`c_nationkey =
     * s_nationkey`) genuinely needs per-line customer nations, so the
     * q02 pre-aggregation itself cannot apply — lineitem rows join
-    * suppliers per line, with supplier/nation/region broadcast. */
+    * suppliers per line, with supplier/nation/region broadcast.
+    *
+    * The date bounds ride `o_date` ([[Tables.ordersDated]]): on the
+    * flat testdata that is a derived projection (same rows — both
+    * bounds sit on whole-day boundaries, so `o_date ∈ [1996-01-01,
+    * 1999-01-01)` ⟺ the timestamp range the oracle states); on the
+    * date-PARTITIONED warehouse layout the same filter becomes
+    * `PartitionFilters` — the scan lists only the bounded day
+    * directories, the 100 TB posture PlanShapeSpec pins and the
+    * ScaleBench `dpp` phase measures. */
   private def q05(spark: SparkSession, dir: String): DataFrame = {
     val cu = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
-    val or = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
-      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val or = Tables.ordersDated(spark, dir)
+      .filter(col("o_date") >= lit("1996-01-01").cast("date"))
+      .filter(col("o_date") < lit("1999-01-01").cast("date"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),

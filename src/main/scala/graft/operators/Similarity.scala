@@ -701,6 +701,63 @@ object Similarity {
   private def q44(spark: SparkSession, dir: String): DataFrame =
     ivfAnn(spark, dir)
 
+  // ------------------------------------------------------- serving path
+  /** Cell-CLUSTERED served index: [[ivfAssigned]]'s candidate rows
+    * persisted in [[IvfCells]] partitions keyed by cell, so a request's
+    * static `cell isin (…)` filter skips whole cached batches via
+    * in-memory min/max stats instead of streaming the corpus — the
+    * "nprobe-sized scan" a serving deployment runs. Built once per
+    * (session, dir); at 100 TB this is the on-disk index layout
+    * (cell-partitioned files) and the filter is partition pruning. */
+  private def ivfServeIndex(spark: SparkSession, dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#ivfServeIndex") {
+      ivfAssigned(spark, dir).filter(col("vec_id") >= NQueries)
+        .repartition(IvfCells, col("cell"))
+    }
+
+  /** Driver-memoized query panel (the ≤[[NQueries]] servable query
+    * vectors with their index cells): collected ONCE per (session,
+    * dir), so a request resolves its query vector and probe cells
+    * without any Spark job. */
+  private def ivfQueryPanel(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.types.StructType,
+         Seq[org.apache.spark.sql.Row]) =
+    Features.cachedValue(spark, s"$dir#ivfQueryPanel") {
+      val df = ivfAssigned(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("sv").as("qv"),
+          col("n2").as("qn2"), col("cell").as("qcell"))
+      (df.schema, df.collect().toSeq)
+    }
+
+  /** PER-REQUEST IVF retrieval — row-identical to q44 filtered to
+    * `ids`, but shaped like a SERVE call instead of a panel rebuild:
+    * the query vectors come off the driver-memoized [[ivfQueryPanel]]
+    * (no job), the candidate side is [[ivfServeIndex]] with a STATIC
+    * `cell isin (probe cells)` filter (batch-pruned cached scan, not a
+    * corpus stream), and the top-k window runs over one cell's
+    * candidates per query. `ServeSpec` pins the row identity; the
+    * ScaleBench `serveconc` phase measures the throughput this + FAIR
+    * request pools buys at 8/16/32 concurrent drivers. */
+  def serveIvfRequest(spark: SparkSession, dir: String, ids: Seq[Long],
+      k: Int = 5): DataFrame = {
+    val (schema, rows) = ivfQueryPanel(spark, dir)
+    val hit = rows.filter(r => ids.contains(r.getLong(0)))
+    val cells: Seq[Any] = hit.map(_.get(3)).distinct
+    import scala.jdk.CollectionConverters._
+    val qs = spark.createDataFrame(hit.asJava, schema)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    ivfServeIndex(spark, dir)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(qs), col("cell") === col("qcell"))
+      .withColumn("cos",
+        cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
+      .select(col("q_id"), col("vec_id"), col("cell"), col("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The `assigned` index-build CTE chain shared by q44 and q130 —
     * the SQL twin of [[ivfAssigned]]. */
   private val ivfAssignedSqlCtes =

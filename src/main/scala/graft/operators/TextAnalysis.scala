@@ -1489,9 +1489,39 @@ object TextAnalysis {
     * shared scorer of batch q89 and the streaming gate (identical code
     * path, so stream decisions are batch decisions by construction). */
   private[graft] def qualityDecisions(docs: DataFrame, lm: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("lang"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        shingleOccurrences(col("text")).as("gs"))
+    val spark = docs.sparkSession
+    // LM-scoring form (Features.LmScoringConf): the default `broadcast`
+    // mode scores surprisal MAP-SIDE via the graft_lm_xent expression
+    // holding the serialized frozen LM — the artifact is collected once
+    // per (session, LM identity) off the memoized vocabulary-sized
+    // table (the ship-the-model posture; q72's Bloom sketches ride the
+    // same lifecycle) and each document scores in one pass over its own
+    // tokens: no explode, no corpus-token shuffle, no vocabulary join.
+    // Bit-identical to the `join` form (LmScoringModeSpec), so both run
+    // under the same oracles.
+    val joinMode = Features.lmScoringJoin(spark)
+    val xentInline: Option[org.apache.spark.sql.Column] =
+      if (joinMode) None
+      else {
+        // self-register against the session actually running this query
+        // (bare newSession()s start with an empty custom registry)
+        graft.functions.VectorExprs.ensureRegistered(spark)
+        val bytes = Features.cachedValue(spark,
+          s"lmArtifact#${lm.queryExecution.analyzed.semanticHash()}") {
+          val rows = lm.select(col("lang"), col("w"), col("cnt"),
+            col("total_l")).collect()
+          graft.functions.LmXent.serialize(
+            rows.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+            rows.toSeq.map(r => (r.getString(0), r.getLong(3))).distinct)
+        }
+        Some(coalesce(
+          graft.functions.LmXent.xent(col("lang"), tokens(col("text")), bytes),
+          lit(0L)).as("xent_u"))
+      }
+    val baseCols = Seq(col("doc_id"), col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      shingleOccurrences(col("text")).as("gs")) ++ xentInline
+    val base = docs.select(baseCols: _*)
       .withColumn("n_grams", size(col("gs")).cast("long"))
       .withColumn("n_distinct",
         size(array_distinct(transform(col("gs"), g => md5u32(g)))).cast("long"))
@@ -1502,7 +1532,9 @@ object TextAnalysis {
             col("n_grams").cast(DoubleType)).cast("long"))
           .otherwise(lit(0L)))
       .drop("gs")
-    // OOV policy (round-6 advice fix): the LM join is LEFT, and absent
+    // OOV policy (round-6 advice fix; BOTH scoring forms implement it —
+    // graft_lm_xent replicates cnt_s/tot_s exactly): the LM join is
+    // LEFT, and absent
     // tokens score at add-one surprisal ln(total_l / 1) — the MAXIMUM
     // for their language — instead of silently dropping. An inner join
     // here meant a streamed document fully outside the frozen LM's
@@ -1514,27 +1546,6 @@ object TextAnalysis {
     // from the LM entirely, total_l falls back to the LM's largest
     // language total (a one-row broadcast aggregate, no collect) —
     // the most conservative (highest-surprisal) denominator available.
-    val langTot = lm.select(col("lang"), col("total_l")).distinct()
-    val fallbackTot = lm.agg(max(col("total_l")).as("fallback_tot"))
-    val xent = docs
-      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("lang"), col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-      .join(lm.select(col("lang"), col("w"), col("cnt")), Seq("lang", "w"), "left")
-      .join(broadcast(langTot), Seq("lang"), "left")
-      .crossJoin(broadcast(fallbackTot))
-      .withColumn("cnt_s", coalesce(col("cnt"), lit(1L)))
-      .withColumn("tot_s",
-        coalesce(col("total_l"), col("fallback_tot"), lit(1L)))
-      .withColumn("contrib_u",
-        floor(lit(1000000.0) * col("tf").cast(DoubleType) *
-          log(col("tot_s").cast(DoubleType) / col("cnt_s").cast(DoubleType)))
-          .cast("long"))
-      .groupBy(col("doc_id"))
-      .agg((sum(col("contrib_u")).cast(DoubleType) /
-        sum(col("tf")).cast(DoubleType)).as("xent_raw"))
-      .withColumn("xent_u", floor(col("xent_raw")).cast("long"))
-      .select(col("doc_id"), col("xent_u"))
     // Optional FOURTH leg (conf-gated, default off so q89's oracle
     // pins the 3-gate table): the deflate-ratio gate, joined 1:1 on
     // doc_id and attributed LAST in the first-failing chain — the
@@ -1545,8 +1556,33 @@ object TextAnalysis {
       if (!Features.compressionGateOn(docs.sparkSession)) None
       else Some(compressionGate(docs).toDF()
         .select(col("doc_id"), col("flag").as("comp_flag")))
-    val scored = base.join(xent, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("xent_u"))
+    val scored =
+      if (!joinMode) base // xent_u computed inline at scan position
+      else {
+        val langTot = lm.select(col("lang"), col("total_l")).distinct()
+        val fallbackTot = lm.agg(max(col("total_l")).as("fallback_tot"))
+        val xent = docs
+          .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("lang"), col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+          .join(lm.select(col("lang"), col("w"), col("cnt")), Seq("lang", "w"), "left")
+          .join(broadcast(langTot), Seq("lang"), "left")
+          .crossJoin(broadcast(fallbackTot))
+          .withColumn("cnt_s", coalesce(col("cnt"), lit(1L)))
+          .withColumn("tot_s",
+            coalesce(col("total_l"), col("fallback_tot"), lit(1L)))
+          .withColumn("contrib_u",
+            floor(lit(1000000.0) * col("tf").cast(DoubleType) *
+              log(col("tot_s").cast(DoubleType) / col("cnt_s").cast(DoubleType)))
+              .cast("long"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("contrib_u")).cast(DoubleType) /
+            sum(col("tf")).cast(DoubleType)).as("xent_raw"))
+          .withColumn("xent_u", floor(col("xent_raw")).cast("long"))
+          .select(col("doc_id"), col("xent_u"))
+        base.join(xent, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("xent_u"))
+      }
     val withComp = compressed.fold(scored)(c =>
       scored.join(c, Seq("doc_id"), "left"))
     val firstFailing = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LongDotProduct, MinHashSignature, QuantizeError, TopK}
+import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LmXentScore, LongDotProduct, MinHashSignature, QuantizeError, TopK}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftArgMax)
     ext.injectFunction(GraftExtensions.graftArgMin)
     ext.injectFunction(GraftExtensions.graftBloomContains)
+    ext.injectFunction(GraftExtensions.graftLmXent)
     ext.injectFunction(GraftExtensions.graftQuantErr)
     ext.injectFunction(GraftExtensions.graftHeavyHitters)
     ext.injectFunction(GraftExtensions.graftTopK)
@@ -86,6 +87,15 @@ object GraftExtensions {
       BloomMightContain(args.head, args(1))
     })
 
+  val graftLmXent: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lm_xent"),
+    new ExpressionInfo(classOf[LmXentScore].getName, "graft_lm_xent"),
+    { args =>
+      require(args.length == 3,
+        "graft_lm_xent(lang, tokens, lmBytes) takes 3 arguments")
+      LmXentScore(args.head, args(1), args(2))
+    })
+
   val graftQuantErr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_quant_err"),
     new ExpressionInfo(classOf[QuantizeError].getName, "graft_quant_err"),
@@ -121,7 +131,7 @@ object GraftExtensions {
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftQuantErr, graftHeavyHitters, graftTopK).foreach {
+    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftLmXent, graftQuantErr, graftHeavyHitters, graftTopK).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -356,9 +356,16 @@ object ScaleData {
   /** Generate the seven relational tables under `dir`, scaled from the
     * driver sf0.1 cardinalities by `factor` (100 → customer 1.5M,
     * orders 15M, lineitem 60M — exactly 4 lines per order, FK-valid
-    * by construction). */
+    * by construction).
+    *
+    * `hotCustomerShare` > 0 PLANTS customer-key skew (round-14 verdict
+    * task 7's harness): that share of all orders is owned by customer
+    * 0, so every orders⋈customer shuffle join (q05's first hop, q232's
+    * returned-revenue hop) concentrates half its rows on ONE shuffle
+    * key once the customer side outgrows broadcast — the shape AQE's
+    * OptimizeSkewedJoin exists for, measured by the `relskew` phase. */
   def generateRelational(spark: SparkSession, dir: String,
-      factor: Long): Unit = {
+      factor: Long, hotCustomerShare: Double = 0.0): Unit = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     val (nCust, nSupp, nPart, nOrd) =
@@ -388,9 +395,13 @@ object ScaleData {
         s"Brand#${r.nextInt(25) + 1}", PTypes(r.nextInt(PTypes.size)),
         r.nextInt(50) + 1, money(r, 900.0, 999.9))
     }.write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
+    val hotShare = hotCustomerShare
     spark.range(0, nOrd, 1, par).as[Long].map { id =>
       val r = new java.util.Random(id * 104729L + 4)
-      OrderRow(id, r.nextInt(nCust.toInt).toLong,
+      val cust =
+        if (hotShare > 0 && r.nextDouble() < hotShare) 0L
+        else r.nextInt(nCust.toInt).toLong
+      OrderRow(id, cust,
         Vector("O", "P", "F")(r.nextInt(3)), money(r, 1000.0, 500000.0),
         dayTs(r, 2405), Priorities(r.nextInt(5)))
     }.write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
@@ -403,6 +414,48 @@ object ScaleData {
         r.nextInt(11) / 100.0, r.nextInt(9) / 100.0, rf, ls,
         dayTs(r, 2500))
     }.write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Re-lay the generated fact tables in the WAREHOUSE layout: orders
+    * date-partitioned by `o_date` (one directory per order day),
+    * events by `day`, documents by `source` — the Hive-style layout a
+    * 100 TB deployment stores facts in, where a date/source-bounded
+    * read prunes at the FILE LISTING ([[graft.Tables.ordersDated]] /
+    * [[graft.Tables.eventsDated]] pick these up automatically when the
+    * `_part` directories exist). Each table is repartitioned BY its
+    * partition key before the write so every day/source lands as one
+    * file per directory, not one per (task × key) — 2405 order days ×
+    * 32 tasks would otherwise write ~77k splinter files. */
+  def generatePartitioned(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_date",
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)"))
+      .repartition(col("o_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_date")
+      .parquet(s"$dir/orders_part")
+    graft.Tables.events(spark, dir)
+      .withColumn("day", expr("CAST(ts AS DATE)"))
+      .repartition(col("day"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day")
+      .parquet(s"$dir/events_part")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(col("source"))
+      .write.mode(SaveMode.Overwrite).partitionBy("source")
+      .parquet(s"$dir/documents_part")
+  }
+
+  /** Temp ALIAS of `srcDir` carrying both layouts: flat tables as
+    * symlinks plus the `_part` warehouse layouts from
+    * [[generatePartitioned]] — the fixture PlanShapeSpec pins and
+    * `graft.Explain` renders the partitioned plan variants from. */
+  def partitionedAlias(spark: SparkSession, srcDir: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_part_")
+    new java.io.File(srcDir).listFiles().foreach { f =>
+      java.nio.file.Files.createSymbolicLink(d.resolve(f.getName), f.toPath)
+    }
+    generatePartitioned(spark, d.toString)
+    d.toString
   }
 
   def generateHot(spark: SparkSession, dir: String, nBase: Long,

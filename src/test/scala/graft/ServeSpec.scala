@@ -65,6 +65,28 @@ class ServeSpec extends AnyFunSuite with SparkSpec with Matchers {
       .toSet
   }
 
+  test("the ivf REQUEST path (id-bounded --queries) serves rows " +
+      "IDENTICAL to q44 filtered to the ids — the driver-memoized " +
+      "panel + batch-pruned cell scan may change the plan, never a " +
+      "value; unknown ids answer nothing") {
+    val dir = Files.createTempDirectory("serve_req_")
+    val qf = dir.resolve("queries.txt")
+    Files.writeString(qf, "2\n5\n999999\n")
+    val out = dir.toString + "/job"
+    Serve.run(Array(sfDir, out, "--retriever", "ivf",
+      "--queries", qf.toString), Some(spark)) shouldBe 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id", "cell", "rank")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+      .toSet
+    val got = rows(spark.read.json(s"$out/results"))
+    got.map(_._1) shouldBe Set(2L, 5L)
+    got shouldBe rows(SparkEntry.queries("q44_ivf_ann")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("q_id").isin(2L, 5L)))
+  }
+
   test("every retriever serves its own oracled query's rows") {
     for ((flag, qname) <- Seq("dense" -> "q38_cosine_topk",
         "lsh" -> "q39_lsh_ann", "ivf" -> "q44_ivf_ann")) {

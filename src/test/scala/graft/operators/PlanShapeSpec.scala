@@ -1195,6 +1195,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     anti.size shouldBe 4
   }
 
+  /** sf0.001 alias dir carrying BOTH layouts: flat symlinks plus the
+    * `_part` warehouse layouts [[graft.tools.ScaleData.generatePartitioned]]
+    * writes — the date/source-partitioned posture the 100 TB claim
+    * rests on. */
+  private lazy val partDir: String =
+    graft.tools.ScaleData.partitionedAlias(spark, SparkSpec.Sf0001)
+
+  test("partitioned layout: q05's o_date bounds reach the orders scan " +
+      "as PartitionFilters (file-listing pruning, not a row filter), " +
+      "and the result is row-identical to the flat layout") {
+    val s = spark.newSession()
+    s.conf.set(Features.CacheModeConf, "off")
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      val df = SparkEntry.queries("q05_local_supplier")(s, partDir)
+      val scan = df.queryExecution.sparkPlan.collectLeaves()
+        .map(_.toString)
+        .find(t => t.contains("orders_part")).get
+      scan should include("PartitionFilters")
+      scan should include regex "PartitionFilters: \\[[^\\]]*o_date"
+      scan should include regex "o_date[#0-9]* >= 1996-01-01"
+      scan should include regex "o_date[#0-9]* < 1999-01-01"
+      df.collect().map(_.toString).toSeq shouldBe
+        SparkEntry.queries("q05_local_supplier")(spark, SparkSpec.Sf0001)
+          .collect().map(_.toString).toSeq
+    } finally {
+      Features.clear(s)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("partitioned layout: q248's one-week day window prunes the " +
+      "events_part scan to 7 day-directories; q249's drill leg carries " +
+      "a DPP subquery (dynamicpruningexpression) — the top-3-day " +
+      "broadcast prunes the second pass at the file listing; both " +
+      "row-identical to flat") {
+    val s = spark.newSession()
+    s.conf.set(Features.CacheModeConf, "off")
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      val win = SparkEntry.queries("q248_window_report")(s, partDir)
+      val winScan = win.queryExecution.sparkPlan.collectLeaves()
+        .map(_.toString).find(_.contains("events_part")).get
+      winScan should include("PartitionFilters")
+      winScan should include regex "day[#0-9]* >= 2024-01-08"
+      win.collect().map(_.toString).toSeq shouldBe
+        SparkEntry.queries("q248_window_report")(spark, SparkSpec.Sf0001)
+          .collect().map(_.toString).toSeq
+
+      val drill = SparkEntry.queries("q249_peak_day_drill")(s, partDir)
+      val planStr = drill.queryExecution.executedPlan.toString
+      planStr should include("dynamicpruningexpression")
+      drill.collect().map(_.toString).toSeq shouldBe
+        SparkEntry.queries("q249_peak_day_drill")(spark, SparkSpec.Sf0001)
+          .collect().map(_.toString).toSeq
+    } finally {
+      Features.clear(s)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("q27: the classify projection runs inside whole-stage codegen") {
     // Execute first: under AQE the codegen stars only appear in the final
     // plan (isFinalPlan=true).
