@@ -376,7 +376,7 @@ object Explain {
     // (PartitionFilters / a DPP subquery instead of full-log scans).
     val partAlias = graft.tools.ScaleData.partitionedAlias(spark, sfDir)
     val LayoutVariants: Seq[(String, String)] = Seq(
-      "q05_local_supplier" -> ("the o_date year bounds appear as " +
+      "q05_local_supplier" -> ("the o_month year bounds appear as " +
         "PartitionFilters on the orders_part scan - only the bounded " +
         "day directories are LISTED, the 100 TB date-layout posture"),
       "q248_window_report" -> ("the one-week day window appears as " +

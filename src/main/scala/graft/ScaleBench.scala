@@ -815,6 +815,85 @@ object ScaleBench {
           s""""queries":$qs}""")
     }
 
+    // Thirteenth phase (`partition`): pruned-vs-unpruned wall-clock on
+    // the 100× harnesses under the date/source-PARTITIONED warehouse
+    // layout (round-14 verdict task 2 — the 100 TB claim's biggest
+    // untested assumption). For each fact family the SAME query runs
+    // against a flat alias (derived date column, full scan) and the
+    // `_part` layout (PartitionFilters / DPP at the file listing):
+    // q05 over 100× orders, q248/q249 over the 10M-event log, and a
+    // source-bounded profile over the 500k-doc corpus. Two alternating
+    // passes each, min.
+    if (phase == "partition" || phase == "both") {
+      val relDir = s"$out/rel100"
+      val factor = sys.env.getOrElse("SPARK_GRAFT_REL_FACTOR", "100").toLong
+      if (!Files.exists(Paths.get(s"$relDir/lineitem.parquet")))
+        ScaleData.generateRelational(spark, relDir, factor)
+      val evDir = s"$out/ev100"
+      if (!Files.exists(Paths.get(s"$evDir/events.parquet")))
+        ScaleData.generateEvents(spark, evDir,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "10000000").toLong,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_USERS", "150000").toLong)
+      val docDir = s"$out/sf1"
+      if (!Files.exists(Paths.get(s"$docDir/documents.parquet")))
+        ScaleData.generate(spark, docDir, nDocs, nEmb)
+      // Flat aliases: symlink ONLY the flat tables, so re-runs against
+      // an already-partitioned dir still measure the unpruned plan.
+      def flatAlias(src: String): String = {
+        val d = java.nio.file.Files.createTempDirectory("graft_flat_")
+        new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.createSymbolicLink(
+              d.resolve(f.getName), f.toPath)
+          }
+        d.toString
+      }
+      for (d <- Seq(relDir, evDir, docDir))
+        if (!Files.exists(Paths.get(s"$d/orders_part")) &&
+            !Files.exists(Paths.get(s"$d/events_part")) &&
+            !Files.exists(Paths.get(s"$d/documents_part")))
+          ScaleData.generatePartitioned(spark, d)
+      val relFlat = flatAlias(relDir)
+      val evFlat = flatAlias(evDir)
+      val docFlat = flatAlias(docDir)
+      def docProfile(dir: String): DataFrame = {
+        val docs =
+          if (Files.exists(Paths.get(s"$dir/documents_part")))
+            spark.read.parquet(s"$dir/documents_part")
+          else spark.read.parquet(s"$dir/documents.parquet")
+        docs.filter(org.apache.spark.sql.functions.col("source") === "src7")
+          .groupBy("lang")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum("n_chars").as("chars"))
+      }
+      val legs = Seq(
+        ("q05_orders_100x", relFlat, relDir,
+          (d: String) => SparkEntry.queries("q05_local_supplier")(spark, d)),
+        ("q248_events_10M", evFlat, evDir,
+          (d: String) => SparkEntry.queries("q248_window_report")(spark, d)),
+        ("q249_events_10M_dpp", evFlat, evDir,
+          (d: String) => SparkEntry.queries("q249_peak_day_drill")(spark, d)),
+        ("docs_source_profile_500k", docFlat, docDir,
+          (d: String) => docProfile(d)))
+      val results = legs.map { case (name, flat, part, mk) =>
+        val times = (1 to 2).map { _ =>
+          (time(noopWrite(mk(flat))), time(noopWrite(mk(part))))
+        }
+        val tf = times.map(_._1).min
+        val tp = times.map(_._2).min
+        // plan evidence: the partitioned run must carry PartitionFilters
+        val planStr = mk(part).queryExecution.executedPlan.toString
+        val pruned = planStr.contains("PartitionFilters: [") &&
+          (planStr.contains("o_month") || planStr.contains("day#") ||
+            planStr.contains("source#"))
+        s""""$name":{"flat_sec":${f2(tf)},"partitioned_sec":${f2(tp)},""" +
+          s""""speedup":${f2(tf / tp)},"partition_filters":$pruned}"""
+      }
+      println(s"""{"metric":"partition_pruning",${results.mkString(",")}}""")
+    }
+
     // Twelfth phase (`relskew`): PLANTED relational key skew + AQE
     // evidence (round-14 verdict task 7). Regenerates the 100× harness
     // with `hotCustomerShare`=0.5 — half of all orders owned by
@@ -831,25 +910,68 @@ object ScaleBench {
         ScaleData.generateRelational(spark, dir, factor,
           hotCustomerShare = 0.5)
       val SkewConf = "spark.sql.adaptive.skewJoin.enabled"
+      // The hot partition here is ~7.5M narrow rows ≈ 120 MB — real
+      // skew (16× the median partition) but UNDER AQE's default 256 MB
+      // skewedPartitionThresholdInBytes, so at harness scale the
+      // mechanism never fires on defaults. Scale the byte thresholds
+      // down with the data — 8m/4m vs the 256m/64m defaults (a 100 TB deployment's hot partition is
+      // 1000× this and trips the DEFAULTS; the factor-5-over-median
+      // trigger is what actually detects the skew and is left alone).
+      val ThresholdConf =
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+      val AdvisoryConf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val BcastConf = "spark.sql.autoBroadcastJoinThreshold"
       val names = Seq("q05_local_supplier", "q232_returned_revenue")
-      def run1(n: String, skew: Boolean): Double = {
+      // Three regimes per query. (1) DEFAULT: the planner broadcasts
+      // the unhinted customer dimension, so the hot custkey never
+      // crosses a shuffle — broadcast IS the first skew defense, and
+      // the probe proves q05/q232 are structurally immune while the
+      // dimension fits. (2)/(3) autoBroadcast=-1 — the regime a true
+      // warehouse customer table is in (the explicitly-hinted tiny
+      // dims keep their hints) — with AQE's OptimizeSkewedJoin on vs
+      // off: the only regime where key skew can exist, and where the
+      // split must fire.
+      def run1(n: String, skew: Boolean, bcast: Boolean): Double = {
         spark.conf.set(SkewConf, skew.toString)
+        spark.conf.set(ThresholdConf, "8m")
+        spark.conf.set(AdvisoryConf, "4m")
+        if (!bcast) spark.conf.set(BcastConf, "-1")
         try time(noopWrite(SparkEntry.queries(n)(spark, dir)))
-        finally spark.conf.set(SkewConf, "true")
+        finally {
+          spark.conf.set(SkewConf, "true")
+          spark.conf.unset(ThresholdConf)
+          spark.conf.unset(AdvisoryConf)
+          spark.conf.unset(BcastConf)
+        }
       }
-      val t = (1 to 2).map(_ =>
-        names.map(n => (run1(n, skew = true), run1(n, skew = false))))
-      // Plan pin: execute once with AQE skew handling on and read the
-      // FINAL adaptive plan (skew splits only appear post-execution).
+      val t = (1 to 2).map(_ => names.map(n => (
+        run1(n, skew = true, bcast = true),
+        run1(n, skew = true, bcast = false),
+        run1(n, skew = false, bcast = false))))
+      // Plan pin: in the shuffle regime with AQE on, EXECUTE the same
+      // QueryExecution (collect — outputs are report-sized; noop write
+      // plans a separate QueryExecution whose AQE never runs) and read
+      // the final adaptive plan for the skew=true split marker.
       val pinned = names.map { n =>
-        val df = SparkEntry.queries(n)(spark, dir)
-        noopWrite(df)
-        n -> df.queryExecution.executedPlan.toString.contains("skew=true")
+        spark.conf.set(ThresholdConf, "8m")
+        spark.conf.set(AdvisoryConf, "4m")
+        spark.conf.set(BcastConf, "-1")
+        try {
+          val df = SparkEntry.queries(n)(spark, dir)
+          df.collect()
+          n -> df.queryExecution.executedPlan.toString.contains("skew=true")
+        } finally {
+          spark.conf.unset(ThresholdConf)
+          spark.conf.unset(AdvisoryConf)
+          spark.conf.unset(BcastConf)
+        }
       }.toMap
       val legs = names.zipWithIndex.map { case (n, i) =>
-        val aqe = t.map(_(i)._1).min
-        val no = t.map(_(i)._2).min
-        s""""$n":{"aqe_sec":${f2(aqe)},"noaqe_sec":${f2(no)},""" +
+        val bc = t.map(_(i)._1).min
+        val aqe = t.map(_(i)._2).min
+        val no = t.map(_(i)._3).min
+        s""""$n":{"broadcast_default_sec":${f2(bc)},""" +
+          s""""shuffle_aqe_sec":${f2(aqe)},"shuffle_noaqe_sec":${f2(no)},""" +
           s""""aqe_speedup":${f2(no / aqe)},"skew_plan":${pinned(n)}}"""
       }.mkString(",")
       println(

@@ -51,15 +51,15 @@ object Tables {
   // These accessors expose that layout without forking the queries:
   // when `<dir>/<name>_part` exists (written by
   // [[graft.tools.ScaleData.generatePartitioned]] — Hive-style
-  // `o_date=.../day=...` directories), the read returns the partition
+  // `o_month=.../day=...` directories), the read returns the partition
   // column for real and a filter on it becomes `PartitionFilters`
   // (static pruning) or a DPP subquery (join-driven pruning). On the
   // flat driver testdata the same column is DERIVED in the projection,
   // so every query and its DuckDB oracle are layout-agnostic —
   // identical results, pruning activating exactly when the layout
   // supports it. Date bounds stay exactly translatable because both
-  // columns quantize to whole days: `o_date >= D` ⟺ `o_orderdate >=
-  // D 00:00:00`, `o_date < D` ⟺ `o_orderdate < D 00:00:00`.
+  // columns quantize to whole days/months: `o_month >= Y-01-01` ⟺ `o_orderdate >=
+  // Y-01-01 00:00:00` (year bounds align with month boundaries).
   // ------------------------------------------------------------------
   private def hasPart(spark: SparkSession, dir: String, name: String): Boolean =
     try {
@@ -67,16 +67,20 @@ object Tables {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     } catch { case _: Exception => false }
 
-  /** orders + `o_date` (DATE of o_orderdate): partition column under
-    * the partitioned layout, derived expression on flat testdata. */
+  /** orders + `o_month` (first-of-month DATE of o_orderdate):
+    * partition column under the partitioned layout, derived expression
+    * on flat testdata. MONTH granularity, not day — the 100× harness
+    * measured daily directories SLOWER than flat (small-files tax,
+    * BENCH_NOTES r15); month dirs carry ~190k rows each and
+    * month-aligned bounds (q05's whole years) prune identically. */
   def ordersDated(spark: SparkSession, dir: String): DataFrame =
     if (hasPart(spark, dir, "orders"))
       spark.read.parquet(s"$dir/orders_part")
         .withColumn("o_orderdate",
           expr("o_orderdate").cast(org.apache.spark.sql.types.TimestampType))
     else
-      orders(spark, dir).withColumn("o_date",
-        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)"))
+      orders(spark, dir).withColumn("o_month",
+        expr("CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)"))
 
   /** events + `day` (DATE of ts): partition column under the
     * partitioned layout, derived expression on flat testdata. */

@@ -191,20 +191,22 @@ object Relational {
     * q02 pre-aggregation itself cannot apply — lineitem rows join
     * suppliers per line, with supplier/nation/region broadcast.
     *
-    * The date bounds ride `o_date` ([[Tables.ordersDated]]): on the
+    * The date bounds ride `o_month` ([[Tables.ordersDated]]): on the
     * flat testdata that is a derived projection (same rows — both
-    * bounds sit on whole-day boundaries, so `o_date ∈ [1996-01-01,
+    * bounds sit on whole-YEAR boundaries, so `o_month ∈ [1996-01-01,
     * 1999-01-01)` ⟺ the timestamp range the oracle states); on the
-    * date-PARTITIONED warehouse layout the same filter becomes
-    * `PartitionFilters` — the scan lists only the bounded day
+    * month-PARTITIONED warehouse layout the same filter becomes
+    * `PartitionFilters` — the scan lists only the ~36 bounded month
     * directories, the 100 TB posture PlanShapeSpec pins and the
-    * ScaleBench `dpp` phase measures. */
+    * ScaleBench `partition` phase measures (month, not day: daily
+    * directories measured SLOWER than flat at this table's per-day
+    * volume — BENCH_NOTES r15). */
   private def q05(spark: SparkSession, dir: String): DataFrame = {
     val cu = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
     val or = Tables.ordersDated(spark, dir)
-      .filter(col("o_date") >= lit("1996-01-01").cast("date"))
-      .filter(col("o_date") < lit("1999-01-01").cast("date"))
+      .filter(col("o_month") >= lit("1996-01-01").cast("date"))
+      .filter(col("o_month") < lit("1999-01-01").cast("date"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),

@@ -428,21 +428,35 @@ object ScaleData {
     * 32 tasks would otherwise write ~77k splinter files. */
   def generatePartitioned(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions.{col, expr}
-    spark.read.parquet(s"$dir/orders.parquet")
-      .withColumn("o_date",
-        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)"))
-      .repartition(col("o_date"))
-      .write.mode(SaveMode.Overwrite).partitionBy("o_date")
-      .parquet(s"$dir/orders_part")
-    graft.Tables.events(spark, dir)
-      .withColumn("day", expr("CAST(ts AS DATE)"))
-      .repartition(col("day"))
-      .write.mode(SaveMode.Overwrite).partitionBy("day")
-      .parquet(s"$dir/events_part")
-    spark.read.parquet(s"$dir/documents.parquet")
-      .repartition(col("source"))
-      .write.mode(SaveMode.Overwrite).partitionBy("source")
-      .parquet(s"$dir/documents_part")
+    // Tolerate partial dirs: the 100× harnesses carry only their own
+    // family's tables (rel100 has no events; ev100 has no orders).
+    def has(name: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    // Orders partition at MONTH granularity, not day: the 100× harness
+    // carries ~6k orders/day, and daily directories (2405 of them)
+    // MEASURED SLOWER than the flat scan (0.47× — the small-files
+    // listing/footer tax beat the pruning); ~80 month directories at
+    // ~190k rows each price the same year-bounded pruning without the
+    // tax. Partition granularity must match per-partition volume —
+    // that measurement is the point of the `partition` phase.
+    if (has("orders"))
+      spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_month",
+          expr("CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)"))
+        .repartition(col("o_month"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_month")
+        .parquet(s"$dir/orders_part")
+    if (has("events"))
+      graft.Tables.events(spark, dir)
+        .withColumn("day", expr("CAST(ts AS DATE)"))
+        .repartition(col("day"))
+        .write.mode(SaveMode.Overwrite).partitionBy("day")
+        .parquet(s"$dir/events_part")
+    if (has("documents"))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(col("source"))
+        .write.mode(SaveMode.Overwrite).partitionBy("source")
+        .parquet(s"$dir/documents_part")
   }
 
   /** Temp ALIAS of `srcDir` carrying both layouts: flat tables as

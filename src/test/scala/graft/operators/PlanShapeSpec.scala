@@ -290,15 +290,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
-  test("q89: the repetition/length gates are per-row expressions — " +
-      "no explode-groupBy on that side; LM totals broadcast; no Cartesian") {
+  test("q89: EVERY gate is a per-row expression in the default " +
+      "broadcast-LM mode — the xent leg is graft_lm_xent at scan " +
+      "position (no explode, no join, no shuffle before the final " +
+      "sort); join mode keeps its LM-totals broadcast") {
     val p = plan("q89_quality_gate")
-    p should include("Broadcast")
+    p should include("graft_lm_xent")
+    p should not include "Generate"
     p should not include "CartesianProduct"
-    // the decision join is 1:1 on doc_id, the only wide shuffle keys are
-    // uniform (doc_id / term) — pinned implicitly by the absence of any
-    // Generate (explode) under the rep_frac side's project:
-    p should include("array_distinct") // per-row, inside a Project
+    p should include("array_distinct") // rep gate: per-row, inside a Project
+    // the conf-gated join form retains its original audited shape
+    val s = spark.newSession()
+    s.conf.set(Features.LmScoringConf, "join")
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      val j = SparkEntry.queries("q89_quality_gate")(s, SparkSpec.Sf0001)
+        .queryExecution.executedPlan.toString
+      j should include("Broadcast")
+      j should not include "CartesianProduct"
+      j should include("array_distinct")
+    } finally {
+      Features.clear(s)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
   }
 
   test("q90: sketch + exact quantiles fuse into ONE ObjectHashAggregate " +
@@ -1202,7 +1216,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   private lazy val partDir: String =
     graft.tools.ScaleData.partitionedAlias(spark, SparkSpec.Sf0001)
 
-  test("partitioned layout: q05's o_date bounds reach the orders scan " +
+  test("partitioned layout: q05's o_month bounds reach the orders scan " +
       "as PartitionFilters (file-listing pruning, not a row filter), " +
       "and the result is row-identical to the flat layout") {
     val s = spark.newSession()
@@ -1214,9 +1228,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
         .map(_.toString)
         .find(t => t.contains("orders_part")).get
       scan should include("PartitionFilters")
-      scan should include regex "PartitionFilters: \\[[^\\]]*o_date"
-      scan should include regex "o_date[#0-9]* >= 1996-01-01"
-      scan should include regex "o_date[#0-9]* < 1999-01-01"
+      scan should include regex "PartitionFilters: \\[[^\\]]*o_month"
+      scan should include regex "o_month[#0-9]* >= 1996-01-01"
+      scan should include regex "o_month[#0-9]* < 1999-01-01"
       df.collect().map(_.toString).toSeq shouldBe
         SparkEntry.queries("q05_local_supplier")(spark, SparkSpec.Sf0001)
           .collect().map(_.toString).toSeq
