@@ -198,7 +198,8 @@ object Explain {
     "q49_salted_agg" -> "two-stage salted aggregate: the hot key fans out over (key, salt) in a first partial-aggregable groupBy, the second collapses salts - the planted-skew defense the skew phase measures; no single reducer ever owns a hot key",
     "q63_funnel_daily" -> "interval pair join as ONE user-keyed equi-join (time window as a post-join filter; per-user counts bound the pair blow-up), then the day report rolls up through an Expand-free (day,click)->(day,user)->day aggregate ladder - the q233-class multi-distinct rewrite, every stage partial-aggregable and shrinking",
     "q248_window_report" -> "the one-week day bounds sit at scan position; on the date-PARTITIONED warehouse layout (variant section below) the SAME filter becomes PartitionFilters - the scan never lists out-of-window day directories; flat testdata derives day in the projection, one oracle covers both layouts",
-    "q249_peak_day_drill" -> "find-then-drill: top-3 purchase days as a bounded aggregate broadcast back into the full-profile drill; on the partitioned layout (variant below) the drill scan carries a dynamicpruningexpression DPP subquery - the second pass lists 3 day directories instead of re-scanning the log; distinct users via the Expand-free (day,user) ladder")
+    "q249_peak_day_drill" -> "find-then-drill: top-3 purchase days as a bounded aggregate broadcast back into the full-profile drill; on the partitioned layout (variant below) the drill scan carries a dynamicpruningexpression DPP subquery - the second pass lists 3 day directories instead of re-scanning the log; distinct users via the Expand-free (day,user) ladder",
+    "q250_hot_source_drill" -> "q249's find-then-drill on the DOCUMENT corpus: q45's sources-sized dup-share report + top-3 heap ranks the hot sources, the drill reads documentsBySource - on the source-partitioned layout the 3-row broadcast becomes a DPP subquery listing three source directories; one distinct aggregate per leg (no multi-distinct Expand)")
 
   /** Queries WITHOUT an EXPLAINS section, each mapped to the Headline
     * query that OWNS its plan shape — the machine-checked form of the
@@ -385,7 +386,11 @@ object Explain {
       "q249_peak_day_drill" -> ("the drill scan carries " +
         "dynamicpruningexpression(day IN dynamicpruning#N) in its " +
         "PartitionFilters - the top-3-day broadcast prunes the second " +
-        "pass at the FILE LISTING (DPP)"))
+        "pass at the FILE LISTING (DPP)"),
+      "q250_hot_source_drill" -> ("the document drill scan reads " +
+        "documents_part with dynamicpruningexpression(source IN " +
+        "dynamicpruning#N) - three source directories listed, the " +
+        "corpus never re-scanned"))
     LayoutVariants.foreach { case (name, property) =>
       val df = SparkEntry.queries(name)(spark, partAlias)
       val plan =

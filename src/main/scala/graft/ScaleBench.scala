@@ -876,7 +876,9 @@ object ScaleBench {
         ("q249_events_10M_dpp", evFlat, evDir,
           (d: String) => SparkEntry.queries("q249_peak_day_drill")(spark, d)),
         ("docs_source_profile_500k", docFlat, docDir,
-          (d: String) => docProfile(d)))
+          (d: String) => docProfile(d)),
+        ("q250_docs_dpp_500k", docFlat, docDir,
+          (d: String) => SparkEntry.queries("q250_hot_source_drill")(spark, d)))
       val results = legs.map { case (name, flat, part, mk) =>
         val times = (1 to 2).map { _ =>
           (time(noopWrite(mk(flat))), time(noopWrite(mk(part))))

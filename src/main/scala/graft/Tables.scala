@@ -82,6 +82,16 @@ object Tables {
       orders(spark, dir).withColumn("o_month",
         expr("CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)"))
 
+  /** documents, preferring the SOURCE-partitioned layout when it
+    * exists: `source` is an ordinary column in both layouts (identical
+    * schema), but under `documents_part` a `source` equi-filter/join
+    * prunes whole source directories at the file listing (q250's DPP
+    * drill). Flat reads are unchanged. */
+  def documentsBySource(spark: SparkSession, dir: String): DataFrame =
+    if (hasPart(spark, dir, "documents"))
+      spark.read.parquet(s"$dir/documents_part")
+    else documents(spark, dir)
+
   /** events + `day` (DATE of ts): partition column under the
     * partitioned layout, derived expression on flat testdata. */
   def eventsDated(spark: SparkSession, dir: String): DataFrame =

@@ -669,6 +669,72 @@ object Dedup {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q250
+  /** HOT-SOURCE DUPLICATION DRILLDOWN — q45 says WHICH sources carry
+    * duplicate mass; this is the second pass an operator actually
+    * runs: take the 3 worst sources by exact-dup share and pull their
+    * per-language profile (docs, distinct bodies, char mass) — is the
+    * duplication concentrated in one language lane (a mirrored feed)
+    * or uniform (a re-crawled source)? The find-then-drill shape q249
+    * runs on events, on the DOCUMENT corpus.
+    *
+    * Scale posture: the rank leg is q45's sources-sized report with a
+    * top-3 heap (TakeOrderedAndProject); the drill leg reads
+    * [[graft.Tables.documentsBySource]] — on the source-PARTITIONED
+    * warehouse layout the 3-row broadcast becomes a DPP subquery in
+    * the drill scan's PartitionFilters, so the second pass over a
+    * 10¹¹-doc corpus LISTS three source directories instead of
+    * re-scanning (PlanShapeSpec pins the subquery and flat≡partitioned
+    * rows). Each leg carries ONE distinct aggregate (no multi-distinct
+    * Expand). Determinism: micro floor-div share, ties by source. */
+  private def q250(spark: SparkSession, dir: String): DataFrame = {
+    // rank by the PRODUCTION dedup key (contentFp — the sorted-unique
+    // token bag q33/q45/q60 decide on), not raw md5: byte-identity is
+    // degenerate on feeds whose duplication is shuffled/stuttered
+    // template content (the blessed testdata has ZERO byte-exact dups
+    // but real bag-level duplication — exactly q161's lift story)
+    val hot = Tables.documents(spark, dir)
+      .select(col("source"), contentFp(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sn"), countDistinct(col("fp")).as("sd"))
+      .withColumn("dup_share_u", expr("(1000000 * (sn - sd)) div sn"))
+      .orderBy(col("dup_share_u").desc, col("source"))
+      .limit(3)
+      // a dup-free source is not "hot" — and the predicate doubles as
+      // the selective filter Spark's PartitionPruning rule requires on
+      // the dim side before it will inject the DPP subquery
+      .filter(col("dup_share_u") > 0L)
+      .select(col("source").as("hot_source"), col("dup_share_u"))
+    Tables.documentsBySource(spark, dir)
+      .join(broadcast(hot), col("source") === col("hot_source"))
+      .groupBy(col("source"), col("lang"))
+      .agg(max(col("dup_share_u")).as("dup_share_u"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(contentFp(col("text"))).as("n_distinct"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private lazy val q250Sql =
+    s"""WITH rank AS (
+      |  SELECT source, count(*) AS sn,
+      |    count(DISTINCT ${contentFpSql("text")}) AS sd
+      |  FROM documents GROUP BY 1),
+      |hot AS (
+      |  SELECT * FROM (
+      |    SELECT source AS hot_source,
+      |      (1000000 * (sn - sd)) // sn AS dup_share_u
+      |    FROM rank ORDER BY dup_share_u DESC, source LIMIT 3)
+      |  WHERE dup_share_u > 0)
+      |SELECT d.source, lang,
+      |  max(dup_share_u) AS dup_share_u,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT ${contentFpSql("text")}) AS BIGINT) AS n_distinct
+      |FROM documents d JOIN hot ON d.source = hot_source
+      |GROUP BY 1, 2
+      |ORDER BY source, lang""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** The verify stage of the dedup cascade: candidates from the cheap
     * sketch (q35's MinHash/LSH pairs) re-scored with an exact
@@ -4075,6 +4141,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q250_hot_source_drill" -> (q250 _),
     "q247_perm_sweep" -> (q247 _),
     "q189_cluster_density" -> (q189 _),
     "q180_crawl_runs" -> (q180 _),
@@ -4123,6 +4190,7 @@ object Dedup {
     "q84_source_funnel"  -> (q84 _))
 
   val oracles: Map[String, String] = Map(
+    "q250_hot_source_drill" -> q250Sql,
     "q247_perm_sweep" -> q247Sql,
     "q189_cluster_density" -> q189Sql,
     "q180_crawl_runs" -> q180Sql,

@@ -1264,6 +1264,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       drill.collect().map(_.toString).toSeq shouldBe
         SparkEntry.queries("q249_peak_day_drill")(spark, SparkSpec.Sf0001)
           .collect().map(_.toString).toSeq
+
+      // the DOCUMENT-side twin: q250's drill leg reads documents_part
+      // and must carry the same DPP subquery on `source`
+      val docDrill = SparkEntry.queries("q250_hot_source_drill")(s, partDir)
+      val docPlan = docDrill.queryExecution.executedPlan.toString
+      docPlan should include("documents_part")
+      docPlan should include("dynamicpruningexpression")
+      docDrill.collect().map(_.toString).toSeq shouldBe
+        SparkEntry.queries("q250_hot_source_drill")(spark, SparkSpec.Sf0001)
+          .collect().map(_.toString).toSeq
     } finally {
       Features.clear(s)
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
