@@ -50,8 +50,12 @@ object GraftSession {
       // uniform round-over-round "drift" on untouched plans). 10k
       // entries holds the whole surface: same suite re-measured
       // 176.4 s → 123.2 s, compiles 17,068 → 3,890. Static conf, so
-      // it must be set at session creation.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // it must be set at session creation. An explicit -D system
+      // property wins (drift_probe.sh reruns the pre-fix regime and
+      // CodegenCacheSpec's negative control forks it at 100) — builder
+      // .config would otherwise silently shadow the experiment pin.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.props.getOrElse("spark.sql.codegen.cache.maxEntries", "10000"))
     if (local) b.master(s"local[$cores]") else b
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
@@ -38,14 +39,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * largest total.
   *
   * Empty token array → 0 (the join form's left-join + na.fill(0));
-  * null lang or tokens → null.
+  * null tokens → null (the join form's explode-drops-the-doc +
+  * na.fill(0) — callers coalesce to 0 the same way). Null lang is NOT
+  * null-propagated: the join form's null lang matches neither the
+  * vocabulary nor the per-lang totals (SQL null join keys), so the doc
+  * scores every token OOV against the fallback total — this expression
+  * reproduces exactly that (round-15 advice: the earlier
+  * null-intolerant form coalesced such docs to xent 0, silently
+  * ADMITTING the least-attested documents). A null token ELEMENT
+  * likewise short-circuits to the OOV count of 1 instead of
+  * string-concatenating into a lookup of the literal term "null".
   *
-  * Artifact-size posture: the serialized LM is vocabulary-sized. The
-  * testdata LM is a few KB; a production 10⁷-term LM head is a few
-  * hundred MB and ships once per executor as a broadcast-style task
-  * reference — the same "frozen model artifact" lifecycle as the
-  * reference's classifier checkpoint (SURVEY §2 M2), not per-row or
-  * per-task work.
+  * Artifact-size posture: the serialized LM is vocabulary-sized and
+  * rides the expression tree as a literal reference object — a few KB
+  * for the testdata LM, acceptable up to a vocabulary-head artifact of
+  * tens of MB. It is NOT a torrent broadcast: past
+  * [[graft.operators.Features.LmMaxBroadcastTermsConf]] terms,
+  * [[graft.operators.TextAnalysis.qualityDecisions]] refuses to build
+  * the artifact at all and falls back to the BIT-IDENTICAL join form
+  * (logged loudly), so an oversized LM degrades to a shuffle, never to
+  * a driver/plan-shipping blow-up.
   */
 case class LmXentScore(lang: Expression, tokens: Expression, lm: Expression)
     extends TernaryExpression {
@@ -72,15 +85,34 @@ case class LmXentScore(lang: Expression, tokens: Expression, lm: Expression)
   @transient private lazy val model: LmXent.Model =
     LmXent.deserialize(lm.eval().asInstanceOf[Array[Byte]])
 
-  override def nullSafeEval(l: Any, ts: Any, unused: Any): Any =
-    LmXent.score(model, l.asInstanceOf[UTF8String],
+  // Custom (non-nullSafe) evaluation: only a null TOKENS array
+  // null-propagates; a null lang takes the join form's fallback path
+  // inside [[LmXent.score]].
+  override def nullable: Boolean = tokens.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ts = tokens.eval(input)
+    if (ts == null) null
+    else LmXent.score(model, lang.eval(input).asInstanceOf[UTF8String],
       ts.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val modelRef = ctx.addReferenceObj("lmModel", model,
       classOf[LmXent.Model].getName)
-    nullSafeCodeGen(ctx, ev, (l, ts, _) =>
-      s"${ev.value} = graft.functions.LmXent.score($modelRef, $l, $ts);")
+    val langGen = lang.genCode(ctx)
+    val tokGen = tokens.genCode(ctx)
+    val langVal = ctx.freshName("lmLang")
+    ev.copy(code = code"""
+      ${tokGen.code}
+      boolean ${ev.isNull} = ${tokGen.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${langGen.code}
+        UTF8String $langVal = ${langGen.isNull} ? null : ${langGen.value};
+        ${ev.value} =
+          graft.functions.LmXent.score($modelRef, $langVal, ${tokGen.value});
+      }""")
   }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
@@ -123,7 +155,11 @@ object LmXent {
     var i = 0
     while (i < nL) {
       val l = in.readUTF(); val t = in.readLong()
-      tot.put(l, java.lang.Long.valueOf(t))
+      // The NUL lang is the null-lang sentinel: its total participates
+      // in the fallback max (the join form aggregates max(total_l)
+      // over ALL LM rows, null-lang rows included) but is never a
+      // lookup target.
+      if (l != "\u0000") tot.put(l, java.lang.Long.valueOf(t))
       if (t > fallback) fallback = t
       i += 1
     }
@@ -145,7 +181,9 @@ object LmXent {
   def score(m: Model, lang: UTF8String, tokens: ArrayData): Long = {
     val n = tokens.numElements()
     if (n == 0) return 0L
-    val l = lang.toString
+    // Null lang = the join form's unmatched join keys: fallback total,
+    // every token OOV (cnt 1).
+    val l: String = if (lang == null) null else lang.toString
     val tf = new java.util.HashMap[String, java.lang.Long]()
     var i = 0
     var total = 0L
@@ -163,15 +201,22 @@ object LmXent {
       total += 1L
       i += 1
     }
-    val totS: Long = {
-      val t: java.lang.Long = m.tot.get(l)
-      if (t != null && t.longValue() > 0L) t.longValue() else m.fallbackTot
-    }
+    val totS: Long =
+      if (l == null) m.fallbackTot
+      else {
+        val t: java.lang.Long = m.tot.get(l)
+        if (t != null && t.longValue() > 0L) t.longValue() else m.fallbackTot
+      }
     var sum = 0L
     val it = tf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val c: java.lang.Long = m.cnt.get(l + "\u0000" + e.getKey)
+      // Null lang or a null token element joins nothing in the join
+      // form -> OOV count 1 (never build a lookup key that would
+      // string-concat null into the literal term "null").
+      val c: java.lang.Long =
+        if (l == null || e.getKey == null) null
+        else m.cnt.get(l + "\u0000" + e.getKey)
       val cntS: Long = if (c == null) 1L else c.longValue()
       sum += math.floor(1000000.0 * e.getValue.longValue().toDouble *
         math.log(totS.toDouble / cntS.toDouble)).toLong

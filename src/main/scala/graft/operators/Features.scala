@@ -256,6 +256,30 @@ object Features {
         s"$LmScoringConf must be 'broadcast' or 'join', got '$other'")
     }
 
+  /** Session conf capping the vocabulary size (term rows) the
+    * map-side LM-scoring form will serialize into the
+    * [[graft.functions.LmXentScore]] artifact literal. The artifact
+    * rides the expression tree, so an unbounded LM would bloat every
+    * task binary and the driver that collects it; past the cap the
+    * quality gate REFUSES to collect and falls back to the
+    * bit-identical join form (a shuffle, never a blow-up), logging the
+    * decision loudly. Default 2,000,000 terms ≈ low-tens-of-MB
+    * serialized — the "vocabulary head" a production deployment ships;
+    * `LmScoringModeSpec` pins the fallback with a 1-term cap. */
+  val LmMaxBroadcastTermsConf = "spark.graft.lm.maxBroadcastTerms"
+
+  /** The parsed cap. Loud rejection of non-numeric/non-positive. */
+  def lmMaxBroadcastTerms(spark: SparkSession): Long =
+    spark.conf.getOption(LmMaxBroadcastTermsConf) match {
+      case None => 2000000L
+      case Some(raw) =>
+        val v = raw.trim.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"$LmMaxBroadcastTermsConf must be a positive integer, got '$raw'"))
+        require(v > 0, s"$LmMaxBroadcastTermsConf must be positive, got $v")
+        v
+    }
+
   /** True when the session opted into approx-quantile thresholds.
     * Loud rejection of unknown values — a typo must not silently run
     * the exact-rank plan a user believed they swapped out. */

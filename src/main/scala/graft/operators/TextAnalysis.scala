@@ -1499,21 +1499,54 @@ object TextAnalysis {
     // tokens: no explode, no corpus-token shuffle, no vocabulary join.
     // Bit-identical to the `join` form (LmScoringModeSpec), so both run
     // under the same oracles.
-    val joinMode = Features.lmScoringJoin(spark)
+    // Artifact-size guard (round-15 verdict task 8): the map-side form
+    // collects the vocabulary to the driver and ships it inside the
+    // expression tree — sane for a vocabulary head, catastrophic for an
+    // unbounded LM. Past the conf'd term cap the gate REFUSES to build
+    // the artifact and runs the bit-identical join form instead (same
+    // rows under the same oracles — only the plan degrades, to a
+    // shuffle). Decision memoized per (LM identity, cap).
+    val lmHash = lm.queryExecution.analyzed.semanticHash()
+    val joinMode = Features.lmScoringJoin(spark) || {
+      val cap = Features.lmMaxBroadcastTerms(spark)
+      val oversized = Features.cachedValue(spark,
+        s"lmOversized#$cap#$lmHash") {
+        java.lang.Boolean.valueOf(lm.count() > cap)
+      }.booleanValue()
+      if (oversized)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft quality gate: LM exceeds ${Features.LmMaxBroadcastTermsConf}" +
+            s"=$cap terms; falling back to the join-form scoring plan " +
+            "(bit-identical results, shuffle-bearing plan)")
+      oversized
+    }
     val xentInline: Option[org.apache.spark.sql.Column] =
       if (joinMode) None
       else {
         // self-register against the session actually running this query
         // (bare newSession()s start with an empty custom registry)
         graft.functions.VectorExprs.ensureRegistered(spark)
-        val bytes = Features.cachedValue(spark,
-          s"lmArtifact#${lm.queryExecution.analyzed.semanticHash()}") {
+        val bytes = Features.cachedValue(spark, s"lmArtifact#$lmHash") {
           val rows = lm.select(col("lang"), col("w"), col("cnt"),
             col("total_l")).collect()
+          // A null-lang LM row (a corpus with untagged documents feeds
+          // the self-derived LM a null-lang vocabulary) can never be
+          // LOOKED UP (null keys join nothing), but its total still
+          // participates in the join form's max(total_l) fallback — so
+          // its term rows are dropped and its total ships under the NUL
+          // sentinel, which [[graft.functions.LmXent.deserialize]]
+          // folds into fallbackTot only.
           graft.functions.LmXent.serialize(
-            rows.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
-            rows.toSeq.map(r => (r.getString(0), r.getLong(3))).distinct)
+            rows.toSeq.filter(_.getString(0) != null)
+              .map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+            rows.toSeq.map(r =>
+              (Option(r.getString(0)).getOrElse("\u0000"), r.getLong(3)))
+              .distinct)
         }
+        // coalesce: ONLY the null-tokens (null text) case — the join
+        // form's explode emits no row there and na.fill(0) applies; a
+        // null LANG scores inside the expression (fallback total, every
+        // token OOV), exactly like the join form's unmatched null keys.
         Some(coalesce(
           graft.functions.LmXent.xent(col("lang"), tokens(col("text")), bytes),
           lit(0L)).as("xent_u"))

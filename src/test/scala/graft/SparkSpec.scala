@@ -21,6 +21,12 @@ object SparkSpec {
     // mirrored here because the shared test session builds directly.
     .config("spark.files.overwrite", "true")
     .config("spark.ui.enabled", "false")
+    // The 573-test suite regenerates thousands of distinct codegen
+    // classes; Spark's 100-entry Janino cache thrashes exactly like the
+    // round-15 bench drift (GraftSession's fix, mirrored here because
+    // this session builds directly). CodegenCacheSpec's forked probes
+    // are unaffected (separate JVMs).
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
     .appName("graft-test")
     .getOrCreate()
 
