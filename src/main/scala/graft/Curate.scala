@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Features, TextAnalysis}
@@ -44,6 +44,17 @@ import graft.operators.{Dedup, Features, TextAnalysis}
   * ledger (`<out>/ledger/`, q159's stored side via
   * [[ManifestWriter.writeLedger]]) so the next run can extract its
   * changed-document work-list without re-reading this corpus.
+  *
+  * `--with-buckets` additionally ships `<out>/corpus_bucketed/` — the
+  * curated documents and their embeddings as id-BUCKETED, id-sorted
+  * parquet ([[CurateBuckets]] buckets each) plus the `REGISTER.sql`
+  * DDL that re-declares the bucketing to a consumer's catalog. A
+  * consumer who registers both tables gets every cross-modal
+  * vec_id↔doc_id join (q97/q114/q126's only corpus-sized operation)
+  * WITHOUT a shuffle exchange on either side — at 100 TB the
+  * difference between a network-bound and a scan-bound join
+  * (`CurateBucketsSpec` reads a shipped corpus back and pins the
+  * exchange-free plan).
   *
   * `--reconcile <stored_ledger_dir>` closes the release-to-release
   * loop: the SHIPPED corpus is diffed against a previous run's
@@ -116,7 +127,8 @@ object Curate {
   private val Usage =
     "Usage: graft.Curate <sf_dir> <out_dir> [--with-quality] " +
       "[--with-dsir] [--with-shards] [--with-tombstones] " +
-      "[--with-ledger] [--with-audit] [--reconcile <stored_ledger_dir>]"
+      "[--with-ledger] [--with-audit] [--with-buckets] " +
+      "[--reconcile <stored_ledger_dir>]"
 
   /** The `--with-audit` release-gate panel: every member is an oracled
     * query, so the shipped artifact is the audited surface verbatim. */
@@ -149,10 +161,12 @@ object Curate {
     val withTombstones = flags.contains("--with-tombstones")
     val withLedger = flags.contains("--with-ledger")
     val withAudit = flags.contains("--with-audit")
+    val withBuckets = flags.contains("--with-buckets")
     if (positional.length != 2 ||
         !flags.forall(f => f == "--with-quality" || f == "--with-dsir" ||
           f == "--with-shards" || f == "--with-tombstones" ||
-          f == "--with-ledger" || f == "--with-audit")) {
+          f == "--with-ledger" || f == "--with-audit" ||
+          f == "--with-buckets")) {
       System.err.println(Usage)
       sys.exit(1)
     }
@@ -166,7 +180,8 @@ object Curate {
     val status =
       try {
         run(spark, sfDir, outDir, withQuality, withDsir, withShards,
-          withTombstones, withLedger, reconcileLedger, withAudit)
+          withTombstones, withLedger, reconcileLedger, withAudit,
+          withBuckets)
         0
       } catch {
         case e: Throwable =>
@@ -186,7 +201,8 @@ object Curate {
       withTombstones: Boolean = false,
       withLedger: Boolean = false,
       reconcileLedger: Option[String] = None,
-      withAudit: Boolean = false): Unit = {
+      withAudit: Boolean = false,
+      withBuckets: Boolean = false): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -310,5 +326,61 @@ object Curate {
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.json(s"$outDir/audit/$name")
     }
+
+    // --with-buckets: ship the CO-LOCATION layout alongside the plain
+    // corpus — curated documents and their embeddings bucketed by id,
+    // so every downstream cross-modal id join (q97/q114/q126's shape)
+    // reads pre-partitioned data with NO shuffle exchange on either
+    // side. BucketingSpec proved the plan property on a fixture; this
+    // makes the SHIPPED corpus carry it.
+    if (withBuckets)
+      shipBucketed(spark, curated, Tables.embeddings(spark, sfDir),
+        s"$outDir/corpus_bucketed")
+  }
+
+  /** Bucket count of the shipped co-location layout. 16 holds the
+    * harness corpora; a 100 TB deployment sizes this to
+    * cores-per-exchange-free-join (bucket counts must match across the
+    * co-located tables, which is why BOTH ship from one place). */
+  val CurateBuckets = 16
+
+  /** Write `curated` documents and the shipped docs' embeddings as
+    * id-bucketed, id-sorted parquet under `out`, plus `REGISTER.sql` —
+    * the DDL a consumer runs to register both as external bucketed
+    * tables (bucket metadata lives in the catalog, not the files; the
+    * DDL is what makes the layout survive the ship). Bucketed writes go
+    * through `saveAsTable` (Spark's bucket-file naming needs a table),
+    * against throwaway catalog entries dropped immediately — external
+    * tables, so the files stay. */
+  private[graft] def shipBucketed(spark: SparkSession, curated: DataFrame,
+      embeddings: DataFrame, out: String): Unit = {
+    val vecs = embeddings.join(
+      broadcast(curated.select(col("doc_id").as("b_id"))),
+      col("vec_id") === col("b_id"), "left_semi")
+    def ddlFor(df: DataFrame, table: String, key: String,
+        path: String): String = {
+      val cols = df.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      s"""CREATE TABLE $table ($cols)
+         |USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $CurateBuckets BUCKETS
+         |LOCATION '$path';""".stripMargin
+    }
+    def ship(df: DataFrame, sub: String, key: String, table: String): String = {
+      val path = s"$out/$sub"
+      val tmp = s"graft_ship_tmp_${math.abs(path.hashCode)}"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      df.write.bucketBy(CurateBuckets, key).sortBy(key)
+        .option("path", path).mode("overwrite").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE IF EXISTS $tmp") // external: files stay
+      ddlFor(df, table, key, path)
+    }
+    val ddl =
+      ship(curated, "documents", "doc_id", "graft_docs_bucketed") + "\n\n" +
+        ship(vecs, "embeddings", "vec_id", "graft_embeddings_bucketed") + "\n"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/REGISTER.sql"))
+    try os.write(ddl.getBytes("UTF-8")) finally os.close()
   }
 }

@@ -655,46 +655,52 @@ object ScaleBench {
         .collect().head.getLong(0) // min id is inside the served query panel
       val idFile = Paths.get(servOut, "one_query.txt")
       Files.write(idFile, s"$oneId\n".getBytes("UTF-8"))
-      // Warm the session index frames once so every tier measures the
-      // steady serving state, not the first build.
-      require(Serve.run(Array(sf1, s"$servOut/warm", "--retriever", "ivf",
-        "--queries", idFile.toString), Some(spark)) == 0, "warm failed")
-      val reqRows = spark.read.json(s"$servOut/warm/results").count()
-      val tiers = Seq(8, 16, 32).map { par =>
-        val reqTotal = par * 4
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val t0 = System.nanoTime()
-        val futs = (1 to reqTotal).map { i =>
-          scala.concurrent.Future {
-            // One FAIR pool per driver thread (GraftSession runs the
-            // scheduler in FAIR mode): concurrent probes interleave
-            // stage-by-stage instead of queueing FIFO behind the first
-            // submitter — the round-14 saturation mechanism.
-            spark.sparkContext.setLocalProperty(
-              "spark.scheduler.pool", s"serve-${i % par}")
-            val s0 = System.nanoTime()
-            require(Serve.run(Array(sf1, s"$servOut/c$par-$i",
-              "--retriever", "ivf", "--queries", idFile.toString),
-              Some(spark)) == 0, s"request $i failed")
-            (System.nanoTime() - s0) / 1e9
+      // Both REQUEST paths (round-16: fused is the CLI default and now
+      // has one — the round-15 `weak` grade). Warm each retriever's
+      // index frames once so every tier measures the steady serving
+      // state, not the first build.
+      for (retriever <- Seq("ivf", "fused")) {
+        require(Serve.run(Array(sf1, s"$servOut/warm-$retriever",
+          "--retriever", retriever, "--queries", idFile.toString),
+          Some(spark)) == 0, s"warm $retriever failed")
+        val reqRows =
+          spark.read.json(s"$servOut/warm-$retriever/results").count()
+        val tiers = Seq(8, 16, 32).map { par =>
+          val reqTotal = par * 4
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val t0 = System.nanoTime()
+          val futs = (1 to reqTotal).map { i =>
+            scala.concurrent.Future {
+              // One FAIR pool per driver thread (GraftSession runs the
+              // scheduler in FAIR mode): concurrent probes interleave
+              // stage-by-stage instead of queueing FIFO behind the first
+              // submitter — the round-14 saturation mechanism.
+              spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", s"serve-${i % par}")
+              val s0 = System.nanoTime()
+              require(Serve.run(Array(sf1, s"$servOut/$retriever-c$par-$i",
+                "--retriever", retriever, "--queries", idFile.toString),
+                Some(spark)) == 0, s"request $i failed")
+              (System.nanoTime() - s0) / 1e9
+            }
           }
+          val lats = futs.map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)).sorted
+          val wall = (System.nanoTime() - t0) / 1e9
+          pool.shutdown()
+          val p50 = lats(lats.size / 2)
+          val p99 = lats(((lats.size * 99) / 100) min (lats.size - 1))
+          s""""par$par":{"requests":$reqTotal,"wall_sec":${f2(wall)},""" +
+            s""""p50_sec":${f2(p50)},"p99_sec":${f2(p99)},""" +
+            s""""req_per_sec":${f2(reqTotal / wall)},""" +
+            s""""rows_per_sec":${f2(reqRows * reqTotal / wall)}}"""
         }
-        val lats = futs.map(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf)).sorted
-        val wall = (System.nanoTime() - t0) / 1e9
-        pool.shutdown()
-        val p50 = lats(lats.size / 2)
-        val p99 = lats(((lats.size * 99) / 100) min (lats.size - 1))
-        s""""par$par":{"requests":$reqTotal,"wall_sec":${f2(wall)},""" +
-          s""""p50_sec":${f2(p50)},"p99_sec":${f2(p99)},""" +
-          s""""req_per_sec":${f2(reqTotal / wall)},""" +
-          s""""rows_per_sec":${f2(reqRows * reqTotal / wall)}}"""
+        println(s"""{"metric":"serve_concurrency","retriever":"$retriever",""" +
+          s""""docs":$nDocs,"embeddings":$nEmb,"rows_per_request":$reqRows,""" +
+          tiers.mkString(",") + "}")
       }
-      println(s"""{"metric":"serve_concurrency","docs":$nDocs,""" +
-        s""""embeddings":$nEmb,"rows_per_request":$reqRows,""" +
-        tiers.mkString(",") + "}")
     }
 
     if (phase == "skew" || phase == "both") {
@@ -979,6 +985,114 @@ object ScaleBench {
       println(
         s"""{"metric":"relational_skew","factor":$factor,""" +
           s""""hot_customer_share":0.5,$legs}""")
+    }
+
+    // (`factskew`): FACT-FACT key skew — round-15 verdict task 5,
+    // closing relskew's honest gap: the customer-side skew above is
+    // dimension-join skew, which broadcast structurally absorbs while
+    // the dimension fits; here the hot key sits in the orders⋈lineitem
+    // ORDERKEY join, where both sides are 100×-factor facts (15M / 72M
+    // rows) and NEITHER can broadcast at any threshold — AQE's
+    // OptimizeSkewedJoin is the only defense. The harness plants a
+    // viral order (l_orderkey=0 carrying SPARK_GRAFT_SCALE_HOTLINES
+    // extra lines, default 12M ≈ 6× the median shuffle partition) and
+    // measures the join+aggregate with the split on vs off (two
+    // alternating passes, min), pinning BOTH plan facts: skew=true on
+    // the SortMergeJoin, and no broadcast on the orderkey join.
+    if (phase == "factskew" || phase == "both") {
+      val dir = s"$out/factskew"
+      val factor = sys.env.getOrElse("SPARK_GRAFT_REL_FACTOR", "100").toLong
+      val hotLines =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_HOTLINES", "12000000").toLong
+      if (!Files.exists(Paths.get(s"$dir/lineitem.parquet")))
+        ScaleData.generateFactSkew(spark, dir, factor, hotLines)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      // The probe join: per-priority line counts + quantity mass over
+      // orders⋈lineitem — the one aggregate that forces the full
+      // fact-fact shuffle and nothing else.
+      def factJoin(): DataFrame =
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .join(Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+      val SkewConf = "spark.sql.adaptive.skewJoin.enabled"
+      // Same scaled-down byte thresholds as relskew (8m/4m vs the
+      // 256m/64m defaults): the harness's hot partition is ~0.5 GB of
+      // a 100 TB deployment's multi-GB one; the factor-5-over-median
+      // trigger that actually DETECTS the skew is left at its default.
+      val ThresholdConf =
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+      val AdvisoryConf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      // Straggler evidence at TASK granularity: at harness scale the
+      // fact-fact probe is map-bound (the 87M-row scan+shuffle-write is
+      // the same in both regimes), so total wall understates what the
+      // split buys — the honest figure is the longest SHUFFLE-READ task
+      // (the hot reduce partition vs its advisory-sized splits), which
+      // is exactly the number that becomes the job's wall-clock once a
+      // real cluster's map side scales out.
+      class MaxReduceTask extends org.apache.spark.scheduler.SparkListener {
+        @volatile var maxMs = 0L
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null && m.shuffleReadMetrics != null &&
+              m.shuffleReadMetrics.totalBytesRead > 0 &&
+              t.taskInfo.duration > maxMs)
+            maxMs = t.taskInfo.duration
+        }
+      }
+      def run1(skew: Boolean): (Double, Double) = {
+        spark.conf.set(SkewConf, skew.toString)
+        spark.conf.set(ThresholdConf, "8m")
+        spark.conf.set(AdvisoryConf, "4m")
+        val l = new MaxReduceTask
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val w = time(noopWrite(factJoin()))
+          Thread.sleep(500) // listener bus drains asynchronously
+          (w, l.maxMs / 1000.0)
+        } finally {
+          spark.sparkContext.removeSparkListener(l)
+          spark.conf.set(SkewConf, "true")
+          spark.conf.unset(ThresholdConf)
+          spark.conf.unset(AdvisoryConf)
+        }
+      }
+      val t = (1 to 2).map(_ => (run1(skew = true), run1(skew = false)))
+      val aqe = t.map(_._1._1).min
+      val no = t.map(_._2._1).min
+      val aqeTask = t.map(_._1._2).min
+      val noTask = t.map(_._2._2).min
+      // Plan pins on an EXECUTED adaptive plan (collect — the output is
+      // 5 rows): the split fired, and no side of the orderkey join
+      // broadcast.
+      val (skewPin, bcastFree) = {
+        spark.conf.set(ThresholdConf, "8m")
+        spark.conf.set(AdvisoryConf, "4m")
+        try {
+          val df = factJoin()
+          df.collect()
+          val plan = df.queryExecution.executedPlan.toString
+          (plan.contains("skew=true"),
+            plan.contains("SortMergeJoin") &&
+              !plan.contains("BroadcastHashJoin"))
+        } finally {
+          spark.conf.unset(ThresholdConf)
+          spark.conf.unset(AdvisoryConf)
+        }
+      }
+      println(
+        s"""{"metric":"fact_skew","factor":$factor,"hot_lines":$hotLines,""" +
+          s""""aqe_sec":${f2(aqe)},"noaqe_sec":${f2(no)},""" +
+          s""""aqe_speedup":${f2(no / aqe)},""" +
+          s""""max_reduce_task_aqe_sec":${f2(aqeTask)},""" +
+          s""""max_reduce_task_noaqe_sec":${f2(noTask)},""" +
+          s""""straggler_speedup":${f2(noTask / aqeTask)},""" +
+          s""""skew_plan":$skewPin,"broadcast_free":$bcastFree}""")
     }
 
     // Tenth phase (`events100`): the direct 100× sweep for the

@@ -42,7 +42,13 @@ import org.apache.spark.sql.functions._
   * shapes (query side broadcasts, corpus never self-joins un-bucketed);
   * the query-id filter is a tiny IN-list pushed into the scan side of
   * each leg. At 100 TB the standing query set is the sampled panel
-  * every recall audit (q113/q136/q168) already serves.
+  * every recall audit (q113/q136/q168) already serves. Id-bounded
+  * (`--queries`) serves on `ivf` AND the default `fused` take the
+  * REQUEST paths ([[graft.operators.Similarity.serveIvfRequest]] /
+  * [[graft.operators.Similarity.serveFusedRequest]]): driver-memoized
+  * panels + statically-filtered memoized indexes, row-identical to the
+  * panel queries (ServeSpec), single-request p50 0.31 s / 0.37 s at
+  * the 500k-doc serve corpus (BENCH_NOTES r16).
   */
 object Serve {
 
@@ -126,15 +132,20 @@ object Serve {
       finally src.close()
     }
 
-    // The IVF request path: an id-bounded retrieval resolves its query
-    // vectors off the driver-memoized panel and scans only its probe
-    // cells (batch-pruned cached index) — row-identical to the panel
-    // query filtered to the ids (ServeSpec pins it), but per-request
-    // cost is nprobe cells, not a corpus rebuild. Other retrievers (and
-    // panel serves) keep the query-plan path.
+    // The REQUEST paths: an id-bounded retrieval resolves its query
+    // vectors (and, for fused, its query terms + corpus stats) off a
+    // driver-memoized panel and probes a memoized index behind a
+    // static filter — row-identical to the panel query filtered to the
+    // ids (ServeSpec pins both), but per-request cost is a probe, not
+    // a corpus-index rebuild. ivf scans nprobe cells; fused (the CLI
+    // DEFAULT) runs one cached-corpus cosine pass + a term-sharded
+    // postings probe. Other retrievers (and panel serves) keep the
+    // query-plan path.
     val picked = (cfg.retriever, queryIds) match {
       case ("ivf", Some(ids)) =>
         graft.operators.Similarity.serveIvfRequest(spark, cfg.sfDir, ids)
+      case ("fused", Some(ids)) =>
+        graft.operators.Similarity.serveFusedRequest(spark, cfg.sfDir, ids)
       case _ =>
         val all = SparkEntry.queries(Retrievers(cfg.retriever))(spark, cfg.sfDir)
         queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LmXentScore, LongDotProduct, MinHashSignature, QuantizeError, TopK}
+import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LmXent2Score, LmXentScore, LongDotProduct, MinHashSignature, QuantizeError, TopK}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftArgMin)
     ext.injectFunction(GraftExtensions.graftBloomContains)
     ext.injectFunction(GraftExtensions.graftLmXent)
+    ext.injectFunction(GraftExtensions.graftLmXent2)
     ext.injectFunction(GraftExtensions.graftQuantErr)
     ext.injectFunction(GraftExtensions.graftHeavyHitters)
     ext.injectFunction(GraftExtensions.graftTopK)
@@ -96,6 +97,15 @@ object GraftExtensions {
       LmXentScore(args.head, args(1), args(2))
     })
 
+  val graftLmXent2: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lm_xent2"),
+    new ExpressionInfo(classOf[LmXent2Score].getName, "graft_lm_xent2"),
+    { args =>
+      require(args.length == 3,
+        "graft_lm_xent2(lang, tokens, lm2Bytes) takes 3 arguments")
+      LmXent2Score(args.head, args(1), args(2))
+    })
+
   val graftQuantErr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_quant_err"),
     new ExpressionInfo(classOf[QuantizeError].getName, "graft_quant_err"),
@@ -131,7 +141,7 @@ object GraftExtensions {
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftLmXent, graftQuantErr, graftHeavyHitters, graftTopK).foreach {
+    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftLmXent, graftLmXent2, graftQuantErr, graftHeavyHitters, graftTopK).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -452,12 +452,30 @@ object ScaleData {
         .repartition(col("day"))
         .write.mode(SaveMode.Overwrite).partitionBy("day")
         .parquet(s"$dir/events_part")
+    // Documents: N files per source directory, not one. The corpus has
+    // only a handful of sources, so repartition(source) alone produced
+    // one giant file per dir and the partitioned read lost the flat
+    // layout's intra-table parallelism (measured: q250's drill leg at
+    // 0.87× of flat, round-15 BENCH_NOTES). Shuffling on (source,
+    // hash(doc_id) % N) splits each source across N writer tasks —
+    // every directory gets N similar-sized files, and the read side
+    // parallelizes per source with pruning unchanged.
     if (has("documents"))
       spark.read.parquet(s"$dir/documents.parquet")
-        .repartition(col("source"))
+        .withColumn("_fsplit",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col("doc_id")),
+            org.apache.spark.sql.functions.lit(DocFilesPerSource)))
+        .repartition(col("source"), col("_fsplit"))
+        .drop("_fsplit")
         .write.mode(SaveMode.Overwrite).partitionBy("source")
         .parquet(s"$dir/documents_part")
   }
+
+  /** Files per source directory in the partitioned documents layout —
+    * enough that a few-source corpus still reads with task parallelism
+    * (32 local cores / ~4 sources ≈ 8 splits each). */
+  val DocFilesPerSource = 8
 
   /** Temp ALIAS of `srcDir` carrying both layouts: flat tables as
     * symlinks plus the `_part` warehouse layouts from
@@ -470,6 +488,33 @@ object ScaleData {
     }
     generatePartitioned(spark, d.toString)
     d.toString
+  }
+
+  /** 100×-factor relational harness with a VIRAL ORDER: the standard
+    * [[generateRelational]] tables plus `hotLines` extra lineitem rows
+    * ALL on `l_orderkey = 0` — a flash-sale/bot order with millions of
+    * lines. Unlike the customer-side skew (which broadcast structurally
+    * absorbs while the dimension fits), this plants the hot key in the
+    * orders⋈lineitem ORDERKEY join, where BOTH sides are facts and
+    * neither can ever broadcast — the genuinely warehouse-shaped skew
+    * case AQE's OptimizeSkewedJoin exists for (ScaleBench phase
+    * `factskew` measures the split on/off and pins `skew=true`). */
+  def generateFactSkew(spark: SparkSession, dir: String, factor: Long,
+      hotLines: Long): Unit = {
+    import spark.implicits._
+    generateRelational(spark, dir, factor)
+    val par = spark.sparkContext.defaultParallelism
+    val nPart = 20000L * factor
+    val nSupp = 1000L * factor
+    spark.range(0, hotLines, 1, par).as[Long].map { i =>
+      val r = new java.util.Random(i * 48271L + 11)
+      val (rf, ls) = RfLs(r.nextInt(RfLs.size))
+      LineRow(0L, r.nextInt(nPart.toInt).toLong,
+        r.nextInt(nSupp.toInt).toLong, (i % 7).toInt + 1,
+        (r.nextInt(50) + 1).toDouble, money(r, 900.68, 104999.91),
+        r.nextInt(11) / 100.0, r.nextInt(9) / 100.0, rf, ls,
+        dayTs(r, 2500))
+    }.write.mode(SaveMode.Append).parquet(s"$dir/lineitem.parquet")
   }
 
   def generateHot(spark: SparkSession, dir: String, nBase: Long,

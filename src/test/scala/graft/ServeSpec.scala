@@ -87,6 +87,36 @@ class ServeSpec extends AnyFunSuite with SparkSpec with Matchers {
       .filter(org.apache.spark.sql.functions.col("q_id").isin(2L, 5L)))
   }
 
+  test("the fused REQUEST path (id-bounded --queries on the DEFAULT " +
+      "retriever) serves rows IDENTICAL to q144 filtered to the ids — " +
+      "the memoized panel + heap top-k + postings probe may change the " +
+      "plan, never a value; unknown ids answer nothing") {
+    val dir = Files.createTempDirectory("serve_freq_")
+    val qf = dir.resolve("queries.txt")
+    Files.writeString(qf, "0\n4\n6\n999999\n")
+    val out = dir.toString + "/job"
+    Serve.run(Array(sfDir, out, "--queries", qf.toString),
+      Some(spark)) shouldBe 0
+    val got = fusedRows(out)
+    got.map(_._1) shouldBe Set(0L, 4L, 6L)
+    got shouldBe SparkEntry.queries("q144_rrf_fusion")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("q_id").isin(0L, 4L, 6L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    // Unknown-only ids: the request path answers nothing, like a query
+    // with no candidates.
+    val qf2 = dir.resolve("queries2.txt")
+    Files.writeString(qf2, "999999\n")
+    val out2 = dir.toString + "/job2"
+    Serve.run(Array(sfDir, out2, "--queries", qf2.toString),
+      Some(spark)) shouldBe 0
+    // an empty result ships an empty part file — read as text (json
+    // schema inference can't see an all-empty dir)
+    spark.read.text(s"$out2/results").count() shouldBe 0L
+  }
+
   test("every retriever serves its own oracled query's rows") {
     for ((flag, qname) <- Seq("dense" -> "q38_cosine_topk",
         "lsh" -> "q39_lsh_ann", "ivf" -> "q44_ivf_ann")) {

@@ -24,10 +24,10 @@ class LmScoringModeSpec extends AnyFunSuite with SparkSpec with Matchers {
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
 
   test("broadcast (default) ≡ join, bit-identical, for the decision " +
-      "table (q89), the per-source triage (q95), and the ingest-order " +
-      "trend (q227)") {
+      "table (q89), the per-source triage (q95), the ingest-order " +
+      "trend (q227), and the BIGRAM surprisal triage (q141)") {
     for (q <- Seq("q89_quality_gate", "q95_source_quality",
-        "q227_quality_trend")) {
+        "q227_quality_trend", "q141_bigram_lm")) {
       val default = rows(q)
       val joined = withMode("join")(rows(q))
       withClue(s"$q broadcast vs join: ") { default shouldBe joined }
@@ -47,6 +47,22 @@ class LmScoringModeSpec extends AnyFunSuite with SparkSpec with Matchers {
         .queryExecution.sparkPlan.toString)
     j should include("Generate")
     j should not include "graft_lm_xent"
+  }
+
+  test("plan shapes, bigram order: default q141 scores at scan " +
+      "position into TakeOrderedAndProject (graft_lm_xent2, zero " +
+      "Generate, zero joins); join mode keeps the explode pipeline") {
+    val b = SparkEntry.queries("q141_bigram_lm")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    b should include("graft_lm_xent2")
+    b should include("TakeOrderedAndProject")
+    b should not include "Generate"
+    b should not include "Join"
+    val j = withMode("join")(
+      SparkEntry.queries("q141_bigram_lm")(spark, dir)
+        .queryExecution.sparkPlan.toString)
+    j should include("Generate")
+    j should not include "graft_lm_xent2"
   }
 
   test("unknown LM scoring mode rejects loudly") {
@@ -133,8 +149,10 @@ class LmScoringModeSpec extends AnyFunSuite with SparkSpec with Matchers {
   // vocabulary cap the broadcast mode must refuse to collect the LM and
   // run the join-form plan — same rows, shuffle-bearing plan, loud log.
   test("an LM over spark.graft.lm.maxBroadcastTerms falls back to the " +
-      "bit-identical join plan instead of collecting the artifact") {
+      "bit-identical join plan instead of collecting the artifact " +
+      "(unigram q89 AND bigram q141)") {
     val dflt = rows("q89_quality_gate")
+    val dflt141 = rows("q141_bigram_lm")
     spark.conf.set(Features.LmMaxBroadcastTermsConf, "1")
     try {
       val capped = SparkEntry.queries("q89_quality_gate")(spark, dir)
@@ -142,6 +160,11 @@ class LmScoringModeSpec extends AnyFunSuite with SparkSpec with Matchers {
       plan should not include "graft_lm_xent"
       plan should include("Generate")
       capped.collect().map(_.toString).toSeq shouldBe dflt
+      val capped141 = SparkEntry.queries("q141_bigram_lm")(spark, dir)
+      val plan141 = capped141.queryExecution.sparkPlan.toString
+      plan141 should not include "graft_lm_xent2"
+      plan141 should include("Generate")
+      capped141.collect().map(_.toString).toSeq shouldBe dflt141
     } finally spark.conf.unset(Features.LmMaxBroadcastTermsConf)
     // Loud rejection of a nonsense cap.
     spark.conf.set(Features.LmMaxBroadcastTermsConf, "lots")
