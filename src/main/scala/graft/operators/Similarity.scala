@@ -519,6 +519,77 @@ object Similarity {
 
   private val q40Sql = s"$q40CoreSql\nORDER BY a_id, b_id"
 
+  // ---------------------------------------------------------------- q251
+  /** NEAR-DUP THRESHOLD SENSITIVITY CURVE — the costing tool for the
+    * single most consequential dedup knob. The ×400 sweep's finding
+    * (BENCH_NOTES r16): at a loose cosine threshold on cluster-dense
+    * embeddings, the TRUE near-dup pair set is quadratic in cluster
+    * size — the threshold doesn't tune an index, it chooses the OUTPUT
+    * VOLUME, and an operator who picks one blind commits a 100 TB run
+    * to an unknown bill. This query prices every choice at once: the
+    * same candidate stream q40 verifies anyway, histogrammed into
+    * 0.05-wide cosine bands with exact reverse-cumulative admission
+    * counts and micro-unit admitted fractions — read row `thr_u` as
+    * "a threshold of thr_u micro-cosine admits n_admitted pairs
+    * (admit_frac_u of all candidates)".
+    *
+    * Determinism: `floor(cos·20)` on the IEEE-deterministic cosine is
+    * an exact band id; counts and reverse cumsums are int64; the
+    * fraction is one floor-division per band.
+    *
+    * Scale posture: ONE pass over the intra-bucket candidate stream
+    * (no threshold filter — the curve audits the filter), collapsed
+    * map-side into a ≤41-cell histogram; the cumulative is a window
+    * over those ≤41 rows (q211's histogram-cumsum shape, never the
+    * pair stream). Costs exactly one q40 candidate enumeration —
+    * the audit is as expensive as ONE dedup run at threshold −1, and
+    * replaces the N trial runs it would otherwise take to find an
+    * affordable threshold. */
+  private def q251(spark: SparkSession, dir: String): DataFrame = {
+    val emb = scaledEmb(spark, dir)
+      .withColumn("bkt", signBucket(col("sv"), lshBits(spark)))
+    val a = emb.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
+      col("n2").as("a_n2"), col("bkt").as("a_bkt"))
+    val b = emb.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
+      col("n2").as("b_n2"), col("bkt").as("b_bkt"))
+    val hist = a.join(b,
+        col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
+        col("a_n2"), col("b_n2")))
+      .select(floor(col("cos") * 20.0).cast(LongType).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val wCum = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_admitted", sum(col("n_pairs")).over(wCum))
+      .withColumn("n_candidates",
+        sum(col("n_pairs")).over(Window.partitionBy()).cast(LongType))
+      .select(col("band"), (col("band") * 50000L).as("thr_u"),
+        col("n_pairs"), col("n_admitted"),
+        expr("(1000000 * n_admitted) div n_candidates").as("admit_frac_u"))
+      .orderBy(col("band").desc)
+  }
+
+  private val q251Sql =
+    s"""WITH emb AS (
+       |  SELECT *, $signBucketSql AS bkt FROM ($scaledEmbSql)),
+       |hist AS (
+       |  SELECT CAST(floor(
+       |      ${cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")} * 20.0)
+       |      AS BIGINT) AS band,
+       |    count(*) AS n_pairs
+       |  FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |  GROUP BY 1)
+       |SELECT band, band * 50000 AS thr_u, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY band DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST((1000000 * CAST(sum(n_pairs) OVER (ORDER BY band DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+       |    // CAST(sum(n_pairs) OVER () AS BIGINT) AS BIGINT) AS admit_frac_u
+       |FROM hist
+       |ORDER BY band DESC""".stripMargin
+
   // ---------------------------------------------------------------- q41
   /** Per-label centroid table: (c_label, cs: array<int64>, cn2) — exact
     * per-dim int64 sums, computed as [[Dim]] partial-aggregable `sum`
@@ -5202,6 +5273,7 @@ object Similarity {
     "q38_cosine_topk"     -> (q38 _),
     "q39_lsh_ann"         -> (q39 _),
     "q40_embedding_neardup" -> (q40 _),
+    "q251_threshold_curve" -> (q251 _),
     "q41_label_centroids" -> (q41 _),
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
@@ -5257,6 +5329,7 @@ object Similarity {
     "q38_cosine_topk"     -> q38Sql,
     "q39_lsh_ann"         -> q39Sql,
     "q40_embedding_neardup" -> q40Sql,
+    "q251_threshold_curve" -> q251Sql,
     "q41_label_centroids" -> q41Sql,
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,
