@@ -972,51 +972,51 @@ object Similarity {
     val qt = spark.createDataFrame(hitT.asJava, p.tSchema)
     val termList: Seq[String] = hitT.map(_.getString(1)).distinct
 
-    val sem = fusedServeCorpus(spark, dir)
+    // Both legs in ONE job (one action, one collect): each branch ends
+    // at a per-(leg, q_id) graft_topk heap whose ordering key is
+    // struct(score, −id) — the window's (score DESC, id ASC). The lex
+    // score rides as a double for the shared schema, which is exact:
+    // BM25 micro-unit sums are ≤ ~10⁸ ≪ 2⁵³, so the double compares
+    // identically to the int64 (and ties still break on −id). Under
+    // concurrent serving this halves the scheduler round-trips per
+    // request — the two branches are sibling stages of one job and
+    // interleave within the request's own FAIR pool.
+    val semScored = fusedServeCorpus(spark, dir)
       .crossJoin(broadcast(qs))
-      .withColumn("cos",
-        cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topK(
-        struct(col("cos"), negate(col("vec_id"))), col("vec_id"), 10)
-        .as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "id")))
-      .select(col("q_id"), col("id"),
-        (col("pos") + 1).cast("long").as("r_sem"))
-
+      .select(lit(0L).as("leg"), col("q_id"),
+        col("vec_id").as("id"),
+        cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2"))
+          .as("score"))
     val termFilter =
       if (termList.isEmpty) lit(false) else col("w").isin(termList: _*)
-    val lex = fusedServePostings(spark, dir)
+    val lexScored = fusedServePostings(spark, dir)
       .filter(termFilter)
       .join(broadcast(qt.select(col("q_id"), col("w"))), "w")
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("c_u")).as("score_u"))
-      .groupBy(col("q_id"))
+      .select(lit(1L).as("leg"), col("q_id"), col("doc_id").as("id"),
+        col("score_u").cast(DoubleType).as("score"))
+    val legTops = semScored.unionByName(lexScored)
+      .groupBy(col("leg"), col("q_id"))
       .agg(graft.functions.TopKAgg.topK(
-        struct(col("score_u"), negate(col("doc_id"))), col("doc_id"), 10)
-        .as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "id")))
-      .select(col("q_id"), col("id"),
-        (col("pos") + 1).cast("long").as("r_lex"))
+        struct(col("score"), negate(col("id"))), col("id"), 10).as("top"))
+      .collect()
 
     // Fusion runs DRIVER-SIDE: each leg has already heap-collapsed to
-    // ≤10 rows per requested query, so the batch plan's full_outer
-    // join + rank window would spend two more exchange barriers fusing
-    // ≤20 integers — a third of the request's remaining latency. The
-    // legs collect CONCURRENTLY (independent jobs over disjoint cached
-    // indexes) and the exact integer RRF ⌊10⁶/(K+rank)⌋, the (rrf_u
-    // DESC, id ASC) top-k cut, and the output order replicate q144's
-    // expressions verbatim on longs — no float enters, so driver and
-    // executor arithmetic cannot differ.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val semF = Future(sem.collect())
-    val lexF = Future(lex.collect())
-    val semRows = Await.result(semF, Duration.Inf)
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val lexRows = Await.result(lexF, Duration.Inf)
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ≤10 ids per requested query (best first — rank = array position),
+    // so the batch plan's full_outer join + rank window would spend two
+    // more exchange barriers fusing ≤20 integers. The exact integer RRF
+    // ⌊10⁶/(K+rank)⌋, the (rrf_u DESC, id ASC) top-k cut, and the
+    // output order replicate q144's expressions verbatim on longs — no
+    // float enters, so driver and executor arithmetic cannot differ.
+    def ranksOf(leg: Long): Map[(Long, Long), Long] =
+      legTops.filter(_.getLong(0) == leg).flatMap { r =>
+        r.getSeq[Long](2).zipWithIndex.map { case (id, pos) =>
+          (r.getLong(1), id) -> (pos + 1L)
+        }
+      }.toMap
+    val semRows = ranksOf(0L)
+    val lexRows = ranksOf(1L)
     def contrib(rank: Long): Long =
       if (rank == 0L) 0L else (1000000L - 1000000L % (RrfK + rank)) / (RrfK + rank)
     val fused = (semRows.keySet ++ lexRows.keySet).toSeq
