@@ -368,7 +368,13 @@ object Curate {
     }
     def ship(df: DataFrame, sub: String, key: String, table: String): String = {
       val path = s"$out/$sub"
-      val tmp = s"graft_ship_tmp_${math.abs(path.hashCode)}"
+      // Collision-free and always a valid identifier: a UUID, not
+      // math.abs(path.hashCode) — abs(Int.MinValue) stays negative
+      // (a '-' breaks the identifier), and 32-bit collisions across
+      // concurrent Curate runs in one session could DROP each other's
+      // temp catalog entries mid-ship.
+      val tmp = "graft_ship_tmp_" +
+        java.util.UUID.randomUUID().toString.replace("-", "_")
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       df.write.bucketBy(CurateBuckets, key).sortBy(key)
         .option("path", path).mode("overwrite").saveAsTable(tmp)

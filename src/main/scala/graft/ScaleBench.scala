@@ -1036,6 +1036,7 @@ object ScaleBench {
       // real cluster's map side scales out.
       class MaxReduceTask extends org.apache.spark.scheduler.SparkListener {
         @volatile var maxMs = 0L
+        @volatile var ended = 0L
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
@@ -1043,6 +1044,19 @@ object ScaleBench {
               m.shuffleReadMetrics.totalBytesRead > 0 &&
               t.taskInfo.duration > maxMs)
             maxMs = t.taskInfo.duration
+          ended += 1
+        }
+        /** Deterministic drain: the listener bus delivers task-end
+          * events asynchronously, so poll until the ended-task count
+          * stabilizes (two consecutive identical reads) instead of a
+          * fixed sleep that under-reads the straggler under load. */
+        def awaitQuiesce(maxWaitMs: Long = 10000): Unit = {
+          val deadline = System.nanoTime() + maxWaitMs * 1000000L
+          var prev = -1L
+          while (prev != ended && System.nanoTime() < deadline) {
+            prev = ended
+            Thread.sleep(100)
+          }
         }
       }
       def run1(skew: Boolean): (Double, Double) = {
@@ -1053,7 +1067,7 @@ object ScaleBench {
         spark.sparkContext.addSparkListener(l)
         try {
           val w = time(noopWrite(factJoin()))
-          Thread.sleep(500) // listener bus drains asynchronously
+          l.awaitQuiesce()
           (w, l.maxMs / 1000.0)
         } finally {
           spark.sparkContext.removeSparkListener(l)

@@ -1330,7 +1330,10 @@ object TextAnalysis {
           // Size guard COUNTS before it collects — the count job
           // collapses distributed (never drivers an oversized
           // vocabulary); only an under-cap table is brought back.
-          if (bc.count() > cap) {
+          // Count exactly what would SHIP: null-lang rows are filtered
+          // out of the artifact below, so they must not trip the cap.
+          val bcShip = bc.filter(col("lang").isNotNull)
+          if (bcShip.count() > cap) {
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"graft q141: bigram LM exceeds " +
                 s"${Features.LmMaxBroadcastTermsConf}=$cap terms; keeping " +
@@ -1339,7 +1342,7 @@ object TextAnalysis {
           } else {
             // Inner-join semantics: null-lang rows can never be looked
             // up (null keys join nothing) — they simply don't ship.
-            val bcRows = bc.filter(col("lang").isNotNull)
+            val bcRows = bcShip
               .select(col("lang"), col("bg"), col("cnt")).collect()
             val ctxRows = ctx.filter(col("lang").isNotNull)
               .select(col("lang"), col("w1"), col("ctx")).collect()

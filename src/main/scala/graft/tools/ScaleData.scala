@@ -506,11 +506,18 @@ object ScaleData {
     val par = spark.sparkContext.defaultParallelism
     val nPart = 20000L * factor
     val nSupp = 1000L * factor
+    // 64-bit-safe key draw: nextInt(n.toInt) overflows (throws or goes
+    // negative) once factor > ~107k pushes nPart past Int.MaxValue.
+    // Keep the Int path when it fits so existing factors regenerate
+    // byte-identically; floorMod(nextLong, n) above it.
+    def drawKey(r: java.util.Random, n: Long): Long =
+      if (n <= Int.MaxValue) r.nextInt(n.toInt).toLong
+      else Math.floorMod(r.nextLong(), n)
     spark.range(0, hotLines, 1, par).as[Long].map { i =>
       val r = new java.util.Random(i * 48271L + 11)
       val (rf, ls) = RfLs(r.nextInt(RfLs.size))
-      LineRow(0L, r.nextInt(nPart.toInt).toLong,
-        r.nextInt(nSupp.toInt).toLong, (i % 7).toInt + 1,
+      LineRow(0L, drawKey(r, nPart),
+        drawKey(r, nSupp), (i % 7).toInt + 1,
         (r.nextInt(50) + 1).toDouble, money(r, 900.68, 104999.91),
         r.nextInt(11) / 100.0, r.nextInt(9) / 100.0, rf, ls,
         dayTs(r, 2500))

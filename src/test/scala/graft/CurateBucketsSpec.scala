@@ -29,6 +29,10 @@ class CurateBucketsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
     spark.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
     spark.sql("DROP TABLE IF EXISTS graft_embeddings_bucketed")
+    // Restore whatever threshold the shared session was running with,
+    // not a hardcoded default — a later spec must not inherit this
+    // test's broadcast-off override.
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       ddl.split(";").map(_.trim).filter(_.nonEmpty).foreach(spark.sql(_))
@@ -51,7 +55,7 @@ class CurateBucketsSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_embeddings_bucketed")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
     }
   }
 }
