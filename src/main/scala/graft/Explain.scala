@@ -96,6 +96,7 @@ object Explain {
     "q139_deletion_cascade" -> "the blast radius is four independent bounded legs crossJoined as single-row broadcasts: cluster leg aggregates the memoized label table, chunk leg counts by closed form (no chunk-row explosion), vector leg is one id-keyed join, shard leg a <=epochs*shards distinct over the deleted slice only",
     "q140_canonical_handoff" -> "one partial-aggregable conditional-min/sum groupBy over the memoized cluster-mass-sized CC label table, then a filter - no corpus scan in the plan at all; output is handoff-sized",
     "q251_threshold_curve" -> "one pass over q40's intra-bucket candidate stream (NO threshold filter - the curve audits the filter decision) collapsed map-side into a <=41-cell cosine-band histogram; the reverse-cumulative admission counts are a window over those <=41 rows (q211's histogram-cumsum shape, never the pair stream). Prices every near-dup threshold at the cost of ONE enumeration - the knob the x400 sweep showed chooses the OUTPUT VOLUME, not an index",
+    "q252_cell_blocked_neardup" -> "the scale-regime near-dup LISTER (the x400 finding's structural escape): candidates must share BOTH the q44 IVF cell (broadcast 10-row codebook, graft_argmax ObjectHashAggregate assignment - the data-adaptive prune) AND a wide sign band (disjoint-range keys, the data-oblivious prune only near-identical geometry survives at production 2x32-bit width); exact cosine verification runs ONLY on (cell, band, key) equi-join survivors - no all-pairs, no window, no sort, and in the near-identical regime (tau=0.95 off q251's curve) the verified output is LINEAR in corpus size",
     "q141_bigram_lm" -> "DEFAULT (broadcast LM mode): the frozen bigram+context count tables ship as one serialized artifact and graft_lm_xent2 scores every document AT SCAN POSITION - one doc scan into TakeOrderedAndProject, zero Generate, zero joins, zero corpus-bigram shuffle (the join form measured x9.85 at 100x docs; the expression form is bit-identical under the same oracle, and the shared artifact-size cap falls back to the join plan for an oversized bigram vocabulary). Join mode keeps the original shape: ONE bigram explode, vocabulary-sized count joins, worst-15 via TakeOrderedAndProject",
     "q142_banding_sweep" -> "identical bounded population to q129 (df-capped reference pairs, two id-keyed signature joins); the sweep adds a constant 5-struct explode per pair into a <=15-cell partial-aggregable groupBy - regrouping stored perms is free, and theory is JVM literals so neither plan carries pow()",
     "q143_weighted_sample" -> "one stateless keying pass over the narrow (doc_id, source, text-length) projection into TakeOrderedAndProject - per-partition k-heaps, k rows to the driver, no global sort, no shuffle wider than the k winners",

@@ -590,6 +590,129 @@ object Similarity {
        |FROM hist
        |ORDER BY band DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q252
+  /** Near-IDENTICAL cosine threshold: the scale-regime setting for the
+    * cell-blocked pair listing below. Chosen off q251's curve on the
+    * generated scale corpus: the [0.95, 1.0] band holds EXACTLY the
+    * planted near-identical duplicates (output linear in corpus size),
+    * while [0.85, 0.95) is the quadratic within-cluster bulk — the
+    * threshold where "list the pairs" stops being a second corpus. */
+  val NearIdenticalCosine = 0.95
+
+  /** Production band geometry for [[cellBlockedNearDup]]: 2 disjoint
+    * 32-bit sign bands. Per-bit sign agreement is 1 − acos(cos)/π, so a
+    * near-identical pair (cos ≈ 1 − 10⁻⁶, disagreement ~6·10⁻⁴/bit)
+    * survives a 32-bit band with p ≈ 0.98 and EITHER of two bands with
+    * p ≈ 0.9996 — while a within-cluster non-dup at cos ≈ 0.8
+    * (agreement 0.795/bit) collides with p ≈ 2·0.795³² ≈ 1.3·10⁻³.
+    * That asymmetry is the whole design: the wide band is a candidate
+    * filter only the near-identical regime passes. */
+  val NearIdentBits = 32
+  val NearIdentBands = 2
+
+  /** Verify-harness fixture knobs ONLY (the q40 posture one regime up):
+    * the synthetic testdata has no planted near-identical pairs — its
+    * densest pairs sit at cos ≈ 0.5 — so exercising the cell+band
+    * machinery end-to-end against the oracle needs a loose cut and
+    * narrow bands (4 bands × 2 bits, τ = 0.4 ⇒ 13 rows at sf0.01,
+    * 223 at sf0.1). Never production settings. */
+  private val FixtureNearIdentCosine = 0.4
+  private val FixtureNearIdentBits = 2
+  private val FixtureNearIdentBands = 4
+
+  /** CELL-BLOCKED near-identical pair listing — the scale-regime
+    * answer to the ×400 finding that q40's loose-threshold listing is
+    * quadratic-OUTPUT-bound (the r16 sweep measured ×185 at 400× rows:
+    * at cos ≥ 0.35 on a cluster-dense corpus the true pair set itself
+    * grows as cluster², and no blocking scheme outruns its own output).
+    * In the near-identical regime (τ = [[NearIdenticalCosine]]) the
+    * true output is linear — the planted/true duplicates — and the
+    * problem becomes PRUNING CANDIDATES BEFORE VERIFICATION, which is
+    * exactly what the q44/q137 index family is for:
+    *
+    *  - coarse IVF cell ([[ivfAssigned]], the q44 index build): a
+    *    candidate pair must share its nearest-centroid cell — the
+    *    data-ADAPTIVE prune (cross-cluster sign-key collisions die
+    *    here, and a trained codebook slots in via [[IvfCodebookConf]]
+    *    without changing the plan);
+    *  - wide multi-band sign keys ([[NearIdentBits]]×[[NearIdentBands]]
+    *    over disjoint component ranges): the data-OBLIVIOUS prune that
+    *    only near-identical geometry survives (math at the constants
+    *    above);
+    *  - exact int64-scaled cosine verification ONLY on survivors, the
+    *    same verify q40 runs — banding moves RECALL/cost, never admits
+    *    a below-threshold pair.
+    *
+    * Scale posture (100 TB): the corpus shuffles once per band on
+    * (cell, band, key) — bounded fan-out, no all-pairs, no window, no
+    * sort; candidate volume is Σ_bucket |bucket|² with buckets split
+    * by BOTH quantizers, and the verified output is linear by regime.
+    * Measured (ScaleBench `nearident` phase, BENCH_NOTES r17): the
+    * ×400 corpus (800k vectors) lists its near-identical pairs in
+    * bounded time vs sf0.1 with recall ≥ 0.99 on planted duplicates
+    * (the boundary losses are Voronoi-edge cell flips plus the
+    * 4·10⁻⁴ band miss rate, audited against planted ground truth).
+    * `CellBlockedNearDupSpec` pins candidate-subset semantics, planted
+    * recall, and the plan shape. */
+  def cellBlockedNearDup(spark: SparkSession, dir: String,
+      threshold: Double = NearIdenticalCosine,
+      bits: Int = NearIdentBits, bands: Int = NearIdentBands): DataFrame = {
+    require(bits >= 1 && bands >= 1 && bands * bits <= Dim,
+      s"cellBlockedNearDup: bands ($bands) x bits ($bits) must fit in " +
+        s"$Dim vector components (disjoint ranges)")
+    val keyed = ivfAssigned(spark, dir)
+      .select(col("vec_id"), col("sv"), col("n2"), col("cell"),
+        explode(array((0 until bands).map(bd =>
+          struct(lit(bd).as("band"),
+            signBucketAt(col("sv"), bits, bd * bits).as("bk"))): _*))
+          .as("bb"))
+      .select(col("vec_id"), col("sv"), col("n2"), col("cell"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = keyed.select(col("vec_id").as("a_id"), col("sv").as("a_sv"),
+      col("n2").as("a_n2"), col("cell"), col("band"), col("bk"))
+    val b = keyed.select(col("vec_id").as("b_id"), col("sv").as("b_sv"),
+      col("n2").as("b_n2"), col("cell"), col("band"), col("bk"))
+    a.join(b, Seq("cell", "band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
+        col("a_n2"), col("b_n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def q252(spark: SparkSession, dir: String): DataFrame =
+    cellBlockedNearDup(spark, dir, FixtureNearIdentCosine,
+      FixtureNearIdentBits, FixtureNearIdentBands)
+
+  /** DuckDB twin of [[cellBlockedNearDup]] at explicit knobs — reuses
+    * q44's `assigned` CTE chain (the same IVF index build) and the OR
+    * form of the any-band candidate test (Spark's explode + equi-join +
+    * DISTINCT admits exactly the same pair set). */
+  private def cellBlockedSql(threshold: Double, bits: Int,
+      bands: Int): String = {
+    def key(off: Int): String =
+      (0 until bits).map(j =>
+        s"(CASE WHEN sv[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val bandSel =
+      (0 until bands).map(bd => s"${key(bd * bits)} AS k$bd").mkString(", ")
+    val anyBand =
+      (0 until bands).map(bd => s"a.k$bd = b.k$bd").mkString(" OR ")
+    val cosStr = cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")
+    s"""WITH $ivfAssignedSqlCtes,
+       |keyed AS (SELECT vec_id, sv, n2, cell, $bandSel FROM assigned)
+       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, $cosStr AS cos
+       |FROM keyed a JOIN keyed b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id AND ($anyBand)
+       |WHERE $cosStr >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private lazy val q252Sql = cellBlockedSql(FixtureNearIdentCosine,
+    FixtureNearIdentBits, FixtureNearIdentBands)
+
   // ---------------------------------------------------------------- q41
   /** Per-label centroid table: (c_label, cs: array<int64>, cn2) — exact
     * per-dim int64 sums, computed as [[Dim]] partial-aggregable `sum`
@@ -5274,6 +5397,7 @@ object Similarity {
     "q39_lsh_ann"         -> (q39 _),
     "q40_embedding_neardup" -> (q40 _),
     "q251_threshold_curve" -> (q251 _),
+    "q252_cell_blocked_neardup" -> (q252 _),
     "q41_label_centroids" -> (q41 _),
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
@@ -5330,6 +5454,7 @@ object Similarity {
     "q39_lsh_ann"         -> q39Sql,
     "q40_embedding_neardup" -> q40Sql,
     "q251_threshold_curve" -> q251Sql,
+    "q252_cell_blocked_neardup" -> q252Sql,
     "q41_label_centroids" -> q41Sql,
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,

@@ -1,0 +1,165 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** q252 `cellBlockedNearDup` — the scale-regime near-identical pair
+  * lister. Pins the three properties the ×400 finding demands:
+  *
+  *  (a) RECALL in the regime it exists for: at production knobs
+  *      (τ = 0.95, 2×32-bit bands) planted near-identical twins are
+  *      found EXACTLY — nothing missed, nothing extra admitted from
+  *      the cos≈0.8 within-cluster bulk;
+  *  (b) candidates are CELL-BLOCKED, not just sign-banded: a pair
+  *      sharing every sign band but assigned to different IVF cells is
+  *      never even a candidate (verified via threshold −1, where the
+  *      output IS the candidate set);
+  *  (c) the verify is exact and the config validates loudly.
+  */
+class CellBlockedNearDupSpec extends AnyFunSuite with SparkSpec
+    with Matchers {
+
+  private val DimN = Similarity.Dim
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val tmp = Files.createTempDirectory("graft_cellblocked_")
+    tmp.toFile.deleteOnExit()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, v, l) => Row(id, v.toSeq, l) }, 2), schema)
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("embeddings.parquet").toString)
+    tmp.toString
+  }
+
+  /** Deterministic cluster member: centroid·0.8 + seeded noise·0.4,
+    * components clamped away from 0 so the planted jitter below can
+    * never flip a sign (keeps the recall assertion exact, not
+    * probabilistic). */
+  private def member(label: Int, i: Int): Array[Float] = {
+    val rc = new scala.util.Random(1000 + label)
+    val c = Array.fill(DimN)(rc.nextDouble() * 2 - 1)
+    val r = new scala.util.Random(label * 7919 + i * 104729 + 17)
+    Array.tabulate(DimN) { d =>
+      val v = c(d) * 0.8 + (r.nextDouble() * 2 - 1) * 0.4
+      val clamped = if (math.abs(v) < 0.02) 0.02 * math.signum(v + 1e-9)
+                    else v
+      clamped.toFloat
+    }
+  }
+
+  /** Near-identical twin: +0.005 on every component — well under the
+    * 0.02 sign clamp (no band key changes) and under any cell margin,
+    * with cosine ≈ 1 − 1e-5 ≫ 0.95. */
+  private def twin(v: Array[Float]): Array[Float] =
+    v.map(x => x + (if (x > 0) 0.005f else -0.005f))
+
+  test("production knobs find planted near-identical twins exactly: " +
+      "full recall, zero admissions from the cos~0.8 cluster bulk") {
+    import spark.implicits._
+    val perCluster = 25
+    val base = for {
+      l <- 0 until 2; i <- 0 until perCluster
+    } yield ((l * perCluster + i).toLong, member(l, i), l)
+    // plant 5 twins per cluster on members 0..4, ids after the base
+    val twins = for {
+      l <- 0 until 2; i <- 0 until 5
+    } yield ((100 + l * 5 + i).toLong, twin(member(l, i)), l)
+    val dir = writeEmb(base ++ twins)
+
+    val got = Similarity.cellBlockedNearDup(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = (for {
+      l <- 0 until 2; i <- 0 until 5
+    } yield ((l * perCluster + i).toLong, (100 + l * 5 + i).toLong)).toSet
+    got shouldBe planted
+
+    // and every reported pair verifies above the regime threshold
+    val cosines = Similarity.cellBlockedNearDup(spark, dir)
+      .select("cos").as[Double].collect()
+    all(cosines) should be >= Similarity.NearIdenticalCosine
+  }
+
+  test("candidates are cell-blocked: a pair sharing every sign band " +
+      "but living in different IVF cells is not even verified") {
+    import spark.implicits._
+    // Two ALL-POSITIVE clusters (every sign band key identical across
+    // the whole corpus) separated in magnitude pattern: cluster 0 is
+    // heavy on the first half of the components, cluster 1 on the
+    // second half — distinct label centroids, distinct cells.
+    def v(label: Int, bump: Float): Array[Float] =
+      Array.tabulate(DimN) { d =>
+        val heavy = if (label == 0) d < DimN / 2 else d >= DimN / 2
+        (if (heavy) 1.0f else 0.1f) + bump
+      }
+    val dir = writeEmb(Seq(
+      (0L, v(0, 0f), 0), (1L, v(0, 0.01f), 0),
+      (2L, v(1, 0f), 1), (3L, v(1, 0.01f), 1)))
+
+    // threshold −1 admits EVERY verified candidate, so the output is
+    // exactly the candidate set: same-cell pairs only, despite all
+    // four vectors sharing every (band, key).
+    val cand = Similarity.cellBlockedNearDup(spark, dir, threshold = -1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    cand shouldBe Set((0L, 1L), (2L, 3L))
+  }
+
+  test("listing is a subset of the exact pair set at the same " +
+      "threshold (blocking moves recall, never admits below-threshold)") {
+    import spark.implicits._
+    val rows = for {
+      l <- 0 until 2; i <- 0 until 12
+    } yield ((l * 12 + i).toLong, member(l, i), l)
+    val dir = writeEmb(rows)
+    val thr = 0.5
+    val got = Similarity.cellBlockedNearDup(spark, dir, thr,
+        bits = 2, bands = 4)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
+    all(got.map(_._3)) should be >= thr
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    // exact reference: brute-force all-pairs over the same scaled cosine
+    val bf = Features.scaledEmb(spark, dir)
+      .select("vec_id", "sv", "n2")
+    val a = bf.toDF("a_id", "a_sv", "a_n2")
+    val b = bf.toDF("b_id", "b_sv", "b_n2")
+    val allPairs = a.crossJoin(b)
+      .filter($"a_id" < $"b_id")
+      .withColumn("cos",
+        graft.functions.VectorExprs.dotL($"a_sv", $"b_sv").cast("double") /
+          org.apache.spark.sql.functions.sqrt(
+            $"a_n2".cast("double") * $"b_n2".cast("double")))
+      .filter($"cos" >= thr)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    gotPairs.subsetOf(allPairs) shouldBe true
+  }
+
+  test("over-wide configuration rejects loudly") {
+    val dir = writeEmb(Seq((0L, member(0, 0), 0)))
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.cellBlockedNearDup(spark, dir, 0.9,
+        bits = 33, bands = 2).collect()
+  }
+
+  test("the executed plan is an equi-join on (cell, band, key) - no " +
+      "Cartesian product, no window, no sort before the verify") {
+    val rows = for {
+      l <- 0 until 2; i <- 0 until 8
+    } yield ((l * 8 + i).toLong, member(l, i), l)
+    val dir = writeEmb(rows)
+    val df = Similarity.cellBlockedNearDup(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+}
