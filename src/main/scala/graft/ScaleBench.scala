@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Dedup, Features}
+import graft.operators.{Dedup, Features, Similarity}
 import graft.tools.ScaleData
 
 /** Scale-evidence harness (round-3 verdict task 4): measures the dedup +
@@ -900,6 +900,72 @@ object ScaleBench {
           s""""speedup":${f2(tf / tp)},"partition_filters":$pruned}"""
       }
       println(s"""{"metric":"partition_pruning",${results.mkString(",")}}""")
+    }
+
+    // Fourteenth phase (`nearident`): q252's scale-regime evidence
+    // (round-16 verdict task 1). Generates a ×400 embedding corpus
+    // (default 800k vectors; docs stay small — only embeddings matter
+    // here), runs the PRODUCTION cell-blocked listing (τ = 0.95,
+    // 2×32-bit bands) at sf0.1 and at ×400, and audits recall against
+    // the generator's planted near-identical twins (every id with
+    // id % 100 == 7 duplicates id−1 plus ±0.001 jitter). The r16 q40
+    // reference at the same corpus: 121.8 s (×185) — the number this
+    // phase exists to retire for the near-identical regime.
+    if (phase == "nearident" || phase == "both") {
+      import org.apache.spark.sql.functions.col
+      val niDir = s"$out/x400emb"
+      val niEmb =
+        sys.env.getOrElse("SPARK_GRAFT_NEARIDENT_EMB", "800000").toLong
+      if (!Files.exists(Paths.get(s"$niDir/embeddings.parquet")))
+        ScaleData.generate(spark, niDir, 20000L, niEmb)
+      def run1(dir: String): (Double, Long) = {
+        val t = (1 to 2).map(_ =>
+          time(noopWrite(Similarity.cellBlockedNearDup(spark, dir)))).min
+        (t, Similarity.cellBlockedNearDup(spark, dir).count())
+      }
+      val (tBase, nBase) = run1(base)
+      val (tBig, nBig) = run1(niDir)
+      val found = Similarity.cellBlockedNearDup(spark, niDir)
+        .select(col("a_id"), col("b_id"))
+      val truth = spark.range(0, niEmb).toDF("id")
+        .filter(col("id") % 100 === 7 && col("id") > 0)
+        .select((col("id") - 1).as("a_id"), col("id").as("b_id"))
+      val nTruth = truth.count()
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi").count()
+      println(
+        s"""{"metric":"nearident_scale","base":"$base","scaled":"$niDir",""" +
+          s""""emb_rows":[2000,$niEmb],""" +
+          s""""wall_sec":[${f3(tBase)},${f3(tBig)},${f2(tBig / tBase)}],""" +
+          s""""pairs":[$nBase,$nBig],"planted":$nTruth,""" +
+          s""""planted_found":$hit,""" +
+          s""""recall":${String.format(java.util.Locale.ROOT, "%.4f",
+            Double.box(hit.toDouble / nTruth))}}""")
+    }
+
+    // Fifteenth phase (`semguard`): q77 at DEFAULT knobs on the ×400
+    // embedding corpus (round-16 verdict task 2 — the configuration
+    // that OOM'd a 64 GB heap in r16 via the uncapped edge-list
+    // localCheckpoint). With the pre-flight pair-budget guard this run
+    // must COMPLETE: the phase reports the guard's decision (the
+    // auto-applied degree budget), the wall clock, and the decision
+    // table's keep counts.
+    if (phase == "semguard" || phase == "both") {
+      import org.apache.spark.sql.functions.col
+      val niDir = s"$out/x400emb"
+      val niEmb =
+        sys.env.getOrElse("SPARK_GRAFT_NEARIDENT_EMB", "800000").toLong
+      if (!Files.exists(Paths.get(s"$niDir/embeddings.parquet")))
+        ScaleData.generate(spark, niDir, 20000L, niEmb)
+      val cap = Similarity.semDedupAutoCap(spark, niDir)
+      val t = time(noopWrite(
+        SparkEntry.queries("q77_semantic_dedup")(spark, niDir)))
+      val q77 = SparkEntry.queries("q77_semantic_dedup")(spark, niDir)
+      val total = q77.count()
+      val dropped = q77.filter(!col("keep")).count()
+      println(
+        s"""{"metric":"semguard","scaled":"$niDir","emb_rows":$niEmb,""" +
+          s""""auto_cap":${cap.map(_.toString).getOrElse("null")},""" +
+          s""""wall_sec":${f3(t)},"rows":$total,"dropped":$dropped}""")
     }
 
     // Twelfth phase (`relskew`): PLANTED relational key skew + AQE

@@ -441,6 +441,17 @@ object Similarity {
     * moves RECALL/cost, never admits a below-threshold pair). */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = NearDupCosine): DataFrame = {
+    val pairs = nearDupPairsRaw(spark, dir, threshold)
+    maxPairs(spark).fold(pairs)(applyPairBudget(pairs, _))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The verified near-dup pair stream BEFORE any budget or ordering —
+    * shared by the q40 report (budget from [[MaxPairsConf]], global
+    * order) and the q77 edge build (budget from the pre-flight guard,
+    * order-free). */
+  private def nearDupPairsRaw(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val bits = lshBits(spark)
     val bands = lshBands(spark)
     require(bands * bits <= Dim,
@@ -484,25 +495,26 @@ object Similarity {
           .select(col("a_id"), col("b_id"), col("cos"))
           .distinct()
       }
-    // Budget via the graft_topk bounded heap, NOT a rank window: the
-    // window form shuffled AND sorted every verified pair before
-    // trimming — measured 138.8 s at the ×400 embedding corpus, where
-    // the 0.35 testdata threshold makes the verified pair set itself
-    // quadratic in cluster size. The heap collapses each a_id to ≤ k
-    // pairs MAP-SIDE, so at most k·|vectors| rows cross the budget's
-    // shuffle however many pairs verify. Identical keep-set:
-    // struct(cos, −b_id) ≡ the window's (cos DESC, b_id ASC)
-    // (NearDupBudgetSpec pins budget semantics).
-    val budgeted = maxPairs(spark).fold(pairs) { k =>
-      pairs.groupBy(col("a_id"))
-        .agg(graft.functions.TopKAgg.topK(
-          struct(col("cos"), negate(col("b_id"))),
-          struct(col("b_id"), col("cos")), k).as("top"))
-        .select(col("a_id"), explode(col("top")).as("p"))
-        .select(col("a_id"), col("p.b_id").as("b_id"), col("p.cos").as("cos"))
-    }
-    budgeted.orderBy(col("a_id"), col("b_id"))
+    pairs
   }
+
+  /** Budget via the graft_topk bounded heap, NOT a rank window: the
+    * window form shuffled AND sorted every verified pair before
+    * trimming — measured 138.8 s at the ×400 embedding corpus, where
+    * the 0.35 testdata threshold makes the verified pair set itself
+    * quadratic in cluster size. The heap collapses each a_id to ≤ k
+    * pairs MAP-SIDE, so at most k·|vectors| rows cross the budget's
+    * shuffle however many pairs verify. Identical keep-set:
+    * struct(cos, −b_id) ≡ the window's (cos DESC, b_id ASC)
+    * (NearDupBudgetSpec pins budget semantics). */
+  private[operators] def applyPairBudget(pairs: DataFrame,
+      k: Int): DataFrame =
+    pairs.groupBy(col("a_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("cos"), negate(col("b_id"))),
+        struct(col("b_id"), col("cos")), k).as("top"))
+      .select(col("a_id"), explode(col("top")).as("p"))
+      .select(col("a_id"), col("p.b_id").as("b_id"), col("p.cos").as("cos"))
 
   private def q40(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDup(spark, dir, TestdataNearDupCosine)
@@ -1975,6 +1987,91 @@ object Similarity {
     * counts, labels are memoized per (session, dir), and the final
     * decision join is corpus LEFT JOIN tiny-label-table. Oracle: the
     * recursive-CTE transitive closure over the same pair SQL. */
+  /** PRE-FLIGHT pair budget for the semantic-dedup edge list (round-16
+    * verdict task 2 — q77 at default knobs OOM'd at ×400 because the
+    * edge localCheckpoint MATERIALIZES the full near-dup pair graph,
+    * quadratic in cluster size at the fixture threshold). Before the
+    * edge list is built, a one-aggregate costing pass (q251's
+    * admission-volume idea, collapsed to the candidate upper bound:
+    * Σ_bucket n·(n−1)/2 over the same sign-LSH buckets the pair join
+    * uses) prices the materialization; if the bound exceeds this
+    * budget, the existing per-a_id degree budget is applied
+    * AUTOMATICALLY at k = budget / |vectors| (≥ 1) and the decision is
+    * logged loudly. `off` disables the guard; an explicit
+    * [[MaxPairsConf]] wins over it (the operator chose a cap — the
+    * guard never second-guesses). Default 5·10⁷ pairs: the capped edge
+    * list is ≤ 2·budget (src,dst) longs ≈ 1.6 GB checkpointed — the
+    * ×400 corpus completes under 64 GB where the unguarded build died
+    * (`semguard` ScaleBench phase measures it; `SemDedupGuardSpec`
+    * pins both decisions).
+    *
+    * Why the candidate BOUND and not the admitted count: the bound is
+    * one partial-aggregable groupBy over |vectors| rows (free at any
+    * scale) and is a true upper bound on admitted pairs — a guard that
+    * must prevent an OOM needs a cheap over-estimate, not an exact
+    * count whose own enumeration is the cost being guarded. */
+  val SemDedupBudgetConf = "spark.graft.neardup.autoBudgetPairs"
+  private val DefaultSemDedupBudget = 50000000L
+
+  private def semDedupBudget(spark: SparkSession): Option[Long] =
+    spark.conf.getOption(SemDedupBudgetConf).map(_.trim) match {
+      case None => Some(DefaultSemDedupBudget)
+      case Some("off") => None
+      case Some(raw) =>
+        val b = raw.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"$SemDedupBudgetConf must be a positive integer or 'off', " +
+              s"got '$raw'"))
+        require(b >= 1,
+          s"$SemDedupBudgetConf must be >= 1 or 'off', got $b")
+        Some(b)
+    }
+
+  /** (vector count, candidate-pair upper bound) under the CURRENT
+    * bucket knobs — one partial-aggregable groupBy, never the pairs. */
+  private[operators] def semDedupPairBound(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    val bits = lshBits(spark)
+    val bands = lshBands(spark)
+    val base = scaledEmb(spark, dir)
+    val bucketed =
+      if (bands == 1)
+        base.select(lit(0).as("band"), signBucket(col("sv"), bits).as("bk"))
+      else
+        base.select(explode(array((0 until bands).map(bd =>
+            struct(lit(bd).as("band"),
+              signBucketAt(col("sv"), bits, bd * bits).as("bk"))): _*))
+            .as("bb"))
+          .select(col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val r = bucketed.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("nb"))
+      .agg(sum(shiftright(col("nb") * (col("nb") - lit(1L)), 1)).as("bound"),
+        sum(col("nb")).as("tot"))
+      .collect()(0)
+    (r.getLong(1) / bands, r.getLong(0))
+  }
+
+  /** The guard DECISION: Some(k) = auto-apply degree budget k, None =
+    * build the edge list uncapped. Exposed for the spec. */
+  private[graft] def semDedupAutoCap(spark: SparkSession,
+      dir: String): Option[Int] =
+    if (maxPairs(spark).nonEmpty) None // explicit operator cap wins
+    else semDedupBudget(spark).flatMap { budget =>
+      val (n, bound) = semDedupPairBound(spark, dir)
+      if (bound <= budget) None
+      else {
+        val k = math.min(Int.MaxValue.toLong,
+          math.max(1L, budget / math.max(1L, n))).toInt
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft semantic dedup: candidate-pair bound $bound exceeds " +
+            s"$SemDedupBudgetConf=$budget for $n vectors - " +
+            s"auto-applying per-vector degree budget k=$k (run " +
+            "q251_threshold_curve to price a tighter threshold, or set " +
+            s"$MaxPairsConf / $SemDedupBudgetConf=off to override)")
+        Some(k)
+      }
+    }
+
   /** Memoized semantic-cluster labels (vec_id → component min) over the
     * q40 near-dup graph — shared by q77's decision table and the q78
     * curation funnel (ONE definition per cache key, so the shared cache
@@ -1989,7 +2086,12 @@ object Similarity {
       // against this frame, and a plain persist would make each round's
       // driver-side planning walk the whole q40 lineage it embeds.
       val edges = Features.cachedFrame(spark, s"$dir#embDedupEdges") {
-        val pairs = q40(spark, dir).select(col("a_id"), col("b_id"))
+        val raw = nearDupPairsRaw(spark, dir, TestdataNearDupCosine)
+        // effective cap: the operator's explicit knob, else the
+        // pre-flight guard's decision (None = oracle-pinned uncapped)
+        val pairs = maxPairs(spark).orElse(semDedupAutoCap(spark, dir))
+          .fold(raw)(applyPairBudget(raw, _))
+          .select(col("a_id"), col("b_id"))
         pairs.union(pairs.select(col("b_id"), col("a_id")))
           .toDF("src", "dst").localCheckpoint()
       }
