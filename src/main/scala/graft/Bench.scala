@@ -143,6 +143,25 @@ object Bench {
     // Interleaved passes: sweep the whole suite, then sweep again.
     val samples: Seq[Seq[Double]] = (1 to passes).map(_ => names.map(runOnce))
 
+    // Plan fingerprints (round-16 verdict task 5: 15 queries read >1.2×
+    // that round with zero code changes, and the regression hunt had to
+    // disbelieve the artifact by hand). An 8-hex MD5 of the
+    // CANONICALIZED physical plan per query — exprIds normalized, so
+    // the hash is stable across JVMs when the plan is — computed after
+    // the timed passes (planning is driver-side; memoized stages are
+    // warm). Ships in the file artifact as "plans": a cross-round
+    // comparison can now separate "the plan changed" from "the host
+    // was loud" mechanically.
+    def planFp(n: String): String =
+      try {
+        val s = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.sparkPlan.canonicalized.toString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .take(4).map(b => String.format("%02x", Byte.box(b))).mkString
+      } catch { case _: Throwable => "err" }
+    val plans = names.map(n => n -> planFp(n)).toMap
+
     // Close the gate's blind side (round-10 advice): the pre-run sample
     // certifies only that the host WAS quiet — a spike that starts
     // mid-run would still ship as "gated" evidence. Re-sample after the
@@ -158,10 +177,59 @@ object Bench {
         "[bench] load rose DURING the run (end 1-min load %.1f >= " +
           "%.1f + %s own) - run disqualified from gated evidence",
         Double.box(loadEnd), Double.box(loadGate), cpus))
-    val perQuery = names.zipWithIndex.map { case (n, i) =>
+    val perQuery0 = names.zipWithIndex.map { case (n, i) =>
       val raw = samples.map(_(i))
       val ok = raw.filter(_ >= 0)
       (n, raw, if (ok.isEmpty) -1.0 else ok.min)
+    }
+
+    // Noise flags + auto-rerun (round-16 verdict task 5): compare each
+    // min against the PREVIOUS artifact at the same path (read before
+    // this run overwrites it; SPARK_GRAFT_BENCH_BASELINE overrides,
+    // "off" disables). A query whose min moved >1.2× gets up to 2
+    // extra samples ON THE SPOT — a host-noise suspect deserves more
+    // evidence while the JVM is still warm, not a post-hoc alibi — and
+    // ships under "suspects" with its plan-fingerprint verdict:
+    // plan_changed=true means the delta is (at least partly) a plan
+    // delta; false means same plan — host noise or a data-volume
+    // change; null means the baseline predates fingerprints.
+    val artifactPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", artifactPath)
+    import scala.jdk.CollectionConverters._
+    val baseline: Option[(Map[String, Double], Map[String, String])] =
+      if (baselinePath == "off") None
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), "UTF-8")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(txt)
+        Option(root.get("queries")).map { qn =>
+          val mins = qn.properties().asScala.iterator
+            .map(e => e.getKey -> e.getValue.asDouble).toMap
+          val fps = Option(root.get("plans")).map(_.properties().asScala.iterator
+            .map(e => e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty[String, String])
+          (mins, fps)
+        }
+      } catch { case _: Exception => None }
+    val NoiseRatio = 1.2
+    val RerunExtra = 2
+    // (name, baseline min, first min, post-rerun min, plan_changed)
+    val suspects: Seq[(String, Double, Double, Double, Option[Boolean])] =
+      baseline.map { case (bm, bf) =>
+        perQuery0.flatMap { case (n, _, v) =>
+          bm.get(n).filter(b => b > 0 && v > 0 && v / b > NoiseRatio)
+            .map { b =>
+              val rer = (1 to RerunExtra).map(_ => runOnce(n)).filter(_ >= 0)
+              (n, b, v, (rer :+ v).min, bf.get(n).map(_ != plans(n)))
+            }
+        }
+      }.getOrElse(Seq.empty)
+    val rerunMin = suspects.map(s => s._1 -> s._4).toMap
+    val perQuery = perQuery0.map { case (n, raw, v) =>
+      (n, raw, rerunMin.getOrElse(n, v))
     }
     val qs = perQuery.map { case (k, _, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -184,7 +252,6 @@ object Bench {
     //    shows up here as per-pass recompilation;
     //  - gc_ms, metaspace_used_mb: heap/class pressure from memoized
     //    frames and generated-class churn.
-    import scala.jdk.CollectionConverters._
     import java.lang.management.ManagementFactory
     val jitMs = Option(ManagementFactory.getCompilationMXBean)
       .filter(_.isCompilationTimeMonitoringSupported)
@@ -243,21 +310,28 @@ object Bench {
     // The full-fidelity record (per-query mins + all raw pass times)
     // goes to a FILE, immune to any capture window at any query count;
     // the stdout lines remain the driver-facing summary.
+    val plansJson = names.map(n => s"\"" + n + "\":\"" + plans(n) + "\"")
+      .mkString("{", ",", "}")
+    val suspectsJson = suspects.map { case (n, b, v0, best, pc) =>
+      s"\"$n\":{\"base\":${r3(b)},\"min\":${r3(v0)}," +
+        s"\"rerun_min\":${r3(best)},\"ratio\":${r2(best / b)}," +
+        s"\"plan_changed\":${pc.map(_.toString).getOrElse("null")}}"
+    }.mkString("{", ",", "}")
     val artifact =
       s"""{"sf":"$sfDir","passes":$passes,"feature_build":$featureBuild,""" +
         s""""cold_total":$coldTotal,"value":$total,""" +
         s""""load1":${r3(loadStart)},"load1_end":${r3(loadEnd)},""" +
         s""""load_gated":$loadGated,$jvmDiag,""" +
+        s""""suspects":$suspectsJson,"plans":$plansJson,""" +
         s""""queries":$qs,"runs":$runs}"""
-    val artifactPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(artifactPath),
       (artifact + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     // Full line first (may be tail-truncated by log capture)…
-    println(s"""{$head,"runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{$head,"suspects":$suspectsJson,"runs":$runs,""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     // …compact summary next: short-keyed queries first, totals at the
     // very END, rounded to 2 dp — while it fits the driver's ~2 KB tail
     // window whole. When query growth pushes it past the window budget,

@@ -56,6 +56,24 @@ object GraftSession {
       // .config would otherwise silently shadow the experiment pin.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.props.getOrElse("spark.sql.codegen.cache.maxEntries", "10000"))
+      // Round-17 semguard root-cause: ObjectHashAggregateExec falls
+      // back to SORT-based aggregation once its hash map holds more
+      // than this many keys — Spark's default is 128, so every
+      // TypedImperativeAggregate groupBy in this engine (graft_topk,
+      // graft_argmax, minhash signatures, Misra-Gries) was silently
+      // SORTING its whole input beyond 128 groups per task. Invisible
+      // to the plan census (the fallback never appears as a
+      // SortAggregate node) and fatal at scale: the ×400 semantic-dedup
+      // degree-budget heap sorted a 7.4·10⁹-row candidate stream to
+      // disk (~60 GB spill → ENOSPC) instead of collapsing each a_id
+      // map-side. 500k keys/task keeps the documented map-side-combine
+      // posture truthful; per-task memory stays bounded by keys/task ×
+      // buffer size (the engine's biggest buffer is argmax's ~0.5 KB
+      // carried vector — 25k keys/task at the ×400 corpus ≈ 13 MB).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.props.getOrElse(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "500000"))
     if (local) b.master(s"local[$cores]") else b
   }
 }

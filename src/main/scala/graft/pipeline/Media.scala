@@ -29,9 +29,15 @@ import org.apache.spark.sql.functions._
   * a 16-segment energy-envelope feature vector
   * ([[Media.audioFeatures]]). A RIFF/WAVE payload that fails to parse
   * lands on the sentinel, same policy as images.
-  * Compressed-audio (mp3/flac/ogg) and VIDEO codecs aren't in this
-  * container, so those kinds keep the clearly-marked deterministic
-  * fakes ([[Media.decodeStub]], [[Media.featureStub]]); the
+  * FLAC decode is REAL too (round-16 verdict task 6): [[Flac]] is the
+  * engine's own pure-JVM decoder for the public FLAC bitstream —
+  * lossless, so its PCM surfaces through [[decodeSamples]] in the same
+  * canonical 16-bit form as WAV and every downstream consumer is
+  * codec-blind (`FlacSpec` pins golden round-trips + WAV equality).
+  * LOSSY audio (mp3/ogg) and VIDEO codecs aren't in this container —
+  * and a lossy decoder is a DSP stack, not a bitstream parser — so
+  * those kinds keep the clearly-marked deterministic fakes
+  * ([[Media.decodeStub]], [[Media.featureStub]]); the
   * surrounding plumbing — binary source, schema, per-partition decoder
   * init, batch shape (`grouped(batchSize)`), failure sentinel — is
   * identical for all kinds.
@@ -241,6 +247,14 @@ object Media {
       content(3) == 'F' && content(8) == 'W' && content(9) == 'A' &&
       content(10) == 'V' && content(11) == 'E'
 
+  /** The REAL-decode dispatch for audio payloads: RIFF/WAVE through
+    * `AudioSystem`, FLAC through the engine's own pure-JVM [[Flac]]
+    * decoder (round-16 verdict task 6 — the compressed-codec fence
+    * narrowed to lossy formats). mp3/ogg/video stay on the fenced
+    * stub: lossy DSP stacks are not in this container. */
+  def isRealAudio(content: Array[Byte]): Boolean =
+    isWav(content) || Flac.isFlac(content)
+
   /** Decode a WAV payload to normalized PCM_SIGNED 16-bit samples plus
     * its stream format. `AudioSystem` converts whatever PCM flavor the
     * file carries (8-bit unsigned, float, a/u-law, big-endian) to the
@@ -248,6 +262,20 @@ object Media {
     * uniform — the audio analog of [[decodeRgb]]'s sRGB conversion. */
   private def decodeSamples(content: Array[Byte]): (javax.sound.sampled.AudioFormat, Long, Array[Short]) = {
     if (content.isEmpty) throw new IllegalArgumentException("empty media object")
+    if (Flac.isFlac(content)) {
+      // Lossless FLAC through the engine's own decoder, surfaced in the
+      // same canonical 16-bit interleaved form as the WAV path — every
+      // downstream consumer (meta, RMS envelope, fingerprint) is
+      // codec-blind.
+      val a = Flac.decode(content)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        a.sampleRate.toFloat, 16, a.channels, a.channels * 2,
+        a.sampleRate.toFloat, false)
+      val frames =
+        a.channelData.headOption.map(_.length.toLong).getOrElse(0L)
+      return (fmt, frames, Flac.toPcm16(a))
+    }
     val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     val base = in0.getFormat
@@ -391,7 +419,7 @@ object Media {
               MediaMeta(m.path, m.kind, m.content.length.toLong,
                 im.width, im.height, 1, im.channels, im.avgLuma,
                 0, 0.0, ok = true)
-            } else if (m.kind == "audio" && isWav(m.content)) {
+            } else if (m.kind == "audio" && isRealAudio(m.content)) {
               val au = decodeAudio(m.content)
               val frames = math.min(au.nFrames, Int.MaxValue.toLong).toInt
               MediaMeta(m.path, m.kind, m.content.length.toLong, 0, 0,
@@ -464,7 +492,7 @@ object Media {
           try {
             val f =
               if (m.kind == "image") imageFeatures(m.content)
-              else if (m.kind == "audio" && isWav(m.content))
+              else if (m.kind == "audio" && isRealAudio(m.content))
                 audioFeatures(m.content)
               else featureStub(m.content)
             Some(MediaFeatures(m.path, m.kind, f))
