@@ -602,6 +602,35 @@ object Similarity {
        |FROM hist
        |ORDER BY band DESC""".stripMargin
 
+  /** q251's candidate-stream band histogram for ONE increment: the new
+    * micro-batch's pairs against the standing corpus (every cross pair
+    * counted once — each unordered pair has exactly one "new" end)
+    * plus its own intra-batch pairs (a_id < b_id), both under the SAME
+    * bucket key and cosine as batch q251 — the streaming threshold-
+    * curve monitor sums these increments, so stream and batch
+    * histograms are equal by construction over any prefix
+    * (`ThresholdCurveStreamsSpec` pins the equality per boundary).
+    * Both inputs must carry (vec_id, sv, n2). */
+  private[graft] def curveBandCounts(spark: SparkSession,
+      newVecs: DataFrame, standing: DataFrame): DataFrame = {
+    val bits = lshBits(spark)
+    def keyed(df: DataFrame, p: String) =
+      df.select(col("vec_id").as(s"${p}_id"), col("sv").as(s"${p}_sv"),
+        col("n2").as(s"${p}_n2"),
+        signBucket(col("sv"), bits).as(s"${p}_bkt"))
+    val a = keyed(newVecs, "a")
+    val bNew = keyed(newVecs, "b")
+    val bOld = keyed(standing, "b")
+    val cross = a.join(bOld, col("a_bkt") === col("b_bkt"))
+    val intra = a.join(bNew,
+      col("a_bkt") === col("b_bkt") && col("a_id") < col("b_id"))
+    cross.unionByName(intra)
+      .withColumn("cos", cosine(dotL(col("a_sv"), col("b_sv")),
+        col("a_n2"), col("b_n2")))
+      .select(floor(col("cos") * 20.0).cast(LongType).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---------------------------------------------------------------- q252
   /** Near-IDENTICAL cosine threshold: the scale-regime setting for the
     * cell-blocked pair listing below. Chosen off q251's curve on the
