@@ -621,6 +621,25 @@ object ScaleBench {
       val (ivP50, ivP95) = requestLats("ivf")
       val (fuP50, fuP95) = requestLats("fused")
       val (dvP50, dvP95) = requestLats("fused", "--diversify", "70")
+      val (faP50, faP95) = requestLats("fused-ann")
+
+      // fused-ann recall AUDIT (round-16 verdict task 3): panel-wide,
+      // the ANN variant's top-k doc sets vs the exact fused reference —
+      // the same discipline every index swap in the engine carries.
+      val allIds = Similarity.servableQueryIds(spark, sf1)
+      def topDocs(df: DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "doc_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val exactTop = topDocs(Similarity.serveFusedRequest(spark, sf1, allIds))
+      val annTop = topDocs(Similarity.serveFusedAnnRequest(spark, sf1, allIds))
+      val faRecall = {
+        val per = exactTop.toSeq.map { case (q, ds) =>
+          annTop.getOrElse(q, Set.empty[Long]).intersect(ds).size.toDouble /
+            math.max(1, ds.size)
+        }
+        if (per.isEmpty) 0.0 else per.sum / per.size
+      }
 
       def leg(nm: String, cold: Double, warm: Double, rows: Long): String =
         s""""$nm":{"cold_sec":${f2(cold)},"warm_sec":${f2(warm)},""" +
@@ -633,7 +652,9 @@ object ScaleBench {
           leg("fused_mmr70", mCold, mWarm, mRows) + "," +
           s""""request_p50_p95_sec":{"ivf":[${f2(ivP50)},${f2(ivP95)}],""" +
           s""""fused":[${f2(fuP50)},${f2(fuP95)}],""" +
-          s""""fused_mmr70":[${f2(dvP50)},${f2(dvP95)}]},"requests":$reqN}""")
+          s""""fused_mmr70":[${f2(dvP50)},${f2(dvP95)}],""" +
+          s""""fused_ann":[${f2(faP50)},${f2(faP95)}]},""" +
+          s""""fused_ann_recall":${f3(faRecall)},"requests":$reqN}""")
     }
 
     // Serve-path CONCURRENCY (round-13 verdict task 7): the serving
@@ -659,7 +680,7 @@ object ScaleBench {
       // has one — the round-15 `weak` grade). Warm each retriever's
       // index frames once so every tier measures the steady serving
       // state, not the first build.
-      for (retriever <- Seq("ivf", "fused")) {
+      for (retriever <- Seq("ivf", "fused", "fused-ann")) {
         require(Serve.run(Array(sf1, s"$servOut/warm-$retriever",
           "--retriever", retriever, "--queries", idFile.toString),
           Some(spark)) == 0, s"warm $retriever failed")

@@ -54,14 +54,21 @@ object Serve {
 
   private val Usage =
     "Usage: graft.Serve <sf_dir> <out_dir> " +
-      "[--retriever dense|lsh|ivf|fused] [--queries <id_file>] [--eval] " +
-      "[--diversify <lambda 0-100>]"
+      "[--retriever dense|lsh|ivf|fused|fused-ann] [--queries <id_file>] " +
+      "[--eval] [--diversify <lambda 0-100>]"
 
   private val Retrievers = Map(
     "dense" -> "q38_cosine_topk",
     "lsh"   -> "q39_lsh_ann",
     "ivf"   -> "q44_ivf_ann",
     "fused" -> "q144_rrf_fusion")
+
+  /** Request-path-only retrievers (no batch panel query backs them):
+    * `fused-ann` = the fused request with the IVF-indexed semantic leg
+    * — the corpus-decade escape for the exact fused scan, recall-
+    * audited against it (ScaleBench `serve`; FusedAnnSpec identity).
+    * The exact `fused` stays the default and the reference ranking. */
+  private val RequestOnly = Set("fused-ann")
 
   def main(args: Array[String]): Unit = {
     val code = run(args)
@@ -78,7 +85,8 @@ object Serve {
       case Nil =>
         if (pos.length == 2) Some(cfg.copy(sfDir = pos(1), outDir = pos(0)))
         else None
-      case "--retriever" :: v :: t if Retrievers.contains(v) =>
+      case "--retriever" :: v :: t
+          if Retrievers.contains(v) || RequestOnly.contains(v) =>
         loop(t, pos, cfg.copy(retriever = v))
       case "--queries" :: v :: t if !v.startsWith("--") =>
         loop(t, pos, cfg.copy(queriesFile = Some(v)))
@@ -146,6 +154,11 @@ object Serve {
         graft.operators.Similarity.serveIvfRequest(spark, cfg.sfDir, ids)
       case ("fused", Some(ids)) =>
         graft.operators.Similarity.serveFusedRequest(spark, cfg.sfDir, ids)
+      case ("fused-ann", ids) =>
+        // request-path-only: a panel serve answers every servable id
+        graft.operators.Similarity.serveFusedAnnRequest(spark, cfg.sfDir,
+          ids.getOrElse(graft.operators.Similarity
+            .servableQueryIds(spark, cfg.sfDir)))
       case _ =>
         val all = SparkEntry.queries(Retrievers(cfg.retriever))(spark, cfg.sfDir)
         queryIds.fold(all)(ids => all.filter(col("q_id").isin(ids: _*)))
