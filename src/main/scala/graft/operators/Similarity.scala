@@ -998,16 +998,27 @@ object Similarity {
     val cells: Seq[Any] = hit.map(_.get(3)).distinct
     import scala.jdk.CollectionConverters._
     val qs = spark.createDataFrame(hit.asJava, schema)
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+    // Top-k via the graft_topk bounded heap, NOT a rank window: the
+    // window shuffled AND sorted the whole probe cell per request
+    // (~corpus/K rows — measured p50 3.1 s at the 2M-vector corpus,
+    // most of it the 200k-row sort), while the heap collapses each
+    // q_id to k rows MAP-SIDE. Identical keep-set and order:
+    // struct(cos, −vec_id) ≡ the window's (cos DESC, vec_id ASC), and
+    // the heap array is emitted best-first so position+1 IS the rank
+    // (ServeSpec pins row identity with q44).
     ivfServeIndex(spark, dir)
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(qs), col("cell") === col("qcell"))
       .withColumn("cos",
         cosine(dotL(col("sv"), col("qv")), col("n2"), col("qn2")))
-      .select(col("q_id"), col("vec_id"), col("cell"), col("cos"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("cos"), negate(col("vec_id"))),
+        struct(col("vec_id"), col("cell"), col("cos")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.vec_id").as("vec_id"),
+        col("p.cell").as("cell"), col("p.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
