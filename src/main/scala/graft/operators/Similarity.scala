@@ -689,10 +689,11 @@ object Similarity {
     * sort; candidate volume is Σ_bucket |bucket|² with buckets split
     * by BOTH quantizers, and the verified output is linear by regime.
     * Measured (ScaleBench `nearident` phase, BENCH_NOTES r17): the
-    * ×400 corpus (800k vectors) lists its near-identical pairs in
-    * bounded time vs sf0.1 with recall ≥ 0.99 on planted duplicates
-    * (the boundary losses are Voronoi-edge cell flips plus the
-    * 4·10⁻⁴ band miss rate, audited against planted ground truth).
+    * ×400 corpus (800k vectors) lists its 8,003 near-identical pairs
+    * in 13.5 s = ×8.31 of sf0.1 — where the loose-regime q40 listing
+    * measured 121.8 s = ×185 — with planted recall 7999/8000 = 0.9999
+    * (the single miss is the predicted band/cell boundary loss,
+    * audited against planted ground truth).
     * `CellBlockedNearDupSpec` pins candidate-subset semantics, planted
     * recall, and the plan shape. */
   def cellBlockedNearDup(spark: SparkSession, dir: String,
