@@ -152,10 +152,22 @@ object Bench {
     // warm). Ships in the file artifact as "plans": a cross-round
     // comparison can now separate "the plan changed" from "the host
     // was loud" mechanically.
+    // Known instability: a handful of plans (4/252 measured r17 —
+    // q125/q131/q206/q240) hash differently across runs even on
+    // identical code. Diagnosed: their canonicalized strings are
+    // byte-identical across FRESH JVMs — the variance enters through
+    // warm-session cache state at fingerprint time (which memoized
+    // stages an InMemoryRelation has absorbed when the plan prints),
+    // plus identity-hash `@xxxxxxxx` tokens on embedded closures. The
+    // sanitizer below strips the identity hashes; the cache-state
+    // residue is accepted: a plan_changed=true on those reads as
+    // "unknown", which only costs the rerun optimization — it never
+    // mislabels host noise as clean.
     def planFp(n: String): String =
       try {
         val s = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.sparkPlan.canonicalized.toString
+          .replaceAll("@[0-9a-fA-F]{4,}", "@x")
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8"))
           .take(4).map(b => String.format("%02x", Byte.box(b))).mkString

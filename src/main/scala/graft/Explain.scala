@@ -213,6 +213,9 @@ object Explain {
     * frames) with only projection/filter deltas — re-printing it would
     * duplicate the owner's section. */
   private[graft] val ShapeOwners: Map[String, String] = Map(
+    // q77's decision-assembly topology (memoized lineage-cut CC label
+    // leaf LEFT-JOINed by the corpus) over q252's pair graph
+    "q253_nearident_dedup" -> "q77_semantic_dedup",
     // single-scan filtered/projected aggregates (q01's skeleton)
     "q06_forecast_revenue" -> "q01_pricing_summary",
     "q09_segment_stats" -> "q01_pricing_summary",

@@ -728,11 +728,13 @@ object Similarity {
     cellBlockedNearDup(spark, dir, FixtureNearIdentCosine,
       FixtureNearIdentBits, FixtureNearIdentBands)
 
-  /** DuckDB twin of [[cellBlockedNearDup]] at explicit knobs — reuses
-    * q44's `assigned` CTE chain (the same IVF index build) and the OR
-    * form of the any-band candidate test (Spark's explode + equi-join +
-    * DISTINCT admits exactly the same pair set). */
-  private def cellBlockedSql(threshold: Double, bits: Int,
+  /** DuckDB CTE chain through the verified `pairs` set of
+    * [[cellBlockedNearDup]] at explicit knobs — reuses q44's `assigned`
+    * CTE chain (the same IVF index build) and the OR form of the
+    * any-band candidate test (Spark's explode + equi-join + DISTINCT
+    * admits exactly the same pair set). Shared by q252's listing and
+    * q253's transitive closure. */
+  private def cellBlockedCteChain(threshold: Double, bits: Int,
       bands: Int): String = {
     def key(off: Int): String =
       (0 until bits).map(j =>
@@ -743,17 +745,80 @@ object Similarity {
     val anyBand =
       (0 until bands).map(bd => s"a.k$bd = b.k$bd").mkString(" OR ")
     val cosStr = cosineSql(dotLSql("a.sv", "b.sv"), "a.n2", "b.n2")
-    s"""WITH $ivfAssignedSqlCtes,
-       |keyed AS (SELECT vec_id, sv, n2, cell, $bandSel FROM assigned)
-       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, $cosStr AS cos
-       |FROM keyed a JOIN keyed b
-       |  ON a.cell = b.cell AND a.vec_id < b.vec_id AND ($anyBand)
-       |WHERE $cosStr >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+    s"""$ivfAssignedSqlCtes,
+       |keyed AS (SELECT vec_id, sv, n2, cell, $bandSel FROM assigned),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, $cosStr AS cos
+       |  FROM keyed a JOIN keyed b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id AND ($anyBand)
+       |  WHERE $cosStr >= $threshold)""".stripMargin
   }
 
-  private lazy val q252Sql = cellBlockedSql(FixtureNearIdentCosine,
-    FixtureNearIdentBits, FixtureNearIdentBands)
+  private lazy val q252Sql =
+    s"""WITH ${cellBlockedCteChain(FixtureNearIdentCosine,
+          FixtureNearIdentBits, FixtureNearIdentBands)}
+       |SELECT a_id, b_id, cos FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q253
+  /** Memoized connected-component labels over the CELL-BLOCKED pair
+    * graph — the near-identical regime's twin of [[embCcLabels]]. No
+    * pre-flight guard is needed here BY CONSTRUCTION: the regime's
+    * verified output is linear in corpus size (q252's ×400 row:
+    * 8,003 pairs from 800k vectors), so the edge checkpoint holds
+    * ~n/100 longs where the loose-regime graph held cluster². */
+  private[operators] def cellBlockedCcLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#cellBlockedCcLabels") {
+      val edges = Features.cachedFrame(spark, s"$dir#cellBlockedEdges") {
+        val pairs = cellBlockedNearDup(spark, dir, FixtureNearIdentCosine,
+          FixtureNearIdentBits, FixtureNearIdentBands)
+          .select(col("a_id"), col("b_id"))
+        pairs.union(pairs.select(col("b_id"), col("a_id")))
+          .toDF("src", "dst").localCheckpoint()
+      }
+      Dedup.ccLabelsAuto(edges).labels
+    }
+
+  /** NEAR-IDENTICAL SEMANTIC DEDUP DECISIONS — the regime trilogy's
+    * product step: q251 PRICES the threshold, q252 LISTS the
+    * cell-blocked pairs, and this query ships the per-vector
+    * KEEP/CANONICAL table a 100 TB dedup run actually writes (q77's
+    * decision semantics, computed over the pair graph whose
+    * materialization is linear BY REGIME instead of guarded after the
+    * fact). Same decision assembly as q77: corpus LEFT JOIN the tiny
+    * memoized CC label table; oracle = the recursive-CTE closure over
+    * q252's own pair SQL. */
+  private def q253(spark: SparkSession, dir: String): DataFrame = {
+    val labels = cellBlockedCcLabels(spark, dir)
+    scaledEmb(spark, dir).select(col("vec_id"), col("label"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("lbl"), col("vec_id")).as("canonical_vec"))
+      .withColumn("keep", col("canonical_vec") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q253Sql =
+    s"""WITH RECURSIVE
+       |${cellBlockedCteChain(FixtureNearIdentCosine,
+          FixtureNearIdentBits, FixtureNearIdentBands)},
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |base AS ($scaledEmbSql)
+       |SELECT b.vec_id, b.label,
+       |  coalesce(l.lbl, b.vec_id) AS canonical_vec,
+       |  coalesce(l.lbl, b.vec_id) = b.vec_id AS keep
+       |FROM base b
+       |LEFT JOIN labels l ON l.id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q41
   /** Per-label centroid table: (c_label, cs: array<int64>, cn2) — exact
@@ -5611,6 +5676,7 @@ object Similarity {
     "q40_embedding_neardup" -> (q40 _),
     "q251_threshold_curve" -> (q251 _),
     "q252_cell_blocked_neardup" -> (q252 _),
+    "q253_nearident_dedup" -> (q253 _),
     "q41_label_centroids" -> (q41 _),
     "q44_ivf_ann"         -> (q44 _),
     "q58_scalar_quant"    -> (q58 _),
@@ -5668,6 +5734,7 @@ object Similarity {
     "q40_embedding_neardup" -> q40Sql,
     "q251_threshold_curve" -> q251Sql,
     "q252_cell_blocked_neardup" -> q252Sql,
+    "q253_nearident_dedup" -> q253Sql,
     "q41_label_centroids" -> q41Sql,
     "q44_ivf_ann"         -> q44Sql,
     "q58_scalar_quant"    -> q58Sql,
