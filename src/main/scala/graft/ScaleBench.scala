@@ -953,6 +953,12 @@ object ScaleBench {
         .select((col("id") - 1).as("a_id"), col("id").as("b_id"))
       val nTruth = truth.count()
       val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi").count()
+      // the trilogy's PRODUCT step at production knobs: pairs → CC →
+      // keep/canonical decisions over the whole ×400 corpus
+      val td = time(noopWrite(
+        Similarity.nearIdenticalDecisions(spark, niDir)))
+      val dropped = Similarity.nearIdenticalDecisions(spark, niDir)
+        .filter(!org.apache.spark.sql.functions.col("keep")).count()
       println(
         s"""{"metric":"nearident_scale","base":"$base","scaled":"$niDir",""" +
           s""""emb_rows":[2000,$niEmb],""" +
@@ -960,7 +966,8 @@ object ScaleBench {
           s""""pairs":[$nBase,$nBig],"planted":$nTruth,""" +
           s""""planted_found":$hit,""" +
           s""""recall":${String.format(java.util.Locale.ROOT, "%.4f",
-            Double.box(hit.toDouble / nTruth))}}""")
+            Double.box(hit.toDouble / nTruth))},""" +
+          s""""decisions_sec":${f3(td)},"dropped":$dropped}""")
     }
 
     // Fifteenth phase (`semguard`): q77 at DEFAULT knobs on the ×400

@@ -789,14 +789,32 @@ object Similarity {
     * fact). Same decision assembly as q77: corpus LEFT JOIN the tiny
     * memoized CC label table; oracle = the recursive-CTE closure over
     * q252's own pair SQL. */
-  private def q253(spark: SparkSession, dir: String): DataFrame = {
-    val labels = cellBlockedCcLabels(spark, dir)
+  private def q253(spark: SparkSession, dir: String): DataFrame =
+    decisionsOverLabels(spark, dir, cellBlockedCcLabels(spark, dir))
+
+  /** q77's decision assembly over an arbitrary label table: corpus
+    * LEFT JOIN tiny CC labels → (vec_id, label, canonical_vec, keep). */
+  private def decisionsOverLabels(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame =
     scaledEmb(spark, dir).select(col("vec_id"), col("label"))
       .join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"), col("label"),
         coalesce(col("lbl"), col("vec_id")).as("canonical_vec"))
       .withColumn("keep", col("canonical_vec") === col("vec_id"))
       .orderBy(col("vec_id"))
+
+  /** q253 at EXPLICIT knobs (un-memoized) — the ScaleBench `nearident`
+    * phase runs this at the production regime (τ = 0.95, 2×32-bit
+    * bands) to time the full trilogy product on the ×400 corpus:
+    * cell-blocked pairs → CC → keep/canonical decisions. */
+  private[graft] def nearIdenticalDecisions(spark: SparkSession,
+      dir: String, threshold: Double = NearIdenticalCosine,
+      bits: Int = NearIdentBits, bands: Int = NearIdentBands): DataFrame = {
+    val pairs = cellBlockedNearDup(spark, dir, threshold, bits, bands)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").localCheckpoint()
+    decisionsOverLabels(spark, dir, Dedup.ccLabelsAuto(edges).labels)
   }
 
   private lazy val q253Sql =
