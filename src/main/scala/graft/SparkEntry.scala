@@ -18,8 +18,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Pipeline.queries("q28_kv_sorted")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every entry is wrapped in [[graft.operators.Features.memoQuery]]:
+    * building a query's DataFrame is driver-side analyzer work measured
+    * at 0.04–1.5 s per query at sf0.1 (suite-wide ~25 s/pass), and the
+    * built frame is immutable — so it is memoized per (session,
+    * spark.graft.* conf state, dir). Actions on the memoized frame still
+    * execute the full physical plan from the parquet inputs each time
+    * (plan cache, not result cache — PlanMemoSpec pins this), and a
+    * flipped graft mode knob or `spark.graft.features.cache=off` builds
+    * fresh. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((spark: SparkSession, dir: String) =>
+        graft.operators.Features.memoQuery(spark, s"$dir#q#$name")(
+          fn(spark, dir)))
+    }
+
+  private lazy val rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Pipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries

@@ -544,6 +544,47 @@ object Features {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Query-plan memo (optimization round r17).
+  //
+  // Constructing a query's DataFrame is driver-side Catalyst work: every
+  // intermediate Dataset in the builder chain runs the full analyzer on
+  // its growing tree, so an N-operator chain pays O(N^2) analysis — the
+  // PhaseProbe measured 0.04–1.5 s PER BUILD per query at sf0.1 (q108:
+  // 1.46 s, q97: 0.69 s; suite-wide ~25–30 s of the ~130 s bench total),
+  // repeated on every bench pass. Memoizing the BUILT (analyzed, still
+  // lazy) DataFrame per (session, graft-conf state, dir, query) removes
+  // the repeat cost while every action on it still computes from the
+  // parquet inputs — this is a prepared-statement cache, NOT result
+  // caching: the noop-sink write re-executes the whole physical plan
+  // each time it runs (PlanMemoSpec pins both properties).
+  //
+  // The key folds in the session's spark.graft.* conf snapshot because
+  // mode knobs (quantiles.mode, simhash.bits, lm.scoring, …) change what
+  // the builder EMITS — a flipped knob must build fresh, not replay the
+  // old mode's plan. Non-graft confs (broadcast thresholds, AQE) act at
+  // physical planning, which every action re-runs from the logical plan,
+  // so they need no key bit. `spark.graft.features.cache=off` disables
+  // this memo together with the frame cache (pristine-build mode for
+  // plan-shape tests).
+  private val planMemo = TrieMap[(String, String), DataFrame]()
+
+  private def graftConfSig(spark: SparkSession): String =
+    spark.conf.getAll.iterator
+      .filter(_._1.startsWith("spark.graft."))
+      .map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")
+
+  def memoQuery(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (cacheOff(spark)) return build
+    val k = (sessionKey(spark), key + "|" + graftConfSig(spark))
+    planMemo.get(k) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        planMemo.putIfAbsent(k, built).getOrElse(built)
+    }
+  }
+
   def clear(spark: SparkSession): Unit = {
     val sk = sessionKey(spark)
     cache.keys.filter(_._1 == sk).foreach { k =>
@@ -555,6 +596,10 @@ object Features {
     }
     valueCache.keys.filter(_._1 == sk).foreach(valueCache.remove)
     buildCounts.keys.filter(_._1 == sk).foreach(buildCounts.remove)
+    // Plan-memo entries reference frames the block above just freed —
+    // a kept entry would silently recompute (correct but uncached) or
+    // pin a dead session's plans in memory.
+    planMemo.keys.filter(_._1 == sk).foreach(planMemo.remove)
   }
 
   /** JVM-wide teardown: unpersist and forget every registered frame from
@@ -564,5 +609,6 @@ object Features {
     cache.clear()
     valueCache.clear()
     buildCounts.clear()
+    planMemo.clear()
   }
 }
