@@ -2946,27 +2946,62 @@ object Events {
     * seconds; days with zero boundaries have no open-session change
     * and no row, by definition.
     *
-    * Scale posture: the GLOBAL running sum is the two-phase
-    * [[Features.shardedPrefixSum]] with an empty partition key —
-    * per-day shard totals cumulate in a window over the bounded
-    * |days| frame and broadcast back, so no single-task global sort
-    * exists at any event count (the q211 hazard class this suite
-    * retired), and the result is bit-identical to the naive global
-    * window. Everything upstream rides the memoized [[sessionized]]
-    * stage's one user-keyed shuffle. */
+    * Scale posture: the GLOBAL running sum is a two-phase sharded
+    * prefix sum — per-day RANGE-framed windows (peers of a second
+    * aggregate together, which IS the tie collapse) plus per-day
+    * totals cumulated in a window over the bounded |days| frame and
+    * broadcast back — so no single-task global sort exists at any
+    * event count (the q211 hazard class this suite retired), and the
+    * result is bit-identical to the naive collapse-then-window form.
+    * Everything upstream rides the memoized [[sessionized]] stage's
+    * one user-keyed shuffle. */
   private def q235(spark: SparkSession, dir: String): DataFrame = {
     val sess = sessionized(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
+    // r17 rewrite, measured at sf0.1 (MetricsProbe): the old shape
+    // collapsed ties with a groupBy(t) whose ~184k groups of ~190k
+    // input rows made it the query's dominant shuffle — and the
+    // two-phase prefix sum consumes its input twice (intra-shard
+    // window leg + shard-totals leg), so that near-keyless aggregate
+    // executed TWICE (~5 CPU-s per copy; AQE's exchange reuse does not
+    // fire over subtrees that read a cached relation — verified: the
+    // non-AQE ReuseExchange rule dedupes this exact plan). Both costs
+    // are gone structurally:
+    //  - tie collapse moved INTO the window: a RANGE frame aggregates
+    //    all peer rows of the current t together, so every delta row
+    //    at second t reads the identical post-collapse running sum —
+    //    bit-identical to the groupBy form (the day-level max sees the
+    //    same per-second values, just duplicated), with NO 184k-group
+    //    aggregate anywhere;
+    //  - the shard-totals leg now aggregates the raw ±1 stream straight
+    //    to |days| rows (map-side combine collapses each task to ~30
+    //    cells — the cheap direction for partial aggregation), so the
+    //    duplicated subtree is just the bounds aggregate off the cached
+    //    sessionized stage;
+    //  - n_session_starts never needed to ride the prefix sum: a day's
+    //    session starts count straight off the bounds frame (every
+    //    start second IS a boundary row, so the left join hits every
+    //    output day; days with only end-boundaries read 0, as before).
     val deltas = sess.select(col("start_s").as("t"), lit(1L).as("d"))
       .unionAll(sess.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
-      .groupBy(col("t")).agg(sum(col("d")).as("net"),
-        sum(when(col("d") > 0L, col("d")).otherwise(0L)).as("n_starts"))
-    Features.shardedPrefixSum(deltas, Seq.empty, expr("t div 86400"),
-        Seq(col("t")), col("net"), "open_now", inclusive = true)
-      .groupBy(expr("t div 86400").as("day"))
-      .agg(max(col("open_now")).as("peak_concurrent"),
-        sum(col("n_starts")).as("n_session_starts"))
+      .withColumn("day", expr("t div 86400"))
+    val wIn = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = deltas.groupBy(col("day")).agg(sum(col("d")).as("day_tot"))
+      .withColumn("off", coalesce(sum(col("day_tot")).over(wDays), lit(0L)))
+      .select(col("day"), col("off"))
+    val peaks = deltas.join(broadcast(offs), Seq("day"))
+      .withColumn("open_now", col("off") + sum(col("d")).over(wIn))
+      .groupBy(col("day"))
+      .agg(max(col("open_now")).as("peak_concurrent"))
+    val starts = sess.groupBy(expr("start_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n_session_starts"))
+    peaks.join(starts, Seq("day"), "left")
+      .na.fill(0L, Seq("n_session_starts"))
+      .select(col("day"), col("peak_concurrent"), col("n_session_starts"))
       .orderBy(col("day"))
   }
 

@@ -933,8 +933,18 @@ object Similarity {
     * map-side combine collapses the 10 candidate rows per vector to one
     * buffer before the shuffle, and nothing sorts. ONE definition —
     * q44's serving path and q130's index-health audit both read it. */
-  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
-    ivfAssignOver(scaledEmb(spark, dir), ivfCodebook(spark, dir))
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    // r17: memoized per (session, dir, codebook mode) — q44/q130/q137/
+    // q166 and the serve path each re-derived the same assignment
+    // fan-out per consumer. The mode rides the key so a flipped
+    // spark.graft.ivf.codebook builds its own frame (and the label mode
+    // shares [[labelAssigned]]'s — one build serves both families).
+    val mode = spark.conf.getOption(IvfCodebookConf)
+      .map(_.trim).getOrElse("label")
+    Features.cachedFrame(spark, s"$dir#ivfAssigned#$mode") {
+      ivfAssignOver(scaledEmb(spark, dir), ivfCodebook(spark, dir))
+    }
+  }
 
   /** [[ivfAssigned]]'s assignment applied to an ARBITRARY scaled frame
     * (carrying vec_id, sv, n2, and optionally label) against an
@@ -3455,10 +3465,20 @@ object Similarity {
     * entirely; comparing them against labels would produce
     * plausible-looking but meaningless recovery rates (that index's
     * health audit is q130, which is id-space-agnostic by design). */
-  private def labelAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val emb = scaledEmb(spark, dir)
-    ivfAssignOver(emb, centroids(emb))
-  }
+  private def labelAssigned(spark: SparkSession, dir: String): DataFrame =
+    // r17: memoized per (session, dir) — six audit queries (q169/q170
+    // family, q186 kappa, q209, q214, q226) re-derived the corpus×k
+    // fan-out + argmax per consumer (and q186 alone re-ran it three
+    // times through its three cells re-aggregations: MetricsProbe
+    // measured ~6 CPU-s per copy at sf0.1). At warehouse scale the
+    // assignment table is materialized once next to the index, not
+    // re-assigned per audit — the centroidMargins/sessionized posture
+    // applied to the assignment itself. Key shared with [[ivfAssigned]]
+    // in label-codebook mode: same frame, one build.
+    Features.cachedFrame(spark, s"$dir#ivfAssigned#label") {
+      val emb = scaledEmb(spark, dir)
+      ivfAssignOver(emb, centroids(emb))
+    }
 
   private def q169(spark: SparkSession, dir: String): DataFrame = {
     val m = labelAssigned(spark, dir)

@@ -61,8 +61,15 @@ object StageProbe {
         val t0 = System.nanoTime()
         run()
         val wall = (System.nanoTime() - t0) / 1e9
-        // Listener bus is async: drain before reading the counters.
-        spark.sparkContext.listenerBus.waitUntilEmpty(10000)
+        // Listener bus is async: poll until the recorded stage set has
+        // quiesced (listenerBus.waitUntilEmpty is private[spark]).
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(50)
+          val now = stages.size * 10000 + stages.valuesIterator.map(_.tasks).sum
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
         record = false
         val ss = stages.values.toSeq
         val stageWall = ss.map(_.wallMs).sum / 1e3
@@ -75,6 +82,13 @@ object StageProbe {
           n, Double.box(wall), Int.box(jobs), Int.box(ss.size),
           Double.box(stageWall), Double.box(taskSum),
           Double.box(maxStage), Int.box(ss.map(_.tasks).sum)))
+        if (sys.env.get("STAGEPROBE_DETAIL").contains("1"))
+          stages.toSeq.sortBy(-_._2.taskMs).take(12).foreach { case (id, s) =>
+            println(String.format(java.util.Locale.ROOT,
+              """  {"stage":%d,"wall_ms":%d,"tasks":%d,"task_ms":%d}""",
+              Int.box(id), Long.box(s.wallMs), Int.box(s.tasks),
+              Long.box(s.taskMs)))
+          }
       } catch { case e: Throwable =>
         record = false
         System.err.println(s"[stageprobe] $n failed: ${e.getMessage}")
