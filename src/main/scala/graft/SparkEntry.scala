@@ -32,7 +32,7 @@ object SparkEntry {
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> ((spark: SparkSession, dir: String) =>
-        graft.operators.Features.memoQuery(spark, s"$dir#q#$name")(
+        graft.operators.Features.memoQuery(spark, dir, s"$dir#q#$name")(
           fn(spark, dir)))
     }
 

@@ -574,9 +574,32 @@ object Features {
       .filter(_._1.startsWith("spark.graft."))
       .map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")
 
-  def memoQuery(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  /** Cheap mutation guard for the plan memo: one `listFiles` of the
+    * input dir folding each direct child's (name, mtime, length) into
+    * the key. A rewritten table (the q127 content-rotation contract:
+    * overwrite recreates `documents.parquet`, changing the child's
+    * mtime and part-file set) therefore misses the memo and builds a
+    * FRESH frame with a fresh file listing — without it the memoized
+    * frame's FileIndex points at deleted part files and every action
+    * dies with FILE_NOT_EXIST. Non-local URIs stat as absent and fold
+    * to a constant: the memo still works there, it just cannot see
+    * mutation (bench/verify inputs are immutable local dirs). Cost:
+    * ~10 stat calls per memo LOOKUP — driver-side microseconds. */
+  private def inputStamp(dir: String): String =
+    try {
+      val d = new java.io.File(dir.stripPrefix("file:"))
+      val kids = d.listFiles()
+      if (kids == null) "nodir"
+      else kids.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+        .mkString(",")
+    } catch { case _: Exception => "staterr" }
+
+  def memoQuery(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
     if (cacheOff(spark)) return build
-    val k = (sessionKey(spark), key + "|" + graftConfSig(spark))
+    val k = (sessionKey(spark),
+      key + "|" + inputStamp(dir) + "|" + graftConfSig(spark))
     planMemo.get(k) match {
       case Some(df) => df
       case None =>

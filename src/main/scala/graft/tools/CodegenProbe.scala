@@ -49,9 +49,16 @@ object CodegenProbe {
       val c0 = metric.getCount
       // Row contents are the oracle gate's business — the probe only
       // needs each plan EXECUTED so its generated classes hit (or miss)
-      // the Janino cache.
+      // the Janino cache. Executed via the NOOP SINK, the bench's own
+      // action: a write plans a fresh QueryExecution per call, so every
+      // pass re-generates (byte-identical) source and exercises the
+      // Janino cache. `.collect()` would instead reuse the plan-memoized
+      // Dataset's one QueryExecution — its AQE stages stay materialized
+      // and re-passes compile ~nothing in BOTH forks, nulling the
+      // negative control (observed when the r17 plan memo landed).
       ProbeQueries.foreach(n =>
-        graft.SparkEntry.queries(n)(spark, dir).collect())
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save())
       metric.getCount - c0
     }
     val p0 = pass(); val p1 = pass(); val p2 = pass()

@@ -32,7 +32,7 @@ class PlanMemoSpec extends AnyFunSuite with SparkSpec {
     val counting = org.apache.spark.sql.functions.udf { (x: Long) =>
       acc.add(1L); x
     }
-    def build() = Features.memoQuery(spark, "planMemoSpec#probe") {
+    def build() = Features.memoQuery(spark, SparkSpec.Sf0001, "planMemoSpec#probe") {
       spark.range(0, 7, 1, 1).select(counting(col("id")).as("v"))
     }
     val first = build()
@@ -52,21 +52,44 @@ class PlanMemoSpec extends AnyFunSuite with SparkSpec {
 
   test("a flipped spark.graft.* knob builds fresh") {
     val key = "planMemoSpec#conf"
-    val before = Features.memoQuery(spark, key)(spark.range(1).toDF())
+    val before = Features.memoQuery(spark, SparkSpec.Sf0001, key)(spark.range(1).toDF())
     spark.conf.set("spark.graft.planmemospec.knob", "v1")
     try {
-      val after = Features.memoQuery(spark, key)(spark.range(1).toDF())
+      val after = Features.memoQuery(spark, SparkSpec.Sf0001, key)(spark.range(1).toDF())
       assert(!(after eq before), "conf flip must miss the memo")
-      val again = Features.memoQuery(spark, key)(spark.range(1).toDF())
+      val again = Features.memoQuery(spark, SparkSpec.Sf0001, key)(spark.range(1).toDF())
       assert(again eq after, "same flipped state must hit again")
     } finally spark.conf.unset("spark.graft.planmemospec.knob")
+  }
+
+  test("a mutated input dir misses the memo (stale-FileIndex guard)") {
+    // The q127 content-rotation contract, pinned at the memo layer: a
+    // rewritten table under the same dir must BUILD FRESH — the old
+    // frame's FileIndex lists part files the overwrite deleted.
+    val dir = java.nio.file.Files.createTempDirectory("planmemo_").toString
+    def writeTable(v: String): Unit = {
+      import spark.implicits._
+      Seq((1L, v)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    }
+    writeTable("v1")
+    val key = "planMemoSpec#mutate"
+    def build() = Features.memoQuery(spark, dir, key)(
+      spark.read.parquet(s"$dir/t.parquet"))
+    val a = build()
+    assert(build() eq a, "unchanged dir must hit the memo")
+    Thread.sleep(1100) // cover coarse-mtime filesystems
+    writeTable("v2")
+    val b = build()
+    assert(!(b eq a), "rewritten input must miss the memo")
+    assert(b.select("v").collect().map(_.getString(0)).toSeq == Seq("v2"))
   }
 
   test("features.cache=off bypasses the memo") {
     spark.conf.set(Features.CacheModeConf, "off")
     try {
-      val a = Features.memoQuery(spark, "planMemoSpec#off")(spark.range(1).toDF())
-      val b = Features.memoQuery(spark, "planMemoSpec#off")(spark.range(1).toDF())
+      val a = Features.memoQuery(spark, SparkSpec.Sf0001, "planMemoSpec#off")(spark.range(1).toDF())
+      val b = Features.memoQuery(spark, SparkSpec.Sf0001, "planMemoSpec#off")(spark.range(1).toDF())
       assert(!(a eq b), "cache=off must build fresh every call")
     } finally spark.conf.unset(Features.CacheModeConf)
   }

@@ -105,7 +105,16 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("q134's plan never sorts the orders input: the only Sort is the " +
       "final report ordering, ABOVE the aggregate") {
     ensureRegistered()
-    val df = graft.SparkEntry.queries("q134_topk_agg")(spark, SparkSpec.Sf0001)
+    // Pristine build (memo off): the plan memo shares ONE DataFrame per
+    // (session, dir, query), and the row-parity test above has already
+    // EXECUTED it — an executed AdaptiveSparkPlanExec stringifies with
+    // both Final and Initial plan sections, so line-order assertions on
+    // the shared frame would read the wrong tree. The pinned property
+    // is about the built plan, so build one fresh.
+    spark.conf.set("spark.graft.features.cache", "off")
+    val df =
+      try graft.SparkEntry.queries("q134_topk_agg")(spark, SparkSpec.Sf0001)
+      finally spark.conf.unset("spark.graft.features.cache")
     val plan = df.queryExecution.executedPlan.toString
     plan should include("ObjectHashAggregate")
     plan should not include "SortAggregate"
