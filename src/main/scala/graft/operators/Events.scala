@@ -2948,60 +2948,60 @@ object Events {
     *
     * Scale posture: the GLOBAL running sum is a two-phase sharded
     * prefix sum — per-day RANGE-framed windows (peers of a second
-    * aggregate together, which IS the tie collapse) plus per-day
-    * totals cumulated in a window over the bounded |days| frame and
-    * broadcast back — so no single-task global sort exists at any
+    * aggregate together, which IS the tie collapse), then per-day
+    * totals cumulated in a window over the bounded |days| frame — so
+    * no single-task global sort over the event stream exists at any
     * event count (the q211 hazard class this suite retired), and the
     * result is bit-identical to the naive collapse-then-window form.
-    * Everything upstream rides the memoized [[sessionized]] stage's
-    * one user-keyed shuffle. */
+    * The boundary stream is consumed ONCE: day totals, the intra-day
+    * running-sum max, and start counts all come out of the single
+    * post-window aggregate. Everything upstream rides the memoized
+    * [[sessionized]] stage's one user-keyed shuffle. */
   private def q235(spark: SparkSession, dir: String): DataFrame = {
     val sess = sessionized(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
-    // r17 rewrite, measured at sf0.1 (MetricsProbe): the old shape
-    // collapsed ties with a groupBy(t) whose ~184k groups of ~190k
-    // input rows made it the query's dominant shuffle — and the
-    // two-phase prefix sum consumes its input twice (intra-shard
-    // window leg + shard-totals leg), so that near-keyless aggregate
-    // executed TWICE (~5 CPU-s per copy; AQE's exchange reuse does not
-    // fire over subtrees that read a cached relation — verified: the
-    // non-AQE ReuseExchange rule dedupes this exact plan). Both costs
-    // are gone structurally:
-    //  - tie collapse moved INTO the window: a RANGE frame aggregates
-    //    all peer rows of the current t together, so every delta row
-    //    at second t reads the identical post-collapse running sum —
-    //    bit-identical to the groupBy form (the day-level max sees the
-    //    same per-second values, just duplicated), with NO 184k-group
-    //    aggregate anywhere;
-    //  - the shard-totals leg now aggregates the raw ±1 stream straight
-    //    to |days| rows (map-side combine collapses each task to ~30
-    //    cells — the cheap direction for partial aggregation), so the
-    //    duplicated subtree is just the bounds aggregate off the cached
-    //    sessionized stage;
-    //  - n_session_starts never needed to ride the prefix sum: a day's
-    //    session starts count straight off the bounds frame (every
-    //    start second IS a boundary row, so the left join hits every
-    //    output day; days with only end-boundaries read 0, as before).
-    val deltas = sess.select(col("start_s").as("t"), lit(1L).as("d"))
-      .unionAll(sess.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
+    // r17 rewrite (second iteration; the first one REGRESSED 1.47 →
+    // 1.71 s at sf0.1 because its unionAll delta stream + two prefix-
+    // sum consumers + separate starts leg computed the bounds
+    // aggregate FIVE times — AQE does not dedupe subtrees that read a
+    // cached relation). Everything now derives from ONE pass over the
+    // boundary stream:
+    //  - deltas come from sess via EXPLODE (one subtree), not a
+    //    unionAll of two selects (two subtrees);
+    //  - tie collapse stays INSIDE the window: the RANGE frame
+    //    aggregates all peer rows of the current t together, so every
+    //    delta row at second t reads the identical post-collapse
+    //    running sum — bit-identical to a groupBy(t)-then-window form
+    //    (the day-level max sees the same per-second values, just
+    //    duplicated);
+    //  - the per-day shard total (day_tot), the intra-day running-sum
+    //    max (max_run), and the start count all fold into the SAME
+    //    post-window aggregate: max(off + run) = off + max(run)
+    //    because the cross-day offset is constant within a day, and a
+    //    day's session starts are exactly its d > 0 boundary rows. The
+    //    |days|-row cumulative-offset window is the only global sort
+    //    and it runs over a bounded frame (~|days| rows at any scale).
+    val deltas = sess
+      .select(explode(array(
+        struct(col("start_s").as("t"), lit(1L).as("d")),
+        struct((col("end_s") + 1L).as("t"), lit(-1L).as("d")))).as("b"))
+      .select(col("b.t").as("t"), col("b.d").as("d"))
       .withColumn("day", expr("t div 86400"))
     val wIn = Window.partitionBy(col("day")).orderBy(col("t"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wDays = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = deltas.groupBy(col("day")).agg(sum(col("d")).as("day_tot"))
-      .withColumn("off", coalesce(sum(col("day_tot")).over(wDays), lit(0L)))
-      .select(col("day"), col("off"))
-    val peaks = deltas.join(broadcast(offs), Seq("day"))
-      .withColumn("open_now", col("off") + sum(col("d")).over(wIn))
+    deltas
+      .withColumn("run", sum(col("d")).over(wIn))
       .groupBy(col("day"))
-      .agg(max(col("open_now")).as("peak_concurrent"))
-    val starts = sess.groupBy(expr("start_s div 86400").as("day"))
-      .agg(count(lit(1)).as("n_session_starts"))
-    peaks.join(starts, Seq("day"), "left")
-      .na.fill(0L, Seq("n_session_starts"))
-      .select(col("day"), col("peak_concurrent"), col("n_session_starts"))
+      .agg(max(col("run")).as("max_run"),
+        sum(col("d")).as("day_tot"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("n_session_starts"))
+      .withColumn("off", coalesce(sum(col("day_tot")).over(wDays), lit(0L)))
+      .select(col("day"),
+        (col("off") + col("max_run")).as("peak_concurrent"),
+        col("n_session_starts"))
       .orderBy(col("day"))
   }
 

@@ -4903,11 +4903,19 @@ object Similarity {
   private def q186(spark: SparkSession, dir: String): DataFrame = {
     def floorDiv(x: Column, y: Column): Column =
       ((x - pmod(x, y)) / y).cast(LongType)
+    // hash(source) BEFORE the cells aggregate: source is a prefix of
+    // every grouping key in this query ((source,g,p), (source,g),
+    // (source,p), (source)) and of the chance join's keys, so one
+    // repartition satisfies every downstream distribution — the
+    // whole kappa computation runs exchange-free past this point
+    // (measured: the groupBy-first form paid a (source,g,p) exchange
+    // PER consumer, 3× at sf0.1, plus separate exchanges for gj/pj).
     val cells = labelAssigned(spark, dir)
       .select(col("vec_id"), col("label").cast(LongType).as("g"),
         col("cell").cast(LongType).as("p"))
       .join(Tables.documents(spark, dir)
         .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .repartition(col("source"))
       .groupBy(col("source"), col("g"), col("p"))
       .agg(count(lit(1)).as("cnt"))
     val n = cells.groupBy(col("source"))
