@@ -1759,8 +1759,7 @@ object Dedup {
     * memoized per (session, dir) like the funnel's other stage tables. */
   private[graft] def qualityRejects(spark: SparkSession, dir: String): DataFrame =
     Features.cachedFrame(spark, s"$dir#qualityRejects") {
-      TextAnalysis.qualityDecisions(Tables.documents(spark, dir),
-          TextAnalysis.lmTable(spark, dir))
+      TextAnalysis.corpusQualityDecisions(spark, dir)
         .filter(!col("admit")).select(col("doc_id").as("q_id"))
         .localCheckpoint()
     }
@@ -1849,8 +1848,7 @@ object Dedup {
     * left join against the LABELS-sized id set; the report is
     * sources-sized. */
   private def q218(spark: SparkSession, dir: String): DataFrame = {
-    val dec = TextAnalysis.qualityDecisions(Tables.documents(spark, dir),
-        TextAnalysis.lmTable(spark, dir))
+    val dec = TextAnalysis.corpusQualityDecisions(spark, dir)
       .select(col("doc_id"), col("source"), col("admit"))
     val dupIds = ccLabels(spark, dir).select(col("id")).distinct()
     val cells = dec

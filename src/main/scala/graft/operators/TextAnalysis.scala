@@ -871,7 +871,7 @@ object TextAnalysis {
   private def q95(spark: SparkSession, dir: String): DataFrame = {
     def cntReason(r: String) =
       sum(when(col("reason") === r, 1L).otherwise(0L))
-    qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+    corpusQualityDecisions(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         cntReason("admit").as("n_admit"),
@@ -1550,6 +1550,22 @@ object TextAnalysis {
   /** Decision table for a batch of documents against a FROZEN LM — the
     * shared scorer of batch q89 and the streaming gate (identical code
     * path, so stream decisions are batch decisions by construction). */
+  /** [[qualityDecisions]] over the session corpus against the memoized
+    * frozen LM, memoized per (session, dir). Seven batch consumers
+    * (q89/q95/q112/q157/q167/q218/q227 and the funnel's reject stage)
+    * each re-derived the same decision table — re-tokenizing the
+    * corpus and re-running the LM + repetition gates per query (the
+    * most expensive repeated stage the r17 MetricsProbe found outside
+    * the vector family). In production the decision ledger is a
+    * materialized artifact (Curate ships it); queries READ decisions,
+    * they don't re-adjudicate. The streaming gate keeps calling
+    * [[qualityDecisions]] per micro-batch — its input is transient. */
+  private[graft] def corpusQualityDecisions(spark: SparkSession,
+      dir: String): DataFrame =
+    Features.cachedFrame(spark, s"$dir#qualityDecisions") {
+      qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+    }
+
   private[graft] def qualityDecisions(docs: DataFrame, lm: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     // LM-scoring form (Features.LmScoringConf): the default `broadcast`
@@ -1697,7 +1713,7 @@ object TextAnalysis {
   }
 
   private def q89(spark: SparkSession, dir: String): DataFrame =
-    qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+    corpusQualityDecisions(spark, dir)
       .orderBy(col("doc_id"))
 
   /** q89's decision CTE chain ending in `dec(doc_id, …, reason)` — also
@@ -2269,8 +2285,7 @@ object TextAnalysis {
     * sees zero global windows; the cross-tab is one partial-
     * aggregable groupBy over ≤ 3·2·2 cells. */
   private def q112(spark: SparkSession, dir: String): DataFrame = {
-    val dec = qualityDecisions(Tables.documents(spark, dir),
-        lmTable(spark, dir))
+    val dec = corpusQualityDecisions(spark, dir)
       .select(col("doc_id"), col("xent_u"), col("admit"))
     val rules = q31(spark, dir)
       .select(col("doc_id").as("r_id"), col("quality").as("rules_quality"))
@@ -3738,7 +3753,7 @@ object TextAnalysis {
     val dup = fp.join(fpCnt, "fp")
       .groupBy(col("source"))
       .agg(sum(when(col("fcnt") > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
-    val qual = qualityDecisions(docs, lmTable(spark, dir))
+    val qual = corpusQualityDecisions(spark, dir)
       .groupBy(col("source"))
       .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"))
     val contam = Dedup.contamScores(spark, dir)
@@ -4209,8 +4224,7 @@ object TextAnalysis {
     * output is ≤ 6 rows. The calibration view costs one
     * partial-aggregable groupBy over decisions already made. */
   private def q167(spark: SparkSession, dir: String): DataFrame = {
-    val dec = qualityDecisions(Tables.documents(spark, dir),
-      lmTable(spark, dir))
+    val dec = corpusQualityDecisions(spark, dir)
     val lo = when(col("n_tokens") < 8L, 0L)
       .when(col("n_tokens") < 16L, 8L)
       .when(col("n_tokens") < 32L, 16L)
@@ -4749,7 +4763,7 @@ object TextAnalysis {
     * under `spark.graft.quantiles.mode=approx`; ≤ 10·|sources| rows. */
   private def q227(spark: SparkSession, dir: String): DataFrame = {
     Features.ingestDecile(
-      qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
+      corpusQualityDecisions(spark, dir)
         .select(col("source"), col("doc_id"), col("admit")))
       .groupBy(col("source"), col("decile"))
       .agg(count(lit(1)).as("n_docs"),
