@@ -4061,11 +4061,17 @@ object Dedup {
           col("n_union").cast(DoubleType)).cast("long"))
       .select(col("exact_u") +: Seq(4, 8, 16).map(k =>
         matchesUpTo(k).as(s"k$k")): _*)
-    Seq(4, 8, 16).map { k =>
-      base.select(lit(k.toLong).as("n_perms"),
-        (floor(lit(1000000.0) * col(s"k$k").cast(DoubleType) /
-          lit(k.toDouble)).cast("long") - col("exact_u")).as("err_u"))
-    }.reduce(_ unionAll _)
+    // One pass over base (r17): the unionAll-of-three-selects form
+    // computed the 4-join base subtree once PER k (3× at sf0.1 — AQE
+    // deduplicates none of it); exploding the per-k error structs fans
+    // each base row out to the identical 3-row multiset in the same
+    // scan. Bit-identical: same err_u expression per k, same rows.
+    base.select(explode(array(Seq(4, 8, 16).map(k =>
+        struct(lit(k.toLong).as("n_perms"),
+          (floor(lit(1000000.0) * col(s"k$k").cast(DoubleType) /
+            lit(k.toDouble)).cast("long") - col("exact_u")).as("err_u"))): _*))
+        .as("b"))
+      .select(col("b.n_perms").as("n_perms"), col("b.err_u").as("err_u"))
       .groupBy(col("n_perms"))
       .agg(count(lit(1)).as("n_pairs"),
         floor(sum(abs(col("err_u"))).cast(DoubleType) /

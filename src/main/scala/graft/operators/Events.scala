@@ -484,10 +484,17 @@ object Events {
     * compressed log), strictly smaller than the input. */
   /** q145's interval table, unordered — shared by the report and the
     * q147 temporal attribution join (ONE definition: the dimension the
-    * attribution reads IS the dimension the report describes). */
+    * attribution reads IS the dimension the report describes).
+    * Memoized per (session, dir) since r17: each consumer re-ran the
+    * per-user lag/row_number/lead window stack over the event log; at
+    * warehouse scale the SCD2 dimension is a materialized table every
+    * fact query joins, not a per-query rebuild — the [[sessionized]]
+    * posture applied to the dimension. */
   private def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
-    scd2IntervalsOf(Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+    Features.cachedFrame(spark, s"$dir#scd2Intervals") {
+      scd2IntervalsOf(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+    }
 
   private def q145(spark: SparkSession, dir: String): DataFrame =
     scd2Intervals(spark, dir).orderBy(col("user_id"), col("version_no"))

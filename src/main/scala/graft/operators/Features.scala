@@ -199,6 +199,22 @@ object Features {
         .agg(count(lit(1)).as("cnt"))
     }
 
+  /** Per-(doc, token) term frequencies: (doc_id, w, tf) — the postings
+    * grain under every lexical scorer. Memoized per (session, dir)
+    * since r17: q86/q144/q179 and both fused-serve builders each
+    * re-ran the corpus tokenize + explode + aggregate to derive this
+    * exact frame; at warehouse scale it is the materialized
+    * term-frequency/postings table a search stack maintains, not a
+    * per-query rebuild. Coarser frames (per-term df, per-doc length,
+    * corpus totals) re-aggregate THIS one. */
+  def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(spark, s"$dir#docTokenCounts") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** Fixed-point embedding view: (vec_id, label, sv: array<int64>, n2).
     * `floor(x*10^4)` per component plus the exact squared norm — the base
     * projection of every vector query (q38-q41, q44). */

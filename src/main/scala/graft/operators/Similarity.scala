@@ -1171,9 +1171,7 @@ object Similarity {
       val docs = Tables.documents(spark, dir)
       val p = fusedServePanel(spark, dir)
       val k1 = TextAnalysis.Bm25K1; val b = TextAnalysis.Bm25B
-      val tfAll = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val tfAll = Features.docTokenCounts(spark, dir)
       val dfAll = tfAll.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val dls = docs.filter(col("doc_id") >= NQueries)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
@@ -1214,9 +1212,7 @@ object Similarity {
       val qs = scaledEmb(spark, dir).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("sv").as("qv"),
           col("n2").as("qn2"))
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val tf = Features.docTokenCounts(spark, dir)
       val dfAll = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val wQ = Window.partitionBy(col("q_id")).orderBy(col("df"), col("w"))
       val qt = tf.filter(col("doc_id") < NQueries)
@@ -1974,6 +1970,11 @@ object Similarity {
       .filter(col("r_sem") <= 10)
       .select(col("q_id"), col("id"), col("r_sem"))
     // Lexical leg: query-by-example BM25 on the 3 rarest query terms.
+    // NOT the shared docTokenCounts frame (r17, measured): the qterms
+    // and lex legs filter on doc_id, and Catalyst pushes those filters
+    // BELOW the inline aggregate (two small pruned aggregations); a
+    // cache read would materialize full postings three times instead
+    // (q144 0.95 -> 1.16 s). Only dfAll truly needs the full table.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))

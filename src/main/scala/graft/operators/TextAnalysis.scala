@@ -1136,6 +1136,11 @@ object TextAnalysis {
         sum(size(tokens(col("text"))).cast("long")).as("sum_dl"))
     val dls = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
+    // Inline tokenize-filter-aggregate, NOT the shared docTokenCounts
+    // frame (r17, measured 0.37 -> 0.69 s with the cache): the isin
+    // filter runs BELOW the aggregate here, so only query-term tokens
+    // ever shuffle — strictly less work than scanning materialized
+    // full postings.
     val tfq = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w").isin(Bm25Query: _*))
