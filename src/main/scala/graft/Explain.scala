@@ -39,7 +39,7 @@ object Explain {
     "q82_source_overlap" -> "distinct (source, fp) pairs once, self-join on fp with per-key fan-out bounded by the source count (a 10^6-copy viral dup is still ONE row per source); size lookups broadcast",
     "q83_split_assign" -> "stateless per-row hash assignment (no shuffle to assign) feeding one partial-aggregable groupBy over <= 3 x n_sources cells - no join anywhere in the plan",
     "q84_source_funnel" -> "q78's shared per-doc flag stage, memoized as a lineage-cut leaf (Scan ExistingRDD), grouped by source instead of globally - the marginal cost of the per-source breakdown is ONE partial-aggregable groupBy",
-    "q85_span_dedup" -> "8-word window hashes via shifted-slice zip (O(tokens), no split re-evaluation); (window, doc) and cross-doc df both partial-aggregable hash aggregates on uniform md5 keys; the dup-window filter is a LEFT SEMI join - a boilerplate window shared by 10^6 docs stays a count, never a pair join",
+    "q85_span_dedup" -> "8-word window hashes via shifted-slice zip (O(tokens), no split re-evaluation); ONE consumption of the (window, doc) aggregate - the cross-doc test is a count over the h partition (r17; the former groupBy+semi-join planned the ngram explode twice), so a boilerplate window shared by 10^6 docs stays a count, never a pair join",
     "q86_bm25" -> "query-term isin filter BELOW the tf aggregate (only matching postings survive the explode); df and corpus stats broadcast (3-row / 1-row builds); top-10 planned as TakeOrderedAndProject; only the winners join back for source metadata",
     "q87_lm_quality" -> "LM built by two partial-aggregable groupBys (per-lang totals broadcast, vocab-sized term counts as the probe side of one term-keyed join - input skew on hot terms is AQE-visible); per-doc aggregate on uniform doc_id; worst-15 planned as TakeOrderedAndProject",
     "q88_containment" -> "identical candidate machinery to q37 (df-capped inverted-index join, never all-pairs, never Cartesian); the asymmetric containment metric is a per-candidate scalar swap, so the quote/excerpt detector costs nothing beyond the Jaccard top-20 it complements",
@@ -75,7 +75,7 @@ object Explain {
     "q118_span_decontamination" -> "q73's broadcast-eval shape one window-length up: the eval slice's 8-word window hashes broadcast (BroadcastHashJoin), training windows stream through with NO shuffle before the per-doc aggregate; the window explode carries only 8-byte hashes (q85's argument), and totals join doc_id-keyed",
     "q119_contamination_triage" -> "both gates' per-doc hit frames are q73/q118's own plans (broadcast eval sides, no training shuffle); the triage adds two narrow doc_id-keyed left joins against the (doc_id, source) projection and ONE sources-sized partial-aggregable groupBy - the dashboard costs nothing beyond the gates it summarizes",
     "q120_dedup_savings" -> "rides the memoized CC labels (pairs-bounded, a lineage-cut leaf) via ONE broadcast left join onto the token scan - the token count is computed at scan position and the report is one sources-sized partial-aggregable groupBy; the marginal cost over q70's doc-count view is zero extra shuffles",
-    "q121_chunk_dedup_rate" -> "chunksOf's stateless fan-out (no shuffle) feeds one partial-aggregable groupBy on the uniform chunk_md5 key for cross-doc hashes, a LEFT SEMI join back on the same key, and ONE sources-sized groupBy - q85's count-only shape at chunk granularity, so a boilerplate chunk shared by millions of docs stays a count, never a pair join",
+    "q121_chunk_dedup_rate" -> "chunksOf's stateless fan-out (no shuffle) feeds one partial-aggregable groupBy per (chunk_md5, doc); the cross-doc test is a count over the chunk_md5 partition and both per-doc totals fold into ONE aggregate (r17; the former semi-join form planned the chunk fan-out three times) - q85's count-only shape at chunk granularity, never a pair join",
     "q122_source_novelty" -> "distinct (source, h) over the memoized 8-byte hashed-shingle features is the only corpus-sized aggregate (partial-aggregable, uniform hash keys); first-owner attribution is a second partial-aggregable min(source) groupBy on the hash key - a shingle shared by 1e6 documents is ONE row per source here, so the viral-dup skew that salting defends in q35 structurally cannot arise, and the report join is sources-vs-sources",
     "q123_soft_dedup_weights" -> "rides the memoized CC labels (pairs-bounded lineage-cut leaf): cluster sizes are one partial-aggregable groupBy on the label table, the corpus takes ONE left join against the (id, size) projection, and per-doc floor(1e6/m) weights are exact int64 literals summed in one sources-sized groupBy - q60's decision-table shape with a weight column instead of a boolean",
     "q124_hard_negatives" -> "q38's exact plan with the band filter BELOW the window: the 8-row query set broadcast (BroadcastNestedLoopJoin), the candidate side streams from the cached feature table, and only rows inside [0.10, 0.30) reach the per-query row_number - the mid-band mass is a small fraction of the corpus, so the filter placement does the pruning the window cannot",
@@ -104,7 +104,7 @@ object Explain {
     "q145_scd2_intervals" -> "q25's shuffle-once posture: one user_id hash shuffle, per-user sorted windows for lag/row_number/lead, never a global sort except the presentation order; output is change-points-sized, strictly smaller than the log",
     "q146_dup_degree" -> "rides the memoized verified pair table (df-capped, bounded); degree is one union + one partial-aggregable groupBy of the pairs-sized frame into a <=4-cell report",
     "q147_state_attribution" -> "user-keyed equi join (both sides partition identically) with the interval containment as a post-join filter; per-user fan-out bounded by version count; <=6-cell partial-aggregable report",
-    "q148_scd2_incremental" -> "delta-sized merge legs: the stored artifact splits by ONE broadcast semi/anti join pair on user_id (pass-through rows never rewritten), the seed||delta change chain windows over DELTA users only (user_id hash shuffle, per-user sort - no global sort), and the fixture's two events passes exist only to fabricate the artifact boundary in-query (production reads yesterday's parquet dimension, scans only the delta)",
+    "q148_scd2_incremental" -> "delta-sized merge legs: ONE left join routes the stored artifact (pass-through/closed/seed by flag x is_current - r17; the former anti+semi pair planned the stored window chain three times), the seed||delta change chain windows over DELTA users only with the version offset riding a max window on the same user partitioning, and the fixture's two events passes exist only to fabricate the artifact boundary in-query (production reads yesterday's parquet dimension, scans only the delta)",
     "q158_pq_budget_sweep" -> "per M: the M*K-subvector codebook broadcasts and the encode is the stateless hash-aggregable argmin fan-out (q135's shape, ObjectHashAggregate, map-side combine) - no window over the corpus, no self-join; the sweep output is |Ms| rows and the production index stays memoized at M=4, untouched by the sweep",
     "q154_ks_drift" -> "per-(source, value) counts are the ONLY corpus-sized aggregate (q117's frame one key finer); the corpus marginal re-aggregates that frame; ECDF windows run over the |sources| x |values| grid (values = distinct-length domain, bounded by max doc length, not rows) with per-source partitions - the one global window orders the values-sized marginal only; ks_u is exact int64 div arithmetic, no float anywhere",
     "q155_event_debounce" -> "q25's shuffle-once shape: one user_id hash shuffle, per-(user, type) sorted lag window, never a global sort; the report is one partial-aggregable |types|-row groupBy with exact int64 div rates",
@@ -132,7 +132,7 @@ object Explain {
     "q176_emd_drift" -> "deliberately q154's grid (per-(source,value) partial-aggregable count, |sources| x |values| ECDF frame): the source-partitioned running sum AND the lead gap term plan into ONE Window node (same partition+order spec - no extra shuffle, no second sort), then one partial-aggregable groupBy to |sources| rows",
     "q180_crawl_runs" -> "one narrow (source, doc_id, md5) scan; the lag break-flag and the running break-sum are two stacked Window nodes over ONE shuffle + ONE per-source sort (the run-sum consumes the lag's output, so they can't fuse - but no Exchange or Sort sits between them); run lengths and the per-source report are two partial-aggregable hash aggregates - text bytes never shuffle, fingerprints do",
     "q184_cusum_shift" -> "the CUSUM walk runs over the |types| x |hours| dense grid (bounded by the time window, never the event count; the hour domain is sequence()-densified over the span and BROADCAST structurally): one partial-aggregable (type, hour) count, the cumulative walk and its running min/max as stacked Window passes over ONE type-keyed shuffle + sort, change-point hours via the hash-aggregable graft_argmax (no second window, no sort aggregate) - raw events reduce map-side before anything sequential happens",
-    "q186_source_kappa" -> "rides the memoized assigned fan-out (ObjectHashAggregate argmax, built once per session); every confusion/marginal/chance stage is a partial-aggregable hash aggregate over <= |sources| x k^2 cells - no window, no Cartesian product",
+    "q186_source_kappa" -> "rides the memoized assigned fan-out (ObjectHashAggregate argmax, built once per session); hash(source) BEFORE the cells aggregate satisfies every downstream grouping/join distribution (source prefixes each key), so the kappa computation is exchange-free past one repartition (r17); every stage partial-aggregable over <= |sources| x k^2 cells - no window over the corpus, no Cartesian product",
     "q187_risk_coverage" -> "the threshold sweep fans out the BOUNDED (confidence-bucket, correct) grid (<= 2001 x 2 cells by construction) against the broadcast 5-row threshold frame (BroadcastNestedLoopJoin) - corpus rows are counted once into the grid and never multiplied",
     "q188_label_lift" -> "one narrow embeddings-documents equi-join, one partial-aggregable cell count; the n_i/n_j marginals re-aggregate the cell frame and BROADCAST back (BroadcastHashJoin) - nothing corpus-sized crosses the wire twice",
     "q189_cluster_density" -> "both inputs are memoized pairs-bounded frames (CC labels + verified pairs); the audit is two hash aggregates and one cluster-keyed join on tiny frames - no corpus scan, no triangle enumeration",
@@ -182,7 +182,7 @@ object Explain {
     "q232_returned_revenue" -> "q05's fact-last discipline: half-year orders pre-join customer into a 4-column frame, the returnflag-filtered lineitem projection joins once, nation broadcasts, top-20 is TakeOrderedAndProject",
     "q233_waiting_suppliers" -> "TPC-H Q21 WITHOUT the triple fact self-join: ONE per-order partial-aggregable aggregate computes distinct/late-distinct supplier counts and the sole-late survivor via max; blamed orders are orders-scale and the supplier/nation joins broadcast",
     "q234_idle_rich" -> "scalar balance stats broadcast (1-row hinted cross join), cross-multiplied decimal threshold compare (never a division), recency-filtered LEFT ANTI join on the customer key, nations-sized report",
-    "q235_peak_concurrency" -> "interval-stabbing +1/-1 sweep with the GLOBAL running sum as the two-phase sharded prefix sum - per-day shard totals cumulate in a bounded window and broadcast back, so no single-task global sort at any event count; bit-identical to the naive global window",
+    "q235_peak_concurrency" -> "interval-stabbing +1/-1 sweep consumed ONCE (r17; explode, not unionAll): day totals, the intra-day running-sum max, and start counts fold into the single post-window aggregate (max(off+run) = off+max(run)); the only global window is the bounded |days|-row offset cumsum - no single-task sort over events at any count; bit-identical to the naive global window",
     "q236_user_gini" -> "exact Gini from the activity-level HISTOGRAM: one (type,user) count aggregate collapses to <=|types|x|levels| rows and every window runs over that aggregated frame - tie blocks contribute f*c + f(f+1)/2 rank mass exactly, no per-user rank window",
     "q238_embedding_quality" -> "two label-keyed partial-aggregable aggregates over the memoized scaled frame with stats broadcast back; outlier tests are DECIMAL(38,0) cross-multiplied compares - no division, no overflow at 10^9 vectors",
     "q240_knn_homophily" -> "one broadcast label-lookup join onto the memoized n*k knnEdges frame (shared with q193/q204 - built once), then a |labels| aggregate; chance marginals broadcast in",
@@ -194,7 +194,7 @@ object Explain {
     "q244_supplier_gini" -> "one fact aggregate keyed by supplier, nation broadcast; the value-ordered rank is the two-phase shardedRowNumber (every sort task bounded by one revenue bucket); DECIMAL(38,0) rank x revenue products",
     "q245_repeat_interval" -> "orders shuffle once keyed by customer (high-cardinality lag partitions - not the hazard class); day-gap quantiles ride the histogram-cumsum shape over the bounded (segment, gap) frame",
     "q246_reorder_rate" -> "ONE fact-scale aggregate on the uniform (custkey, partkey, brand) composite; part broadcast onto the pruned 2-column lineitem projection; |brands|-sized partial-aggregable rollup",
-    "q247_perm_sweep" -> "all three perm counts read the ONE memoized signature table (prefix lanes are valid k-perm MinHashes); pairs-bounded joins, 3 report rows - no re-shingling, no re-aggregation per k",
+    "q247_perm_sweep" -> "all three perm counts read the ONE memoized signature table (prefix lanes are valid k-perm MinHashes); the per-k error rows EXPLODE out of a single pass over the pairs-bounded base (r17; the unionAll form planned the 4-join base once per k); 3 report rows - no re-shingling, no re-aggregation per k",
     "q11_rollup_flags" -> "grouping-sets rollup planned as ONE Expand whose x(levels) fan-out is the query's DECLARED semantics (spark_grouping_id - the census distinguishes it from the q233-class multi-distinct rewrite Expand) feeding a partial-aggregable hash aggregate",
     "q28_kv_sorted" -> "the reference's SH1+K1 semantics (shuffle + global key sort into the TSV sink) planned as a RangePartitioning exchange - sampled bounds, PARALLEL sort tasks - never a single-task sort; runs once per report at output scale",
     "q49_salted_agg" -> "two-stage salted aggregate: the hot key fans out over (key, salt) in a first partial-aggregable groupBy, the second collapses salts - the planted-skew defense the skew phase measures; no single reducer ever owns a hot key",

@@ -2286,12 +2286,17 @@ object Dedup {
       .select(col("doc_id"), col("source"), md5u32(col("w")).as("h"))
       .groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
-    // windows living in ≥ 2 distinct documents (cross-doc duplication)
-    val dupWin = perDocWin.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_docs_with"))
+    // windows living in ≥ 2 distinct documents (cross-doc duplication).
+    // One consumption of perDocWin (r17): the groupBy(h)+semi-join form
+    // planned TWO copies of the ngram-explode subtree (column pruning
+    // gives each consumer a different exchange, so ReuseExchange never
+    // fires); a count over the h-partition is the same per-(h,doc_id)
+    // n_docs_with — perDocWin has exactly one row per (h, doc_id) — and
+    // the filter keeps exactly the semi-join's rows.
+    val wH = Window.partitionBy(col("h"))
+    val dupPerDoc = perDocWin
+      .withColumn("n_docs_with", count(lit(1)).over(wH))
       .filter(col("n_docs_with") >= 2L)
-      .select(col("h"))
-    val dupPerDoc = perDocWin.join(dupWin, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_dup"))
     // totals straight from the scan so zero-window (short) docs count

@@ -572,43 +572,52 @@ object Events {
     val stored = scd2IntervalsOf(hist)
     val deltaUsers = delta.select(col("user_id")).distinct()
 
-    // Pass-through: users the delta never mentions.
-    val untouched = stored.join(deltaUsers, Seq("user_id"), "left_anti")
-
-    val touched = stored.join(deltaUsers, Seq("user_id"), "left_semi")
-    val closedRows = touched.filter(!col("is_current"))
+    // ONE left join routes the stored table (r17; the anti/semi pair
+    // consumed the stored window-chain subtree three times): users the
+    // delta never mentions pass through (null flag, all rows), a delta
+    // user's CLOSED rows pass through unchanged, and the open interval
+    // becomes the seed. Row-identical to the anti ∪ (semi ∧ closed)
+    // form by case analysis on (flag, is_current).
+    val flagged = stored.join(deltaUsers.withColumn("d_hit", lit(1)),
+      Seq("user_id"), "left")
+    val keep = flagged.filter(col("d_hit").isNull || !col("is_current"))
+      .drop("d_hit")
     // Seed: each delta user's open interval (absent for brand-new users).
-    val seed = touched.filter(col("is_current"))
-      .select(col("user_id"), col("event_type"), col("valid_from_us"),
-        col("version_no"))
+    val seed = flagged.filter(col("d_hit") === 1 && col("is_current"))
 
     // Change detection over (seed ∥ delta): the seed is a pseudo-event
     // carrying the boundary state; event_id -1 orders it first at its
-    // timestamp (real ids are non-negative).
+    // timestamp (real ids are non-negative). The version offset rides
+    // the seed row itself (null on delta rows) and broadcasts to the
+    // user's chain through a window max over the SAME user partitioning
+    // the lag/lead windows already established — the former
+    // offsets-frame broadcast join re-derived the seed a second time.
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
+    val wUser = Window.partitionBy(col("user_id"))
     val merged = seed
       .select(col("user_id"), lit(-1L).as("event_id"),
-        col("valid_from_us").as("ts_us"), col("event_type"))
+        col("valid_from_us").as("ts_us"), col("event_type"),
+        (col("version_no") - 1L).as("v_off"))
       .unionByName(delta.select(col("user_id"), col("event_id"),
-        col("ts_us"), col("event_type")))
+        col("ts_us"), col("event_type"),
+        lit(null).cast("long").as("v_off")))
     val changes = merged
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
       .withColumn("chain_no", row_number().over(byUser).cast("long"))
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
-    // Version numbers continue from the stored offset (seed row is
-    // version `offset`, so chain_no 1 re-emits it with any new close).
-    val offsets = seed.select(col("user_id"),
-      (col("version_no") - 1L).as("v_off"))
+      // The seed is always a change row (first per user by the -1
+      // event_id, prev null), so the post-filter max still sees it.
+      .withColumn("v_off_u", max(col("v_off")).over(wUser))
     val rebuilt = changes
-      .join(broadcast(offsets), Seq("user_id"), "left")
       .select(col("user_id"),
-        (col("chain_no") + coalesce(col("v_off"), lit(0L))).as("version_no"),
+        (col("chain_no") + coalesce(col("v_off_u"), lit(0L)))
+          .as("version_no"),
         col("event_type"), col("ts_us").as("valid_from_us"),
         col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
 
-    untouched.unionByName(closedRows).unionByName(rebuilt)
+    keep.unionByName(rebuilt)
       .orderBy(col("user_id"), col("version_no"))
   }
 

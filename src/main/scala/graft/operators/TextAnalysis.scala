@@ -1566,10 +1566,22 @@ object TextAnalysis {
     * they don't re-adjudicate. The streaming gate keeps calling
     * [[qualityDecisions]] per micro-batch — its input is transient. */
   private[graft] def corpusQualityDecisions(spark: SparkSession,
-      dir: String): DataFrame =
-    Features.cachedFrame(spark, s"$dir#qualityDecisions") {
+      dir: String): DataFrame = {
+    // The LM scoring-mode knobs change what the builder EMITS (plan
+    // shape AND validation), so they ride the cache key — the
+    // [[graft.operators.Similarity]] ivfAssigned discipline. The RAW
+    // conf values key the entry, so an invalid mode always MISSES and
+    // the builder's validation throws (LmScoringModeSpec's contract);
+    // a flipped mode builds its own frame instead of replaying the
+    // other mode's plan.
+    val mode = spark.conf.getOption(Features.LmScoringConf)
+      .map(_.trim).getOrElse("broadcast")
+    val cap = spark.conf.getOption(Features.LmMaxBroadcastTermsConf)
+      .map(_.trim).getOrElse("default")
+    Features.cachedFrame(spark, s"$dir#qualityDecisions#$mode#$cap") {
       qualityDecisions(Tables.documents(spark, dir), lmTable(spark, dir))
     }
+  }
 
   private[graft] def qualityDecisions(docs: DataFrame, lm: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -2800,19 +2812,26 @@ object TextAnalysis {
     * key, and ONE sources-sized groupBy — the q85 shape with md5 keys
     * carrying 16 bytes instead of window hashes. */
   private def q121(spark: SparkSession, dir: String): DataFrame = {
+    // One consumption of the chunk fan-out (r17; the groupBy+semi-join
+    // +perDoc form planned chunksOf THREE times — the q85 disease):
+    // per-(chunk, doc) occurrence counts first, then the cross-doc
+    // test is a count over the chunk_md5 partition (perPair has one
+    // row per (chunk_md5, doc_id), so the window count IS the
+    // distinct-doc count), and both per-doc totals fold into one
+    // aggregate — n_dup counts occurrences of cross-doc chunks,
+    // exactly the semi-join's rows.
     val chunks = chunksOf(Tables.documents(spark, dir))
       .select(col("doc_id"), col("chunk_md5"))
-    val crossDoc = chunks.groupBy(col("chunk_md5"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2L).select(col("chunk_md5"))
-    val dupPerDoc = chunks.join(crossDoc, Seq("chunk_md5"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-    val perDoc = chunks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"))
+    val perPair = chunks.groupBy(col("chunk_md5"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val wMd5 = Window.partitionBy(col("chunk_md5"))
+    val perDoc = perPair
+      .withColumn("nd", count(lit(1)).over(wMd5))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_chunks"),
+        sum(when(col("nd") >= 2L, col("n_occ")).otherwise(0L)).as("n_dup"))
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       .join(perDoc, Seq("doc_id"))
-      .join(dupPerDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_dup"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chunks")).as("n_chunks"),

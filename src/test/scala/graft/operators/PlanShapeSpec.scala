@@ -256,12 +256,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
-  test("q85: span dedup is hash aggregates + a semi join on the uniform " +
-      "window hash — no Cartesian product, no pair join anywhere") {
+  test("q85: span dedup is hash aggregates + ONE consumption of the " +
+      "window-hash stream (cross-doc test is a count over the h " +
+      "partition — the r17 shape; the former semi join planned the " +
+      "ngram explode twice) — no Cartesian product, no pair join") {
     val p = plan("q85_span_dedup")
     p should include("HashAggregate")
-    p should include("LeftSemi")
+    p should include("Window")
+    p should not include "LeftSemi"
     p should not include "CartesianProduct"
+    // one ngram fan-out, not two: the Generate node appears once
+    p.sliding("Generate".length).count(_ == "Generate") shouldBe 1
   }
 
   test("q86: BM25 pushes the query-term filter below the tf aggregate " +
