@@ -1612,8 +1612,6 @@ object Similarity {
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
     val adcTop = adc.withColumn("rank", row_number().over(wAdc))
       .filter(col("rank") <= k)
-    val adcAgg = adcTop.groupBy(col("q_id"))
-      .agg(sum(col("adc_d2")).as("adc_d2_sum"))
     // Exact L2 leg (q38's broadcast shape, L2 metric).
     val qs = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("sv").as("qv"), col("n2").as("qn2"))
@@ -1624,14 +1622,20 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("d2"))
       .withColumn("rank", row_number().over(wEx))
       .filter(col("rank") <= k)
-    exactTop
-      .join(adcTop.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
-        Seq("q_id", "vec_id"), "left")
+    // ONE consumption of adcTop (r17, same fold as q137): full outer
+    // join on (q_id, vec_id), one aggregate for recall + both distance
+    // masses. The old inner join on adcAgg required every q_id to have
+    // ADC rows; the corpus guarantees both legs k rows per query, so
+    // the q_id set is unchanged.
+    exactTop.select(col("q_id"), col("vec_id"), col("d2"))
+      .join(adcTop.select(col("q_id"), col("vec_id"), col("adc_d2")),
+        Seq("q_id", "vec_id"), "full_outer")
       .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-        sum(col("d2")).as("exact_d2_sum"))
-      .join(adcAgg, "q_id")
+      .agg(sum(when(col("d2").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("d2").isNotNull && col("adc_d2").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"),
+        sum(col("d2")).as("exact_d2_sum"),
+        sum(col("adc_d2")).as("adc_d2_sum"))
       .select(col("q_id"), col("n_exact"), col("n_hits"),
         col("exact_d2_sum"), col("adc_d2_sum"))
       .orderBy(col("q_id"))
@@ -1794,8 +1798,6 @@ object Similarity {
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
     val adcTop = adc.withColumn("rank", row_number().over(wAdc))
       .filter(col("rank") <= k)
-    val adcAgg = adcTop.groupBy(col("q_id"))
-      .agg(sum(col("adc_d2")).as("adc_d2_sum"))
     val ncand = resid.filter(col("vec_id") >= NQueries)
       .select(col("cell"))
       .join(broadcast(qcells), col("cell") === col("qcell"))
@@ -1810,20 +1812,29 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("d2"))
       .withColumn("rank", row_number().over(wEx))
       .filter(col("rank") <= k)
-    exactTop
-      .join(adcTop.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
-        Seq("q_id", "vec_id"), "left")
+    // ONE consumption of adcTop (r17; the hit join + the separate
+    // adcAgg re-ran the broadcast-LUT ADC join and its top-k window
+    // twice): a FULL OUTER join on (q_id, vec_id) carries both legs,
+    // and one aggregate derives recall AND both distance sums —
+    // n_exact counts exact-leg rows (d2 never null there), n_hits the
+    // rows present in both, sum skips the other leg's nulls. Every
+    // q_id has k exact rows (|corpus| ≥ k at every SF), so the output
+    // q_id set is unchanged.
+    exactTop.select(col("q_id"), col("vec_id"), col("d2"))
+      .join(adcTop.select(col("q_id"), col("vec_id"), col("adc_d2")),
+        Seq("q_id", "vec_id"), "full_outer")
       .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-        sum(col("d2")).as("exact_d2_sum"))
+      .agg(sum(when(col("d2").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("d2").isNotNull && col("adc_d2").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"),
+        sum(col("d2")).as("exact_d2_sum"),
+        sum(col("adc_d2")).as("adc_d2_sum0"))
       .join(qcells.select(col("q_id"), col("qcell").as("cell")), "q_id")
       .join(ncand, Seq("q_id"), "left")
-      .join(adcAgg, Seq("q_id"), "left")
       .select(col("q_id"), col("cell"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         col("n_exact"), col("n_hits"), col("exact_d2_sum"),
-        coalesce(col("adc_d2_sum"), lit(0L)).as("adc_d2_sum"))
+        coalesce(col("adc_d2_sum0"), lit(0L)).as("adc_d2_sum"))
       .orderBy(col("q_id"))
   }
 
