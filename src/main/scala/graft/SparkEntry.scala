@@ -31,9 +31,16 @@ object SparkEntry {
     * fresh. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
-      name -> ((spark: SparkSession, dir: String) =>
+      name -> ((spark: SparkSession, dir: String) => {
+        // register the graft_* function surface on THE session the
+        // query will analyze under — `call_function` columns resolve
+        // lazily against its registry, and a `newSession()` (fresh
+        // registry, same context) would otherwise hit
+        // unresolvedRoutineError on the limb-sum family
+        graft.plans.GraftExtensions.register(spark)
         graft.operators.Features.memoQuery(spark, dir, s"$dir#q#$name")(
-          fn(spark, dir)))
+          fn(spark, dir))
+      })
     }
 
   private lazy val rawQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -50,20 +50,32 @@ object Parity {
   def d2dSql(e: String): String =
     s"(CAST(CAST(FLOOR($e) AS BIGINT) AS DOUBLE) + CAST(($e) - FLOOR($e) AS DOUBLE))"
 
-  /** Order-independent sum of a double column, returned as double. */
-  def dsum(c: Column): Column = decToDouble(sum(dec(c)))
+  /** Order-independent sum of a double column, returned as double.
+    * Two-limb long aggregation ([[LimbSum]]) — bit-identical to
+    * `decToDouble(sum(dec(c)))` (the [[dsumDec]] legacy form,
+    * `LimbSumSpec`-pinned) with no Decimal buffer in the plan. */
+  def dsum(c: Column): Column = LimbSum.limbSum(LimbSum.u4(c), 4)
 
   /** Deterministic average: exact decimal sum, then one double division.
     * (Built-in `avg(double)` accumulates in double → order-dependent.) */
   def davg(c: Column): Column =
-    decToDouble(sum(dec(c))) / count(lit(1)).cast(DoubleType)
+    dsum(c) / count(lit(1)).cast(DoubleType)
 
   /** Exact revenue term: extendedprice * (1 - discount), all decimal. */
   def revenue(price: Column, discount: Column): Column =
     dec(price) * (lit(1).cast(DecimalType(12, 4)) - dec4(discount))
 
-  /** Order-independent sum of the revenue term, as double. */
+  /** Order-independent sum of the revenue term, as double: fused
+    * unscaled-long product (scale 8) + two-limb sum — bit-identical to
+    * [[dsumRevenueDec]] (`LimbSumSpec`-pinned). */
   def dsumRevenue(price: Column, discount: Column): Column =
+    LimbSum.limbSum(LimbSum.revU8(price, discount), 8)
+
+  /** Legacy decimal-buffer forms, kept as the equivalence reference the
+    * limb implementations are spec-pinned against (and as the fallback
+    * if an input domain ever escalates past the fused-long bounds). */
+  def dsumDec(c: Column): Column = decToDouble(sum(dec(c)))
+  def dsumRevenueDec(price: Column, discount: Column): Column =
     decToDouble(sum(revenue(price, discount)))
 
   /** Portable uniform hash: unsigned 32-bit int from the md5 hex prefix.

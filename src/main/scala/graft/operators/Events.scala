@@ -592,6 +592,15 @@ object Events {
     // user's chain through a window max over the SAME user partitioning
     // the lag/lead windows already established — the former
     // offsets-frame broadcast join re-derived the seed a second time.
+    //
+    // ORDERING INVARIANT (r17 ADVICE): the offset-riding form requires
+    // the seed to sort strictly first per user, i.e. every delta event
+    // has ts_us > the open interval's valid_from_us. Here that holds BY
+    // CONSTRUCTION: delta is the ts_us >= cut split and the open
+    // interval started before cut. A production merge fed LATE deltas
+    // (ts at or before the boundary state's start) must pre-filter them
+    // or fall back to the offsets-frame join, else the seed can become
+    // a non-change row and the user's versions restart at 1.
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val wUser = Window.partitionBy(col("user_id"))
@@ -2677,7 +2686,8 @@ object Events {
   private def q217(spark: SparkSession, dir: String): DataFrame = {
     val ltv = Tables.events(spark, dir)
       .groupBy(col("user_id"))
-      .agg((sum(dec(col("value"))) * lit(10000)).cast(LongType).as("ltv_u"))
+      .agg(graft.functions.LimbSum.limbU4(
+        graft.functions.LimbSum.u4(col("value")), 4).as("ltv_u"))
     val deciled =
       if (!Features.approxQuantiles(spark)) {
         val wRank = Window.orderBy(col("ltv_u").desc, col("user_id"))
@@ -2893,7 +2903,8 @@ object Events {
       .agg(
         graft.functions.ArgMaxAgg.argMax(struct(negate(col("ord"))),
           col("event_type")).as("entry_type"),
-        (sum(dec(col("value"))) * lit(10000)).cast(LongType).as("value_u"))
+        graft.functions.LimbSum.limbU4(
+          graft.functions.LimbSum.u4(col("value")), 4).as("value_u"))
     per.groupBy(col("entry_type"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("value_u")).as("sum_value_u"))
       .withColumn("total_u",
@@ -3293,12 +3304,14 @@ object Events {
       // inner mass stays EXACT decimal — only the final report row
       // converts to double (one IEEE rounding in both engines)
       .agg(max(col("n_purchases")).as("n_purchases"),
-        count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+        count(lit(1)).as("n"),
+        graft.functions.LimbSum.limbStruct(
+          graft.functions.LimbSum.u4(col("value"))).as("v"))
       .groupBy(col("day"))
       .agg(max(col("n_purchases")).as("n_purchases"),
         sum(col("n")).as("n_events"),
         count(lit(1)).as("n_users"),
-        decToDouble(sum(col("v"))).as("sum_value"))
+        graft.functions.LimbSum.limbFin(col("v"), 4).as("sum_value"))
       .select(
         expr("CAST(CAST(day AS TIMESTAMP) AS LONG) div 86400").as("day"),
         col("n_purchases"), col("n_events"), col("n_users"),

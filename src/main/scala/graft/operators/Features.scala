@@ -127,13 +127,38 @@ object Features {
       }
     }
 
+  /** Every stage-cache key follows the `"$dir#name"` convention, so the
+    * same input stamp that guards [[memoQuery]] can guard the stage
+    * caches: a table rewritten under a stable dir must MISS here too,
+    * or a memoQuery rebuild would re-read stale persisted stage frames
+    * whose FileIndex lists deleted part files (r17 ADVICE item). The
+    * stamped key keeps the caller-visible key API unchanged. */
+  private def stampedKey(key: String): String = {
+    val cut = key.indexOf('#')
+    if (cut <= 0) key else key + "|" + inputStamp(key.substring(0, cut))
+  }
+
+  /** Drop (and free) superseded stamps of the same logical key so a
+    * rewritten input can't pin the stale frame's storage for the rest
+    * of the session. */
+  private def evictStaleFrames(sk: String, key: String, liveKey: String): Unit =
+    cache.keys
+      .filter(k => k._1 == sk && k._2.startsWith(key + "|") && k._2 != liveKey)
+      .foreach { k =>
+        cache.remove(k).foreach(df =>
+          try freeFrame(df) catch { case _: Exception => () })
+      }
+
   def cachedFrame(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (cacheOff(spark)) return build
-    val k = (sessionKey(spark), key)
+    val sk = sessionKey(spark)
+    val stamped = stampedKey(key)
+    val k = (sk, stamped)
     cache.get(k) match {
       case Some(df) => df
       case None =>
-        noteBuild(k)
+        evictStaleFrames(sk, key, stamped)
+        noteBuild((sk, key))
         val built = build
         val persisted =
           if (isCheckpointBacked(built)) built
@@ -547,11 +572,18 @@ object Features {
     * the index they summarize; per-run rebuilds would double-charge
     * every query that reads them. */
   def cachedValue[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
-    val k = (sessionKey(spark), key)
+    val sk = sessionKey(spark)
+    val stamped = stampedKey(key)
+    val k = (sk, stamped)
     valueCache.get(k) match {
       case Some(v) => v.asInstanceOf[T]
       case None =>
-        noteBuild(k)
+        // superseded stamps of the same logical key are plain values —
+        // drop them so a rewritten input can't serve stale constants
+        valueCache.keys
+          .filter(o => o._1 == sk && o._2.startsWith(key + "|") && o._2 != stamped)
+          .foreach(valueCache.remove)
+        noteBuild((sk, key))
         val built = build
         valueCache.putIfAbsent(k, built) match {
           case None         => built
@@ -607,7 +639,25 @@ object Features {
       val kids = d.listFiles()
       if (kids == null) "nodir"
       else kids.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+        .map { f =>
+          // one level of recursion + child count: a part-file rewrite
+          // INSIDE a stable table directory (t.parquet/part-*.parquet
+          // replaced; dir mtime can survive on some filesystems) must
+          // change the stamp too (r17 ADVICE item). Two rewrites within
+          // one mtime tick on coarse-granularity filesystems remain
+          // invisible — PlanMemoSpec documents that caveat at its
+          // mutation pin.
+          val sub =
+            if (!f.isDirectory) ""
+            else {
+              val gk = f.listFiles()
+              if (gk == null) "/none"
+              else s"/${gk.length}:" + gk.sortBy(_.getName)
+                .map(g => s"${g.getName}:${g.lastModified}:${g.length}")
+                .mkString("|").hashCode.toHexString
+            }
+          s"${f.getName}:${f.lastModified}:${f.length}$sub"
+        }
         .mkString(",")
     } catch { case _: Exception => "staterr" }
 

@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
+import graft.functions.LimbSum
 import graft.functions.Parity._
 
 /** Relational query suite over the TPC-H-ish testdata star schema.
@@ -49,8 +50,10 @@ object Relational {
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
         dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-        decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")) *
-          (lit(1).cast("decimal(12,4)") + dec4(col("l_tax"))))).as("sum_charge"),
+        // fused-long charge term: bit-identical to
+        // decToDouble(sum(revenue·(1+tax))) — LimbSumSpec pins it
+        LimbSum.limbSum(LimbSum.chargeU6(col("l_extendedprice"),
+          col("l_discount"), col("l_tax")), 6).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -92,18 +95,19 @@ object Relational {
     val na = Tables.nation(spark, dir)
     val perOrder = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
-        .as("rev_dec"),
+      .agg(LimbSum.limbStruct(LimbSum.revU8(col("l_extendedprice"),
+        col("l_discount"))).as("rev_l"),
         count(lit(1)).as("n_lines"))
     val perCust = perOrder
       .join(or, col("l_orderkey") === or("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n_lines")).as("n_lines"))
+      .agg(LimbSum.limbResum(col("rev_l")).as("rev_l"),
+        sum(col("n_lines")).as("n_lines"))
     perCust
       .join(cu, col("o_custkey") === cu("c_custkey"))
       .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(decToDouble(sum(col("rev_dec"))).as("revenue"),
+      .agg(LimbSum.limbFin(col("rev_l"), 8).as("revenue"),
         sum(col("n_lines")).as("n_lines"))
       .orderBy(col("n_name"))
   }
@@ -216,7 +220,15 @@ object Relational {
     val re = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val orderNation = or.join(cu, or("o_custkey") === cu("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
-    li.join(orderNation, li("l_orderkey") === orderNation("o_orderkey"))
+    // MERGE hint: the planner's pre-filter size estimate of the pruned
+    // lineitem scan undercuts the broadcast threshold, so it BROADCAST
+    // the 600k-row fact side (34 MB built on the driver, ~0.5 s serial
+    // per run — MetricsProbe r18) while the dated-orders×customer side
+    // is 9× smaller. At warehouse scale both sides are fact-scale and
+    // this join is a sort-merge anyway; the hint makes the fixture plan
+    // match the scale plan instead of collecting the fact table.
+    li.join(orderNation.hint("merge"),
+        li("l_orderkey") === orderNation("o_orderkey"))
       .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
         col("c_nationkey") === su("s_nationkey"))
       .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
@@ -250,8 +262,8 @@ object Relational {
       .filter(col("l_discount") >= 0.02 && col("l_discount") <= 0.06)
       .filter(col("l_quantity") < 24.0)
       .agg(
-        decToDouble(sum(dec(col("l_extendedprice")) * dec4(col("l_discount"))))
-          .as("revenue"),
+        LimbSum.limbSum(LimbSum.prodU8(col("l_extendedprice"),
+          col("l_discount")), 8).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -469,10 +481,10 @@ object Relational {
       .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
     li.join(pa, li("l_partkey") === pa("p_partkey"))
       .agg(
-        (decToDouble(sum(when(col("p_type") === "PROMO",
-          revenue(col("l_extendedprice"), col("l_discount")))
-          .otherwise(lit(0).cast("decimal(18,4)")))) * 100.0 /
-          decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))))
+        (LimbSum.limbSum(when(col("p_type") === "PROMO",
+          LimbSum.revU8(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0L)), 8) * 100.0 /
+          dsumRevenue(col("l_extendedprice"), col("l_discount")))
           .as("promo_share"),
         count(lit(1)).as("n_lines"))
   }
@@ -673,7 +685,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("days_since")).as("sum_days"),
-        decToDouble(sum(dec(sqrt(col("o_totalprice"))))).as("sum_sqrt_price"),
+        dsum(sqrt(col("o_totalprice"))).as("sum_sqrt_price"),
         max(abs(floor(col("o_totalprice") / 1000.0)).cast("long")).as("max_kprice"))
       .orderBy(col("o_year"), col("o_quarter"))
   }
@@ -700,9 +712,10 @@ object Relational {
     val partial = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(col("l_orderkey"), lit(16L)))
       .groupBy(col("l_returnflag"), col("salt"))
-      .agg(sum(dec(col("l_quantity"))).as("p_qty"), count(lit(1)).as("p_n"))
+      .agg(LimbSum.limbStruct(LimbSum.u4(col("l_quantity"))).as("p_qty"),
+        count(lit(1)).as("p_n"))
     partial.groupBy(col("l_returnflag"))
-      .agg(decToDouble(sum(col("p_qty"))).as("sum_qty"),
+      .agg(LimbSum.limbFin(col("p_qty"), 4).as("sum_qty"),
         sum(col("p_n")).as("n_lines"))
       .orderBy(col("l_returnflag"))
   }
@@ -741,7 +754,7 @@ object Relational {
       // the NTZ->TZ cast is value-preserving (Tables.events' rationale)
       .groupBy(expr(
         "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400").as("day"))
-      .agg((sum(dec(col("o_totalprice"))) * lit(10000)).cast("long")
+      .agg(LimbSum.limbU4(LimbSum.u4(col("o_totalprice")), 4)
         .as("revenue_u"),
         count(lit(1)).as("n_orders"))
     val w = Window.orderBy(col("day")).rangeBetween(-6L, 0L)
@@ -903,7 +916,17 @@ object Relational {
     // 60M-row input (measured x10.5 at the 100x sweep); the
     // per-(order, supplier) pre-aggregate gets the same distinct
     // semantics from hash aggregation alone.
-    val perPair = li.join(or, li("l_orderkey") === or("o_orderkey"))
+    // ONE orderkey exchange feeds BOTH stacked aggregates: partitioning
+    // on l_orderkey satisfies the (orderkey, suppkey) clustering of the
+    // pair aggregate AND the order aggregate's own grouping, so neither
+    // plans an exchange (guide §2.4 — share one exchange across
+    // same-keyed operations). Without it the fixture's broadcast join
+    // paid TWO fact-scale aggregate exchanges plus a useless 600k→599k
+    // partial pass; at warehouse scale the orders join is an SMJ on the
+    // same key, which reuses this repartition, so the exchange count is
+    // unchanged there (1 lineitem shuffle either way).
+    val perPair = li.repartition(col("l_orderkey"))
+      .join(or, li("l_orderkey") === or("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(late, 1L).otherwise(0L)).as("is_late"))
     val perOrder = perPair
@@ -1014,16 +1037,26 @@ object Relational {
     * Scale posture: ONE partial-aggregable groupBy over the pruned
     * 3-column scan; ≤|flags| report rows; no join, no window. */
   private def q239(spark: SparkSession, dir: String): DataFrame = {
-    val x = dec4(col("l_quantity"))
-    val y = dec(col("l_extendedprice"))
+    // Fused-long moments: xu/yu are the exact unscaled DECIMAL(12,4)/
+    // (18,4) values; each second-moment product is one long multiply
+    // (scale 8) instead of a Decimal multiply — |xu|,|yu| ≤ 3e9 guarded
+    // (fixture maxima 5e5/1.1e9), so products stay ≤ 9e18. Bit-identical
+    // to the decimal moment sums (LimbSumSpec pins the family).
+    val xu = LimbSum.u4n(col("l_quantity"))
+    val yu = LimbSum.u4(col("l_extendedprice"))
+    def mul(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, lit(null).cast("long"))
+        .when(abs(a) <= 3000000000L && abs(b) <= 3000000000L, a * b)
+        .otherwise(assert_true(lit(false),
+          lit("q239: input beyond the fused-long overflow bound")).cast("long"))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast(DoubleType).as("n"),
-        decToDouble(sum(x)).as("sx"),
-        decToDouble(sum(y)).as("sy"),
-        decToDouble(sum(x * x)).as("sxx"),
-        decToDouble(sum(y * y)).as("syy"),
-        decToDouble(sum(x * y)).as("sxy"))
+        LimbSum.limbSum(xu, 4).as("sx"),
+        LimbSum.limbSum(yu, 4).as("sy"),
+        LimbSum.limbSum(mul(xu, xu), 8).as("sxx"),
+        LimbSum.limbSum(mul(yu, yu), 8).as("syy"),
+        LimbSum.limbSum(mul(xu, yu), 8).as("sxy"))
       .withColumn("den2",
         (col("n") * col("sxx") - col("sx") * col("sx")) *
           (col("n") * col("syy") - col("sy") * col("sy")))
@@ -1099,7 +1132,7 @@ object Relational {
           .otherwise("d_over_2y"))
       .groupBy(col("o_orderpriority"), col("age_bucket"))
       .agg(count(lit(1)).as("n_orders"),
-        (sum(dec(col("o_totalprice"))) * lit(10000)).cast("long")
+        LimbSum.limbU4(LimbSum.u4(col("o_totalprice")), 4)
           .as("value_u"))
       .orderBy(col("o_orderpriority"), col("age_bucket"))
   }
@@ -1152,7 +1185,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("yr"), col("n_name"))
-      .agg((sum(dec(col("o_totalprice"))) * lit(10000)).cast("long")
+      .agg(LimbSum.limbU4(LimbSum.u4(col("o_totalprice")), 4)
         .as("rev_u"))
     val wYear = Window.partitionBy(col("yr"))
     val wNation = Window.partitionBy(col("n_name")).orderBy(col("yr"))
@@ -1215,8 +1248,8 @@ object Relational {
   private def q244(spark: SparkSession, dir: String): DataFrame = {
     val perSupp = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"))
-      .agg((sum(revenue(col("l_extendedprice"), col("l_discount"))) *
-        lit(10000)).cast("long").as("rev_u"))
+      .agg(LimbSum.limbU4(LimbSum.revU8(col("l_extendedprice"),
+        col("l_discount")), 8).as("rev_u"))
       .join(broadcast(Tables.supplier(spark, dir)
           .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
@@ -1429,10 +1462,20 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"))
     // part is scale-growing like q245's customer: no forced broadcast —
     // the 2-column projection rides the size threshold.
-    li.join(or, li("l_orderkey") === or("o_orderkey"))
-      .join(pt, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("o_custkey"), col("l_partkey"), col("p_brand"))
+    // Pair identity is (custkey, partkey) — brand is functionally
+    // dependent on partkey — so the brand join moves BELOW the pair
+    // aggregate: the fact-scale exchange carries two longs instead of
+    // two longs + a string, the near-no-reduction 600k partial pass
+    // runs on narrower keys, and part joins the REDUCED distinct-pair
+    // set (at warehouse scale that drops a full fact-table shuffle by
+    // partkey). repartition(o_custkey) then feeds the pair aggregate
+    // exchange-free (custkey prefix satisfies its clustering).
+    val pairs = li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
       .agg(count(lit(1)).as("n_buys"))
+    pairs.join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("n_buys") >= 2L, 1L).otherwise(0L)).as("n_repeat"))

@@ -1637,7 +1637,11 @@ object Similarity {
         sum(col("d2")).as("exact_d2_sum"),
         sum(col("adc_d2")).as("adc_d2_sum"))
       .select(col("q_id"), col("n_exact"), col("n_hits"),
-        col("exact_d2_sum"), col("adc_d2_sum"))
+        col("exact_d2_sum"),
+        // r17 ADVICE: coalesce like q137 so a q_id whose ADC leg ever
+        // came up empty reports 0 rather than NULL (unreachable under
+        // the both-legs-k-rows corpus invariant — value-identical today)
+        coalesce(col("adc_d2_sum"), lit(0L)).as("adc_d2_sum"))
       .orderBy(col("q_id"))
   }
 
@@ -1796,12 +1800,18 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adc_d2"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
-    val adcTop = adc.withColumn("rank", row_number().over(wAdc))
+    // n_cand rides the SAME q_id window pass as the rank: `adc` has
+    // exactly one row per (query, cell-candidate) — each candidate's S
+    // code rows all matched the LUT (every (s, code) has an entry, cell
+    // equality included), so count-over-partition IS the probed cell's
+    // candidate count. This replaces r17's separate resid corpus pass +
+    // qcells broadcast join + its aggregate and the final left join
+    // (r18 fold; same exchange, second window function only).
+    val adcTop = adc
+      .withColumn("rank", row_number().over(wAdc))
+      .withColumn("n_cand",
+        count(lit(1)).over(Window.partitionBy(col("q_id"))))
       .filter(col("rank") <= k)
-    val ncand = resid.filter(col("vec_id") >= NQueries)
-      .select(col("cell"))
-      .join(broadcast(qcells), col("cell") === col("qcell"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
     // Exact leg: full-corpus L2 top-k (q136's shape) — composed recall.
     val qs = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("sv").as("qv"), col("n2").as("qn2"))
@@ -1821,18 +1831,19 @@ object Similarity {
     // q_id has k exact rows (|corpus| ≥ k at every SF), so the output
     // q_id set is unchanged.
     exactTop.select(col("q_id"), col("vec_id"), col("d2"))
-      .join(adcTop.select(col("q_id"), col("vec_id"), col("adc_d2")),
+      .join(adcTop.select(col("q_id"), col("vec_id"), col("adc_d2"),
+          col("n_cand")),
         Seq("q_id", "vec_id"), "full_outer")
       .groupBy(col("q_id"))
       .agg(sum(when(col("d2").isNotNull, 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("d2").isNotNull && col("adc_d2").isNotNull, 1L)
           .otherwise(0L)).as("n_hits"),
         sum(col("d2")).as("exact_d2_sum"),
-        sum(col("adc_d2")).as("adc_d2_sum0"))
+        sum(col("adc_d2")).as("adc_d2_sum0"),
+        max(col("n_cand")).as("n_cand0"))
       .join(qcells.select(col("q_id"), col("qcell").as("cell")), "q_id")
-      .join(ncand, Seq("q_id"), "left")
       .select(col("q_id"), col("cell"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_cand0"), lit(0L)).as("n_cand"),
         col("n_exact"), col("n_hits"), col("exact_d2_sum"),
         coalesce(col("adc_d2_sum0"), lit(0L)).as("adc_d2_sum"))
       .orderBy(col("q_id"))
@@ -4931,21 +4942,25 @@ object Similarity {
   private def q186(spark: SparkSession, dir: String): DataFrame = {
     def floorDiv(x: Column, y: Column): Column =
       ((x - pmod(x, y)) / y).cast(LongType)
-    // hash(source) BEFORE the cells aggregate: source is a prefix of
-    // every grouping key in this query ((source,g,p), (source,g),
-    // (source,p), (source)) and of the chance join's keys, so one
-    // repartition satisfies every downstream distribution — the
-    // whole kappa computation runs exchange-free past this point
-    // (measured: the groupBy-first form paid a (source,g,p) exchange
-    // PER consumer, 3× at sf0.1, plus separate exchanges for gj/pj).
-    val cells = labelAssigned(spark, dir)
-      .select(col("vec_id"), col("label").cast(LongType).as("g"),
-        col("cell").cast(LongType).as("p"))
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
-      .repartition(col("source"))
-      .groupBy(col("source"), col("g"), col("p"))
-      .agg(count(lit(1)).as("cnt"))
+    // r18 (replaces r17's repartition(source)-before-aggregate, the
+    // ADVICE single-hot-reducer hazard — a hot source pinned one task
+    // at corpus scale): aggregate on the planner's natural (source,g,p)
+    // exchange — partial-aggregated map-side, so the one corpus-sized
+    // stage shuffles ≤ tasks·|cells| rows spread over the composite
+    // key — and CACHE the ≤ sources·g·p result for the three
+    // downstream consumers (n/gj/pj re-executed the subtree; exchange
+    // reuse was the old trick's only win). Measured at sf0.1, 5-pass
+    // isolated: cached-agg 0.69 s vs repartition-first 0.96 s vs
+    // (source,g)-first 1.13 s vs agg-then-repartition 1.30 s.
+    val cells = Features.cachedFrame(spark, s"$dir#q186Cells") {
+      labelAssigned(spark, dir)
+        .select(col("vec_id"), col("label").cast(LongType).as("g"),
+          col("cell").cast(LongType).as("p"))
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+        .groupBy(col("source"), col("g"), col("p"))
+        .agg(count(lit(1)).as("cnt"))
+    }
     val n = cells.groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_vecs"),
         sum(when(col("g") === col("p"), col("cnt")).otherwise(lit(0L)))

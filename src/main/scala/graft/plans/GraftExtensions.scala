@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LmXent2Score, LmXentScore, LongDotProduct, MinHashSignature, QuantizeError, TopK}
+import graft.functions.{ArgMax, BloomMightContain, BoundedEditDistance, HeavyHitters, LimbSum, LmXent2Score, LmXentScore, LongDotProduct, MinHashSignature, QuantizeError, TopK}
 
 /** Engine-native Catalyst extensions, injected via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftQuantErr)
     ext.injectFunction(GraftExtensions.graftHeavyHitters)
     ext.injectFunction(GraftExtensions.graftTopK)
+    GraftExtensions.limbFns.foreach(ext.injectFunction)
   }
 }
 
@@ -138,10 +139,62 @@ object GraftExtensions {
       TopK(args.head, args(1), k).toAggregateExpression()
     })
 
+  /** Exact two-limb decimal-parity sum family (see [[LimbSum]]):
+    * scalar unscaled extracts, guarded fused products, and the
+    * aggregate in its three emit modes. */
+  val limbFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def info(name: String) = new ExpressionInfo(classOf[LimbSum].getName, name)
+    def scaleOf(e: Expression): Int = {
+      require(e.foldable, "graft limb scale must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    Seq(
+      (FunctionIdentifier("graft_u4"), info("graft_u4"), { args: Seq[Expression] =>
+        require(args.length == 1, "graft_u4(x) takes 1 argument")
+        LimbSum.u4Expr(args.head)
+      }),
+      (FunctionIdentifier("graft_u4n"), info("graft_u4n"), { args: Seq[Expression] =>
+        require(args.length == 1, "graft_u4n(x) takes 1 argument")
+        LimbSum.u4nExpr(args.head)
+      }),
+      (FunctionIdentifier("graft_rev_u8"), info("graft_rev_u8"), { args: Seq[Expression] =>
+        require(args.length == 2, "graft_rev_u8(price, disc) takes 2 arguments")
+        LimbSum.revU8Expr(args.head, args(1))
+      }),
+      (FunctionIdentifier("graft_prod_u8"), info("graft_prod_u8"), { args: Seq[Expression] =>
+        require(args.length == 2, "graft_prod_u8(a, b) takes 2 arguments")
+        LimbSum.prodU8Expr(args.head, args(1))
+      }),
+      (FunctionIdentifier("graft_charge_u6"), info("graft_charge_u6"), { args: Seq[Expression] =>
+        require(args.length == 3, "graft_charge_u6(price, disc, tax) takes 3 arguments")
+        LimbSum.chargeU6Expr(args.head, args(1), args(2))
+      }),
+      (FunctionIdentifier("graft_limb_sum"), info("graft_limb_sum"), { args: Seq[Expression] =>
+        require(args.length == 2, "graft_limb_sum(x, scale) takes 2 arguments")
+        LimbSum(args.head, scaleOf(args(1)), LimbSum.EmitDouble).toAggregateExpression()
+      }),
+      (FunctionIdentifier("graft_limb_struct"), info("graft_limb_struct"), { args: Seq[Expression] =>
+        require(args.length == 1, "graft_limb_struct(x) takes 1 argument")
+        LimbSum(args.head, 0, LimbSum.EmitStruct).toAggregateExpression()
+      }),
+      (FunctionIdentifier("graft_limb_resum"), info("graft_limb_resum"), { args: Seq[Expression] =>
+        require(args.length == 1, "graft_limb_resum(st) takes 1 argument")
+        LimbSum(args.head, 0, LimbSum.EmitStruct).toAggregateExpression()
+      }),
+      (FunctionIdentifier("graft_limb_fin"), info("graft_limb_fin"), { args: Seq[Expression] =>
+        require(args.length == 2, "graft_limb_fin(st, scale) takes 2 arguments")
+        LimbSum(args.head, scaleOf(args(1)), LimbSum.EmitDouble).toAggregateExpression()
+      }),
+      (FunctionIdentifier("graft_limb_u4"), info("graft_limb_u4"), { args: Seq[Expression] =>
+        require(args.length == 2, "graft_limb_u4(x, scale) takes 2 arguments")
+        LimbSum(args.head, scaleOf(args(1)), LimbSum.EmitU4).toAggregateExpression()
+      }))
+  }
+
   /** Register on an already-built session (idempotent — mirrors what
     * `injectFunction` does at session build time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftLmXent, graftLmXent2, graftQuantErr, graftHeavyHitters, graftTopK).foreach {
+    (Seq(graftDot, graftEditWithin, graftMinhash, graftArgMax, graftArgMin, graftBloomContains, graftLmXent, graftLmXent2, graftQuantErr, graftHeavyHitters, graftTopK) ++ limbFns).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
