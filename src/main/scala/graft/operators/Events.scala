@@ -497,7 +497,15 @@ object Events {
     }
 
   private def q145(spark: SparkSession, dir: String): DataFrame =
-    scd2Intervals(spark, dir).orderBy(col("user_id"), col("version_no"))
+    // INLINE build (r17 verdict item 5): q145 is the one consumer that
+    // emits the whole dimension — the window chain fuses straight into
+    // its report sort, and the driver measured the InMemoryRelation
+    // read form 1.25× slower (0.278→0.348 s). q147/q148 keep reading
+    // the shared [[scd2Intervals]] cache for their joins; the rows are
+    // identical by construction (same scd2IntervalsOf).
+    scd2IntervalsOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+      .orderBy(col("user_id"), col("version_no"))
 
   /** SQL twin of [[scd2Intervals]]: CTE chain ending in `ivals`. */
   private val scd2SqlCtes =
@@ -568,8 +576,15 @@ object Events {
     val delta = ev.crossJoin(cut).filter(col("ts_us") >= col("cut")).drop("cut")
 
     // The stored artifact (built here from history; in production read
-    // from the dimension table's parquet).
-    val stored = scd2IntervalsOf(hist)
+    // from the dimension table's parquet). MATERIALIZED in the session
+    // registry (r18): keep and seed each consumed the hist window-chain
+    // subtree — two executions of the decade-side scan+window per run,
+    // exactly what the production posture (a parquet READ of a stored
+    // table) never pays. The cache is the fixture's stand-in for that
+    // stored parquet.
+    val stored = Features.cachedFrame(spark, s"$dir#q148Stored") {
+      scd2IntervalsOf(hist)
+    }
     val deltaUsers = delta.select(col("user_id")).distinct()
 
     // ONE left join routes the stored table (r17; the anti/semi pair
